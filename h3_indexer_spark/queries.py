@@ -1,0 +1,595 @@
+"""Driver-contract query registry (SURVEY.md §2 oracle keys).
+
+Each ``q_*`` function takes ``(spark, sf_dir)`` and returns a lazy
+DataFrame; ``ORACLES`` holds the equivalent DuckDB SQL. The pairs are
+compared by the driver (row count + schema + order-insensitive value
+hash), so every computed column is aliased identically on both sides.
+
+Cross-engine determinism rules used throughout:
+- Double aggregation: per-row values in the testdata carry ≤4 true
+  decimal digits, so ``CAST(x AS DECIMAL(18,6))`` is exact (never a
+  rounding tie); SUM over decimals is exact in both engines; the final
+  cast back to double is deterministic. No float-summation-order
+  nondeterminism can leak into results.
+- Timestamps are never emitted raw — always ``date_format``/
+  ``strftime`` to strings.
+- Any LIMIT/first/top-k carries a total tie-breaking ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from h3_indexer_spark.operators import relational as R
+from h3_indexer_spark.sources.readers import read_parquet, read_table
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# §2.1 Scans / sources
+# --------------------------------------------------------------------------
+
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: plain columnar scan (reference spark/spark.py:45-55)."""
+    return load(spark, sf_dir, "part")
+
+
+def q_scan_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: catalog read with config WHERE pushed into the scan
+    (reference validator.py:80-94). The predicate shows up as
+    PushedFilters on the parquet scan node."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    df = read_table(
+        spark, "orders_src", "o_totalprice > 200000 AND o_orderstatus = 'F'"
+    )
+    return df.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# §2.2 Projections / filters
+# --------------------------------------------------------------------------
+
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: column-subset projection (reference h3_indexer.py:76);
+    ReadSchema proves only 3 columns leave the scan."""
+    return R.project(
+        load(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+
+def q_lit_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: constant derived columns (reference h3_indexer.py:73,134-140
+    — the WITHIN method's ratio=1.0 / total_count=1 / resolution lits)."""
+    df = R.project(load(spark, sf_dir, "customer"), ["c_custkey"])
+    return R.with_literals(df, h3_resolution=6, ratio=1.0, total_count=1)
+
+
+def q_mul_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: attribute × ratio arithmetic (reference h3_resolver.py:125-127)
+    — whole-stage-codegen expressions, no UDF."""
+    df = load(spark, sf_dir, "lineitem")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "disc_price"
+        ),
+        (F.col("l_quantity") * F.lit(0.5)).alias("half_qty"),
+    )
+
+
+def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: null-filter (reference utils/geospatial.py:150). The testdata
+    has no physical nulls, so nulls are derived via NULLIF first."""
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("nullif(o_orderpriority, '1-URGENT')").alias("priority_opt"),
+    )
+    return R.filter_not_null(df, "priority_opt")
+
+
+# --------------------------------------------------------------------------
+# §2.3 Joins
+# --------------------------------------------------------------------------
+
+
+def q_join_left_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: probe ⟕ broadcast(small build) (reference h3_indexer.py:124).
+    Explicit broadcast — at 100 TB the probe side must not shuffle."""
+    lineitem = R.project(
+        load(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber", "l_partkey"]
+    )
+    part = R.project(load(spark, sf_dir, "part"), ["p_partkey", "p_brand"])
+    joined = R.join_left_small(
+        lineitem, part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey"
+    )
+    return joined.select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+
+
+def q_join_left_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: fetch attribute columns back by unique id (reference
+    h3_indexer.py:125-127, h3_resolver.py:119-123)."""
+    orders = R.project(load(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey"])
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+    return R.join_left(orders, cust, "o_custkey")
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: full-outer alignment of independently aggregated inputs on a
+    shared key (reference h3_resolver.py:71-82). supplier covers few
+    nations ⇒ genuine null rows on both sides."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_acctbal").cast("decimal(18,6)").alias("cust_bal"),
+        )
+        .transform(lambda d: R.group_and_sum(d, "nationkey", ["cust_bal"]))
+        .select("nationkey", F.col("sum_cust_bal").cast("double").alias("sum_cust_bal"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_acctbal").cast("decimal(18,6)").alias("supp_bal"),
+        )
+        .transform(lambda d: R.group_and_sum(d, "nationkey", ["supp_bal"]))
+        .select("nationkey", F.col("sum_supp_bal").cast("double").alias("sum_supp_bal"))
+    )
+    return R.full_outer_align([cust, supp], "nationkey")
+
+
+# --------------------------------------------------------------------------
+# §2.4 Aggregations
+# --------------------------------------------------------------------------
+
+
+def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the resolver kernel — groupBy + SUM every value column
+    (reference h3_resolver.py:22-42). Partial aggregation makes this a
+    one-shuffle plan at any scale."""
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,6)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("base_price"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("disc_price"),
+    )
+    agg = R.group_and_sum(df, ["l_returnflag", "l_linestatus"])
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct keys before expensive per-key work (reference
+    h3_indexer.py:116-121)."""
+    return R.distinct_keys(
+        load(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"]
+    )
+
+
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: total count (reference validator.py:25)."""
+    return load(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the PK-uniqueness check shape (reference validator.py:28-31)."""
+    return load(spark, sf_dir, "customer").agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("c_custkey").alias("distinct_ids"),
+    )
+
+
+def q_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: first-row sample (reference geospatial.py:31) — made
+    deterministic with a total order."""
+    return R.top_k(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        [F.col("o_orderkey").asc()],
+        1,
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 Other dataflow
+# --------------------------------------------------------------------------
+
+
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: UNNEST an array to one row per element (reference
+    h3_indexer.py:111-113 — feature → covering H3 cells)."""
+    df = load(spark, sf_dir, "part")
+    return R.explode_array(
+        df, F.split("p_type", " "), alias="type_word", keep=["p_partkey"]
+    )
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (§2.8 gap-closer): vertical union of two conformed inputs."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_acctbal").alias("balance"),
+        F.lit("supplier").alias("kind"),
+    )
+    return cust.unionByName(supp)
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (§2.8 gap-closer). Spark plans this as
+    TakeOrderedAndProject — no global sort shuffle at any scale."""
+    return R.top_k(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        20,
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 Window / event-time operators
+# --------------------------------------------------------------------------
+
+
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (§2.8). The window shuffles
+    once on the partition key; rank pushdown (WindowGroupLimit) stops
+    per-group work at k rows."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default; read it as long nanoseconds and derive a
+    micros TimestampType column. Ordering uses the raw nanos (total
+    order identical to DuckDB's nanosecond timestamps)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load(spark, sf_dir, "events")
+    return df.withColumn(
+        "ts_micro", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-window lag — the as-of/previous-event primitive (§2.8)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        _load_events(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("prev_value", F.lag("value").over(w))
+        .select("event_id", "user_id", "value", "prev_value")
+    )
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (§2.8) — the batch analog
+    of the streaming windowed agg in streaming/events.py. Hour windows
+    are unaffected by the nanos→micros conversion."""
+    df = _load_events(spark, sf_dir)
+    agg = (
+        df.groupBy(F.window("ts_micro", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value_dec"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 Text / dedup (documents table)
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (§2.8) — pure built-ins, no UDF."""
+    df = load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("char_len"),
+        F.size(F.split("text", " ")).cast("long").alias("word_cnt"),
+        F.length(F.regexp_replace("text", "[^aeiou]", "")).cast("long").alias(
+            "vowel_cnt"
+        ),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep min doc_id per text (§2.8).
+    Hash-groupBy with partial aggregation — one shuffle of (hash, id)."""
+    df = load(spark, sf_dir, "documents")
+    return (
+        df.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 Similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+def _query_vector() -> list[float]:
+    """Deterministic query vector with exactly-representable components
+    (k/64 → ≤6 decimal digits; bit-identical as literals in both
+    engines)."""
+    return [((i * 37) % 128 - 64) / 64.0 for i in range(_EMB_DIM)]
+
+
+def _dot_sql(vec_col: str, q: list[float], one_based: bool) -> str:
+    """Left-associative element-wise dot product in double precision —
+    the identical IEEE op sequence in Spark SQL and DuckDB."""
+    terms = []
+    for i, qv in enumerate(q):
+        idx = i + 1 if one_based else i
+        terms.append(f"CAST({vec_col}[{idx}] AS DOUBLE) * ({qv!r})")
+    return " + ".join(terms)
+
+
+def _norm_sql(vec_col: str, one_based: bool) -> str:
+    terms = []
+    for i in range(_EMB_DIM):
+        idx = i + 1 if one_based else i
+        e = f"CAST({vec_col}[{idx}] AS DOUBLE)"
+        terms.append(f"{e} * {e}")
+    return " + ".join(terms)
+
+
+def _q_norm_const() -> float:
+    import math
+
+    q = _query_vector()
+    s = 0.0
+    for v in q:
+        s += v * v
+    return math.sqrt(s)
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a fixed query vector (§2.8).
+
+    The scale path (IVF/LSH bucketing) lives in operators/similarity.py;
+    this is the exact baseline. The arithmetic is an identical IEEE op
+    sequence in both engines, so sims are bit-equal — no rounding needed.
+    """
+    # Spark arrays are 1-based for the SQL [] accessor? No: [] is
+    # 0-based in Spark SQL (element_at is 1-based) — hence one_based=False.
+    q = _query_vector()
+    dot = _dot_sql("embedding", q, one_based=False)
+    norm = _norm_sql("embedding", one_based=False)
+    qn = _q_norm_const()
+    df = load(spark, sf_dir, "embeddings")
+    sim = F.expr(f"({dot}) / (sqrt({norm}) * ({qn!r}))").alias("cosine_sim")
+    return R.top_k(
+        df.select("vec_id", sim),
+        [F.col("cosine_sim").desc(), F.col("vec_id").asc()],
+        10,
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry + DuckDB oracles
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Query] = {
+    "q_scan_parquet": q_scan_parquet,
+    "q_scan_where": q_scan_where,
+    "q_project": q_project,
+    "q_lit_cols": q_lit_cols,
+    "q_mul_ratio": q_mul_ratio,
+    "q_filter_notnull": q_filter_notnull,
+    "q_join_left_small": q_join_left_small,
+    "q_join_left_attr": q_join_left_attr,
+    "q_join_full_outer": q_join_full_outer,
+    "q_groupby_sum": q_groupby_sum,
+    "q_distinct": q_distinct,
+    "q_count": q_count,
+    "q_count_distinct": q_count_distinct,
+    "q_first": q_first,
+    "q_explode": q_explode,
+    "q_union": q_union,
+    "q_sort_limit": q_sort_limit,
+    "q_topk_window": q_topk_window,
+    "q_window_lag": q_window_lag,
+    "q_window_tumbling": q_window_tumbling,
+    "q_text_stats": q_text_stats,
+    "q_dedup_exact": q_dedup_exact,
+    "q_knn_brute": q_knn_brute,
+}
+
+
+def _knn_oracle() -> str:
+    q = _query_vector()
+    dot = _dot_sql("embedding", q, one_based=True)
+    norm = _norm_sql("embedding", one_based=True)
+    qn = _q_norm_const()
+    return f"""
+        SELECT vec_id,
+               ({dot}) / (sqrt({norm}) * ({qn!r})) AS cosine_sim
+        FROM embeddings
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+ORACLES: dict[str, str] = {
+    "q_scan_parquet": "SELECT * FROM part",
+    "q_scan_where": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
+    """,
+    "q_project": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "q_lit_cols": """
+        SELECT c_custkey,
+               6 AS h3_resolution,
+               CAST(1.0 AS DOUBLE) AS ratio,
+               1 AS total_count
+        FROM customer
+    """,
+    "q_mul_ratio": """
+        SELECT l_orderkey,
+               l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS disc_price,
+               l_quantity * 0.5 AS half_qty
+        FROM lineitem
+    """,
+    "q_filter_notnull": """
+        SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS priority_opt
+        FROM orders
+        WHERE NULLIF(o_orderpriority, '1-URGENT') IS NOT NULL
+    """,
+    "q_join_left_small": """
+        SELECT l_orderkey, l_linenumber, l_partkey, p_brand
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    """,
+    "q_join_left_attr": """
+        SELECT o_custkey, o_orderkey, c_acctbal
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_join_full_outer": """
+        WITH cust AS (
+            SELECT c_nationkey AS nationkey,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_cust_bal
+            FROM customer GROUP BY c_nationkey
+        ),
+        supp AS (
+            SELECT s_nationkey AS nationkey,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_supp_bal
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT nationkey, sum_cust_bal, sum_supp_bal
+        FROM cust FULL OUTER JOIN supp USING (nationkey)
+    """,
+    "q_groupby_sum": """
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_disc_price
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_count": "SELECT COUNT(*) AS cnt FROM lineitem",
+    "q_count_distinct": """
+        SELECT COUNT(*) AS total_rows,
+               COUNT(DISTINCT c_custkey) AS distinct_ids
+        FROM customer
+    """,
+    "q_first": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_orderkey ASC LIMIT 1
+    """,
+    "q_explode": """
+        SELECT p_partkey, unnest(string_split(p_type, ' ')) AS type_word
+        FROM part
+    """,
+    "q_union": """
+        SELECT c_custkey AS entity_id, c_acctbal AS balance,
+               'customer' AS kind
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey AS entity_id, s_acctbal AS balance,
+               'supplier' AS kind
+        FROM supplier
+    """,
+    "q_sort_limit": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+    "q_topk_window": """
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS BIGINT) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "q_window_lag": """
+        SELECT event_id, user_id, value,
+               LAG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_value
+        FROM events
+    """,
+    "q_window_tumbling": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "q_text_stats": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS char_len,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS word_cnt,
+               CAST(length(regexp_replace(text, '[^aeiou]', '', 'g'))
+                    AS BIGINT) AS vowel_cnt
+        FROM documents
+    """,
+    "q_dedup_exact": """
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_cnt
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "q_knn_brute": _knn_oracle(),
+}

@@ -1,0 +1,76 @@
+"""Input readers (SURVEY.md §2.1 S1-S4).
+
+Parity targets:
+- S1 Parquet scan            (reference spark/spark.py:45-55)
+- S2 Shapefile scan          (reference spark/spark.py:58-73) — Sedona's
+  shapefile DataSource is unavailable; geometry arrives as WKT columns
+  in Parquet/CSV instead (documented substitution, SURVEY.md §2.1).
+- S3 extension dispatch      (reference spark/spark.py:26-42)
+- S4 catalog scan w/ pushdown(reference validator.py:80-94) — the
+  Athena JDBC path becomes a catalog/temp-view read with the user's
+  WHERE pushed into the scan by Catalyst.
+
+All readers return lazy DataFrames; filters/column pruning reach the
+Parquet footer (PushedFilters / ReadSchema) because nothing here forces
+materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1: columnar scan; partition pruning applies to partitioned
+    layouts (e.g. our own sink's h3_resolution/h3_r3_parent dirs)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """CSV with header+schema inference by default (the reference's
+    shapefile reader exposed delimiter/header options; spark/spark.py:58-73)."""
+    opts = {"header": "true", "inferSchema": "true", **options}
+    return spark.read.options(**opts).csv(path)
+
+
+def read_table(
+    spark: SparkSession,
+    table: str,
+    where_clause: str | None = None,
+) -> DataFrame:
+    """S4: read a registered catalog table / temp view, applying the
+    config's WHERE clause. The reference spliced the clause into the
+    Athena JDBC ``query`` option (validator.py:91) — true source-side
+    pushdown. Declaratively, ``spark.table(t).where(clause)`` gives
+    Catalyst the same information: supported predicates reach the file
+    source as PushedFilters, partition predicates prune directories.
+    """
+    df = spark.table(table)
+    if where_clause:
+        df = df.where(where_clause)
+    return df
+
+
+def read_source(
+    spark: SparkSession,
+    path: str | None = None,
+    table: str | None = None,
+    where_clause: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """S3: dispatch on source kind/extension (reference spark/spark.py:26-42
+    routed .shp → shapefile reader, else parquet)."""
+    if (path is None) == (table is None):
+        raise ValueError("exactly one of path/table must be given")
+    if table is not None:
+        return read_table(spark, table, where_clause)
+    lower = path.lower()
+    if lower.endswith(".csv"):
+        df = read_csv(spark, path, **options)
+    elif lower.endswith(".json") or lower.endswith(".jsonl"):
+        df = spark.read.json(path)
+    else:
+        df = read_parquet(spark, path)
+    if where_clause:
+        df = df.where(where_clause)
+    return df

@@ -1,0 +1,59 @@
+"""Shared pytest fixtures: one SparkSession per test run."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        h3_resolution=6,
+        app_name="h3_indexer_spark_tests",
+        master="local[4]",
+        shuffle_partitions=8,
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the testdata tables registered as views,
+    mirroring the driver's oracle harness."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf_dir, suffix in ((SF_SMALL, "_sf0001"), (SF_ORACLE, "")):
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t}{suffix} AS "
+                f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+    yield con
+    con.close()

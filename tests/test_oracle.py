@@ -1,0 +1,68 @@
+"""DuckDB-oracle equivalence for every §2 oracle key — a local mirror
+of the driver's t2 correctness gate (row count + schema + order-
+insensitive values), run at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"column mismatch: {sorted(spark_pdf.columns)} vs "
+        f"{sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"row count mismatch: {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    s = _normalize(spark_pdf)
+    d = _normalize(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (x, y) in enumerate(zip(sv, dv)):
+            assert _values_equal(x, y), (
+                f"value mismatch in {col!r} row {i}: spark={x!r} duck={y!r}"
+            )
+
+
+def _oracle_keys():
+    from h3_indexer_spark.queries import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("key", _oracle_keys())
+def test_oracle_equivalence(spark, duck, key):
+    from h3_indexer_spark.queries import ORACLES, QUERIES
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark_pdf = QUERIES[key](spark, SF_ORACLE).toPandas()
+    duck_pdf = duck.execute(ORACLES[key]).df()
+    compare_frames(spark_pdf, duck_pdf)
