@@ -1,0 +1,155 @@
+"""Shape → covering-cells algorithms (the reference's U1
+``index_shape`` surface, h3-pyspark indexing.py semantics):
+
+- point     → the containing cell
+- line      → every cell the polyline passes through (densified walk)
+- polygon   → polyfill (centers-in-polygon) ∪ boundary-line cells, so
+  every cell that intersects the polygon's interior or boundary is
+  produced — which is what makes the PCT_* ratios sum to 1.0 per
+  feature (reference README.md:292,320).
+
+All pure Python over the core kernel; the Spark layer batches these in
+vectorized pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from h3_indexer_spark.functions.h3 import core
+
+# mean hexagon edge lengths in km per resolution (published H3 table,
+# used only to pick densification steps — not for output metrics)
+_EDGE_KM = [
+    1107.712591, 418.676005, 158.244655, 59.810857, 22.606379, 8.544408,
+    3.229482, 1.220629, 0.461354, 0.174375, 0.065907, 0.024910, 0.009415,
+    0.003559, 0.001348, 0.000509,
+]
+_EARTH_KM = 6371.007180918475
+
+
+def cell_neighbors(h: int) -> list[int]:
+    """The cells adjacent to ``h`` (6, or 5 for pentagons), computed
+    geometrically: step outward through each boundary edge midpoint.
+    Table-free equivalent of gridDisk(h, 1) minus the center."""
+    res = core.get_resolution(h)
+    clat, clng = core.cell_to_latlng(h)
+    boundary = core.cell_to_boundary(h)
+    n = len(boundary)
+    out: list[int] = []
+    for idx in range(n):
+        a = boundary[idx]
+        b = boundary[(idx + 1) % n]
+        mid_lat = (a[0] + b[0]) / 2.0
+        mid_lng = _mid_lng(a[1], b[1])
+        # push past the edge: center + 1.35 × (edge midpoint - center)
+        lat = clat + 1.35 * (mid_lat - clat)
+        lng = clng + 1.35 * _lng_diff(mid_lng, clng)
+        nb = core.latlng_to_cell(lat, lng, res)
+        if nb != h and nb != 0 and nb not in out:
+            out.append(nb)
+    return out
+
+
+def _mid_lng(a: float, b: float) -> float:
+    d = _lng_diff(b, a)
+    return _wrap_lng(a + d / 2.0)
+
+
+def _lng_diff(a: float, b: float) -> float:
+    d = a - b
+    while d > 180.0:
+        d -= 360.0
+    while d < -180.0:
+        d += 360.0
+    return d
+
+
+def _wrap_lng(lng: float) -> float:
+    while lng > 180.0:
+        lng -= 360.0
+    while lng < -180.0:
+        lng += 360.0
+    return lng
+
+
+def line_cells(coords: list[tuple[float, float]], res: int) -> list[int]:
+    """Cells traversed by a polyline of (lng, lat) vertices: densify
+    each segment well below the cell edge length and index every sample.
+    Unlike H3's gridLine (cell-center path) this returns exactly the
+    cells the line geometrically passes through."""
+    step_deg = _EDGE_KM[res] / _EARTH_KM * (180.0 / math.pi) * 0.25
+    seen: dict[int, None] = {}
+    for (x1, y1), (x2, y2) in zip(coords, coords[1:]):
+        seg_len = math.hypot(x2 - x1, y2 - y1)
+        n = max(1, int(math.ceil(seg_len / step_deg)))
+        for t in range(n + 1):
+            f = t / n
+            cell = core.latlng_to_cell(y1 + f * (y2 - y1), x1 + f * (x2 - x1), res)
+            if cell:
+                seen[cell] = None
+    return list(seen)
+
+
+def _point_in_ring(lng: float, lat: float, ring: list[tuple[float, float]]) -> bool:
+    """Even-odd rule in lng/lat space (rings are small and far from the
+    antimeridian in the supported domain)."""
+    inside = False
+    n = len(ring)
+    for idx in range(n):
+        x1, y1 = ring[idx]
+        x2, y2 = ring[(idx + 1) % n]
+        if (y1 > lat) != (y2 > lat):
+            xint = x1 + (lat - y1) / (y2 - y1) * (x2 - x1)
+            if lng < xint:
+                inside = not inside
+    return inside
+
+
+def polyfill(
+    ring: list[tuple[float, float]],
+    res: int,
+    holes: list[list[tuple[float, float]]] | None = None,
+    include_boundary_cells: bool = True,
+) -> list[int]:
+    """Cells covering a polygon given as a closed (lng, lat) ring.
+
+    Centers-in-polygon (H3 polyfill semantics) found by BFS flood fill
+    from the boundary cells inward, optionally unioned with the
+    boundary-traversal cells (index_shape semantics — needed so
+    intersection ratios sum to 1).
+    """
+    if ring[0] == ring[-1]:
+        ring = ring[:-1]
+    boundary_cells = line_cells(ring + [ring[0]], res)
+
+    def center_inside(cell: int) -> bool:
+        lat, lng = core.cell_to_latlng(cell)
+        if not _point_in_ring(lng, lat, ring):
+            return False
+        for hole in holes or []:
+            if _point_in_ring(lng, lat, hole):
+                return False
+        return True
+
+    result: dict[int, None] = {}
+    frontier: list[int] = []
+    for c in boundary_cells:
+        if include_boundary_cells:
+            result[c] = None
+        if center_inside(c):
+            frontier.append(c)
+            result[c] = None
+    visited = set(boundary_cells)
+    while frontier:
+        nxt: list[int] = []
+        for cell in frontier:
+            for nb in cell_neighbors(cell):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                if center_inside(nb):
+                    result[nb] = None
+                    nxt.append(nb)
+        frontier = nxt
+    return list(result)

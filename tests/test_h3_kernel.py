@@ -1,0 +1,175 @@
+"""H3 kernel validation: published goldens + structural invariants.
+
+Golden sources:
+- the classic SF example published in the H3 documentation
+- the reference's own published outputs:
+  /root/reference/README.md:280-341 (cell ids, parents, areas) and
+  examples/h3_pop_railroad_example.ipynb.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from h3_indexer_spark.functions import geodesy
+from h3_indexer_spark.functions.h3 import core, coverage
+
+
+class TestGoldens:
+    def test_sf_point(self):
+        c = core.latlng_to_cell(37.7752702151959257, -122.418307270836565, 9)
+        assert core.h3_to_string(c) == "8928308280fffff"
+
+    def test_sf_center(self):
+        c = core.string_to_h3("8928308280fffff")
+        lat, lng = core.cell_to_latlng(c)
+        assert abs(lat - 37.77670234943567) < 1e-9
+        assert abs(lng - -122.41845932318311) < 1e-9
+
+    def test_parent_golden(self):
+        # reference README.md:282 — r3 parent of 840e4d3ffffffff
+        h = core.string_to_h3("840e4d3ffffffff")
+        assert core.h3_to_string(core.cell_to_parent(h, 3)) == "830e4dfffffffff"
+
+    @pytest.mark.parametrize(
+        "cell,golden_km2",
+        [
+            # reference README.md:282-283 (res 4)
+            ("840e4d3ffffffff", 2004.4344472440796),
+            ("840e4d7ffffffff", 2011.5201608518523),
+            # reference README.md:308-309 (res 6)
+            ("86446cae7ffffff", 40.55609958082783),
+            ("86446ca57ffffff", 40.58272492454886),
+            # reference README.md:336-337 (res 6)
+            ("8644697b7ffffff", 40.12018482559633),
+            ("86446945fffffff", 40.145249906240224),
+        ],
+    )
+    def test_area_goldens(self, cell, golden_km2):
+        h = core.string_to_h3(cell)
+        boundary = core.cell_to_boundary(h)
+        ring = [(lng, lat) for lat, lng in boundary]
+        area = geodesy.spheroid_polygon_area_km2(ring)
+        assert abs(area - golden_km2) / golden_km2 < 1e-7
+
+
+class TestInvariants:
+    def test_roundtrip_global(self):
+        random.seed(42)
+        for res in [0, 1, 2, 3, 5, 6, 9, 12, 15]:
+            for _ in range(150):
+                lat = math.degrees(math.asin(random.uniform(-1, 1)))
+                lng = random.uniform(-180, 180)
+                c = core.latlng_to_cell(lat, lng, res)
+                assert c != 0
+                assert core.is_valid_cell(c)
+                clat, clng = core.cell_to_latlng(c)
+                assert core.latlng_to_cell(clat, clng, res) == c
+
+    def test_parent_contains_child_center(self):
+        """Aperture-7 subdivision does NOT nest children inside parents
+        geometrically, so a deep descendant's center may fall outside
+        the ancestor hexagon — but only for a small boundary fraction."""
+        random.seed(1)
+        mismatches = 0
+        for _ in range(200):
+            lat = math.degrees(math.asin(random.uniform(-1, 1)))
+            lng = random.uniform(-180, 180)
+            child = core.latlng_to_cell(lat, lng, 9)
+            parent = core.cell_to_parent(child, 9 - 1)
+            clat, clng = core.cell_to_latlng(child)
+            if core.latlng_to_cell(clat, clng, 8) != parent:
+                mismatches += 1
+        # direct children centers are always well inside the parent
+        assert mismatches == 0
+
+    def test_children_roundtrip(self):
+        h = core.latlng_to_cell(40.0, -100.0, 4)
+        kids = core.cell_to_children(h, 6)
+        assert len(kids) == 49
+        for k in kids:
+            assert core.cell_to_parent(k, 4) == h
+
+    def test_pentagon_count(self):
+        pents = [
+            bc
+            for bc in range(122)
+            if core._set_base_cell(
+                core._set_resolution(core._set_mode(core.H3_INIT, 1), 0), bc
+            )
+            and bc in core.PENTAGON_BASE_CELLS
+        ]
+        assert len(pents) == 12
+
+    def test_res0_area_covers_earth(self):
+        total = 0.0
+        for bc in range(122):
+            h = core._set_base_cell(
+                core._set_resolution(core._set_mode(core.H3_INIT, 1), 0), bc
+            )
+            boundary = core.cell_to_boundary(h)
+            ring = [(lng, lat) for lat, lng in boundary]
+            total += geodesy.spheroid_polygon_area_km2(ring)
+        earth = 4.0 * math.pi * (geodesy.AUTHALIC_RADIUS_M / 1000.0) ** 2
+        assert abs(total - earth) / earth < 1e-4
+
+    def test_boundary_vertex_counts(self):
+        hexagon = core.latlng_to_cell(40.0, -100.0, 6)
+        assert len(core.cell_to_boundary(hexagon)) == 6
+        # north pentagon at res 0 (famous Norway pentagon)
+        pent = core.latlng_to_cell(64.7, 10.5, 0)
+        assert core.is_pentagon(pent)
+        assert len(core.cell_to_boundary(pent)) == 5
+
+
+class TestCoverage:
+    def test_neighbors_count(self):
+        h = core.latlng_to_cell(35.0, -100.0, 6)
+        nbs = coverage.cell_neighbors(h)
+        assert len(nbs) == 6
+        assert h not in nbs
+        # symmetry: each neighbor lists h back
+        for nb in nbs:
+            assert h in coverage.cell_neighbors(nb)
+
+    def test_pentagon_neighbors(self):
+        pent = core.latlng_to_cell(64.7, 10.5, 2)
+        assert core.is_pentagon(pent)
+        assert len(coverage.cell_neighbors(pent)) == 5
+
+    def test_line_cells_connected(self):
+        cells = coverage.line_cells([(-100.0, 35.0), (-99.0, 35.5)], 6)
+        assert len(cells) >= 5
+        start = core.latlng_to_cell(35.0, -100.0, 6)
+        end = core.latlng_to_cell(35.5, -99.0, 6)
+        assert start in cells and end in cells
+
+    def test_polyfill_small_square(self):
+        ring = [
+            (-100.0, 35.0),
+            (-99.8, 35.0),
+            (-99.8, 35.2),
+            (-100.0, 35.2),
+        ]
+        cells = coverage.polyfill(ring, 6)
+        assert len(cells) >= 4
+        # every cell center inside must be present; sample the centroid
+        c = core.latlng_to_cell(35.1, -99.9, 6)
+        assert c in cells
+
+    def test_polyfill_interior_only(self):
+        ring = [
+            (-100.0, 35.0),
+            (-99.5, 35.0),
+            (-99.5, 35.5),
+            (-100.0, 35.5),
+        ]
+        with_b = set(coverage.polyfill(ring, 6, include_boundary_cells=True))
+        without_b = set(coverage.polyfill(ring, 6, include_boundary_cells=False))
+        assert without_b <= with_b
+        for cell in without_b:
+            lat, lng = core.cell_to_latlng(cell)
+            assert coverage._point_in_ring(lng, lat, ring)
