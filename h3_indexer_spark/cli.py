@@ -1,0 +1,71 @@
+"""CLI entry point (parity: reference src/main.py:101-155).
+
+    python -m h3_indexer_spark.cli --json-input '<json>' --run-all
+    python -m h3_indexer_spark.cli --yaml-path job.yaml --validate-only
+    python -m h3_indexer_spark.cli --yaml-path job.yaml --index-only
+
+Stages: Validate → Index (write per-input parquet) → Resolve (write
+job-level parquet); outputs partitioned by (h3_resolution,
+h3_r3_parent), ≤500k records/file (reference main.py:63-64,95-96).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from h3_indexer_spark.config.loader import job_from_json, job_from_path
+from h3_indexer_spark.constants import H3_R3_PARENT
+from h3_indexer_spark.plans.indexer import index_job
+from h3_indexer_spark.plans.resolver import resolve_job
+from h3_indexer_spark.plans.validator import validate_config
+from h3_indexer_spark.session import get_spark_session
+from h3_indexer_spark.sources.writers import write_partitioned_parquet
+
+log = logging.getLogger("h3_indexer_spark")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="h3_indexer_spark")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--yaml-path", help="path to a YAML/JSON job config")
+    src.add_argument("--json-input", help="inline JSON job config")
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument("--validate-only", action="store_true")
+    mode.add_argument("--index-only", action="store_true")
+    mode.add_argument("--run-all", action="store_true", default=False)
+    return p
+
+
+def run(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    job = (
+        job_from_path(args.yaml_path)
+        if args.yaml_path
+        else job_from_json(args.json_input)
+    )
+    spark = get_spark_session(job.h3_resolution, app_name=f"h3idx-{job.name}")
+    validate_config(job, spark)
+    log.info("job %s validated (%d inputs)", job.id, len(job.inputs))
+    if args.validate_only:
+        return 0
+
+    index_job(job, spark)
+    for name, vt in job.inputs.items():
+        out = f"{job.output_path}/indexed/{name}"
+        write_partitioned_parquet(vt.h3_indexed_df, out)
+        log.info("indexed input %s -> %s", name, out)
+    if args.index_only:
+        return 0
+
+    resolve_job(job, spark)
+    out = f"{job.output_path}/resolved"
+    write_partitioned_parquet(job.h3_resolved_df, out)
+    log.info("resolved job %s -> %s", job.id, out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -95,6 +95,17 @@ class Job:
                 f"input type must be 'vector' or 'raster' for input: {name}"
             )
         spec = {k: v for k, v in spec.items() if k not in ("id", "job_id")}
+        # Reference field-name aliases (vector.py:85-92) so the
+        # reference's job configs work unmodified.
+        aliases = {
+            "s3_path": "path",
+            "glue_catalog_database_name": "catalog_database",
+            "glue_catalog_table_name": "catalog_table",
+            "geometry_column": "geometry_column_name",
+        }
+        for old, new in aliases.items():
+            if old in spec and new not in spec:
+                spec[new] = spec.pop(old)
         return VectorTable(id=name, job_id=self.id, **spec)
 
     def update_status(self, status: JobStatus, error: str | None = None) -> "Job":

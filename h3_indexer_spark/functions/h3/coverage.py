@@ -15,6 +15,7 @@ vectorized pandas UDFs.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 from h3_indexer_spark.functions.h3 import core
 
@@ -30,8 +31,13 @@ _EARTH_KM = 6371.007180918475
 
 def cell_neighbors(h: int) -> list[int]:
     """The cells adjacent to ``h`` (6, or 5 for pentagons), computed
-    geometrically: step outward through each boundary edge midpoint.
-    Table-free equivalent of gridDisk(h, 1) minus the center."""
+    geometrically and cached: step outward through each boundary edge
+    midpoint. Table-free equivalent of gridDisk(h, 1) minus center."""
+    return list(_cell_neighbors_cached(h))
+
+
+@lru_cache(maxsize=262144)
+def _cell_neighbors_cached(h: int) -> tuple[int, ...]:
     res = core.get_resolution(h)
     clat, clng = core.cell_to_latlng(h)
     boundary = core.cell_to_boundary(h)
@@ -48,7 +54,7 @@ def cell_neighbors(h: int) -> list[int]:
         nb = core.latlng_to_cell(lat, lng, res)
         if nb != h and nb != 0 and nb not in out:
             out.append(nb)
-    return out
+    return tuple(out)
 
 
 def _mid_lng(a: float, b: float) -> float:

@@ -1,0 +1,236 @@
+"""Arrow-vectorized UDF layer bridging the pure-Python kernels into
+Spark (SURVEY.md §2.7). The reference used row-at-a-time ``@udf``s
+(U1-U3); everything here is batch-oriented (pandas UDF / mapInPandas)
+with worker-local memoization of per-cell geometry — the batch-level
+equivalent of the reference's distinct-then-join-back optimization
+(h3_indexer.py:116-127) without the extra shuffle.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from h3_indexer_spark.config.vector import AllocationMethod
+from h3_indexer_spark.constants import (
+    GEOM_WKT,
+    H3_AREA_KM2,
+    H3_INDEX,
+    RATIO,
+)
+from h3_indexer_spark.functions import geodesy, geometry
+from h3_indexer_spark.functions.h3 import core, coverage
+
+
+# --- memoized per-cell geometry (worker-local "distinct" optimization) ----
+
+
+@lru_cache(maxsize=262144)
+def _cell_boundary_ring(cell: int) -> tuple:
+    """Hex boundary as an (lng, lat) ring, cached per worker."""
+    return tuple((lng, lat) for lat, lng in core.cell_to_boundary(cell))
+
+
+@lru_cache(maxsize=262144)
+def _cell_area_km2(cell: int) -> float:
+    return geodesy.spheroid_polygon_area_km2(list(_cell_boundary_ring(cell)))
+
+
+@lru_cache(maxsize=262144)
+def _cell_wkt(cell: int) -> str:
+    ring = list(_cell_boundary_ring(cell))
+    ring.append(ring[0])
+    return geometry.to_wkt("polygon", [ring])
+
+
+# --- scalar pandas UDFs (U2/U3 parity surface) ----------------------------
+
+
+@F.pandas_udf(StringType())
+def h3_to_wkt_udf(h3_index: pd.Series) -> pd.Series:
+    """U3 parity (reference spark_udfs.py:48-67): hex cell boundary as
+    a WKT polygon."""
+    return h3_index.map(
+        lambda s: _cell_wkt(core.string_to_h3(s)) if s else None
+    )
+
+
+@F.pandas_udf(DoubleType())
+def h3_area_km2_udf(h3_index: pd.Series) -> pd.Series:
+    """Spheroid cell area (reference geospatial.py:128-135 used
+    ST_AreaSpheroid over the hex geometry)."""
+    return h3_index.map(
+        lambda s: _cell_area_km2(core.string_to_h3(s)) if s else None
+    )
+
+
+def make_latlng_to_cell_udf(res: int):
+    @F.pandas_udf(StringType())
+    def latlng_to_cell_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                core.h3_to_string(core.latlng_to_cell(la, ln, res))
+                if la is not None and ln is not None
+                else None
+                for la, ln in zip(lat, lng)
+            ]
+        )
+
+    return latlng_to_cell_udf
+
+
+@F.pandas_udf(StringType())
+def canonical_wkt_udf(geom: pd.Series) -> pd.Series:
+    """G1/G2/G9: sniff encoding (WKT/WKB-hex/GeoJSON/binary), repair,
+    re-encode as canonical WKT; null for unparseable/irreparable rows
+    (reference geospatial.py:55-166 semantics)."""
+
+    def conv(v):
+        if v is None:
+            return None
+        try:
+            kind, rings = geometry.parse_any(v)
+            repaired = geometry.repair(kind, rings)
+            if repaired is None:
+                return None
+            return geometry.to_wkt(*repaired)
+        except Exception:
+            return None
+
+    return geom.map(conv)
+
+
+# --- the indexing kernel: feature → (cell, ratio, metric) rows ------------
+
+
+def _index_point(rings, res: int):
+    (lng, lat) = rings[0][0]
+    cell = core.latlng_to_cell(lat, lng, res)
+    return [(cell, 1.0)], 1.0
+
+
+def _expand_with_neighbors(cells: list[int]) -> list[int]:
+    """Sampling-based coverage can miss a cell clipped at a tiny corner
+    (the classic grid-path corner cut); every such cell is adjacent to a
+    sampled one, so the sampled set ∪ its neighbors is a complete
+    candidate superset. Extras are filtered by a zero clip ratio."""
+    seen = dict.fromkeys(cells)
+    for c in cells:
+        for nb in coverage.cell_neighbors(c):
+            seen.setdefault(nb)
+    return list(seen)
+
+
+def _index_line(rings, res: int, method: AllocationMethod):
+    line = rings[0]
+    sampled = coverage.line_cells(line, res)
+    total_len = geodesy.planar_line_length(line)
+    out = []
+    for cell in _expand_with_neighbors(sampled):
+        is_sampled = cell in sampled
+        if method == AllocationMethod.PASS_THROUGH:
+            if is_sampled:
+                out.append((cell, 1.0))
+            continue
+        hexagon = list(_cell_boundary_ring(cell))
+        pieces = geometry.clip_line_convex(line, hexagon)
+        clipped = sum(geodesy.planar_line_length(p) for p in pieces)
+        ratio = clipped / total_len if total_len > 0 else 0.0
+        if ratio > 0.0 or is_sampled:
+            out.append((cell, ratio))
+    metric = geodesy.spheroid_line_length_m(line) / 1000.0  # total_length_km
+    return out, metric
+
+
+def _index_polygon(rings, res: int, method: AllocationMethod):
+    outer = rings[0]
+    holes = rings[1:]
+    if outer[0] == outer[-1]:
+        outer = outer[:-1]
+    holes = [h[:-1] if h and h[0] == h[-1] else h for h in holes]
+    metric = (
+        geodesy.spheroid_polygon_area_m2(outer)
+        - sum(geodesy.spheroid_polygon_area_m2(h) for h in holes)
+    ) / 1.0e6  # total_area_km2
+    if method == AllocationMethod.CENTROID:
+        cx = sum(x for x, _ in outer) / len(outer)
+        cy = sum(y for _, y in outer) / len(outer)
+        cell = core.latlng_to_cell(cy, cx, res)
+        return [(cell, 1.0)], metric
+    total_area = geodesy.planar_polygon_area(outer) - sum(
+        geodesy.planar_polygon_area(h) for h in holes
+    )
+    cells = coverage.polyfill(outer, res, holes=holes or None)
+    sampled = set(cells)
+    out = []
+    for cell in _expand_with_neighbors(cells):
+        hexagon = list(_cell_boundary_ring(cell))
+        kept = geometry.clip_polygon_convex(outer, hexagon)
+        area = geometry._signed_area(kept) if len(kept) >= 3 else 0.0
+        area = abs(area)
+        for hole in holes:
+            kh = geometry.clip_polygon_convex(hole, hexagon)
+            if len(kh) >= 3:
+                area -= abs(geometry._signed_area(kh))
+        ratio = area / total_area if total_area > 0 else 0.0
+        if ratio > 0.0 or cell in sampled:
+            out.append((cell, ratio))
+    return out, metric
+
+
+def make_index_map_fn(
+    uid_col: str,
+    geometry_type: str,
+    method: AllocationMethod,
+    res: int,
+    metric_col: str,
+):
+    """Build a mapInPandas function: (uid, geom_wkt) batches →
+    exploded (uid, h3_index, ratio, metric, h3_area_km2) rows.
+
+    This is the whole Index stage kernel in ONE narrow pass — where the
+    reference round-trips through explode + distinct + two joins
+    (h3_indexer.py:106-127), we compute coverage, ratio, and cell
+    geometry together per feature, with per-cell results memoized on
+    the worker. No shuffle until the final repartition-for-write.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uids, cells, ratios, metrics, areas = [], [], [], [], []
+            for uid, wkt in zip(pdf[uid_col], pdf[GEOM_WKT]):
+                if wkt is None:
+                    continue
+                try:
+                    kind, rings = geometry.parse_wkt(wkt)
+                except geometry.GeometryError:
+                    continue
+                if kind == "point":
+                    pairs, metric = _index_point(rings, res)
+                elif kind == "line":
+                    pairs, metric = _index_line(rings, res, method)
+                else:
+                    pairs, metric = _index_polygon(rings, res, method)
+                for cell, ratio in pairs:
+                    if cell == 0:
+                        continue
+                    uids.append(uid)
+                    cells.append(core.h3_to_string(cell))
+                    ratios.append(ratio)
+                    metrics.append(metric)
+                    areas.append(_cell_area_km2(cell))
+            yield pd.DataFrame(
+                {
+                    uid_col: pd.Series(uids, dtype=pdf[uid_col].dtype),
+                    H3_INDEX: pd.Series(cells, dtype="object"),
+                    RATIO: pd.Series(ratios, dtype="float64"),
+                    metric_col: pd.Series(metrics, dtype="float64"),
+                    H3_AREA_KM2: pd.Series(areas, dtype="float64"),
+                }
+            )
+
+    return fn

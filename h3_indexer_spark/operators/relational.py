@@ -129,11 +129,17 @@ def explode_array(
 
 
 def repartition_by(df: DataFrame, columns: str | list[str]) -> DataFrame:
-    """Hash-repartition by column(s) (reference h3_indexer.py:78-79) —
-    co-locates spatial neighbors (h3_r3_parent) ahead of the partitioned
-    write so each task writes few files."""
+    """Co-locate rows by column(s) ahead of the partitioned write
+    (reference h3_indexer.py:78-79) so each task writes few files.
+
+    Uses the AQE ``REBALANCE`` hint rather than ``repartition()``:
+    plain user repartition is exempt from AQE coalescing (tiny inputs
+    would still run the full shuffle width) and from skew splitting
+    (one hot h3_r3_parent would pin the write on one task at 100 TB).
+    Rebalance gives both: small partitions coalesce, oversized ones
+    split while keeping partition-column clustering."""
     cols = [columns] if isinstance(columns, str) else list(columns)
-    return df.repartition(*[F.col(c) for c in cols])
+    return df.hint("rebalance", *cols)
 
 
 def top_k(

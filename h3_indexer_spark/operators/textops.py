@@ -1,0 +1,124 @@
+"""Text analysis operators for training-data pipelines.
+
+Everything here is built-in-function only (no Python in the hot path):
+language ID (n-gram profile heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and rolling-hash document
+fingerprints. Each is a narrow map — zero shuffles — so they run at
+scan speed on 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language ID. Deliberately small: the point is the operator shape
+# (scan-speed scoring against broadcast profiles), not lexicography.
+_LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "en", "un", "una", "por"],
+    "it": ["il", "la", "che", "di", "e", "un", "una", "per", "non", "sono"],
+}
+
+
+def _lower_tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+")
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Stopword-profile language ID: score = fraction of tokens hitting
+    each language's profile; argmax wins, 'und' (undetermined) when no
+    profile scores. array_intersect-free formulation keeps duplicates
+    counted (a real frequency signal)."""
+    toks = _lower_tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang, words in _LANG_PROFILES.items():
+        hits = F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+        )
+        scores.append(F.struct((hits / n).alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col,
+        F.when(best["score"] > 0.02, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality"
+) -> DataFrame:
+    """Heuristic document quality in [0,1]: mean-word-length sanity,
+    stopword presence, alpha ratio, repetition penalty — the standard
+    cheap pre-filter stack (Gopher/C4-style rules) as pure expressions.
+    Adds component columns ``q_*`` for filtering on individual rules."""
+    toks = _lower_tokens(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_char = F.greatest(F.length(text_col), F.lit(1))
+    mean_word_len = n_char / n_tok
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) / n_char
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in _LANG_PROFILES["en"]]))
+    )
+    stop_ratio = stop_hits / n_tok
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    q_len = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.0)
+    q_alpha = F.when(alpha_ratio > 0.6, 1.0).otherwise(alpha_ratio / 0.6)
+    q_stop = F.when(stop_ratio > 0.05, 1.0).otherwise(stop_ratio / 0.05)
+    q_uniq = F.when(uniq_ratio > 0.3, 1.0).otherwise(uniq_ratio / 0.3)
+    return (
+        df.withColumn("q_word_len", q_len)
+        .withColumn("q_alpha", q_alpha)
+        .withColumn("q_stopword", q_stop)
+        .withColumn("q_unique", q_uniq)
+        .withColumn(
+            out_col,
+            (F.col("q_word_len") + F.col("q_alpha") + F.col("q_stopword") + F.col("q_unique"))
+            / 4.0,
+        )
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (word pieces + digits + punctuation runs), plus a bytes-per-token
+    estimate — the standard corpus-sizing triple."""
+    ws = F.size(F.split(F.col(text_col), r"\s+"))
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"(\w+|[^\w\s])"), F.lit(1)
+        )
+    )
+    return (
+        df.withColumn("n_tokens_ws", ws.cast("long"))
+        .withColumn("n_tokens_re", bpe_ish.cast("long"))
+        .withColumn(
+            "bytes_per_token",
+            F.length(F.col(text_col)).cast("double")
+            / F.greatest(bpe_ish, F.lit(1)),
+        )
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprint: xxhash64 over sliding word
+    windows, keeping the minimum (a 1-hash MinHash — a stable
+    content fingerprint robust to small edits at either end)."""
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.size(words)
+    window_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, window), " ")),
+    )
+    return df.withColumn("fingerprint", F.array_min(window_hashes))

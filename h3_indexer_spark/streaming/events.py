@@ -1,0 +1,124 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md §2.5: no readStream anywhere);
+these close that capability gap for the engine. Each builder takes any
+streaming (or batch — the plans are identical) DataFrame with an
+event-time column and returns the transformed stream:
+
+- tumbling/sliding/session windowed aggregation with watermarks
+- streaming exact dedup keyed by id within the watermark
+- custom stateful session tracking via applyInPandasWithState
+
+Tests drive them with the file/memory sources over the driver's events
+table (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data handling: sums and
+    counts per (window, event_type). Watermark bounds state so the
+    query runs forever on an unbounded stream."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "sum_value",
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+def sessionized_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user: activity separated by < gap merges
+    into one session (native session_window — state store managed)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once event stream: drop duplicate event ids arriving
+    within the watermark (dropDuplicates state is watermark-bounded)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        (id_cols or ["event_id"]) + [ts_col]
+    )
+
+
+def stateful_running_value(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+):
+    """Custom stateful operator: running per-user event count + value
+    total maintained in applyInPandasWithState (the escape hatch for
+    semantics window functions can't express on streams)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,244 @@
+"""End-to-end pipeline tests on the geo fixtures (FIXTURES.md Part B):
+Validate → Index → Resolve for all three geometry types, plus the
+reference's documented invariants (README.md:278-341):
+
+- WITHIN: every row has ratio = 1.0 and total_count = 1
+- PCT_LENGTH / PCT_AREA: per feature, sum(ratio) ≈ 1.0
+- resolver mass conservation: Σ sum_<col> ≈ Σ input col
+- output schemas match the reference's column contracts
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from h3_indexer_spark.config.job import Job, JobStatus
+from h3_indexer_spark.plans.indexer import index_job
+from h3_indexer_spark.plans.resolver import resolve_job
+from h3_indexer_spark.plans.validator import ValidationError, validate_config
+from tests.geo_fixtures import ensure_fixtures
+
+RES = 6
+
+
+@pytest.fixture(scope="session")
+def fixture_dir():
+    return ensure_fixtures()
+
+
+def _job(fixture_dir, inputs, res=RES, tmp="/tmp/h3idx_test_out"):
+    return Job(
+        name="test",
+        version="1.0.0",
+        h3_resolution=res,
+        output_path=tmp,
+        inputs=inputs,
+    )
+
+
+def _points_input(fixture_dir):
+    return dict(
+        type="vector",
+        path=str(fixture_dir / "geo_points_latlon.parquet"),
+        unique_id="pixel_id",
+        geometry_type="POINT",
+        method="WITHIN",
+        lat_column_name="latitude",
+        lon_column_name="longitude",
+        input_columns=["population", "reading"],
+    )
+
+
+def _lines_input(fixture_dir):
+    return dict(
+        type="vector",
+        path=str(fixture_dir / "geo_lines.parquet"),
+        unique_id="route_id",
+        geometry_type="LINE",
+        method="PCT_LENGTH",
+        geometry_column_name="geometry",
+        input_columns=["emissions", "traffic"],
+    )
+
+
+def _polygons_input(fixture_dir):
+    return dict(
+        type="vector",
+        path=str(fixture_dir / "geo_polygons.parquet"),
+        unique_id="geoid",
+        geometry_type="POLYGON",
+        method="PCT_AREA",
+        geometry_column_name="geometry",
+        input_columns=["population", "area_attr"],
+    )
+
+
+class TestValidate:
+    def test_points_ok(self, spark, fixture_dir):
+        job = _job(fixture_dir, {"pts": _points_input(fixture_dir)})
+        validate_config(job, spark)
+        assert job.status is JobStatus.VALIDATED
+        assert "geom_wkt" in job.inputs["pts"].df.columns
+
+    def test_bad_pk_rejected(self, spark, fixture_dir):
+        spec = _points_input(fixture_dir)
+        spec["path"] = str(fixture_dir / "geo_points_bad_pk.parquet")
+        job = _job(fixture_dir, {"pts": spec})
+        with pytest.raises(ValidationError, match="not unique"):
+            validate_config(job, spark)
+        assert job.status is JobStatus.FAILED
+
+    def test_string_column_rejected(self, spark, fixture_dir):
+        spec = _points_input(fixture_dir)
+        spec["path"] = str(fixture_dir / "geo_points_bad_pk.parquet")
+        spec["unique_id"] = "latitude"  # floats unique enough? use label col
+        spec["input_columns"] = ["label"]
+        job = _job(fixture_dir, {"pts": spec})
+        with pytest.raises(ValidationError, match="non-numeric"):
+            validate_config(job, spark)
+
+    def test_invalid_wkt_dropped(self, spark, fixture_dir):
+        spec = dict(
+            type="vector",
+            path=str(fixture_dir / "geo_points_wkt.parquet"),
+            unique_id="point_id",
+            geometry_type="POINT",
+            method="WITHIN",
+            geometry_column_name="geometry",
+            input_columns=["value"],
+        )
+        job = _job(fixture_dir, {"pts": spec})
+        validate_config(job, spark)
+        kept = job.inputs["pts"].df.count()
+        total = spark.read.parquet(spec["path"]).count()
+        assert kept < total  # nulls + malformed dropped
+        assert kept > total * 0.9
+
+
+class TestIndexPoints:
+    def test_within_invariants(self, spark, fixture_dir):
+        job = _job(fixture_dir, {"pts": _points_input(fixture_dir)})
+        validate_config(job, spark)
+        index_job(job, spark)
+        out = job.inputs["pts"].h3_indexed_df
+        assert out.columns == [
+            "h3_index",
+            "h3_resolution",
+            "h3_r3_parent",
+            "h3_area_km2",
+            "pixel_id",
+            "ratio",
+            "total_count",
+        ]
+        rows = out.collect()
+        n_input = job.inputs["pts"].df.count()
+        assert len(rows) == n_input  # one cell per point
+        for r in rows:
+            assert r["ratio"] == 1.0
+            assert r["total_count"] == 1
+            assert r["h3_resolution"] == RES
+            assert len(r["h3_index"]) == 15
+            assert r["h3_r3_parent"][:2] == "83"
+            assert 30.0 < r["h3_area_km2"] < 50.0  # res-6 cells ~36-45 km2
+
+
+class TestIndexLines:
+    @pytest.fixture(scope="class")
+    def indexed(self, spark, fixture_dir):
+        job = _job(fixture_dir, {"lines": _lines_input(fixture_dir)})
+        validate_config(job, spark)
+        index_job(job, spark)
+        return job
+
+    def test_ratio_sums_to_one(self, spark, indexed):
+        out = indexed.inputs["lines"].h3_indexed_df
+        sums = (
+            out.groupBy("route_id").agg(F.sum("ratio").alias("s")).collect()
+        )
+        assert len(sums) > 0
+        for r in sums:
+            assert abs(r["s"] - 1.0) < 1e-6, f"route {r['route_id']}: {r['s']}"
+
+    def test_schema(self, indexed):
+        out = indexed.inputs["lines"].h3_indexed_df
+        assert "total_length_km" in out.columns
+
+    def test_length_positive_and_consistent(self, indexed):
+        out = indexed.inputs["lines"].h3_indexed_df
+        per_route = (
+            out.groupBy("route_id")
+            .agg(F.min("total_length_km").alias("lo"), F.max("total_length_km").alias("hi"))
+            .collect()
+        )
+        for r in per_route:
+            assert r["lo"] == r["hi"] > 0  # constant per feature
+
+
+class TestIndexPolygons:
+    @pytest.fixture(scope="class")
+    def indexed(self, spark, fixture_dir):
+        job = _job(fixture_dir, {"polys": _polygons_input(fixture_dir)})
+        validate_config(job, spark)
+        index_job(job, spark)
+        return job
+
+    def test_ratio_sums_to_one(self, indexed):
+        out = indexed.inputs["polys"].h3_indexed_df
+        sums = out.groupBy("geoid").agg(F.sum("ratio").alias("s")).collect()
+        for r in sums:
+            assert abs(r["s"] - 1.0) < 1e-6, f"geoid {r['geoid']}: {r['s']}"
+
+    def test_area_metric(self, indexed):
+        out = indexed.inputs["polys"].h3_indexed_df
+        assert "total_area_km2" in out.columns
+        assert out.filter(F.col("total_area_km2") <= 0).count() == 0
+
+
+class TestResolve:
+    def test_two_input_resolve(self, spark, fixture_dir):
+        # inputs with distinct attribute names (the sum_<col> contract
+        # collides otherwise — a latent limitation shared with the
+        # reference, whose README example also uses distinct names)
+        job = _job(
+            fixture_dir,
+            {
+                "pts": _points_input(fixture_dir),
+                "lines": _lines_input(fixture_dir),
+            },
+        )
+        validate_config(job, spark)
+        index_job(job, spark)
+        resolve_job(job, spark)
+        out = job.h3_resolved_df
+        assert job.status is JobStatus.COMPLETED_RESOLVER
+        assert out.columns == [
+            "h3_index",
+            "h3_resolution",
+            "h3_r3_parent",
+            "h3_area_km2",
+            "sum_population",
+            "sum_reading",
+            "sum_emissions",
+            "sum_traffic",
+        ]
+        # full outer: some cells have only points, some only lines
+        n_pts_only = out.filter(
+            F.col("sum_population").isNotNull()
+            & F.col("sum_emissions").isNull()
+        ).count()
+        assert n_pts_only > 0
+
+    def test_mass_conservation_single_input(self, spark, fixture_dir):
+        job = _job(fixture_dir, {"polys": _polygons_input(fixture_dir)})
+        validate_config(job, spark)
+        index_job(job, spark)
+        resolve_job(job, spark)
+        out = job.h3_resolved_df
+        total_out = out.agg(F.sum("sum_population")).collect()[0][0]
+        total_in = (
+            job.inputs["polys"].df.agg(F.sum("population")).collect()[0][0]
+        )
+        assert abs(total_out - total_in) / total_in < 1e-6
+        # PK of output is h3_index (reference README.md:353)
+        assert out.count() == out.select("h3_index").distinct().count()
