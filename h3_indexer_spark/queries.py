@@ -411,6 +411,148 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (operators/textops.py): whitespace + BPE-ish regex
+    + bytes/token — zero-shuffle narrow map."""
+    from h3_indexer_spark.operators.textops import token_counts
+
+    return token_counts(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens_ws", "n_tokens_re", "bytes_per_token"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (operators/textops.py)."""
+    from h3_indexer_spark.operators.textops import language_id
+
+    return language_id(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "lang_pred"
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (operators/textops.py): Gopher/C4-style
+    rule stack as pure expressions."""
+    from h3_indexer_spark.operators.textops import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "q_word_len", "q_alpha", "q_stopword", "q_unique", "quality"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (operators/textops.py).
+    rows-only: DuckDB 1.0 has no xxhash64."""
+    from h3_indexer_spark.operators.textops import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification
+    (operators/dedup.py). rows-only: hash-based candidate generation is
+    not SQL-expressible offline; determinism comes from the fixed seed."""
+    from h3_indexer_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(
+        load(spark, sf_dir, "documents"), threshold=0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup candidates (operators/dedup.py).
+    rows-only (xxhash64)."""
+    from h3_indexer_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        load(spark, sf_dir, "documents"), max_hamming=3
+    ).select("id_a", "id_b", "hamming")
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: top-5 corpus neighbors for each of 3 query vectors
+    taken from the table itself (operators/similarity.py shape:
+    broadcast query set × corpus + rank window). The cosine arithmetic
+    is a generated element-wise expression — identical IEEE op order in
+    both engines, so sims are bit-equal."""
+    dot = " + ".join(
+        f"CAST(c.embedding[{i}] AS DOUBLE) * CAST(q.embedding[{i}] AS DOUBLE)"
+        for i in range(_EMB_DIM)
+    )
+    cn = _norm_sql("c.embedding", one_based=False)
+    qn = _norm_sql("q.embedding", one_based=False)
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("emb_src")
+    return spark.sql(
+        f"""
+        SELECT * FROM (
+            SELECT q.vec_id AS query_id,
+                   c.vec_id AS vec_id,
+                   ({dot}) / (sqrt({cn}) * sqrt({qn})) AS cosine_sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ({dot}) / (sqrt({cn}) * sqrt({qn})) DESC,
+                                c.vec_id ASC
+                   ) AS BIGINT) AS rank
+            FROM emb_src c
+            CROSS JOIN (
+                SELECT vec_id, embedding FROM emb_src WHERE vec_id < 3
+            ) q
+            WHERE c.vec_id <> q.vec_id
+        ) WHERE rank <= 5
+        """
+    )
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-k (operators/similarity.py) — the 100 TB scale
+    path for q_knn_brute. rows-only: bucketing is seeded-random."""
+    from h3_indexer_spark.operators.similarity import cosine_topk_lsh
+
+    return cosine_topk_lsh(
+        load(spark, sf_dir, "embeddings"),
+        _query_vector(),
+        k=10,
+        vec_col="embedding",
+        id_col="vec_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 Multimodal plumbing (binary payload columns)
+# --------------------------------------------------------------------------
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: the text bytes
+    act as the opaque binary payload."""
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction (operators/multimodal.py): the
+    mapInPandas decode path over binary payloads. The fake codec yields
+    constant dims, so the oracle checks the plumbing preserves ids/rows
+    across the Arrow batch boundary."""
+    from h3_indexer_spark.operators.multimodal import decode_metadata
+
+    return decode_metadata(_media_table(spark, sf_dir))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (operators/multimodal.py).
+    rows-only: BLOB slicing semantics differ across engines."""
+    from h3_indexer_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media_table(spark, sf_dir)).select(
+        "media_id", "frame_no", F.length("frame_bytes").alias("frame_len")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -439,7 +581,140 @@ QUERIES: dict[str, Query] = {
     "q_text_stats": q_text_stats,
     "q_dedup_exact": q_dedup_exact,
     "q_knn_brute": q_knn_brute,
+    "q_token_count": q_token_count,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_fingerprint": q_fingerprint,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_knn_batch": q_knn_batch,
+    "q_knn_lsh": q_knn_lsh,
+    "q_media_meta": q_media_meta,
+    "q_media_frames": q_media_frames,
 }
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _lang_oracle() -> str:
+    """Mirror of operators/textops.language_id: integer hit counts per
+    profile (same ordering as score = hits/n since n is shared), argmax
+    with lexicographically-greatest-language tiebreak (= Spark's
+    array_max over struct(score, lang))."""
+    from h3_indexer_spark.operators.textops import _LANG_PROFILES
+
+    hits = ",\n               ".join(
+        f"len(list_filter(toks, x -> x IN ({_in_list(words)}))) AS h_{lang}"
+        for lang, words in _LANG_PROFILES.items()
+    )
+    langs_desc = sorted(_LANG_PROFILES, reverse=True)
+    case = " ".join(
+        f"WHEN h_{lang} = best_h THEN '{lang}'" for lang in langs_desc[:-1]
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(
+                       lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')),
+                       '\\s+') AS toks
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, lang,
+                   greatest(len(toks), 1) AS n,
+                   {hits}
+            FROM toks
+        ),
+        best AS (
+            SELECT doc_id, lang, n,
+                   greatest(h_en, h_de, h_fr, h_es, h_it) AS best_h,
+                   CASE {case} ELSE '{langs_desc[-1]}' END AS best_lang
+            FROM hits
+        )
+        SELECT doc_id, lang,
+               CASE WHEN CAST(best_h AS DOUBLE) / n > 0.02
+                    THEN best_lang ELSE 'und' END AS lang_pred
+        FROM best
+    """
+
+
+def _quality_oracle() -> str:
+    from h3_indexer_spark.operators.textops import _LANG_PROFILES
+
+    stops = _in_list(_LANG_PROFILES["en"])
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(
+                       lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')),
+                       '\\s+') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, text, toks,
+                   greatest(len(toks), 1) AS n_tok,
+                   greatest(length(text), 1) AS n_char
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id,
+                   CAST(n_char AS DOUBLE) / n_tok AS mean_word_len,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS DOUBLE) / n_char AS alpha_ratio,
+                   CAST(len(list_filter(toks, x -> x IN ({stops})))
+                        AS DOUBLE) / n_tok AS stop_ratio,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok
+                       AS uniq_ratio
+            FROM m
+        )
+        SELECT doc_id,
+               CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12
+                    THEN 1.0 ELSE 0.0 END AS q_word_len,
+               CASE WHEN alpha_ratio > 0.6
+                    THEN 1.0 ELSE alpha_ratio / 0.6 END AS q_alpha,
+               CASE WHEN stop_ratio > 0.05
+                    THEN 1.0 ELSE stop_ratio / 0.05 END AS q_stopword,
+               CASE WHEN uniq_ratio > 0.3
+                    THEN 1.0 ELSE uniq_ratio / 0.3 END AS q_unique,
+               (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12
+                     THEN 1.0 ELSE 0.0 END
+                + CASE WHEN alpha_ratio > 0.6
+                       THEN 1.0 ELSE alpha_ratio / 0.6 END
+                + CASE WHEN stop_ratio > 0.05
+                       THEN 1.0 ELSE stop_ratio / 0.05 END
+                + CASE WHEN uniq_ratio > 0.3
+                       THEN 1.0 ELSE uniq_ratio / 0.3 END) / 4.0 AS quality
+        FROM r
+    """
+
+
+def _knn_batch_oracle() -> str:
+    dot = " + ".join(
+        f"CAST(c.embedding[{i + 1}] AS DOUBLE) * "
+        f"CAST(q.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_EMB_DIM)
+    )
+    cn = _norm_sql("c.embedding", one_based=True)
+    qn = _norm_sql("q.embedding", one_based=True)
+    return f"""
+        SELECT * FROM (
+            SELECT q.vec_id AS query_id,
+                   c.vec_id AS vec_id,
+                   ({dot}) / (sqrt({cn}) * sqrt({qn})) AS cosine_sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ({dot}) / (sqrt({cn}) * sqrt({qn})) DESC,
+                                c.vec_id ASC
+                   ) AS BIGINT) AS rank
+            FROM embeddings c
+            CROSS JOIN (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3
+            ) q
+            WHERE c.vec_id <> q.vec_id
+        ) WHERE rank <= 5
+    """
 
 
 def _knn_oracle() -> str:
@@ -592,4 +867,27 @@ ORACLES: dict[str, str] = {
         GROUP BY md5(text)
     """,
     "q_knn_brute": _knn_oracle(),
+    "q_token_count": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                   AS n_tokens_ws,
+               CAST(len(regexp_extract_all(text, '(\\w+|[^\\w\\s])', 1))
+                   AS BIGINT) AS n_tokens_re,
+               CAST(length(text) AS DOUBLE)
+                   / greatest(len(regexp_extract_all(text,
+                                  '(\\w+|[^\\w\\s])', 1)), 1)
+                   AS bytes_per_token
+        FROM documents
+    """,
+    "q_lang_id": _lang_oracle(),
+    "q_quality_score": _quality_oracle(),
+    "q_knn_batch": _knn_batch_oracle(),
+    "q_media_meta": """
+        SELECT doc_id AS media_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               'fake/raw' AS format
+        FROM documents
+    """,
 }
