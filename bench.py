@@ -45,6 +45,15 @@ HEADLINE = [
     "q_text_stats",
     "q_dedup_exact",
     "q_knn_brute",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_knn_batch",
+    "q_knn_lsh",
+    "q_media_meta",
 ]
 
 

@@ -166,6 +166,12 @@ def cosine_topk_lsh(
     probes = [qb]
     if probe_hamming >= 1:
         probes += [qb ^ (1 << b) for b in range(n_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            qb ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        ]
     cand = bucketed.where(F.col("lsh_bucket").isin(probes))
     return cosine_topk_brute(cand, query, k, vec_col, id_col)
 

@@ -487,19 +487,21 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT * FROM (
-            SELECT q.vec_id AS query_id,
-                   c.vec_id AS vec_id,
-                   ({dot}) / (sqrt({cn}) * sqrt({qn})) AS cosine_sim,
+            SELECT query_id, vec_id, cosine_sim,
                    CAST(ROW_NUMBER() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY ({dot}) / (sqrt({cn}) * sqrt({qn})) DESC,
-                                c.vec_id ASC
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, vec_id ASC
                    ) AS BIGINT) AS rank
-            FROM emb_src c
-            CROSS JOIN (
-                SELECT vec_id, embedding FROM emb_src WHERE vec_id < 3
-            ) q
-            WHERE c.vec_id <> q.vec_id
+            FROM (
+                SELECT q.vec_id AS query_id,
+                       c.vec_id AS vec_id,
+                       ({dot}) / (sqrt({cn}) * sqrt({qn})) AS cosine_sim
+                FROM emb_src c
+                CROSS JOIN (
+                    SELECT vec_id, embedding FROM emb_src WHERE vec_id < 3
+                ) q
+                WHERE c.vec_id <> q.vec_id
+            )
         ) WHERE rank <= 5
         """
     )
@@ -516,6 +518,8 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         vec_col="embedding",
         id_col="vec_id",
+        n_planes=8,
+        probe_hamming=2,
     )
 
 
