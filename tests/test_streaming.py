@@ -1,0 +1,128 @@
+"""Structured Streaming operators driven end-to-end: file source →
+availableNow trigger → memory sink, checked against the identical batch
+plan (streams and batches share the logical plan, so batch is the
+oracle)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from h3_indexer_spark.streaming.events import (
+    sessionized_agg,
+    stateful_running_value,
+    streaming_dedup,
+    windowed_event_agg,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """events table re-materialized with a proper micros timestamp (the
+    driver parquet stores TIMESTAMP(NANOS), which the streaming reader
+    also rejects), split across several files so availableNow processes
+    multiple batches."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = tempfile.mkdtemp(prefix="h3idx_stream_")
+    (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, output_mode="complete"):
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _read_stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+class TestWindowedAgg:
+    def test_matches_batch(self, spark, events_dir):
+        stream = windowed_event_agg(_read_stream(spark, events_dir))
+        got = _run_stream(spark, stream).orderBy("window_start", "event_type")
+        batch = spark.read.parquet(events_dir)
+        want = (
+            windowed_event_agg(batch)
+            .orderBy("window_start", "event_type")
+        )
+        g = [
+            (r.window_start, r.event_type, r.n_events)
+            for r in got.collect()
+        ]
+        w = [
+            (r.window_start, r.event_type, r.n_events)
+            for r in want.collect()
+        ]
+        assert g == w
+        assert len(g) > 0
+
+    def test_sliding(self, spark, events_dir):
+        stream = windowed_event_agg(
+            _read_stream(spark, events_dir), window="2 hours", slide="1 hour"
+        )
+        got = _run_stream(spark, stream)
+        # every event lands in exactly 2 sliding windows
+        n_events = spark.read.parquet(events_dir).count()
+        assert got.agg(F.sum("n_events")).collect()[0][0] == 2 * n_events
+
+
+class TestSessionized:
+    def test_matches_batch(self, spark, events_dir):
+        stream = sessionized_agg(_read_stream(spark, events_dir))
+        got = _run_stream(spark, stream)
+        batch_total = spark.read.parquet(events_dir).count()
+        # every event belongs to exactly one session
+        assert got.agg(F.sum("n_events")).collect()[0][0] == batch_total
+
+
+class TestStreamingDedup:
+    def test_drops_dupes(self, spark, events_dir):
+        # duplicate the whole input: every event appears twice
+        dup = spark.read.parquet(events_dir)
+        d = tempfile.mkdtemp(prefix="h3idx_dupes_")
+        try:
+            dup.union(dup).repartition(4).write.mode("overwrite").parquet(d)
+            stream = streaming_dedup(_read_stream(spark, d))
+            got = _run_stream(spark, stream, output_mode="append")
+            assert got.count() == dup.count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStatefulRunning:
+    def test_totals_match_batch(self, spark, events_dir):
+        stream = stateful_running_value(_read_stream(spark, events_dir))
+        got = _run_stream(spark, stream, output_mode="update")
+        # the LAST update per user carries the final running totals
+        batch = (
+            spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        )
+        final = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
+        for r in batch.collect():
+            n, tv = final[r.user_id]
+            assert n == r.n
+            assert abs(tv - r.tv) < 1e-6
