@@ -1,0 +1,65 @@
+"""Physical-plan regression locks: the properties that make these
+plans scale — pushdown reaching the scan, column pruning, broadcast
+joins, rank pushdown, top-k without a global sort — asserted against
+the formatted explain output so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, key: str) -> str:
+    from h3_indexer_spark.queries import QUERIES
+
+    df = QUERIES[key](spark, SF_ORACLE)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize(
+    "key,required",
+    [
+        # config WHERE must reach the parquet scan as pushed filters
+        ("q_scan_where", ["PushedFilters: [IsNotNull(o_totalprice)"]),
+        # projection must prune the scan to exactly the 3 columns
+        (
+            "q_project",
+            ["ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+             "l_quantity:double>"],
+        ),
+        # small build side must broadcast, never shuffle the probe side
+        ("q_join_left_small", ["BroadcastHashJoin"]),
+        # rank-filter windows must stop per-group work at k rows
+        ("q_topk_window", ["WindowGroupLimit"]),
+        # global top-k must be heap-based, not a full sort shuffle
+        ("q_sort_limit", ["TakeOrderedAndProject"]),
+        # the resolver kernel is a single hash aggregation
+        ("q_groupby_sum", ["HashAggregate"]),
+    ],
+)
+def test_plan_properties(spark, key, required):
+    plan = _plan(spark, key)
+    for needle in required:
+        assert needle in plan, f"{key}: expected {needle!r} in plan:\n{plan}"
+
+
+def test_join_left_small_no_probe_shuffle(spark):
+    """The probe (lineitem) side of J1 must not exchange: only the
+    broadcast of the small side moves."""
+    plan = _plan(spark, "q_join_left_small")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_entry_broadcasts_dimension(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
