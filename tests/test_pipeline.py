@@ -242,3 +242,33 @@ class TestResolve:
         assert abs(total_out - total_in) / total_in < 1e-6
         # PK of output is h3_index (reference README.md:353)
         assert out.count() == out.select("h3_index").distinct().count()
+
+
+class TestExtendedMethods:
+    """PASS_THROUGH and CENTROID are enum-declared but unimplemented in
+    the reference (h3_indexer.py:193,257); we implement all five."""
+
+    def test_pass_through_lines(self, spark, fixture_dir):
+        spec = _lines_input(fixture_dir)
+        spec["method"] = "PASS_THROUGH"
+        job = _job(fixture_dir, {"lines": spec})
+        validate_config(job, spark)
+        index_job(job, spark)
+        out = job.inputs["lines"].h3_indexed_df
+        # every traversed cell gets the full attribute (ratio = 1.0)
+        assert out.filter(F.col("ratio") != 1.0).count() == 0
+        # a line crosses at least as many cells as PCT_LENGTH sampling
+        assert out.count() > 0
+
+    def test_centroid_polygons(self, spark, fixture_dir):
+        spec = _polygons_input(fixture_dir)
+        spec["method"] = "CENTROID"
+        job = _job(fixture_dir, {"polys": spec})
+        validate_config(job, spark)
+        index_job(job, spark)
+        out = job.inputs["polys"].h3_indexed_df
+        n_features = job.inputs["polys"].df.count()
+        # exactly one cell per polygon, full allocation
+        assert out.count() == n_features
+        assert out.filter(F.col("ratio") != 1.0).count() == 0
+        assert out.filter(F.col("total_area_km2") <= 0).count() == 0
