@@ -1,0 +1,131 @@
+"""Semantic tests for the dedup and similarity operators: planted
+near-duplicates must be found (and unrelated docs must not pair), and
+the ANN path must recover most of the exact top-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def _corpus(spark):
+    """24 docs: 8 base texts × 3 variants (exact dup, one-word edit,
+    unrelated shuffle guard)."""
+    bases = [
+        " ".join(f"tok{b}w{i}" for i in range(40)) for b in range(8)
+    ]
+    rows = []
+    for b, text in enumerate(bases):
+        rows.append((b * 3, text))
+        # near-dup: one word changed in the middle
+        words = text.split()
+        words[20] = "EDITED"
+        rows.append((b * 3 + 1, " ".join(words)))
+        # unrelated: disjoint vocabulary
+        rows.append((b * 3 + 2, " ".join(f"zz{b}x{i}" for i in range(40))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestMinhash:
+    def test_planted_near_dups_found(self, spark):
+        from h3_indexer_spark.operators.dedup import minhash_near_dups
+
+        pairs = minhash_near_dups(_corpus(spark), threshold=0.5).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        # every (base, edited) pair must surface
+        expected = {(b * 3, b * 3 + 1) for b in range(8)}
+        assert expected <= found, f"missed: {expected - found}"
+        # no unrelated doc may pair with anything
+        unrelated = {b * 3 + 2 for b in range(8)}
+        assert all(
+            r.id_a not in unrelated and r.id_b not in unrelated for r in pairs
+        )
+
+    def test_jaccard_values_sane(self, spark):
+        from h3_indexer_spark.operators.dedup import minhash_near_dups
+
+        pairs = minhash_near_dups(_corpus(spark), threshold=0.5).collect()
+        for r in pairs:
+            assert 0.5 <= r.jaccard <= 1.0
+
+
+class TestSimhash:
+    def test_planted_near_dups_found(self, spark):
+        from h3_indexer_spark.operators.dedup import simhash_near_dups
+
+        # one-word edits differ in very few fingerprint bits
+        pairs = simhash_near_dups(_corpus(spark), max_hamming=8).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        expected = {(b * 3, b * 3 + 1) for b in range(8)}
+        assert expected <= found, f"missed: {expected - found}"
+
+    def test_hamming_zero_for_exact_dup(self, spark):
+        from h3_indexer_spark.operators.dedup import simhash
+
+        df = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "a b c d e")], "doc_id long, text string"
+        )
+        fps = {r.doc_id: r.simhash for r in simhash(df).collect()}
+        assert fps[0] == fps[1]
+
+
+class TestLshRecall:
+    """Sign-LSH's contract is about genuinely-near vectors. The driver
+    embeddings are uniform random (nearest neighbors sit at ~72°,
+    nearly orthogonal), so recall is tested on planted neighbors at
+    ~20-35° and the uniform corpus only supplies distractors."""
+
+    def _corpus_with_planted(self, spark, q):
+        import random
+
+        rng = random.Random(7)
+        emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        planted = []
+        for i in range(10):
+            noisy = [v + rng.gauss(0.0, 0.25) for v in q]
+            planted.append((10000 + i, [float(x) for x in noisy]))
+        extra = spark.createDataFrame(
+            planted, "vec_id long, embedding array<float>"
+        )
+        return emb.unionByName(extra), {vid for vid, _ in planted}
+
+    def test_multitable_recall_on_planted(self, spark):
+        from h3_indexer_spark.operators.similarity import (
+            cosine_topk_brute,
+            cosine_topk_lsh_multitable,
+        )
+        from h3_indexer_spark.queries import _query_vector
+
+        q = _query_vector()
+        corpus, planted_ids = self._corpus_with_planted(spark, q)
+        exact = {
+            r.vec_id
+            for r in cosine_topk_brute(
+                corpus, q, k=10, vec_col="embedding", id_col="vec_id"
+            ).collect()
+        }
+        # the planted neighbors dominate the exact top-10
+        assert len(exact & planted_ids) >= 8
+        approx = {
+            r.vec_id
+            for r in cosine_topk_lsh_multitable(
+                corpus, q, k=10, vec_col="embedding", id_col="vec_id"
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+    def test_ivf_partitions_all_vectors(self, spark):
+        from h3_indexer_spark.operators.similarity import ivf_assign
+
+        emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        cents = [r.embedding for r in emb.limit(4).collect()]
+        assigned = ivf_assign(emb, [list(map(float, c)) for c in cents])
+        n = emb.count()
+        assert assigned.filter(F.col("ivf_cell").isNull()).count() == 0
+        assert assigned.count() == n
+        assert assigned.select("ivf_cell").distinct().count() >= 2
