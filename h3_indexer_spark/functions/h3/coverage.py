@@ -81,10 +81,17 @@ def _wrap_lng(lng: float) -> float:
 
 def line_cells(coords: list[tuple[float, float]], res: int) -> list[int]:
     """Cells traversed by a polyline of (lng, lat) vertices: densify
-    each segment well below the cell edge length and index every sample.
-    Unlike H3's gridLine (cell-center path) this returns exactly the
-    cells the line geometrically passes through."""
-    step_deg = _EDGE_KM[res] / _EARTH_KM * (180.0 / math.pi) * 0.25
+    each segment and index every sample. Unlike H3's gridLine
+    (cell-center path) this returns the cells the line geometrically
+    passes through.
+
+    Sampling step: 0.75 × edge length < the hexagon inradius (0.87 e),
+    so consecutive samples land in the same or an adjacent cell — any
+    corner-cut cell the samples skip is adjacent to a sampled cell, and
+    callers complete coverage with a 1-ring expansion
+    (udfs._expand_with_neighbors) + zero-ratio filter. Denser sampling
+    would only re-find cells the expansion already produces."""
+    step_deg = _EDGE_KM[res] / _EARTH_KM * (180.0 / math.pi) * 0.75
     seen: dict[int, None] = {}
     for (x1, y1), (x2, y2) in zip(coords, coords[1:]):
         seg_len = math.hypot(x2 - x1, y2 - y1)
