@@ -79,6 +79,29 @@ def _wrap_lng(lng: float) -> float:
     return lng
 
 
+def line_sample_points(coords: list[tuple[float, float]], res: int):
+    """Densified sample points along a polyline as (lats, lngs) numpy
+    arrays — the vectorizable half of line_cells. Step as in
+    line_cells (0.75 × edge < inradius; see there)."""
+    import numpy as np
+
+    step_deg = _EDGE_KM[res] / _EARTH_KM * (180.0 / math.pi) * 0.75
+    lats: list = []
+    lngs: list = []
+    for (x1, y1), (x2, y2) in zip(coords, coords[1:]):
+        seg_len = math.hypot(x2 - x1, y2 - y1)
+        n = max(1, int(math.ceil(seg_len / step_deg)))
+        f = np.arange(n + 1) / n
+        lats.append(y1 + f * (y2 - y1))
+        lngs.append(x1 + f * (x2 - x1))
+    return np.concatenate(lats), np.concatenate(lngs)
+
+
+def dedupe_cells(cells) -> list[int]:
+    """Order-preserving dedupe of a cell id array, dropping zeros."""
+    return [c for c in dict.fromkeys(int(c) for c in cells) if c]
+
+
 def line_cells(coords: list[tuple[float, float]], res: int) -> list[int]:
     """Cells traversed by a polyline of (lng, lat) vertices: densify
     each segment and index every sample. Unlike H3's gridLine
@@ -124,17 +147,21 @@ def polyfill(
     res: int,
     holes: list[list[tuple[float, float]]] | None = None,
     include_boundary_cells: bool = True,
+    boundary_cells: list[int] | None = None,
 ) -> list[int]:
     """Cells covering a polygon given as a closed (lng, lat) ring.
 
     Centers-in-polygon (H3 polyfill semantics) found by BFS flood fill
     from the boundary cells inward, optionally unioned with the
     boundary-traversal cells (index_shape semantics — needed so
-    intersection ratios sum to 1).
+    intersection ratios sum to 1). ``boundary_cells`` may be supplied
+    precomputed (the vectorized UDF layer batches them across
+    features).
     """
     if ring[0] == ring[-1]:
         ring = ring[:-1]
-    boundary_cells = line_cells(ring + [ring[0]], res)
+    if boundary_cells is None:
+        boundary_cells = line_cells(ring + [ring[0]], res)
 
     def center_inside(cell: int) -> bool:
         lat, lng = core.cell_to_latlng(cell)

@@ -71,14 +71,20 @@ def h3_area_km2_udf(h3_index: pd.Series) -> pd.Series:
 def make_latlng_to_cell_udf(res: int):
     @F.pandas_udf(StringType())
     def latlng_to_cell_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                core.h3_to_string(core.latlng_to_cell(la, ln, res))
-                if la is not None and ln is not None
-                else None
-                for la, ln in zip(lat, lng)
-            ]
+        from h3_indexer_spark.functions.h3.vectorized import (
+            latlng_to_cell_batch,
         )
+
+        mask = lat.notna() & lng.notna()
+        out = pd.Series([None] * len(lat), dtype="object")
+        if mask.any():
+            cells = latlng_to_cell_batch(
+                lat[mask].to_numpy(dtype="float64"),
+                lng[mask].to_numpy(dtype="float64"),
+                res,
+            )
+            out[mask] = [core.h3_to_string(int(c)) for c in cells]
+        return out
 
     return latlng_to_cell_udf
 
@@ -107,9 +113,10 @@ def canonical_wkt_udf(geom: pd.Series) -> pd.Series:
 # --- the indexing kernel: feature → (cell, ratio, metric) rows ------------
 
 
-def _index_point(rings, res: int):
-    (lng, lat) = rings[0][0]
-    cell = core.latlng_to_cell(lat, lng, res)
+def _index_point(rings, res: int, cell: int | None = None):
+    if cell is None:
+        (lng, lat) = rings[0][0]
+        cell = core.latlng_to_cell(lat, lng, res)
     return [(cell, 1.0)], 1.0
 
 
@@ -125,9 +132,10 @@ def _expand_with_neighbors(cells: list[int]) -> list[int]:
     return list(seen)
 
 
-def _index_line(rings, res: int, method: AllocationMethod):
+def _index_line(rings, res: int, method: AllocationMethod, sampled=None):
     line = rings[0]
-    sampled = coverage.line_cells(line, res)
+    if sampled is None:
+        sampled = coverage.line_cells(line, res)
     total_len = geodesy.planar_line_length(line)
     out = []
     for cell in _expand_with_neighbors(sampled):
@@ -146,7 +154,7 @@ def _index_line(rings, res: int, method: AllocationMethod):
     return out, metric
 
 
-def _index_polygon(rings, res: int, method: AllocationMethod):
+def _index_polygon(rings, res: int, method: AllocationMethod, boundary=None):
     outer = rings[0]
     holes = rings[1:]
     if outer[0] == outer[-1]:
@@ -164,7 +172,9 @@ def _index_polygon(rings, res: int, method: AllocationMethod):
     total_area = geodesy.planar_polygon_area(outer) - sum(
         geodesy.planar_polygon_area(h) for h in holes
     )
-    cells = coverage.polyfill(outer, res, holes=holes or None)
+    cells = coverage.polyfill(
+        outer, res, holes=holes or None, boundary_cells=boundary
+    )
     sampled = set(cells)
     out = []
     for cell in _expand_with_neighbors(cells):
@@ -200,8 +210,18 @@ def make_index_map_fn(
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from h3_indexer_spark.functions.h3.vectorized import (
+            latlng_to_cell_batch,
+        )
+
         for pdf in batches:
-            uids, cells, ratios, metrics, areas = [], [], [], [], []
+            # phase 1: parse + generate every sample point of the batch,
+            # then index ALL samples in one vectorized call
+            feats = []  # (uid, kind, rings, slice into the sample array)
+            lat_parts, lng_parts = [], []
+            offset = 0
             for uid, wkt in zip(pdf[uid_col], pdf[GEOM_WKT]):
                 if wkt is None:
                     continue
@@ -210,11 +230,61 @@ def make_index_map_fn(
                 except geometry.GeometryError:
                     continue
                 if kind == "point":
-                    pairs, metric = _index_point(rings, res)
+                    (lng, lat) = rings[0][0]
+                    lat_parts.append(np.asarray([lat]))
+                    lng_parts.append(np.asarray([lng]))
+                    n = 1
                 elif kind == "line":
-                    pairs, metric = _index_line(rings, res, method)
+                    la, ln = coverage.line_sample_points(rings[0], res)
+                    lat_parts.append(la)
+                    lng_parts.append(ln)
+                    n = len(la)
+                elif method == AllocationMethod.CENTROID:
+                    n = 0  # centroid cell computed scalar in phase 2
                 else:
-                    pairs, metric = _index_polygon(rings, res, method)
+                    ring = rings[0]
+                    closed = (
+                        ring if ring[0] == ring[-1] else ring + [ring[0]]
+                    )
+                    la, ln = coverage.line_sample_points(closed, res)
+                    lat_parts.append(la)
+                    lng_parts.append(ln)
+                    n = len(la)
+                feats.append((uid, kind, rings, offset, offset + n))
+                offset += n
+            sample_cells = (
+                latlng_to_cell_batch(
+                    np.concatenate(lat_parts), np.concatenate(lng_parts), res
+                )
+                if lat_parts
+                else np.empty(0, dtype=np.int64)
+            )
+
+            # phase 2: per-feature geometry work on the precomputed cells
+            uids, cells, ratios, metrics, areas = [], [], [], [], []
+            for uid, kind, rings, lo, hi in feats:
+                if kind == "point":
+                    pairs, metric = _index_point(
+                        rings, res, cell=int(sample_cells[lo])
+                    )
+                elif kind == "line":
+                    pairs, metric = _index_line(
+                        rings,
+                        res,
+                        method,
+                        sampled=coverage.dedupe_cells(sample_cells[lo:hi]),
+                    )
+                else:
+                    pairs, metric = _index_polygon(
+                        rings,
+                        res,
+                        method,
+                        boundary=(
+                            coverage.dedupe_cells(sample_cells[lo:hi])
+                            if hi > lo
+                            else None
+                        ),
+                    )
                 for cell, ratio in pairs:
                     if cell == 0:
                         continue
