@@ -173,3 +173,52 @@ class TestCoverage:
         for cell in without_b:
             lat, lng = core.cell_to_latlng(cell)
             assert coverage._point_in_ring(lng, lat, ring)
+
+
+class TestVectorizedKernel:
+    """The numpy batch kernel must agree with the scalar path exactly
+    (same float op order) — including pentagon fallback rows."""
+
+    def test_batch_matches_scalar_global(self):
+        import numpy as np
+
+        from h3_indexer_spark.functions.h3 import core
+        from h3_indexer_spark.functions.h3.vectorized import (
+            latlng_to_cell_batch,
+        )
+
+        rng = np.random.default_rng(123)
+        lat = rng.uniform(-89.5, 89.5, 4000)
+        lng = rng.uniform(-180.0, 180.0, 4000)
+        for res in (3, 5, 8):
+            batch = latlng_to_cell_batch(lat, lng, res)
+            for ix in range(0, 4000, 7):
+                assert batch[ix] == core.latlng_to_cell(
+                    float(lat[ix]), float(lng[ix]), res
+                )
+            assert (batch == 0).sum() == 0
+
+    def test_batch_pentagon_neighborhood(self):
+        import numpy as np
+
+        from h3_indexer_spark.functions.h3 import core
+        from h3_indexer_spark.functions.h3.vectorized import (
+            latlng_to_cell_batch,
+        )
+
+        # points clustered around a res-0 pentagon center (base cell 4)
+        base_pent = core._set_base_cell(
+            core._set_resolution(
+                core._set_mode(core.H3_INIT, core._MODE_CELL), 0
+            ),
+            4,
+        )
+        clat, clng = core.cell_to_latlng(base_pent)
+        rng = np.random.default_rng(7)
+        lat = np.clip(clat + rng.uniform(-3, 3, 500), -89.9, 89.9)
+        lng = clng + rng.uniform(-3, 3, 500)
+        batch = latlng_to_cell_batch(lat, lng, 6)
+        for ix in range(500):
+            assert batch[ix] == core.latlng_to_cell(
+                float(lat[ix]), float(lng[ix]), 6
+            )
