@@ -191,6 +191,262 @@ def _hex2d_to_ijk_v(x: np.ndarray, y: np.ndarray):
 # --- the batch kernel -----------------------------------------------------
 
 
+def cell_area_km2_batch(cells: np.ndarray) -> np.ndarray:
+    """Spheroid areas (km²) for an int64 cell-id array — the vectorized
+    twin of udfs._cell_area_km2 (cell_to_boundary + authalic spherical
+    excess). Cells whose boundary leaves the home icosahedron face,
+    pentagons, and other special geometry fall back to the scalar path;
+    for regional data that is a few percent of cells."""
+    from h3_indexer_spark.functions import geodesy
+    from h3_indexer_spark.functions.h3.tables import (
+        MAX_DIM_BY_CII_RES,
+        RES0_U_GNOMONIC,
+    )
+
+    cells = np.asarray(cells, dtype=np.int64)
+    n = cells.shape[0]
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    res_all = (cells >> 52) & 0xF
+    for res in np.unique(res_all):
+        res = int(res)
+        sel = np.nonzero(res_all == res)[0]
+        out[sel] = _area_batch_one_res(cells[sel], res, geodesy,
+                                       MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC)
+    return out
+
+
+def _area_batch_one_res(h, res, geodesy, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC):
+    n = h.shape[0]
+    bc = (h >> 45) & 0x7F
+    fallback = np.isin(bc, _PENTAGONS)
+
+    # base-cell home face + ijk
+    if not hasattr(_area_batch_one_res, "_bc_arrays"):
+        from h3_indexer_spark.functions.h3.tables import BASE_CELL_DATA
+
+        faces = np.asarray([d[0] for d in BASE_CELL_DATA], dtype=np.int64)
+        hi = np.asarray([d[1][0] for d in BASE_CELL_DATA], dtype=np.int64)
+        hj = np.asarray([d[1][1] for d in BASE_CELL_DATA], dtype=np.int64)
+        hk = np.asarray([d[1][2] for d in BASE_CELL_DATA], dtype=np.int64)
+        ui = np.asarray([u[0] for u in core.UNIT_VECS], dtype=np.int64)
+        uj = np.asarray([u[1] for u in core.UNIT_VECS], dtype=np.int64)
+        uk = np.asarray([u[2] for u in core.UNIT_VECS], dtype=np.int64)
+        _area_batch_one_res._bc_arrays = (faces, hi, hj, hk, ui, uj, uk)
+    faces_t, hi_t, hj_t, hk_t, ui_t, uj_t, uk_t = (
+        _area_batch_one_res._bc_arrays
+    )
+    face = faces_t[bc]
+    i, j, k = hi_t[bc].copy(), hj_t[bc].copy(), hk_t[bc].copy()
+    home_origin = (i == 0) & (j == 0) & (k == 0)
+
+    # digit walk down to res (scalar _h3_to_face_ijk_home)
+    for r in range(1, res + 1):
+        if core.is_class_iii(r):
+            i, j, k = _down_ap7_v(i, j, k)
+        else:
+            i, j, k = _down_ap7r_v(i, j, k)
+        shift = 3 * (core.MAX_H3_RES - r)
+        d = (h >> shift) & 0x7
+        i, j, k = _normalize_v(i + ui_t[d], j + uj_t[d], k + uk_t[d])
+
+    # overage adjustment (scalar _h3_to_face_ijk): cells whose home-face
+    # ijk lies beyond the face patch move to the adjacent face. Hexagon
+    # cells with res == 0 or a home-origin base cell can never overage.
+    possible = (
+        ~home_origin if res > 0 else np.zeros(n, dtype=bool)
+    )
+    adj = res + (1 if core.is_class_iii(res) else 0)
+    if core.is_class_iii(res):
+        ai, aj, ak = _down_ap7r_v(i, j, k)
+    else:
+        ai, aj, ak = i, j, k
+    s = ai + aj + ak
+    over = possible & (s > MAX_DIM_BY_CII_RES[adj])
+    if over.any():
+        fo, io, jo, ko = _overage_adjust_v(
+            face[over], ai[over], aj[over], ak[over], adj,
+            MAX_DIM_BY_CII_RES, substrate=False,
+        )
+        if core.is_class_iii(res):
+            io, jo, ko = _up_ap7r_v(io, jo, ko)
+        face = face.copy()
+        face[over] = fo
+        i, j, k = i.copy(), j.copy(), k.copy()
+        i[over], j[over], k[over] = io, jo, ko
+
+    # substrate boundary vertices on the home face
+    ci, cj, ck = _down_ap3r_v(*_down_ap3_v(i, j, k))
+    adj_res = res
+    if core.is_class_iii(res):
+        ci, cj, ck = _down_ap7r_v(ci, cj, ck)
+        adj_res += 1
+    verts_tbl = core._VERTS_CIII if core.is_class_iii(res) else core._VERTS_CII
+    max_dim3 = MAX_DIM_BY_CII_RES[adj_res] * 3
+    lat_v = np.empty((n, 6), dtype=np.float64)
+    lng_v = np.empty((n, 6), dtype=np.float64)
+    fc_lat = _FACE_LAT[face]
+    fc_lng = _FACE_LNG[face]
+    ax0 = _FACE_AX0[face]
+    for v in range(6):
+        vi, vj, vk = _normalize_v(
+            ci + verts_tbl[v][0], cj + verts_tbl[v][1], ck + verts_tbl[v][2]
+        )
+        fallback |= (vi + vj + vk) > max_dim3
+        x = (vi - vk) - 0.5 * (vj - vk)
+        y = (vj - vk) * M_SIN60
+        r = np.hypot(x, y)
+        theta = np.arctan2(y, x)
+        for _ in range(adj_res):
+            r = r / M_SQRT7
+        r = r / 3.0
+        r = r * RES0_U_GNOMONIC
+        r = np.arctan(r)
+        # scalar _hex2d_to_geo: pos_angle(ax0 - raw_atan2) — do NOT
+        # pre-normalize theta (different rounding, and the spherical
+        # excess amplifies ulp-level vertex shifts at fine resolutions)
+        theta = _pos_angle_v(ax0 - theta)
+        # _geo_az_distance general branch; special angles → fallback
+        fallback |= (theta < core.EPSILON) | (
+            np.abs(theta - math.pi) < core.EPSILON
+        )
+        fallback |= r < core.EPSILON
+        sinlat = np.sin(fc_lat) * np.cos(r) + np.cos(fc_lat) * np.sin(
+            r
+        ) * np.cos(theta)
+        sinlat = np.clip(sinlat, -1.0, 1.0)
+        lat2 = np.arcsin(sinlat)
+        fallback |= np.abs(np.abs(lat2) - math.pi / 2) < core.EPSILON
+        with np.errstate(divide="ignore", invalid="ignore"):
+            invcos = 1.0 / np.cos(lat2)
+            sinlng = np.sin(theta) * np.sin(r) * invcos
+            coslng = (
+                (np.cos(r) - np.sin(fc_lat) * np.sin(lat2))
+                / np.cos(fc_lat)
+                * invcos
+            )
+        sinlng = np.clip(sinlng, -1.0, 1.0)
+        coslng = np.clip(coslng, -1.0, 1.0)
+        lng2 = fc_lng + np.arctan2(sinlng, coslng)
+        lng2 = np.where(lng2 > math.pi, lng2 - 2 * math.pi, lng2)
+        lng2 = np.where(lng2 < -math.pi, lng2 + 2 * math.pi, lng2)
+        lat_v[:, v] = np.degrees(lat2)
+        lng_v[:, v] = np.degrees(lng2)
+
+    area = _spheroid_area_batch(lat_v, lng_v, geodesy)
+
+    if fallback.any():
+        from h3_indexer_spark.functions import udfs
+
+        for ix in np.nonzero(fallback)[0]:
+            area[ix] = udfs._cell_area_km2(int(h[ix]))
+    return area
+
+
+_NBR_TABLES = None
+
+
+def _neighbor_tables():
+    """face_neighbors dict → dense (face, quad) arrays."""
+    global _NBR_TABLES
+    if _NBR_TABLES is None:
+        nbf = np.zeros((NUM_ICOSA_FACES, 4), dtype=np.int64)
+        rot = np.zeros((NUM_ICOSA_FACES, 4), dtype=np.int64)
+        ti = np.zeros((NUM_ICOSA_FACES, 4), dtype=np.int64)
+        tj = np.zeros((NUM_ICOSA_FACES, 4), dtype=np.int64)
+        tk = np.zeros((NUM_ICOSA_FACES, 4), dtype=np.int64)
+        for (f, q), (nf, r, t) in core._derived().face_neighbors.items():
+            nbf[f, q] = nf
+            rot[f, q] = r
+            ti[f, q], tj[f, q], tk[f, q] = t
+        _NBR_TABLES = (nbf, rot, ti, tj, tk)
+    return _NBR_TABLES
+
+
+def _ijk_rotate60_ccw_v(i, j, k):
+    return _normalize_v(i + k, i + j, j + k)
+
+
+def _overage_adjust_v(face, i, j, k, res, MAX_DIM_BY_CII_RES, substrate):
+    """Vector twin of core._adjust_overage_class_ii for hexagon cells
+    (pent_leading_4 is always False here — pentagons go scalar). All
+    rows must already be known to overage (s > max_dim)."""
+    nbf_t, rot_t, ti_t, tj_t, tk_t = _neighbor_tables()
+    quad = np.where(k > 0, np.where(j > 0, core.JK_QUAD, core.KI_QUAD),
+                    core.IJ_QUAD)
+    nb_face = nbf_t[face, quad]
+    ccw = rot_t[face, quad]
+    max_ccw = int(ccw.max()) if len(ccw) else 0
+    for step in range(max_ccw):
+        m = ccw > step
+        if not m.any():
+            break
+        im, jm, km = _ijk_rotate60_ccw_v(i[m], j[m], k[m])
+        i, j, k = i.copy(), j.copy(), k.copy()
+        i[m], j[m], k[m] = im, jm, km
+    from h3_indexer_spark.functions.h3.tables import UNIT_SCALE_BY_CII_RES
+
+    scale = UNIT_SCALE_BY_CII_RES[res] * (3 if substrate else 1)
+    i, j, k = _normalize_v(
+        i + ti_t[face, quad] * scale,
+        j + tj_t[face, quad] * scale,
+        k + tk_t[face, quad] * scale,
+    )
+    return nb_face, i, j, k
+
+
+def _down_ap3_v(i, j, k):
+    return _normalize_v(2 * i + j, 2 * j + k, i + 2 * k)
+
+
+def _down_ap3r_v(i, j, k):
+    return _normalize_v(2 * i + k, i + 2 * j, j + 2 * k)
+
+
+def _spheroid_area_batch(lat_deg, lng_deg, geodesy):
+    """Vector twin of geodesy.spheroid_polygon_area_km2 for (n, 6)
+    vertex arrays (hexagons only; pentagons go scalar)."""
+    E = math.sqrt(geodesy._E2)
+    s = np.sin(np.radians(lat_deg))
+    q = (1.0 - geodesy._E2) * (
+        s / (1.0 - geodesy._E2 * s * s)
+        - (1.0 / (2.0 * E)) * np.log((1.0 - E * s) / (1.0 + E * s))
+    )
+    phi = np.arcsin(np.clip(q / geodesy._QP, -1.0, 1.0))
+    lam = np.radians(lng_deg)
+    c = np.cos(phi)
+    vx = c * np.cos(lam)
+    vy = c * np.sin(lam)
+    vz = np.sin(phi)
+    n_verts = 6
+    total = np.zeros(lat_deg.shape[0], dtype=np.float64)
+    for idx in range(n_verts):
+        a = (vx[:, idx], vy[:, idx], vz[:, idx])
+        b_i = (idx + 1) % n_verts
+        c_i = (idx + 2) % n_verts
+        b = (vx[:, b_i], vy[:, b_i], vz[:, b_i])
+        cc = (vx[:, c_i], vy[:, c_i], vz[:, c_i])
+        t1 = _cross_v(b, a)
+        t2 = _cross_v(b, cc)
+        cr = _cross_v(t1, t2)
+        ang = np.arctan2(
+            np.sqrt(cr[0] ** 2 + cr[1] ** 2 + cr[2] ** 2),
+            t1[0] * t2[0] + t1[1] * t2[1] + t1[2] * t2[2],
+        )
+        total = total + ang
+    excess = np.abs(total - (n_verts - 2) * math.pi)
+    return excess * geodesy.AUTHALIC_RADIUS_M ** 2 / 1.0e6
+
+
+def _cross_v(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
 def latlng_to_cell_batch(
     lat_deg: np.ndarray, lng_deg: np.ndarray, res: int
 ) -> np.ndarray:
@@ -201,13 +457,22 @@ def latlng_to_cell_batch(
     if n == 0:
         return np.empty(0, dtype=np.int64)
 
-    # closest icosahedron face (same squared-distance arithmetic)
+    # closest icosahedron face (same squared-distance arithmetic and
+    # same strict-< tie behavior as the scalar loop); iterating over the
+    # 20 faces avoids an (n, 20, 3) temporary — large fresh allocations
+    # are punishingly slow on first touch in sandboxed kernels
     cl = np.cos(lat)
-    v = np.stack((cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)), axis=1)
-    d = _FACE_VEC3[None, :, :] - v[:, None, :]
-    sqd_all = d[:, :, 0] ** 2 + d[:, :, 1] ** 2 + d[:, :, 2] ** 2
-    face = np.argmin(sqd_all, axis=1)
-    sqd = sqd_all[np.arange(n), face]
+    vx = cl * np.cos(lng)
+    vy = cl * np.sin(lng)
+    vz = np.sin(lat)
+    face = np.zeros(n, dtype=np.int64)
+    sqd = np.full(n, 5.0)
+    for f in range(NUM_ICOSA_FACES):
+        fx, fy, fz = _FACE_VEC3[f]
+        d = (fx - vx) ** 2 + (fy - vy) ** 2 + (fz - vz) ** 2
+        m = d < sqd
+        face[m] = f
+        sqd[m] = d[m]
 
     # gnomonic hex2d on that face
     r = np.arccos(1.0 - sqd / 2.0)

@@ -40,6 +40,29 @@ def _cell_area_km2(cell: int) -> float:
     return geodesy.spheroid_polygon_area_km2(list(_cell_boundary_ring(cell)))
 
 
+_AREA_CACHE: dict[int, float] = {}
+_AREA_CACHE_MAX = 2_000_000
+
+
+def areas_for_cells(cells: list[int]) -> list[float]:
+    """Areas for many cells: vectorized batch compute of cache misses
+    (cell_area_km2_batch — agrees with the scalar path to the
+    spherical-excess noise floor), then a dict lookup. The cache is
+    bounded so a long-lived worker at fine resolutions cannot grow
+    without limit."""
+    import numpy as np
+
+    from h3_indexer_spark.functions.h3.vectorized import cell_area_km2_batch
+
+    miss = [c for c in dict.fromkeys(cells) if c not in _AREA_CACHE]
+    if miss:
+        if len(_AREA_CACHE) + len(miss) > _AREA_CACHE_MAX:
+            _AREA_CACHE.clear()
+        vals = cell_area_km2_batch(np.asarray(miss, dtype=np.int64))
+        _AREA_CACHE.update(zip(miss, vals.tolist()))
+    return [_AREA_CACHE[c] for c in cells]
+
+
 @lru_cache(maxsize=262144)
 def _cell_wkt(cell: int) -> str:
     ring = list(_cell_boundary_ring(cell))
@@ -62,10 +85,13 @@ def h3_to_wkt_udf(h3_index: pd.Series) -> pd.Series:
 @F.pandas_udf(DoubleType())
 def h3_area_km2_udf(h3_index: pd.Series) -> pd.Series:
     """Spheroid cell area (reference geospatial.py:128-135 used
-    ST_AreaSpheroid over the hex geometry)."""
-    return h3_index.map(
-        lambda s: _cell_area_km2(core.string_to_h3(s)) if s else None
-    )
+    ST_AreaSpheroid over the hex geometry). Vectorized batch compute."""
+    mask = h3_index.notna()
+    out = pd.Series([None] * len(h3_index), dtype="float64")
+    if mask.any():
+        ints = [core.string_to_h3(s) for s in h3_index[mask]]
+        out[mask] = areas_for_cells(ints)
+    return out
 
 
 def make_latlng_to_cell_udf(res: int):
@@ -261,7 +287,7 @@ def make_index_map_fn(
             )
 
             # phase 2: per-feature geometry work on the precomputed cells
-            uids, cells, ratios, metrics, areas = [], [], [], [], []
+            uids, cells, ratios, metrics = [], [], [], []
             for uid, kind, rings, lo, hi in feats:
                 if kind == "point":
                     pairs, metric = _index_point(
@@ -289,14 +315,16 @@ def make_index_map_fn(
                     if cell == 0:
                         continue
                     uids.append(uid)
-                    cells.append(core.h3_to_string(cell))
+                    cells.append(cell)
                     ratios.append(ratio)
                     metrics.append(metric)
-                    areas.append(_cell_area_km2(cell))
+            areas = areas_for_cells(cells)
             yield pd.DataFrame(
                 {
                     uid_col: pd.Series(uids, dtype=pdf[uid_col].dtype),
-                    H3_INDEX: pd.Series(cells, dtype="object"),
+                    H3_INDEX: pd.Series(
+                        [core.h3_to_string(c) for c in cells], dtype="object"
+                    ),
                     RATIO: pd.Series(ratios, dtype="float64"),
                     metric_col: pd.Series(metrics, dtype="float64"),
                     H3_AREA_KM2: pd.Series(areas, dtype="float64"),

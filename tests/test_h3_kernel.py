@@ -222,3 +222,29 @@ class TestVectorizedKernel:
             assert batch[ix] == core.latlng_to_cell(
                 float(lat[ix]), float(lng[ix]), 6
             )
+
+    def test_batch_area_matches_scalar(self):
+        import numpy as np
+
+        from h3_indexer_spark.functions.h3 import core
+        from h3_indexer_spark.functions.h3.vectorized import (
+            cell_area_km2_batch,
+            latlng_to_cell_batch,
+        )
+        from h3_indexer_spark.functions.udfs import _cell_area_km2
+
+        rng = np.random.default_rng(11)
+        lat = rng.uniform(-85.0, 85.0, 3000)
+        lng = rng.uniform(-180.0, 180.0, 3000)
+        # tolerance widens with res: the spherical-excess cancellation
+        # amplifies ulp-level libm differences at fine resolutions (the
+        # scalar path has the same intrinsic noise vs ground truth)
+        for res, tol in ((4, 1e-8), (7, 1e-6), (9, 1e-4)):
+            cells = np.unique(latlng_to_cell_batch(lat, lng, res))
+            areas = cell_area_km2_batch(cells)
+            assert (areas > 0).all()
+            for ix in range(0, len(cells), 17):
+                sa = _cell_area_km2(int(cells[ix]))
+                assert abs(areas[ix] - sa) / sa < tol, (
+                    res, core.h3_to_string(int(cells[ix]))
+                )
