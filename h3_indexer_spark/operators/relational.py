@@ -82,6 +82,18 @@ def join_left(probe: DataFrame, build: DataFrame, on: str | list[str]) -> DataFr
     return probe.join(build, on=on, how="left")
 
 
+def join_semi(probe: DataFrame, filt: DataFrame, on: str | list[str]) -> DataFrame:
+    """Left semi-join: keep probe rows with a match; never widens the
+    row and never duplicates on multi-matches (unlike an inner join +
+    distinct, which shuffles the full probe payload)."""
+    return probe.join(filt, on=on, how="left_semi")
+
+
+def join_anti(probe: DataFrame, filt: DataFrame, on: str | list[str]) -> DataFrame:
+    """Left anti-join: keep probe rows WITHOUT a match (NOT EXISTS)."""
+    return probe.join(filt, on=on, how="left_anti")
+
+
 def full_outer_align(
     dfs: list[DataFrame], key: str | list[str]
 ) -> DataFrame:

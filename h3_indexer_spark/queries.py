@@ -157,6 +157,73 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi-join (EXISTS): orders that have at least one high-value
+    line item. No row widening, no duplicate explosion."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    big_items = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice") > 50000)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return R.join_semi(orders, big_items, "o_orderkey")
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti-join (NOT EXISTS): customers with no orders."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return R.join_anti(cust, orders, "c_custkey")
+
+
+def q_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statistic aggregation (min/max/count + exact decimal-backed
+    avg) — the general-aggregation closure over the reference's
+    SUM-only kernel."""
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,6)").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    agg = df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.sum("qty").alias("_sum_qty"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "min_price",
+        "max_price",
+        (F.col("_sum_qty").cast("double") / F.col("n_rows")).alias("avg_qty"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation: per (flag, status), per flag,
+    and grand total in one pass."""
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,6)").alias("qty"),
+    )
+    return (
+        df.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("qty").alias("_s"), F.count("*").alias("n_rows"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_s").cast("double").alias("sum_qty"),
+            "n_rows",
+        )
+    )
+
+
 def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the resolver kernel — groupBy + SUM every value column
     (reference h3_resolver.py:22-42). Partial aggregation makes this a
@@ -572,6 +639,10 @@ QUERIES: dict[str, Query] = {
     "q_join_left_attr": q_join_left_attr,
     "q_join_full_outer": q_join_full_outer,
     "q_groupby_sum": q_groupby_sum,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_groupby_stats": q_groupby_stats,
+    "q_rollup": q_rollup,
     "q_distinct": q_distinct,
     "q_count": q_count,
     "q_count_distinct": q_count_distinct,
@@ -798,6 +869,40 @@ ORACLES: dict[str, str] = {
                    AS sum_disc_price
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_join_semi": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 50000
+        )
+    """,
+    "q_join_anti": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    "q_groupby_stats": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "q_rollup": """
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "q_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_count": "SELECT COUNT(*) AS cnt FROM lineitem",
