@@ -57,6 +57,88 @@ HEADLINE = [
 ]
 
 
+def _geo_pipeline_bench(spark, sf: float) -> dict[str, float]:
+    """Index-stage throughput on deterministic synthetic geo data
+    (the engine's core capability): POINT/WITHIN at res 7 and
+    LINE/PCT_LENGTH at res 4, sized by scale factor. Data is generated
+    once per sf and cached as parquet under /tmp."""
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.config.vector import AllocationMethod, GeometryType
+    from h3_indexer_spark.functions.udfs import make_index_map_fn
+
+    n_points = max(10_000, int(1_000_000 * sf))
+    n_lines = max(5_000, int(270_000 * sf))
+    out: dict[str, float] = {}
+
+    pts_path = f"/tmp/h3idx_bench_points_{n_points}.parquet"
+    if not os.path.isdir(pts_path):
+        (
+            spark.range(n_points)
+            .select(
+                F.col("id").alias("uid"),
+                F.format_string(
+                    "POINT (%s %s)",
+                    F.rand(seed=4) * 50 - 120,
+                    F.rand(seed=3) * 23 + 25,
+                ).alias("geom_wkt"),
+            )
+            .write.mode("overwrite")
+            .parquet(pts_path)
+        )
+    pts = spark.read.parquet(pts_path)
+    fn = make_index_map_fn(
+        "uid", GeometryType.POINT, AllocationMethod.WITHIN, 7, "total_count"
+    )
+    schema = (
+        "uid bigint, h3_index string, ratio double, total_count double, "
+        "h3_area_km2 double"
+    )
+    t0 = time.perf_counter()
+    pts.mapInPandas(fn, schema=schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["geo_index_points"] = round(time.perf_counter() - t0, 4)
+
+    lines_path = f"/tmp/h3idx_bench_lines_{n_lines}.parquet"
+    if not os.path.isdir(lines_path):
+        seg = "LINESTRING (%s %s, %s %s, %s %s)"
+        x0 = F.rand(seed=7) * 50 - 120
+        y0 = F.rand(seed=8) * 23 + 25
+        (
+            spark.range(n_lines)
+            .select(
+                F.col("id").alias("uid"),
+                F.format_string(
+                    seg,
+                    x0,
+                    y0,
+                    x0 + F.rand(seed=9) * 0.4 - 0.2,
+                    y0 + F.rand(seed=10) * 0.4 - 0.2,
+                    x0 + F.rand(seed=11) * 0.8 - 0.4,
+                    y0 + F.rand(seed=12) * 0.8 - 0.4,
+                ).alias("geom_wkt"),
+            )
+            .write.mode("overwrite")
+            .parquet(lines_path)
+        )
+    lines = spark.read.parquet(lines_path)
+    fn = make_index_map_fn(
+        "uid", GeometryType.LINE, AllocationMethod.PCT_LENGTH, 4,
+        "total_length_km",
+    )
+    schema = (
+        "uid bigint, h3_index string, ratio double, total_length_km double, "
+        "h3_area_km2 double"
+    )
+    t0 = time.perf_counter()
+    lines.mapInPandas(fn, schema=schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["geo_index_lines"] = round(time.perf_counter() - t0, 4)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -89,6 +171,9 @@ def main() -> None:
         t0 = time.perf_counter()
         run(fn(spark, sf_dir))
         timings[key] = round(time.perf_counter() - t0, 4)
+
+    for key, secs in _geo_pipeline_bench(spark, sf).items():
+        timings[key] = secs
 
     total = round(sum(timings.values()), 4)
     print(
