@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType
 
-from h3_indexer_spark.config.vector import AllocationMethod
+from h3_indexer_spark.config.vector import AllocationMethod, GeometryType
 from h3_indexer_spark.constants import (
     GEOM_WKT,
     H3_AREA_KM2,
@@ -243,6 +243,41 @@ def make_index_map_fn(
         )
 
         for pdf in batches:
+            # fast path: a pure-POINT batch parses with one vectorized
+            # regex extract and indexes with one batch call — no
+            # per-row python at all (the common 100 TB ingest shape)
+            if geometry_type == GeometryType.POINT:
+                ext = pdf[GEOM_WKT].str.extract(
+                    r"^\s*POINT\s*\(\s*(-?[\d.eE+-]+)\s+(-?[\d.eE+-]+)"
+                    r"\s*\)\s*$"
+                )
+                lngs = pd.to_numeric(ext[0], errors="coerce")
+                lats = pd.to_numeric(ext[1], errors="coerce")
+                ok = lngs.notna() & lats.notna()
+                if ok.all():
+                    cell_arr = latlng_to_cell_batch(
+                        lats.to_numpy(), lngs.to_numpy(), res
+                    )
+                    keep = cell_arr != 0
+                    cell_ints = [int(c) for c in cell_arr[keep]]
+                    yield pd.DataFrame(
+                        {
+                            uid_col: pdf[uid_col][keep].reset_index(
+                                drop=True
+                            ),
+                            H3_INDEX: pd.Series(
+                                [core.h3_to_string(c) for c in cell_ints],
+                                dtype="object",
+                            ),
+                            RATIO: 1.0,
+                            metric_col: 1.0,
+                            H3_AREA_KM2: pd.Series(
+                                areas_for_cells(cell_ints), dtype="float64"
+                            ),
+                        }
+                    )
+                    continue
+
             # phase 1: parse + generate every sample point of the batch,
             # then index ALL samples in one vectorized call
             feats = []  # (uid, kind, rings, slice into the sample array)
