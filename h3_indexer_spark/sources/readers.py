@@ -65,6 +65,13 @@ def read_source(
     if table is not None:
         return read_table(spark, table, where_clause)
     lower = path.lower()
+    if lower.endswith(".shp"):
+        raise NotImplementedError(
+            "Shapefile input (reference S2) needs a shapefile DataSource, "
+            "which this environment does not ship. Convert to Parquet/CSV "
+            "with a WKT geometry column (e.g. ogr2ogr -f Parquet) — every "
+            "downstream capability is identical."
+        )
     if lower.endswith(".csv"):
         df = read_csv(spark, path, **options)
     elif lower.endswith(".json") or lower.endswith(".jsonl"):
