@@ -217,13 +217,16 @@ def cell_area_km2_batch(cells: np.ndarray) -> np.ndarray:
     return out
 
 
-def _area_batch_one_res(h, res, geodesy, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC):
+def _face_ijk_batch(h, res, MAX_DIM_BY_CII_RES):
+    """Vector twin of core._h3_to_face_ijk for hexagon cells: true
+    (face, i, j, k) after the standard overage adjustment, plus a
+    fallback mask (pentagons)."""
     n = h.shape[0]
     bc = (h >> 45) & 0x7F
     fallback = np.isin(bc, _PENTAGONS)
 
     # base-cell home face + ijk
-    if not hasattr(_area_batch_one_res, "_bc_arrays"):
+    if not hasattr(_face_ijk_batch, "_bc_arrays"):
         from h3_indexer_spark.functions.h3.tables import BASE_CELL_DATA
 
         faces = np.asarray([d[0] for d in BASE_CELL_DATA], dtype=np.int64)
@@ -233,10 +236,8 @@ def _area_batch_one_res(h, res, geodesy, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC):
         ui = np.asarray([u[0] for u in core.UNIT_VECS], dtype=np.int64)
         uj = np.asarray([u[1] for u in core.UNIT_VECS], dtype=np.int64)
         uk = np.asarray([u[2] for u in core.UNIT_VECS], dtype=np.int64)
-        _area_batch_one_res._bc_arrays = (faces, hi, hj, hk, ui, uj, uk)
-    faces_t, hi_t, hj_t, hk_t, ui_t, uj_t, uk_t = (
-        _area_batch_one_res._bc_arrays
-    )
+        _face_ijk_batch._bc_arrays = (faces, hi, hj, hk, ui, uj, uk)
+    faces_t, hi_t, hj_t, hk_t, ui_t, uj_t, uk_t = _face_ijk_batch._bc_arrays
     face = faces_t[bc]
     i, j, k = hi_t[bc].copy(), hj_t[bc].copy(), hk_t[bc].copy()
     home_origin = (i == 0) & (j == 0) & (k == 0)
@@ -275,6 +276,81 @@ def _area_batch_one_res(h, res, geodesy, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC):
         face[over] = fo
         i, j, k = i.copy(), j.copy(), k.copy()
         i[over], j[over], k[over] = io, jo, ko
+    return face, i, j, k, fallback
+
+
+def cell_to_latlng_batch(cells: np.ndarray) -> tuple:
+    """Cell centers in degrees for an int64 cell array — vector twin of
+    core.cell_to_latlng (pentagons fall back scalar). Returns
+    (lat_deg, lng_deg) float64 arrays."""
+    from h3_indexer_spark.functions.h3.tables import (
+        MAX_DIM_BY_CII_RES,
+        RES0_U_GNOMONIC,
+    )
+
+    cells = np.asarray(cells, dtype=np.int64)
+    n = cells.shape[0]
+    lat_out = np.zeros(n, dtype=np.float64)
+    lng_out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return lat_out, lng_out
+    res_all = (cells >> 52) & 0xF
+    for res in np.unique(res_all):
+        res = int(res)
+        sel = np.nonzero(res_all == res)[0]
+        h = cells[sel]
+        face, i, j, k, fallback = _face_ijk_batch(h, res, MAX_DIM_BY_CII_RES)
+        x = (i - k) - 0.5 * (j - k)
+        y = (j - k) * M_SIN60
+        r = np.hypot(x, y)
+        theta = np.arctan2(y, x)
+        for _ in range(res):
+            r = r / M_SQRT7
+        r = r * RES0_U_GNOMONIC
+        r = np.arctan(r)
+        if core.is_class_iii(res):
+            theta = _pos_angle_v(theta + M_AP7_ROT_RADS)
+        theta = _pos_angle_v(_FACE_AX0[face] - theta)
+        fc_lat = _FACE_LAT[face]
+        fc_lng = _FACE_LNG[face]
+        tiny = r < core.EPSILON
+        fallback = fallback | (theta < core.EPSILON) | (
+            np.abs(theta - math.pi) < core.EPSILON
+        )
+        sinlat = np.sin(fc_lat) * np.cos(r) + np.cos(fc_lat) * np.sin(
+            r
+        ) * np.cos(theta)
+        sinlat = np.clip(sinlat, -1.0, 1.0)
+        lat2 = np.arcsin(sinlat)
+        fallback |= np.abs(np.abs(lat2) - math.pi / 2) < core.EPSILON
+        with np.errstate(divide="ignore", invalid="ignore"):
+            invcos = 1.0 / np.cos(lat2)
+            sinlng = np.sin(theta) * np.sin(r) * invcos
+            coslng = (
+                (np.cos(r) - np.sin(fc_lat) * np.sin(lat2))
+                / np.cos(fc_lat)
+                * invcos
+            )
+        sinlng = np.clip(sinlng, -1.0, 1.0)
+        coslng = np.clip(coslng, -1.0, 1.0)
+        lng2 = fc_lng + np.arctan2(sinlng, coslng)
+        lng2 = np.where(lng2 > math.pi, lng2 - 2 * math.pi, lng2)
+        lng2 = np.where(lng2 < -math.pi, lng2 + 2 * math.pi, lng2)
+        lat2 = np.where(tiny, fc_lat, lat2)
+        lng2 = np.where(tiny, fc_lng, lng2)
+        if fallback.any():
+            for ixl in np.nonzero(fallback)[0]:
+                sl, sn = core.cell_to_latlng(int(h[ixl]))
+                lat2[ixl] = math.radians(sl)
+                lng2[ixl] = math.radians(sn)
+        lat_out[sel] = np.degrees(lat2)
+        lng_out[sel] = np.degrees(lng2)
+    return lat_out, lng_out
+
+
+def _area_batch_one_res(h, res, geodesy, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC):
+    n = h.shape[0]
+    face, i, j, k, fallback = _face_ijk_batch(h, res, MAX_DIM_BY_CII_RES)
 
     # substrate boundary vertices on the home face
     ci, cj, ck = _down_ap3r_v(*_down_ap3_v(i, j, k))

@@ -248,3 +248,66 @@ class TestVectorizedKernel:
                 assert abs(areas[ix] - sa) / sa < tol, (
                     res, core.h3_to_string(int(cells[ix]))
                 )
+
+    def test_batch_center_matches_scalar(self):
+        import numpy as np
+
+        from h3_indexer_spark.functions.h3 import core
+        from h3_indexer_spark.functions.h3.vectorized import (
+            cell_to_latlng_batch,
+            latlng_to_cell_batch,
+        )
+
+        rng = np.random.default_rng(42)
+        lat = rng.uniform(-85.0, 85.0, 2000)
+        lng = rng.uniform(-180.0, 180.0, 2000)
+        for res in (3, 6, 9):
+            cells = np.unique(latlng_to_cell_batch(lat, lng, res))
+            blat, blng = cell_to_latlng_batch(cells)
+            for ix in range(len(cells)):
+                slat, slng = core.cell_to_latlng(int(cells[ix]))
+                assert abs(blat[ix] - slat) < 1e-9, hex(int(cells[ix]))
+                assert abs(blng[ix] - slng) < 1e-9, hex(int(cells[ix]))
+
+    def test_polyfill_complete_vs_dense_sampling(self):
+        """Interior cells found by polyfill must exactly equal the set
+        derived independently: cells hit by a dense point grid whose
+        scalar center passes the even-odd test."""
+        import numpy as np
+
+        from h3_indexer_spark.functions.h3 import core, coverage
+        from h3_indexer_spark.functions.h3.vectorized import (
+            latlng_to_cell_batch,
+        )
+
+        rings = [
+            # convex quad
+            [(-100.0, 35.0), (-99.6, 35.1), (-99.5, 35.6), (-100.1, 35.4)],
+            # concave polygon (notched)
+            [(10.0, 50.0), (10.6, 50.0), (10.6, 50.5), (10.3, 50.2),
+             (10.0, 50.5)],
+        ]
+        for ring in rings:
+            for res in (5, 6):
+                got = set(
+                    coverage.polyfill(
+                        ring, res, include_boundary_cells=False
+                    )
+                )
+                lats = [p[1] for p in ring]
+                lngs = [p[0] for p in ring]
+                step = 0.15 * coverage._EDGE_KM[res] / coverage._EARTH_KM * (
+                    180.0 / math.pi
+                )
+                gl = np.arange(min(lats) - step, max(lats) + step, step)
+                gg = np.arange(min(lngs) - step, max(lngs) + step, step)
+                la, ln = np.meshgrid(gl, gg, indexing="ij")
+                cand = np.unique(
+                    latlng_to_cell_batch(la.ravel(), ln.ravel(), res)
+                )
+                want = set()
+                for c in cand:
+                    clat, clng = core.cell_to_latlng(int(c))
+                    if coverage._point_in_ring(clng, clat, ring):
+                        want.add(int(c))
+                assert got == want, (ring, res, got ^ want)
