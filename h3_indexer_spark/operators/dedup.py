@@ -2,13 +2,15 @@
 
 All are expressed as DataFrame plans that scale to 100 TB:
 - exact:      hash-groupBy (one shuffle of (hash, id) pairs only)
-- minhash-LSH: shingle → minhash signature (vectorized, JVM-side
-  hashing) → band buckets → self-join within buckets → connected
-  pairs. The band self-join shuffles only (band_hash, id), never the
-  documents.
-- simhash:    64-bit weighted-bit fingerprint; near-dups share bands of
-  the fingerprint.
-- n-gram Jaccard: verification metric for candidate pairs.
+- minhash-LSH: per-doc shingle-hash ARRAY (narrow) → 64 array_min
+  signatures (narrow, zero shuffle) → band buckets → self-join within
+  buckets → exact-Jaccard verification via array_intersect. Only
+  (band_hash, id) rows and the candidate docs' shingle arrays ever
+  shuffle; the signature stage shuffles nothing at all (the classic
+  explode→distinct→groupBy formulation shuffles the whole shingle
+  table twice and re-scans the corpus per verification branch).
+- simhash:    64-bit weighted-bit fingerprint computed narrowly from a
+  token-hash array; near-dups share bands of the fingerprint.
 
 Every operator keys the heavy join on a hash, so AQE's skew handling
 covers pathological buckets (e.g. boilerplate-heavy corpora).
@@ -16,11 +18,10 @@ covers pathological buckets (e.g. boilerplate-heavy corpora).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Prime modulus close to 2^31 for permutation hashing
-_MERSENNE = (1 << 61) - 1
+from h3_indexer_spark.functions.exprs import let
 
 
 def exact_dedup(
@@ -36,22 +37,31 @@ def exact_dedup(
     )
 
 
+def _shingle_hash_array(text_col: str, k: int) -> F.Column:
+    """Distinct word-k-gram hashes as an array column — narrow, no
+    shuffle, no explode. Words are pre-hashed once so each k-gram
+    hashes a k-long slice of longs instead of re-building the gram
+    string (same trick as textops.fingerprint, ~3x cheaper)."""
+    word_hashes = F.transform(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.xxhash64(w)
+    )
+    return let(
+        word_hashes,
+        lambda wh: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(wh) - k, F.lit(0))),
+                lambda i: F.xxhash64(F.slice(wh, i + 1, k)),
+            )
+        ),
+    )
+
+
 def shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:
-    """Word k-gram shingle set per document: (id, shingle_hash). Stays
-    JVM-side: split → sliding windows via transform/slice → xxhash64."""
-    words = F.split(F.col(text_col), r"\s+")
-    n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
-    )
-    return (
-        df.select(id_col, F.explode(grams).alias("shingle"))
-        .select(id_col, F.xxhash64("shingle").alias("shingle_hash"))
-        .distinct()
-    )
+    """Word k-gram shingle set per document as (id, sh_arr) — one row
+    per document, the whole set in an array column."""
+    return df.select(id_col, _shingle_hash_array(text_col, k).alias("sh_arr"))
 
 
 def minhash_signatures(
@@ -60,21 +70,24 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signature per document: num_hashes hash-family minima
-    computed as one groupBy over JVM-side hash expressions (a single
-    shuffle of partial minima, thanks to partial aggregation).
+    """MinHash signature per document: ``num_hashes`` minima over the
+    shingle array, as one nested-loop expression — zero shuffle, stays
+    in whole-stage codegen.
 
-    The hash family is seeded xxhash64 — re-hashing the shingle hash
-    with a distinct literal per function. Stays in whole-stage codegen;
-    the naive (a*h+b) mod p permutation needs decimal(38) arithmetic to
-    avoid overflow, which is ~50× slower per row."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(seed), F.lit(h), F.col("shingle_hash"))).alias(
-            f"mh_{h}"
-        )
-        for h in range(num_hashes)
-    ]
-    return shingle_df.groupBy(id_col).agg(*aggs)
+    The hash family is seeded xxhash64 — re-hashing each shingle hash
+    with a distinct literal per function; the naive (a*h+b) mod p
+    permutation needs decimal(38) arithmetic to avoid overflow, which
+    is ~50× slower per row."""
+    sig = let(
+        F.col("sh_arr"),
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda h: F.array_min(
+                F.transform(sh, lambda x: F.xxhash64(F.lit(seed), h, x))
+            ),
+        ),
+    )
+    return shingle_df.select(id_col, "sh_arr", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -86,18 +99,17 @@ def lsh_candidate_pairs(
     """Banded LSH: documents sharing any band bucket become candidate
     pairs (a < b). Only (band_hash, id) rows shuffle."""
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.xxhash64(F.lit(b), *[F.col(c) for c in cols]).alias(f"band_{b}")
-        )
-    banded = signatures.select(id_col, *band_cols)
-    stacked = banded.select(
-        id_col,
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
-            "bucket"
+    buckets = let(
+        F.col("sig"),
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                b, F.slice(sig, b * rows_per_band + 1, rows_per_band)
+            ),
         ),
+    )
+    stacked = signatures.select(
+        id_col, F.explode(buckets).alias("bucket")
     )
     left = stacked.alias("l")
     right = stacked.alias("r")
@@ -118,37 +130,24 @@ def ngram_jaccard(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact Jaccard similarity of shingle sets for candidate pairs —
-    the verification step after LSH. Shuffles only (id, shingle_hash)
-    keyed by id."""
+    the verification step after LSH. Joins each side's shingle array to
+    the pair and intersects in place; only candidate docs' arrays move.
+    """
     a = shingle_df.select(
-        F.col(id_col).alias("id_a"), F.col("shingle_hash").alias("sh")
+        F.col(id_col).alias("id_a"), F.col("sh_arr").alias("sh_a")
     )
     b = shingle_df.select(
-        F.col(id_col).alias("id_b"), F.col("shingle_hash").alias("sh")
+        F.col(id_col).alias("id_b"), F.col("sh_arr").alias("sh_b")
     )
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")),
-            "id_b",
-        )
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
         )
     )
 
@@ -162,8 +161,8 @@ def minhash_near_dups(
     bands: int = 16,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Full near-dup plan: shingle → minhash → LSH candidates → exact
-    Jaccard filter. Output: (id_a, id_b, jaccard) with jaccard ≥
+    """Full near-dup plan: shingle array → minhash → LSH candidates →
+    exact Jaccard filter. Output: (id_a, id_b, jaccard) with jaccard ≥
     threshold."""
     sh = shingles(df, text_col, id_col, k)
     sig = minhash_signatures(sh, id_col, num_hashes)
@@ -176,9 +175,14 @@ def minhash_near_dups(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash fingerprint per document, fully JVM-side: token
-    xxhash64 → per-bit ±1 votes → sign. Output: (id, simhash) as long.
-    """
+    """64-bit SimHash fingerprint per document: token xxhash64 → per-bit
+    ±1 votes → sign. Output: (id, simhash) as long.
+
+    Deliberately the explode + groupBy formulation, NOT a higher-order
+    function over a token array: the 64 bit-vote sums stay inside
+    whole-stage codegen (HOF lambdas are interpreted), and partial
+    aggregation means the shuffle carries ~one 64-long row per document
+    per input partition — scan-dominated at 100 TB."""
     tokens = df.select(
         id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).select(id_col, F.xxhash64("tok").alias("th"))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from h3_indexer_spark.functions.exprs import let
+
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
 # language ID. Deliberately small: the point is the operator shape
 # (scan-speed scoring against broadcast profiles), not lexicography.
@@ -35,19 +37,20 @@ def language_id(
     each language's profile; argmax wins, 'und' (undetermined) when no
     profile scores. array_intersect-free formulation keeps duplicates
     counted (a real frequency signal)."""
-    toks = _lower_tokens(text_col)
-    n = F.greatest(F.size(toks), F.lit(1))
-    scores = []
-    for lang, words in _LANG_PROFILES.items():
-        hits = F.size(
-            F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
-        )
-        scores.append(F.struct((hits / n).alias("score"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*scores))
-    return df.withColumn(
-        out_col,
-        F.when(best["score"] > 0.02, best["lang"]).otherwise(F.lit("und")),
-    )
+    def pick(toks: Column) -> Column:
+        n = F.greatest(F.size(toks), F.lit(1))
+        scores = []
+        for lang, words in _LANG_PROFILES.items():
+            hits = F.size(
+                F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+            )
+            scores.append(
+                F.struct((hits / n).alias("score"), F.lit(lang).alias("lang"))
+            )
+        best = F.array_max(F.array(*scores))
+        return F.when(best["score"] > 0.02, best["lang"]).otherwise(F.lit("und"))
+
+    return df.withColumn(out_col, let(_lower_tokens(text_col), pick))
 
 
 def quality_score(
@@ -57,30 +60,50 @@ def quality_score(
     stopword presence, alpha ratio, repetition penalty — the standard
     cheap pre-filter stack (Gopher/C4-style rules) as pure expressions.
     Adds component columns ``q_*`` for filtering on individual rules."""
-    toks = _lower_tokens(text_col)
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-    n_char = F.greatest(F.length(text_col), F.lit(1))
-    mean_word_len = n_char / n_tok
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) / n_char
-    )
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in _LANG_PROFILES["en"]]))
-    )
-    stop_ratio = stop_hits / n_tok
-    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
-    q_len = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.0)
-    q_alpha = F.when(alpha_ratio > 0.6, 1.0).otherwise(alpha_ratio / 0.6)
-    q_stop = F.when(stop_ratio > 0.05, 1.0).otherwise(stop_ratio / 0.05)
-    q_uniq = F.when(uniq_ratio > 0.3, 1.0).otherwise(uniq_ratio / 0.3)
+    def comps(toks: Column) -> Column:
+        n_tok = F.greatest(F.size(toks), F.lit(1))
+        n_char = F.greatest(F.length(text_col), F.lit(1))
+        mean_word_len = n_char / n_tok
+        alpha_ratio = (
+            F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) / n_char
+        )
+        stop_hits = F.size(
+            F.filter(
+                toks, lambda t: t.isin(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+            )
+        )
+        stop_ratio = stop_hits / n_tok
+        uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+        q_len = F.when(
+            (mean_word_len >= 3) & (mean_word_len <= 12), 1.0
+        ).otherwise(0.0)
+        q_alpha = F.when(alpha_ratio > 0.6, 1.0).otherwise(alpha_ratio / 0.6)
+        q_stop = F.when(stop_ratio > 0.05, 1.0).otherwise(stop_ratio / 0.05)
+        q_uniq = F.when(uniq_ratio > 0.3, 1.0).otherwise(uniq_ratio / 0.3)
+        return F.struct(
+            q_len.alias("q_word_len"),
+            q_alpha.alias("q_alpha"),
+            q_stop.alias("q_stopword"),
+            q_uniq.alias("q_unique"),
+        )
+
     return (
-        df.withColumn("q_word_len", q_len)
-        .withColumn("q_alpha", q_alpha)
-        .withColumn("q_stopword", q_stop)
-        .withColumn("q_unique", q_uniq)
+        df.withColumn("_q", let(_lower_tokens(text_col), comps))
+        .withColumns(
+            {
+                c: F.col(f"_q.{c}")
+                for c in ("q_word_len", "q_alpha", "q_stopword", "q_unique")
+            }
+        )
+        .drop("_q")
         .withColumn(
             out_col,
-            (F.col("q_word_len") + F.col("q_alpha") + F.col("q_stopword") + F.col("q_unique"))
+            (
+                F.col("q_word_len")
+                + F.col("q_alpha")
+                + F.col("q_stopword")
+                + F.col("q_unique")
+            )
             / 4.0,
         )
     )
@@ -120,14 +143,18 @@ def fingerprint(
     a small long-array slice instead of re-building and re-hashing the
     window's string — ~3x faster, since per-word work is O(n) not
     O(n*window)."""
-    word_hashes = "_fp_word_hashes"
-    df2 = df.withColumn(
+    word_hashes = F.transform(
+        F.split(F.col(text_col), r"\s+"), lambda w: F.xxhash64(w)
+    )
+    fp = let(
         word_hashes,
-        F.transform(F.split(F.col(text_col), r"\s+"), lambda w: F.xxhash64(w)),
+        lambda wh: F.array_min(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(wh) - window, F.lit(0))
+                ),
+                lambda i: F.xxhash64(F.slice(wh, i + 1, window)),
+            )
+        ),
     )
-    n = F.size(F.col(word_hashes))
-    window_hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.xxhash64(F.slice(F.col(word_hashes), i + 1, window)),
-    )
-    return df2.withColumn("fingerprint", F.array_min(window_hashes)).drop(word_hashes)
+    return df.withColumn("fingerprint", fp)
