@@ -51,6 +51,7 @@ HEADLINE = [
     "q_fingerprint",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_embedding_lsh",
     "q_knn_batch",
     "q_knn_lsh",
     "q_media_meta",

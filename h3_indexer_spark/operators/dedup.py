@@ -172,6 +172,161 @@ def minhash_near_dups(
     )
 
 
+def embedding_near_dups_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline:
+    self-join (id_a < id_b) + cosine threshold. O(n²) — the correctness
+    oracle for the LSH path; use :func:`embedding_near_dups` at scale.
+    Output: (id_a, id_b, cosine_sim)."""
+    withn = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("_norm"),
+    )
+    a = withn.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = withn.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_va"),
+            F.col("_vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: sign-LSH banded
+    bucketing (random-hyperplane sign bits, packed per band) →
+    candidate self-join within buckets → exact cosine verification.
+    Only (band, packed_bits, id) rows shuffle for candidate generation;
+    vectors move only for the candidate ids. High-cosine pairs agree on
+    most sign bits, so by pigeonhole they share a full band with high
+    probability. Output: (id_a, id_b, cosine_sim) with cosine ≥
+    threshold."""
+    from h3_indexer_spark.operators.similarity import random_hyperplanes, _dot_expr
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    band_cols = []
+    for b in range(bands):
+        packed = None
+        for j in range(width):
+            bit = (
+                (_dot_expr(vec_col, planes[b * width + j]) >= 0)
+                .cast("long")
+            )
+            term = F.shiftleft(bit, j)
+            packed = term if packed is None else packed.bitwiseOR(term)
+        band_cols.append(packed.alias(f"blk_{b}"))
+    blocked = df.select(id_col, *band_cols)
+    stacked = blocked.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"blk_{b}").alias("v"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "blk.band", "blk.v")
+    l, r = stacked.alias("l"), stacked.alias("r")
+    pairs = (
+        l.join(r, ["band", "v"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    withn = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("_norm"),
+    )
+    verified = (
+        pairs.join(
+            withn.select(
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("_va"),
+                F.col("_norm").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            withn.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("_vb"),
+                F.col("_norm").alias("_nb"),
+            ),
+            "id_b",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_va"),
+            F.col("_vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (dot / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"),
+    ).where(F.col("cosine_sim") >= threshold)
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

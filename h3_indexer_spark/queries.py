@@ -478,6 +478,27 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_embedding_oracle() -> str:
+    """DuckDB SQL mirroring embedding_near_dups_exact: identical
+    left-associative double-precision op order (DuckDB arrays are
+    1-based)."""
+    dot = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) * "
+        f"CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_EMB_DIM)
+    )
+    na = _norm_sql("a.embedding", one_based=True)
+    nb = _norm_sql("b.embedding", one_based=True)
+    return f"""
+        SELECT id_a, id_b, cosine_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   (0.0 + {dot}) / (sqrt(0.0 + {na}) * sqrt(0.0 + {nb}))
+                       AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cosine_sim >= 0.4
+    """
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (operators/textops.py): whitespace + BPE-ish regex
     + bytes/token — zero-shuffle narrow map."""
@@ -526,6 +547,38 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(
         load(spark, sf_dir, "documents"), threshold=0.5
     ).select("id_a", "id_b", "jaccard")
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (operators/dedup.py). The fold order of the zip_with/aggregate dot
+    product matches the oracle's left-associative sum, so cosine_sim is
+    bit-equal in both engines."""
+    from h3_indexer_spark.operators.dedup import embedding_near_dups_exact
+
+    return embedding_near_dups_exact(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    ).select("id_a", "id_b", "cosine_sim")
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via sign-LSH banding — the scale path
+    (operators/dedup.py). Planted near-identical copies (one component
+    scaled 1%) must pair with their originals; rows-only (hash-bucket
+    candidate generation is not SQL-expressible offline)."""
+    from h3_indexer_spark.operators.dedup import embedding_near_dups
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x * F.lit(1.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return embedding_near_dups(
+        emb.unionByName(perturbed), dim=_EMB_DIM, threshold=0.99
+    ).select("id_a", "id_b", "cosine_sim")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,6 +715,8 @@ QUERIES: dict[str, Query] = {
     "q_fingerprint": q_fingerprint,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
     "q_knn_batch": q_knn_batch,
     "q_knn_lsh": q_knn_lsh,
     "q_media_meta": q_media_meta,
@@ -976,6 +1031,7 @@ ORACLES: dict[str, str] = {
         GROUP BY md5(text)
     """,
     "q_knn_brute": _knn_oracle(),
+    "q_dedup_embedding": _dedup_embedding_oracle(),
     "q_token_count": """
         SELECT doc_id,
                CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)

@@ -71,6 +71,47 @@ class TestSimhash:
         assert fps[0] == fps[1]
 
 
+class TestEmbeddingNearDups:
+    def test_lsh_matches_exact_on_planted(self, spark):
+        """The LSH path must recover every pair the exact path finds at
+        a near-dup threshold (planted 1%-perturbed copies), and agree
+        on cosine values."""
+        from pyspark.sql import functions as F
+
+        from h3_indexer_spark.operators.dedup import (
+            embedding_near_dups,
+            embedding_near_dups_exact,
+        )
+
+        emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        perturbed = emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(i == 0, x * F.lit(1.01)).otherwise(x),
+            ).alias("embedding"),
+        )
+        corpus = emb.unionByName(perturbed)
+        exact = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in embedding_near_dups_exact(
+                corpus, threshold=0.99
+            ).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in embedding_near_dups(
+                corpus, dim=64, threshold=0.99
+            ).collect()
+        }
+        assert set(exact) == set(lsh)
+        assert len(exact) >= 500  # every planted copy pairs with its original
+        for k, v in exact.items():
+            assert abs(lsh[k] - v) < 1e-12
+
+
 class TestLshRecall:
     """Sign-LSH's contract is about genuinely-near vectors. The driver
     embeddings are uniform random (nearest neighbors sit at ~72°,
