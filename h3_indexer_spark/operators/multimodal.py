@@ -118,6 +118,55 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(fn, schema=EMBED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, channels int, pixels binary"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 4,
+    target_h: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize every image to (target_w, target_h) and emit the raw
+    pixel buffer. The resize itself is real (vectorized nearest-neighbor
+    index sampling — the same math at any source resolution); only the
+    decode behind it is the deterministic fake."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                img = _fake_decode(bytes(payload))
+                src_h, src_w = img.shape[0], img.shape[1]
+                ys = (np.arange(target_h) * src_h) // target_h
+                xs = (np.arange(target_w) * src_w) // target_w
+                resized = img[np.ix_(ys, xs)]
+                ids.append(mid)
+                blobs.append(resized.tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(
+                        [target_w] * len(ids), dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [target_h] * len(ids), dtype="int32"
+                    ),
+                    "channels": pd.Series([3] * len(ids), dtype="int32"),
+                    "pixels": pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

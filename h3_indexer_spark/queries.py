@@ -667,6 +667,18 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(_media_table(spark, sf_dir))
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over binary payloads (operators/multimodal.py):
+    vectorized nearest-neighbor sampling after the (stubbed) decode.
+    rows-only: no codec in DuckDB."""
+    from h3_indexer_spark.operators.multimodal import resize_images
+
+    return resize_images(_media_table(spark, sf_dir)).select(
+        "media_id", "width", "height", "channels",
+        F.length("pixels").alias("n_pixel_bytes"),
+    )
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (operators/multimodal.py).
     rows-only: BLOB slicing semantics differ across engines."""
@@ -720,6 +732,7 @@ QUERIES: dict[str, Query] = {
     "q_knn_batch": q_knn_batch,
     "q_knn_lsh": q_knn_lsh,
     "q_media_meta": q_media_meta,
+    "q_media_resize": q_media_resize,
     "q_media_frames": q_media_frames,
 }
 
