@@ -42,6 +42,8 @@ HEADLINE = [
     "q_topk_window",
     "q_window_lag",
     "q_window_tumbling",
+    "q_asof_join",
+    "q_range_join",
     "q_text_stats",
     "q_dedup_exact",
     "q_knn_brute",

@@ -1,0 +1,120 @@
+"""Temporal join operators Spark lacks natively: as-of join and range
+(interval) join, built as compositions of existing DataFrame ops
+(SURVEY.md §2.8; the reference has neither — these close the category
+gap for time-series / training-data pipelines).
+
+Scale notes (100 TB):
+- ``asof_join`` is ONE shuffle (the window partition by key): both
+  sides union and sort once; the match is a running last-value
+  carry-forward, so no row explosion and no range self-join. Skewed
+  keys cost what any window does; salt upstream if a single key
+  dominates.
+- ``range_join`` turns the non-equi predicate into an equi-join on a
+  bucket id (intervals explode to the buckets they cover), so Catalyst
+  can hash/broadcast it and AQE handles skewed buckets. Without this,
+  Spark plans inequality joins as BroadcastNestedLoop — O(n·m).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "_asof_side"
+_MATCH_TS = "_asof_match_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    tolerance: int | float | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the ``value_cols``
+    of the latest right row with the same ``on`` key and right.ts ≤
+    left.ts (ties at equal ts match). Attached columns are named
+    ``asof_<col>``; unmatched left rows get nulls. ``tolerance`` (same
+    units as ``ts_col``) drops matches older than ``left.ts -
+    tolerance``. ``tiebreak``: right-side column ordering multiple
+    right rows at identical (key, ts) — the greatest wins.
+
+    Implementation: tag sides, union, and carry the right values
+    forward with ``last(..., ignorenulls=True)`` over a (key, ts)
+    window — the standard single-shuffle formulation.
+    """
+    renamed = [F.col(c).alias(f"_r_{c}") for c in value_cols]
+    order: list[Column] = [F.col(ts_col).asc(), F.col(_SIDE).asc()]
+    tb = F.lit(0) if tiebreak is None else F.col(tiebreak)
+    r_cols = [*on, ts_col, tb.alias("_tb"), *renamed]
+    r = right.select(*r_cols).withColumn(_SIDE, F.lit(0))
+    l = left.withColumn(_SIDE, F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left at equal ts (side 0 < 1) so equal-ts
+    # matches are visible; among right rows, later tiebreak wins.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order, F.col("_tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u
+    for c in value_cols:
+        out = out.withColumn(
+            f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    out = out.withColumn(
+        _MATCH_TS,
+        F.last(
+            F.when(F.col(_SIDE) == 0, F.col(ts_col)), ignorenulls=True
+        ).over(w),
+    )
+    out = out.where(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        for c in value_cols:
+            out = out.withColumn(
+                f"asof_{c}",
+                F.when(
+                    F.col(ts_col) - F.col(_MATCH_TS) <= F.lit(tolerance),
+                    F.col(f"asof_{c}"),
+                ),
+            )
+    drop = [_SIDE, _MATCH_TS, "_tb", *[f"_r_{c}" for c in value_cols]]
+    return out.drop(*drop)
+
+
+def range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact rows to the intervals containing them:
+    ``lo <= fact.value < hi`` — as an equi-join on a bucket id.
+
+    Each interval explodes to every bucket of ``bucket_width`` it
+    overlaps; facts map to one bucket; the equi-join then only pairs
+    rows whose ranges can overlap, and the exact predicate filters the
+    boundary buckets. Pick ``bucket_width`` near the typical interval
+    length: shorter → more interval replication; longer → more
+    false-pair filtering.
+    """
+    bkt = "_range_bucket"
+    f = fact.withColumn(bkt, F.floor(F.col(value_col) / F.lit(bucket_width)))
+    iv = intervals.withColumn(
+        bkt,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    joined = f.join(iv, [bkt], how).where(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    )
+    return joined.drop(bkt)

@@ -364,6 +364,81 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.py): each click event
+    picks up the value of the user's most recent error event at or
+    before it. Single-shuffle union+window formulation; oracle is
+    DuckDB's native ASOF JOIN. Timestamps compare as raw nanos (total
+    order matches DuckDB micros — no micro-level ties in the data) and
+    output as epoch micros."""
+    from h3_indexer_spark.operators.temporal import asof_join
+
+    ev = _load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error").withColumnRenamed(
+        "event_id", "r_event_id"
+    )
+    out = asof_join(
+        clicks,
+        errors.select("user_id", "ts", "r_event_id", "value"),
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        tiebreak="r_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "value",
+        F.col("asof_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join (operators/temporal.py): orders priced
+    into literal price bands via bucketed equi-join — the scale path
+    for non-equi joins Spark would otherwise plan as nested-loop.
+    Oracle: plain BETWEEN join."""
+    from h3_indexer_spark.operators.temporal import range_join
+
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band_id int, lo double, hi double"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    out = range_join(
+        orders, bands, value_col="price", lo_col="lo", hi_col="hi",
+        bucket_width=50_000.0,
+    )
+    return (
+        out.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,6)")).alias("sum_price_dec"),
+        )
+        .select(
+            "band_id",
+            "n_orders",
+            F.col("sum_price_dec").cast("double").alias("sum_price"),
+        )
+    )
+
+
+_PRICE_BANDS = [
+    (0, 0.0, 50_000.0),
+    (1, 50_000.0, 100_000.0),
+    (2, 100_000.0, 150_000.0),
+    (3, 150_000.0, 250_000.0),
+    (4, 250_000.0, 600_000.0),
+    # overlapping premium band: a fact row may land in >1 interval
+    (5, 200_000.0, 400_000.0),
+]
+
+
 def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window aggregation (§2.8) — the batch analog
     of the streaming windowed agg in streaming/events.py. Hour windows
@@ -718,6 +793,8 @@ QUERIES: dict[str, Query] = {
     "q_topk_window": q_topk_window,
     "q_window_lag": q_window_lag,
     "q_window_tumbling": q_window_tumbling,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     "q_text_stats": q_text_stats,
     "q_dedup_exact": q_dedup_exact,
     "q_knn_brute": q_knn_brute,
@@ -1011,6 +1088,31 @@ ORACLES: dict[str, str] = {
                    ) AS BIGINT) AS rn
             FROM orders
         ) WHERE rn <= 3
+    """,
+    "q_asof_join": """
+        WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+             errors AS (SELECT * FROM events WHERE event_type = 'error')
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
+               e.value AS asof_value
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+    "q_range_join": """
+        WITH bands(band_id, lo, hi) AS (VALUES
+            (CAST(0 AS INTEGER), 0.0, 50000.0),
+            (1, 50000.0, 100000.0),
+            (2, 100000.0, 150000.0),
+            (3, 150000.0, 250000.0),
+            (4, 250000.0, 600000.0),
+            (5, 200000.0, 400000.0))
+        SELECT band_id,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_price
+        FROM orders o JOIN bands b
+          ON CAST(o.o_totalprice AS DOUBLE) >= b.lo
+         AND CAST(o.o_totalprice AS DOUBLE) < b.hi
+        GROUP BY band_id
     """,
     "q_window_lag": """
         SELECT event_id, user_id, value,

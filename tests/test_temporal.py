@@ -1,0 +1,113 @@
+"""Semantic tests for the as-of and range join operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10, 1.0), (2, "a", 20, 2.0), (3, "a", 5, 3.0),
+         (4, "b", 15, 4.0), (5, "c", 50, 5.0)],
+        "lid long, k string, ts long, lval double",
+    )
+    right = spark.createDataFrame(
+        [(100, "a", 10, 10.0), (101, "a", 18, 18.0), (102, "b", 15, 15.0),
+         (103, "b", 14, 14.0)],
+        "rid long, k string, ts long, rval double",
+    )
+    return left, right
+
+
+class TestAsofJoin:
+    def test_backward_semantics(self, spark):
+        from h3_indexer_spark.operators.temporal import asof_join
+
+        left, right = _sides(spark)
+        out = {
+            r.lid: r.asof_rval
+            for r in asof_join(
+                left, right.select("k", "ts", "rid", "rval"),
+                on=["k"], ts_col="ts", value_cols=["rval"], tiebreak="rid",
+            ).collect()
+        }
+        assert out[1] == 10.0   # equal ts matches
+        assert out[2] == 18.0   # latest at-or-before 20
+        assert out[3] is None   # nothing at-or-before 5
+        assert out[4] == 15.0   # tie at ts=15? no — 15 matches equal ts
+        assert out[5] is None   # key c has no right rows
+
+    def test_row_count_preserved(self, spark):
+        from h3_indexer_spark.operators.temporal import asof_join
+
+        left, right = _sides(spark)
+        out = asof_join(
+            left, right.select("k", "ts", "rval"),
+            on=["k"], ts_col="ts", value_cols=["rval"],
+        )
+        assert out.count() == left.count()
+
+    def test_tolerance(self, spark):
+        from h3_indexer_spark.operators.temporal import asof_join
+
+        left, right = _sides(spark)
+        out = {
+            r.lid: r.asof_rval
+            for r in asof_join(
+                left, right.select("k", "ts", "rval"),
+                on=["k"], ts_col="ts", value_cols=["rval"], tolerance=1,
+            ).collect()
+        }
+        assert out[1] == 10.0   # distance 0 <= 1
+        assert out[2] is None   # distance 2 > 1
+
+    def test_tiebreak_picks_greatest(self, spark):
+        from h3_indexer_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "a", 10, 0.0)], "lid long, k string, ts long, lval double"
+        )
+        right = spark.createDataFrame(
+            [(7, "a", 10, 7.0), (9, "a", 10, 9.0), (8, "a", 10, 8.0)],
+            "rid long, k string, ts long, rval double",
+        )
+        out = asof_join(
+            left, right.select("k", "ts", "rid", "rval"),
+            on=["k"], ts_col="ts", value_cols=["rval"], tiebreak="rid",
+        ).collect()
+        assert out[0].asof_rval == 9.0
+
+
+class TestRangeJoin:
+    def test_containment_and_overlap(self, spark):
+        from h3_indexer_spark.operators.temporal import range_join
+
+        facts = spark.createDataFrame(
+            [(1, 5.0), (2, 25.0), (3, 35.0), (4, 100.0)],
+            "fid long, v double",
+        )
+        ivs = spark.createDataFrame(
+            [(0, 0.0, 30.0), (1, 20.0, 40.0)], "iid int, lo double, hi double"
+        )
+        out = range_join(
+            facts, ivs, value_col="v", lo_col="lo", hi_col="hi",
+            bucket_width=10.0,
+        ).select("fid", "iid").collect()
+        got = {(r.fid, r.iid) for r in out}
+        # 5→[0,30); 25→both; 35→[20,40); 100→none; hi is exclusive
+        assert got == {(1, 0), (2, 0), (2, 1), (3, 1)}
+
+    def test_boundary_exclusive(self, spark):
+        from h3_indexer_spark.operators.temporal import range_join
+
+        facts = spark.createDataFrame([(1, 30.0)], "fid long, v double")
+        ivs = spark.createDataFrame(
+            [(0, 0.0, 30.0), (1, 30.0, 60.0)], "iid int, lo double, hi double"
+        )
+        got = {
+            (r.fid, r.iid)
+            for r in range_join(
+                facts, ivs, "v", "lo", "hi", bucket_width=7.0
+            ).select("fid", "iid").collect()
+        }
+        assert got == {(1, 1)}
