@@ -18,6 +18,8 @@ covers pathological buckets (e.g. boilerplate-heavy corpora).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -231,45 +233,40 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 320,
+    bands: int = 20,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: sign-LSH banded
-    bucketing (random-hyperplane sign bits, packed per band) →
-    candidate self-join within buckets → exact cosine verification.
-    Only (band, packed_bits, id) rows shuffle for candidate generation;
-    vectors move only for the candidate ids. High-cosine pairs agree on
-    most sign bits, so by pigeonhole they share a full band with high
-    probability. Output: (id_a, id_b, cosine_sim) with cosine ≥
-    threshold."""
-    from h3_indexer_spark.operators.similarity import random_hyperplanes, _dot_expr
+    bucketing → candidate self-join within buckets → exact cosine
+    verification. Only (band, packed_bits, id) rows shuffle for
+    candidate generation; vectors move only for the candidate ids.
+    Output: (id_a, id_b, cosine_sim) with cosine ≥ threshold.
 
-    planes = random_hyperplanes(dim, n_planes, seed)
+    Band sizing is the whole game: near-dup thresholds (≥0.9 cosine)
+    tolerate WIDE bands — 16 sign bits per band makes unrelated
+    vectors collide at ~2^-16 per band (candidate set ≈ linear in n)
+    while a 0.99-cosine pair still shares some band with p ≈ 1-1e-6 at
+    20 bands. The 320 hyperplane projections are one worker-local
+    numpy GEMM per Arrow batch (a pandas UDF, not 320 codegen'd dot
+    expressions)."""
     width = n_planes // bands
-    band_cols = []
-    for b in range(bands):
-        packed = None
-        for j in range(width):
-            bit = (
-                (_dot_expr(vec_col, planes[b * width + j]) >= 0)
-                .cast("long")
-            )
-            term = F.shiftleft(bit, j)
-            packed = term if packed is None else packed.bitwiseOR(term)
-        band_cols.append(packed.alias(f"blk_{b}"))
-    blocked = df.select(id_col, *band_cols)
-    stacked = blocked.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"blk_{b}").alias("v"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("blk"),
-    ).select(id_col, "blk.band", "blk.v")
+    if width > 62:
+        raise ValueError("band width must fit in a long")
+
+    @F.pandas_udf("array<long>")
+    def band_values(vecs: pd.Series) -> pd.Series:
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((n_planes, dim))
+        powers = 1 << np.arange(width, dtype=np.int64)
+        vmat = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        bits = (vmat @ planes.T) >= 0  # (n, n_planes)
+        packed = bits.reshape(len(vmat), bands, width).astype(np.int64) @ powers
+        return pd.Series(list(packed))
+
+    stacked = df.select(
+        id_col, F.posexplode(band_values(F.col(vec_col)))
+    ).select(id_col, F.col("pos").alias("band"), F.col("col").alias("v"))
     l, r = stacked.alias("l"), stacked.alias("r")
     pairs = (
         l.join(r, ["band", "v"])
