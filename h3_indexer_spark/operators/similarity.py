@@ -244,23 +244,74 @@ def cosine_topk_lsh_multitable(
     return cosine_topk_brute(cand, query, k, vec_col, id_col)
 
 
+def sampled_centroids(
+    df: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic coarse centroids: the ``n_cells`` lowest-id
+    vectors, normalized. A k-means refinement would sharpen cell
+    balance, but for IVF pruning any fixed well-spread seed set works —
+    and the centroid table must be tiny (it is broadcast into every
+    assignment expression)."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_cells).collect()
+    )
+    out = []
+    for r in rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        n = float(np.linalg.norm(v)) or 1.0
+        out.append((v / n).tolist())
+    return out
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    n_probe: int = 4,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose coarse cell is
+    among the query's ``n_probe`` nearest centroids. At scale the table
+    is stored partitioned by ``ivf_cell`` (ivf_assign at ingest), so
+    the probe is partition pruning — a scan of n_probe/n_cells of the
+    data — rather than a filter; the brute-force ranking then runs on
+    that small slice only."""
+    import numpy as np
+
+    qv = np.asarray(query, dtype=np.float64)
+    scores = [float(np.dot(qv, np.asarray(c))) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: -scores[i])[:n_probe]
+    cand = ivf_assign(df, centroids, vec_col).where(
+        F.col("ivf_cell").isin(*probe)
+    )
+    return cosine_topk_brute(cand, query, k, vec_col, id_col)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
-    centroid id (greatest-of stacked dot products, JVM-side). Store
-    partitioned by ``ivf_cell`` and queries prune to the closest cells.
-    """
-    best_id = None
-    best_dot = None
-    for cid, c in enumerate(centroids):
-        d = _dot_expr(vec_col, c)
-        if best_dot is None:
-            best_dot, best_id = d, F.lit(cid)
-        else:
-            cond = d > best_dot
-            best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-            best_dot = F.when(cond, d).otherwise(best_dot)
-    return df.withColumn("ivf_cell", best_id)
+    centroid id (argmax of stacked dot products via array_max over
+    (score, cid) structs — each dot expression appears exactly once;
+    a when-chain would duplicate the running best per centroid and the
+    expression tree would grow exponentially). Store partitioned by
+    ``ivf_cell`` and queries prune to the closest cells."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dot_expr(vec_col, c).alias("score"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("ivf_cell", F.array_max(scored)["cid"])

@@ -732,6 +732,21 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (operators/similarity.py): coarse-quantize to 16
+    cells, probe the query's 4 nearest — at scale the table is stored
+    partitioned by ivf_cell, making the probe partition pruning.
+    rows-only: centroid assignment is not SQL-expressible offline."""
+    from h3_indexer_spark.operators.similarity import (
+        ivf_topk,
+        sampled_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, n_cells=16)
+    return ivf_topk(emb, _query_vector(), cents, n_probe=4, k=10)
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction (operators/multimodal.py): the
     mapInPandas decode path over binary payloads. The fake codec yields
@@ -808,6 +823,7 @@ QUERIES: dict[str, Query] = {
     "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
     "q_knn_batch": q_knn_batch,
     "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf": q_knn_ivf,
     "q_media_meta": q_media_meta,
     "q_media_resize": q_media_resize,
     "q_media_frames": q_media_frames,

@@ -160,6 +160,33 @@ class TestLshRecall:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.7, f"LSH recall too low: {recall}"
 
+    def test_ivf_recall_on_planted(self, spark):
+        from h3_indexer_spark.operators.similarity import (
+            cosine_topk_brute,
+            ivf_topk,
+            sampled_centroids,
+        )
+        from h3_indexer_spark.queries import _query_vector
+
+        q = _query_vector()
+        corpus, planted_ids = self._corpus_with_planted(spark, q)
+        cents = sampled_centroids(corpus, n_cells=16)
+        exact = {
+            r.vec_id
+            for r in cosine_topk_brute(
+                corpus, q, k=10, vec_col="embedding", id_col="vec_id"
+            ).collect()
+        }
+        approx = {
+            r.vec_id
+            for r in ivf_topk(
+                corpus, q, cents, n_probe=6, k=10,
+                vec_col="embedding", id_col="vec_id",
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.7, f"IVF recall too low: {recall}"
+
     def test_ivf_partitions_all_vectors(self, spark):
         from h3_indexer_spark.operators.similarity import ivf_assign
 
