@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Scaling evidence: run the engine's heavy operators at growing data
+sizes and print rows/sec at each, to show the plans scale linearly
+(i.e. no hidden O(n^2) stage, no driver collect, no broadcast of a
+growing side).
+
+Usage:  python examples/scale_check.py [max_factor]
+
+Data is synthesized deterministically from the sf0.1 testdata tables by
+unioning shifted copies — same row width, same value distributions, so
+throughput comparisons across factors are apples-to-apples.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def scaled(df, id_col: str, factor: int, text_col: str | None = None):
+    """factor shifted copies of df with disjoint ids. When ``text_col``
+    is given, each copy's vocabulary is made disjoint (every token
+    prefixed with the copy index) so near-dup pair counts stay linear
+    in the factor instead of exploding quadratically on identical
+    copies."""
+    from pyspark.sql import functions as F
+
+    out = None
+    n = df.count()
+    for i in range(factor):
+        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * 10 * n))
+        if text_col is not None and i > 0:
+            c = c.withColumn(
+                text_col,
+                F.regexp_replace(F.col(text_col), r"(\S+)", f"c{i}$1"),
+            )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def timed(label: str, df, rows: int) -> None:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(
+        f"{label:42s} rows={rows:>10,} wall={dt:7.2f}s "
+        f"throughput={rows / dt:>12,.0f} rows/s",
+        flush=True,
+    )
+
+
+def main() -> None:
+    max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.config.vector import AllocationMethod, GeometryType
+    from h3_indexer_spark.functions.udfs import make_index_map_fn
+    from h3_indexer_spark.operators.dedup import (
+        minhash_near_dups,
+        simhash_near_dups,
+    )
+    from h3_indexer_spark.operators.textops import fingerprint, language_id
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    factors = [f for f in (1, 5, 20, 50) if f <= max_factor]
+
+    for factor in factors:
+        d = scaled(docs, "doc_id", factor, text_col="text").repartition(64).cache()
+        rows = d.count()
+        timed(f"fingerprint x{factor}", fingerprint(d), rows)
+        timed(f"lang_id x{factor}", language_id(d), rows)
+        timed(f"simhash_near_dups x{factor}", simhash_near_dups(d), rows)
+        timed(f"minhash_near_dups x{factor}", minhash_near_dups(d), rows)
+        d.unpersist()
+
+    # geo: points at growing n (the index-stage kernel)
+    for n_pts in [100_000, 1_000_000, 5_000_000]:
+        if n_pts > 100_000 * max_factor:
+            break
+        pts = spark.range(n_pts).select(
+            F.col("id").alias("uid"),
+            F.format_string(
+                "POINT (%s %s)",
+                F.rand(seed=4) * 50 - 120,
+                F.rand(seed=3) * 23 + 25,
+            ).alias("geom_wkt"),
+        ).repartition(64).cache()
+        pts.count()
+        fn = make_index_map_fn(
+            "uid", GeometryType.POINT, AllocationMethod.WITHIN, 7, "total_count"
+        )
+        schema = (
+            "uid bigint, h3_index string, ratio double, total_count double, "
+            "h3_area_km2 double"
+        )
+        timed(
+            f"geo_index_points n={n_pts}",
+            pts.mapInPandas(fn, schema=schema),
+            n_pts,
+        )
+        pts.unpersist()
+
+
+if __name__ == "__main__":
+    main()
