@@ -54,6 +54,7 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_embedding_lsh",
+    "q_corpus_curation",
     "q_knn_batch",
     "q_knn_lsh",
     "q_media_meta",

@@ -747,6 +747,30 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vector(), cents, n_probe=4, k=10)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline: the standard corpus-curation
+    stack composed end-to-end from the §2.8 operators — quality
+    scoring → language ID → exact dedup (keep lowest doc_id per
+    content hash) → token counting — fully oracle-checked. All stages
+    before the dedup join are narrow maps; the pipeline is two
+    shuffles total (dedup groupBy + keep-join) at any corpus size."""
+    from h3_indexer_spark.operators.dedup import exact_dedup
+    from h3_indexer_spark.operators.textops import (
+        language_id,
+        quality_score,
+        token_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    enriched = token_counts(language_id(quality_score(docs)))
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    return (
+        enriched.join(keep, "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "lang_pred", "quality", "n_tokens_re")
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction (operators/multimodal.py): the
     mapInPandas decode path over binary payloads. The fake codec yields
@@ -824,6 +848,7 @@ QUERIES: dict[str, Query] = {
     "q_knn_batch": q_knn_batch,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
+    "q_corpus_curation": q_corpus_curation,
     "q_media_meta": q_media_meta,
     "q_media_resize": q_media_resize,
     "q_media_frames": q_media_frames,
@@ -1177,6 +1202,27 @@ ORACLES: dict[str, str] = {
     """,
     "q_lang_id": _lang_oracle(),
     "q_quality_score": _quality_oracle(),
+    "q_corpus_curation": f"""
+        WITH qual AS ({_quality_oracle()}),
+             lang AS ({_lang_oracle()}),
+             tok AS (
+                 SELECT doc_id,
+                        CAST(len(regexp_extract_all(text,
+                             '(\\w+|[^\\w\\s])', 1)) AS BIGINT)
+                            AS n_tokens_re
+                 FROM documents
+             ),
+             keep AS (
+                 SELECT MIN(doc_id) AS doc_id
+                 FROM documents GROUP BY md5(text)
+             )
+        SELECT k.doc_id, lang.lang_pred, qual.quality, tok.n_tokens_re
+        FROM keep k
+        JOIN qual ON qual.doc_id = k.doc_id
+        JOIN lang ON lang.doc_id = k.doc_id
+        JOIN tok ON tok.doc_id = k.doc_id
+        WHERE qual.quality >= 0.5 AND lang.lang_pred = 'en'
+    """,
     "q_knn_batch": _knn_batch_oracle(),
     "q_media_meta": """
         SELECT doc_id AS media_id,
