@@ -92,6 +92,7 @@ def range_join(
     hi_col: str,
     bucket_width: float,
     how: str = "inner",
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Join fact rows to the intervals containing them:
     ``lo <= fact.value < hi`` — as an equi-join on a bucket id.
@@ -102,6 +103,12 @@ def range_join(
     boundary buckets. Pick ``bucket_width`` near the typical interval
     length: shorter → more interval replication; longer → more
     false-pair filtering.
+
+    ``broadcast_intervals`` (default) pins the build side: interval
+    tables often come from literals/collected configs whose stats
+    Catalyst doesn't know, and without the hint it can pick the FACT
+    side to broadcast — fatal at scale. Pass False for genuinely large
+    interval tables (the join then shuffles both sides on bucket id).
     """
     bkt = "_range_bucket"
     f = fact.withColumn(bkt, F.floor(F.col(value_col) / F.lit(bucket_width)))
@@ -114,6 +121,8 @@ def range_join(
             )
         ),
     )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
     joined = f.join(iv, [bkt], how).where(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     )

@@ -39,6 +39,13 @@ def _plan(spark, key: str) -> str:
         ("q_sort_limit", ["TakeOrderedAndProject"]),
         # the resolver kernel is a single hash aggregation
         ("q_groupby_sum", ["HashAggregate"]),
+        # range join must broadcast the INTERVALS side (BuildRight =
+        # the exploded bucket table), never the fact side — a stats
+        # misread here broadcasts the fact table at scale
+        ("q_range_join", ["BroadcastHashJoin", "BuildRight"]),
+        # as-of join is the single-shuffle union+window formulation:
+        # one window, no nested-loop join anywhere in the plan
+        ("q_asof_join", ["Window"]),
     ],
 )
 def test_plan_properties(spark, key, required):
