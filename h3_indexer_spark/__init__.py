@@ -29,10 +29,12 @@ from h3_indexer_spark.constants import (
     H3_RESOLUTION,
     RATIO,
 )
-from h3_indexer_spark.plans.indexer import h3_indexer_spark
+from h3_indexer_spark.config.loader import job_from_json, job_from_path
+from h3_indexer_spark.plans.indexer import h3_indexer_spark, index_job
 from h3_indexer_spark.plans.resolver import (
     h3_resolver_single_input_spark,
     h3_resolver_spark,
+    resolve_job,
 )
 from h3_indexer_spark.plans.validator import validate_config
 from h3_indexer_spark.session import get_spark_session
@@ -54,6 +56,10 @@ __all__ = [
     "h3_indexer_spark",
     "h3_resolver_single_input_spark",
     "h3_resolver_spark",
+    "index_job",
+    "job_from_json",
+    "job_from_path",
+    "resolve_job",
     "validate_config",
 ]
 
