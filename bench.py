@@ -165,6 +165,42 @@ def _geo_pipeline_bench(spark, sf: float) -> dict[str, float]:
         "overwrite"
     ).save()
     out["geo_index_lines"] = round(time.perf_counter() - t0, 4)
+
+    # polygons (PCT_AREA, res 6) — the reference's heaviest kernel;
+    # sized to its demonstrated 3,235-county run at sf0.1
+    n_polys = max(1_000, int(32_000 * sf))
+    polys_path = f"/tmp/h3idx_bench_polys_{n_polys}.parquet"
+    if not os.path.isdir(polys_path):
+        x0 = F.rand(seed=21) * 50 - 120
+        y0 = F.rand(seed=22) * 23 + 25
+        w = F.rand(seed=23) * 0.15 + 0.05
+        h = F.rand(seed=24) * 0.15 + 0.05
+        (
+            spark.range(n_polys)
+            .select(
+                F.col("id").alias("uid"),
+                F.format_string(
+                    "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+                    x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h, x0, y0,
+                ).alias("geom_wkt"),
+            )
+            .write.mode("overwrite")
+            .parquet(polys_path)
+        )
+    polys = spark.read.parquet(polys_path)
+    fn = make_index_map_fn(
+        "uid", GeometryType.POLYGON, AllocationMethod.PCT_AREA, 6,
+        "total_area_km2",
+    )
+    schema = (
+        "uid bigint, h3_index string, ratio double, total_area_km2 double, "
+        "h3_area_km2 double"
+    )
+    t0 = time.perf_counter()
+    polys.mapInPandas(fn, schema=schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["geo_index_polygons"] = round(time.perf_counter() - t0, 4)
     return out
 
 
