@@ -117,6 +117,38 @@ def main() -> None:
         )
         pts.unpersist()
 
+    # polygons (PCT_AREA res 6): the heaviest kernel — clip + area per
+    # covered cell
+    for n_polys in [3_000, 30_000, 100_000]:
+        if n_polys > 3_000 * max_factor:
+            break
+        x0 = F.rand(seed=21) * 50 - 120
+        y0 = F.rand(seed=22) * 23 + 25
+        w = F.rand(seed=23) * 0.15 + 0.05
+        h = F.rand(seed=24) * 0.15 + 0.05
+        polys = spark.range(n_polys).select(
+            F.col("id").alias("uid"),
+            F.format_string(
+                "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+                x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h, x0, y0,
+            ).alias("geom_wkt"),
+        ).repartition(64).cache()
+        polys.count()
+        fn = make_index_map_fn(
+            "uid", GeometryType.POLYGON, AllocationMethod.PCT_AREA, 6,
+            "total_area_km2",
+        )
+        schema = (
+            "uid bigint, h3_index string, ratio double, "
+            "total_area_km2 double, h3_area_km2 double"
+        )
+        timed(
+            f"geo_index_polygons n={n_polys}",
+            polys.mapInPandas(fn, schema=schema),
+            n_polys,
+        )
+        polys.unpersist()
+
 
 if __name__ == "__main__":
     main()
