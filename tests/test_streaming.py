@@ -88,6 +88,78 @@ class TestWindowedAgg:
         assert got.agg(F.sum("n_events")).collect()[0][0] == 2 * n_events
 
 
+class TestLateData:
+    def test_event_older_than_watermark_dropped(self, spark, events_dir):
+        """Watermark semantics end-to-end: a row arriving in a later
+        micro-batch with event time older than the watermark must be
+        excluded from its (already finalized) window."""
+        import time as _time
+
+        d = tempfile.mkdtemp(prefix="h3idx_late_")
+        try:
+            base = "2024-06-01 "
+            batch_a = spark.createDataFrame(
+                [
+                    (1, base + "10:15:00", "click", 1.0, 7),
+                    (2, base + "13:00:00", "click", 1.0, 7),
+                ],
+                "event_id long, ts_s string, event_type string, "
+                "value double, user_id long",
+            ).select(
+                "event_id", F.to_timestamp("ts_s").alias("ts"),
+                "event_type", "value", "user_id",
+            )
+            # the window's state is evicted during the FIRST batch after
+            # the watermark passes its end (the watermark is a may-drop
+            # bound: a late row arriving in that same batch still
+            # merges). batch_b forces the eviction; the late row in
+            # batch_c then hits evicted state and must drop.
+            batch_b = spark.createDataFrame(
+                [(5, base + "13:30:00", "click", 1.0, 7)],
+                "event_id long, ts_s string, event_type string, "
+                "value double, user_id long",
+            ).select(
+                "event_id", F.to_timestamp("ts_s").alias("ts"),
+                "event_type", "value", "user_id",
+            )
+            batch_c = spark.createDataFrame(
+                [
+                    # late: window [10:00,11:00) evicted at watermark
+                    # 12:00 during batch_b → must be dropped
+                    (3, base + "10:30:00", "click", 1.0, 7),
+                    (4, base + "14:00:00", "click", 1.0, 7),
+                ],
+                "event_id long, ts_s string, event_type string, "
+                "value double, user_id long",
+            ).select(
+                "event_id", F.to_timestamp("ts_s").alias("ts"),
+                "event_type", "value", "user_id",
+            )
+            batch_a.coalesce(1).write.mode("append").parquet(d)
+            _time.sleep(1.1)  # distinct mtimes → deterministic file order
+            batch_b.coalesce(1).write.mode("append").parquet(d)
+            _time.sleep(1.1)
+            batch_c.coalesce(1).write.mode("append").parquet(d)
+
+            schema = spark.read.parquet(d).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            agg = windowed_event_agg(stream, window="1 hour", watermark="1 hour")
+            got = _run_stream(spark, agg, output_mode="append")
+            finalized = {
+                r.window_start.strftime("%H:%M"): r.n_events
+                for r in got.collect()
+            }
+            # the 10:00 window finalized with ONLY event 1 — the late
+            # event 3 arrived after the watermark passed the window end
+            assert finalized.get("10:00") == 1, finalized
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 class TestSessionized:
     def test_matches_batch(self, spark, events_dir):
         stream = sessionized_agg(_read_stream(spark, events_dir))
