@@ -29,6 +29,10 @@ _POINT_RE = re.compile(
 )
 _LINE_RE = re.compile(r"^\s*LINESTRING\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
 _POLY_RE = re.compile(r"^\s*POLYGON\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_MULTI_RE = re.compile(
+    r"^\s*MULTI(POINT|LINESTRING|POLYGON)\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class GeometryError(ValueError):
@@ -86,6 +90,91 @@ def parse_wkt(wkt: str) -> tuple[str, list[Coords]]:
     raise GeometryError(f"unsupported WKT: {wkt[:60]!r}")
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split a WKT body into its top-level parenthesized groups."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                parts.append(body[start : i + 1])
+    return parts
+
+
+def parse_wkt_parts(wkt: str) -> list[tuple[str, list[Coords]]]:
+    """Parse WKT into a list of single-geometry parts: one element for
+    POINT/LINESTRING/POLYGON, one per member for MULTI* (the reference
+    handled MULTI geometries transparently through Sedona/h3-pyspark;
+    shapefile-derived tables are routinely MULTIPOLYGON)."""
+    if wkt is None:
+        raise GeometryError("null geometry")
+    m = _MULTI_RE.match(wkt)
+    if not m:
+        return [parse_wkt(wkt)]
+    kind = m.group(1).upper()
+    body = m.group(2).strip()
+    groups = _split_top_level(body)
+    if kind == "POINT":
+        if groups:  # MULTIPOINT ((1 1), (2 2))
+            pts = [_parse_coord_seq(g.strip()[1:-1])[0] for g in groups]
+        else:  # MULTIPOINT (1 1, 2 2)
+            pts = _parse_coord_seq(body)
+        if not pts:
+            raise GeometryError("MULTIPOINT needs at least one point")
+        return [("point", [[p]]) for p in pts]
+    if kind == "LINESTRING":
+        if not groups:
+            raise GeometryError("MULTILINESTRING needs at least one line")
+        out: list[tuple[str, list[Coords]]] = []
+        for g in groups:
+            pts = _parse_coord_seq(g.strip()[1:-1])
+            if len(pts) < 2:
+                raise GeometryError("LINESTRING member needs >= 2 points")
+            out.append(("line", [pts]))
+        return out
+    if not groups:
+        raise GeometryError("MULTIPOLYGON needs at least one polygon")
+    out = []
+    for g in groups:
+        rings = [
+            _parse_coord_seq(r.strip()[1:-1])
+            for r in _split_top_level(g.strip()[1:-1])
+        ]
+        if not rings:
+            raise GeometryError("MULTIPOLYGON member needs at least one ring")
+        for ring in rings:
+            if len(ring) < 4:
+                raise GeometryError("polygon ring needs >= 4 points")
+        out.append(("polygon", rings))
+    return out
+
+
+def parts_to_wkt(parts: list[tuple[str, list[Coords]]]) -> str:
+    """Serialize parts back to WKT: single part → plain geometry; many
+    parts (necessarily same kind) → the MULTI* form."""
+    if len(parts) == 1:
+        return to_wkt(*parts[0])
+    kinds = {k for k, _ in parts}
+    if kinds == {"point"}:
+        return "MULTIPOINT (" + ", ".join(
+            f"({_fmt(r[0][0][0])} {_fmt(r[0][0][1])})" for _, r in parts
+        ) + ")"
+    if kinds == {"line"}:
+        return "MULTILINESTRING (" + ", ".join(
+            f"({_seq(r[0])})" for _, r in parts
+        ) + ")"
+    if kinds == {"polygon"}:
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(f"({_seq(ring)})" for ring in rings) + ")"
+            for _, rings in parts
+        ) + ")"
+    raise GeometryError(f"mixed-kind geometry collection {sorted(kinds)}")
+
+
 def to_wkt(kind: str, rings: list[Coords]) -> str:
     if kind == "point":
         (x, y) = rings[0][0]
@@ -110,11 +199,23 @@ def _seq(pts: Coords) -> str:
 _WKB_POINT = 1
 _WKB_LINESTRING = 2
 _WKB_POLYGON = 3
+_WKB_MULTIPOINT = 4
+_WKB_MULTILINESTRING = 5
+_WKB_MULTIPOLYGON = 6
 
 
 def parse_wkb(data: bytes | str) -> tuple[str, list[Coords]]:
-    """Minimal WKB reader for Point/LineString/Polygon (2D, either
-    byte order; ignores SRID wrappers)."""
+    """Minimal WKB reader for single Point/LineString/Polygon (2D).
+    MULTI payloads raise; use :func:`parse_wkb_parts` for those."""
+    parts = parse_wkb_parts(data)
+    if len(parts) != 1:
+        raise GeometryError("multi-part WKB; use parse_wkb_parts")
+    return parts[0]
+
+
+def parse_wkb_parts(data: bytes | str) -> list[tuple[str, list[Coords]]]:
+    """WKB reader for Point/LineString/Polygon and their MULTI forms
+    (2D, either byte order; ignores SRID wrappers)."""
     if isinstance(data, str):
         data = bytes.fromhex(data)
     off = 0
@@ -126,28 +227,46 @@ def parse_wkb(data: bytes | str) -> tuple[str, list[Coords]]:
         off += size
         return vals
 
-    (bo,) = struct.unpack_from("B", data, off)
-    off += 1
-    endian = "<" if bo == 1 else ">"
-    (gtype,) = read("I", endian)
-    if gtype & 0x20000000:  # SRID flag
-        read("I", endian)
-    gtype &= 0xFF
-    if gtype == _WKB_POINT:
-        x, y = read("dd", endian)
-        return "point", [[(x, y)]]
-    if gtype == _WKB_LINESTRING:
-        (n,) = read("I", endian)
-        pts = [tuple(read("dd", endian)) for _ in range(n)]
-        return "line", [pts]
-    if gtype == _WKB_POLYGON:
-        (nrings,) = read("I", endian)
-        rings = []
-        for _ in range(nrings):
+    def read_one() -> tuple[str, list[Coords]]:
+        nonlocal off
+        (bo,) = struct.unpack_from("B", data, off)
+        off += 1
+        endian = "<" if bo == 1 else ">"
+        (gtype,) = read("I", endian)
+        if gtype & 0x20000000:  # SRID flag
+            read("I", endian)
+        gtype &= 0xFF
+        if gtype == _WKB_POINT:
+            x, y = read("dd", endian)
+            return "point", [[(x, y)]]
+        if gtype == _WKB_LINESTRING:
             (n,) = read("I", endian)
-            rings.append([tuple(read("dd", endian)) for _ in range(n)])
-        return "polygon", rings
-    raise GeometryError(f"unsupported WKB geometry type {gtype}")
+            pts = [tuple(read("dd", endian)) for _ in range(n)]
+            return "line", [pts]
+        if gtype == _WKB_POLYGON:
+            (nrings,) = read("I", endian)
+            rings = []
+            for _ in range(nrings):
+                (n,) = read("I", endian)
+                rings.append([tuple(read("dd", endian)) for _ in range(n)])
+            return "polygon", rings
+        if gtype in (_WKB_MULTIPOINT, _WKB_MULTILINESTRING, _WKB_MULTIPOLYGON):
+            (n,) = read("I", endian)
+            return "__multi__", n  # type: ignore[return-value]
+        raise GeometryError(f"unsupported WKB geometry type {gtype}")
+
+    first = read_one()
+    if first[0] != "__multi__":
+        return [first]
+    out = []
+    for _ in range(first[1]):  # type: ignore[arg-type]
+        member = read_one()
+        if member[0] == "__multi__":
+            raise GeometryError("nested MULTI WKB not supported")
+        out.append(member)
+    if not out:
+        raise GeometryError("empty MULTI WKB")
+    return out
 
 
 # --- GeoJSON --------------------------------------------------------------
@@ -170,9 +289,37 @@ def parse_geojson(text: str | dict) -> tuple[str, list[Coords]]:
     raise GeometryError(f"unsupported GeoJSON type {t!r}")
 
 
+def parse_geojson_parts(text: str | dict) -> list[tuple[str, list[Coords]]]:
+    """GeoJSON reader covering the Multi* types."""
+    obj = json.loads(text) if isinstance(text, str) else text
+    if obj.get("type") == "Feature":
+        obj = obj["geometry"]
+    t = obj.get("type", "").lower()
+    coords = obj.get("coordinates")
+    if t == "multipoint":
+        return [
+            ("point", [[(float(c[0]), float(c[1]))]]) for c in coords
+        ]
+    if t == "multilinestring":
+        return [
+            ("line", [[(float(x), float(y)) for x, y, *_ in line]])
+            for line in coords
+        ]
+    if t == "multipolygon":
+        return [
+            (
+                "polygon",
+                [[(float(x), float(y)) for x, y, *_ in ring] for ring in poly],
+            )
+            for poly in coords
+        ]
+    return [parse_geojson(obj)]
+
+
 def parse_any(value) -> tuple[str, list[Coords]]:
     """Encoding sniff (reference utils/geospatial.py:18-52): bytes →
-    WKB; '{' → GeoJSON; leading hex digit → WKB hex; else WKT."""
+    WKB; '{' → GeoJSON; leading hex digit → WKB hex; else WKT.
+    Single-part only; see :func:`parse_any_parts`."""
     if value is None:
         raise GeometryError("null geometry")
     if isinstance(value, (bytes, bytearray)):
@@ -185,6 +332,23 @@ def parse_any(value) -> tuple[str, list[Coords]]:
     if s[0] in "0123456789":
         return parse_wkb(s)
     return parse_wkt(s)
+
+
+def parse_any_parts(value) -> list[tuple[str, list[Coords]]]:
+    """Encoding sniff returning single-geometry parts (one element for
+    plain geometries, one per member for MULTI*)."""
+    if value is None:
+        raise GeometryError("null geometry")
+    if isinstance(value, (bytes, bytearray)):
+        return parse_wkb_parts(bytes(value))
+    s = str(value).strip()
+    if not s:
+        raise GeometryError("empty geometry")
+    if s[0] == "{":
+        return parse_geojson_parts(s)
+    if s[0] in "0123456789":
+        return parse_wkb_parts(s)
+    return parse_wkt_parts(s)
 
 
 # --- validity / repair (G9) ----------------------------------------------

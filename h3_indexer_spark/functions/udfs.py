@@ -125,11 +125,12 @@ def canonical_wkt_udf(geom: pd.Series) -> pd.Series:
         if v is None:
             return None
         try:
-            kind, rings = geometry.parse_any(v)
-            repaired = geometry.repair(kind, rings)
-            if repaired is None:
+            parts = geometry.parse_any_parts(v)
+            repaired = [geometry.repair(k, r) for k, r in parts]
+            kept = [p for p in repaired if p is not None]
+            if not kept:
                 return None
-            return geometry.to_wkt(*repaired)
+            return geometry.parts_to_wkt(kept)
         except Exception:
             return None
 
@@ -158,64 +159,105 @@ def _expand_with_neighbors(cells: list[int]) -> list[int]:
     return list(seen)
 
 
-def _index_line(rings, res: int, method: AllocationMethod, sampled=None):
-    line = rings[0]
+def _index_lines(lines, res: int, method: AllocationMethod, sampled=None):
+    """LINE allocation over one or more linestrings (a MULTILINESTRING
+    feature allocates across the union of its members): ratio =
+    clipped_length(cell) / total_length over ALL parts."""
     if sampled is None:
-        sampled = coverage.line_cells(line, res)
-    total_len = geodesy.planar_line_length(line)
+        sampled = [c for line in lines for c in coverage.line_cells(line, res)]
+        sampled = list(dict.fromkeys(sampled))
+    total_len = sum(geodesy.planar_line_length(line) for line in lines)
+    sampled_set = set(sampled)
     out = []
     for cell in _expand_with_neighbors(sampled):
-        is_sampled = cell in sampled
+        is_sampled = cell in sampled_set
         if method == AllocationMethod.PASS_THROUGH:
             if is_sampled:
                 out.append((cell, 1.0))
             continue
         hexagon = list(_cell_boundary_ring(cell))
-        pieces = geometry.clip_line_convex(line, hexagon)
-        clipped = sum(geodesy.planar_line_length(p) for p in pieces)
+        clipped = 0.0
+        for line in lines:
+            pieces = geometry.clip_line_convex(line, hexagon)
+            clipped += sum(geodesy.planar_line_length(p) for p in pieces)
         ratio = clipped / total_len if total_len > 0 else 0.0
         if ratio > 0.0 or is_sampled:
             out.append((cell, ratio))
-    metric = geodesy.spheroid_line_length_m(line) / 1000.0  # total_length_km
+    metric = (
+        sum(geodesy.spheroid_line_length_m(line) for line in lines) / 1000.0
+    )  # total_length_km
     return out, metric
 
 
-def _index_polygon(rings, res: int, method: AllocationMethod, boundary=None):
+def _index_line(rings, res: int, method: AllocationMethod, sampled=None):
+    return _index_lines([rings[0]], res, method, sampled)
+
+
+def _split_outer_holes(rings):
     outer = rings[0]
     holes = rings[1:]
     if outer[0] == outer[-1]:
         outer = outer[:-1]
     holes = [h[:-1] if h and h[0] == h[-1] else h for h in holes]
-    metric = (
+    return outer, holes
+
+
+def _index_polygons(
+    polys, res: int, method: AllocationMethod, boundaries=None
+):
+    """POLYGON allocation over one or more polygons (a MULTIPOLYGON
+    feature allocates across the union of its members, assumed
+    disjoint): ratio = kept_area(cell) / total_area over ALL parts."""
+    parts = [_split_outer_holes(rings) for rings in polys]
+    metric = sum(
         geodesy.spheroid_polygon_area_m2(outer)
         - sum(geodesy.spheroid_polygon_area_m2(h) for h in holes)
+        for outer, holes in parts
     ) / 1.0e6  # total_area_km2
     if method == AllocationMethod.CENTROID:
-        cx = sum(x for x, _ in outer) / len(outer)
-        cy = sum(y for _, y in outer) / len(outer)
+        verts = [p for outer, _ in parts for p in outer]
+        cx = sum(x for x, _ in verts) / len(verts)
+        cy = sum(y for _, y in verts) / len(verts)
         cell = core.latlng_to_cell(cy, cx, res)
         return [(cell, 1.0)], metric
-    total_area = geodesy.planar_polygon_area(outer) - sum(
-        geodesy.planar_polygon_area(h) for h in holes
+    total_area = sum(
+        geodesy.planar_polygon_area(outer)
+        - sum(geodesy.planar_polygon_area(h) for h in holes)
+        for outer, holes in parts
     )
-    cells = coverage.polyfill(
-        outer, res, holes=holes or None, boundary_cells=boundary
-    )
+    if boundaries is None:
+        boundaries = [None] * len(parts)
+    cells: dict[int, None] = {}
+    for (outer, holes), boundary in zip(parts, boundaries):
+        for c in coverage.polyfill(
+            outer, res, holes=holes or None, boundary_cells=boundary
+        ):
+            cells.setdefault(c)
     sampled = set(cells)
     out = []
-    for cell in _expand_with_neighbors(cells):
+    for cell in _expand_with_neighbors(list(cells)):
         hexagon = list(_cell_boundary_ring(cell))
-        kept = geometry.clip_polygon_convex(outer, hexagon)
-        area = geometry._signed_area(kept) if len(kept) >= 3 else 0.0
-        area = abs(area)
-        for hole in holes:
-            kh = geometry.clip_polygon_convex(hole, hexagon)
-            if len(kh) >= 3:
-                area -= abs(geometry._signed_area(kh))
+        area = 0.0
+        for outer, holes in parts:
+            kept = geometry.clip_polygon_convex(outer, hexagon)
+            part_area = (
+                abs(geometry._signed_area(kept)) if len(kept) >= 3 else 0.0
+            )
+            for hole in holes:
+                kh = geometry.clip_polygon_convex(hole, hexagon)
+                if len(kh) >= 3:
+                    part_area -= abs(geometry._signed_area(kh))
+            area += part_area
         ratio = area / total_area if total_area > 0 else 0.0
         if ratio > 0.0 or cell in sampled:
             out.append((cell, ratio))
     return out, metric
+
+
+def _index_polygon(rings, res: int, method: AllocationMethod, boundary=None):
+    return _index_polygons(
+        [rings], res, method, [boundary] if boundary is not None else None
+    )
 
 
 def make_index_map_fn(
@@ -279,40 +321,45 @@ def make_index_map_fn(
                     continue
 
             # phase 1: parse + generate every sample point of the batch,
-            # then index ALL samples in one vectorized call
-            feats = []  # (uid, kind, rings, slice into the sample array)
+            # then index ALL samples in one vectorized call. Features
+            # may be MULTI* — each member becomes a part; allocation
+            # ratios are computed across the union of a feature's parts.
+            feats = []  # (uid, [(kind, rings, lo, hi), ...])
             lat_parts, lng_parts = [], []
             offset = 0
             for uid, wkt in zip(pdf[uid_col], pdf[GEOM_WKT]):
                 if wkt is None:
                     continue
                 try:
-                    kind, rings = geometry.parse_wkt(wkt)
+                    parts = geometry.parse_wkt_parts(wkt)
                 except geometry.GeometryError:
                     continue
-                if kind == "point":
-                    (lng, lat) = rings[0][0]
-                    lat_parts.append(np.asarray([lat]))
-                    lng_parts.append(np.asarray([lng]))
-                    n = 1
-                elif kind == "line":
-                    la, ln = coverage.line_sample_points(rings[0], res)
-                    lat_parts.append(la)
-                    lng_parts.append(ln)
-                    n = len(la)
-                elif method == AllocationMethod.CENTROID:
-                    n = 0  # centroid cell computed scalar in phase 2
-                else:
-                    ring = rings[0]
-                    closed = (
-                        ring if ring[0] == ring[-1] else ring + [ring[0]]
-                    )
-                    la, ln = coverage.line_sample_points(closed, res)
-                    lat_parts.append(la)
-                    lng_parts.append(ln)
-                    n = len(la)
-                feats.append((uid, kind, rings, offset, offset + n))
-                offset += n
+                plist = []
+                for kind, rings in parts:
+                    if kind == "point":
+                        (lng, lat) = rings[0][0]
+                        lat_parts.append(np.asarray([lat]))
+                        lng_parts.append(np.asarray([lng]))
+                        n = 1
+                    elif kind == "line":
+                        la, ln = coverage.line_sample_points(rings[0], res)
+                        lat_parts.append(la)
+                        lng_parts.append(ln)
+                        n = len(la)
+                    elif method == AllocationMethod.CENTROID:
+                        n = 0  # centroid cell computed scalar in phase 2
+                    else:
+                        ring = rings[0]
+                        closed = (
+                            ring if ring[0] == ring[-1] else ring + [ring[0]]
+                        )
+                        la, ln = coverage.line_sample_points(closed, res)
+                        lat_parts.append(la)
+                        lng_parts.append(ln)
+                        n = len(la)
+                    plist.append((kind, rings, offset, offset + n))
+                    offset += n
+                feats.append((uid, plist))
             sample_cells = (
                 latlng_to_cell_batch(
                     np.concatenate(lat_parts), np.concatenate(lng_parts), res
@@ -323,28 +370,45 @@ def make_index_map_fn(
 
             # phase 2: per-feature geometry work on the precomputed cells
             uids, cells, ratios, metrics = [], [], [], []
-            for uid, kind, rings, lo, hi in feats:
+            for uid, plist in feats:
+                kinds = {k for k, _, _, _ in plist}
+                if len(kinds) != 1:
+                    continue  # mixed-kind collections are not allocatable
+                kind = next(iter(kinds))
                 if kind == "point":
-                    pairs, metric = _index_point(
-                        rings, res, cell=int(sample_cells[lo])
+                    seen = dict.fromkeys(
+                        int(sample_cells[lo]) for _, _, lo, _ in plist
                     )
+                    pairs, metric = [(c, 1.0) for c in seen], 1.0
                 elif kind == "line":
-                    pairs, metric = _index_line(
-                        rings,
+                    sampled = list(
+                        dict.fromkeys(
+                            c
+                            for _, _, lo, hi in plist
+                            for c in coverage.dedupe_cells(
+                                sample_cells[lo:hi]
+                            )
+                        )
+                    )
+                    pairs, metric = _index_lines(
+                        [rings[0] for _, rings, _, _ in plist],
                         res,
                         method,
-                        sampled=coverage.dedupe_cells(sample_cells[lo:hi]),
+                        sampled=sampled,
                     )
                 else:
-                    pairs, metric = _index_polygon(
-                        rings,
+                    pairs, metric = _index_polygons(
+                        [rings for _, rings, _, _ in plist],
                         res,
                         method,
-                        boundary=(
-                            coverage.dedupe_cells(sample_cells[lo:hi])
-                            if hi > lo
-                            else None
-                        ),
+                        boundaries=[
+                            (
+                                coverage.dedupe_cells(sample_cells[lo:hi])
+                                if hi > lo
+                                else None
+                            )
+                            for _, _, lo, hi in plist
+                        ],
                     )
                 for cell, ratio in pairs:
                     if cell == 0:

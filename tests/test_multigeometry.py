@@ -1,0 +1,179 @@
+"""MULTI* geometry support: parsing in all three encodings, canonical
+WKT round-trip, and index-kernel allocation across a feature's parts
+(the reference handled MULTI transparently via Sedona/h3-pyspark —
+shapefile-derived tables are routinely MULTIPOLYGON)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from h3_indexer_spark.functions import geometry
+
+
+class TestParsing:
+    def test_wkt_multipolygon(self):
+        parts = geometry.parse_wkt_parts(
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),"
+            " ((2 2, 3 2, 3 3, 2 3, 2 2)))"
+        )
+        assert [k for k, _ in parts] == ["polygon", "polygon"]
+        assert parts[0][1][0][0] == (0.0, 0.0)
+        assert parts[1][1][0][0] == (2.0, 2.0)
+
+    def test_wkt_multilinestring_and_point_forms(self):
+        parts = geometry.parse_wkt_parts(
+            "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))"
+        )
+        assert [k for k, _ in parts] == ["line", "line"]
+        assert len(parts[1][1][0]) == 3
+        for wkt in [
+            "MULTIPOINT ((1 1), (2 2))",
+            "MULTIPOINT (1 1, 2 2)",
+        ]:
+            pts = geometry.parse_wkt_parts(wkt)
+            assert [k for k, _ in pts] == ["point", "point"]
+            assert pts[1][1][0][0] == (2.0, 2.0)
+
+    def test_single_geometry_one_part(self):
+        parts = geometry.parse_wkt_parts("POINT (5 6)")
+        assert parts == [("point", [[(5.0, 6.0)]])]
+
+    def test_wkt_roundtrip(self):
+        for wkt in [
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+            "((2 2, 3 2, 3 3, 2 3, 2 2)))",
+            "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+            "MULTIPOINT ((1 1), (2 2))",
+        ]:
+            parts = geometry.parse_wkt_parts(wkt)
+            again = geometry.parse_wkt_parts(geometry.parts_to_wkt(parts))
+            assert parts == again
+
+    def test_geojson_multis(self):
+        parts = geometry.parse_geojson_parts(
+            '{"type": "MultiPolygon", "coordinates":'
+            " [[[[0,0],[1,0],[1,1],[0,1],[0,0]]],"
+            " [[[2,2],[3,2],[3,3],[2,3],[2,2]]]]}"
+        )
+        assert [k for k, _ in parts] == ["polygon", "polygon"]
+        parts = geometry.parse_geojson_parts(
+            '{"type": "MultiLineString", "coordinates":'
+            " [[[0,0],[1,1]], [[2,2],[3,3]]]}"
+        )
+        assert [k for k, _ in parts] == ["line", "line"]
+
+    def test_wkb_multi_roundtrip_via_shapely_free_encoding(self):
+        """Hand-encode a little-endian MULTIPOINT WKB and parse it."""
+        import struct
+
+        def wkb_point(x, y):
+            return struct.pack("<BIdd", 1, 1, x, y)
+
+        blob = struct.pack("<BII", 1, 4, 2) + wkb_point(1, 2) + wkb_point(3, 4)
+        parts = geometry.parse_wkb_parts(blob)
+        assert parts == [
+            ("point", [[(1.0, 2.0)]]),
+            ("point", [[(3.0, 4.0)]]),
+        ]
+
+    def test_mixed_collection_rejected_on_serialize(self):
+        with pytest.raises(geometry.GeometryError):
+            geometry.parts_to_wkt(
+                [("point", [[(0.0, 0.0)]]), ("line", [[(0.0, 0.0), (1.0, 1.0)]])]
+            )
+
+
+class TestCanonicalUdf:
+    def test_multipolygon_preserved(self, spark):
+        from h3_indexer_spark.functions.udfs import canonical_wkt_udf
+
+        wkt = (
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+            "((2 2, 3 2, 3 3, 2 3, 2 2)))"
+        )
+        df = spark.createDataFrame([(1, wkt)], "id long, g string")
+        out = df.select(canonical_wkt_udf(F.col("g")).alias("w")).collect()
+        assert out[0].w is not None and out[0].w.startswith("MULTIPOLYGON")
+
+
+class TestKernelAllocation:
+    def _index(self, spark, rows, gtype, method, metric_col, res=7):
+        from h3_indexer_spark.functions.udfs import make_index_map_fn
+
+        df = spark.createDataFrame(rows, "uid long, geom_wkt string")
+        fn = make_index_map_fn("uid", gtype, method, res, metric_col)
+        schema = (
+            f"uid bigint, h3_index string, ratio double, "
+            f"{metric_col} double, h3_area_km2 double"
+        )
+        return df.mapInPandas(fn, schema=schema)
+
+    def test_multipolygon_ratio_sums_to_one(self, spark):
+        from h3_indexer_spark.config.vector import (
+            AllocationMethod,
+            GeometryType,
+        )
+
+        wkt = (
+            "MULTIPOLYGON (((-100 40, -99.9 40, -99.9 40.1, -100 40.1, -100 40)), "
+            "((-99.5 40.5, -99.4 40.5, -99.4 40.6, -99.5 40.6, -99.5 40.5)))"
+        )
+        out = self._index(
+            spark, [(1, wkt)], GeometryType.POLYGON,
+            AllocationMethod.PCT_AREA, "total_area_km2",
+        ).collect()
+        assert len(out) > 1
+        assert abs(sum(r.ratio for r in out) - 1.0) < 1e-6
+        # both parts covered: cells near both boxes appear
+        assert len({r.h3_index for r in out}) == len(out)
+
+    def test_multilinestring_ratio_sums_to_one(self, spark):
+        from h3_indexer_spark.config.vector import (
+            AllocationMethod,
+            GeometryType,
+        )
+
+        wkt = (
+            "MULTILINESTRING ((-100 40, -99.8 40.1), (-99.5 40.5, -99.3 40.6))"
+        )
+        out = self._index(
+            spark, [(1, wkt)], GeometryType.LINE,
+            AllocationMethod.PCT_LENGTH, "total_length_km",
+        ).collect()
+        assert len(out) > 1
+        assert abs(sum(r.ratio for r in out) - 1.0) < 1e-6
+
+    def test_multi_of_one_equals_single(self, spark):
+        from h3_indexer_spark.config.vector import (
+            AllocationMethod,
+            GeometryType,
+        )
+
+        single = "POLYGON ((-100 40, -99.9 40, -99.9 40.1, -100 40.1, -100 40))"
+        multi = f"MULTIPOLYGON (({single[9:-1]}))"
+        a = self._index(
+            spark, [(1, single)], GeometryType.POLYGON,
+            AllocationMethod.PCT_AREA, "total_area_km2",
+        ).collect()
+        b = self._index(
+            spark, [(1, multi)], GeometryType.POLYGON,
+            AllocationMethod.PCT_AREA, "total_area_km2",
+        ).collect()
+        assert sorted((r.h3_index, round(r.ratio, 12)) for r in a) == sorted(
+            (r.h3_index, round(r.ratio, 12)) for r in b
+        )
+
+    def test_multipoint_within(self, spark):
+        from h3_indexer_spark.config.vector import (
+            AllocationMethod,
+            GeometryType,
+        )
+
+        wkt = "MULTIPOINT ((-100 40), (-90 35))"
+        out = self._index(
+            spark, [(1, wkt)], GeometryType.POINT,
+            AllocationMethod.WITHIN, "total_count",
+        ).collect()
+        assert len(out) == 2  # two distinct cells
+        assert all(r.ratio == 1.0 for r in out)
