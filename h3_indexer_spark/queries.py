@@ -204,6 +204,23 @@ def q_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation): Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    interpolation formula, so values are bit-equal. The scale path for
+    approximate variants is ``percentile_approx``/t-digest — kept
+    exact here so the oracle can check values."""
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-set aggregation: per (flag, status), per flag,
     and grand total in one pass."""
@@ -821,6 +838,7 @@ QUERIES: dict[str, Query] = {
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
     "q_groupby_stats": q_groupby_stats,
+    "q_quantiles": q_quantiles,
     "q_rollup": q_rollup,
     "q_distinct": q_distinct,
     "q_count": q_count,
@@ -1070,6 +1088,14 @@ ORACLES: dict[str, str] = {
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         )
+    """,
+    "q_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag
     """,
     "q_groupby_stats": """
         SELECT l_returnflag,
