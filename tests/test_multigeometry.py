@@ -97,6 +97,63 @@ class TestCanonicalUdf:
         assert out[0].w is not None and out[0].w.startswith("MULTIPOLYGON")
 
 
+class TestPipelineEndToEnd:
+    def test_multipolygon_through_three_stages(self, spark, tmp_path):
+        """validate → index → resolve on a MULTIPOLYGON input: rows
+        survive validation (no silent drop), allocation mass is
+        conserved through the resolver."""
+        import json
+
+        from h3_indexer_spark import (
+            index_job,
+            job_from_json,
+            resolve_job,
+            validate_config,
+        )
+
+        src = str(tmp_path / "mp.parquet")
+        rows = [
+            (
+                1,
+                "MULTIPOLYGON (((-100 40, -99.9 40, -99.9 40.1, -100 40.1, -100 40)), "
+                "((-99.5 40.5, -99.4 40.5, -99.4 40.6, -99.5 40.6, -99.5 40.5)))",
+                10.0,
+            ),
+            (
+                2,
+                "POLYGON ((-98 39, -97.9 39, -97.9 39.1, -98 39.1, -98 39))",
+                20.0,
+            ),
+        ]
+        spark.createDataFrame(
+            rows, "gid long, geometry string, pop double"
+        ).write.mode("overwrite").parquet(src)
+        cfg = {
+            "name": "mp_e2e", "version": "1.0.0", "h3_resolution": 7,
+            "output_s3_path": str(tmp_path / "out"),
+            "inputs": {
+                "mp": {
+                    "s3_path": src, "unique_id": "gid",
+                    "geometry_type": "POLYGON", "geometry_column": "geometry",
+                    "method": "PCT_AREA", "input_columns": ["pop"],
+                }
+            },
+        }
+        job = job_from_json(json.dumps(cfg))
+        validate_config(job, spark)
+        assert job.inputs["mp"].df.count() == 2  # nothing dropped
+        index_job(job, spark)
+        idx = job.inputs["mp"].h3_indexed_df
+        sums = {
+            r.gid: r.s
+            for r in idx.groupBy("gid").agg(F.sum("ratio").alias("s")).collect()
+        }
+        assert abs(sums[1] - 1.0) < 1e-6 and abs(sums[2] - 1.0) < 1e-6
+        resolve_job(job, spark)
+        total = job.h3_resolved_df.agg(F.sum("sum_pop")).collect()[0][0]
+        assert abs(total - 30.0) < 1e-6  # mass conserved across cells
+
+
 class TestKernelAllocation:
     def _index(self, spark, rows, gtype, method, metric_col, res=7):
         from h3_indexer_spark.functions.udfs import make_index_map_fn
