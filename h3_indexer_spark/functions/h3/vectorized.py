@@ -54,6 +54,54 @@ _ROT_CCW_ARR = np.zeros(8, dtype=np.int64)
 for _src, _dst in core._ROT_CCW.items():
     _ROT_CCW_ARR[_src] = _dst
 
+_ROT_CW_ARR = np.zeros(8, dtype=np.int64)
+for _src, _dst in core._ROT_CW.items():
+    _ROT_CW_ARR[_src] = _dst
+
+_CW_OFFSET_TBL = None
+
+
+def _cw_offset_table():
+    """(base_cell, face) → is-cw-offset bool (BASE_CELL_DATA[bc][3])."""
+    global _CW_OFFSET_TBL
+    if _CW_OFFSET_TBL is None:
+        from h3_indexer_spark.functions.h3.tables import BASE_CELL_DATA
+
+        tbl = np.zeros((len(BASE_CELL_DATA), NUM_ICOSA_FACES), dtype=bool)
+        for bc_, data in enumerate(BASE_CELL_DATA):
+            for f in data[3]:
+                if 0 <= f < NUM_ICOSA_FACES:
+                    tbl[bc_, f] = True
+        _CW_OFFSET_TBL = tbl
+    return _CW_OFFSET_TBL
+
+
+def _rotate_digits_v(hs: np.ndarray, res: int, table: np.ndarray):
+    """Rotate every digit 1..res of each cell id through ``table``."""
+    for rr_ in range(1, res + 1):
+        shift = 3 * (core.MAX_H3_RES - rr_)
+        d = (hs >> shift) & 0x7
+        hs = (hs & ~np.int64(0x7 << shift)) | (table[d] << shift)
+    return hs
+
+
+def _rotate_pent60_ccw_v(hs: np.ndarray, res: int) -> np.ndarray:
+    """Vector twin of core._rotate_pent60_ccw (lockstep over digits:
+    rotate, and on the first nonzero digit, if it rotated into the
+    deleted K subsequence, apply one extra full ccw rotation)."""
+    found = np.zeros(hs.shape[0], dtype=bool)
+    for rr_ in range(1, res + 1):
+        shift = 3 * (core.MAX_H3_RES - rr_)
+        d = (hs >> shift) & 0x7
+        rotd = _ROT_CCW_ARR[d]
+        hs = (hs & ~np.int64(0x7 << shift)) | (rotd << shift)
+        newly = ~found & (rotd != 0)
+        found |= newly
+        kmask = newly & (rotd == core.K_AXES_DIGIT)
+        if kmask.any():
+            hs[kmask] = _rotate_digits_v(hs[kmask], res, _ROT_CCW_ARR)
+    return hs
+
 _PENTAGONS = np.asarray(sorted(PENTAGON_BASE_CELLS), dtype=np.int64)
 
 _PATCH_BC = None
@@ -348,7 +396,12 @@ def cell_to_latlng_batch(cells: np.ndarray) -> tuple:
     return lat_out, lng_out
 
 
-def _area_batch_one_res(h, res, geodesy, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC):
+def _hex_boundary_batch_one_res(h, res, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC):
+    """Boundary vertices for same-res hexagon cells: (lat (n, 6),
+    lng (n, 6) degree arrays, fallback mask). Rows flagged fallback
+    (pentagons, cells whose boundary leaves the home face and gains
+    distortion vertices) must be recomputed via the scalar
+    core.cell_to_boundary."""
     n = h.shape[0]
     face, i, j, k, fallback = _face_ijk_batch(h, res, MAX_DIM_BY_CII_RES)
 
@@ -409,7 +462,13 @@ def _area_batch_one_res(h, res, geodesy, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC):
         lng2 = np.where(lng2 < -math.pi, lng2 + 2 * math.pi, lng2)
         lat_v[:, v] = np.degrees(lat2)
         lng_v[:, v] = np.degrees(lng2)
+    return lat_v, lng_v, fallback
 
+
+def _area_batch_one_res(h, res, geodesy, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC):
+    lat_v, lng_v, fallback = _hex_boundary_batch_one_res(
+        h, res, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC
+    )
     area = _spheroid_area_batch(lat_v, lng_v, geodesy)
 
     if fallback.any():
@@ -418,6 +477,129 @@ def _area_batch_one_res(h, res, geodesy, MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC):
         for ix in np.nonzero(fallback)[0]:
             area[ix] = udfs._cell_area_km2(int(h[ix]))
     return area
+
+
+MAX_BOUNDARY_VERTS = 10  # H3 max: hexagon + up to 4 distortion vertices
+
+
+def cell_boundary_batch(cells: np.ndarray) -> tuple:
+    """Boundary rings for an int64 cell array — vector twin of
+    core.cell_to_boundary. Returns ``(pts, nv)`` where ``pts`` is
+    (n, MAX_BOUNDARY_VERTS, 2) float64 of (lng, lat) degree vertices
+    (zero-padded) and ``nv`` the per-row vertex count. Pentagons and
+    face-crossing cells (distortion vertices) fill from the scalar
+    path, so geometry is identical to the scalar ring for every cell."""
+    cells = np.asarray(cells, dtype=np.int64)
+    n = cells.shape[0]
+    pts = np.zeros((n, MAX_BOUNDARY_VERTS, 2), dtype=np.float64)
+    nv = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pts, nv
+    from h3_indexer_spark.functions.h3.tables import (
+        MAX_DIM_BY_CII_RES,
+        RES0_U_GNOMONIC,
+    )
+
+    res_all = (cells >> 52) & 0xF
+    for res in np.unique(res_all):
+        sel = np.nonzero(res_all == res)[0]
+        h = cells[sel]
+        lat_v, lng_v, fallback = _hex_boundary_batch_one_res(
+            h, int(res), MAX_DIM_BY_CII_RES, RES0_U_GNOMONIC
+        )
+        pts[sel, :6, 0] = lng_v
+        pts[sel, :6, 1] = lat_v
+        nv[sel] = 6
+        if fallback.any():
+            from h3_indexer_spark.functions.udfs import _cell_boundary_ring
+
+            for ix in np.nonzero(fallback)[0]:
+                ring = _cell_boundary_ring(int(h[ix]))  # (lng, lat), memo
+                g = sel[ix]
+                m = min(len(ring), MAX_BOUNDARY_VERTS)
+                for v in range(m):
+                    pts[g, v, 0] = ring[v][0]
+                    pts[g, v, 1] = ring[v][1]
+                nv[g] = m
+    return pts, nv
+
+
+def _face_ijk_to_cell_batch(face, i, j, k, res: int):
+    """Assemble H3 cell ids from (face, ijk-at-res) coordinates — the
+    digit-derivation half of ``latlng_to_cell_batch`` factored out so
+    exact IJK neighbor stepping can reuse it. Returns ``(h, ok)``;
+    rows with ``ok`` False (pentagon base cells, coordinates outside
+    the face patch) must be resolved by a scalar fallback."""
+    n = face.shape[0]
+    h = np.full(
+        n,
+        core._set_resolution(
+            core._set_mode(core.H3_INIT, core._MODE_CELL), res
+        ),
+        dtype=np.int64,
+    )
+    for rr_ in range(res - 1, -1, -1):
+        li, lj, lk = i, j, k
+        if core.is_class_iii(rr_ + 1):
+            i, j, k = _up_ap7_v(i, j, k)
+            ci, cj, ck = _down_ap7_v(i, j, k)
+        else:
+            i, j, k = _up_ap7r_v(i, j, k)
+            ci, cj, ck = _down_ap7r_v(i, j, k)
+        di, dj, dk = _normalize_v(li - ci, lj - cj, lk - ck)
+        digit = _UNIT_DIGIT[di * 4 + dj * 2 + dk]
+        shift = 3 * (core.MAX_H3_RES - (rr_ + 1))
+        h = (h & ~np.int64(0x7 << shift)) | (digit << shift)
+
+    patch_bc, patch_rot = _patch_tables()
+    in_range = (i <= 2) & (j <= 2) & (k <= 2)
+    ic = np.clip(i, 0, 2)
+    jc = np.clip(j, 0, 2)
+    kc = np.clip(k, 0, 2)
+    bc = patch_bc[face, ic, jc, kc]
+    rots = patch_rot[face, ic, jc, kc]
+    valid = in_range & (bc >= 0)
+
+    h = (h & ~np.int64(0x7F << 45)) | (np.where(valid, bc, 0) << 45)
+
+    pent = np.isin(bc, _PENTAGONS) & valid
+    hex_rots = np.where(pent, 0, rots)
+    max_rots = int(hex_rots.max()) if n else 0
+    for step in range(max_rots):
+        m = hex_rots > step
+        if not m.any():
+            break
+        h[m] = _rotate_digits_v(h[m], res, _ROT_CCW_ARR)
+
+    if pent.any():
+        # pentagon base cells: K-leading adjustment, then pentagon
+        # rotations (scalar _face_ijk_to_h3 order)
+        rowsp = np.nonzero(pent)[0]
+        hp = h[rowsp]
+        lead = np.zeros(len(rowsp), dtype=np.int64)
+        for rr_ in range(1, res + 1):
+            shift = 3 * (core.MAX_H3_RES - rr_)
+            d = (hp >> shift) & 0x7
+            lead = np.where((lead == 0) & (d != 0), d, lead)
+        k_lead = lead == core.K_AXES_DIGIT
+        if k_lead.any():
+            is_cw = _cw_offset_table()[bc[rowsp], face[rowsp]]
+            m_cw = k_lead & is_cw
+            m_ccw = k_lead & ~is_cw
+            if m_cw.any():
+                hp[m_cw] = _rotate_digits_v(hp[m_cw], res, _ROT_CW_ARR)
+            if m_ccw.any():
+                hp[m_ccw] = _rotate_digits_v(hp[m_ccw], res, _ROT_CCW_ARR)
+        rp = rots[rowsp]
+        for step in range(int(rp.max()) if len(rp) else 0):
+            m = rp > step
+            if not m.any():
+                break
+            hp[m] = _rotate_pent60_ccw_v(hp[m], res)
+        h[rowsp] = hp
+
+    ok = valid
+    return np.where(ok, h, 0), ok
 
 
 _NBR_TABLES = None
@@ -572,56 +754,10 @@ def latlng_to_cell_batch(
     i, j, k = _hex2d_to_ijk_v(x, y)
 
     # digits from res down to 1, then the res-0 base-cell patch lookup
-    h = np.full(
-        n,
-        core._set_resolution(
-            core._set_mode(core.H3_INIT, core._MODE_CELL), res
-        ),
-        dtype=np.int64,
-    )
-    for rr_ in range(res - 1, -1, -1):
-        li, lj, lk = i, j, k
-        if core.is_class_iii(rr_ + 1):
-            i, j, k = _up_ap7_v(i, j, k)
-            ci, cj, ck = _down_ap7_v(i, j, k)
-        else:
-            i, j, k = _up_ap7r_v(i, j, k)
-            ci, cj, ck = _down_ap7r_v(i, j, k)
-        di, dj, dk = _normalize_v(li - ci, lj - cj, lk - ck)
-        digit = _UNIT_DIGIT[di * 4 + dj * 2 + dk]
-        shift = 3 * (core.MAX_H3_RES - (rr_ + 1))
-        h = (h & ~np.int64(0x7 << shift)) | (digit << shift)
-
-    patch_bc, patch_rot = _patch_tables()
-    in_range = (i <= 2) & (j <= 2) & (k <= 2)
-    ic = np.clip(i, 0, 2)
-    jc = np.clip(j, 0, 2)
-    kc = np.clip(k, 0, 2)
-    bc = patch_bc[face, ic, jc, kc]
-    rots = patch_rot[face, ic, jc, kc]
-    valid = in_range & (bc >= 0)
-
-    h = (h & ~np.int64(0x7F << 45)) | (np.where(valid, bc, 0) << 45)
-
-    # hexagon rotations (pentagons fall back below)
-    max_rots = int(rots.max()) if n else 0
-    for step in range(max_rots):
-        m = rots > step
-        if not m.any():
-            break
-        hm = h[m]
-        for rr_ in range(1, res + 1):
-            shift = 3 * (core.MAX_H3_RES - rr_)
-            dig = (hm >> shift) & 0x7
-            hm = (hm & ~np.int64(0x7 << shift)) | (
-                _ROT_CCW_ARR[dig] << shift
-            )
-        h[m] = hm
-
-    out = np.where(valid, h, 0)
+    out, ok = _face_ijk_to_cell_batch(face, i, j, k, res)
 
     # pentagon / invalid rows: scalar fallback (rare)
-    fallback = np.isin(bc, _PENTAGONS) | ~valid
+    fallback = ~ok
     if fallback.any():
         idx = np.nonzero(fallback)[0]
         latd = np.asarray(lat_deg, dtype=np.float64)
