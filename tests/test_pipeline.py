@@ -272,3 +272,91 @@ class TestExtendedMethods:
         assert out.count() == n_features
         assert out.filter(F.col("ratio") != 1.0).count() == 0
         assert out.filter(F.col("total_area_km2") <= 0).count() == 0
+
+    def test_centroid_is_area_centroid_not_vertex_mean(self):
+        """A rectangle with one vertex-dense edge: the vertex mean is
+        dragged toward the dense edge, the area centroid is the exact
+        rectangle center. The CENTROID cell must be the center's."""
+        from h3_indexer_spark.config.vector import AllocationMethod
+        from h3_indexer_spark.functions import udfs
+        from h3_indexer_spark.functions.h3 import core
+
+        res = 9
+        x0, y0, x1, y1 = -100.0, 40.0, -99.9, 40.1
+        # left edge densified with 200 extra vertices
+        dense = [(x0, y0 + (y1 - y0) * i / 200.0) for i in range(201)]
+        ring = dense + [(x1, y1), (x1, y0), (x0, y0)]
+        pairs, _ = udfs._index_polygons(
+            [[ring]], res, AllocationMethod.CENTROID
+        )
+        expected = core.latlng_to_cell((y0 + y1) / 2, (x0 + x1) / 2, res)
+        assert pairs == [(expected, 1.0)]
+        # sanity: the vertex mean would land in a different cell
+        mx = sum(x for x, _ in ring) / len(ring)
+        my = sum(y for _, y in ring) / len(ring)
+        assert core.latlng_to_cell(my, mx, res) != expected
+
+    def test_centroid_concave_polygon(self):
+        """L-shaped polygon: area centroid is analytically known
+        (weighted mean of the two constituent rectangles)."""
+        from h3_indexer_spark.config.vector import AllocationMethod
+        from h3_indexer_spark.functions import udfs
+        from h3_indexer_spark.functions.h3 import core
+
+        res = 9
+        # L = [0,3]x[0,1] ∪ [0,1]x[1,3] (degree offsets from -100, 40)
+        ox, oy, s = -100.0, 40.0, 0.05
+        ring = [
+            (ox, oy), (ox + 3 * s, oy), (ox + 3 * s, oy + s),
+            (ox + s, oy + s), (ox + s, oy + 3 * s), (ox, oy + 3 * s),
+        ]
+        # analytic: A1=3 (center 1.5,0.5), A2=2 (center 0.5,2.0)
+        cx = ox + s * (3 * 1.5 + 2 * 0.5) / 5
+        cy = oy + s * (3 * 0.5 + 2 * 2.0) / 5
+        pairs, _ = udfs._index_polygons(
+            [[ring]], res, AllocationMethod.CENTROID
+        )
+        assert pairs == [(core.latlng_to_cell(cy, cx, res), 1.0)]
+
+    def test_centroid_multipolygon_snaps_to_largest_part(self):
+        """Two disjoint parts: the combined centroid falls in the gap
+        between them, so allocation snaps to the largest part's own
+        centroid instead of a cell touching neither part."""
+        from h3_indexer_spark.config.vector import AllocationMethod
+        from h3_indexer_spark.functions import udfs
+        from h3_indexer_spark.functions.h3 import core
+
+        res = 9
+
+        def square(x0, y0, w):
+            return [(x0, y0), (x0 + w, y0), (x0 + w, y0 + w), (x0, y0 + w)]
+
+        big = square(-100.0, 40.0, 0.1)
+        small = square(-99.5, 40.0, 0.05)
+        pairs, _ = udfs._index_polygons(
+            [[big], [small]], res, AllocationMethod.CENTROID
+        )
+        expected = core.latlng_to_cell(40.05, -99.95, res)  # big center
+        assert pairs == [(expected, 1.0)]
+
+    def test_centroid_with_hole(self):
+        """An off-center hole shifts the area centroid away from the
+        hole (vertex mean of the outer ring would not move at all)."""
+        from h3_indexer_spark.config.vector import AllocationMethod
+        from h3_indexer_spark.functions import udfs
+        from h3_indexer_spark.functions.h3 import core
+
+        res = 9
+        outer = [(-100.0, 40.0), (-99.8, 40.0), (-99.8, 40.2),
+                 (-100.0, 40.2)]
+        # hole: left half-ish square [(−100+0.02)..(−100+0.08)]²
+        hole = [(-99.98, 40.06), (-99.92, 40.06), (-99.92, 40.14),
+                (-99.98, 40.14)]
+        # analytic: outer A=0.04 c=(−99.9, 40.1); hole A=0.06·0.08=
+        # 0.0048 c=(−99.95, 40.1) → cx = (0.04·−99.9 − 0.0048·−99.95)
+        # / (0.04 − 0.0048)
+        cx = (0.04 * -99.9 - 0.0048 * -99.95) / (0.04 - 0.0048)
+        pairs, _ = udfs._index_polygons(
+            [[outer, hole]], res, AllocationMethod.CENTROID
+        )
+        assert pairs == [(core.latlng_to_cell(40.1, cx, res), 1.0)]
