@@ -2,9 +2,10 @@
 
 Parity targets:
 - S1 Parquet scan            (reference spark/spark.py:45-55)
-- S2 Shapefile scan          (reference spark/spark.py:58-73) — Sedona's
-  shapefile DataSource is unavailable; geometry arrives as WKT columns
-  in Parquet/CSV instead (documented substitution, SURVEY.md §2.1).
+- S2 Shapefile scan          (reference spark/spark.py:58-73) — pure-
+  Python .shp/.shx/.dbf reader (sources/shapefile.py) emitting the
+  attribute columns plus a canonical-WKT geometry column; record
+  parsing is distributed over executors by byte range.
 - S3 extension dispatch      (reference spark/spark.py:26-42)
 - S4 catalog scan w/ pushdown(reference validator.py:80-94) — the
   Athena JDBC path becomes a catalog/temp-view read with the user's
@@ -66,12 +67,12 @@ def read_source(
         return read_table(spark, table, where_clause)
     lower = path.lower()
     if lower.endswith(".shp"):
-        raise NotImplementedError(
-            "Shapefile input (reference S2) needs a shapefile DataSource, "
-            "which this environment does not ship. Convert to Parquet/CSV "
-            "with a WKT geometry column (e.g. ogr2ogr -f Parquet) — every "
-            "downstream capability is identical."
-        )
+        from h3_indexer_spark.sources.shapefile import read_shapefile
+
+        df = read_shapefile(spark, path)
+        if where_clause:
+            df = df.where(where_clause)
+        return df
     if lower.endswith(".csv"):
         df = read_csv(spark, path, **options)
     elif lower.endswith(".json") or lower.endswith(".jsonl"):
