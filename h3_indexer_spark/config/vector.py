@@ -91,6 +91,9 @@ class VectorTable:
     catalog_database: Optional[str] = None
     catalog_table: Optional[str] = None
     where_clause: Optional[str] = None
+    # JDBC endpoint for the catalog source (reference validator.py:80-94
+    # read Athena over JDBC); None → Spark catalog / temp view.
+    jdbc_url: Optional[str] = None
     geometry_column_name: Optional[str] = None
     lat_column_name: Optional[str] = None
     lon_column_name: Optional[str] = None

@@ -269,6 +269,56 @@ def parse_wkb_parts(data: bytes | str) -> list[tuple[str, list[Coords]]]:
     return out
 
 
+_KIND_TO_WKB = {
+    "point": _WKB_POINT,
+    "line": _WKB_LINESTRING,
+    "polygon": _WKB_POLYGON,
+}
+_KIND_TO_WKB_MULTI = {
+    "point": _WKB_MULTIPOINT,
+    "line": _WKB_MULTILINESTRING,
+    "polygon": _WKB_MULTIPOLYGON,
+}
+
+
+def to_wkb(kind: str, rings: list[Coords]) -> bytes:
+    """WKB writer (little-endian, 2D) — inverse of :func:`parse_wkb`.
+    U4 parity direction (reference spark_udfs.py:24-45 emitted WKB
+    cell boundaries)."""
+    gtype = _KIND_TO_WKB.get(kind)
+    if gtype is None:
+        raise GeometryError(f"unsupported kind {kind}")
+    out = struct.pack("<BI", 1, gtype)
+    if kind == "point":
+        (x, y) = rings[0][0]
+        return out + struct.pack("<dd", x, y)
+    if kind == "line":
+        pts = rings[0]
+        return out + struct.pack("<I", len(pts)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in pts
+        )
+    out += struct.pack("<I", len(rings))
+    for ring in rings:
+        out += struct.pack("<I", len(ring)) + b"".join(
+            struct.pack("<dd", x, y) for x, y in ring
+        )
+    return out
+
+
+def parts_to_wkb(parts: list[tuple[str, list[Coords]]]) -> bytes:
+    """Serialize parts to WKB: single part → plain geometry; many
+    parts (same kind) → the MULTI* form (member geometries carry their
+    own byte-order marker, per spec)."""
+    if len(parts) == 1:
+        return to_wkb(*parts[0])
+    kinds = {k for k, _ in parts}
+    if len(kinds) != 1:
+        raise GeometryError(f"mixed-kind geometry collection {sorted(kinds)}")
+    kind = next(iter(kinds))
+    out = struct.pack("<BII", 1, _KIND_TO_WKB_MULTI[kind], len(parts))
+    return out + b"".join(to_wkb(k, r) for k, r in parts)
+
+
 # --- GeoJSON --------------------------------------------------------------
 
 

@@ -13,7 +13,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import BinaryType, DoubleType, StringType
 
 from h3_indexer_spark.config.vector import AllocationMethod, GeometryType
 from h3_indexer_spark.constants import (
@@ -79,6 +79,22 @@ def h3_to_wkt_udf(h3_index: pd.Series) -> pd.Series:
     a WKT polygon."""
     return h3_index.map(
         lambda s: _cell_wkt(core.string_to_h3(s)) if s else None
+    )
+
+
+@lru_cache(maxsize=262144)
+def _cell_wkb(cell: int) -> bytes:
+    ring = list(_cell_boundary_ring(cell))
+    ring.append(ring[0])
+    return geometry.to_wkb("polygon", [ring])
+
+
+@F.pandas_udf(BinaryType())
+def h3_to_wkb_udf(h3_index: pd.Series) -> pd.Series:
+    """U4 parity (reference spark_udfs.py:24-45): hex cell boundary as
+    a WKB polygon (little-endian 2D)."""
+    return h3_index.map(
+        lambda s: _cell_wkb(core.string_to_h3(s)) if s else None
     )
 
 

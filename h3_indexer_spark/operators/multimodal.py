@@ -2,11 +2,17 @@
 columns with typed metadata.
 
 The Spark-side machinery — schemas, batch iteration, partition-size
-control, UDF signatures — is real and tested; the actual media codecs
-are NOT available in this environment, so the decode kernels are
-deterministic fakes behind ``_HAVE_CODECS`` (clearly marked; swap in
-PIL/torchaudio/decord in a real deployment without touching the plan
-shapes).
+control, UDF signatures — is real and tested. Decoding is selected by
+an explicit ``codec`` parameter:
+
+- ``"pil"``  — real image decode via Pillow (imported lazily on the
+  executor; works the moment PIL is installed, no code changes);
+- ``"fake"`` — deterministic stand-in (payload-digest pixels) so the
+  full plumbing stays testable in codec-less environments;
+- ``"auto"`` (default) — ``"pil"`` when Pillow imports, else
+  ``"fake"``.
+
+Video frame sampling follows the same pattern with PyAV (``"av"``).
 
 Design for 100 TB of media:
 - binary payloads ride in their own column so column pruning keeps
@@ -27,15 +33,32 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-_HAVE_CODECS = False  # no PIL/libav in this environment
-try:  # pragma: no cover - environment probe
-    from PIL import Image  # type: ignore  # noqa: F401
 
-    _HAVE_CODECS = True
-except ImportError:
-    pass
+def _have_pil() -> bool:
+    try:  # pragma: no cover - environment probe
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _have_av() -> bool:
+    try:  # pragma: no cover - environment probe
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _resolve_codec(codec: str) -> str:
+    if codec == "auto":
+        return "pil" if _have_pil() else "fake"
+    if codec not in ("pil", "fake"):
+        raise ValueError(f"unknown image codec {codec!r}")
+    return codec
 
 
 IMAGE_META_SCHEMA = (
@@ -43,49 +66,162 @@ IMAGE_META_SCHEMA = (
 )
 EMBED_SCHEMA = "media_id long, feature array<float>"
 FRAME_SCHEMA = "media_id long, frame_no int, frame_bytes binary"
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, channels int, pixels binary"
+)
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for an image decode: derives a stable
-    8x8x3 uint8 array from the payload digest. NOT a real codec —
-    replace with PIL when available."""
+    8x8x3 uint8 array from the payload digest. NOT a real codec."""
     digest = hashlib.sha256(payload).digest()
     arr = np.frombuffer((digest * 6)[:192], dtype=np.uint8)
     return arr.reshape(8, 8, 3)
 
 
+def _decode_image(payload: bytes, codec: str):
+    """payload → (H×W×C uint8 array, format string)."""
+    if codec == "fake":
+        return _fake_decode(payload), "fake/raw"
+    # codec == "pil": real decode (lazy import so only executors that
+    # actually decode need Pillow installed)
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    fmt = (img.format or "unknown").lower()
+    arr = np.asarray(img.convert("RGB"))
+    return arr, fmt
+
+
+# --- batch cores (module-level so they are unit-testable without Spark) ---
+
+
+def _meta_batch(pdf: pd.DataFrame, codec: str, id_col: str,
+                payload_col: str) -> pd.DataFrame:
+    ids, ws, hs, cs, fmts = [], [], [], [], []
+    for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+        if payload is None:
+            continue
+        img, fmt = _decode_image(bytes(payload), codec)
+        ids.append(mid)
+        hs.append(img.shape[0])
+        ws.append(img.shape[1])
+        cs.append(img.shape[2] if img.ndim == 3 else 1)
+        fmts.append(fmt)
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids, dtype="int64"),
+            "width": pd.Series(ws, dtype="int32"),
+            "height": pd.Series(hs, dtype="int32"),
+            "channels": pd.Series(cs, dtype="int32"),
+            "format": pd.Series(fmts, dtype="object"),
+        }
+    )
+
+
+def _features_batch(pdf: pd.DataFrame, codec: str, id_col: str,
+                    payload_col: str, dim: int) -> pd.DataFrame:
+    ids, feats = [], []
+    for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+        if payload is None:
+            continue
+        img, _ = _decode_image(bytes(payload), codec)
+        hist, _ = np.histogram(img, bins=dim, range=(0, 255))
+        v = hist.astype(np.float32)
+        norm = float(np.linalg.norm(v)) or 1.0
+        ids.append(mid)
+        feats.append((v / norm).tolist())
+    return pd.DataFrame({id_col: ids, "feature": feats})
+
+
+def _resize_batch(pdf: pd.DataFrame, codec: str, id_col: str,
+                  payload_col: str, target_w: int,
+                  target_h: int) -> pd.DataFrame:
+    ids, blobs = [], []
+    for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+        if payload is None:
+            continue
+        img, _ = _decode_image(bytes(payload), codec)
+        src_h, src_w = img.shape[0], img.shape[1]
+        ys = (np.arange(target_h) * src_h) // target_h
+        xs = (np.arange(target_w) * src_w) // target_w
+        resized = img[np.ix_(ys, xs)]
+        ids.append(mid)
+        blobs.append(resized.tobytes())
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids, dtype="int64"),
+            "width": pd.Series([target_w] * len(ids), dtype="int32"),
+            "height": pd.Series([target_h] * len(ids), dtype="int32"),
+            "channels": pd.Series([3] * len(ids), dtype="int32"),
+            "pixels": pd.Series(blobs, dtype="object"),
+        }
+    )
+
+
+def _frames_batch(pdf: pd.DataFrame, codec: str, id_col: str,
+                  payload_col: str, every_n: int,
+                  max_frames: int) -> pd.DataFrame:
+    ids, nos, blobs = [], [], []
+    for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+        if payload is None:
+            continue
+        raw = bytes(payload)
+        if codec == "av":
+            # real video decode (lazy import; PyAV)
+            import io
+
+            import av
+
+            taken = 0
+            with av.open(io.BytesIO(raw)) as container:
+                for fno, frame in enumerate(container.decode(video=0)):
+                    if fno % every_n or taken >= max_frames:
+                        continue
+                    ids.append(mid)
+                    nos.append(fno)
+                    blobs.append(
+                        frame.to_ndarray(format="rgb24").tobytes()
+                    )
+                    taken += 1
+            continue
+        # fake path: payload as a concatenation of fixed 1 KiB frames
+        frame_size = 1024
+        n_frames = max(1, len(raw) // frame_size)
+        taken = 0
+        for fno in range(0, n_frames, every_n):
+            if taken >= max_frames:
+                break
+            ids.append(mid)
+            nos.append(fno)
+            blobs.append(raw[fno * frame_size : (fno + 1) * frame_size])
+            taken += 1
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids, dtype="int64"),
+            "frame_no": pd.Series(nos, dtype="int32"),
+            "frame_bytes": pd.Series(blobs, dtype="object"),
+        }
+    )
+
+
+# --- Spark operators ------------------------------------------------------
+
+
 def decode_metadata(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    codec: str = "auto",
 ) -> DataFrame:
-    """Extract typed metadata per media row. Real codec path raises
-    NotImplementedError until codecs are installed; the fake path keeps
-    the plumbing testable end-to-end."""
+    """Extract typed metadata per media row."""
+    codec = _resolve_codec(codec)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ws, hs, cs, fmts = [], [], [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:
-                    continue
-                if _HAVE_CODECS:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real codec path: decode via PIL here"
-                    )
-                img = _fake_decode(bytes(payload))
-                ids.append(mid)
-                hs.append(img.shape[0])
-                ws.append(img.shape[1])
-                cs.append(img.shape[2])
-                fmts.append("fake/raw")
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "width": pd.Series(ws, dtype="int32"),
-                    "height": pd.Series(hs, dtype="int32"),
-                    "channels": pd.Series(cs, dtype="int32"),
-                    "format": pd.Series(fmts, dtype="object"),
-                }
-            )
+            yield _meta_batch(pdf, codec, id_col, payload_col)
 
     return df.select(id_col, payload_col).mapInPandas(
         fn, schema=IMAGE_META_SCHEMA
@@ -97,30 +233,17 @@ def extract_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     dim: int = 64,
+    codec: str = "auto",
 ) -> DataFrame:
     """Fixed-size float feature vector per media row (composes with
-    similarity search). Fake path: normalized byte histogram."""
+    similarity search): normalized pixel histogram of the decode."""
+    codec = _resolve_codec(codec)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, feats = [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:
-                    continue
-                img = _fake_decode(bytes(payload))
-                hist, _ = np.histogram(img, bins=dim, range=(0, 255))
-                v = hist.astype(np.float32)
-                norm = float(np.linalg.norm(v)) or 1.0
-                ids.append(mid)
-                feats.append((v / norm).tolist())
-            yield pd.DataFrame({id_col: ids, "feature": feats})
+            yield _features_batch(pdf, codec, id_col, payload_col, dim)
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=EMBED_SCHEMA)
-
-
-RESIZED_SCHEMA = (
-    "media_id long, width int, height int, channels int, pixels binary"
-)
 
 
 def resize_images(
@@ -129,37 +252,17 @@ def resize_images(
     target_h: int = 4,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    codec: str = "auto",
 ) -> DataFrame:
     """Resize every image to (target_w, target_h) and emit the raw
-    pixel buffer. The resize itself is real (vectorized nearest-neighbor
-    index sampling — the same math at any source resolution); only the
-    decode behind it is the deterministic fake."""
+    pixel buffer (vectorized nearest-neighbor index sampling — the same
+    math at any source resolution and under either codec)."""
+    codec = _resolve_codec(codec)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, blobs = [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:
-                    continue
-                img = _fake_decode(bytes(payload))
-                src_h, src_w = img.shape[0], img.shape[1]
-                ys = (np.arange(target_h) * src_h) // target_h
-                xs = (np.arange(target_w) * src_w) // target_w
-                resized = img[np.ix_(ys, xs)]
-                ids.append(mid)
-                blobs.append(resized.tobytes())
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "width": pd.Series(
-                        [target_w] * len(ids), dtype="int32"
-                    ),
-                    "height": pd.Series(
-                        [target_h] * len(ids), dtype="int32"
-                    ),
-                    "channels": pd.Series([3] * len(ids), dtype="int32"),
-                    "pixels": pd.Series(blobs, dtype="object"),
-                }
+            yield _resize_batch(
+                pdf, codec, id_col, payload_col, target_w, target_h
             )
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -173,34 +276,20 @@ def sample_frames(
     id_col: str = "media_id",
     every_n: int = 10,
     max_frames: int = 4,
+    codec: str = "auto",
 ) -> DataFrame:
-    """Frame sampling for video payloads: emits (media_id, frame_no,
-    frame_bytes) rows. Fake path treats the payload as a concatenation
-    of fixed 1 KiB 'frames'."""
+    """Frame sampling for video payloads: (media_id, frame_no,
+    frame_bytes) rows. ``codec="av"`` decodes real containers via
+    PyAV; the fake treats the payload as fixed 1 KiB frames."""
+    if codec == "auto":
+        codec = "av" if _have_av() else "fake"
+    if codec not in ("av", "fake"):
+        raise ValueError(f"unknown video codec {codec!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        frame_size = 1024
         for pdf in batches:
-            ids, nos, blobs = [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                if payload is None:
-                    continue
-                raw = bytes(payload)
-                n_frames = max(1, len(raw) // frame_size)
-                taken = 0
-                for fno in range(0, n_frames, every_n):
-                    if taken >= max_frames:
-                        break
-                    ids.append(mid)
-                    nos.append(fno)
-                    blobs.append(raw[fno * frame_size : (fno + 1) * frame_size])
-                    taken += 1
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "frame_no": pd.Series(nos, dtype="int32"),
-                    "frame_bytes": pd.Series(blobs, dtype="object"),
-                }
+            yield _frames_batch(
+                pdf, codec, id_col, payload_col, every_n, max_frames
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=FRAME_SCHEMA)

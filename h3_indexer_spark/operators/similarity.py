@@ -74,10 +74,13 @@ def pairwise_cosine_topk(
     id_col: str = "vec_id",
     q_vec_col: str = "embedding",
     q_id_col: str = "query_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Batch kNN: top-k corpus neighbors for every query row via
     broadcast of the (small) query set + rank window. The corpus never
-    shuffles; the window partitions by query id."""
+    shuffles; the window partitions by query id. ``exclude_self`` drops
+    corpus rows whose id equals the query id (queries drawn from the
+    corpus itself) before ranking."""
     q = F.broadcast(
         queries.select(
             F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("q_vec")
@@ -107,6 +110,8 @@ def pairwise_cosine_topk(
             lambda acc, x: acc + x,
         )
     )
+    if exclude_self:
+        joined = joined.where(F.col(id_col) != F.col("query_id"))
     sims = joined.select(
         "query_id", id_col, (dot / (norm_a * norm_b)).alias("cosine_sim")
     )

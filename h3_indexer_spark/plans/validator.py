@@ -113,14 +113,26 @@ def validate_input(
             else vt.catalog_table
         ),
         where_clause=vt.where_clause,
+        jdbc_url=vt.jdbc_url,
     )
     _check_unique_id(df, vt.unique_id, input_name)
     _check_numeric_columns(df, vt)
     df = _attach_canonical_geometry(df, vt)
     df = _drop_invalid_geometries(df, vt)
     if vt.geometry_type == GeometryType.POINT and vt.geometry_column_name:
-        # points must parse as points
-        pass
+        # points must parse as points: a LINESTRING/POLYGON smuggled
+        # into a POINT input would silently allocate nothing or the
+        # wrong cells downstream — fail the job here instead. One
+        # aggregate over the canonical column (already computed).
+        n_bad = df.filter(
+            ~F.col(GEOM_WKT).startswith("POINT")
+            & ~F.col(GEOM_WKT).startswith("MULTIPOINT")
+        ).count()
+        if n_bad:
+            raise ValidationError(
+                f"input '{input_name}': {n_bad} geometries are not "
+                f"POINT/MULTIPOINT but geometry_type is POINT"
+            )
     vt.df = df.persist()
     return vt
 

@@ -362,7 +362,13 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     reader rejects by default; read it as long nanoseconds and derive a
     micros TimestampType column. Ordering uses the raw nanos (total
-    order identical to DuckDB's nanosecond timestamps)."""
+    order identical to DuckDB's nanosecond timestamps).
+
+    The package session factory (session.py) already sets nanosAsLong;
+    the runtime set below exists ONLY because the correctness driver
+    runs these queries on a plain foreign SparkSession it builds
+    itself — it is deliberate, not a leftover (see
+    .claude/skills/verify/SKILL.md gotchas)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load(spark, sf_dir, "events")
     return df.withColumn(
@@ -685,37 +691,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN: top-5 corpus neighbors for each of 3 query vectors
-    taken from the table itself (operators/similarity.py shape:
-    broadcast query set × corpus + rank window). The cosine arithmetic
-    is a generated element-wise expression — identical IEEE op order in
-    both engines, so sims are bit-equal."""
-    dot = " + ".join(
-        f"CAST(c.embedding[{i}] AS DOUBLE) * CAST(q.embedding[{i}] AS DOUBLE)"
-        for i in range(_EMB_DIM)
+    taken from the table itself — routed through the library operator
+    (operators/similarity.py pairwise_cosine_topk: broadcast query set
+    × corpus + rank window), so the checked query exercises the same
+    plan shipped to users. The HOF fold evaluates the dot/norm terms
+    in the same IEEE order as the oracle's expression chain, so sims
+    stay bit-equal."""
+    from h3_indexer_spark.operators.similarity import pairwise_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    cn = _norm_sql("c.embedding", one_based=False)
-    qn = _norm_sql("q.embedding", one_based=False)
-    load(spark, sf_dir, "embeddings").createOrReplaceTempView("emb_src")
-    return spark.sql(
-        f"""
-        SELECT * FROM (
-            SELECT query_id, vec_id, cosine_sim,
-                   CAST(ROW_NUMBER() OVER (
-                       PARTITION BY query_id
-                       ORDER BY cosine_sim DESC, vec_id ASC
-                   ) AS BIGINT) AS rank
-            FROM (
-                SELECT q.vec_id AS query_id,
-                       c.vec_id AS vec_id,
-                       ({dot}) / (sqrt({cn}) * sqrt({qn})) AS cosine_sim
-                FROM emb_src c
-                CROSS JOIN (
-                    SELECT vec_id, embedding FROM emb_src WHERE vec_id < 3
-                ) q
-                WHERE c.vec_id <> q.vec_id
-            )
-        ) WHERE rank <= 5
-        """
+    out = pairwise_cosine_topk(
+        emb, queries, k=5, q_id_col="query_id", exclude_self=True
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        "cosine_sim",
+        F.col("rank").cast("bigint").alias("rank"),
     )
 
 
@@ -795,7 +790,7 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the Arrow batch boundary."""
     from h3_indexer_spark.operators.multimodal import decode_metadata
 
-    return decode_metadata(_media_table(spark, sf_dir))
+    return decode_metadata(_media_table(spark, sf_dir), codec="fake")
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,7 +799,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only: no codec in DuckDB."""
     from h3_indexer_spark.operators.multimodal import resize_images
 
-    return resize_images(_media_table(spark, sf_dir)).select(
+    return resize_images(_media_table(spark, sf_dir), codec="fake").select(
         "media_id", "width", "height", "channels",
         F.length("pixels").alias("n_pixel_bytes"),
     )
@@ -815,7 +810,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only: BLOB slicing semantics differ across engines."""
     from h3_indexer_spark.operators.multimodal import sample_frames
 
-    return sample_frames(_media_table(spark, sf_dir)).select(
+    return sample_frames(_media_table(spark, sf_dir), codec="fake").select(
         "media_id", "frame_no", F.length("frame_bytes").alias("frame_len")
     )
 

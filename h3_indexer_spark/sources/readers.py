@@ -52,18 +52,57 @@ def read_table(
     return df
 
 
+def jdbc_reader_options(
+    url: str,
+    table: str,
+    where_clause: str | None = None,
+    **options: str,
+) -> dict[str, str]:
+    """Build the option map for a true JDBC read: the WHERE clause is
+    spliced into the pushed-down ``query`` (reference validator.py:80-94
+    spliced it into the Athena JDBC query option) so filtering happens
+    source-side, before any rows cross the wire."""
+    query = f"SELECT * FROM {table}"
+    if where_clause:
+        query += f" WHERE {where_clause}"
+    return {"url": url, "query": query, **options}
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    where_clause: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """S4 with a real JDBC URL: ``spark.read.format("jdbc")`` with the
+    WHERE clause pushed into the source query. Parallelize large pulls
+    with partitionColumn/lowerBound/upperBound/numPartitions options."""
+    return (
+        spark.read.format("jdbc")
+        .options(**jdbc_reader_options(url, table, where_clause, **options))
+        .load()
+    )
+
+
 def read_source(
     spark: SparkSession,
     path: str | None = None,
     table: str | None = None,
     where_clause: str | None = None,
+    jdbc_url: str | None = None,
     **options: str,
 ) -> DataFrame:
     """S3: dispatch on source kind/extension (reference spark/spark.py:26-42
-    routed .shp → shapefile reader, else parquet)."""
+    routed .shp → shapefile reader, else parquet). A configured
+    ``jdbc_url`` routes table reads through the JDBC source; otherwise
+    tables resolve from the catalog/temp views (Catalyst still pushes
+    the WHERE down to the scan)."""
     if (path is None) == (table is None):
         raise ValueError("exactly one of path/table must be given")
     if table is not None:
+        if jdbc_url:
+            return read_jdbc(spark, jdbc_url, table, where_clause, **options)
         return read_table(spark, table, where_clause)
     lower = path.lower()
     if lower.endswith(".shp"):

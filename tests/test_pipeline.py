@@ -98,6 +98,17 @@ class TestValidate:
         with pytest.raises(ValidationError, match="non-numeric"):
             validate_config(job, spark)
 
+    def test_line_wkt_declared_as_point_rejected(self, spark, fixture_dir):
+        """LINESTRING geometry smuggled into a POINT-typed input fails
+        validation instead of silently mis-indexing downstream."""
+        spec = _lines_input(fixture_dir)
+        spec["geometry_type"] = "POINT"
+        spec["method"] = "WITHIN"
+        job = _job(fixture_dir, {"bad": spec})
+        with pytest.raises(ValidationError, match="not POINT"):
+            validate_config(job, spark)
+        assert job.status is JobStatus.FAILED
+
     def test_invalid_wkt_dropped(self, spark, fixture_dir):
         spec = dict(
             type="vector",

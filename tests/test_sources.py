@@ -290,3 +290,51 @@ def test_partitioned_sink_roundtrip_and_pruning(spark):
         assert "PartitionFilters: [isnotnull(h3_r3_parent" in plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_jdbc_options_splice_where_into_query():
+    """S4: a real JDBC URL pushes the WHERE into the source-side query
+    (reference validator.py:80-94 spliced it into the Athena JDBC
+    query option)."""
+    from h3_indexer_spark.sources.readers import jdbc_reader_options
+
+    opts = jdbc_reader_options(
+        "jdbc:awsathena://athena.us-east-1.amazonaws.com:443",
+        "geo.counties",
+        where_clause="statefp = '36'",
+        driver="com.simba.athena.jdbc.Driver",
+    )
+    assert opts["url"].startswith("jdbc:awsathena://")
+    assert opts["query"] == (
+        "SELECT * FROM geo.counties WHERE statefp = '36'"
+    )
+    assert opts["driver"] == "com.simba.athena.jdbc.Driver"
+    # no WHERE → bare select
+    bare = jdbc_reader_options("jdbc:postgresql://h/db", "t")
+    assert bare["query"] == "SELECT * FROM t"
+
+
+def test_jdbc_config_field_routes_to_jdbc_reader(monkeypatch):
+    """A VectorTable with jdbc_url set reaches read_source with the
+    URL, which routes to the JDBC reader path."""
+    from h3_indexer_spark.sources import readers
+
+    captured = {}
+
+    def fake_read_jdbc(spark, url, table, where_clause=None, **options):
+        captured.update(url=url, table=table, where=where_clause)
+        raise RuntimeError("stop here")
+
+    monkeypatch.setattr(readers, "read_jdbc", fake_read_jdbc)
+    with pytest.raises(RuntimeError, match="stop here"):
+        readers.read_source(
+            None,
+            table="geo.counties",
+            where_clause="statefp = '36'",
+            jdbc_url="jdbc:postgresql://host/db",
+        )
+    assert captured == {
+        "url": "jdbc:postgresql://host/db",
+        "table": "geo.counties",
+        "where": "statefp = '36'",
+    }
