@@ -41,9 +41,13 @@ def asof_join(
     tolerance``. ``tiebreak``: right-side column ordering multiple
     right rows at identical (key, ts) — the greatest wins.
 
-    Implementation: tag sides, union, and carry the right values
-    forward with ``last(..., ignorenulls=True)`` over a (key, ts)
-    window — the standard single-shuffle formulation.
+    Implementation: tag sides, union, and carry ONE struct of (right
+    ts, all right values) forward with ``last(..., ignorenulls=True)``
+    over a (key, ts) window — the standard single-shuffle formulation.
+    Carrying the whole struct (null only for left rows) guarantees the
+    attached values and the matched timestamp always come from the SAME
+    latest right row: a right row whose value column is NULL attaches
+    NULL rather than silently resurfacing an older row's value.
     """
     renamed = [F.col(c).alias(f"_r_{c}") for c in value_cols]
     order: list[Column] = [F.col(ts_col).asc(), F.col(_SIDE).asc()]
@@ -59,28 +63,31 @@ def asof_join(
         .orderBy(*order, F.col("_tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = u
+    carry = "_asof_carry"
+    out = u.withColumn(
+        carry,
+        F.last(
+            F.when(
+                F.col(_SIDE) == 0,
+                F.struct(
+                    F.col(ts_col).alias(_MATCH_TS),
+                    *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    ).where(F.col(_SIDE) == 1)
+    in_tol = (
+        F.lit(True)
+        if tolerance is None
+        else F.col(ts_col) - F.col(f"{carry}.{_MATCH_TS}")
+        <= F.lit(tolerance)
+    )
     for c in value_cols:
         out = out.withColumn(
-            f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+            f"asof_{c}", F.when(in_tol, F.col(f"{carry}.{c}"))
         )
-    out = out.withColumn(
-        _MATCH_TS,
-        F.last(
-            F.when(F.col(_SIDE) == 0, F.col(ts_col)), ignorenulls=True
-        ).over(w),
-    )
-    out = out.where(F.col(_SIDE) == 1)
-    if tolerance is not None:
-        for c in value_cols:
-            out = out.withColumn(
-                f"asof_{c}",
-                F.when(
-                    F.col(ts_col) - F.col(_MATCH_TS) <= F.lit(tolerance),
-                    F.col(f"asof_{c}"),
-                ),
-            )
-    drop = [_SIDE, _MATCH_TS, "_tb", *[f"_r_{c}" for c in value_cols]]
+    drop = [_SIDE, carry, "_tb", *[f"_r_{c}" for c in value_cols]]
     return out.drop(*drop)
 
 
@@ -110,10 +117,12 @@ def range_join(
     side to broadcast — fatal at scale. Pass False for genuinely large
     interval tables (the join then shuffles both sides on bucket id).
     """
-    bkt = "_range_bucket"
-    f = fact.withColumn(bkt, F.floor(F.col(value_col) / F.lit(bucket_width)))
+    bkt_f, bkt_i = "_range_bucket_f", "_range_bucket_i"
+    f = fact.withColumn(
+        bkt_f, F.floor(F.col(value_col) / F.lit(bucket_width))
+    )
     iv = intervals.withColumn(
-        bkt,
+        bkt_i,
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / F.lit(bucket_width)),
@@ -123,7 +132,12 @@ def range_join(
     )
     if broadcast_intervals:
         iv = F.broadcast(iv)
-    joined = f.join(iv, [bkt], how).where(
-        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    # the exact range predicate lives IN the join condition, not a
+    # post-join filter: a filter after an outer join would discard the
+    # null-extended rows and silently degenerate how='left' to inner
+    cond = (
+        (F.col(bkt_f) == F.col(bkt_i))
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col))
     )
-    return joined.drop(bkt)
+    return f.join(iv, cond, how).drop(bkt_f, bkt_i)

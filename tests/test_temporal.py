@@ -111,3 +111,82 @@ class TestRangeJoin:
             ).select("fid", "iid").collect()
         }
         assert got == {(1, 1)}
+
+
+class TestAdviceFixes:
+    """Round-2 ADVICE items: outer range joins must not degenerate to
+    inner, and as-of NULL right values must not resurface stale rows."""
+
+    def test_range_join_left_keeps_unmatched_facts(self, spark):
+        from h3_indexer_spark.operators.temporal import range_join
+
+        facts = spark.createDataFrame(
+            [(1, 5.0), (2, 50.0), (3, 999.0)], "fid long, v double"
+        )
+        ivs = spark.createDataFrame(
+            [(1, 0.0, 10.0)], "iid long, lo double, hi double"
+        )
+        rows = {
+            r.fid: r.iid
+            for r in range_join(
+                facts, ivs, "v", "lo", "hi", bucket_width=10.0, how="left"
+            ).collect()
+        }
+        assert rows == {1: 1, 2: None, 3: None}
+
+    def test_range_join_left_multiple_intervals(self, spark):
+        from h3_indexer_spark.operators.temporal import range_join
+
+        facts = spark.createDataFrame(
+            [(1, 5.0), (2, 25.0)], "fid long, v double"
+        )
+        ivs = spark.createDataFrame(
+            [(1, 0.0, 10.0), (2, 3.0, 30.0)],
+            "iid long, lo double, hi double",
+        )
+        got = {
+            (r.fid, r.iid)
+            for r in range_join(
+                facts, ivs, "v", "lo", "hi", bucket_width=7.0, how="left"
+            ).collect()
+        }
+        # fact 1 matches both intervals; fact 2 only the wide one —
+        # and no fact row is lost
+        assert got == {(1, 1), (1, 2), (2, 2)}
+
+    def test_asof_null_right_value_not_replaced_by_stale(self, spark):
+        from h3_indexer_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [("k", 10), ("k", 20)], "key string, ts long"
+        )
+        right = spark.createDataFrame(
+            [("k", 5, 1.0), ("k", 15, None)],
+            "key string, ts long, px double",
+        )
+        got = {
+            r.ts: r.asof_px
+            for r in asof_join(
+                left, right, on=["key"], ts_col="ts", value_cols=["px"]
+            ).collect()
+        }
+        # ts=10 matches the ts=5 row (px=1.0); ts=20 matches the ts=15
+        # row whose px is NULL — the stale 1.0 must NOT resurface
+        assert got == {10: 1.0, 20: None}
+
+    def test_asof_tolerance_checks_matching_row_ts(self, spark):
+        from h3_indexer_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame([("k", 20)], "key string, ts long")
+        right = spark.createDataFrame(
+            [("k", 5, 1.0), ("k", 18, None)],
+            "key string, ts long, px double",
+        )
+        got = asof_join(
+            left, right, on=["key"], ts_col="ts",
+            value_cols=["px"], tolerance=10,
+        ).collect()[0]
+        # the latest right row (ts=18, within tolerance) has px NULL;
+        # the old px=1.0 (outside tolerance) must not be validated by
+        # the newer row's timestamp
+        assert got.asof_px is None
