@@ -313,3 +313,79 @@ class TestWkbWriter:
             kind, rings = geometry.parse_wkb(bytes(r.wkb))
             assert kind == "polygon"
             assert geometry.to_wkt(kind, rings) == r.wkt
+
+
+class TestAntimeridian:
+    """Features crossing ±180° shift to a continuous [0, 360) frame
+    before sampling/polyfill/clipping (round-2 ADVICE: the planar bbox
+    of an unshifted crosser spans ~360°, exploding the candidate grid
+    and breaking the even-odd test)."""
+
+    def _index(self, kind, wkt, method, res, metric):
+        import pandas as pd
+
+        from h3_indexer_spark.config.vector import (
+            AllocationMethod,
+            GeometryType,
+        )
+        from h3_indexer_spark.functions.udfs import make_index_map_fn
+
+        fn = make_index_map_fn(
+            "uid", kind, AllocationMethod(method), res, metric
+        )
+        pdf = pd.DataFrame([(1, wkt)], columns=["uid", "geom_wkt"])
+        return pd.concat(list(fn(iter([pdf]))))
+
+    def test_polygon_across_antimeridian(self):
+        from h3_indexer_spark.config.vector import GeometryType
+        from h3_indexer_spark.functions.h3 import core
+
+        out = self._index(
+            GeometryType.POLYGON,
+            "POLYGON ((179.7 -17.2, -179.7 -17.2, -179.7 -16.8, "
+            "179.7 -16.8, 179.7 -17.2))",
+            "PCT_AREA", 6, "total_area_km2",
+        )
+        assert abs(out.ratio.sum() - 1.0) < 1e-6
+        lngs = [
+            core.cell_to_latlng(core.string_to_h3(h))[1]
+            for h in out.h3_index
+        ]
+        # coverage reaches both sides of ±180°, similar counts
+        east = sum(1 for x in lngs if x > 0)
+        west = sum(1 for x in lngs if x < 0)
+        assert east > 10 and west > 10
+        # no blowup: ~0.6°×0.4° at res 6 is on the order of 100 cells
+        assert len(out) < 400
+
+    def test_line_across_antimeridian(self):
+        from h3_indexer_spark.config.vector import GeometryType
+        from h3_indexer_spark.functions.h3 import core
+
+        out = self._index(
+            GeometryType.LINE,
+            "LINESTRING (179.5 -17.0, -179.5 -17.1)",
+            "PCT_LENGTH", 5, "total_length_km",
+        )
+        assert abs(out.ratio.sum() - 1.0) < 1e-6
+        lngs = [
+            core.cell_to_latlng(core.string_to_h3(h))[1]
+            for h in out.h3_index
+        ]
+        assert any(x > 0 for x in lngs) and any(x < 0 for x in lngs)
+        # the 1°-long line must not sample through lng 0 (the wrong
+        # way around the globe would traverse ~360 cells)
+        assert len(out) < 30
+
+    def test_wide_feature_not_wrapped(self):
+        """A legitimately continent-wide polygon (lng span > 180° after
+        any shift) still indexes; the wrap heuristic must not corrupt
+        ordinary features far from ±180°."""
+        from h3_indexer_spark.config.vector import GeometryType
+
+        out = self._index(
+            GeometryType.POLYGON,
+            "POLYGON ((-100 40, -99.8 40, -99.8 40.2, -100 40.2, -100 40))",
+            "PCT_AREA", 6, "total_area_km2",
+        )
+        assert abs(out.ratio.sum() - 1.0) < 1e-6
