@@ -76,29 +76,38 @@ def _geo_pipeline_bench(spark, sf: float) -> dict[str, float]:
     out: dict[str, float] = {}
 
     # untimed Python-worker warmup: spin up the Arrow/pandas worker
-    # pool and import the kernel modules once, so the timed sections
-    # measure kernel throughput rather than process fork + import cost
-    warm_fn = make_index_map_fn(
-        "uid", GeometryType.POINT, AllocationMethod.WITHIN, 7, "total_count"
-    )
-    (
-        spark.range(64)
-        .repartition(64)
-        .select(
-            F.col("id").alias("uid"),
-            F.lit("POINT (-100.0 40.0)").alias("geom_wkt"),
+    # pool and exercise each kernel path once (points, lines, polygons
+    # hit different lazy imports and worker-local caches), so the timed
+    # sections measure kernel throughput rather than process fork +
+    # import + first-call cost
+    warm_cases = [
+        (GeometryType.POINT, AllocationMethod.WITHIN, 7, "total_count",
+         F.lit("POINT (-100.0 40.0)")),
+        (GeometryType.LINE, AllocationMethod.PCT_LENGTH, 4,
+         "total_length_km",
+         F.lit("LINESTRING (-100.0 40.0, -99.8 40.1)")),
+        (GeometryType.POLYGON, AllocationMethod.PCT_AREA, 6,
+         "total_area_km2",
+         F.lit("POLYGON ((-100 40, -99.9 40, -99.9 40.1, -100 40.1, "
+               "-100 40))")),
+    ]
+    for gtype, meth, res, metric, geom in warm_cases:
+        warm_fn = make_index_map_fn("uid", gtype, meth, res, metric)
+        (
+            spark.range(64)
+            .repartition(64)
+            .select(F.col("id").alias("uid"), geom.alias("geom_wkt"))
+            .mapInPandas(
+                warm_fn,
+                schema=(
+                    "uid bigint, h3_index string, ratio double, "
+                    f"{metric} double, h3_area_km2 double"
+                ),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
         )
-        .mapInPandas(
-            warm_fn,
-            schema=(
-                "uid bigint, h3_index string, ratio double, "
-                "total_count double, h3_area_km2 double"
-            ),
-        )
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
 
     pts_path = f"/tmp/h3idx_bench_points_{n_points}.parquet"
     if not os.path.isdir(pts_path):

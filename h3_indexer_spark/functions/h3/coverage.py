@@ -273,12 +273,16 @@ def polyfill(
         boundary_cells = line_cells(ring + [ring[0]], res)
 
     # candidate cells = every cell intersecting the bbox, found by
-    # batch-indexing a sample grid at 0.4 × mean edge (below the
-    # smallest real cell inradius; anything still missed is adjacent
-    # to a found cell and recovered by the callers' 1-ring expansion)
+    # batch-indexing a sample grid at 0.7 × mean edge. Guarantee: the
+    # measured minimum H3 cell inradius is 0.70 × mean edge (lat-
+    # corrected, res 4-9 global sample), and an axis-aligned grid of
+    # step s hits every region containing a disk of radius r when
+    # s ≤ r·√2 ≈ 0.99 × mean edge — so every bbox cell gets a sample
+    # with ~1.4× margin; anything pathological beyond that is adjacent
+    # to a found cell and recovered by the callers' 1-ring expansion
     lngs = [p[0] for p in ring]
     lats = [p[1] for p in ring]
-    step = _EDGE_KM[res] / _EARTH_KM * (180.0 / math.pi) * 0.4
+    step = _EDGE_KM[res] / _EARTH_KM * (180.0 / math.pi) * 0.7
     glat = np.arange(min(lats), max(lats) + step, step)
     glng = np.arange(min(lngs), max(lngs) + step, step)
     cand_parts = [np.asarray(boundary_cells, dtype=np.int64)]
@@ -322,7 +326,7 @@ def polyfill_many(specs, res: int) -> list:
         latlng_to_cell_batch,
     )
 
-    step = _EDGE_KM[res] / _EARTH_KM * (180.0 / math.pi) * 0.4
+    step = _EDGE_KM[res] / _EARTH_KM * (180.0 / math.pi) * 0.7
     grid_la, grid_ln, gsizes = [], [], []
     rings_open = []
     for outer, holes, bcells, wrap in specs:

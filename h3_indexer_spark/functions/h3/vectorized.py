@@ -136,20 +136,12 @@ def _lround_v(x: np.ndarray) -> np.ndarray:
 
 
 def _normalize_v(i, j, k):
-    neg = i < 0
-    j = j - np.where(neg, i, 0)
-    k = k - np.where(neg, i, 0)
-    i = np.where(neg, 0, i)
-    neg = j < 0
-    i = i - np.where(neg, j, 0)
-    k = k - np.where(neg, j, 0)
-    j = np.where(neg, 0, j)
-    neg = k < 0
-    i = i - np.where(neg, k, 0)
-    j = j - np.where(neg, k, 0)
-    k = np.where(neg, 0, k)
+    # The scalar normalize (shift negatives axis-by-axis, then subtract
+    # the min) always lands on the unique representative with min == 0
+    # and all components >= 0 while preserving the (i-j, j-k) class —
+    # for integer coords that is exactly "subtract the componentwise
+    # min", so the whole branch sequence collapses to two array ops.
     m = np.minimum(np.minimum(i, j), k)
-    m = np.where(m > 0, m, 0)
     return i - m, j - m, k - m
 
 
@@ -266,12 +258,33 @@ def cell_area_km2_batch(cells: np.ndarray) -> np.ndarray:
 
 
 def _face_ijk_batch(h, res, MAX_DIM_BY_CII_RES):
-    """Vector twin of core._h3_to_face_ijk for hexagon cells: true
-    (face, i, j, k) after the standard overage adjustment, plus a
-    fallback mask (pentagons)."""
+    """Vector twin of core._h3_to_face_ijk: true (face, i, j, k) after
+    overage adjustment, plus a fallback mask. Pentagon-DESCENDANT
+    hexagon cells are handled in-line (leading-IK cw pre-rotation,
+    pent-leading-4 overage rotation, repeated adjustment rounds);
+    only true pentagon cells (all digits 0 — twelve per resolution
+    globally) remain on the scalar path."""
     n = h.shape[0]
     bc = (h >> 45) & 0x7F
-    fallback = np.isin(bc, _PENTAGONS)
+    pent = np.isin(bc, _PENTAGONS)
+
+    # leading nonzero digit of pentagon-descendant rows
+    lead = np.zeros(n, dtype=np.int64)
+    if pent.any():
+        for r in range(1, res + 1):
+            shift = 3 * (core.MAX_H3_RES - r)
+            d = (h >> shift) & 0x7
+            lead = np.where(pent & (lead == 0) & (d != 0), d, lead)
+    fallback = pent & (lead == 0)  # true pentagons go scalar
+
+    # leading-IK descendants rotate cw before the walk
+    # (scalar _h3_to_face_ijk_home, core.py:584-585)
+    hw = h
+    rot_rows = pent & (lead == core.IK_AXES_DIGIT)
+    if rot_rows.any():
+        hw = h.copy()
+        hw[rot_rows] = _rotate_digits_v(hw[rot_rows], res, _ROT_CW_ARR)
+    pent4 = pent & (lead == core.I_AXES_DIGIT)
 
     # base-cell home face + ijk
     if not hasattr(_face_ijk_batch, "_bc_arrays"):
@@ -297,33 +310,53 @@ def _face_ijk_batch(h, res, MAX_DIM_BY_CII_RES):
         else:
             i, j, k = _down_ap7r_v(i, j, k)
         shift = 3 * (core.MAX_H3_RES - r)
-        d = (h >> shift) & 0x7
+        d = (hw >> shift) & 0x7
         i, j, k = _normalize_v(i + ui_t[d], j + uj_t[d], k + uk_t[d])
 
     # overage adjustment (scalar _h3_to_face_ijk): cells whose home-face
     # ijk lies beyond the face patch move to the adjacent face. Hexagon
-    # cells with res == 0 or a home-origin base cell can never overage.
-    possible = (
-        ~home_origin if res > 0 else np.zeros(n, dtype=bool)
-    )
+    # cells with res == 0 or a home-origin base cell never overage;
+    # pentagon descendants always can, and may need repeated rounds
+    # (scalar while-loop, core.py:622-628).
+    if res > 0:
+        possible = pent | ~home_origin
+    else:
+        possible = pent.copy()
     adj = res + (1 if core.is_class_iii(res) else 0)
     if core.is_class_iii(res):
         ai, aj, ak = _down_ap7r_v(i, j, k)
     else:
         ai, aj, ak = i, j, k
-    s = ai + aj + ak
-    over = possible & (s > MAX_DIM_BY_CII_RES[adj])
-    if over.any():
+    max_dim = MAX_DIM_BY_CII_RES[adj]
+    adjusted = np.zeros(n, dtype=bool)
+    for round_ in range(4):
+        s = ai + aj + ak
+        over = possible & (s > max_dim)
+        if round_ > 0:
+            over &= pent  # only pentagon descendants repeat
+        if not over.any():
+            break
         fo, io, jo, ko = _overage_adjust_v(
             face[over], ai[over], aj[over], ak[over], adj,
             MAX_DIM_BY_CII_RES, substrate=False,
+            pent4=pent4[over] if round_ == 0 else None,
         )
-        if core.is_class_iii(res):
-            io, jo, ko = _up_ap7r_v(io, jo, ko)
         face = face.copy()
         face[over] = fo
+        ai, aj, ak = ai.copy(), aj.copy(), ak.copy()
+        ai[over], aj[over], ak[over] = io, jo, ko
+        adjusted |= over
+    # anything still overaging after the rounds: scalar fallback
+    fallback = fallback | (possible & pent & ((ai + aj + ak) > max_dim))
+    if adjusted.any():
+        if core.is_class_iii(res):
+            io, jo, ko = _up_ap7r_v(
+                ai[adjusted], aj[adjusted], ak[adjusted]
+            )
+        else:
+            io, jo, ko = ai[adjusted], aj[adjusted], ak[adjusted]
         i, j, k = i.copy(), j.copy(), k.copy()
-        i[over], j[over], k[over] = io, jo, ko
+        i[adjusted], j[adjusted], k[adjusted] = io, jo, ko
     return face, i, j, k, fallback
 
 
@@ -626,13 +659,26 @@ def _ijk_rotate60_ccw_v(i, j, k):
     return _normalize_v(i + k, i + j, j + k)
 
 
-def _overage_adjust_v(face, i, j, k, res, MAX_DIM_BY_CII_RES, substrate):
-    """Vector twin of core._adjust_overage_class_ii for hexagon cells
-    (pent_leading_4 is always False here — pentagons go scalar). All
-    rows must already be known to overage (s > max_dim)."""
+def _overage_adjust_v(face, i, j, k, res, MAX_DIM_BY_CII_RES, substrate,
+                      pent4=None):
+    """Vector twin of core._adjust_overage_class_ii. All rows must
+    already be known to overage (s > max_dim). ``pent4`` marks rows of
+    pentagon-descendant cells whose leading digit is I (4): in the KI
+    quadrant those rotate out of the deleted K-axes sub-sequence first
+    (core.py:548-558)."""
     nbf_t, rot_t, ti_t, tj_t, tk_t = _neighbor_tables()
     quad = np.where(k > 0, np.where(j > 0, core.JK_QUAD, core.KI_QUAD),
                     core.IJ_QUAD)
+    if pent4 is not None:
+        m = pent4 & (quad == core.KI_QUAD)
+        if m.any():
+            md = MAX_DIM_BY_CII_RES[res] * (3 if substrate else 1)
+            ti_, tj_, tk_ = i[m] - md, j[m], k[m]
+            # cw rotation (normalized, as scalar _ijk_rotate60_cw),
+            # then translate back without renormalizing
+            ri, rj, rk = _normalize_v(ti_ + tj_, tj_ + tk_, ti_ + tk_)
+            i, j, k = i.copy(), j.copy(), k.copy()
+            i[m], j[m], k[m] = ri + md, rj, rk
     nb_face = nbf_t[face, quad]
     ccw = rot_t[face, quad]
     max_ccw = int(ccw.max()) if len(ccw) else 0
