@@ -141,3 +141,36 @@ def range_join(
         & (F.col(value_col) < F.col(hi_col))
     )
     return f.join(iv, cond, how).drop(bkt_f, bkt_i)
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: int | float,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split each key's ordered events into sessions wherever the gap
+    between consecutive events exceeds ``gap`` (same units as
+    ``ts_col``). Adds a 0-based ``session_id`` per key.
+
+    ONE shuffle (the window partition): a lag marks session starts, a
+    running sum numbers them — the standard batch sessionization that
+    needs no self-join. ``order_cols`` break ties at duplicate
+    timestamps so the numbering is deterministic. Skewed keys cost
+    what any window does. (The streaming twin with watermarked state
+    is streaming/events.py::sessionized_agg.)
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    new_session = prev.isNull() | (F.col(ts_col) - prev > F.lit(gap))
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.lit(1),
+    )

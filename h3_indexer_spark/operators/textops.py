@@ -158,3 +158,76 @@ def fingerprint(
         ),
     )
     return df.withColumn("fingerprint", fp)
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts — the contamination /
+    boilerplate census primitive. Adjacent-slice zip (zip_with over two
+    shifted slices) builds n-grams narrowly; ONE shuffle (the n-gram
+    count). Deterministic order: count desc, n-gram asc, limit k via
+    TakeOrderedAndProject (no global sort)."""
+    words = F.split(F.col(text_col), " ")
+    grams = words
+    for step in range(1, n):
+        grams = F.zip_with(
+            F.slice(grams, 1, F.greatest(F.size(words) - step, F.lit(0))),
+            F.slice(words, step + 1, F.greatest(
+                F.size(words) - step, F.lit(0)
+            )),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k highest-scoring terms per document, score = tf · N / df
+    (linear inverse document frequency — integer-exact arithmetic, so
+    results are bit-deterministic across engines; swap in log(N/df)
+    when ulp-level portability is not required).
+
+    Two shuffles: the (doc, term) count and the per-term document
+    frequency; the df table is a small vocabulary and broadcasts back.
+    Rank window is per-document (WindowGroupLimit pushes the k)."""
+    from pyspark.sql import Window
+
+    tokens = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").alias("df")
+    )  # rows of tf are distinct (doc, term) pairs already
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.lit(float(n_docs))
+            / F.col("df").cast("double")
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "score", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -759,6 +759,72 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vector(), cents, n_probe=4, k=10)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/temporal.py::sessionize): per-
+    user sessions split at >30-minute gaps, aggregated to one row per
+    session — the log-to-training-example primitive. ONE window
+    shuffle + the session aggregate; sums are DECIMAL-cast for
+    bit-determinism (see verify gotchas)."""
+    from h3_indexer_spark.operators.temporal import sessionize
+
+    ev = _load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "value",
+    )
+    s = sessionize(
+        ev, ["user_id"], "ts_us", gap=1_800_000_000,
+        order_cols=["event_id"],
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def q_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (operators/textops.py::
+    ngram_counts) — the contamination / boilerplate census primitive.
+    Narrow n-gram construction (zip_with over shifted slices), one
+    count shuffle, deterministic (count desc, ngram asc) top-k."""
+    from h3_indexer_spark.operators.textops import ngram_counts
+
+    return ngram_counts(
+        load(spark, sf_dir, "documents"), "text", n=2, k=20
+    )
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/textops.py::
+    tfidf_topk, linear inverse document frequency so the score
+    arithmetic is integer-exact and bit-equal across engines)."""
+    from h3_indexer_spark.operators.textops import tfidf_topk
+
+    return tfidf_topk(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab: per-user event counts by type. The pivot value
+    list is fixed (never inferred) so the output schema is stable and
+    the plan needs no extra distinct-values job — the only safe way to
+    pivot at 100 TB."""
+    ev = _load_events(spark, sf_dir).select("user_id", "event_type")
+    out = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    return out.na.fill(0, _EVENT_TYPES)
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data pipeline: the standard corpus-curation
     stack composed end-to-end from the §2.8 operators — quality
@@ -861,6 +927,10 @@ QUERIES: dict[str, Query] = {
     "q_knn_batch": q_knn_batch,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
+    "q_sessionize": q_sessionize,
+    "q_ngram_bigrams": q_ngram_bigrams,
+    "q_tfidf": q_tfidf,
+    "q_pivot_events": q_pivot_events,
     "q_corpus_curation": q_corpus_curation,
     "q_media_meta": q_media_meta,
     "q_media_resize": q_media_resize,
@@ -1006,6 +1076,86 @@ def _knn_oracle() -> str:
 
 
 ORACLES: dict[str, str] = {
+    "q_sessionize": """
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+            FROM events
+        ),
+        m AS (
+            SELECT *,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                             OR ts_us - lag(ts_us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ),
+        s AS (
+            SELECT *,
+                   CAST(SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - 1 AS BIGINT) AS session_id
+            FROM m
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               MIN(ts_us) AS session_start_us,
+               MAX(ts_us) AS session_end_us,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM s GROUP BY user_id, session_id
+    """,
+    "q_ngram_bigrams": """
+        WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        g AS (
+            SELECT unnest(list_transform(
+                range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]
+            )) AS ngram
+            FROM w
+        )
+        SELECT ngram, COUNT(*) AS n
+        FROM g GROUP BY ngram
+        ORDER BY n DESC, ngram ASC LIMIT 20
+    """,
+    "q_tfidf": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+              FROM documents)
+        SELECT doc_id, term, score, rank FROM (
+            SELECT tf.doc_id, tf.term,
+                   CAST(tf.tf AS DOUBLE) * (SELECT n FROM n)
+                       / CAST(dfq.df AS DOUBLE) AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n FROM n)
+                                    / CAST(dfq.df AS DOUBLE) DESC,
+                                tf.term ASC
+                   ) AS BIGINT) AS rank
+            FROM tf JOIN dfq USING (term)
+        ) WHERE rank <= 3
+    """,
+    "q_pivot_events": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS view
+        FROM events GROUP BY user_id
+    """,
     "q_scan_parquet": "SELECT * FROM part",
     "q_scan_where": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

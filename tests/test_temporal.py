@@ -190,3 +190,40 @@ class TestAdviceFixes:
         # the old px=1.0 (outside tolerance) must not be validated by
         # the newer row's timestamp
         assert got.asof_px is None
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        from h3_indexer_spark.operators.temporal import sessionize
+
+        df = spark.createDataFrame(
+            [("u", 0, 1), ("u", 100, 2), ("u", 5000, 3), ("u", 5100, 4),
+             ("v", 50, 5)],
+            "key string, ts long, eid long",
+        )
+        out = {
+            (r.key, r.eid): r.session_id
+            for r in sessionize(
+                df, ["key"], "ts", gap=1000, order_cols=["eid"]
+            ).collect()
+        }
+        assert out == {
+            ("u", 1): 0, ("u", 2): 0, ("u", 3): 1, ("u", 4): 1,
+            ("v", 5): 0,
+        }
+
+    def test_boundary_gap_stays_in_session(self, spark):
+        from h3_indexer_spark.operators.temporal import sessionize
+
+        df = spark.createDataFrame(
+            [("u", 0, 1), ("u", 1000, 2), ("u", 2001, 3)],
+            "key string, ts long, eid long",
+        )
+        out = {
+            r.eid: r.session_id
+            for r in sessionize(
+                df, ["key"], "ts", gap=1000, order_cols=["eid"]
+            ).collect()
+        }
+        # gap == 1000 keeps the session; gap 1001 breaks it
+        assert out == {1: 0, 2: 0, 3: 1}
