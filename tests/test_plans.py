@@ -46,6 +46,16 @@ def _plan(spark, key: str) -> str:
         # as-of join is the single-shuffle union+window formulation:
         # one window, no nested-loop join anywhere in the plan
         ("q_asof_join", ["Window"]),
+        # batch kNN exercises the library's broadcast of the query set
+        ("q_knn_batch", ["BroadcastNestedLoopJoin Cross BuildRight"]),
+        # sessionization is one window + one aggregate, no self-join
+        ("q_sessionize", ["Window", "HashAggregate"]),
+        # tf-idf broadcasts the small vocabulary table back, and the
+        # per-doc rank pushes the k into the window
+        ("q_tfidf", ["BroadcastHashJoin", "WindowGroupLimit"]),
+        # pivot with a fixed value list is a single hash aggregation
+        # (no distinct-values job, no extra exchange chain)
+        ("q_pivot_events", ["HashAggregate"]),
     ],
 )
 def test_plan_properties(spark, key, required):
