@@ -859,6 +859,16 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(_media_table(spark, sf_dir), codec="fake")
 
 
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata extraction (operators/multimodal.py): the
+    mapInPandas decode path for audio payloads. The fake codec derives
+    the waveform from the payload bytes, so sample counts are
+    byte-length-determined and oracle-checkable."""
+    from h3_indexer_spark.operators.multimodal import decode_audio_metadata
+
+    return decode_audio_metadata(_media_table(spark, sf_dir), codec="fake")
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize over binary payloads (operators/multimodal.py):
     vectorized nearest-neighbor sampling after the (stubbed) decode.
@@ -933,6 +943,7 @@ QUERIES: dict[str, Query] = {
     "q_pivot_events": q_pivot_events,
     "q_corpus_curation": q_corpus_curation,
     "q_media_meta": q_media_meta,
+    "q_media_audio": q_media_audio,
     "q_media_resize": q_media_resize,
     "q_media_frames": q_media_frames,
 }
@@ -1401,6 +1412,15 @@ ORACLES: dict[str, str] = {
                CAST(8 AS INTEGER) AS height,
                CAST(3 AS INTEGER) AS channels,
                'fake/raw' AS format
+        FROM documents
+    """,
+    "q_media_audio": """
+        SELECT doc_id AS media_id,
+               CAST(16000 AS INTEGER) AS sample_rate,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+               CAST(1 AS INTEGER) AS n_channels,
+               CAST(octet_length(encode(text)) AS DOUBLE) / 16000.0
+                   AS duration_s
         FROM documents
     """,
 }

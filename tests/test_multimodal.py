@@ -148,3 +148,52 @@ def test_features_compose_with_similarity(spark):
     ).collect()
     assert top[0].media_id == first.media_id
     assert abs(top[0].cosine_sim - 1.0) < 1e-6
+
+
+def test_audio_meta_and_features(spark):
+    from h3_indexer_spark.operators.multimodal import (
+        decode_audio_metadata,
+        extract_audio_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, n=20)
+    meta = decode_audio_metadata(media, codec="fake").collect()
+    assert len(meta) == 20
+    for r in meta:
+        assert r.sample_rate == 16000 and r.n_channels == 1
+        assert r.duration_s == r.n_samples / 16000.0
+    feats = extract_audio_features(media, n_bands=16, codec="fake").collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.feature) == 16
+        assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-5
+
+
+def test_audio_codec_paths_yield_declared_schema(monkeypatch):
+    """soundfile path decodes via a monkeypatched module; both codec
+    paths produce the declared schema."""
+    import sys
+    import types
+
+    import numpy as np
+    import pandas as pd
+
+    from h3_indexer_spark.operators import multimodal as mm
+
+    sf = types.ModuleType("soundfile")
+    sf.read = lambda bio, dtype, always_2d: (
+        np.zeros((800, 2), dtype=np.float32), 8000
+    )
+    monkeypatch.setitem(sys.modules, "soundfile", sf)
+    assert mm._resolve_audio_codec("auto") == "soundfile"
+
+    pdf = pd.DataFrame({"media_id": [1], "payload": [b"RIFF..."]})
+    real = mm._audio_meta_batch(pdf, "soundfile", "media_id", "payload")
+    fake = mm._audio_meta_batch(pdf, "fake", "media_id", "payload")
+    assert list(real.columns) == list(fake.columns)
+    assert real.dtypes.equals(fake.dtypes)
+    assert real.sample_rate.tolist() == [8000]
+    assert real.n_channels.tolist() == [2]
+    fr = mm._audio_features_batch(pdf, "soundfile", "media_id", "payload", 8)
+    assert all(len(v) == 8 for v in fr.feature)
