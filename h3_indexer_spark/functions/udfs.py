@@ -441,10 +441,24 @@ def _index_lines_batch(line_feats, res: int, method: AllocationMethod,
         )
         sampled_lists.append(sampled)
         lines_f.append([rings[0] for _, rings, _, _ in plist])
-    metrics_f = [
-        sum(geodesy.spheroid_line_length_m(line) for line in lines) / 1000.0
-        for lines in lines_f
-    ]
+    # total_length_km metric: one batched Vincenty call over every
+    # segment of the batch instead of per-segment scalar iteration
+    seg_p1, seg_p2, seg_feat = [], [], []
+    for fi, lines in enumerate(lines_f):
+        for line in lines:
+            a = np.asarray(line, dtype=np.float64)
+            seg_p1.append(a[:-1])
+            seg_p2.append(a[1:])
+            seg_feat.append(np.full(len(a) - 1, fi, dtype=np.int64))
+    metrics_arr = np.zeros(len(line_feats), dtype=np.float64)
+    if seg_p1:
+        P1m = np.concatenate(seg_p1)
+        P2m = np.concatenate(seg_p2)
+        dists = geodesy.vincenty_distance_m_batch(
+            P1m[:, 1], P1m[:, 0], P2m[:, 1], P2m[:, 0]
+        )
+        np.add.at(metrics_arr, np.concatenate(seg_feat), dists)
+    metrics_f = (metrics_arr / 1000.0).tolist()
     if method == AllocationMethod.PASS_THROUGH:
         for (uid, _, _), sampled, metric in zip(
             line_feats, sampled_lists, metrics_f
@@ -543,7 +557,8 @@ def _index_polygons_batch(poly_feats, res: int, method: AllocationMethod,
     metrics_out: list = []
     F = len(poly_feats)
 
-    parts_f, metrics_f, total_area_f = [], [], []
+    parts_f, total_area_f = [], []
+    metric_rings, metric_feat, metric_sign = [], [], []
     edge_base_f = []  # outer sampled + hole boundary cells per feature
     hole_cell_lists = []  # extra neighbor-batch inputs (holes only)
     specs = []  # one polyfill spec per part
@@ -551,14 +566,14 @@ def _index_polygons_batch(poly_feats, res: int, method: AllocationMethod,
     for fi, (_, plist, wrap) in enumerate(poly_feats):
         parts = [_split_outer_holes(rings) for _, rings, _, _ in plist]
         parts_f.append(parts)
-        metrics_f.append(
-            sum(
-                geodesy.spheroid_polygon_area_m2(outer)
-                - sum(geodesy.spheroid_polygon_area_m2(h) for h in holes)
-                for outer, holes in parts
-            )
-            / 1.0e6
-        )
+        for outer, holes in parts:
+            metric_rings.append(outer)
+            metric_feat.append(fi)
+            metric_sign.append(1.0)
+            for h in holes:
+                metric_rings.append(h)
+                metric_feat.append(fi)
+                metric_sign.append(-1.0)
         total_area_f.append(
             sum(
                 geodesy.planar_polygon_area(outer)
@@ -585,6 +600,18 @@ def _index_polygons_batch(poly_feats, res: int, method: AllocationMethod,
                 hole_cells.extend(hc)
         edge_base_f.append(edge_base)
         hole_cell_lists.append(hole_cells)
+
+    # total_area_km2 metric: one batched authalic-area call over every
+    # ring of the batch (holes subtract)
+    metrics_arr = np.zeros(F, dtype=np.float64)
+    if metric_rings:
+        areas_m2 = geodesy.spheroid_polygon_area_m2_many(metric_rings)
+        np.add.at(
+            metrics_arr,
+            np.asarray(metric_feat, dtype=np.int64),
+            np.asarray(metric_sign) * areas_m2,
+        )
+    metrics_f = (metrics_arr / 1.0e6).tolist()
 
     pf_lists: list[list[int]] = [[] for _ in range(F)]
     part_fills = coverage.polyfill_many(specs, res)
