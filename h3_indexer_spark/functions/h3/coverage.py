@@ -117,11 +117,18 @@ def cell_neighbors_batch(cells) -> "np.ndarray":
             out[sel, d - 1] = nb
             bad |= ~ok
             bad |= nb == h  # degenerate: step resolved to the center
-            # a pentagon neighbor distorts adjacency (deleted K axis)
-            # that plain unit stepping does not model — probe instead
+            # a TRUE pentagon neighbor (pentagon base cell, all digits
+            # zero — twelve per resolution) distorts adjacency in ways
+            # plain unit stepping does not model — probe those rows.
+            # Mere pentagon DESCENDANTS are ordinary hexagons.
             from h3_indexer_spark.functions.h3.vectorized import _PENTAGONS
 
-            bad |= np.isin((nb >> 45) & 0x7F, _PENTAGONS)
+            digit_mask = np.int64(
+                ((1 << (3 * res)) - 1) << (3 * (core.MAX_H3_RES - res))
+            ) if res > 0 else np.int64(0)
+            bad |= np.isin((nb >> 45) & 0x7F, _PENTAGONS) & (
+                (nb & digit_mask) == 0
+            )
         need_fb[sel] = bad
     if need_fb.any():
         for ix in np.nonzero(need_fb)[0]:
