@@ -29,7 +29,11 @@ from h3_indexer_spark.constants import (
     H3_RESOLUTION,
     RATIO,
 )
-from h3_indexer_spark.config.loader import job_from_json, job_from_path
+from h3_indexer_spark.config.loader import (
+    job_from_dict,
+    job_from_json,
+    job_from_path,
+)
 from h3_indexer_spark.plans.indexer import h3_indexer_spark, index_job
 from h3_indexer_spark.plans.resolver import (
     h3_resolver_single_input_spark,
@@ -57,6 +61,7 @@ __all__ = [
     "h3_resolver_single_input_spark",
     "h3_resolver_spark",
     "index_job",
+    "job_from_dict",
     "job_from_json",
     "job_from_path",
     "resolve_job",
