@@ -338,3 +338,24 @@ def test_jdbc_config_field_routes_to_jdbc_reader(monkeypatch):
         "table": "geo.counties",
         "where": "statefp = '36'",
     }
+
+
+def test_shapefile_without_shx_scans_record_headers(spark):
+    import os
+
+    d = tempfile.mkdtemp(prefix="h3idx_shp_")
+    try:
+        pts = [(-100.0 + i * 0.1, 40.0) for i in range(10)]
+        shp = _write_shapefile(
+            f"{d}/pts",
+            [_point_rec(x, y) for x, y in pts],
+            fields=[("PID", "N", 8, 0)],
+            rows=[(i,) for i in range(10)],
+            shape_type=1,
+        )
+        os.remove(f"{d}/pts.shx")
+        df = read_source(spark, path=shp)
+        assert df.count() == 10
+        assert df.where("geometry = 'POINT (-100 40)'").count() == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
