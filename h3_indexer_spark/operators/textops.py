@@ -195,6 +195,7 @@ def tfidf_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Top-k highest-scoring terms per document, score = tf · N / df
     (linear inverse document frequency — integer-exact arithmetic, so
@@ -202,8 +203,11 @@ def tfidf_topk(
     when ulp-level portability is not required).
 
     Two shuffles: the (doc, term) count and the per-term document
-    frequency; the df table is a small vocabulary and broadcasts back.
-    Rank window is per-document (WindowGroupLimit pushes the k)."""
+    frequency; the df table broadcasts back when the vocabulary is
+    bounded (``broadcast_vocab``, default). For open web-scale
+    vocabularies pass False — the join then shuffles on term, which
+    both sides are already partitioned by. Rank window is per-document
+    (WindowGroupLimit pushes the k)."""
     from pyspark.sql import Window
 
     tokens = df.select(
@@ -214,7 +218,8 @@ def tfidf_topk(
         F.count("*").alias("df")
     )  # rows of tf are distinct (doc, term) pairs already
     n_docs = df.select(id_col).distinct().count()
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    dfreq_side = F.broadcast(dfreq) if broadcast_vocab else dfreq
+    scored = tf.join(dfreq_side, "term").select(
         id_col,
         "term",
         (

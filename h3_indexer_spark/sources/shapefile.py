@@ -235,10 +235,28 @@ def read_shapefile(
     stem = path[:-4] if path.lower().endswith(".shp") else path
     shx_path, dbf_path = stem + ".shx", stem + ".dbf"
 
+    # Offsets: prefer reading .shx slices ON THE EXECUTOR (8 bytes per
+    # record, seeked per batch) so nothing record-proportional ships in
+    # the task closure — a full-size 2 GB .shp has ~10^8 records and a
+    # driver-materialized offset list would not scale. Only the record
+    # COUNT is read on the driver. Without a .shx the driver scans the
+    # record headers once and ships a compact numpy offset array.
+    shx_entries: "object" = None
     try:
-        offsets = _read_shx_offsets(shx_path)
+        with open(shx_path, "rb") as f:
+            header = f.read(100)
+            if len(header) < 100 or struct.unpack(">i", header[:4])[0] != 9994:
+                raise OSError("bad shx")
+            file_len = struct.unpack(">i", header[24:28])[0] * 2
+            n = (file_len - 100) // 8
+        have_shx = True
     except OSError:
-        offsets = _scan_shp_offsets(shp_path)
+        import numpy as np
+
+        scanned = _scan_shp_offsets(shp_path)
+        shx_entries = np.asarray(scanned, dtype=np.int64)
+        n = len(scanned)
+        have_shx = False
 
     try:
         fields, dbf_header, dbf_rec_size, _ = _read_dbf_header(dbf_path)
@@ -253,14 +271,14 @@ def read_shapefile(
         ]
         + [T.StructField(_GEOM_COL, T.StringType(), True)]
     )
-    n = len(offsets)
     if partitions is None:
         partitions = max(1, min(n, spark.sparkContext.defaultParallelism))
 
     meta = {
         "shp": shp_path,
+        "shx": shx_path if have_shx else None,
         "dbf": dbf_path if have_dbf else None,
-        "offsets": offsets,
+        "offsets": shx_entries,  # numpy (n, 2) only when no .shx
         "fields": fields,
         "dbf_header": dbf_header,
         "dbf_rec_size": dbf_rec_size,
@@ -273,13 +291,29 @@ def read_shapefile(
             ids = pdf["id"].to_list()
             if not ids:
                 continue
+            lo, hi = min(ids), max(ids)
+            if meta["shx"] is not None:
+                # one contiguous .shx read for the batch's id span
+                with open(meta["shx"], "rb") as shx:
+                    shx.seek(100 + 8 * lo)
+                    raw = shx.read(8 * (hi - lo + 1))
+
+                def entry(rid):
+                    ow, lw = struct.unpack_from(">ii", raw, 8 * (rid - lo))
+                    return ow * 2, lw * 2
+            else:
+                offs = meta["offsets"]
+
+                def entry(rid):
+                    return int(offs[rid, 0]), int(offs[rid, 1])
+
             rows = {name: [] for name, *_ in meta["fields"]}
             geoms = []
             with open(meta["shp"], "rb") as shp:
                 dbf = open(meta["dbf"], "rb") if meta["dbf"] else None
                 try:
                     for rid in ids:
-                        off, clen = meta["offsets"][rid]
+                        off, clen = entry(rid)
                         shp.seek(off + 8)
                         geoms.append(parse_shp_record(shp.read(clen)))
                         if dbf is not None:
