@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from h3_indexer_spark.functions.exprs import let
@@ -418,4 +418,32 @@ def simhash_near_dups(
     return (
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Exact dedup that keeps the highest-``score_col`` row per content
+    hash (id ascending breaks score ties) — canonical-document
+    selection for curation, where "first seen" is the wrong keep rule.
+    One shuffle (the rank window over the hash); emits the kept rows
+    with their duplicate count. Output: (text_hash, *df columns,
+    dup_cnt)."""
+    hashed = df.withColumn(
+        "text_hash", F.md5(F.col(text_col).cast("binary"))
+    )
+    w = Window.partitionBy("text_hash").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        hashed.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "dup_cnt", F.count("*").over(Window.partitionBy("text_hash"))
+        )
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
     )

@@ -236,3 +236,25 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "score", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def stratified_sample_by_key(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict,
+    mod: int = 100,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing
+    primitive (e.g. keep 10% of 'en' crawl, 100% of 'code'). A row is
+    kept when ``key % mod < rate(stratum) · mod``: systematic sampling
+    keyed on the row id, so the sample is reproducible across runs and
+    engines (no RNG state), a narrow filter (zero shuffle, pushes to
+    the scan), and exact for rate·mod integral."""
+    expr = F.lit(int(default_rate * mod))
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * mod))
+        ).otherwise(expr)
+    return df.where(F.pmod(F.col(key_col), F.lit(mod)) < expr)

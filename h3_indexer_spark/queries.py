@@ -825,6 +825,43 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.na.fill(0, _EVENT_TYPES)
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (operators/textops.py::
+    stratified_sample_by_key): keep 50% of 'en', 100% of 'zh', 20% of
+    everything else, keyed on doc_id — reproducible corpus mixing with
+    a narrow filter that pushes to the scan."""
+    from h3_indexer_spark.operators.textops import stratified_sample_by_key
+
+    out = stratified_sample_by_key(
+        load(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        strata_col="lang",
+        rates={"en": 0.5, "zh": 1.0},
+        default_rate=0.2,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the highest-n_chars duplicate per content
+    hash (operators/dedup.py::exact_dedup_keep_best) — canonical-
+    document selection rather than keep-first."""
+    from h3_indexer_spark.operators.dedup import exact_dedup_keep_best
+
+    out = exact_dedup_keep_best(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars"
+        ),
+        score_col="n_chars",
+    )
+    return out.select(
+        "text_hash",
+        "doc_id",
+        "n_chars",
+        F.col("dup_cnt").cast("bigint").alias("dup_cnt"),
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data pipeline: the standard corpus-curation
     stack composed end-to-end from the §2.8 operators — quality
@@ -941,6 +978,8 @@ QUERIES: dict[str, Query] = {
     "q_ngram_bigrams": q_ngram_bigrams,
     "q_tfidf": q_tfidf,
     "q_pivot_events": q_pivot_events,
+    "q_sample_stratified": q_sample_stratified,
+    "q_dedup_keep_best": q_dedup_keep_best,
     "q_corpus_curation": q_corpus_curation,
     "q_media_meta": q_media_meta,
     "q_media_audio": q_media_audio,
@@ -1166,6 +1205,24 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                    AS BIGINT) AS view
         FROM events GROUP BY user_id
+    """,
+    "q_sample_stratified": """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id % 100 < CASE lang
+            WHEN 'en' THEN 50 WHEN 'zh' THEN 100 ELSE 20 END
+    """,
+    "q_dedup_keep_best": """
+        SELECT text_hash, doc_id, n_chars, dup_cnt FROM (
+            SELECT md5(text) AS text_hash, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY md5(text)
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rk,
+                   CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                       AS dup_cnt
+            FROM documents
+        ) WHERE rk = 1
     """,
     "q_scan_parquet": "SELECT * FROM part",
     "q_scan_where": """
