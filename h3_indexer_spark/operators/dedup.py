@@ -2,15 +2,16 @@
 
 All are expressed as DataFrame plans that scale to 100 TB:
 - exact:      hash-groupBy (one shuffle of (hash, id) pairs only)
-- minhash-LSH: per-doc shingle-hash ARRAY (narrow) → 64 array_min
-  signatures (narrow, zero shuffle) → band buckets → self-join within
-  buckets → exact-Jaccard verification via array_intersect. Only
-  (band_hash, id) rows and the candidate docs' shingle arrays ever
-  shuffle; the signature stage shuffles nothing at all (the classic
+- minhash-LSH: per-doc shingle-hash ARRAY (narrow, JVM) → 64-way
+  signatures + band buckets in ONE Arrow reduceat kernel (zero
+  shuffle) → self-join within buckets → exact-Jaccard verification
+  via array_intersect. Only (band_hash, id) rows and the candidate
+  docs' shingle arrays ever shuffle (the classic
   explode→distinct→groupBy formulation shuffles the whole shingle
   table twice and re-scans the corpus per verification branch).
-- simhash:    64-bit weighted-bit fingerprint computed narrowly from a
-  token-hash array; near-dups share bands of the fingerprint.
+- simhash:    64-bit weighted-bit fingerprint from a token-hash array
+  via one Arrow unpackbits kernel (zero shuffle); near-dups share
+  bands of the fingerprint.
 
 Every operator keys the heavy join on a hash, so AQE's skew handling
 covers pathological buckets (e.g. boilerplate-heavy corpora).
@@ -81,6 +82,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     seed: int = 42,
+    bands: int = 16,
 ) -> DataFrame:
     """MinHash signature per document: ``num_hashes`` minima over the
     shingle array — zero shuffle.
@@ -115,19 +117,33 @@ def minhash_signatures(
             flat = np.concatenate(arrs)
             offs = np.zeros(len(arrs), dtype=np.int64)
             np.cumsum(lens[:-1], out=offs[1:])
-            sig = np.empty((len(arrs), num_hashes), dtype=np.int64)
+            sig = np.empty((len(arrs), num_hashes), dtype=np.uint64)
             for h in range(num_hashes):
                 hv = _splitmix64(flat ^ rng_seeds[h])
-                sig[:, h] = np.minimum.reduceat(hv, offs).view(np.int64)
+                sig[:, h] = np.minimum.reduceat(hv, offs)
+            # band buckets in the same pass: fold each band's minima
+            # through SplitMix64 (seeded by band index) so candidate
+            # generation downstream is a plain explode of this column
+            rows_per_band = num_hashes // bands
+            band_arr = np.empty((len(arrs), bands), dtype=np.uint64)
+            for b in range(bands):
+                acc = _splitmix64(np.full(len(arrs), b, dtype=np.uint64))
+                for r_ in range(rows_per_band):
+                    acc = _splitmix64(acc ^ sig[:, b * rows_per_band + r_])
+                band_arr[:, b] = acc
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "sh_arr": pdf["sh_arr"],
-                    "sig": list(sig),
+                    "sig": list(sig.view(np.int64)),
+                    "bands": list(band_arr.view(np.int64)),
                 }
             )
 
-    schema = f"{id_col} long, sh_arr array<long>, sig array<long>"
+    schema = (
+        f"{id_col} long, sh_arr array<long>, sig array<long>, "
+        "bands array<long>"
+    )
     return shingle_df.mapInPandas(fn, schema=schema)
 
 
@@ -138,17 +154,10 @@ def lsh_candidate_pairs(
     bands: int = 16,
 ) -> DataFrame:
     """Banded LSH: documents sharing any band bucket become candidate
-    pairs (a < b). Only (band_hash, id) rows shuffle."""
-    rows_per_band = num_hashes // bands
-    buckets = let(
-        F.col("sig"),
-        lambda sig: F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(
-                b, F.slice(sig, b * rows_per_band + 1, rows_per_band)
-            ),
-        ),
-    )
+    pairs (a < b). Only (band_hash, id) rows shuffle. Band buckets are
+    precomputed by the signature kernel (the ``bands`` column), so this
+    stage is a plain explode + self-join."""
+    buckets = F.col("bands")
     # shuffle-hash, not broadcast: the banded table is corpus-sized, so
     # a broadcast (which Catalyst may pick — generated subplans carry no
     # stats) would ship the whole corpus's buckets to every task AND
@@ -213,7 +222,7 @@ def minhash_near_dups(
     exact Jaccard filter. Output: (id_a, id_b, jaccard) with jaccard ≥
     threshold."""
     sh = shingles(df, text_col, id_col, k)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    sig = minhash_signatures(sh, id_col, num_hashes, bands=bands)
     pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     return ngram_jaccard(pairs, sh, id_col).where(
         F.col("jaccard") >= threshold
