@@ -56,6 +56,9 @@ def _plan(spark, key: str) -> str:
         # pivot with a fixed value list is a single hash aggregation
         # (no distinct-values job, no extra exchange chain)
         ("q_pivot_events", ["HashAggregate"]),
+        # banded minhash self-join must stay shuffle-hash: a broadcast
+        # of the corpus-sized bucket table is non-viable at scale
+        ("q_dedup_minhash", ["ShuffledHashJoin"]),
     ],
 )
 def test_plan_properties(spark, key, required):
