@@ -21,6 +21,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 _REPO_ROOT = str(Path(__file__).resolve().parent)
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
@@ -236,8 +238,18 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # JVM/codegen warmup on an untimed scan.
+    # JVM/codegen warmup on an untimed scan, plus one untimed Arrow
+    # round-trip so the Python worker pool exists before the first
+    # timed pandas-UDF query (process forks are session setup, not
+    # operator cost).
     run(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    run(spark.range(256).repartition(32).select(_warm("id")))
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
