@@ -36,56 +36,29 @@ def language_id(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
 ) -> DataFrame:
     """Stopword-profile language ID: score = fraction of tokens hitting
-    each language's profile (duplicates counted — a real frequency
-    signal); argmax wins with greatest-language tiebreak, 'und'
-    (undetermined) when no profile clears 0.02.
+    each language's profile; argmax wins, 'und' (undetermined) when no
+    profile scores. array_intersect-free formulation keeps duplicates
+    counted (a real frequency signal).
 
-    Tokenization stays JVM-side (regex + split, mirrored by the DuckDB
-    oracle); the membership counts run in one Arrow hop — the batch's
-    token arrays flatten into a single Series and each profile is one
-    vectorized isin + reduceat. Same integer hits and double scores as
-    the previous per-token HOF filter (hash-match preserved), without
-    its interpreted per-element lambdas (~2.5× faster, and the plan
-    compiles in milliseconds instead of ~1 s)."""
-    from pyspark.sql.types import StringType
+    Deliberately pure expressions, NOT an Arrow kernel: a vectorized
+    isin/reduceat variant is faster on small batches (no ~1 s plan
+    compile) but 2× slower at 100k+ docs because every token string
+    crosses the Arrow boundary — the JVM-side filter wins where it
+    matters (measured in examples/scale_check.py)."""
+    def pick(toks: Column) -> Column:
+        n = F.greatest(F.size(toks), F.lit(1))
+        scores = []
+        for lang, words in _LANG_PROFILES.items():
+            hits = F.size(
+                F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+            )
+            scores.append(
+                F.struct((hits / n).alias("score"), F.lit(lang).alias("lang"))
+            )
+        best = F.array_max(F.array(*scores))
+        return F.when(best["score"] > 0.02, best["lang"]).otherwise(F.lit("und"))
 
-    profiles = sorted(
-        (lang, frozenset(words)) for lang, words in _LANG_PROFILES.items()
-    )
-
-    @F.pandas_udf(StringType())
-    def pick(toks: pd.Series) -> pd.Series:
-        null_mask = np.asarray([a is None for a in toks])
-        arrs = [
-            np.asarray(a, dtype=object) if a is not None
-            else np.asarray([], dtype=object)
-            for a in toks
-        ]
-        lens = np.asarray([len(a) for a in arrs], dtype=np.int64)
-        safe = [a if len(a) else np.asarray([""], dtype=object)
-                for a in arrs]
-        flat = pd.Series(np.concatenate(safe)) if safe else pd.Series([])
-        offs = np.zeros(len(safe), dtype=np.int64)
-        np.cumsum(
-            np.asarray([len(a) for a in safe], dtype=np.int64)[:-1],
-            out=offs[1:],
-        )
-        n = np.maximum(lens, 1).astype(np.float64)
-        best_score = np.full(len(arrs), -1.0)
-        best_lang = np.full(len(arrs), "und", dtype=object)
-        for lang, words in profiles:  # ascending, so >= mirrors the
-            member = flat.isin(words).to_numpy()  # struct-max tiebreak
-            hits = np.add.reduceat(member, offs) if len(flat) else \
-                np.zeros(len(arrs))
-            score = hits / n
-            take = score >= best_score
-            best_lang = np.where(take, lang, best_lang)
-            best_score = np.where(take, score, best_score)
-        out = np.where(best_score > 0.02, best_lang, "und")
-        out = np.where(null_mask, None, out)
-        return pd.Series(out, dtype=object)
-
-    return df.withColumn(out_col, pick(_lower_tokens(text_col)))
+    return df.withColumn(out_col, let(_lower_tokens(text_col), pick))
 
 
 def quality_score(
