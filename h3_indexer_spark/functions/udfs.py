@@ -349,18 +349,23 @@ def _index_polygon(rings, res: int, method: AllocationMethod, boundary=None):
 
 
 def _maybe_unwrap(parts):
-    """Antimeridian handling: if any ring's lng span exceeds 180° the
-    feature is assumed to cross ±180°, and every coordinate is shifted
-    into the continuous [0, 360) frame (lng < 0 → +360). All planar
-    math downstream (sampling, polyfill, clipping, centroids) runs in
-    that frame; cell indexing and the spheroid metrics are
-    trigonometric and accept lng > 180 unchanged. The batch allocators
-    shift candidate-cell boundaries into the same frame per feature.
-    Returns (parts, wrap)."""
+    """Antimeridian handling: a feature is treated as crossing ±180°
+    only when some ring has a CONSECUTIVE-vertex lng jump > 180° — the
+    GeoJSON RFC 7946 §3.1.9 convention, where a segment nominally
+    spanning more than half the globe means "the short way across the
+    antimeridian". A legitimately wide feature (span > 180° but densely
+    vertexed, so no single jump exceeds 180°) is left untouched. When
+    crossing, every coordinate shifts into the continuous [0, 360)
+    frame (lng < 0 → +360). All planar math downstream (sampling,
+    polyfill, clipping, centroids) runs in that frame; cell indexing
+    and the spheroid metrics are trigonometric and accept lng > 180
+    unchanged. The batch allocators shift candidate-cell boundaries
+    into the same frame per feature. Returns (parts, wrap)."""
     crosses = any(
-        max(p[0] for p in ring) - min(p[0] for p in ring) > 180.0
+        abs(ring[i][0] - ring[i - 1][0]) > 180.0
         for _, rings in parts
         for ring in rings
+        for i in range(1, len(ring))
     )
     if not crosses:
         return parts, False

@@ -140,8 +140,11 @@ def minhash_signatures(
                 }
             )
 
+    # preserve the caller's id type (string doc ids must survive the
+    # Arrow hop, not be coerced to long)
+    id_type = shingle_df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, sh_arr array<long>, sig array<long>, "
+        f"{id_col} {id_type}, sh_arr array<long>, sig array<long>, "
         "bands array<long>"
     )
     return shingle_df.mapInPandas(fn, schema=schema)
@@ -150,13 +153,12 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
 ) -> DataFrame:
     """Banded LSH: documents sharing any band bucket become candidate
     pairs (a < b). Only (band_hash, id) rows shuffle. Band buckets are
-    precomputed by the signature kernel (the ``bands`` column), so this
-    stage is a plain explode + self-join."""
+    precomputed by the signature kernel (the ``bands`` column) — the
+    band count is fixed there, so this stage takes no banding
+    parameters and is a plain explode + self-join."""
     buckets = F.col("bands")
     # shuffle-hash, not broadcast: the banded table is corpus-sized, so
     # a broadcast (which Catalyst may pick — generated subplans carry no
@@ -223,7 +225,7 @@ def minhash_near_dups(
     threshold."""
     sh = shingles(df, text_col, id_col, k)
     sig = minhash_signatures(sh, id_col, num_hashes, bands=bands)
-    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    pairs = lsh_candidate_pairs(sig, id_col)
     return ngram_jaccard(pairs, sh, id_col).where(
         F.col("jaccard") >= threshold
     )

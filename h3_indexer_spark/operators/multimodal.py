@@ -178,7 +178,11 @@ def _frames_batch(pdf: pd.DataFrame, codec: str, id_col: str,
             taken = 0
             with av.open(io.BytesIO(raw)) as container:
                 for fno, frame in enumerate(container.decode(video=0)):
-                    if fno % every_n or taken >= max_frames:
+                    if taken >= max_frames:
+                        # stop decoding outright — decoding the rest of
+                        # the container just to drop it is wasted work
+                        break
+                    if fno % every_n:
                         continue
                     ids.append(mid)
                     nos.append(fno)

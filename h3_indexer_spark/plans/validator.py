@@ -119,6 +119,11 @@ def validate_input(
     _check_numeric_columns(df, vt)
     df = _attach_canonical_geometry(df, vt)
     df = _drop_invalid_geometries(df, vt)
+    # persist BEFORE any validation action: the POINT-type count below
+    # is an eager pass over the full input, and without the persist the
+    # downstream Index stage would re-scan + re-canonicalize everything
+    # a second time — an extra full pass per input at 100 TB.
+    df = df.persist()
     if vt.geometry_type == GeometryType.POINT and vt.geometry_column_name:
         # points must parse as points: a LINESTRING/POLYGON smuggled
         # into a POINT input would silently allocate nothing or the
@@ -129,11 +134,12 @@ def validate_input(
             & ~F.col(GEOM_WKT).startswith("MULTIPOINT")
         ).count()
         if n_bad:
+            df.unpersist()
             raise ValidationError(
                 f"input '{input_name}': {n_bad} geometries are not "
                 f"POINT/MULTIPOINT but geometry_type is POINT"
             )
-    vt.df = df.persist()
+    vt.df = df
     return vt
 
 

@@ -50,6 +50,26 @@ class TestMinhash:
         for r in pairs:
             assert 0.5 <= r.jaccard <= 1.0
 
+    def test_string_doc_ids_survive(self, spark):
+        """The signature kernel must preserve the caller's id type —
+        corpora with string doc ids (URLs, UUIDs) are the common case
+        in web-crawl dedup (round-2 ADVICE)."""
+        from h3_indexer_spark.operators.dedup import minhash_near_dups
+
+        base = " ".join(f"tok{i}" for i in range(40))
+        words = base.split()
+        words[20] = "EDITED"
+        df = spark.createDataFrame(
+            [
+                ("doc/a", base),
+                ("doc/b", " ".join(words)),
+                ("doc/c", " ".join(f"zz{i}" for i in range(40))),
+            ],
+            "doc_id string, text string",
+        )
+        pairs = minhash_near_dups(df, threshold=0.5).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {("doc/a", "doc/b")}
+
 
 class TestSimhash:
     def test_planted_near_dups_found(self, spark):

@@ -389,3 +389,33 @@ class TestAntimeridian:
             "PCT_AREA", 6, "total_area_km2",
         )
         assert abs(out.ratio.sum() - 1.0) < 1e-6
+
+    def test_span_over_180_densely_vertexed_not_wrapped(self):
+        """A feature whose total lng span exceeds 180° but whose
+        consecutive-vertex jumps are all small (RFC 7946: only a
+        segment jump > 180° means antimeridian crossing) must NOT be
+        shifted — round-2 ADVICE flagged that the old span-based
+        heuristic corrupted exactly this shape. A 340°-wide line
+        vertexed every 10° must pass through lng ≈ 0, not ±180°."""
+        from h3_indexer_spark.config.vector import GeometryType
+        from h3_indexer_spark.functions.h3 import core
+
+        pts = ", ".join(f"{lng} 10" for lng in range(-170, 171, 10))
+        # res 2: coarsest level where cells are still small enough for
+        # the planar convex-clip assumption (the reference's contract
+        # is res 3-10; res 0-1 cells are continent-sized)
+        out = self._index(
+            GeometryType.LINE,
+            f"LINESTRING ({pts})",
+            "PCT_LENGTH", 2, "total_length_km",
+        )
+        assert abs(out.ratio.sum() - 1.0) < 1e-6
+        lngs = [
+            core.cell_to_latlng(core.string_to_h3(h))[1]
+            for h in out.h3_index
+        ]
+        # covered cells run continuously through the prime meridian …
+        assert any(abs(x) < 15 for x in lngs)
+        # … and never near the antimeridian (the wrapped frame would
+        # have routed the line the short way across ±180°)
+        assert all(abs(x) < 176 for x in lngs)
