@@ -1,0 +1,283 @@
+"""Corpus-curation operators for LLM training-data pipelines: document
+chunking, PII scrubbing, repetition statistics, benchmark
+decontamination, and sequence packing.
+
+These extend the reference's data-processing surface (SURVEY.md §2.8)
+with the operations a 100 TB pretraining pipeline runs between raw
+crawl and tokenizer: split documents into training windows, redact
+obvious PII, score repetition (the strongest single quality signal in
+Gopher/C4-style filtering), drop documents that leak benchmark text,
+and assign documents to fixed-token-budget packs.
+
+Every operator is pure DataFrame expressions (whole-stage codegen, no
+Python in the hot path) except where a global prefix sum is required
+(`pack_sequences`), which uses the two-level bucket-offset technique
+instead of a single-task global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Chunking
+# --------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping token windows of ``window``
+    whitespace tokens every ``stride`` tokens (the training-example
+    windowing step of a pretraining pipeline).
+
+    Narrow: sequence + explode + slice, no shuffle — each task chunks
+    its own documents, so the operator scales linearly with input
+    splits. A document shorter than ``window`` yields one (short)
+    chunk. Output: (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    words = F.split(F.col(text_col), " ")
+    # number of window starts: 1 + ceil(max(n - window, 0) / stride),
+    # via integer-safe floor((x + stride - 1) / stride)
+    x = F.greatest(F.size(words) - F.lit(window), F.lit(0))
+    n_starts = (
+        F.lit(1) + F.floor((x + F.lit(stride - 1)) / F.lit(stride))
+    ).cast("int")
+    out = df.select(
+        id_col,
+        words.alias("_w"),
+        F.explode(F.sequence(F.lit(0), n_starts - F.lit(1))).alias(
+            "chunk_id"
+        ),
+    )
+    chunk = F.slice(
+        F.col("_w"), F.col("chunk_id") * F.lit(stride) + F.lit(1), window
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# Dialect-portable patterns (valid and equivalent in Java regex and
+# RE2): kept deliberately simple so the semantics are auditable.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+LONGNUM_RE = r"\d{5,}"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact emails, international-format phone numbers, and long
+    digit runs, in that order, and count each on the ORIGINAL text.
+
+    Narrow map — regexp_replace/regexp_count are JVM-side codegen
+    expressions, so the scrub runs at scan speed with zero shuffles and
+    zero Python. Adds: clean_text, n_emails, n_phones, n_longnums.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        LONGNUM_RE,
+        "<NUM>",
+    )
+    return df.select(
+        "*",
+        clean.alias("clean_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(t, F.lit(LONGNUM_RE)).cast("int").alias("n_longnums"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality signals)
+# --------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition signals: unique-word ratio, top-word
+    fraction, and duplicate-bigram fraction (the Gopher repetition
+    filters).
+
+    The bigram stats are narrow (array ops on the document's own
+    words). The top-word fraction needs a per-(doc, word) count — done
+    with explode + two-level aggregation, which partial-aggregates
+    map-side so the shuffle carries at most one row per distinct (doc,
+    word); both shuffles hash on doc_id-derived keys, so at 100 TB the
+    plan stays balanced unless one document is itself massive (bounded
+    by upstream length filters). Output: (id, n_words, uniq_ratio,
+    top_word_frac, dup_bigram_frac).
+    """
+    words = F.split(F.col(text_col), " ")
+    # narrow per-doc bigram stats
+    grams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    narrow = df.select(
+        id_col,
+        F.when(F.size(words) >= 2, grams).otherwise(
+            F.array().cast("array<string>")
+        ).alias("_g"),
+    ).select(
+        id_col,
+        F.size("_g").alias("_ng"),
+        F.size(F.array_distinct("_g")).alias("_nug"),
+    )
+    # per-(doc, word) counts → per-doc totals
+    wl = df.select(id_col, F.explode(words).alias("_word"))
+    per_word = wl.groupBy(id_col, "_word").agg(F.count("*").alias("_c"))
+    per_doc = per_word.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count("*").alias("_nu"),
+        F.max("_c").alias("_top"),
+    )
+    joined = per_doc.join(narrow, id_col)
+    n = F.col("_n").cast("double")
+    return joined.select(
+        id_col,
+        F.col("_n").cast("bigint").alias("n_words"),
+        (F.col("_nu") / n).alias("uniq_ratio"),
+        (F.col("_top") / n).alias("top_word_frac"),
+        F.when(F.col("_ng") > 0, F.lit(1.0) - F.col("_nug") / F.col("_ng").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Drop training documents that share any word ``n``-gram with the
+    benchmark set (test-set leakage removal, the n-gram-overlap method
+    used for GPT-3/PaLM-style decontamination).
+
+    The benchmark n-gram set is small relative to the corpus, so it is
+    explicitly broadcast: the contamination check is then a map-side
+    semi-join — the 100 TB training side never shuffles. Returns the
+    surviving training rows unchanged.
+    """
+    bench_grams = benchmark.select(
+        F.explode_outer(_word_ngrams(text_col, n)).alias("_gram")
+    ).distinct()
+    train_grams = train.select(
+        id_col, F.explode(_word_ngrams(text_col, n)).alias("_gram")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(bench_grams), "_gram")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Word n-grams as strings; a document shorter than ``n`` words
+    contributes its whole text as one gram."""
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    )
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(words, s, n), " ")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 256,
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget pack: documents are
+    laid out in ``id_col`` order as one continuous token stream and
+    ``pack_id`` is the stream chunk the document starts in — the
+    concat-and-chunk packing used to build fixed-length pretraining
+    examples.
+
+    A naive global window (``Window.orderBy(id)`` with no partition)
+    serializes the whole corpus through ONE task. Instead the prefix
+    sum is computed at two levels: per-bucket token totals (tiny —
+    corpus_size / bucket_width rows) get a global cumsum, and the
+    within-bucket cumsum runs partitioned by bucket, fully parallel.
+    The per-bucket table is broadcast back, so the corpus-sized side
+    shuffles once (hash on bucket for the window). Output adds:
+    pack_id, offset_in_pack.
+    """
+    bucket = (F.col(id_col) / F.lit(bucket_width)).cast("bigint")
+    with_b = df.withColumn("_bucket", bucket)
+    totals = with_b.groupBy("_bucket").agg(
+        F.sum(token_col).alias("_btot")
+    )
+    # global cumsum over the bucket table only: thousands of rows even
+    # at 100 TB, so the single-task window is on negligible data
+    w_b = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(w_b), F.lit(0)).alias("_boff"),
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        with_b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "_prefix",
+            F.col("_boff")
+            + F.coalesce(F.sum(token_col).over(w_in), F.lit(0)),
+        )
+    )
+    # integer-exact pack arithmetic: take the modulo first so the
+    # division is of an exact multiple (double division of an exact
+    # multiple is exact for any budget, not just powers of two)
+    offset = F.col("_prefix") % F.lit(budget)
+    return out.select(
+        *[c for c in df.columns],
+        ((F.col("_prefix") - offset) / F.lit(budget))
+        .cast("bigint")
+        .alias("pack_id"),
+        offset.cast("bigint").alias("offset_in_pack"),
+    )

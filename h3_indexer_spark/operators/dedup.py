@@ -508,3 +508,87 @@ def exact_dedup_keep_best(
         .where(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def ngram_jaccard_exact_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard near-dup pairs via an inverted index —
+    the oracle-checkable sibling of the seeded minhash path.
+
+    Instead of all-pairs (O(corpus^2)) or hashed signatures (seeded,
+    so no SQL oracle), the join is driven by the inverted index: a
+    document pair is compared only if it shares at least one n-gram,
+    and the intersection size falls out of the (gram -> doc) self-join
+    as a count. ``max_df`` drops grams occurring in more than that
+    many documents before the self-join — the standard stop-shingle
+    guard that bounds per-gram fan-out to max_df^2 rows, which is what
+    keeps the plan viable at 100 TB (boilerplate grams would otherwise
+    produce quadratic bucket blowups; a true near-dup pair at
+    threshold >= 0.5 shares many grams, so dropping ubiquitous grams
+    does not lose pairs in practice and the semantics are explicit).
+    Both the gram construction and the cap are mirrored exactly in the
+    DuckDB oracle. Output: (id_a, id_b, jaccard).
+    """
+    grams = df.select(
+        id_col, F.explode(_word_ngram_strings(text_col, n)).alias("gram")
+    )
+    # document frequency cap: (gram, id) rows are already distinct
+    # (array_distinct upstream), so df is a plain count-per-gram
+    # window; one shuffle on gram, after which hot grams are gone
+    kept = (
+        grams.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("gram"))
+        )
+        .where(F.col("_df") <= max_df)
+        .select("gram", id_col)
+    )
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    left = kept.select(F.col("gram"), F.col(id_col).alias("id_a"))
+    right = kept.select(F.col("gram"), F.col(id_col).alias("id_b"))
+    inter = (
+        left.join(right.hint("shuffle_hash"), "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter")
+                / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _word_ngram_strings(text_col: str, n: int) -> F.Column:
+    """DISTINCT word n-grams as plain strings (not hashes — the whole
+    point is engine-portable exactness). Narrow. A document shorter
+    than n words contributes its full text as one gram."""
+    words = F.split(F.col(text_col), " ")
+    return let(
+        words,
+        lambda w: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
+                ),
+                lambda s: F.array_join(F.slice(w, s, n), " "),
+            )
+        ),
+    )

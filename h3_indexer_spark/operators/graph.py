@@ -1,0 +1,97 @@
+"""Distributed connected components over a DataFrame edge list.
+
+Near-duplicate detection emits PAIRS (minhash / simhash / embedding
+LSH, operators/dedup.py); turning pairs into deduplication decisions
+needs the transitive closure — documents A~B and B~C must land in one
+cluster even when A and C never paired. That closure is connected
+components, the step every production dedup pipeline runs between
+candidate generation and canonical-document selection.
+
+The implementation is iterative min-label propagation with pointer
+jumping (label-of-label), the classic O(log n)-round PRAM technique
+expressed in joins:
+
+  round:  label(v) ← min(label(v), min over neighbors u of label(u))
+  jump:   label(v) ← label(label(v))
+
+Plain propagation alone needs O(diameter) rounds — a 1M-long chain of
+near-dup pairs (common in templated web text) would take 1M rounds.
+With the jump step the label graph halves in depth every round, so
+convergence is O(log n) rounds of hash-shuffle joins, each fully
+parallel. Convergence is detected with a 1-row aggregate: labels only
+ever decrease, so the label sum is strictly decreasing until the fixed
+point — no join-and-compare pass needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the undirected graph given by ``edges``
+    over the vertex set ``vertices`` (isolated vertices become
+    singleton components). Returns (id_col, component) where
+    ``component`` is the minimum vertex id in the component.
+
+    Each iteration: one shuffle join (neighbor labels), one aggregate,
+    one self-join (pointer jump), one 1-row action (convergence
+    check). Iterations are O(log n); intermediate labels are persisted
+    and released round-by-round so state stays bounded.
+    """
+    dirs = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (not persist): an iterative plan nests the
+    # previous round's plan inside each new round, so without lineage
+    # TRUNCATION the logical plan doubles per round and Catalyst
+    # analysis alone OOMs the driver after ~15 rounds. Checkpointing
+    # materializes each round's labels and cuts the plan back to a
+    # leaf. (On a cluster with an unreliable-executor concern, set a
+    # checkpoint dir and swap for reliable checkpoint(); semantics are
+    # identical.)
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
+
+    for _ in range(max_iter):
+        # neighbor minimum: for each edge (a, b), b receives a's label
+        nbr = dirs.join(labels, dirs.a == labels.v).select(
+            F.col("b").alias("v"), F.col("comp")
+        )
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("v")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: follow the label one hop (labels are vertex
+        # ids, so every comp value exists as a v on the left)
+        hop = merged.select(
+            F.col("v").alias("cv"), F.col("comp").alias("ccomp")
+        )
+        jumped = (
+            merged.join(hop, merged.comp == hop.cv)
+            .select("v", F.col("ccomp").alias("comp"))
+            .localCheckpoint()
+        )
+        new_sum = jumped.agg(F.sum("comp")).collect()[0][0] or 0
+        labels = jumped
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    dirs.unpersist()
+    return labels.select(
+        F.col("v").alias(id_col), F.col("comp").alias("component")
+    )

@@ -886,6 +886,118 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via inverted index
+    (operators/dedup.py::ngram_jaccard_exact_pairs) — the
+    oracle-checkable sibling of the seeded minhash path: candidate
+    pairs come from shared grams (never all-pairs), hot grams are
+    dropped by the max_df stop-shingle cap, and the self-join is
+    pinned shuffle-hash."""
+    from h3_indexer_spark.operators.dedup import ngram_jaccard_exact_pairs
+
+    return ngram_jaccard_exact_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=100
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (operators/graph.py)
+    over the exact-Jaccard pair graph — the transitive-closure step
+    between candidate pairs and dedup decisions (A~B, B~C must cluster
+    together even when A, C never paired). Min-label propagation with
+    pointer jumping: O(log n) rounds of hash joins. The oracle is a
+    DuckDB recursive CTE over the same edges."""
+    from h3_indexer_spark.operators.dedup import ngram_jaccard_exact_pairs
+    from h3_indexer_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_exact_pairs(docs, n=3, threshold=0.5, max_df=100)
+    return connected_components(
+        pairs, docs, src="id_a", dst="id_b", id_col="doc_id"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py::decontaminate):
+    docs with doc_id < 50 stand in for the eval set; any training doc
+    (id >= 50) sharing a word 5-gram with it is dropped. The benchmark
+    gram set is broadcast, so the training side never shuffles."""
+    from h3_indexer_spark.operators.curation import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 50)
+    train = docs.where(F.col("doc_id") >= 50)
+    return decontaminate(train, bench, n=5).select("doc_id", "n_chars")
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/curation.py::
+    chunk_documents): 32-token windows every 24 tokens — the
+    training-example windowing step. Narrow (sequence + explode +
+    slice), zero shuffle."""
+    from h3_indexer_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), window=32, stride=24
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/curation.py::scrub_pii) over text
+    augmented with deterministic synthetic contact strings (the corpus
+    itself carries no PII): email -> phone -> long-digit-run
+    redaction, counts on the original. Pure regexp expressions —
+    scan-speed, zero shuffle."""
+    from h3_indexer_spark.operators.curation import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    augmented = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            sid,
+            F.lit("@mail.example.com or call +1-555-"),
+            F.lpad(sid, 4, "0"),
+            F.lit(" ref "),
+            F.lpad(sid, 8, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(augmented).select(
+        "doc_id", "clean_text", "n_emails", "n_phones", "n_longnums"
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/curation.py::
+    repetition_stats): unique-word ratio, top-word fraction,
+    duplicate-bigram fraction. Bigram stats are narrow; the top-word
+    count partial-aggregates map-side so the shuffle carries one row
+    per distinct (doc, word)."""
+    from h3_indexer_spark.operators.curation import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/curation.py::pack_sequences): lay
+    documents out as one token stream in doc_id order and assign each
+    to the 256-token pack it starts in. The global prefix sum runs as
+    per-bucket totals (tiny global window) + within-bucket windows
+    (parallel) — never a single-task corpus-wide window."""
+    from h3_indexer_spark.operators.curation import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs, token_col="n_tokens", id_col="doc_id", budget=256,
+        bucket_width=100,
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction (operators/multimodal.py): the
     mapInPandas decode path over binary payloads. The fake codec yields
@@ -981,6 +1093,13 @@ QUERIES: dict[str, Query] = {
     "q_sample_stratified": q_sample_stratified,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_corpus_curation": q_corpus_curation,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_decontaminate": q_decontaminate,
+    "q_chunk_docs": q_chunk_docs,
+    "q_pii_scrub": q_pii_scrub,
+    "q_repetition": q_repetition,
+    "q_seq_pack": q_seq_pack,
     "q_media_meta": q_media_meta,
     "q_media_audio": q_media_audio,
     "q_media_resize": q_media_resize,
@@ -1125,7 +1244,184 @@ def _knn_oracle() -> str:
     """
 
 
+def _ngram_pair_ctes() -> str:
+    """Shared CTE chain mirroring dedup.ngram_jaccard_exact_pairs
+    (n=3, max_df=100): distinct word 3-grams -> stop-shingle cap ->
+    inverted-index self-join -> Jaccard. Ends with a ``pairs`` CTE of
+    (id_a, id_b, jaccard >= 0.5)."""
+    return """
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(ws) - 2, 1) + 1),
+                s -> array_to_string(ws[s:s+2], ' ')))) AS gram
+            FROM w
+        ),
+        kept AS (
+            SELECT doc_id, gram FROM (
+                SELECT doc_id, gram,
+                       COUNT(*) OVER (PARTITION BY gram) AS dfc
+                FROM g)
+            WHERE dfc <= 100
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM kept a
+            JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+                FROM inter
+                JOIN sz sa ON sa.doc_id = id_a
+                JOIN sz sb ON sb.doc_id = id_b)
+            WHERE jaccard >= 0.5
+        )
+    """
+
+
+_PII_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or call +1-555-'"
+    " || lpad(CAST(doc_id AS VARCHAR), 4, '0')"
+    " || ' ref ' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+)
+
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_SQL = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+_LONGNUM_SQL = "\\d{5,}"
+
+
 ORACLES: dict[str, str] = {
+    "q_dedup_ngram_jaccard": f"""
+        WITH {_ngram_pair_ctes()}
+        SELECT id_a, id_b, jaccard FROM pairs
+    """,
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE {_ngram_pair_ctes()},
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b AS s, id_a AS d FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
+        )
+        SELECT id AS doc_id, MIN(r) AS component
+        FROM reach GROUP BY id
+    """,
+    "q_decontaminate": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        g AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(ws) - 4, 1) + 1),
+                s -> array_to_string(ws[s:s+4], ' '))) AS gram
+            FROM w
+        ),
+        bad AS (
+            SELECT DISTINCT t.doc_id
+            FROM g t
+            JOIN (SELECT DISTINCT gram FROM g WHERE doc_id < 50) b
+              ON t.gram = b.gram
+            WHERE t.doc_id >= 50
+        )
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id >= 50
+          AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    "q_chunk_docs": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        s AS (
+            SELECT doc_id, ws,
+                   CAST(1 + floor((greatest(len(ws) - 32, 0) + 23) / 24.0)
+                        AS INT) AS n_starts
+            FROM w
+        ),
+        c AS (SELECT doc_id, ws, unnest(range(0, n_starts)) AS chunk_id
+              FROM s)
+        SELECT doc_id,
+               CAST(chunk_id AS INT) AS chunk_id,
+               CAST(len(ws[chunk_id*24+1 : chunk_id*24+32]) AS INT)
+                   AS n_chunk_tokens,
+               array_to_string(ws[chunk_id*24+1 : chunk_id*24+32], ' ')
+                   AS chunk_text
+        FROM c
+    """,
+    "q_pii_scrub": f"""
+        WITH a AS (SELECT doc_id, {_PII_AUG} AS t FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                   '{_PHONE_SQL}', '<PHONE>', 'g'),
+                   '{_LONGNUM_SQL}', '<NUM>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_SQL}')) AS INT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PHONE_SQL}')) AS INT)
+                   AS n_phones,
+               CAST(len(regexp_extract_all(t, '{_LONGNUM_SQL}')) AS INT)
+                   AS n_longnums
+        FROM a
+    """,
+    "q_repetition": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        pw AS (
+            SELECT doc_id, word, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+            GROUP BY doc_id, word
+        ),
+        pd AS (
+            SELECT doc_id, SUM(c) AS n, COUNT(*) AS nu, MAX(c) AS top
+            FROM pw GROUP BY doc_id
+        ),
+        ng AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 2 THEN len(ws) - 1
+                        ELSE 0 END AS ngr,
+                   CASE WHEN len(ws) >= 2
+                        THEN len(list_distinct(list_transform(
+                            range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i+1])))
+                        ELSE 0 END AS nug
+            FROM w
+        )
+        SELECT pd.doc_id,
+               CAST(n AS BIGINT) AS n_words,
+               CAST(nu AS DOUBLE) / n AS uniq_ratio,
+               CAST(top AS DOUBLE) / n AS top_word_frac,
+               CASE WHEN ngr > 0
+                    THEN 1.0 - CAST(nug AS DOUBLE) / ngr
+                    ELSE 0.0 END AS dup_bigram_frac
+        FROM pd JOIN ng ON ng.doc_id = pd.doc_id
+    """,
+    "q_seq_pack": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS prefix
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(prefix // 256 AS BIGINT) AS pack_id,
+               CAST(prefix % 256 AS BIGINT) AS offset_in_pack
+        FROM c
+    """,
     "q_sessionize": """
         WITH e AS (
             SELECT event_id, user_id, epoch_us(ts) AS ts_us, value

@@ -1,0 +1,271 @@
+"""Semantic tests for the curation operators (chunking, PII scrub,
+repetition, decontamination, sequence packing), the exact n-gram
+Jaccard dedup, and distributed connected components."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+class TestChunking:
+    def _chunks(self, spark, text, window=8, stride=6):
+        from h3_indexer_spark.operators.curation import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        rows = chunk_documents(
+            df, window=window, stride=stride
+        ).orderBy("chunk_id").collect()
+        return [(r.chunk_id, r.n_chunk_tokens, r.chunk_text) for r in rows]
+
+    def test_short_doc_single_chunk(self, spark):
+        out = self._chunks(spark, "a b c")
+        assert out == [(0, 3, "a b c")]
+
+    def test_exact_window_single_chunk(self, spark):
+        words = " ".join(str(i) for i in range(8))
+        assert self._chunks(spark, words) == [(0, 8, words)]
+
+    def test_overlap_and_tail(self, spark):
+        words = [str(i) for i in range(20)]
+        out = self._chunks(spark, " ".join(words))
+        # starts at 0, 6, 12 (covers up to 19); 20 tokens need ceil(12/6)=2
+        # extra starts
+        assert [c[0] for c in out] == [0, 1, 2]
+        assert out[0][2] == " ".join(words[0:8])
+        assert out[1][2] == " ".join(words[6:14])
+        assert out[2][2] == " ".join(words[12:20])
+        # every token appears in some chunk
+        covered = set()
+        for _, _, t in out:
+            covered.update(t.split())
+        assert covered == set(words)
+
+    def test_boundary_plus_one_gets_new_chunk(self, spark):
+        words = [str(i) for i in range(9)]
+        out = self._chunks(spark, " ".join(words))
+        assert [c[0] for c in out] == [0, 1]
+        assert out[1][2] == " ".join(words[6:9])
+        assert out[1][1] == 3
+
+
+class TestScrubPII:
+    def test_counts_and_replacement_order(self, spark):
+        from h3_indexer_spark.operators.curation import scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at a.b+c@x.co or +1-555-0101 ref 1234567"),
+                (2, "no pii here"),
+                (3, "two mails p@q.io r@s.org and 99999"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+        assert rows[1].n_emails == 1
+        assert rows[1].n_phones == 1
+        assert rows[1].n_longnums == 1
+        assert rows[1].clean_text == "mail me at <EMAIL> or <PHONE> ref <NUM>"
+        assert rows[2].clean_text == "no pii here"
+        assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_longnums) == (
+            0, 0, 0,
+        )
+        assert rows[3].n_emails == 2
+        assert rows[3].clean_text == "two mails <EMAIL> <EMAIL> and <NUM>"
+
+
+class TestRepetition:
+    def test_known_values(self, spark):
+        from h3_indexer_spark.operators.curation import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a a a"),          # 4 words, 1 unique, top 4
+                (2, "a b c d"),          # all unique
+                (3, "a b a b a b"),      # repeated bigrams
+                (4, "solo"),             # single word
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+        assert rows[1].n_words == 4
+        assert rows[1].uniq_ratio == 0.25
+        assert rows[1].top_word_frac == 1.0
+        # bigrams of "a a a a": ["a a"] x3 -> 1 unique of 3
+        assert abs(rows[1].dup_bigram_frac - (1 - 1 / 3)) < 1e-12
+        assert rows[2].uniq_ratio == 1.0
+        assert rows[2].dup_bigram_frac == 0.0
+        # "a b a b a b": bigrams [ab, ba, ab, ba, ab] -> 2 unique of 5
+        assert abs(rows[3].dup_bigram_frac - (1 - 2 / 5)) < 1e-12
+        assert rows[4].n_words == 1
+        assert rows[4].dup_bigram_frac == 0.0
+
+
+class TestDecontaminate:
+    def test_planted_overlap_dropped(self, spark):
+        from h3_indexer_spark.operators.curation import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                # contains the 5-gram "quick brown fox jumps over"
+                (1, "xx quick brown fox jumps over yy"),
+                # shares words but no 5-gram
+                (2, "quick dog brown lazy fox the over jumps"),
+                (3, "completely unrelated text with other words here"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = {r.doc_id for r in decontaminate(train, bench, n=5).collect()}
+        assert kept == {2, 3}
+
+    def test_short_benchmark_doc_whole_text_gram(self, spark):
+        from h3_indexer_spark.operators.curation import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "tiny doc")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc plus tail words here")],
+            "doc_id long, text string",
+        )
+        # doc 1 (shorter than n) contributes its whole text as a gram,
+        # which matches the benchmark's whole-text gram; doc 2's
+        # 5-grams never equal "tiny doc"
+        kept = {r.doc_id for r in decontaminate(train, bench, n=5).collect()}
+        assert kept == {2}
+
+
+class TestPackSequences:
+    def test_matches_naive_global_window(self, spark):
+        from h3_indexer_spark.operators.curation import pack_sequences
+
+        rows = [(i, 7 + (i * 13) % 50) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {
+            r.doc_id: (r.pack_id, r.offset_in_pack)
+            for r in pack_sequences(
+                df, budget=64, bucket_width=37
+            ).collect()
+        }
+        w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        naive = {
+            r.doc_id: (r.prefix // 64, r.prefix % 64)
+            for r in df.withColumn(
+                "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == naive
+
+    def test_long_doc_spans_packs(self, spark):
+        from h3_indexer_spark.operators.curation import pack_sequences
+
+        df = spark.createDataFrame(
+            [(0, 10), (1, 1000), (2, 10)], "doc_id long, n_tokens long"
+        )
+        got = {r.doc_id: r.pack_id for r in
+               pack_sequences(df, budget=64).collect()}
+        # doc 2 starts after 1010 tokens -> pack 15
+        assert got == {0: 0, 1: 0, 2: 15}
+
+
+class TestNgramJaccardExact:
+    def test_matches_bruteforce(self, spark):
+        from h3_indexer_spark.operators.dedup import (
+            ngram_jaccard_exact_pairs,
+        )
+
+        texts = {
+            0: "w0 w1 w2 w3 w4 w5 w6 w7",
+            1: "w0 w1 w2 w3 w4 w5 w6 EDIT",   # near dup of 0
+            2: "w0 w1 w2 w3 w4 w5 w6 w7",     # exact dup of 0
+            3: "z0 z1 z2 z3 z4 z5 z6 z7",     # unrelated
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_exact_pairs(
+                df, n=3, threshold=0.3, max_df=100
+            ).collect()
+        }
+
+        def grams(t):
+            ws = t.split()
+            return {
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+            }
+
+        expect = {}
+        ids = sorted(texts)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = grams(texts[ids[i]]), grams(texts[ids[j]])
+                jac = len(a & b) / len(a | b)
+                if jac >= 0.3:
+                    expect[(ids[i], ids[j])] = jac
+        assert set(got) == set(expect)
+        for k, v in expect.items():
+            assert abs(got[k] - v) < 1e-12
+
+    def test_max_df_drops_hot_grams(self, spark):
+        from h3_indexer_spark.operators.dedup import (
+            ngram_jaccard_exact_pairs,
+        )
+
+        # every doc shares one boilerplate prefix; with max_df=2 the
+        # boilerplate gram is dropped, so no pairs survive
+        df = spark.createDataFrame(
+            [(i, f"same same same u{i} v{i} w{i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = ngram_jaccard_exact_pairs(
+            df, n=3, threshold=0.1, max_df=2
+        ).collect()
+        assert out == []
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, edges, n_vertices):
+        from h3_indexer_spark.operators.graph import connected_components
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        v = spark.createDataFrame(
+            [(i,) for i in range(n_vertices)], "id long"
+        )
+        return {
+            r.id: r.component
+            for r in connected_components(e, v).collect()
+        }
+
+    def test_chain_is_one_component(self, spark):
+        # transitivity: a-b, b-c, c-d never pairs a with d directly
+        comp = self._cc(spark, [(0, 1), (1, 2), (2, 3)], 5)
+        assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
+
+    def test_two_components_and_singletons(self, spark):
+        comp = self._cc(spark, [(1, 2), (5, 6), (6, 7)], 9)
+        assert comp == {
+            0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8,
+        }
+
+    def test_long_chain_converges_via_pointer_jumping(self, spark):
+        # a 64-long chain has diameter 63; plain min-propagation would
+        # need 63 rounds — pointer jumping must finish within the
+        # operator's max_iter
+        comp = self._cc(
+            spark, [(i, i + 1) for i in range(63)], 64
+        )
+        assert set(comp.values()) == {0}
+
+    def test_reversed_edge_direction_irrelevant(self, spark):
+        comp = self._cc(spark, [(3, 0), (1, 3), (2, 1)], 4)
+        assert set(comp.values()) == {0}

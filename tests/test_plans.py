@@ -59,6 +59,13 @@ def _plan(spark, key: str) -> str:
         # banded minhash self-join must stay shuffle-hash: a broadcast
         # of the corpus-sized bucket table is non-viable at scale
         ("q_dedup_minhash", ["ShuffledHashJoin"]),
+        # exact n-gram Jaccard: the inverted-index self-join is
+        # corpus-sized on both sides — shuffle-hash, never broadcast
+        ("q_dedup_ngram_jaccard", ["ShuffledHashJoin"]),
+        # decontamination: the benchmark gram set broadcasts and the
+        # survivor filter is an anti-join (training side not shuffled
+        # for the contamination probe)
+        ("q_decontaminate", ["BroadcastHashJoin", "LeftAnti"]),
     ],
 )
 def test_plan_properties(spark, key, required):
@@ -72,6 +79,26 @@ def test_join_left_small_no_probe_shuffle(spark):
     broadcast of the small side moves."""
     plan = _plan(spark, "q_join_left_small")
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_chunk_and_scrub_are_narrow(spark):
+    """Chunking and PII scrubbing must stay shuffle-free: any Exchange
+    here would mean a narrow map got planned as a reshuffle."""
+    for key in ("q_chunk_docs", "q_pii_scrub"):
+        plan = _plan(spark, key)
+        assert "Exchange" not in plan, f"{key} gained a shuffle:\n{plan}"
+
+
+def test_seq_pack_corpus_window_is_partitioned(spark):
+    """Sequence packing: the corpus-sized window must be partitioned
+    by bucket; only the tiny per-bucket table may use a global
+    (single-partition) window, and the offsets join must broadcast."""
+    plan = _plan(spark, "q_seq_pack")
+    assert "BroadcastHashJoin" in plan
+    # exactly one SinglePartition exchange — the bucket-totals window;
+    # the corpus side hashes on _bucket
+    assert plan.count("Arguments: SinglePartition") == 1, plan
+    assert "hashpartitioning(_bucket" in plan, plan
 
 
 def test_entry_broadcasts_dimension(spark):
