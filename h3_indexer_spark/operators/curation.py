@@ -216,6 +216,45 @@ def _word_ngrams(text_col: str, n: int):
 
 
 # --------------------------------------------------------------------------
+# Per-source (domain) token-budget caps
+# --------------------------------------------------------------------------
+
+
+def cap_source_tokens(
+    df: DataFrame,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 10_000,
+) -> DataFrame:
+    """Cap each source/domain at a token budget: documents are taken in
+    deterministic ``id_col`` order per source until the running token
+    total would exceed ``budget`` — the domain-balancing step that
+    stops a handful of boilerplate-heavy domains dominating a crawl mix
+    (C4/RefinedWeb-style source capping).
+
+    One shuffle, hash-partitioned by source, so at 100 TB the plan is
+    balanced unless one domain holds most of the corpus — exactly the
+    pathology the cap removes on output; for the *input* skew case
+    (one domain so large its partition spills), cap that domain
+    upstream with a cheap per-source count filter before this exact
+    pass. The cumulative window is computed once per row map-side
+    within each partition. A document larger than the whole budget is
+    dropped (never truncated — truncation changes document semantics).
+    Output: input columns + cum_tokens (total through this document).
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(token_col).over(w))
+        .where(F.col("cum_tokens") <= F.lit(budget))
+    )
+
+
+# --------------------------------------------------------------------------
 # Sequence packing
 # --------------------------------------------------------------------------
 

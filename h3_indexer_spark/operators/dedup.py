@@ -592,3 +592,132 @@ def _word_ngram_strings(text_col: str, n: int) -> F.Column:
             )
         ),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_count: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """Exact duplicated-passage detection: every ``width``-token window
+    (stride 1) that occurs at least ``min_count`` times anywhere in the
+    corpus, with its position in each document — the distributed
+    n-gram formulation of exact substring deduplication (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"),
+    which removes boilerplate passages doc-level dedup can't see.
+
+    Plan: posexplode the stride-1 windows (narrow), then ONE shuffle —
+    a count window partitioned by the gram — and filter. The
+    partial-agg + join alternative shuffles the gram table twice, so
+    the window form is strictly better here. Consecutive duplicated
+    windows of a longer shared passage all surface; collapsing them to
+    maximal spans is the cheap narrow pass `collapse_spans`.
+
+    ``hashed=True`` is the 100 TB path: the shuffle key becomes
+    xxhash64(gram) and the gram string is dropped BEFORE the exchange,
+    so shuffle bytes shrink ~10x for 8-word windows (ship hashes, not
+    strings — measured rule from the minhash work) at the cost of an
+    astronomically small collision false-positive rate. Same plan
+    shape; `hashed=False` is the string-keyed oracle-checkable
+    sibling. Output: (id, start, gram|gram_hash, n_occ).
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = df.select(
+        id_col,
+        F.posexplode(
+            let(
+                words,
+                lambda w: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(w) - F.lit(width - 1), F.lit(1)),
+                    ),
+                    lambda s: F.array_join(F.slice(w, s, width), " "),
+                ),
+            )
+        ).alias("start", "gram"),
+    )
+    if hashed:
+        grams = grams.select(
+            id_col, "start", F.xxhash64("gram").alias("gram_hash")
+        )
+        key = "gram_hash"
+    else:
+        key = "gram"
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy(key))
+    return (
+        grams.withColumn("n_occ", n_occ)
+        .where(F.col("n_occ") >= F.lit(min_count))
+    )
+
+
+def collapse_spans(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Collapse consecutive duplicated windows into maximal character
+    spans per document: windows at starts s, s+1, ... of one shared
+    passage become one (id, span_start, span_end) row covering
+    [s, last + width). Session-style gap detection (lag + running sum)
+    partitioned by document — one shuffle on the id, standard interval
+    coalescing. Output: (id, span_start, span_end_excl, n_windows).
+    """
+    w_doc = Window.partitionBy(id_col).orderBy("start")
+    gap = (
+        F.col("start")
+        - F.lag("start", 1).over(w_doc)
+        > 1
+    ).cast("int")
+    grp = F.sum("_gap").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # (id, start) rows are already unique (posexplode yields one row
+    # per window start), so no distinct — both window passes share one
+    # sort within the single id-hash shuffle
+    return (
+        spans.select(id_col, "start")
+        .withColumn("_gap", F.coalesce(gap, F.lit(0)))
+        .withColumn("_grp", grp)
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(width)).alias("span_end_excl"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_grp")
+    )
+
+
+def dedup_resolve(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """End-to-end near-dup resolution: candidate PAIRS -> transitive
+    clusters (connected components, operators/graph.py) -> one
+    canonical survivor per cluster (minimum id — swap in
+    exact_dedup_keep_best for score-based selection) -> the deduped
+    corpus. This is the full pipeline a production dedup run executes
+    after any pair generator (minhash / simhash / embedding-LSH /
+    exact-Jaccard all emit the same (id_a, id_b) shape).
+
+    Cost beyond the component step: one narrow filter on the label
+    table plus one hash semi-join back to the corpus. Semantics match
+    the reference-free standard: A~B, B~C collapses {A, B, C} to one
+    document even though A, C never paired.
+    """
+    from h3_indexer_spark.operators.graph import connected_components
+
+    labels = connected_components(
+        pairs, docs, src=src, dst=dst, id_col=id_col
+    )
+    survivors = labels.where(
+        F.col(id_col) == F.col("component")
+    ).select(id_col)
+    return docs.join(survivors, id_col, "semi")

@@ -998,6 +998,99 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field aggregation (operators/semistructured.py): typed
+    schema-on-read over events.props with an EXPLICIT from_json schema
+    (no inference scan), grouped stats by event_type. One parse per
+    row inside codegen, partial aggregation map-side."""
+    from h3_indexer_spark.operators.semistructured import json_field_stats
+
+    ev = _load_events(spark, sf_dir).select("event_type", "props")
+    out = json_field_stats(
+        ev, "props", "k", field_type="int", group_col="event_type"
+    )
+    return out.select(
+        "event_type", "n", "n_present", "min_v", "max_v",
+        F.col("sum_v").cast("bigint").alias("sum_v"),
+    )
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection (operators/dedup.py::
+    duplicated_spans): every 8-token window occurring >= 2 times in the
+    corpus, with positions — the n-gram formulation of exact substring
+    dedup (Lee et al. 2022). One shuffle (count window over the gram).
+    This string-keyed variant is the oracle; hashed=True is the 100 TB
+    sibling (hash replaces the string as the shuffle key), locked
+    equivalent by test."""
+    from h3_indexer_spark.operators.dedup import duplicated_spans
+
+    out = duplicated_spans(
+        load(spark, sf_dir, "documents"), width=8, min_count=2
+    )
+    return out.select(
+        "doc_id", F.col("start").cast("bigint").alias("start"),
+        "gram", "n_occ",
+    )
+
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup resolution (operators/dedup.py::dedup_resolve):
+    exact-Jaccard pairs -> connected components -> min-id canonical
+    per cluster -> deduped corpus. The complete pipeline between a
+    pair generator and training-data output; oracle is a recursive CTE
+    closure keeping docs equal to their component minimum."""
+    from h3_indexer_spark.operators.dedup import (
+        dedup_resolve,
+        ngram_jaccard_exact_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_exact_pairs(docs, n=3, threshold=0.5, max_df=100)
+    return dedup_resolve(docs, pairs).select("doc_id", "source", "n_chars")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cap (operators/curation.py::
+    cap_source_tokens): take documents in doc_id order per source until
+    800 tokens — the domain-balancing step of a crawl mix. One shuffle
+    hash-partitioned by source."""
+    from h3_indexer_spark.operators.curation import cap_source_tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return cap_source_tokens(
+        docs, source_col="source", token_col="n_tokens",
+        id_col="doc_id", budget=800,
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (operators/clustering.py): Lloyd iterations
+    with broadcast centroids — one GEMM-argmin mapInPandas pass + one
+    k-rows-per-partition shuffle per iteration; deterministic lowest-id
+    init. Returns per-cluster sizes and mean squared distance under
+    the fitted centroids. No SQL oracle (iterative); convergence
+    (monotone inertia) and assignment optimality are locked by test."""
+    from h3_indexer_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(emb, k=8, max_iter=5)
+    return (
+        assign_clusters(emb, centroids)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("sq_dist").alias("avg_sq_dist"),
+        )
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction (operators/multimodal.py): the
     mapInPandas decode path over binary payloads. The fake codec yields
@@ -1100,6 +1193,11 @@ QUERIES: dict[str, Query] = {
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_seq_pack": q_seq_pack,
+    "q_json_extract": q_json_extract,
+    "q_dup_spans": q_dup_spans,
+    "q_dedup_resolve": q_dedup_resolve,
+    "q_domain_cap": q_domain_cap,
+    "q_kmeans": q_kmeans,
     "q_media_meta": q_media_meta,
     "q_media_audio": q_media_audio,
     "q_media_resize": q_media_resize,
@@ -1421,6 +1519,73 @@ ORACLES: dict[str, str] = {
                CAST(prefix // 256 AS BIGINT) AS pack_id,
                CAST(prefix % 256 AS BIGINT) AS offset_in_pack
         FROM c
+    """,
+    "q_json_extract": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS n_present,
+               MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS min_v,
+               MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS max_v,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                   AS BIGINT) AS sum_v
+        FROM events GROUP BY event_type
+    """,
+    "q_dup_spans": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        g AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(ws) - 7, 1) + 1),
+                s -> {'start': CAST(s - 1 AS BIGINT),
+                      'gram': array_to_string(ws[s:s+7], ' ')})) AS u
+            FROM w
+        ),
+        c AS (SELECT doc_id, u.start AS start, u.gram AS gram,
+                     COUNT(*) OVER (PARTITION BY u.gram) AS n_occ
+              FROM g)
+        SELECT doc_id, start, gram, n_occ FROM c WHERE n_occ >= 2
+    """,
+    "q_dedup_resolve": f"""
+        WITH RECURSIVE {_ngram_pair_ctes()},
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b AS s, id_a AS d FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
+        ),
+        comp AS (
+            SELECT id AS doc_id, MIN(r) AS component
+            FROM reach GROUP BY id
+        )
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN comp c
+          ON d.doc_id = c.doc_id AND d.doc_id = c.component
+    """,
+    "q_domain_cap": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+                       AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 800
     """,
     "q_sessionize": """
         WITH e AS (
