@@ -359,18 +359,36 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default; read it as long nanoseconds and derive a
-    micros TimestampType column. Ordering uses the raw nanos (total
-    order identical to DuckDB's nanosecond timestamps).
+    """Load events.parquet and normalize ``ts`` to long epoch-nanos,
+    whatever the physical parquet type is:
 
-    The package session factory (session.py) already sets nanosAsLong;
-    the runtime set below exists ONLY because the correctness driver
+    - TIMESTAMP(NANOS) (round-1/2 testdata): Spark's reader rejects it
+      by default; ``nanosAsLong`` reads it as long nanos directly.
+    - timestamp[us] (round-3+ testdata): read as TIMESTAMP_NTZ; convert
+      wall-clock → epoch micros under UTC (DuckDB's ``epoch_us`` makes
+      the same naive-as-UTC interpretation) and scale to nanos.
+
+    Downstream queries order/diff on the long nanos (total order
+    identical to DuckDB's timestamps — no sub-micro ties in the data)
+    and use ``ts_micro`` where a real TimestampType is needed.
+
+    The runtime conf sets exist ONLY because the correctness driver
     runs these queries on a plain foreign SparkSession it builds
-    itself — it is deliberate, not a leftover (see
+    itself — they are deliberate, not leftovers (see
     .claude/skills/verify/SKILL.md gotchas)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # date_format/ window rendering and NTZ→epoch conversion must agree
+    # with DuckDB's naive-as-UTC reading regardless of machine TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = load(spark, sf_dir, "events")
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type != "long":  # timestamp / timestamp_ntz
+        df = df.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "long"
+            ),
+        )
     return df.withColumn(
         "ts_micro", F.timestamp_micros(F.expr("ts div 1000"))
     )

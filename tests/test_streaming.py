@@ -24,18 +24,18 @@ from tests.conftest import SF_SMALL
 @pytest.fixture(scope="module")
 def events_dir(spark):
     """events table re-materialized with a proper micros timestamp (the
-    driver parquet stores TIMESTAMP(NANOS), which the streaming reader
-    also rejects), split across several files so availableNow processes
-    multiple batches."""
+    driver parquet historically stored TIMESTAMP(NANOS), which the
+    streaming reader also rejects; newer testdata uses timestamp[us],
+    read as TIMESTAMP_NTZ), split across several files so availableNow
+    processes multiple batches."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = tempfile.mkdtemp(prefix="h3idx_stream_")
-    (
-        spark.read.parquet(f"{SF_SMALL}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(d)
-    )
+    src = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    if src.schema["ts"].dataType.typeName() == "long":  # nanos-as-long
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src.repartition(4).write.mode("overwrite").parquet(d)
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
