@@ -305,18 +305,24 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
-    centroid id (argmax of stacked dot products via array_max over
-    (score, cid) structs — each dot expression appears exactly once;
-    a when-chain would duplicate the running best per centroid and the
-    expression tree would grow exponentially). Store partitioned by
-    ``ivf_cell`` and queries prune to the closest cells."""
-    scored = F.array(
-        *[
-            F.struct(
-                _dot_expr(vec_col, c).alias("score"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in enumerate(centroids)
-        ]
-    )
-    return df.withColumn("ivf_cell", F.array_max(scored)["cid"])
+    centroid id via one numpy GEMM per Arrow batch (argmax of
+    vectors @ centroids.T). An expression formulation (array_max over
+    n_cells (dot, cid) structs) builds an n_cells x dim term tree —
+    at 16 centroids x dim 64 the generated Java exceeds codegen
+    budgets and Spark silently falls back to interpreting a 1024-node
+    expression per row; per the recorded Arrow-vs-expression rule the
+    GEMM kernel wins because only the compact vector column crosses
+    the Arrow boundary. np.argmax breaks exact-tie scores to the
+    lowest centroid id (deterministic; exact float ties do not occur
+    for distinct centroids). Store partitioned by ``ivf_cell`` and
+    queries prune to the closest cells."""
+    import numpy as np
+
+    c_mat = np.asarray(centroids, dtype=np.float64).T  # (dim, n_cells)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        return pd.Series((m @ c_mat).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_cell", assign(F.col(vec_col)))
