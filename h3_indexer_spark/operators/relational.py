@@ -161,3 +161,125 @@ def top_k(
     — per-partition heaps then a driver merge of k·P rows; no full sort
     shuffle even at 100 TB."""
     return df.orderBy(*order_by).limit(k)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-resilient equi-join: result-identical to ``big.join(small,
+    on, how)`` but a hot join key spreads over ``n_salts`` reducers
+    instead of pinning one.
+
+    Mechanics: every big-side row gets a deterministic salt in
+    [0, n_salts) derived from ``salt_src`` (a high-cardinality column,
+    e.g. the big side's PK) — NOT from the join key, whose skew is the
+    problem; the small side is replicated once per salt value (explode
+    of a ``sequence``, a narrow n_salts× fanout — no shuffle), and the
+    join runs on (key..., salt). Each big row carries exactly one salt
+    and every (key, salt) combination exists on the small side, so
+    inner and left matches are exactly those of the unsalted join.
+
+    When to use: both sides too big to broadcast AND the key histogram
+    is skewed beyond what AQE's skew-join splitting handles (AQE splits
+    oversized *partitions* of the sorted side; a single mega-key still
+    lands in one partition — salting is the only thing that splits
+    *within* a key). Cost: small side shuffles n_salts× its size; pick
+    n_salts ≈ hot-key rows / target partition rows.
+
+    ``how`` must be "inner" or "left" (probe side preserved). Right and
+    full outer are rejected: an unmatched small-side row would surface
+    once per salt replica.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r}: outer "
+            "semantics on the replicated side would duplicate "
+            "unmatched rows"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = (
+        F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+        if salt_src is not None
+        else F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    ).cast("int")
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big_s.join(small_s, [*keys, "_salt"], how).drop("_salt")
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column profiling in ONE pass: per column — row count, nulls,
+    exact distinct count, min/max, and mean for numerics — the
+    data-quality summary a curation pipeline runs before and after
+    every stage.
+
+    Output rows: (column, n_rows, n_nulls, n_distinct, min_num,
+    max_num, avg_num, min_str, max_str); the num/str halves are null
+    for non-applicable types.
+
+    Plan shape: a single global aggregate (the exact COUNT(DISTINCT)s
+    plan as one Expand ~(n_cols+1)× the input feeding one partial+final
+    aggregate — still one scan, one shuffle of partially-aggregated
+    rows), then the 1-row result pivots to one row per column via
+    array+explode — no driver collect, no per-column jobs. Mean is
+    derived as exact-decimal sum / count in double so it is
+    bit-deterministic regardless of row order (see the DECIMAL(18,6)
+    rule in .claude/skills/verify).
+    """
+    from pyspark.sql.types import NumericType, StringType
+
+    cols = columns if columns is not None else df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_ndv_{c}"))
+        if isinstance(dt, NumericType):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"_min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"_max_{c}"))
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(18,6)")).alias(f"_sum_{c}")
+            )
+        elif isinstance(dt, StringType):
+            aggs.append(F.min(F.col(c)).alias(f"_mins_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"_maxs_{c}"))
+    row = df.agg(*aggs)
+
+    def _field(c: str) -> Column:
+        dt = df.schema[c].dataType
+        is_num = isinstance(dt, NumericType)
+        is_str = isinstance(dt, StringType)
+        null_d = F.lit(None).cast("double")
+        null_s = F.lit(None).cast("string")
+        n_valid = F.col("_n") - F.col(f"_nulls_{c}")
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nulls_{c}").alias("n_nulls"),
+            F.col(f"_ndv_{c}").alias("n_distinct"),
+            (F.col(f"_min_{c}") if is_num else null_d).alias("min_num"),
+            (F.col(f"_max_{c}") if is_num else null_d).alias("max_num"),
+            (
+                F.when(
+                    n_valid > 0,
+                    F.col(f"_sum_{c}").cast("double") / n_valid,
+                )
+                if is_num
+                else null_d
+            ).alias("avg_num"),
+            (F.col(f"_mins_{c}") if is_str else null_s).alias("min_str"),
+            (F.col(f"_maxs_{c}") if is_str else null_s).alias("max_str"),
+        )
+
+    return row.select(
+        F.explode(F.array(*[_field(c) for c in cols])).alias("p")
+    ).select("p.*")

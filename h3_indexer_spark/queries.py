@@ -1151,6 +1151,50 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join (operators/relational.py::
+    salted_join): lineitem ⋈ supplier on suppkey with the big side
+    salted on its PK and the small side replicated per salt — the join
+    runs on (suppkey, salt) so a hot supplier spreads over n_salts
+    reducers. Result (and hence the oracle) is identical to the plain
+    join; the plan difference is locked in tests/test_plans.py."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    joined = R.salted_join(
+        li.select("l_orderkey", "l_suppkey", "l_quantity"),
+        sup.select(
+            F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+        ),
+        on="l_suppkey",
+        n_salts=8,
+        salt_src="l_orderkey",
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/relational.py::profile_table): per-
+    column row/null/exact-distinct counts, numeric min/max/mean and
+    string min/max for lineitem — ONE scan, one aggregate (the
+    COUNT(DISTINCT) Expand), then a plan-side array+explode pivot to
+    one row per column. Mean is exact-decimal sum / count in double,
+    so it is row-order-independent and oracle-checkable."""
+    cols = [
+        "l_orderkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+    ]
+    return R.profile_table(load(spark, sf_dir, "lineitem"), cols)
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -1220,6 +1264,8 @@ QUERIES: dict[str, Query] = {
     "q_media_audio": q_media_audio,
     "q_media_resize": q_media_resize,
     "q_media_frames": q_media_frames,
+    "q_join_skew_salted": q_join_skew_salted,
+    "q_profile": q_profile,
 }
 
 
@@ -1959,4 +2005,50 @@ ORACLES: dict[str, str] = {
                    AS duration_s
         FROM documents
     """,
+    "q_join_skew_salted": """
+        SELECT s.s_nationkey,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey
+    """,
+    "q_profile": None,  # filled below (generated per-column UNION ALL)
 }
+
+
+def _profile_oracle() -> str:
+    """DuckDB mirror of q_profile: one UNION ALL branch per profiled
+    column (the oracle need not be one-pass — only value-equal).
+    n_nulls via COUNT(*) - COUNT(col) to stay BIGINT (SUM of ints
+    widens to HUGEINT in DuckDB); mean as exact-decimal sum / valid
+    count in double, the same derivation as profile_table."""
+    num_cols = ["l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice"]
+    str_cols = ["l_returnflag", "l_linestatus"]
+    parts = []
+    for c in num_cols + str_cols:
+        is_num = c in num_cols
+        min_num = f"CAST(MIN({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        max_num = f"CAST(MAX({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        avg_num = (
+            f"CASE WHEN COUNT({c}) > 0 THEN "
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({c}) "
+            f"END"
+            if is_num
+            else "CAST(NULL AS DOUBLE)"
+        )
+        min_str = f"MIN({c})" if not is_num else "CAST(NULL AS VARCHAR)"
+        max_str = f"MAX({c})" if not is_num else "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               {min_num} AS min_num, {max_num} AS max_num,
+               {avg_num} AS avg_num,
+               {min_str} AS min_str, {max_str} AS max_str
+            FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["q_profile"] = _profile_oracle()

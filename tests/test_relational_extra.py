@@ -1,0 +1,117 @@
+"""salted_join and profile_table: result-equivalence with the plain
+operators (salting must be invisible in the output; profiling must
+match a hand computation) plus the plan properties that make them
+scale — the salt in the join keys, the single-scan profile."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from h3_indexer_spark.operators.relational import profile_table, salted_join
+
+
+def _skewed_pair(spark):
+    """Big side: 1000 rows, 90% on one hot key; small side: 5 keys,
+    key 4 unmatched on the big side, big key 9 unmatched on small."""
+    big = spark.range(1000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise((F.col("id") % 4) + F.lit(6))
+        .alias("k"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(0, "hot"), (6, "a"), (7, "b"), (8, "c"), (4, "unmatched")],
+        ["k", "label"],
+    )
+    return big, small
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_inner_equals_plain(spark):
+    big, small = _skewed_pair(spark)
+    plain = big.join(small, "k", "inner")
+    salted = salted_join(big, small, "k", n_salts=7, salt_src="row_id")
+    assert _sorted_rows(salted.select(*plain.columns)) == _sorted_rows(plain)
+
+
+def test_salted_left_equals_plain(spark):
+    big, small = _skewed_pair(spark)
+    plain = big.join(small, "k", "left")
+    salted = salted_join(
+        big, small, "k", n_salts=5, how="left", salt_src="row_id"
+    )
+    assert _sorted_rows(salted.select(*plain.columns)) == _sorted_rows(plain)
+
+
+def test_salted_default_salt_source(spark):
+    """Without salt_src the row-identity salt must still be
+    result-invariant."""
+    big, small = _skewed_pair(spark)
+    plain = big.join(small, "k", "inner")
+    salted = salted_join(big, small, "k", n_salts=3)
+    assert _sorted_rows(salted.select(*plain.columns)) == _sorted_rows(plain)
+
+
+def test_salted_join_rejects_outer(spark):
+    big, small = _skewed_pair(spark)
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
+
+
+def test_salt_in_join_keys(spark):
+    """The whole point: the physical join must key on (k, _salt) so a
+    hot k spreads across n_salts partitions."""
+    big, small = _skewed_pair(spark)
+    salted = salted_join(big, small, "k", n_salts=7, salt_src="row_id")
+    plan = salted._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "_salt" in plan
+
+
+def test_profile_matches_hand_computation(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 2.0, "x"),
+            (2, None, "y"),
+            (2, 4.0, None),
+            (None, 6.0, "y"),
+        ],
+        ["a", "b", "s"],
+    )
+    got = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert got["a"]["n_rows"] == 4
+    assert got["a"]["n_nulls"] == 1
+    assert got["a"]["n_distinct"] == 2
+    assert got["a"]["min_num"] == 1.0
+    assert got["a"]["max_num"] == 2.0
+    assert got["a"]["avg_num"] == pytest.approx(5 / 3)
+    assert got["a"]["min_str"] is None
+    assert got["b"]["n_nulls"] == 1
+    assert got["b"]["avg_num"] == pytest.approx(4.0)
+    assert got["s"]["n_distinct"] == 2
+    assert got["s"]["min_str"] == "x"
+    assert got["s"]["max_str"] == "y"
+    assert got["s"]["min_num"] is None
+
+
+def test_profile_is_single_scan(spark):
+    """One aggregate over one scan — no per-column jobs. The plan may
+    Expand for the exact distincts but must read the input once."""
+    df = spark.createDataFrame([(1, "x")], ["a", "s"])
+    plan = profile_table(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the formatted explain prints each node once in the tree
+    # ("Scan ExistingRDD (1)") and once in the detail section
+    # ("(1) Scan ExistingRDD") — count tree entries only
+    assert plan.count("Scan ExistingRDD (") == 1, plan
