@@ -721,3 +721,76 @@ def dedup_resolve(
         F.col(id_col) == F.col("component")
     ).select(id_col)
     return docs.join(survivors, id_col, "semi")
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: coarse-cluster every
+    embedding (similarity.ivf_assign — one GEMM per Arrow batch), then
+    exact-cosine only WITHIN clusters. Candidate work drops from
+    O(n²) to Σ|cluster|² — with k balanced clusters that is n²/k, and
+    the self-join keys on ivf_cell so each cluster's pairs build in
+    one shuffle partition (AQE splits an oversized cluster). The
+    trade, exactly as in the SemDeDup recipe: cross-cluster near-dups
+    are unseen by design; raise k for pruning, lower it for recall.
+
+    Cosine uses the same left-associative zip_with/aggregate fold as
+    embedding_near_dups_exact, so surviving pairs' sims are bit-equal
+    to the exact baseline (and to a SQL oracle mirroring the fold).
+    Output: (id_a, id_b, cosine_sim) with cosine_sim >= threshold.
+    Feed to dedup_resolve for survivor selection.
+    """
+    from h3_indexer_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    withn = assigned.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("ivf_cell"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("_norm"),
+    )
+    a = withn.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("ivf_cell").alias("_cell"),
+        F.col("_norm").alias("_na"),
+    )
+    b = withn.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("ivf_cell").alias("_cell"),
+        F.col("_norm").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_va"),
+            F.col("_vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -268,7 +268,14 @@ def sampled_centroids(
     out = []
     for r in rows:
         v = np.asarray(r[1], dtype=np.float64)
-        n = float(np.linalg.norm(v)) or 1.0
+        # left-associative sum of squares, NOT np.linalg.norm: this is
+        # the exact IEEE op sequence a SQL `0.0 + x1*x1 + x2*x2 + ...`
+        # chain produces, so an external engine (the DuckDB oracle)
+        # derives bit-identical normalized centroids.
+        acc = 0.0
+        for x in v:
+            acc += float(x) * float(x)
+        n = math.sqrt(acc) or 1.0
         out.append((v / n).tolist())
     return out
 

@@ -697,6 +697,24 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "cosine_sim")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (operators/dedup.py::
+    semantic_dedup_pairs): coarse k=16 clustering (GEMM ivf_assign over
+    deterministic lowest-id seed centroids) prunes candidates to
+    within-cluster, then the exact left-assoc cosine fold ranks them —
+    n²/k work instead of n². Fully oracle-checked: the centroid
+    normalization and cosine are the identical IEEE op sequence in
+    DuckDB, and the empirically-verified assignment margin (≥2e-4 at
+    sf0.01) is astronomically above cross-engine 1-ulp dot-product
+    divergence."""
+    from h3_indexer_spark.operators.dedup import semantic_dedup_pairs
+    from h3_indexer_spark.operators.similarity import sampled_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, n_cells=16)
+    return semantic_dedup_pairs(emb, cents, threshold=0.3)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup candidates (operators/dedup.py).
     rows-only (xxhash64)."""
@@ -1266,6 +1284,7 @@ QUERIES: dict[str, Query] = {
     "q_media_frames": q_media_frames,
     "q_join_skew_salted": q_join_skew_salted,
     "q_profile": q_profile,
+    "q_semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -2052,3 +2071,55 @@ def _profile_oracle() -> str:
 
 
 ORACLES["q_profile"] = _profile_oracle()
+
+
+def _semantic_dedup_oracle() -> str:
+    """DuckDB mirror of q_semantic_dedup. Seeds = the 16 lowest-id
+    vectors with a left-assoc norm (bit-equal to sampled_centroids'
+    Python loop); assignment = arg_max over per-centroid dot products
+    of e[i] * (seed[i] / nrm) (the only cross-engine divergence is
+    summation order inside the dot — 1 ulp vs the ≥2e-4 assignment
+    margin); pairs = within-cell exact cosine, the same left-assoc
+    fold as q_dedup_embedding."""
+    nrm = _norm_sql("embedding", one_based=True)
+    score = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * "
+        f"(CAST(s.embedding[{i + 1}] AS DOUBLE) / s.nrm)"
+        for i in range(_EMB_DIM)
+    )
+    dot = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) * "
+        f"CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_EMB_DIM)
+    )
+    na = _norm_sql("a.embedding", one_based=True)
+    nb = _norm_sql("b.embedding", one_based=True)
+    return f"""
+        WITH seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   embedding, sqrt(0.0 + {nrm}) AS nrm
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+        ),
+        scores AS (
+            SELECT e.vec_id, s.cid, (0.0 + {score}) AS score
+            FROM embeddings e CROSS JOIN seeds s
+        ),
+        cells AS (
+            SELECT vec_id, arg_max(cid, score) AS cell
+            FROM scores GROUP BY vec_id
+        ),
+        emb AS (
+            SELECT e.vec_id, e.embedding, c.cell
+            FROM embeddings e JOIN cells c USING (vec_id)
+        )
+        SELECT id_a, id_b, cosine_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   (0.0 + {dot}) / (sqrt(0.0 + {na}) * sqrt(0.0 + {nb}))
+                       AS cosine_sim
+            FROM emb a JOIN emb b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ) WHERE cosine_sim >= 0.3
+    """
+
+
+ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()

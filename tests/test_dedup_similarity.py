@@ -341,3 +341,78 @@ class TestApproxRecallVsExactBaselines:
         }
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.9, f"embedding-LSH recall too low: {recall}"
+
+
+class TestSemanticDedup:
+    def test_pairs_subset_of_exact_with_equal_sims(self, spark):
+        """Cluster pruning may only REMOVE pairs relative to the exact
+        all-pairs baseline, never add or change one: every semantic
+        pair must appear in the exact pairs with a bit-equal sim."""
+        from h3_indexer_spark.operators.dedup import (
+            embedding_near_dups_exact,
+            semantic_dedup_pairs,
+        )
+        from h3_indexer_spark.operators.similarity import sampled_centroids
+
+        emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        cents = sampled_centroids(emb, n_cells=16)
+        sem = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in semantic_dedup_pairs(emb, cents, threshold=0.3).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in embedding_near_dups_exact(emb, threshold=0.3).collect()
+        }
+        assert sem  # pruning must leave a non-trivial pair set
+        for pair, sim in sem.items():
+            assert pair in exact
+            assert sim == exact[pair]  # bit-equal: same fold order
+
+    def test_planted_exact_duplicates_always_pair(self, spark):
+        """An exact copy has identical dot products, lands in the same
+        cluster, and must pair at cosine 1.0 — cluster pruning cannot
+        lose a true duplicate."""
+        from h3_indexer_spark.operators.dedup import semantic_dedup_pairs
+        from h3_indexer_spark.operators.similarity import sampled_centroids
+
+        emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        copies = emb.limit(20).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        corpus = emb.unionByName(copies)
+        cents = sampled_centroids(corpus, n_cells=16)
+        pairs = semantic_dedup_pairs(corpus, cents, threshold=0.999)
+        found = {
+            (r.id_a, r.id_b)
+            for r in pairs.where(F.col("id_b") >= 1_000_000).collect()
+        }
+        for i in range(20):
+            assert (i, i + 1_000_000) in found
+
+    def test_resolve_composition_drops_planted_copies(self, spark):
+        """semantic pairs -> dedup_resolve keeps exactly the originals
+        when every copy pairs with its source."""
+        from h3_indexer_spark.operators.dedup import (
+            dedup_resolve,
+            semantic_dedup_pairs,
+        )
+        from h3_indexer_spark.operators.similarity import sampled_centroids
+
+        emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        copies = emb.limit(20).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        corpus = emb.unionByName(copies)
+        cents = sampled_centroids(corpus, n_cells=16)
+        pairs = semantic_dedup_pairs(corpus, cents, threshold=0.999)
+        kept = dedup_resolve(corpus, pairs, id_col="vec_id")
+        ids = {r.vec_id for r in kept.select("vec_id").collect()}
+        assert not any(i >= 1_000_000 for i in ids)
+        assert len(ids) == emb.count()
