@@ -60,6 +60,9 @@ HEADLINE = [
     "q_knn_batch",
     "q_knn_lsh",
     "q_media_meta",
+    "q_join_skew_salted",
+    "q_profile",
+    "q_semantic_dedup",
 ]
 
 

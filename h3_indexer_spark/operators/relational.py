@@ -214,6 +214,40 @@ def salted_join(
     return big_s.join(small_s, [*keys, "_salt"], how).drop("_salt")
 
 
+def sketch_stats(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    quantile_col: str,
+    quantiles: list[float] = (0.5, 0.9),
+    rsd: float = 0.02,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based per-group statistics — the 100 TB substitute for
+    exact NDV/percentiles when the exact plans' costs bite: HLL++
+    ``approx_count_distinct`` (fixed ~kB state per group vs the exact
+    COUNT(DISTINCT) Expand that multiplies the shuffle by the column
+    count) and the ``percentile_approx`` quantile sketch (bounded
+    state vs a full sort). Both are algebraic aggregates — partial
+    sketches merge map-side, one shuffle of sketch state only.
+
+    Error contracts (locked in tests/test_relational_extra.py):
+    HLL++ relative standard deviation ``rsd``; quantile sketch rank
+    error ≤ 1/``accuracy``. Sketch internals are engine-specific, so
+    results are self-verified against the exact operators rather than
+    an external oracle.
+    """
+    qcol = F.percentile_approx(
+        F.col(quantile_col), list(quantiles), accuracy
+    )
+    return df.groupBy(group_col).agg(
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias(
+            f"approx_ndv_{distinct_col}"
+        ),
+        qcol.alias(f"approx_q_{quantile_col}"),
+    )
+
+
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Column profiling in ONE pass: per column — row count, nulls,
     exact distinct count, min/max, and mean for numerics — the
@@ -224,14 +258,22 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     max_num, avg_num, min_str, max_str); the num/str halves are null
     for non-applicable types.
 
-    Plan shape: a single global aggregate (the exact COUNT(DISTINCT)s
-    plan as one Expand ~(n_cols+1)× the input feeding one partial+final
-    aggregate — still one scan, one shuffle of partially-aggregated
-    rows), then the 1-row result pivots to one row per column via
-    array+explode — no driver collect, no per-column jobs. Mean is
-    derived as exact-decimal sum / count in double so it is
-    bit-deterministic regardless of row order (see the DECIMAL(18,6)
-    rule in .claude/skills/verify).
+    Plan shape — two branches, all HashAggregate, no Expand:
+    (1) one global aggregate for counts/nulls/min/max/sums (no
+    grouping keys, so even the string min/max buffers need no sort),
+    pivoted to one row per column via array+explode;
+    (2) the exact NDVs via melt: each row explodes to (column,
+    value-as-string) pairs, a two-stage distinct — groupBy(column,
+    value) then count per column — that partial-aggregates map-side
+    and shuffles only the distinct pairs. (The naive
+    multi-COUNT(DISTINCT) formulation plans as an Expand ×(n_cols+1)
+    into a SortAggregate — measured 12× slower.)
+    The branches broadcast-join on the tiny per-column result. Both
+    branches prune the scan to the profiled columns; the source is
+    read twice — at scale prefer sketch_stats (one pass, bounded
+    state) when exact NDVs aren't required. Mean is exact-decimal
+    sum / count in double so it is bit-deterministic regardless of
+    row order (see the DECIMAL(18,6) rule in .claude/skills/verify).
     """
     from pyspark.sql.types import NumericType, StringType
 
@@ -242,7 +284,6 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}")
         )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"_ndv_{c}"))
         if isinstance(dt, NumericType):
             aggs.append(F.min(F.col(c)).cast("double").alias(f"_min_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"_max_{c}"))
@@ -253,6 +294,30 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             aggs.append(F.min(F.col(c)).alias(f"_mins_{c}"))
             aggs.append(F.max(F.col(c)).alias(f"_maxs_{c}"))
     row = df.agg(*aggs)
+
+    # exact NDV branch: melt to (column, value) — the string cast is
+    # injective per column, so distinct pair counts equal distinct
+    # value counts; nulls drop to match COUNT(DISTINCT) semantics
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    ndv = (
+        melted.where(F.col("_v").isNotNull())
+        .groupBy("column", "_v")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
 
     def _field(c: str) -> Column:
         dt = df.schema[c].dataType
@@ -265,7 +330,6 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.lit(c).alias("column"),
             F.col("_n").alias("n_rows"),
             F.col(f"_nulls_{c}").alias("n_nulls"),
-            F.col(f"_ndv_{c}").alias("n_distinct"),
             (F.col(f"_min_{c}") if is_num else null_d).alias("min_num"),
             (F.col(f"_max_{c}") if is_num else null_d).alias("max_num"),
             (
@@ -280,6 +344,17 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             (F.col(f"_maxs_{c}") if is_str else null_s).alias("max_str"),
         )
 
-    return row.select(
+    stats = row.select(
         F.explode(F.array(*[_field(c) for c in cols])).alias("p")
     ).select("p.*")
+    return stats.join(F.broadcast(ndv), "column", "left").select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+        "min_num",
+        "max_num",
+        "avg_num",
+        "min_str",
+        "max_str",
+    )

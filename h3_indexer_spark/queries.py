@@ -241,6 +241,41 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set aggregation: all four grouping sets of
+    (flag, status) in one pass — the Expand-based sibling of
+    q_rollup, completing the grouping-sets family."""
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,6)").alias("qty"),
+    )
+    return (
+        df.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("qty").alias("_s"), F.count("*").alias("n_rows"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_s").cast("double").alias("sum_qty"),
+            "n_rows",
+        )
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (operators/relational.py::sketch_stats):
+    HLL++ approximate NDV + quantile-sketch percentiles per group —
+    fixed sketch state per group instead of the exact Expand / full
+    sort. rows-only: sketch values are engine-specific; error bounds
+    vs the exact operators are locked in tests."""
+    return R.sketch_stats(
+        load(spark, sf_dir, "lineitem"),
+        group_col="l_returnflag",
+        distinct_col="l_orderkey",
+        quantile_col="l_extendedprice",
+    )
+
+
 def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the resolver kernel — groupBy + SUM every value column
     (reference h3_resolver.py:22-42). Partial aggregation makes this a
@@ -1233,6 +1268,8 @@ QUERIES: dict[str, Query] = {
     "q_groupby_stats": q_groupby_stats,
     "q_quantiles": q_quantiles,
     "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_approx_stats": q_approx_stats,
     "q_distinct": q_distinct,
     "q_count": q_count,
     "q_count_distinct": q_count_distinct,
@@ -1872,6 +1909,15 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_cube": """
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "q_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_count": "SELECT COUNT(*) AS cnt FROM lineitem",

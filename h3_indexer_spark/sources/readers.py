@@ -21,10 +21,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def scan_parallelism_cap(path: str, probe_limit: int = 256) -> int | None:
+    """Upper bound on the number of tasks a Spark parquet scan of
+    ``path`` can actually use: total row groups across files. Spark
+    splits parquet by byte ranges, but the vectorized reader's unit of
+    work is the ROW GROUP — a table materialized as one huge row group
+    per file scans on one core per file no matter how many executors
+    the cluster has. Returns None when the footers can't be inspected
+    locally (e.g. object-store paths) — callers must then assume the
+    layout is healthy."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+        else:
+            files = glob.glob(path) if glob.has_magic(path) else [path]
+        files = [f for f in files if os.path.isfile(f)]
+        if not files:
+            return None
+        cap = 0
+        for f in files[:probe_limit]:
+            cap += pq.ParquetFile(f).metadata.num_row_groups
+            if cap >= 1 << 20:
+                break
+        if len(files) > probe_limit:
+            cap = max(cap, len(files))
+        return cap
+    except Exception:
+        return None
+
+
+def read_parquet(
+    spark: SparkSession, path: str, adaptive_parallelism: bool = True
+) -> DataFrame:
     """S1: columnar scan; partition pruning applies to partitioned
-    layouts (e.g. our own sink's h3_resolution/h3_r3_parent dirs)."""
-    return spark.read.parquet(path)
+    layouts (e.g. our own sink's h3_resolution/h3_r3_parent dirs).
+
+    Adaptive scan parallelization: when the parquet footers show fewer
+    row groups than the session has cores (a small table written as
+    one fat row group — a common ingest pathology), a single bounded
+    round-robin repartition restores full parallelism for the
+    compute-heavy narrow stages downstream; filters and column pruning
+    still push through the repartition to the scan. At real scale
+    (row groups ≫ cores) the probe is a cheap footer read and the
+    rebalance NEVER fires — no extra shuffle on the 100 TB path."""
+    df = spark.read.parquet(path)
+    if adaptive_parallelism:
+        cores = spark.sparkContext.defaultParallelism
+        cap = scan_parallelism_cap(path)
+        if cap is not None and cap < max(2, cores // 2):
+            return df.repartition(cores)
+    return df
 
 
 def read_csv(spark: SparkSession, path: str, **options: str) -> DataFrame:

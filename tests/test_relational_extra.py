@@ -8,7 +8,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from h3_indexer_spark.operators.relational import profile_table, salted_join
+from h3_indexer_spark.operators.relational import (
+    profile_table,
+    salted_join,
+    sketch_stats,
+)
 
 
 def _skewed_pair(spark):
@@ -102,16 +106,60 @@ def test_profile_matches_hand_computation(spark):
     assert got["s"]["min_num"] is None
 
 
-def test_profile_is_single_scan(spark):
-    """One aggregate over one scan — no per-column jobs. The plan may
-    Expand for the exact distincts but must read the input once."""
+def test_profile_plan_shape(spark):
+    """Two branches (stats + melt-NDV, one scan each), everything
+    hash-aggregated: no Expand (the multi-COUNT(DISTINCT) plan that
+    sort-aggregates (n_cols+1)x the input — measured 12x slower) and
+    no SortAggregate; the per-column join must broadcast."""
     df = spark.createDataFrame([(1, "x")], ["a", "s"])
     plan = profile_table(df)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
     )
-    # the formatted explain prints each node once in the tree
-    # ("Scan ExistingRDD (1)") and once in the detail section
-    # ("(1) Scan ExistingRDD") — count tree entries only
-    assert plan.count("Scan ExistingRDD (") == 1, plan
+    # tree entries only (each node prints again in the detail section)
+    assert plan.count("Scan ExistingRDD (") == 2, plan
+    assert "Expand" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sketch_stats_error_bounds(spark):
+    """HLL++ NDV within 3*rsd of exact; quantile sketch values must be
+    actual data values whose true rank is within the accuracy bound."""
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE
+
+    df = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: r
+        for r in sketch_stats(
+            df, "l_returnflag", "l_orderkey", "l_extendedprice"
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").alias("ndv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    prices = {
+        flag: np.sort(
+            np.array(
+                df.where(F.col("l_returnflag") == flag)
+                .select("l_extendedprice")
+                .toPandas()["l_extendedprice"]
+            )
+        )
+        for flag in exact
+    }
+    for flag, row in got.items():
+        ndv, n = exact[flag]["ndv"], exact[flag]["n"]
+        assert abs(row["approx_ndv_l_orderkey"] - ndv) <= max(3 * 0.02 * ndv, 1)
+        for q, v in zip((0.5, 0.9), row["approx_q_l_extendedprice"]):
+            rank = np.searchsorted(prices[flag], v) / n
+            assert abs(rank - q) <= 0.01, (flag, q, v, rank)
