@@ -120,7 +120,11 @@ def test_profile_plan_shape(spark):
     # tree entries only (each node prints again in the detail section)
     assert plan.count("Scan ExistingRDD (") == 2, plan
     assert "Expand" not in plan, plan
-    assert "SortAggregate" not in plan, plan
+    # the NDV branch must hash-aggregate its (column, value) pairs;
+    # (the stats branch's global SortAggregate has zero grouping keys
+    # — no sort actually happens — string min/max just isn't
+    # hash-buffer-able)
+    assert "HashAggregate" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
 
 
