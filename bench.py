@@ -63,6 +63,8 @@ HEADLINE = [
     "q_join_skew_salted",
     "q_profile",
     "q_semantic_dedup",
+    "q_fuzzy_join",
+    "q_window_sliding",
 ]
 
 

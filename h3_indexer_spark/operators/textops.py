@@ -266,3 +266,48 @@ def stratified_sample_by_key(
             F.col(strata_col) == stratum, F.lit(int(rate * mod))
         ).otherwise(expr)
     return df.where(F.pmod(F.col(key_col), F.lit(mod)) < expr)
+
+
+def fuzzy_pairs(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    prefix_len: int = 8,
+) -> "DataFrame":
+    """Entity-resolution fuzzy match: candidate pairs from a shared
+    ``prefix_len``-char blocking key, verified by exact Levenshtein
+    distance ≤ ``max_dist`` — the record-linkage primitive (vendor
+    name reconciliation, near-identical titles/URLs).
+
+    Scale shape: the self-join keys on the block, so work is
+    Σ|block|² instead of the all-pairs n² (identical to the minhash /
+    semantic-dedup candidate-then-verify pattern); AQE's skew split
+    handles a hot block. The trade: a pair differing within the first
+    ``prefix_len`` chars is unseen — run a second pass with a
+    different block (suffix, sorted-chars) to raise recall. The
+    verification is JVM-side ``levenshtein`` (unit edit costs, same
+    semantics as DuckDB's — oracle-checkable including the blocking).
+
+    Output: (id_a, id_b, name_a, name_b, edit_dist).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("name_a"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("name_b"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int"),
+        )
+        .where(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+    )

@@ -440,6 +440,66 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window family — rank / dense_rank / percent_rank per
+    group ordered by value. All three are tie-stable (equal inputs get
+    equal outputs), so the result is deterministic without a
+    tiebreaker column."""
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc()
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice")
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("bigint"))
+        .withColumn("prnk", F.percent_rank().over(w))
+        .where(F.col("rnk") <= 100)
+    )
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 2-hour windows every 30
+    minutes — each event lands in exactly 4 overlapping windows
+    (window size/slide are epoch-aligned in both engines). The
+    streaming sibling runs the same aggregation under a watermark."""
+    ev = _load_events(spark, sf_dir).select("ts_micro", "value")
+    return (
+        ev.groupBy(
+            F.window("ts_micro", "2 hours", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-match join (operators/textops.py::fuzzy_pairs):
+    supplier names within Levenshtein distance 2, candidates blocked
+    on the 12-char name prefix — the record-linkage primitive, fully
+    oracle-checked including the blocking (DuckDB's levenshtein has
+    identical unit-cost semantics)."""
+    from h3_indexer_spark.operators.textops import fuzzy_pairs
+
+    return fuzzy_pairs(
+        load(spark, sf_dir, "supplier"),
+        id_col="s_suppkey",
+        text_col="s_name",
+        max_dist=1,
+        prefix_len=12,
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/temporal.py): each click event
     picks up the value of the user's most recent error event at or
@@ -1280,6 +1340,9 @@ QUERIES: dict[str, Query] = {
     "q_topk_window": q_topk_window,
     "q_window_lag": q_window_lag,
     "q_window_tumbling": q_window_tumbling,
+    "q_window_rank": q_window_rank,
+    "q_window_sliding": q_window_sliding,
+    "q_fuzzy_join": q_fuzzy_join,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_text_stats": q_text_stats,
@@ -2069,6 +2132,44 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS DOUBLE) / 16000.0
                    AS duration_s
         FROM documents
+    """,
+    "q_window_rank": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+               rnk, drnk, prnk
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   l_extendedprice,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   PERCENT_RANK() OVER w AS prnk
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice DESC)
+        ) WHERE rnk <= 100
+    """,
+    "q_window_sliding": """
+        WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        hops AS (
+            SELECT (us // 1800000000) * 1800000000 - i.i * 1800000000
+                       AS win_start_us,
+                   value
+            FROM e CROSS JOIN (SELECT unnest(range(4)) AS i) i
+        )
+        SELECT win_start_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM hops GROUP BY win_start_us
+    """,
+    "q_fuzzy_join": """
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+               a.s_name AS name_a, b.s_name AS name_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS INTEGER)
+                   AS edit_dist
+        FROM supplier a JOIN supplier b
+          ON substr(a.s_name, 1, 12) = substr(b.s_name, 1, 12)
+         AND a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
     """,
     "q_join_skew_salted": """
         SELECT s.s_nationkey,

@@ -41,3 +41,40 @@ def test_tfidf_scores_exact(spark):
     assert got[(1, "b")] == (2.0, 2)
     assert got[(2, "c")] == (2.0, 1)
     assert got[(2, "a")] == (1.0, 2)
+
+
+class TestFuzzyPairs:
+    def test_planted_typos_found_and_verified(self, spark):
+        from h3_indexer_spark.operators.textops import fuzzy_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "Acme Corporation"),
+                (2, "Acme Corporatien"),   # 1 substitution
+                (3, "Acme Corp"),          # distance 7 from #1
+                (4, "Bcme Corporation"),   # differs in char 1: other block
+                (5, "Zenith Industries"),
+            ],
+            ["id", "name"],
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.edit_dist
+            for r in fuzzy_pairs(
+                df, "id", "name", max_dist=2, prefix_len=4
+            ).collect()
+        }
+        assert pairs == {(1, 2): 1}  # typo caught, verified at dist 1
+
+    def test_blocking_bounds_candidates(self, spark):
+        """A pair differing inside the block prefix is unseen — the
+        documented recall trade of blocked matching."""
+        from h3_indexer_spark.operators.textops import fuzzy_pairs
+
+        df = spark.createDataFrame(
+            [(1, "Acme Corporation"), (4, "Bcme Corporation")],
+            ["id", "name"],
+        )
+        assert (
+            fuzzy_pairs(df, "id", "name", max_dist=2, prefix_len=4).count()
+            == 0
+        )
