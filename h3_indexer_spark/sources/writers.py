@@ -37,3 +37,40 @@ def write_partitioned_parquet(
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Unpartitioned sink for intermediate artifacts."""
     df.write.mode(mode).option("compression", "snappy").parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    n_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table — the storage-level
+    answer to repeated big-big joins/aggregations on the same key: two
+    tables bucketed on the join key with the same bucket count join
+    WITHOUT any Exchange (locked in tests/test_sources.py), because
+    the files themselves carry the hash partitioning; a groupBy on the
+    bucket key likewise skips its shuffle. At 100 TB, bucketing the
+    fact table once at ingest amortizes the shuffle every downstream
+    join would otherwise pay.
+
+    ``sort_cols`` additionally orders rows within each bucket file, so
+    a sort-merge join reads presorted runs (and min/max row-group
+    stats tighten for the sort column). Requires a catalog
+    (``saveAsTable``) — bucketing metadata lives in the table, not in
+    loose parquet files.
+    """
+    buckets = (
+        [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    )
+    w = (
+        df.write.mode(mode)
+        .option("compression", "snappy")
+        .bucketBy(n_buckets, *buckets)
+    )
+    if sort_cols is not None:
+        sorts = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sorts)
+    w.format("parquet").saveAsTable(table)

@@ -359,3 +359,48 @@ def test_shapefile_without_shx_scans_record_headers(spark):
         assert df.where("geometry = 'POINT (-100 40)'").count() == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with ZERO Exchange — the files carry the hash
+    partitioning. This is the storage-level shuffle amortization
+    write_bucketed_table exists for."""
+    from h3_indexer_spark.sources.writers import write_bucketed_table
+
+    facts = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    dims = spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    write_bucketed_table(facts, "bkt_facts", "k", n_buckets=8)
+    write_bucketed_table(dims, "bkt_dims", "k", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # bucketing targets BIG-big joins; kill broadcast so the test
+    # exercises the sort-merge path a 100 TB join would take
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("bkt_facts")
+        b = spark.table("bkt_dims")
+        joined = a.join(b, "k")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 2_000
+        # groupBy on the bucket key also rides the file-level hashing
+        agg_plan = (
+            a.groupBy("k").agg(F.sum("v").alias("s"))
+        )._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_facts")
+        spark.sql("DROP TABLE IF EXISTS bkt_dims")
