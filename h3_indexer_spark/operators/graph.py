@@ -95,3 +95,89 @@ def connected_components(
     return labels.select(
         F.col("v").alias(id_col), F.col("comp").alias("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    damping: float = 0.85,
+    max_iter: int = 15,
+) -> DataFrame:
+    """PageRank over a directed edge list — the crawl-prioritization /
+    domain-authority primitive of a web-scale training-data pipeline
+    (rank sources before sampling; weight dedup survivors by
+    authority). Returns (id_col, rank); ranks sum to 1.
+
+    Per iteration: one shuffle join (ranks onto out-edges), one
+    aggregate (contributions per target), one broadcast-sized 1-row
+    action (dangling mass), one left join back to the vertex set.
+    Edge list + out-degrees are computed once and persisted; each
+    round's ranks are localCheckpoint'ed to truncate lineage (same
+    driver-OOM reasoning as connected_components above). Fixed
+    ``max_iter`` rounds — power iteration's error contracts by the
+    damping factor per round (0.85^15 ≈ 0.09 of the initial gap; raise
+    for tighter convergence).
+
+    Dangling vertices (no out-edges) redistribute their mass uniformly
+    — the standard correction, so total rank stays exactly 1 and a
+    sink-heavy graph (most leaf URLs) doesn't leak rank.
+    """
+    n = vertices.count()
+    if n == 0:
+        return vertices.select(
+            F.col(id_col).alias(id_col), F.lit(0.0).alias("rank")
+        )
+    verts = vertices.select(F.col(id_col).alias("v")).persist()
+    withdeg = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .join(
+            edges.groupBy(F.col(src).alias("a")).agg(
+                F.count(F.lit(1)).alias("outdeg")
+            ),
+            "a",
+        )
+        .persist()
+    )
+    ranks = verts.select("v", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        dangling = (
+            ranks.join(
+                withdeg.select("a").distinct(),
+                ranks.v == F.col("a"),
+                "left_anti",
+            )
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            withdeg.join(ranks, withdeg.a == ranks.v)
+            .select(
+                F.col("b").alias("v"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            verts.join(contribs, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    verts.unpersist()
+    withdeg.unpersist()
+    return ranks.select(F.col("v").alias(id_col), "rank")

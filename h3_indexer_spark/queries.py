@@ -1048,6 +1048,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py::pagerank) over the exact-Jaccard
+    near-dup pair graph (both directions per pair): documents central
+    to big duplication families rank highest — the authority signal a
+    crawl/sampling pipeline weights by. rows-only: iterative power
+    method (the numpy-equivalence and dangling-mass tests in
+    tests/test_curation_graph.py are the correctness check); top-50 by
+    (rank, doc_id) for a stable result set."""
+    from h3_indexer_spark.operators.dedup import ngram_jaccard_exact_pairs
+    from h3_indexer_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_exact_pairs(docs, n=3, threshold=0.5, max_df=100)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    ranked = pagerank(edges, docs, id_col="doc_id", max_iter=10)
+    return R.top_k(
+        ranked.select("doc_id", F.round("rank", 9).alias("rank")),
+        [F.col("rank").desc(), F.col("doc_id").asc()],
+        50,
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/curation.py::decontaminate):
     docs with doc_id < 50 stand in for the eval set; any training doc
@@ -1368,6 +1394,7 @@ QUERIES: dict[str, Query] = {
     "q_corpus_curation": q_corpus_curation,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_pagerank": q_pagerank,
     "q_decontaminate": q_decontaminate,
     "q_chunk_docs": q_chunk_docs,
     "q_pii_scrub": q_pii_scrub,

@@ -269,3 +269,47 @@ class TestConnectedComponents:
     def test_reversed_edge_direction_irrelevant(self, spark):
         comp = self._cc(spark, [(3, 0), (1, 3), (2, 1)], 4)
         assert set(comp.values()) == {0}
+
+
+class TestPageRank:
+    def _numpy_pagerank(self, n, edge_list, d=0.85, iters=15):
+        import numpy as np
+
+        out = np.zeros(n)
+        for s, _ in edge_list:
+            out[s] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            dangling = r[out == 0].sum()
+            contrib = np.zeros(n)
+            for s, t in edge_list:
+                contrib[t] += r[s] / out[s]
+            r = (1 - d) / n + d * (contrib + dangling / n)
+        return r
+
+    def test_matches_power_iteration_with_dangling(self, spark):
+        from h3_indexer_spark.operators.graph import pagerank
+
+        # 0->1, 0->2, 1->2, 2->0, 3 dangling, 4->0
+        edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 0)]
+        n = 5
+        edges = spark.createDataFrame(edge_list, ["src", "dst"])
+        verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        got = {
+            r.id: r.rank for r in pagerank(edges, verts, max_iter=15).collect()
+        }
+        want = self._numpy_pagerank(n, edge_list)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        for i in range(n):
+            assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+
+    def test_uniform_on_cycle(self, spark):
+        from h3_indexer_spark.operators.graph import pagerank
+
+        n = 6
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % n) for i in range(n)], ["src", "dst"]
+        )
+        verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        for r in pagerank(edges, verts, max_iter=5).collect():
+            assert abs(r.rank - 1.0 / n) < 1e-12
