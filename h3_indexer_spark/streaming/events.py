@@ -122,3 +122,44 @@ def stateful_running_value(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — attach dimension attributes
+    (user profile, domain metadata) to each event as it arrives. The
+    static side broadcasts into every micro-batch: no streaming state,
+    no watermark, and the static table is re-read per batch so slowly-
+    changing dimensions pick up updates between batches."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time proximity bound:
+    rows pair when they share ``key`` and their event times differ by
+    at most ``tolerance_s`` seconds (click↔impression attribution,
+    request↔response correlation). BOTH sides carry a watermark and
+    the join condition carries the time range — together they bound
+    the buffered state: each side retains only watermark+tolerance of
+    history, so the query runs forever on unbounded streams. The two
+    inputs must not share column names besides ``key``."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {tolerance_s} SECONDS"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

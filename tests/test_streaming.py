@@ -198,3 +198,66 @@ class TestStatefulRunning:
             n, tv = final[r.user_id]
             assert n == r.n
             assert abs(tv - r.tv) < 1e-6
+
+
+class TestEnrichStream:
+    def test_matches_batch_join(self, spark, events_dir):
+        from h3_indexer_spark.streaming.events import enrich_stream
+
+        dim = spark.createDataFrame(
+            [(u, f"tier_{u % 3}") for u in range(50)],
+            ["user_id", "tier"],
+        )
+        stream = enrich_stream(_read_stream(spark, events_dir), dim, "user_id")
+        got = _run_stream(spark, stream, output_mode="append")
+        batch = spark.read.parquet(events_dir).join(dim, "user_id", "left")
+        assert got.count() == batch.count()
+        assert (
+            got.groupBy("tier").count().orderBy("tier").collect()
+            == batch.groupBy("tier").count().orderBy("tier").collect()
+        )
+
+
+class TestStreamStreamJoin:
+    def test_interval_attribution(self, spark, events_dir):
+        """clicks ⋈ errors per user within ±30 min, both sides
+        streaming — result must equal the equivalent batch range
+        join."""
+        from h3_indexer_spark.streaming.events import (
+            stream_stream_interval_join,
+        )
+
+        src = _read_stream(spark, events_dir)
+        clicks = src.where("event_type = 'click'").select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        errors = src.where("event_type = 'error'").select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("err_ts"),
+            F.col("event_id").alias("err_id"),
+        )
+        joined = stream_stream_interval_join(
+            clicks, errors, "user_id", "click_ts", "err_ts",
+            tolerance_s=1800,
+        )
+        got = _run_stream(spark, joined, output_mode="append")
+
+        b = spark.read.parquet(events_dir)
+        bc = b.where("event_type = 'click'")
+        be = b.where("event_type = 'error'")
+        want = bc.alias("c").join(
+            be.alias("e"),
+            (F.col("c.user_id") == F.col("e.user_id"))
+            & (
+                F.col("e.ts")
+                >= F.col("c.ts") - F.expr("INTERVAL 1800 SECONDS")
+            )
+            & (
+                F.col("e.ts")
+                <= F.col("c.ts") + F.expr("INTERVAL 1800 SECONDS")
+            ),
+        )
+        assert got.count() == want.count()
+        assert got.count() > 0
