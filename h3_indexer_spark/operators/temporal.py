@@ -143,6 +143,67 @@ def range_join(
     return f.join(iv, cond, how).drop(bkt_f, bkt_i)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Join interval PAIRS that overlap: ``l_lo < r_hi AND r_lo <
+    l_hi`` (half-open) — the temporal generalization of
+    :func:`range_join` from point-in-interval to interval-vs-interval
+    (concurrent sessions, downtime attribution, span reconciliation).
+
+    Both sides explode to the ``bucket_width`` buckets they cover and
+    equi-join on bucket id, so only co-bucketed intervals ever pair —
+    never all-pairs. A pair spanning several shared buckets would
+    surface once per bucket; instead of a distinct (an extra
+    corpus-sized shuffle), the join condition pins each pair to its
+    FIRST shared bucket — ``greatest(floor(l_lo/w), floor(r_lo/w))``
+    — so every overlapping pair appears exactly once. Inner join
+    only: outer semantics over exploded replicas would null-extend
+    per bucket.
+    """
+    bl, br = "_ov_bucket_l", "_ov_bucket_r"
+    lf = left.withColumn(
+        bl,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_lo) / F.lit(bucket_width)),
+                F.floor(F.col(l_hi) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    rt = right.withColumn(
+        br,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_lo) / F.lit(bucket_width)),
+                F.floor(F.col(r_hi) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    if broadcast_right:
+        rt = F.broadcast(rt)
+    cond = (
+        (F.col(bl) == F.col(br))
+        & (
+            F.col(bl)
+            == F.greatest(
+                F.floor(F.col(l_lo) / F.lit(bucket_width)),
+                F.floor(F.col(r_lo) / F.lit(bucket_width)),
+            )
+        )
+        & (F.col(l_lo) < F.col(r_hi))
+        & (F.col(r_lo) < F.col(l_hi))
+    )
+    return lf.join(rt, cond, "inner").drop(bl, br)
+
+
 def sessionize(
     df: DataFrame,
     key_cols: list[str],

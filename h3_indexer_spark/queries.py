@@ -500,6 +500,50 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/temporal.py::
+    interval_overlap_join): user session intervals × hours containing
+    at least one error event — which sessions ran through degraded
+    hours. Bucketed equi-join on hour buckets with first-shared-bucket
+    pinning (each overlapping pair emitted exactly once, no distinct
+    shuffle); the tiny window table broadcasts."""
+    from h3_indexer_spark.operators.temporal import (
+        interval_overlap_join,
+        sessionize,
+    )
+
+    hour_us = 3_600_000_000
+    ev = _load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_type",
+    )
+    s = sessionize(
+        ev, ["user_id"], "ts_us", gap=1_800_000_000,
+        order_cols=["event_id"],
+    )
+    sessions = s.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("s_lo"),
+        (F.max("ts_us") + F.lit(1)).alias("s_hi"),
+    )
+    windows = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            (
+                F.floor(F.col("ts_us") / F.lit(float(hour_us)))
+                * F.lit(hour_us)
+            ).alias("w_lo")
+        )
+        .distinct()
+        .withColumn("w_hi", F.col("w_lo") + F.lit(hour_us))
+    )
+    return interval_overlap_join(
+        sessions, windows, "s_lo", "s_hi", "w_lo", "w_hi",
+        bucket_width=float(hour_us), broadcast_right=True,
+    ).select("user_id", "session_id", F.col("w_lo").alias("win_start_us"))
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/temporal.py): each click event
     picks up the value of the user's most recent error event at or
@@ -1370,6 +1414,7 @@ QUERIES: dict[str, Query] = {
     "q_window_sliding": q_window_sliding,
     "q_fuzzy_join": q_fuzzy_join,
     "q_asof_join": q_asof_join,
+    "q_interval_join": q_interval_join,
     "q_range_join": q_range_join,
     "q_text_stats": q_text_stats,
     "q_dedup_exact": q_dedup_exact,
@@ -2159,6 +2204,43 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS DOUBLE) / 16000.0
                    AS duration_s
         FROM documents
+    """,
+    "q_interval_join": """
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+            FROM events
+        ),
+        m AS (
+            SELECT *,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                             OR ts_us - lag(ts_us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ),
+        s AS (
+            SELECT *,
+                   CAST(SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - 1 AS BIGINT) AS session_id
+            FROM m
+        ),
+        sess AS (
+            SELECT user_id, session_id,
+                   MIN(ts_us) AS s_lo, MAX(ts_us) + 1 AS s_hi
+            FROM s GROUP BY user_id, session_id
+        ),
+        win AS (
+            SELECT DISTINCT
+                   CAST(floor(ts_us / 3600000000.0) * 3600000000 AS BIGINT)
+                       AS w_lo
+            FROM e WHERE event_type = 'error'
+        )
+        SELECT sess.user_id, sess.session_id, win.w_lo AS win_start_us
+        FROM sess JOIN win
+          ON sess.s_lo < win.w_lo + 3600000000
+         AND win.w_lo < sess.s_hi
     """,
     "q_window_rank": """
         SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,

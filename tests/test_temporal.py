@@ -227,3 +227,39 @@ class TestSessionize:
         }
         # gap == 1000 keeps the session; gap 1001 breaks it
         assert out == {1: 0, 2: 0, 3: 1}
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_bruteforce_including_multibucket_pairs(self, spark):
+        """Pairs spanning several shared buckets must appear EXACTLY
+        once (first-shared-bucket pinning), and the result must equal
+        the brute-force overlap join."""
+        from h3_indexer_spark.operators.temporal import interval_overlap_join
+
+        left = spark.createDataFrame(
+            [(1, 0.0, 25.0), (2, 5.0, 7.0), (3, 30.0, 40.0), (4, 50.0, 51.0)],
+            ["lid", "l_lo", "l_hi"],
+        )
+        right = spark.createDataFrame(
+            [(10, 4.0, 26.0), (11, 24.9, 31.0), (12, 45.0, 50.0)],
+            ["rid", "r_lo", "r_hi"],
+        )
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+                bucket_width=3.0,
+            ).collect()
+        )
+        rows_l = left.collect()
+        rows_r = right.collect()
+        want = sorted(
+            (a.lid, b.rid)
+            for a in rows_l
+            for b in rows_r
+            if a.l_lo < b.r_hi and b.r_lo < a.l_hi
+        )
+        assert got == want
+        assert len(got) == len(set(got))  # no per-bucket duplicates
+        # boundary check: [50, 51) does NOT overlap [45, 50) half-open
+        assert (4, 12) not in got
