@@ -500,6 +500,29 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed deduplication: keep the FIRST event per (user,
+    event_type) within each tumbling hour — the batch twin of
+    streaming_dedup (retries/replays collapse, one row survives per
+    key per window). One window shuffle; WindowGroupLimit stops
+    per-group work at row 1."""
+    ev = _load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    hour_us = 3_600_000_000
+    w = Window.partitionBy(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("ts_us") - F.pmod(F.col("ts_us"), F.lit(hour_us)),
+    ).orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts_us")
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/temporal.py::
     interval_overlap_join): user session intervals × hours containing
@@ -1415,6 +1438,7 @@ QUERIES: dict[str, Query] = {
     "q_fuzzy_join": q_fuzzy_join,
     "q_asof_join": q_asof_join,
     "q_interval_join": q_interval_join,
+    "q_dedup_windowed": q_dedup_windowed,
     "q_range_join": q_range_join,
     "q_text_stats": q_text_stats,
     "q_dedup_exact": q_dedup_exact,
@@ -2204,6 +2228,22 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS DOUBLE) / 16000.0
                    AS duration_s
         FROM documents
+    """,
+    "q_dedup_windowed": """
+        WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+            FROM events
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type,
+                                    ts_us - (ts_us % 3600000000)
+                       ORDER BY ts_us, event_id
+                   ) AS rn
+            FROM e
+        )
+        SELECT event_id, user_id, event_type, ts_us FROM r WHERE rn = 1
     """,
     "q_interval_join": """
         WITH e AS (
