@@ -320,3 +320,49 @@ def pack_sequences(
         .alias("pack_id"),
         offset.cast("bigint").alias("offset_in_pack"),
     )
+
+
+# --------------------------------------------------------------------------
+# Line-level boilerplate cleaning (C4-style)
+# --------------------------------------------------------------------------
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    ban_substrings: tuple[str, ...] = ("javascript", "cookie policy"),
+) -> DataFrame:
+    """C4-style LINE-level cleaning: instead of dropping whole
+    documents, drop the boilerplate LINES inside them — nav menus,
+    cookie banners, share buttons — and keep the prose. Rules (each a
+    C4 original): a line survives if it has ≥ ``min_words`` words,
+    ends in terminal punctuation (when ``require_terminal_punct``),
+    and contains none of ``ban_substrings`` (case-insensitive).
+
+    Pure expression plan — split → filter (higher-order function) →
+    array_join — a narrow map with zero shuffle at any corpus size.
+    Adds ``clean_text`` plus kept/dropped line counts (the drop RATE
+    is itself a quality signal: mostly-boilerplate docs are discards).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line):
+        word_cnt = F.size(F.split(F.trim(line), " +"))
+        ok = (F.length(F.trim(line)) > 0) & (word_cnt >= min_words)
+        if require_terminal_punct:
+            ok = ok & F.trim(line).rlike("[.!?\"']$")
+        for b in ban_substrings:
+            ok = ok & ~F.lower(line).contains(b.lower())
+        return ok
+
+    kept = F.filter(lines, keep)
+    return (
+        df.withColumn("_lines", lines)
+        .withColumn("_kept", kept)
+        .withColumn("clean_text", F.array_join(F.col("_kept"), "\n"))
+        .withColumn("n_lines", F.size("_lines").cast("bigint"))
+        .withColumn("n_kept_lines", F.size("_kept").cast("bigint"))
+        .drop("_lines", "_kept")
+    )

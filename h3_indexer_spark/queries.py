@@ -1115,6 +1115,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate cleaning (operators/curation.py
+    ::clean_lines): drop boilerplate LINES inside documents, keep the
+    prose. The synthetic docs are single-line, so the query first
+    splits them into lines at ' table ' (a deterministic stand-in for
+    real newlines); rules: ≥3 words, no banned substrings. Pure
+    narrow-expression plan — split → HOF filter → array_join."""
+    from h3_indexer_spark.operators.curation import clean_lines
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " table ", "\ntable ").alias("text"),
+    )
+    return clean_lines(
+        docs,
+        min_words=3,
+        require_terminal_punct=False,
+        ban_substrings=("join", "vector"),
+    ).select("doc_id", "clean_text", "n_lines", "n_kept_lines")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py::pagerank) over the exact-Jaccard
     near-dup pair graph (both directions per pair): documents central
@@ -1466,6 +1487,7 @@ QUERIES: dict[str, Query] = {
     "q_pagerank": q_pagerank,
     "q_decontaminate": q_decontaminate,
     "q_chunk_docs": q_chunk_docs,
+    "q_clean_lines": q_clean_lines,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_seq_pack": q_seq_pack,
@@ -2228,6 +2250,28 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS DOUBLE) / 16000.0
                    AS duration_s
         FROM documents
+    """,
+    "q_clean_lines": """
+        WITH d AS (
+            SELECT doc_id,
+                   replace(text, ' table ', chr(10) || 'table ') AS t
+            FROM documents
+        ),
+        l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+        k AS (
+            SELECT doc_id, ls,
+                   list_filter(ls, x ->
+                       len(trim(x)) > 0
+                       AND len(string_split(trim(x), ' ')) >= 3
+                       AND NOT contains(lower(x), 'join')
+                       AND NOT contains(lower(x), 'vector')) AS ks
+            FROM l
+        )
+        SELECT doc_id,
+               array_to_string(ks, chr(10)) AS clean_text,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(ks) AS BIGINT) AS n_kept_lines
+        FROM k
     """,
     "q_dedup_windowed": """
         WITH e AS (

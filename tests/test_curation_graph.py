@@ -313,3 +313,40 @@ class TestPageRank:
         verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
         for r in pagerank(edges, verts, max_iter=5).collect():
             assert abs(r.rank - 1.0 / n) < 1e-12
+
+
+class TestCleanLines:
+    def test_rules(self, spark):
+        from h3_indexer_spark.operators.curation import clean_lines
+
+        text = "\n".join([
+            "This is a proper sentence.",       # kept
+            "Accept our cookie policy now.",    # banned substring
+            "Home | About | Contact",           # no terminal punct
+            "Too short.",                       # < 3 words
+            "Another real sentence follows here!",  # kept
+            "",                                 # empty
+        ])
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        row = clean_lines(df).collect()[0]
+        assert row.n_lines == 6
+        assert row.n_kept_lines == 2
+        assert row.clean_text == (
+            "This is a proper sentence.\n"
+            "Another real sentence follows here!"
+        )
+
+    def test_punct_rule_optional(self, spark):
+        from h3_indexer_spark.operators.curation import clean_lines
+
+        df = spark.createDataFrame(
+            [(1, "no punctuation but plenty of words here")],
+            ["doc_id", "text"],
+        )
+        assert clean_lines(df).collect()[0].n_kept_lines == 0
+        assert (
+            clean_lines(df, require_terminal_punct=False)
+            .collect()[0]
+            .n_kept_lines
+            == 1
+        )
