@@ -2268,7 +2268,8 @@ ORACLES: dict[str, str] = {
             FROM l
         )
         SELECT doc_id,
-               array_to_string(ks, chr(10)) AS clean_text,
+               -- array_to_string([]) is NULL in DuckDB, '' in Spark
+               COALESCE(array_to_string(ks, chr(10)), '') AS clean_text,
                CAST(len(ls) AS BIGINT) AS n_lines,
                CAST(len(ks) AS BIGINT) AS n_kept_lines
         FROM k
