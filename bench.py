@@ -267,6 +267,20 @@ def main() -> None:
         timings[key] = secs
 
     total = round(sum(timings.values()), 4)
+    # surface the input-layout context the totals depend on: a table
+    # materialized as one parquet row group caps scan parallelism at
+    # one task (readers.py applies a bounded rebalance when detected —
+    # SCALE.md §3b); whether that mitigation is active changes every
+    # query's fixed cost, so record it next to the numbers.
+    try:
+        import pyarrow.parquet as pq
+
+        row_groups = {
+            t: pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_row_groups
+            for t in ("lineitem", "documents", "events", "embeddings")
+        }
+    except Exception:
+        row_groups = {}
     print(
         json.dumps(
             {
@@ -275,6 +289,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "input_row_groups": row_groups,
+                "n_headline": len(HEADLINE),
             }
         )
     )
