@@ -416,3 +416,30 @@ class TestSemanticDedup:
         ids = {r.vec_id for r in kept.select("vec_id").collect()}
         assert not any(i >= 1_000_000 for i in ids)
         assert len(ids) == emb.count()
+
+    def test_fast_path_matches_exact_pairs(self, spark):
+        """The applyInPandas GEMM path must surface the same pair set
+        as the expression path (sims equal to 1e-9)."""
+        from h3_indexer_spark.operators.dedup import (
+            semantic_dedup_pairs,
+            semantic_dedup_pairs_fast,
+        )
+        from h3_indexer_spark.operators.similarity import sampled_centroids
+
+        emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        cents = sampled_centroids(emb, n_cells=16)
+        slow = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in semantic_dedup_pairs(emb, cents, threshold=0.3).collect()
+        }
+        fast = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in semantic_dedup_pairs_fast(
+                emb, cents, threshold=0.3
+            ).collect()
+        }
+        assert set(slow) == set(fast)
+        for k in slow:
+            assert abs(slow[k] - fast[k]) < 1e-9

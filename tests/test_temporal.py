@@ -263,3 +263,44 @@ class TestIntervalOverlapJoin:
         assert len(got) == len(set(got))  # no per-bucket duplicates
         # boundary check: [50, 51) does NOT overlap [45, 50) half-open
         assert (4, 12) not in got
+
+    def test_property_random_intervals_match_bruteforce(self, spark):
+        """Randomized: bucketed overlap join == brute force for
+        arbitrary interval sets and an awkward bucket width."""
+        import random
+
+        rng = random.Random(1234)
+        for trial in range(3):
+            lrows = [
+                (i, lo, lo + rng.uniform(0.01, 40.0))
+                for i, lo in (
+                    (i, rng.uniform(0, 100.0)) for i in range(60)
+                )
+            ]
+            rrows = [
+                (j, lo, lo + rng.uniform(0.01, 25.0))
+                for j, lo in (
+                    (j, rng.uniform(0, 100.0)) for j in range(40)
+                )
+            ]
+            from h3_indexer_spark.operators.temporal import (
+                interval_overlap_join,
+            )
+
+            left = spark.createDataFrame(lrows, ["lid", "l_lo", "l_hi"])
+            right = spark.createDataFrame(rrows, ["rid", "r_lo", "r_hi"])
+            got = sorted(
+                (r.lid, r.rid)
+                for r in interval_overlap_join(
+                    left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+                    bucket_width=7.3,
+                ).collect()
+            )
+            want = sorted(
+                (a, b)
+                for a, alo, ahi in lrows
+                for b, blo, bhi in rrows
+                if alo < bhi and blo < ahi
+            )
+            assert got == want, f"trial {trial}"
+            assert len(want) > 0
