@@ -150,5 +150,46 @@ def main() -> None:
         polys.unpersist()
 
 
+def semantic_dedup_scale(spark) -> None:
+    """Reproduces the SCALE.md §3 semantic-dedup table: expression
+    (oracle-baseline) vs per-cluster GEMM path on synthetic 64-dim
+    Gaussian embeddings, k = n/100 clusters."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from h3_indexer_spark.operators.dedup import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_fast,
+    )
+    from h3_indexer_spark.operators.similarity import sampled_centroids
+
+    for n in (5_000, 20_000):
+        rng = np.random.default_rng(7)
+        m = rng.standard_normal((n, 64))
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": [r.tolist() for r in m]}
+        )
+        df = (
+            spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+            .repartition(32)
+            .cache()
+        )
+        df.count()
+        cents = sampled_centroids(df, n_cells=max(16, n // 100))
+        t0 = time.perf_counter()
+        c1 = semantic_dedup_pairs(df, cents, threshold=0.5).count()
+        t1 = time.perf_counter()
+        c2 = semantic_dedup_pairs_fast(df, cents, threshold=0.5).count()
+        t2 = time.perf_counter()
+        assert c1 == c2
+        print(
+            f"semantic_dedup n={n}: expr {t1 - t0:.1f}s | "
+            f"gemm {t2 - t1:.1f}s | {c1} pairs"
+        )
+        df.unpersist()
+
+
 if __name__ == "__main__":
     main()
