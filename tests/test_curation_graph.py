@@ -4,6 +4,7 @@ Jaccard dedup, and distributed connected components."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -350,3 +351,68 @@ class TestCleanLines:
             .n_kept_lines
             == 1
         )
+
+
+class TestCurationPipeline:
+    CFG = [
+        {"stage": "quality_score"},
+        {"stage": "language_id"},
+        {"stage": "filter", "predicate": "quality >= 0.5"},
+        {"stage": "exact_dedup"},
+        {"stage": "token_counts"},
+    ]
+
+    def test_config_equals_manual_composition(self, spark):
+        from h3_indexer_spark.operators.dedup import exact_dedup
+        from h3_indexer_spark.operators.textops import (
+            language_id,
+            quality_score,
+            token_counts,
+        )
+        from h3_indexer_spark.plans.curation_pipeline import run_curation
+        from tests.conftest import SF_ORACLE
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        got = run_curation(spark, docs, self.CFG)
+        manual = language_id(quality_score(docs)).where("quality >= 0.5")
+        keep = exact_dedup(manual).select(
+            F.col("keep_id").alias("doc_id")
+        )
+        manual = token_counts(manual.join(keep, "doc_id"))
+        assert sorted(got.columns) == sorted(manual.columns)
+        g = sorted(
+            (r.doc_id, r.lang_pred, r.n_tokens_re)
+            for r in got.collect()
+        )
+        m = sorted(
+            (r.doc_id, r.lang_pred, r.n_tokens_re)
+            for r in manual.collect()
+        )
+        assert g == m and len(g) > 0
+
+    def test_unknown_stage_fails_fast(self, spark):
+        from h3_indexer_spark.plans.curation_pipeline import run_curation
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="unknown stage"):
+            run_curation(spark, df, [{"stage": "nope"}])
+
+    def test_narrow_stages_fuse_into_one_plan(self, spark):
+        """quality -> lang -> tokens without dedup must stay a single
+        shuffle-free codegen'd map."""
+        from h3_indexer_spark.plans.curation_pipeline import run_curation
+        from tests.conftest import SF_ORACLE
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        out = run_curation(spark, docs, [
+            {"stage": "quality_score"},
+            {"stage": "language_id"},
+            {"stage": "token_counts"},
+        ])
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan
