@@ -361,6 +361,30 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.unionByName(supp)
 
 
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT (distinct) of customer and supplier nation
+    keys — planned as a left-semi aggregate, one shuffle per side."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT (distinct) — customer nations with no supplier,
+    the anti-join formulation of set difference."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return cust.subtract(supp)
+
+
 def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k (§2.8 gap-closer). Spark plans this as
     TakeOrderedAndProject — no global sort shuffle at any scale."""
@@ -1464,6 +1488,8 @@ QUERIES: dict[str, Query] = {
     "q_first": q_first,
     "q_explode": q_explode,
     "q_union": q_union,
+    "q_intersect": q_intersect,
+    "q_except": q_except,
     "q_sort_limit": q_sort_limit,
     "q_topk_window": q_topk_window,
     "q_window_lag": q_window_lag,
@@ -2138,6 +2164,16 @@ ORACLES: dict[str, str] = {
         SELECT s_suppkey AS entity_id, s_acctbal AS balance,
                'supplier' AS kind
         FROM supplier
+    """,
+    "q_intersect": """
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        INTERSECT
+        SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+    """,
+    "q_except": """
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        EXCEPT
+        SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
     """,
     "q_sort_limit": """
         SELECT o_orderkey, o_totalprice
