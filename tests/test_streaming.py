@@ -261,3 +261,47 @@ class TestStreamStreamJoin:
         )
         assert got.count() == want.count()
         assert got.count() > 0
+
+
+class TestStreamingCuration:
+    def test_narrow_curation_stages_run_on_stream(self, spark):
+        """The narrow curation stack (quality -> lang-id -> token
+        counts) is pure expressions, so the SAME config-driven
+        pipeline runs unchanged on a stream and matches the batch
+        result — the batch/stream parity the operator design buys."""
+        import shutil
+        import tempfile
+
+        from h3_indexer_spark.plans.curation_pipeline import run_curation
+        from tests.conftest import SF_SMALL
+
+        d = tempfile.mkdtemp(prefix="h3idx_scur_")
+        try:
+            (
+                spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+                .repartition(3)
+                .write.mode("overwrite")
+                .parquet(d)
+            )
+            schema = spark.read.parquet(d).schema
+            cfg = [
+                {"stage": "quality_score"},
+                {"stage": "language_id"},
+                {"stage": "token_counts"},
+            ]
+            stream = run_curation(
+                spark, spark.readStream.schema(schema).parquet(d), cfg
+            )
+            got = _run_stream(spark, stream, output_mode="append")
+            want = run_curation(spark, spark.read.parquet(d), cfg)
+            g = sorted(
+                (r.doc_id, r.lang_pred, r.n_tokens_re)
+                for r in got.collect()
+            )
+            w = sorted(
+                (r.doc_id, r.lang_pred, r.n_tokens_re)
+                for r in want.collect()
+            )
+            assert g == w and len(g) > 0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
