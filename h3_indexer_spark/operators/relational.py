@@ -236,15 +236,30 @@ def sketch_stats(
     error ≤ 1/``accuracy``. Sketch internals are engine-specific, so
     results are self-verified against the exact operators rather than
     an external oracle.
+
+    Each requested quantile comes back as its own SCALAR double column
+    (``approx_q50``, ``approx_q90``, …) — never an array column: scalar
+    columns survive any downstream canonicalizer/sorter, and the
+    single internal sketch is still built once and shared.
     """
     qcol = F.percentile_approx(
         F.col(quantile_col), list(quantiles), accuracy
     )
-    return df.groupBy(group_col).agg(
+    out = df.groupBy(group_col).agg(
         F.approx_count_distinct(distinct_col, rsd=rsd).alias(
             f"approx_ndv_{distinct_col}"
         ),
-        qcol.alias(f"approx_q_{quantile_col}"),
+        qcol.alias("_qs"),
+    )
+    return out.select(
+        group_col,
+        f"approx_ndv_{distinct_col}",
+        *[
+            F.element_at(F.col("_qs"), i + 1).alias(
+                f"approx_q{round(q * 100):d}"
+            )
+            for i, q in enumerate(quantiles)
+        ],
     )
 
 

@@ -141,30 +141,53 @@ def token_counts(
 
 
 def fingerprint(
-    df: DataFrame, text_col: str = "text", window: int = 8
+    df: DataFrame, text_col: str = "text", window: int = 8, algo: str = "xxhash64"
 ) -> DataFrame:
-    """Rolling-hash document fingerprint: xxhash64 over sliding word
-    windows, keeping the minimum (a 1-hash MinHash — a stable
-    content fingerprint robust to small edits at either end).
+    """Rolling-hash document fingerprint: hash every sliding word
+    window, keep the minimum (a 1-hash MinHash — a stable content
+    fingerprint robust to small edits at either end).
 
-    Words are pre-hashed once into a bound column so each window hashes
-    a small long-array slice instead of re-building and re-hashing the
-    window's string — ~3x faster, since per-word work is O(n) not
-    O(n*window)."""
-    word_hashes = F.transform(
-        F.split(F.col(text_col), r"\s+"), lambda w: F.xxhash64(w)
-    )
-    fp = let(
-        word_hashes,
-        lambda wh: F.array_min(
-            F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size(wh) - window, F.lit(0))
-                ),
-                lambda i: F.xxhash64(F.slice(wh, i + 1, window)),
-            )
-        ),
-    )
+    ``algo="xxhash64"`` (production default): words are pre-hashed once
+    into a bound column so each window hashes a small long-array slice
+    instead of re-building and re-hashing the window's string — ~3x
+    faster, since per-word work is O(n) not O(n*window). Emits a long.
+
+    ``algo="md5"``: hashes the window's joined string with MD5 and
+    keeps the lexicographic minimum hex digest. Slower (O(n*window)
+    string work) but portable — MD5 is bit-identical across engines,
+    so this variant is externally oracle-checkable (the contract query
+    q_fingerprint uses it; DuckDB mirrors it exactly). Emits a string.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    if algo == "md5":
+        fp = let(
+            words,
+            lambda ws: F.array_min(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(ws) - window, F.lit(0))
+                    ),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(ws, i + 1, window))
+                    ),
+                )
+            ),
+        )
+    elif algo == "xxhash64":
+        word_hashes = F.transform(words, lambda w: F.xxhash64(w))
+        fp = let(
+            word_hashes,
+            lambda wh: F.array_min(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(wh) - window, F.lit(0))
+                    ),
+                    lambda i: F.xxhash64(F.slice(wh, i + 1, window)),
+                )
+            ),
+        )
+    else:
+        raise ValueError(f"unknown fingerprint algo: {algo!r}")
     return df.withColumn("fingerprint", fp)
 
 

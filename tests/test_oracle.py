@@ -85,3 +85,31 @@ def test_rows_only_executes(spark, key):
     df2 = QUERIES[key](spark, SF_ORACLE)
     assert df1.schema == df2.schema
     assert df1.count() == df2.count()
+
+
+def test_knn_ivf_oracle_margins(spark):
+    """The q_knn_ivf oracle pins the GEMM argmax cell assignment and
+    the np.dot probe ranking in SQL; both are safe only because the
+    decision margins dwarf the ~1-ulp summation-order divergence
+    between numpy's pairwise sums and the SQL left-assoc fold. Lock
+    that: best-vs-second cell score gap per vector and the probe
+    cutoff gap (4th vs 5th centroid) must exceed 1e-9 — ~7 orders of
+    magnitude above 1 ulp of these O(1) scores."""
+    import numpy as np
+
+    from h3_indexer_spark.operators.similarity import sampled_centroids
+    from h3_indexer_spark.queries import _query_vector, load
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    cents = np.asarray(sampled_centroids(emb, n_cells=16), dtype=np.float64)
+    m = np.asarray(
+        emb.orderBy("vec_id").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    scores = m @ cents.T  # (n, 16)
+    top2 = np.sort(scores, axis=1)[:, -2:]
+    assert float(np.min(top2[:, 1] - top2[:, 0])) > 1e-9
+
+    qv = np.asarray(_query_vector(), dtype=np.float64)
+    cs = np.sort(cents @ qv)[::-1]
+    assert float(cs[3] - cs[4]) > 1e-9

@@ -164,6 +164,6 @@ def test_sketch_stats_error_bounds(spark):
     for flag, row in got.items():
         ndv, n = exact[flag]["ndv"], exact[flag]["n"]
         assert abs(row["approx_ndv_l_orderkey"] - ndv) <= max(3 * 0.02 * ndv, 1)
-        for q, v in zip((0.5, 0.9), row["approx_q_l_extendedprice"]):
+        for q, v in zip((0.5, 0.9), (row["approx_q50"], row["approx_q90"])):
             rank = np.searchsorted(prices[flag], v) / n
             assert abs(rank - q) <= 0.01, (flag, q, v, rank)
