@@ -748,20 +748,25 @@ def semantic_dedup_pairs(
     from h3_indexer_spark.operators.similarity import ivf_assign
 
     assigned = ivf_assign(df, centroids, vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
     withn = assigned.select(
         F.col(id_col),
         F.col(vec_col),
         F.col("ivf_cell"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(
-                    F.col(vec_col),
-                    lambda x: x.cast("double") * x.cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("_norm"),
+        # zero vectors: norm 0 -> 1.0, same as the _fast path's
+        # norms[norms == 0] = 1.0 — cosine becomes 0/1 = 0 and the
+        # pair drops at any positive threshold, instead of 0/0 = NaN
+        # which Spark orders ABOVE every double and would emit
+        F.when(norm == 0.0, F.lit(1.0)).otherwise(norm).alias("_norm"),
     )
     a = withn.select(
         F.col(id_col).alias("id_a"),
@@ -816,10 +821,12 @@ def semantic_dedup_pairs_fast(
     sims differ from the fold order by ≤1 ulp, so this is the
     production path and semantic_dedup_pairs the oracle baseline.
 
-    Each cluster must fit one executor's memory (vectors + the
-    boolean mask — the |cluster|² score matrix streams through numpy
-    blockwise if needed); size n_cells so clusters are ~10⁴-10⁵
-    vectors, the same constraint the SemDeDup recipe operates under.
+    A cluster's VECTORS must fit one executor's memory, but the
+    |cluster|² score matrix never materializes: the GEMM streams in
+    row blocks (block × |cluster| scores at a time, ~16 MB/block),
+    keeping peak memory linear in |cluster|. Size n_cells so clusters
+    are ~10⁴-10⁵ vectors, the same constraint the SemDeDup recipe
+    operates under.
     """
     import numpy as np
 
@@ -834,13 +841,31 @@ def semantic_dedup_pairs_fast(
         m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
         norms = np.sqrt((m * m).sum(axis=1))
         norms[norms == 0.0] = 1.0
-        sims = (m @ m.T) / np.outer(norms, norms)
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        swap = ids[ia] > ids[ib]
-        out_a = np.where(swap, ids[ib], ids[ia])
-        out_b = np.where(swap, ids[ia], ids[ib])
+        blk = 2048  # 2048 × 10⁵ scores ≈ 16 MB/block at 8 B each
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for lo in range(0, len(m), blk):
+            hi = min(lo + blk, len(m))
+            sims = (m[lo:hi] @ m.T) / np.outer(norms[lo:hi], norms)
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = ia + lo < ib  # strict upper triangle, global coords
+            ia, ib = ia[keep], ib[keep]
+            swap = ids[ia + lo] > ids[ib]
+            out_a.append(np.where(swap, ids[ib], ids[ia + lo]))
+            out_b.append(np.where(swap, ids[ia + lo], ids[ib]))
+            out_s.append(sims[ia, ib])
+        empty_id = np.array([], dtype=ids.dtype)
         return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "cosine_sim": sims[ia, ib]}
+            {
+                "id_a": np.concatenate(out_a) if out_a else empty_id,
+                "id_b": np.concatenate(out_b) if out_b else empty_id,
+                "cosine_sim": (
+                    np.concatenate(out_s)
+                    if out_s
+                    else np.array([], dtype=np.float64)
+                ),
+            }
         )
 
     id_type = df.schema[id_col].dataType.simpleString()

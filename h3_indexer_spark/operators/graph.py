@@ -124,6 +124,13 @@ def pagerank(
     Dangling vertices (no out-edges) redistribute their mass uniformly
     — the standard correction, so total rank stays exactly 1 and a
     sink-heavy graph (most leaf URLs) doesn't leak rank.
+
+    Edges referencing ids absent from ``vertices`` (either endpoint)
+    are dropped up front — two semi-joins before the degree count.
+    Without this, contributions to unknown targets silently vanish in
+    the final left join and the sum-to-1 contract breaks; a vertex
+    whose only out-edges pointed outside the set correctly becomes
+    dangling.
     """
     n = vertices.count()
     if n == 0:
@@ -131,12 +138,14 @@ def pagerank(
             F.col(id_col).alias(id_col), F.lit(0.0).alias("rank")
         )
     verts = vertices.select(F.col(id_col).alias("v")).persist()
-    withdeg = (
+    in_set = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .join(
-            edges.groupBy(F.col(src).alias("a")).agg(
-                F.count(F.lit(1)).alias("outdeg")
-            ),
+        .join(verts.select(F.col("v").alias("a")), "a", "semi")
+        .join(verts.select(F.col("v").alias("b")), "b", "semi")
+    )
+    withdeg = (
+        in_set.join(
+            in_set.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg")),
             "a",
         )
         .persist()

@@ -312,14 +312,25 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
     # exact NDV branch: melt to (column, value) — the string cast is
     # injective per column, so distinct pair counts equal distinct
-    # value counts; nulls drop to match COUNT(DISTINCT) semantics
+    # value counts; nulls drop to match COUNT(DISTINCT) semantics.
+    # Float/double values fold -0.0 into 0.0 first: COUNT(DISTINCT)
+    # treats them as one value in both engines, but their string
+    # renderings differ ("-0.0" vs "0.0") and would double-count.
+    from pyspark.sql.types import DoubleType, FloatType
+
+    def _ndv_key(c: str) -> Column:
+        v = F.col(c)
+        if isinstance(df.schema[c].dataType, (FloatType, DoubleType)):
+            v = F.when(v == 0, F.lit(0.0)).otherwise(v)
+        return v.cast("string")
+
     melted = df.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("column"),
-                        F.col(c).cast("string").alias("_v"),
+                        _ndv_key(c).alias("_v"),
                     )
                     for c in cols
                 ]

@@ -511,7 +511,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string-match join (operators/textops.py::fuzzy_pairs):
-    supplier names within Levenshtein distance 2, candidates blocked
+    supplier names within Levenshtein distance 1, candidates blocked
     on the 12-char name prefix — the record-linkage primitive, fully
     oracle-checked including the blocking (DuckDB's levenshtein has
     identical unit-cost semantics)."""
@@ -2343,9 +2343,12 @@ ORACLES: dict[str, str] = {
         l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
         k AS (
             SELECT doc_id, ls,
+                   -- string_split_regex(' +') mirrors clean_lines'
+                   -- F.split(trim(line), ' +'): runs of spaces never
+                   -- produce empty tokens in either engine
                    list_filter(ls, x ->
                        len(trim(x)) > 0
-                       AND len(string_split(trim(x), ' ')) >= 3
+                       AND len(string_split_regex(trim(x), ' +')) >= 3
                        AND NOT contains(lower(x), 'join')
                        AND NOT contains(lower(x), 'vector')) AS ks
             FROM l

@@ -91,8 +91,10 @@ def compact_parquet(
 
     Sizing comes from the actual on-disk bytes (not a row-count
     guess), and the rewrite is a coalesce — a narrow, shuffle-free
-    repack that only merges read-splits. Returns the output file
-    count."""
+    repack that only merges read-splits (it can only lower the
+    partition count, so the written file count may come in under the
+    byte-derived target). Returns the ACTUAL output file count, read
+    back from the written dataset."""
     import math
     import os
 
@@ -107,4 +109,4 @@ def compact_parquet(
     df.coalesce(n_out).write.mode("overwrite").option(
         "compression", "snappy"
     ).parquet(dst_path)
-    return n_out
+    return len(spark.read.parquet(dst_path).inputFiles())

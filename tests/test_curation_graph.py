@@ -315,6 +315,25 @@ class TestPageRank:
         for r in pagerank(edges, verts, max_iter=5).collect():
             assert abs(r.rank - 1.0 / n) < 1e-12
 
+    def test_edges_outside_vertex_set_do_not_leak_mass(self, spark):
+        """Edges referencing unknown ids are dropped up front: ranks
+        still sum to 1 and equal the subgraph's power iteration. A
+        vertex whose only out-edge pointed outside the set becomes
+        dangling (vertex 2 here)."""
+        from h3_indexer_spark.operators.graph import pagerank
+
+        in_set = [(0, 1), (1, 2), (1, 0)]
+        noise = [(0, 99), (98, 1), (2, 97)]  # 97-99 not in vertices
+        edges = spark.createDataFrame(in_set + noise, ["src", "dst"])
+        verts = spark.createDataFrame([(i,) for i in range(3)], ["id"])
+        got = {
+            r.id: r.rank for r in pagerank(edges, verts, max_iter=15).collect()
+        }
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        want = self._numpy_pagerank(3, in_set)
+        for i in range(3):
+            assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+
 
 class TestCleanLines:
     def test_rules(self, spark):

@@ -443,3 +443,36 @@ class TestSemanticDedup:
         assert set(slow) == set(fast)
         for k in slow:
             assert abs(slow[k] - fast[k]) < 1e-9
+
+    def test_zero_norm_vectors_never_pair(self, spark):
+        """A zero vector has cosine 0 with everything (guarded 0/1
+        division, matching the GEMM path's norms[norms==0]=1), never
+        NaN — NaN orders above every double in Spark and would pass
+        the >= threshold filter as a bogus pair."""
+        from h3_indexer_spark.operators.dedup import (
+            semantic_dedup_pairs,
+            semantic_dedup_pairs_fast,
+        )
+        from h3_indexer_spark.operators.similarity import sampled_centroids
+
+        emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        zeros = emb.limit(2).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(0.0)).alias(
+                "embedding"
+            ),
+        )
+        corpus = emb.unionByName(zeros)
+        cents = sampled_centroids(corpus, n_cells=16)
+        for fn in (semantic_dedup_pairs, semantic_dedup_pairs_fast):
+            bad = (
+                fn(corpus, cents, threshold=0.3)
+                .where(
+                    (F.col("id_a") >= 1_000_000)
+                    | (F.col("id_b") >= 1_000_000)
+                )
+                .count()
+            )
+            assert bad == 0, fn.__name__

@@ -106,6 +106,19 @@ def test_profile_matches_hand_computation(spark):
     assert got["s"]["min_num"] is None
 
 
+def test_profile_negative_zero_counts_once(spark):
+    """COUNT(DISTINCT) treats -0.0 and 0.0 as one value, but their
+    string renderings differ — the melt must fold them before the
+    cast or n_distinct overcounts by one."""
+    df = spark.createDataFrame(
+        [(-0.0,), (0.0,), (1.5,)], ["x"]
+    )
+    got = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    exact = df.select(F.count_distinct("x")).collect()[0][0]
+    assert exact == 2
+    assert got["x"]["n_distinct"] == 2
+
+
 def test_profile_plan_shape(spark):
     """Two branches (stats + melt-NDV, one scan each), everything
     hash-aggregated: no Expand (the multi-COUNT(DISTINCT) plan that
