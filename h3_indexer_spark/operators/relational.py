@@ -264,7 +264,7 @@ def sketch_stats(
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """Column profiling in ONE pass: per column — row count, nulls,
+    """Column profiling in ONE scan: per column — row count, nulls,
     exact distinct count, min/max, and mean for numerics — the
     data-quality summary a curation pipeline runs before and after
     every stage.
@@ -273,114 +273,101 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     max_num, avg_num, min_str, max_str); the num/str halves are null
     for non-applicable types.
 
-    Plan shape — two branches, all HashAggregate, no Expand:
-    (1) one global aggregate for counts/nulls/min/max/sums (no
-    grouping keys, so even the string min/max buffers need no sort),
-    pivoted to one row per column via array+explode;
-    (2) the exact NDVs via melt: each row explodes to (column,
-    value-as-string) pairs, a two-stage distinct — groupBy(column,
-    value) then count per column — that partial-aggregates map-side
-    and shuffles only the distinct pairs. (The naive
-    multi-COUNT(DISTINCT) formulation plans as an Expand ×(n_cols+1)
-    into a SortAggregate — measured 12× slower.)
-    The branches broadcast-join on the tiny per-column result. Both
-    branches prune the scan to the profiled columns; the source is
-    read twice — at scale prefer sketch_stats (one pass, bounded
-    state) when exact NDVs aren't required. Mean is exact-decimal
+    Plan shape — one scan, no Expand, no join: each row explodes to
+    one (column, value) struct per profiled column (value stringified
+    as the distinct key, plus double/decimal shadows for numeric
+    stats), then TWO stacked hash aggregates:
+    (1) groupBy(column, value) — partial-aggregates map-side, so the
+    one real shuffle carries only the DISTINCT pairs, each with its
+    count / numeric min / exact-decimal sum;
+    (2) groupBy(column) — folds the per-pair rows into the profile:
+    n_rows = Σcount, n_nulls = the null-key group's count, n_distinct
+    = non-null group count, min/max/avg from the pair-level shadows.
+    The second shuffle is negligible (distinct pairs, already heavily
+    combined map-side). The naive multi-COUNT(DISTINCT) formulation
+    plans as an Expand ×(n_cols+1) into a SortAggregate — measured
+    12× slower; the previous two-branch form scanned the source
+    twice. At 100 TB prefer sketch_stats (one pass, bounded state)
+    when exact NDVs aren't required — this plan's state is
+    proportional to the distinct pair count. Mean is exact-decimal
     sum / count in double so it is bit-deterministic regardless of
     row order (see the DECIMAL(18,6) rule in .claude/skills/verify).
+
+    Float/double distinct keys fold -0.0 into 0.0 first:
+    COUNT(DISTINCT) treats them as one value in both engines, but
+    their string renderings differ and would double-count.
     """
-    from pyspark.sql.types import NumericType, StringType
+    from pyspark.sql.types import DoubleType, FloatType, NumericType, StringType
 
     cols = columns if columns is not None else df.columns
-    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
+    num_cols = [
+        c for c in cols if isinstance(df.schema[c].dataType, NumericType)
+    ]
+    str_cols = [
+        c for c in cols if isinstance(df.schema[c].dataType, StringType)
+    ]
+
+    def _pair(c: str) -> Column:
         dt = df.schema[c].dataType
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}")
-        )
-        if isinstance(dt, NumericType):
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"_min_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"_max_{c}"))
-            aggs.append(
-                F.sum(F.col(c).cast("decimal(18,6)")).alias(f"_sum_{c}")
-            )
-        elif isinstance(dt, StringType):
-            aggs.append(F.min(F.col(c)).alias(f"_mins_{c}"))
-            aggs.append(F.max(F.col(c)).alias(f"_maxs_{c}"))
-    row = df.agg(*aggs)
-
-    # exact NDV branch: melt to (column, value) — the string cast is
-    # injective per column, so distinct pair counts equal distinct
-    # value counts; nulls drop to match COUNT(DISTINCT) semantics.
-    # Float/double values fold -0.0 into 0.0 first: COUNT(DISTINCT)
-    # treats them as one value in both engines, but their string
-    # renderings differ ("-0.0" vs "0.0") and would double-count.
-    from pyspark.sql.types import DoubleType, FloatType
-
-    def _ndv_key(c: str) -> Column:
         v = F.col(c)
-        if isinstance(df.schema[c].dataType, (FloatType, DoubleType)):
-            v = F.when(v == 0, F.lit(0.0)).otherwise(v)
-        return v.cast("string")
-
-    melted = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        _ndv_key(c).alias("_v"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("p")
-    ).select("p.*")
-    ndv = (
-        melted.where(F.col("_v").isNotNull())
-        .groupBy("column", "_v")
-        .agg(F.lit(1).alias("_one"))
-        .groupBy("column")
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
-    )
-
-    def _field(c: str) -> Column:
-        dt = df.schema[c].dataType
-        is_num = isinstance(dt, NumericType)
-        is_str = isinstance(dt, StringType)
-        null_d = F.lit(None).cast("double")
-        null_s = F.lit(None).cast("string")
-        n_valid = F.col("_n") - F.col(f"_nulls_{c}")
+        key = v
+        if isinstance(dt, (FloatType, DoubleType)):
+            key = F.when(v == 0, F.lit(0.0)).otherwise(v)
+        if isinstance(dt, NumericType):
+            num = v.cast("double")
+            dec = v.cast("decimal(18,6)")
+        else:
+            num = F.lit(None).cast("double")
+            dec = F.lit(None).cast("decimal(18,6)")
         return F.struct(
             F.lit(c).alias("column"),
-            F.col("_n").alias("n_rows"),
-            F.col(f"_nulls_{c}").alias("n_nulls"),
-            (F.col(f"_min_{c}") if is_num else null_d).alias("min_num"),
-            (F.col(f"_max_{c}") if is_num else null_d).alias("max_num"),
-            (
-                F.when(
-                    n_valid > 0,
-                    F.col(f"_sum_{c}").cast("double") / n_valid,
-                )
-                if is_num
-                else null_d
-            ).alias("avg_num"),
-            (F.col(f"_mins_{c}") if is_str else null_s).alias("min_str"),
-            (F.col(f"_maxs_{c}") if is_str else null_s).alias("max_str"),
+            key.cast("string").alias("_v"),
+            num.alias("_num"),
+            dec.alias("_dec"),
         )
 
-    stats = row.select(
-        F.explode(F.array(*[_field(c) for c in cols])).alias("p")
+    melted = df.select(
+        F.explode(F.array(*[_pair(c) for c in cols])).alias("p")
     ).select("p.*")
-    return stats.join(F.broadcast(ndv), "column", "left").select(
+    # per distinct (column, value): multiplicity + numeric shadows
+    # (_num is constant within a pair group — the string key is
+    # injective per column — so min() just picks it up)
+    pairs = melted.groupBy("column", "_v").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min("_num").alias("_vnum"),
+        F.sum("_dec").alias("_vdec"),
+    )
+    per_col = pairs.groupBy("column").agg(
+        F.sum("_cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("_v").isNull(), F.col("_cnt"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count(F.when(F.col("_v").isNotNull(), F.lit(1))).alias(
+            "n_distinct"
+        ),
+        F.min("_vnum").alias("_minn"),
+        F.max("_vnum").alias("_maxn"),
+        F.sum("_vdec").alias("_sumd"),
+        F.min("_v").alias("_mins"),
+        F.max("_v").alias("_maxs"),
+    )
+    is_num = (
+        F.col("column").isin(num_cols) if num_cols else F.lit(False)
+    )
+    is_str = (
+        F.col("column").isin(str_cols) if str_cols else F.lit(False)
+    )
+    n_valid = F.col("n_rows") - F.col("n_nulls")
+    return per_col.select(
         "column",
-        "n_rows",
-        "n_nulls",
-        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
-        "min_num",
-        "max_num",
-        "avg_num",
-        "min_str",
-        "max_str",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        "n_distinct",
+        F.when(is_num, F.col("_minn")).alias("min_num"),
+        F.when(is_num, F.col("_maxn")).alias("max_num"),
+        F.when(
+            is_num & (n_valid > 0), F.col("_sumd").cast("double") / n_valid
+        ).alias("avg_num"),
+        F.when(is_str, F.col("_mins")).alias("min_str"),
+        F.when(is_str, F.col("_maxs")).alias("max_str"),
     )

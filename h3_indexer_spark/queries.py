@@ -1455,10 +1455,12 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators/relational.py::profile_table): per-
     column row/null/exact-distinct counts, numeric min/max/mean and
-    string min/max for lineitem — ONE scan, one aggregate (the
-    COUNT(DISTINCT) Expand), then a plan-side array+explode pivot to
-    one row per column. Mean is exact-decimal sum / count in double,
-    so it is row-order-independent and oracle-checkable."""
+    string min/max for lineitem — ONE scan: melt to (column, value)
+    pairs, hash-aggregate to the distinct pair set (counts + numeric
+    shadows ride along), then fold pairs to one row per column. No
+    Expand, no join, no second scan. Mean is exact-decimal sum /
+    count in double, so it is row-order-independent and
+    oracle-checkable."""
     cols = [
         "l_orderkey",
         "l_suppkey",

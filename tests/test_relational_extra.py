@@ -120,10 +120,12 @@ def test_profile_negative_zero_counts_once(spark):
 
 
 def test_profile_plan_shape(spark):
-    """Two branches (stats + melt-NDV, one scan each), everything
-    hash-aggregated: no Expand (the multi-COUNT(DISTINCT) plan that
-    sort-aggregates (n_cols+1)x the input — measured 12x slower) and
-    no SortAggregate; the per-column join must broadcast."""
+    """ONE scan, no join, no Expand (the multi-COUNT(DISTINCT) plan
+    that sort-aggregates (n_cols+1)x the input — measured 12x slower).
+    The pair-level aggregate — the only one that touches every row —
+    must be a HashAggregate; the per-column rollup on top may
+    SortAggregate (string min/max buffers aren't hash-able) but its
+    input is the already-deduplicated pair set, not the raw rows."""
     df = spark.createDataFrame([(1, "x")], ["a", "s"])
     plan = profile_table(df)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -131,14 +133,18 @@ def test_profile_plan_shape(spark):
         )
     )
     # tree entries only (each node prints again in the detail section)
-    assert plan.count("Scan ExistingRDD (") == 2, plan
+    assert plan.count("Scan ExistingRDD (") == 1, plan
     assert "Expand" not in plan, plan
-    # the NDV branch must hash-aggregate its (column, value) pairs;
-    # (the stats branch's global SortAggregate has zero grouping keys
-    # — no sort actually happens — string min/max just isn't
-    # hash-buffer-able)
-    assert "HashAggregate" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    # the tree prints parents above children: every SortAggregate must
+    # sit strictly ABOVE the first HashAggregate (i.e. operate on the
+    # reduced pair set), and the HashAggregates above the Generate
+    tree = plan.split("(1) Scan")[0]
+    first_hash = tree.index("HashAggregate")
+    assert first_hash < tree.index("Generate"), plan
+    for i, line in enumerate(tree.splitlines()):
+        if "SortAggregate" in line:
+            assert tree.index(line) < first_hash, plan
 
 
 def test_sketch_stats_error_bounds(spark):
