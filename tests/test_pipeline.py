@@ -499,3 +499,58 @@ class TestReferenceNotebookGolden:
         )
         assert abs(pop_total - 1000.0) < 1e-6
         assert abs(rail_total - 5000.0) < 1e-6
+
+    def test_published_sample_row_reproduced(self, spark, tmp_path):
+        """Reproduce notebook cell 20 row 0 verbatim: (8412c87ffffffff,
+        h3_area_km2 1656.520601, sum_POPESTIMAT 48.563249). The census
+        county shapes aren't shipped with the reference, so the input
+        is a county fragment lying wholly inside the published cell
+        carrying exactly the published population mass — PCT_AREA then
+        allocates 100% of it there, and the resolver row must equal
+        the published (h3_index, h3_area_km2, sum_POPESTIMAT) triple."""
+        import pandas as pd
+
+        from h3_indexer_spark.config.loader import job_from_dict
+        from h3_indexer_spark.plans.indexer import index_job
+        from h3_indexer_spark.plans.resolver import resolve_job
+        from h3_indexer_spark.plans.validator import validate_config
+
+        # interior box of 8412c87ffffffff (cell spans roughly
+        # -114.0..-113.3 x 49.0..49.4; stay well inside)
+        county = (
+            "POLYGON ((-113.75 49.2, -113.65 49.2, -113.65 49.27, "
+            "-113.75 49.27, -113.75 49.2))"
+        )
+        pd.DataFrame(
+            {
+                "GEOID": [30029],
+                "geometry": [county],
+                "POPESTIMAT": [48.563249],
+            }
+        ).to_parquet(tmp_path / "county.parquet")
+        job = job_from_dict(
+            {
+                "name": "county_pop_example",
+                "version": "1.0.0",
+                "h3_resolution": 4,
+                "output_path": str(tmp_path / "out"),
+                "inputs": {
+                    "county_pop": {
+                        "s3_path": str(tmp_path / "county.parquet"),
+                        "unique_id": "GEOID",
+                        "geometry_type": "POLYGON",
+                        "geometry_column_name": "geometry",
+                        "method": "PCT_AREA",
+                        "input_columns": ["POPESTIMAT"],
+                    },
+                },
+            }
+        )
+        validate_config(job, spark)
+        index_job(job, spark)
+        resolve_job(job, spark)
+        rows = {r.h3_index: r for r in job.h3_resolved_df.collect()}
+        assert set(rows) == {"8412c87ffffffff"}
+        row = rows["8412c87ffffffff"]
+        assert abs(row.h3_area_km2 - 1656.520601) / 1656.520601 < 1e-6
+        assert abs(row.sum_POPESTIMAT - 48.563249) < 1e-9
