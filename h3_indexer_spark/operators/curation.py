@@ -17,6 +17,7 @@ instead of a single-task global window.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -213,6 +214,96 @@ def _word_ngrams(text_col: str, n: int):
     return F.transform(
         starts, lambda s: F.array_join(F.slice(words, s, n), " ")
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`decontaminate` for when even the
+    DISTINCT benchmark n-gram set is too large to broadcast as an
+    exact hash set (a full eval-suite union is ~10^8 grams ≈ tens of
+    GB as strings; the bloom bitset is ``n_bits/8`` bytes — 128 KiB
+    at the default — regardless).
+
+    Build side: benchmark grams hash JVM-side (xxhash64, ``n_hashes``
+    fixed seeds) to bit positions; only the DISTINCT positions are
+    collected — bounded at ``n_bits`` rows no matter how large the
+    benchmark set — and packed into a numpy bitset.
+    Check side: training grams compute the same ``n_hashes`` hashes as
+    columns, and ONE vectorized pandas UDF tests all bits per Arrow
+    batch against the bitset captured in its closure (shipped once per
+    worker, like a broadcast). The training side never shuffles; the
+    whole check is map-side, same as the exact path.
+
+    Bloom semantics are one-sided, which is exactly right for
+    decontamination: a contaminated document can NEVER survive (no
+    false negatives), while a clean document is dropped with
+    probability ≈ (1-e^{-kn/m})^k per gram — erring toward dropping a
+    few extra documents, never toward keeping leaked benchmark text.
+    Size ``n_bits`` ≈ 10× the benchmark gram count for a <2% per-gram
+    false-positive rate at the default 4 hashes.
+
+    rows-only key (seeded xxhash64 is not reproducible in the offline
+    oracle); the no-false-negative guarantee and the false-positive
+    band are locked in tests/test_curation_graph.py.
+    """
+    import numpy as np
+
+    def _positions(grams: DataFrame) -> list:
+        pos_cols = [
+            (F.pmod(F.xxhash64(F.col("_gram"), F.lit(i)), F.lit(n_bits)))
+            .cast("long")
+            .alias(f"_p{i}")
+            for i in range(n_hashes)
+        ]
+        stacked = grams.select(pos_cols).select(
+            F.explode(F.array(*[F.col(f"_p{i}") for i in range(n_hashes)]))
+            .alias("_p")
+        )
+        return [r["_p"] for r in stacked.distinct().collect()]
+
+    bench_grams = benchmark.select(
+        F.explode_outer(_word_ngrams(text_col, n)).alias("_gram")
+    ).distinct()
+    bits = np.zeros(n_bits // 64 + 1, dtype=np.uint64)
+    pos = np.asarray(_positions(bench_grams), dtype=np.int64)
+    if len(pos):
+        np.bitwise_or.at(
+            bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+        )
+
+    @F.pandas_udf("boolean")
+    def in_bloom(hashes: pd.Series) -> pd.Series:
+        p = np.asarray(hashes.tolist(), dtype=np.int64)  # (rows, k)
+        hit = (
+            (bits[p // 64] >> (p % 64).astype(np.uint64)).astype(np.int64)
+            & 1
+        ) == 1
+        return pd.Series(hit.all(axis=1))
+
+    train_grams = train.select(
+        id_col, F.explode(_word_ngrams(text_col, n)).alias("_gram")
+    )
+    hash_arr = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("_gram"), F.lit(i)), F.lit(n_bits))
+            .cast("long")
+            for i in range(n_hashes)
+        ]
+    )
+    contaminated = (
+        train_grams.select(id_col, hash_arr.alias("_h"))
+        .where(in_bloom(F.col("_h")))
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,129 @@
+"""Feature-engineering operators for training-data pipelines.
+
+The step between curation and training: turning raw event/document
+tables into model-ready features — rolling aggregates over ordered
+streams, curriculum bins, and scaled numeric features. Everything here
+is built-in-function only (window frames, aggregates, broadcast
+joins): no Python in any hot path, and every plan is a single shuffle
+or less on the big side.
+
+The reference engine stops at geo resolution (h3_resolver.py); these
+operators extend the same declarative style to the ML-preprocessing
+surface a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_features(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Per-key trailing-window features over an ordered stream (ROWS
+    frame): count, sum and mean of ``value_col`` over the last
+    ``window`` rows including the current one — the session-velocity /
+    user-rate feature primitive.
+
+    ONE window shuffle (partition by key, sort by ``order_cols``);
+    frame state is bounded at ``window`` rows per partition cursor, so
+    executor memory is flat regardless of key cardinality or history
+    length. ``order_cols`` must be a total order within each key or
+    frame contents are nondeterministic — pass a tiebreaker (an event
+    id) alongside the timestamp.
+
+    Sums are DECIMAL(18,6)-cast before aggregation and divided in
+    double, so roll_sum/roll_mean are bit-deterministic regardless of
+    row order (the engine-vs-oracle determinism rule used throughout
+    queries.py).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,6)")
+    n = F.count(dec).over(w)
+    s = F.sum(dec).over(w)
+    return (
+        df.withColumn("roll_n", n.cast("long"))
+        .withColumn("roll_sum", s.cast("double"))
+        .withColumn(
+            "roll_mean",
+            F.when(n > 0, s.cast("double") / n).otherwise(F.lit(None)),
+        )
+    )
+
+
+def ntile_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    tiebreak_col: str | None = None,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Curriculum / difficulty binning: assign every row to one of
+    ``n_bins`` equal-count bins by ``score_col`` (NTILE over a total
+    order) — the standard prelude to difficulty-ordered sampling or
+    per-bin mixing weights.
+
+    NTILE needs a global order, which on a naive plan means one giant
+    sort partition. Spark plans an unbounded window as a single-task
+    sort — acceptable to ~10^8 rows; beyond that, bin at the partition
+    level with approx quantile cut points instead (percentile_approx
+    thresholds + a broadcast range join — sketch_stats shows the
+    sketch side). This exact variant is the oracle baseline and the
+    right tool whenever the binned table is an already-reduced
+    per-document score table rather than the raw corpus.
+
+    ``tiebreak_col`` extends the sort to a total order so bin edges are
+    deterministic; both engines assign NTILE remainders to the leading
+    bins, so results are bit-stable cross-engine.
+    """
+    order = [F.col(score_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.orderBy(*order)
+    return df.withColumn(out_col, F.ntile(n_bins).over(w))
+
+
+def minmax_scale(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Min-max normalization of ``value_col`` to [0, 1], optionally per
+    ``group_col`` — feature conditioning before clustering / training.
+
+    Plan: one partial-aggregated min/max pass (tiny result: one row,
+    or one per group), broadcast back onto the table — the big side
+    never shuffles, unlike a window formulation (MIN() OVER
+    (PARTITION BY group)) which would shuffle every row. Degenerate
+    groups (max == min) map to 0.5, mirrored in the oracle SQL.
+
+    The scale expression is (x - min) / (max - min) on doubles: three
+    IEEE ops with exact min/max inputs, so results are
+    bit-deterministic and oracle-checkable.
+    """
+    out_col = out_col or f"{value_col}_scaled"
+    v = F.col(value_col).cast("double")
+    if group_col is None:
+        bounds = df.agg(
+            F.min(v).alias("_mn"), F.max(v).alias("_mx")
+        )
+        joined = df.crossJoin(F.broadcast(bounds))
+    else:
+        bounds = df.groupBy(group_col).agg(
+            F.min(v).alias("_mn"), F.max(v).alias("_mx")
+        )
+        joined = df.join(F.broadcast(bounds), group_col)
+    scaled = F.when(F.col("_mx") == F.col("_mn"), F.lit(0.5)).otherwise(
+        (v - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+    )
+    return joined.withColumn(out_col, scaled).drop("_mn", "_mx")

@@ -1223,6 +1223,77 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=5).select("doc_id", "n_chars")
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/curation.py::
+    decontaminate_bloom): same leakage semantics as q_decontaminate
+    but the benchmark gram set compresses to a 128 KiB bitset instead
+    of a broadcast string set — the path for eval suites too big to
+    broadcast exactly. rows-only (seeded xxhash64); the
+    no-false-negative guarantee (bloom ⊆ exact survivor set) and the
+    false-positive band are locked in tests/test_curation_graph.py."""
+    from h3_indexer_spark.operators.curation import decontaminate_bloom
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 50)
+    train = docs.where(F.col("doc_id") >= 50)
+    return decontaminate_bloom(train, bench, n=5).select(
+        "doc_id", "n_chars"
+    )
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-window features (operators/features.py::
+    rolling_features): count/sum/mean of `value` over the last 5
+    events per user — the session-velocity feature primitive. ONE
+    window shuffle, frame state bounded at 5 rows; (ts_us, event_id)
+    is a total order so frames are deterministic; DECIMAL-cast sums
+    keep the values bit-equal cross-engine."""
+    from h3_indexer_spark.operators.features import rolling_features
+
+    ev = _load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "value",
+    )
+    return rolling_features(
+        ev, "user_id", ["ts_us", "event_id"], "value", window=5
+    ).select(
+        "event_id", "user_id", "ts_us", "roll_n", "roll_sum", "roll_mean"
+    )
+
+
+def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning (operators/features.py::ntile_bins): decile
+    bins over the document quality score with doc_id tiebreak — the
+    difficulty-ordered-sampling prelude. Quality is the bit-identical
+    score both engines already agree on (q_quality_score), so bin
+    edges match exactly."""
+    from h3_indexer_spark.operators.features import ntile_bins
+    from h3_indexer_spark.operators.textops import quality_score
+
+    scored = quality_score(load(spark, sf_dir, "documents"))
+    return ntile_bins(
+        scored, "quality", n_bins=10, tiebreak_col="doc_id"
+    ).select("doc_id", "quality", F.col("bin").cast("int").alias("bin"))
+
+
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling (operators/features.py::minmax_scale):
+    l_extendedprice min-max-normalized within each returnflag. The
+    min/max aggregate is tiny and broadcast back — the fact table
+    never shuffles (a window formulation would shuffle every row)."""
+    from h3_indexer_spark.operators.features import minmax_scale
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return minmax_scale(
+        li, "l_extendedprice", group_col="l_returnflag",
+        out_col="price_scaled",
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "price_scaled")
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators/curation.py::
     chunk_documents): 32-token windows every 24 tokens — the
@@ -1566,8 +1637,12 @@ QUERIES: dict[str, Query] = {
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_knn_batch": q_knn_batch,
+    "q_rolling_features": q_rolling_features,
+    "q_ntile_bins": q_ntile_bins,
+    "q_minmax_scale": q_minmax_scale,
     # -- rows-only tail: seeded/sketch/iterative keys with no external
     #    oracle (each self-verified in tests) --------------------------
+    "q_decontaminate_bloom": q_decontaminate_bloom,
     "q_approx_stats": q_approx_stats,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
@@ -2633,3 +2708,48 @@ def _fingerprint_oracle() -> str:
 
 
 ORACLES["q_fingerprint"] = _fingerprint_oracle()
+
+
+ORACLES["q_rolling_features"] = """
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        FROM events
+    ),
+    r AS (
+        SELECT event_id, user_id, ts_us,
+               CAST(COUNT(CAST(value AS DECIMAL(18,6))) OVER w AS BIGINT)
+                   AS roll_n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   AS roll_sum
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts_us, roll_n, roll_sum,
+           CASE WHEN roll_n > 0 THEN roll_sum / roll_n END AS roll_mean
+    FROM r
+"""
+
+
+ORACLES["q_ntile_bins"] = f"""
+    WITH q AS ({_quality_oracle()})
+    SELECT doc_id, quality,
+           CAST(NTILE(10) OVER (ORDER BY quality, doc_id) AS INTEGER)
+               AS bin
+    FROM q
+"""
+
+
+ORACLES["q_minmax_scale"] = """
+    WITH b AS (
+        SELECT l_returnflag,
+               MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+               MAX(CAST(l_extendedprice AS DOUBLE)) AS mx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CASE WHEN b.mx = b.mn THEN 0.5
+                ELSE (CAST(l.l_extendedprice AS DOUBLE) - b.mn)
+                     / (b.mx - b.mn) END AS price_scaled
+    FROM lineitem l JOIN b USING (l_returnflag)
+"""

@@ -125,6 +125,57 @@ class TestDecontaminate:
         kept = {r.doc_id for r in decontaminate(train, bench, n=5).collect()}
         assert kept == {2, 3}
 
+    def test_bloom_never_keeps_contaminated(self, spark):
+        """Bloom survivors ⊆ exact survivors (no false negatives —
+        every contaminated doc's grams are genuinely in the bitset),
+        and at a well-sized bitset the false-positive erasure on this
+        corpus is zero, so the sets coincide."""
+        from h3_indexer_spark.operators.curation import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        from tests.conftest import SF_ORACLE
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        bench = docs.where(F.col("doc_id") < 50)
+        train = docs.where(F.col("doc_id") >= 50)
+        exact = {
+            r.doc_id for r in decontaminate(train, bench, n=5).collect()
+        }
+        bloom = {
+            r.doc_id
+            for r in decontaminate_bloom(train, bench, n=5).collect()
+        }
+        assert bloom <= exact
+        assert bloom == exact  # fp rate ~0 at 2^20 bits for this corpus
+
+    def test_bloom_tiny_bitset_overdrops_but_never_leaks(self, spark):
+        """Starve the bitset (256 bits) so false positives are rampant:
+        contaminated docs must STILL all be dropped — only clean docs
+        may be over-dropped."""
+        from h3_indexer_spark.operators.curation import decontaminate_bloom
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "xx quick brown fox jumps over yy"),
+                (2, "quick dog brown lazy fox the over jumps"),
+                (3, "completely unrelated text with other words here"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = {
+            r.doc_id
+            for r in decontaminate_bloom(
+                train, bench, n=5, n_bits=256
+            ).collect()
+        }
+        assert 1 not in kept  # truly contaminated: always dropped
+
     def test_short_benchmark_doc_whole_text_gram(self, spark):
         from h3_indexer_spark.operators.curation import decontaminate
 

@@ -1,0 +1,119 @@
+"""Feature-engineering operators (operators/features.py): rolling
+window features, curriculum bins, min-max scaling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from h3_indexer_spark.operators.features import (
+    minmax_scale,
+    ntile_bins,
+    rolling_features,
+)
+
+
+class TestRollingFeatures:
+    def test_hand_computed_frames(self, spark):
+        rows = [
+            # (event_id, user, ts, value)
+            (1, "a", 10, 1.0),
+            (2, "a", 20, 2.0),
+            (3, "a", 30, 4.0),
+            (4, "a", 40, 8.0),
+            (5, "b", 10, 100.0),
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "user", "ts", "value"])
+        got = {
+            r.event_id: r
+            for r in rolling_features(
+                df, "user", ["ts", "event_id"], "value", window=3
+            ).collect()
+        }
+        assert (got[1].roll_n, got[1].roll_sum) == (1, 1.0)
+        assert (got[2].roll_n, got[2].roll_sum) == (2, 3.0)
+        assert (got[3].roll_n, got[3].roll_sum) == (3, 7.0)
+        # frame slides: event 1 falls out
+        assert (got[4].roll_n, got[4].roll_sum) == (3, 14.0)
+        assert got[4].roll_mean == pytest.approx(14.0 / 3)
+        # keys don't leak across users
+        assert (got[5].roll_n, got[5].roll_sum) == (1, 100.0)
+
+    def test_single_shuffle_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 10, 1.0)], ["event_id", "user", "ts", "value"]
+        )
+        out = rolling_features(df, "user", ["ts", "event_id"], "value")
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree = plan.split("(1) Scan")[0]
+        assert tree.count("Exchange") == 1, plan
+        assert "Window" in tree, plan
+
+
+class TestNtileBins:
+    def test_equal_count_bins_with_remainder_leading(self, spark):
+        # 23 rows into 10 bins: bins 1-3 get 3 rows, 4-10 get 2
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(23)], ["id", "score"]
+        )
+        out = ntile_bins(df, "score", n_bins=10, tiebreak_col="id")
+        sizes = {
+            r.bin: r.n
+            for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()
+        }
+        assert sizes == {
+            **{b: 3 for b in (1, 2, 3)},
+            **{b: 2 for b in range(4, 11)},
+        }
+        # ordering respected: max score of bin b < min score of bin b+1
+        rows = out.collect()
+        for b in range(1, 10):
+            hi = max(r.score for r in rows if r.bin == b)
+            lo = min(r.score for r in rows if r.bin == b + 1)
+            assert hi < lo
+
+
+class TestMinMaxScale:
+    def test_per_group_and_global(self, spark):
+        df = spark.createDataFrame(
+            [("x", 0.0), ("x", 5.0), ("x", 10.0), ("y", 3.0), ("y", 4.0)],
+            ["g", "v"],
+        )
+        per_g = {
+            (r.g, r.v): r.v_scaled
+            for r in minmax_scale(df, "v", group_col="g").collect()
+        }
+        assert per_g[("x", 0.0)] == 0.0
+        assert per_g[("x", 5.0)] == 0.5
+        assert per_g[("x", 10.0)] == 1.0
+        assert per_g[("y", 3.0)] == 0.0
+        assert per_g[("y", 4.0)] == 1.0
+        glob = {
+            r.v: r.v_scaled for r in minmax_scale(df, "v").collect()
+        }
+        assert glob[0.0] == 0.0
+        assert glob[10.0] == 1.0
+        assert glob[5.0] == 0.5
+
+    def test_degenerate_group_maps_to_half(self, spark):
+        df = spark.createDataFrame([("x", 7.0), ("x", 7.0)], ["g", "v"])
+        for r in minmax_scale(df, "v", group_col="g").collect():
+            assert r.v_scaled == 0.5
+
+    def test_broadcast_no_fact_shuffle(self, spark):
+        df = spark.createDataFrame([("x", 1.0), ("x", 2.0)], ["g", "v"])
+        plan = (
+            minmax_scale(df, "v", group_col="g")
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+        )
+        tree = plan.split("(1) Scan")[0]
+        assert "BroadcastHashJoin" in tree, plan
+        assert "SortMergeJoin" not in tree, plan
