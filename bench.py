@@ -65,6 +65,8 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_fuzzy_join",
     "q_window_sliding",
+    "q_rolling_features",
+    "q_minmax_scale",
 ]
 
 

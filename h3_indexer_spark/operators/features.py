@@ -92,6 +92,40 @@ def ntile_bins(
     return df.withColumn(out_col, F.ntile(n_bins).over(w))
 
 
+def quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    accuracy: int = 10_000,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Sketch cut-point binning — the 100 TB path :func:`ntile_bins`
+    documents: instead of NTILE's single global sort, compute the
+    ``n_bins - 1`` approximate quantile thresholds in ONE
+    percentile_approx pass (bounded sketch state, partial-aggregated
+    map-side), then assign bins with a chain of threshold comparisons
+    — a narrow map over the corpus; nothing but sketch state ever
+    shuffles.
+
+    The threshold pull is a bounded driver action (``n_bins - 1``
+    doubles — same contract as IVF centroid seeding). Bin populations
+    deviate from exact equal-count bins by at most the sketch rank
+    error (1/``accuracy``) plus duplicate-value mass at the cut
+    points; bin ORDER is exact, since thresholds are actual data
+    values. rows-only vs the external oracle (sketch internals are
+    engine-specific); the population error band is locked in
+    tests/test_features.py.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    thresholds = df.agg(
+        F.percentile_approx(F.col(score_col), qs, accuracy).alias("_t")
+    ).collect()[0]["_t"]
+    bin_expr: Column = F.lit(1)
+    for t in thresholds:
+        bin_expr = bin_expr + (F.col(score_col) > F.lit(t)).cast("int")
+    return df.withColumn(out_col, bin_expr)
+
+
 def minmax_scale(
     df: DataFrame,
     value_col: str,

@@ -1278,6 +1278,21 @@ def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality", F.col("bin").cast("int").alias("bin"))
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch cut-point binning (operators/features.py::quantile_bins):
+    decile bins over l_extendedprice without a global sort — one
+    percentile_approx sketch pass + a narrow comparison map, the
+    beyond-10^8-rows path for q_ntile_bins. rows-only: sketch
+    thresholds are engine-specific; the equal-population error band
+    is locked in tests/test_features.py."""
+    from h3_indexer_spark.operators.features import quantile_bins
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return quantile_bins(li, "l_extendedprice", n_bins=10)
+
+
 def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature scaling (operators/features.py::minmax_scale):
     l_extendedprice min-max-normalized within each returnflag. The
@@ -1643,6 +1658,7 @@ QUERIES: dict[str, Query] = {
     # -- rows-only tail: seeded/sketch/iterative keys with no external
     #    oracle (each self-verified in tests) --------------------------
     "q_decontaminate_bloom": q_decontaminate_bloom,
+    "q_quantile_bins": q_quantile_bins,
     "q_approx_stats": q_approx_stats,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,

@@ -77,6 +77,36 @@ class TestNtileBins:
             assert hi < lo
 
 
+class TestQuantileBins:
+    def test_population_error_band_and_order(self, spark):
+        """Sketch bins approximate equal counts: every decile's
+        population within 2% of n/10 on near-unique values, and bin
+        order exact (values in bin b never exceed values in b+1)."""
+        from h3_indexer_spark.operators.features import quantile_bins
+
+        from tests.conftest import SF_ORACLE
+
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+            "l_extendedprice"
+        )
+        n = li.count()
+        out = quantile_bins(li, "l_extendedprice", n_bins=10)
+        pops = {
+            r.bin: r.n
+            for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(pops) == set(range(1, 11))
+        for b, cnt in pops.items():
+            assert abs(cnt - n / 10) <= 0.02 * n, (b, cnt, n)
+        edges = out.groupBy("bin").agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        ).collect()
+        by_bin = {r.bin: r for r in edges}
+        for b in range(1, 10):
+            assert by_bin[b].hi <= by_bin[b + 1].lo
+
+
 class TestMinMaxScale:
     def test_per_group_and_global(self, spark):
         df = spark.createDataFrame(
