@@ -306,6 +306,49 @@ def decontaminate_bloom(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def rebalance_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Sublinear source rebalancing — the mixture-reweighting step of a
+    pretraining data recipe: keep ``max(1, floor(sqrt(count_s) *
+    scale))`` documents per source, so head domains are suppressed
+    toward count^0.5 while tail domains survive intact (the standard
+    temperature-sampling shape; sqrt ≙ temperature 2).
+
+    Which documents survive is decided by a deterministic content-hash
+    order (md5(text), id tiebreak) — an unbiased, seedless shuffle
+    that both engines reproduce bit-exactly, so the operator is fully
+    oracle-checkable (contrast the seeded samplers, which are
+    rows-only).
+
+    Plan: per-source counts (tiny aggregate, broadcast back) + ONE
+    window rank per source + filter — a single shuffle of the corpus
+    keyed on source; AQE splits skewed head sources. The exponent is
+    fixed at 0.5 because sqrt is correctly rounded in IEEE 754 in
+    both engines; arbitrary exponents would route through pow, whose
+    rounding is implementation-defined — for other temperatures,
+    precompute budgets driver-side.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    budget = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.sqrt(F.col("_cnt").cast("double")) * F.lit(scale)),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(text_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(counts), source_col)
+        .where(F.col("_rn") <= budget)
+        .drop("_rn", "_cnt")
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-source (domain) token-budget caps
 # --------------------------------------------------------------------------

@@ -1278,6 +1278,20 @@ def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality", F.col("bin").cast("int").alias("bin"))
 
 
+def q_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting (operators/curation.py::rebalance_sources):
+    keep floor(sqrt(n)) docs per source chosen by deterministic
+    content-hash order — head domains suppressed toward count^0.5,
+    tails intact. Fully oracle-checked: md5 order and the sqrt/floor
+    budget are bit-identical cross-engine."""
+    from h3_indexer_spark.operators.curation import rebalance_sources
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return rebalance_sources(docs).select("doc_id", "source")
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch cut-point binning (operators/features.py::quantile_bins):
     decile bins over l_extendedprice without a global sort — one
@@ -1655,6 +1669,7 @@ QUERIES: dict[str, Query] = {
     "q_rolling_features": q_rolling_features,
     "q_ntile_bins": q_ntile_bins,
     "q_minmax_scale": q_minmax_scale,
+    "q_rebalance_sources": q_rebalance_sources,
     # -- rows-only tail: seeded/sketch/iterative keys with no external
     #    oracle (each self-verified in tests) --------------------------
     "q_decontaminate_bloom": q_decontaminate_bloom,
@@ -2753,6 +2768,24 @@ ORACLES["q_ntile_bins"] = f"""
            CAST(NTILE(10) OVER (ORDER BY quality, doc_id) AS INTEGER)
                AS bin
     FROM q
+"""
+
+
+ORACLES["q_rebalance_sources"] = """
+    WITH c AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ),
+    r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY md5(text), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM r JOIN c USING (source)
+    WHERE rn <= GREATEST(1, CAST(FLOOR(SQRT(CAST(cnt AS DOUBLE)) * 1.0)
+                                 AS BIGINT))
 """
 
 

@@ -386,6 +386,32 @@ class TestPageRank:
             assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
 
 
+class TestRebalanceSources:
+    def test_sqrt_budgets_and_tail_survival(self, spark):
+        rows = [(i, "head", f"doc {i}") for i in range(9)]
+        rows += [(100, "mid", "m one"), (101, "mid", "m two")]
+        rows += [(200, "tail", "only doc")]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        from h3_indexer_spark.operators.curation import rebalance_sources
+
+        kept = rebalance_sources(df).groupBy("source").count().collect()
+        sizes = {r.source: r["count"] for r in kept}
+        # floor(sqrt(9))=3, floor(sqrt(2))=1, max(1, floor(sqrt(1)))=1
+        assert sizes == {"head": 3, "mid": 1, "tail": 1}
+
+    def test_deterministic_across_runs(self, spark):
+        from h3_indexer_spark.operators.curation import rebalance_sources
+
+        from tests.conftest import SF_ORACLE
+
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+            "doc_id", "source", "text"
+        )
+        a = {r.doc_id for r in rebalance_sources(docs).collect()}
+        b = {r.doc_id for r in rebalance_sources(docs).collect()}
+        assert a == b and a
+
+
 class TestCleanLines:
     def test_rules(self, spark):
         from h3_indexer_spark.operators.curation import clean_lines
