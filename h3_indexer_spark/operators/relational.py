@@ -263,6 +263,100 @@ def sketch_stats(
     )
 
 
+def grouped_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation in ONE partial-aggregated pass —
+    the feature-vs-feature dependence check of a profiling stage.
+
+    Built from exact DECIMAL sums (Sx, Sy, Sxy, Sxx, Syy) rather than
+    Spark's F.corr: the streaming co-moment algorithms behind
+    corr()/covar() accumulate in a data-order-dependent way and differ
+    between engines in the last ulps, while decimal sums are exact and
+    the closed-form combination
+    (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))
+    is deterministic to the last couple of ulps — the only cross-
+    engine wiggle is FMA contraction of the a·b − c·d shapes in
+    compiled C++ vs the JVM, so the result is rounded to 12 decimals
+    (|corr| ≤ 1, diff ~1e-16) to make the operator hash-checkable.
+    Accumulator width: products of DECIMAL(18,6) inputs sum inside
+    DECIMAL(38,12) — overflow-safe past 10^12 rows at TPC-H-like
+    magnitudes. Rows with a null in either column are excluded
+    (pairwise semantics). Degenerate groups (zero variance) yield
+    NULL."""
+    dx = F.col(x_col).cast("decimal(18,6)")
+    dy = F.col(y_col).cast("decimal(18,6)")
+    agg = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dx).alias("_sx"),
+            F.sum(dy).alias("_sy"),
+            F.sum(dx * dy).alias("_sxy"),
+            F.sum(dx * dx).alias("_sxx"),
+            F.sum(dy * dy).alias("_syy"),
+        )
+    )
+    nd = F.col("n_rows").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        F.round(
+            F.when(den > 0, (nd * sxy - sx * sy) / den), 12
+        ).alias("corr"),
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-range histogram: clamp-floor values into ``n_bins`` equal
+    bins over [lo, hi) and count — the distribution-inspection
+    primitive that replaces an unpayable global sort at corpus scale.
+    A narrow map + one tiny aggregate (≤ n_bins rows shuffle after
+    map-side combine); out-of-range values clamp into the edge bins so
+    counts always total the non-null rows.
+
+    bin_lo is derived as lo + bin·width in double — the identical op
+    sequence in the oracle SQL, so the operator is hash-checkable."""
+    width = (float(hi) - float(lo)) / n_bins
+    raw = F.floor(
+        (F.col(value_col).cast("double") - F.lit(float(lo)))
+        / F.lit(width)
+    )
+    b = (
+        F.when(raw < 0, F.lit(0))
+        .when(raw >= n_bins, F.lit(n_bins - 1))
+        .otherwise(raw)
+        .cast("int")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin",
+            (F.lit(float(lo)) + F.col("bin").cast("double") * F.lit(width))
+            .alias("bin_lo"),
+            "n_rows",
+        )
+    )
+
+
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Column profiling in ONE scan: per column — row count, nulls,
     exact distinct count, min/max, and mean for numerics — the

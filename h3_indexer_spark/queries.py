@@ -278,6 +278,33 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (operators/relational.py::
+    grouped_corr): quantity vs extended price per returnflag, from
+    exact decimal sums combined in a fixed IEEE op order — unlike
+    F.corr/corr(), bit-reproducible cross-engine and so
+    oracle-checked."""
+    return R.grouped_corr(
+        load(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range histogram (operators/relational.py::histogram):
+    22 bins over l_extendedprice in [0, 110000) — a narrow map + one
+    tiny aggregate; edge values clamp so counts total the rows."""
+    return R.histogram(
+        load(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        lo=0.0,
+        hi=110_000.0,
+        n_bins=22,
+    )
+
+
 def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the resolver kernel — groupBy + SUM every value column
     (reference h3_resolver.py:22-42). Partial aggregation makes this a
@@ -1670,6 +1697,8 @@ QUERIES: dict[str, Query] = {
     "q_ntile_bins": q_ntile_bins,
     "q_minmax_scale": q_minmax_scale,
     "q_rebalance_sources": q_rebalance_sources,
+    "q_corr": q_corr,
+    "q_histogram": q_histogram,
     # -- rows-only tail: seeded/sketch/iterative keys with no external
     #    oracle (each self-verified in tests) --------------------------
     "q_decontaminate_bloom": q_decontaminate_bloom,
@@ -2768,6 +2797,58 @@ ORACLES["q_ntile_bins"] = f"""
            CAST(NTILE(10) OVER (ORDER BY quality, doc_id) AS INTEGER)
                AS bin
     FROM q
+"""
+
+
+ORACLES["q_corr"] = """
+    WITH a AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
+                   AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                        * CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                        * CAST(l_quantity AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                        * CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS syy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           ROUND(CASE WHEN sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy) > 0
+                THEN (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy))
+           END, 12) AS corr
+    FROM a
+"""
+
+
+ORACLES["q_histogram"] = """
+    WITH b AS (
+        SELECT CAST(
+                   CASE WHEN f < 0 THEN 0
+                        WHEN f >= 22 THEN 21
+                        ELSE f END AS INTEGER) AS bin
+        FROM (
+            SELECT FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                         / 5000.0) AS f
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+        )
+    )
+    SELECT bin,
+           0.0 + CAST(bin AS DOUBLE) * 5000.0 AS bin_lo,
+           COUNT(*) AS n_rows
+    FROM b GROUP BY bin
 """
 
 

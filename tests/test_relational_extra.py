@@ -147,6 +147,55 @@ def test_profile_plan_shape(spark):
             assert tree.index(line) < first_hash, plan
 
 
+def test_grouped_corr_matches_numpy(spark):
+    import numpy as np
+
+    from h3_indexer_spark.operators.relational import grouped_corr
+
+    from tests.conftest import SF_ORACLE
+
+    df = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r.corr
+        for r in grouped_corr(
+            df, ["l_returnflag"], "l_quantity", "l_extendedprice"
+        ).collect()
+    }
+    pdf = df.select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for flag, sub in pdf.groupby("l_returnflag"):
+        want = np.corrcoef(sub["l_quantity"], sub["l_extendedprice"])[0, 1]
+        assert abs(got[flag] - want) < 1e-9, (flag, got[flag], want)
+
+
+def test_grouped_corr_degenerate_group_null(spark):
+    from h3_indexer_spark.operators.relational import grouped_corr
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 5.0), ("g", 1.0, 7.0)], ["k", "x", "y"]
+    )
+    rows = grouped_corr(df, ["k"], "x", "y").collect()
+    assert rows[0].corr is None  # zero variance in x
+
+
+def test_histogram_hand_computed(spark):
+    from h3_indexer_spark.operators.relational import histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 9.9, 10.0, 25.0, 99.0, 150.0, None]],
+        ["v"],
+    )
+    got = {r.bin: r for r in histogram(df, "v", 0.0, 100.0, 10).collect()}
+    # -5 clamps into bin 0; 150 clamps into bin 9; None dropped
+    assert got[0].n_rows == 3  # -5.0, 0.0, 9.9
+    assert got[1].n_rows == 1  # 10.0
+    assert got[2].n_rows == 1  # 25.0
+    assert got[9].n_rows == 2  # 99.0, 150.0
+    assert sum(r.n_rows for r in got.values()) == 7
+    assert got[2].bin_lo == 20.0
+
+
 def test_sketch_stats_error_bounds(spark):
     """HLL++ NDV within 3*rsd of exact; quantile sketch values must be
     actual data values whose true rank is within the accuracy bound."""
