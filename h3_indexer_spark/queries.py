@@ -1620,24 +1620,21 @@ QUERIES: dict[str, Query] = {
     # joins
     "q_join_left_small": q_join_left_small,
     "q_join_full_outer": q_join_full_outer,
-    "q_join_semi": q_join_semi,
     "q_join_skew_salted": q_join_skew_salted,
     # aggregation
     "q_groupby_sum": q_groupby_sum,
-    "q_groupby_stats": q_groupby_stats,
-    "q_quantiles": q_quantiles,
-    "q_cube": q_cube,
     "q_count_distinct": q_count_distinct,
     "q_profile": q_profile,
+    "q_corr": q_corr,
+    "q_histogram": q_histogram,
     # dataflow / reshaping
     "q_explode": q_explode,
-    "q_union": q_union,
     "q_pivot_events": q_pivot_events,
     "q_sample_stratified": q_sample_stratified,
     # windows / temporal
-    "q_topk_window": q_topk_window,
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
+    "q_rolling_features": q_rolling_features,
     "q_asof_join": q_asof_join,
     "q_interval_join": q_interval_join,
     "q_range_join": q_range_join,
@@ -1668,6 +1665,9 @@ QUERIES: dict[str, Query] = {
     "q_seq_pack": q_seq_pack,
     "q_json_extract": q_json_extract,
     "q_domain_cap": q_domain_cap,
+    "q_rebalance_sources": q_rebalance_sources,
+    "q_ntile_bins": q_ntile_bins,
+    "q_minmax_scale": q_minmax_scale,
     "q_fuzzy_join": q_fuzzy_join,
     # multimodal plumbing
     "q_media_meta": q_media_meta,
@@ -1675,6 +1675,12 @@ QUERIES: dict[str, Query] = {
     # -- beyond the window: oracle-checkable (tests/test_oracle.py;
     #    driver-green in CORRECTNESS_r01-r03) ---------------------------
     "q_join_anti": q_join_anti,
+    "q_join_semi": q_join_semi,
+    "q_groupby_stats": q_groupby_stats,
+    "q_quantiles": q_quantiles,
+    "q_cube": q_cube,
+    "q_union": q_union,
+    "q_topk_window": q_topk_window,
     "q_dedup_windowed": q_dedup_windowed,
     "q_lit_cols": q_lit_cols,
     "q_filter_notnull": q_filter_notnull,
@@ -1693,12 +1699,6 @@ QUERIES: dict[str, Query] = {
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_knn_batch": q_knn_batch,
-    "q_rolling_features": q_rolling_features,
-    "q_ntile_bins": q_ntile_bins,
-    "q_minmax_scale": q_minmax_scale,
-    "q_rebalance_sources": q_rebalance_sources,
-    "q_corr": q_corr,
-    "q_histogram": q_histogram,
     # -- rows-only tail: seeded/sketch/iterative keys with no external
     #    oracle (each self-verified in tests) --------------------------
     "q_decontaminate_bloom": q_decontaminate_bloom,
