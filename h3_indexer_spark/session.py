@@ -2,8 +2,11 @@
 
 Capability parity with the reference's session factory
 (``/root/reference/src/h3_indexer/spark/spark.py:76-136``) minus the
-environment plumbing we don't need (Sedona jars, Kryo registrator, S3A,
-Athena JDBC). Keeps the reference's performance posture: AQE with
+jar plumbing we can't exercise offline (Sedona, Athena JDBC drivers);
+the object-store tuning it bakes in (S3A fast upload, Kryo, safe
+committers) is available as :data:`CLOUD_STORE_CONF` /
+:func:`get_cloud_spark_session`. Keeps the reference's performance
+posture: AQE with
 partition coalescing + skew-join handling, 128 MB advisory partitions,
 Arrow-vectorized Python interop, and a shuffle-partition width keyed to
 the H3 resolution (reference ``spark/spark.py:14-23,115``).
@@ -84,3 +87,56 @@ def get_spark_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# Object-store tuning the reference bakes into its session factory
+# (/root/reference/src/h3_indexer/spark/spark.py:84-136: S3A fast
+# upload, Kryo serialization, committer settings). All keys are public
+# Apache Spark/Hadoop configuration; they are inert on local
+# filesystems, so applying them locally is safe and they take effect
+# the moment the job runs against an object store with the matching
+# connector jars on the classpath (jars ship with the cluster image,
+# not this package).
+CLOUD_STORE_CONF: dict[str, str] = {
+    # serialize shuffle/broadcast with Kryo (reference spark.py:101)
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # S3A high-throughput writes (reference spark.py:84-99)
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+    "spark.hadoop.fs.s3a.fast.upload.buffer": "disk",
+    "spark.hadoop.fs.s3a.multipart.size": "104857600",
+    "spark.hadoop.fs.s3a.connection.maximum": "200",
+    "spark.hadoop.fs.s3a.threads.max": "64",
+    # job-commit without renames — the only safe committer on S3
+    "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
+        "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+    ),
+    "spark.hadoop.fs.s3a.committer.name": "magic",
+    "spark.sql.sources.commitProtocolClass": (
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    ),
+    "spark.sql.parquet.output.committer.class": (
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    ),
+    # don't let speculative duplicate tasks race object-store commits
+    "spark.speculation": "false",
+}
+
+
+def get_cloud_spark_session(
+    h3_resolution: int = 6,
+    app_name: str = "h3_indexer_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """:func:`get_spark_session` plus the object-store profile the
+    reference configures — use on clusters reading/writing s3a:// (or
+    any Hadoop-connector object store). Caller-supplied ``extra_conf``
+    still wins over the profile."""
+    return get_spark_session(
+        h3_resolution=h3_resolution,
+        app_name=app_name,
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+        extra_conf={**CLOUD_STORE_CONF, **(extra_conf or {})},
+    )

@@ -193,3 +193,41 @@ class TestJob:
         assert job.updated_at is not None
         job.update_status(JobStatus.FAILED, error="boom")
         assert job.error_message == "boom"
+
+
+class TestCloudSessionProfile:
+    """The object-store profile (session.py::CLOUD_STORE_CONF) must
+    route through get_spark_session with caller overrides winning —
+    the configs themselves are public Spark/Hadoop keys, inert
+    locally, so only the wiring is testable offline."""
+
+    def test_profile_flows_through_with_overrides(self, monkeypatch):
+        import h3_indexer_spark.session as sess
+
+        captured = {}
+
+        def fake_get(**kwargs):
+            captured.update(kwargs)
+            return "sentinel"
+
+        monkeypatch.setattr(sess, "get_spark_session", fake_get)
+        out = sess.get_cloud_spark_session(
+            h3_resolution=5,
+            extra_conf={"spark.hadoop.fs.s3a.threads.max": "128"},
+        )
+        assert out == "sentinel"
+        conf = captured["extra_conf"]
+        for k, v in sess.CLOUD_STORE_CONF.items():
+            if k == "spark.hadoop.fs.s3a.threads.max":
+                continue
+            assert conf[k] == v
+        # caller override beats the profile
+        assert conf["spark.hadoop.fs.s3a.threads.max"] == "128"
+        assert captured["h3_resolution"] == 5
+
+    def test_profile_keys_are_wellformed(self):
+        from h3_indexer_spark.session import CLOUD_STORE_CONF
+
+        for k, v in CLOUD_STORE_CONF.items():
+            assert k.startswith("spark."), k
+            assert isinstance(v, str) and v, (k, v)
