@@ -14,6 +14,7 @@ surface a 100 TB corpus needs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,6 +91,81 @@ def ntile_bins(
         order.append(F.col(tiebreak_col).asc())
     w = Window.orderBy(*order)
     return df.withColumn(out_col, F.ntile(n_bins).over(w))
+
+
+def ewma_features(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key over an ordered
+    stream — the time-decay feature primitive (drifting user rates,
+    recency-weighted quality baselines). The recurrence
+    y_t = (1−α)·y_{t−1} + α·x_t makes each output depend on the
+    previous OUTPUT, which no window frame can express, so this is the
+    one feature operator that runs as applyInPandas: ONE shuffle keyed
+    on ``key_col``, then a numpy kernel per group.
+
+    The kernel evaluates the recurrence in closed form blockwise
+    (within a block of B rows, y = (1−α)^i·carry + α·Σ(1−α)^{i−j}x_j
+    via two vectorized cumulative ops), so per-row Python never runs
+    and the decay powers stay within float range for any series
+    length. Each KEY's history must fit one worker (same contract as
+    sessionize's per-key window); for truly unbounded keys, pre-chunk
+    by coarse time and chain the carry.
+
+    Deterministic for a fixed (order_cols) total order; rows-only vs
+    the external oracle (the float recurrence is not practically
+    SQL-expressible) — numpy-recurrence equivalence is locked in
+    tests/test_features.py.
+    """
+    import math
+
+    import numpy as np
+
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {a}")
+    # block size such that (1-a)^-B stays far from double overflow
+    # (powers up to ~1e250 with values ≤1e50 still in range); the scan
+    # trick divides by decay_j, so the spread must be bounded
+    if a == 1.0:
+        blk_size = 1  # y_t = x_t; loop degenerates correctly
+    else:
+        spread = -math.log10(1.0 - a)  # decades per step
+        blk_size = max(16, min(1024, int(250.0 / max(spread, 0.25))))
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, ignore_index=True)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        out = np.empty_like(x)
+        # seed y_1 = x_1 (pandas adjust=False): a virtual carry c with
+        # (1-a)c + a·x_1 = x_1, i.e. c = x_1
+        carry = x[0] if len(x) else 0.0
+        for lo in range(0, len(x), blk_size):
+            blk = x[lo : lo + blk_size]
+            i = np.arange(1, len(blk) + 1, dtype=np.float64)
+            decay = (1.0 - a) ** i  # (1-a)^1 .. (1-a)^B
+            if a == 1.0:
+                acc = blk.astype(np.float64)
+            else:
+                # y_i = decay_i·carry + a·Σ_j (1-a)^(i-j)·x_j
+                #     = decay_i·(carry + cumsum(a·x_j/decay_j))
+                acc = decay * (carry + np.cumsum(a * blk / decay))
+            out[lo : lo + len(blk)] = acc
+            carry = acc[-1]
+        pdf[out_col] = out
+        return pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.groupBy(key_col).applyInPandas(
+        per_key, schema=f"{schema}, {out_col} double"
+    )
 
 
 def quantile_bins(

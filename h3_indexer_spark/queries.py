@@ -1319,6 +1319,26 @@ def q_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_sources(docs).select("doc_id", "source")
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values
+    (operators/features.py::ewma_features) — the time-decay feature no
+    window frame can express (output depends on previous OUTPUT).
+    One shuffle keyed on user, blockwise-vectorized recurrence kernel.
+    rows-only: the float recurrence isn't practically SQL-expressible;
+    numpy-recurrence equivalence is locked in tests/test_features.py."""
+    from h3_indexer_spark.operators.features import ewma_features
+
+    ev = _load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "value",
+    )
+    return ewma_features(
+        ev, "user_id", ["ts_us", "event_id"], "value", alpha=0.3
+    ).select("event_id", "user_id", "ts_us", "ewma")
+
+
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch cut-point binning (operators/features.py::quantile_bins):
     decile bins over l_extendedprice without a global sort — one
@@ -1703,6 +1723,7 @@ QUERIES: dict[str, Query] = {
     #    oracle (each self-verified in tests) --------------------------
     "q_decontaminate_bloom": q_decontaminate_bloom,
     "q_quantile_bins": q_quantile_bins,
+    "q_ewma": q_ewma,
     "q_approx_stats": q_approx_stats,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,

@@ -77,6 +77,49 @@ class TestNtileBins:
             assert hi < lo
 
 
+class TestEwmaFeatures:
+    def _naive(self, xs, a):
+        ys = [xs[0]]
+        for x in xs[1:]:
+            ys.append((1 - a) * ys[-1] + a * x)
+        return ys
+
+    def test_matches_naive_recurrence(self, spark):
+        from h3_indexer_spark.operators.features import ewma_features
+
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = []
+        for u in ("a", "b"):
+            for t, v in enumerate(rng.uniform(0, 1e6, size=700)):
+                rows.append((u, t, float(v)))
+        df = spark.createDataFrame(rows, ["user", "ts", "value"])
+        out = ewma_features(df, "user", ["ts"], "value", alpha=0.3)
+        got = {
+            (r.user, r.ts): r.ewma for r in out.collect()
+        }
+        for u in ("a", "b"):
+            xs = [v for (uu, t, v) in rows if uu == u]
+            want = self._naive(xs, 0.3)
+            for t, w in enumerate(want):
+                g = got[(u, t)]
+                assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (u, t, g, w)
+
+    def test_extreme_alphas(self, spark):
+        from h3_indexer_spark.operators.features import ewma_features
+
+        rows = [("a", t, float(t)) for t in range(40)]
+        df = spark.createDataFrame(rows, ["user", "ts", "value"])
+        # alpha=1: ewma == value
+        for r in ewma_features(df, "user", ["ts"], "value", alpha=1.0).collect():
+            assert r.ewma == r.value
+        # tiny alpha: stays near the seed, still finite
+        out = ewma_features(df, "user", ["ts"], "value", alpha=1e-6).collect()
+        for r in out:
+            assert 0.0 <= r.ewma <= 39.0
+
+
 class TestQuantileBins:
     def test_population_error_band_and_order(self, spark):
         """Sketch bins approximate equal counts: every decile's
