@@ -349,6 +349,68 @@ def rebalance_sources(
     )
 
 
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref_src)="
+
+
+def normalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """URL canonicalization — the prelude to crawl-level dedup (the
+    same page arrives as http/HTTPS, with/without :443, with tracking
+    params, with a trailing slash). Rules, each a standard
+    crawl-pipeline normalization:
+
+    - scheme and host lowercase;
+    - explicit default ports dropped (``:80`` for http, ``:443`` for
+      https);
+    - tracking query parameters removed (utm_*, fbclid, gclid,
+      msclkid, ref_src);
+    - remaining query parameters sorted (param order is not
+      semantically significant);
+    - fragment dropped; trailing slash on a non-root path dropped.
+
+    Pure expressions (regexp + array HOFs + sort_array) — a narrow
+    map with zero shuffle at any corpus size, and every function has
+    an exact DuckDB twin, so the operator is hash-checkable
+    end-to-end. Compose with exact_dedup on ``url_norm``.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", "$1")
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    norm_q = F.array_join(F.sort_array(params), "&")
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        keep_port,
+        path,
+        F.when(norm_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), norm_q)
+        ),
+    )
+    return df.withColumn(out_col, out)
+
+
 # --------------------------------------------------------------------------
 # Per-source (domain) token-budget caps
 # --------------------------------------------------------------------------

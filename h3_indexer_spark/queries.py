@@ -1319,6 +1319,35 @@ def q_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_sources(docs).select("doc_id", "source")
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/curation.py::normalize_urls)
+    over deterministic synthetic URLs (uppercase scheme/host, default
+    and non-default ports, trailing slashes, tracking params, fragment
+    — the same augmentation style as q_pii_scrub). Every rule has an
+    exact DuckDB twin, so the full normalize chain is hash-checked."""
+    from h3_indexer_spark.operators.curation import normalize_urls
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise(
+            F.lit("http")
+        ),
+        F.lit("://WWW.Example.COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(
+            F.lit(":8080")
+        ),
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=news&z=9&a=1&fbclid=abc#sec2"),
+    )
+    return normalize_urls(docs.withColumn("url", url)).select(
+        "doc_id", "url", "url_norm"
+    )
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential moving average of event values
     (operators/features.py::ewma_features) — the time-decay feature no
@@ -1719,6 +1748,7 @@ QUERIES: dict[str, Query] = {
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_knn_batch": q_knn_batch,
+    "q_url_normalize": q_url_normalize,
     # -- rows-only tail: seeded/sketch/iterative keys with no external
     #    oracle (each self-verified in tests) --------------------------
     "q_decontaminate_bloom": q_decontaminate_bloom,
@@ -2870,6 +2900,62 @@ ORACLES["q_histogram"] = """
            0.0 + CAST(bin AS DOUBLE) * 5000.0 AS bin_lo,
            COUNT(*) AS n_rows
     FROM b GROUP BY bin
+"""
+
+
+ORACLES["q_url_normalize"] = """
+    WITH d AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+               || '://WWW.Example.COM'
+               || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END)
+               || '/' || source || '/doc/' || CAST(doc_id AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+               || '?utm_source=news&z=9&a=1&fbclid=abc#sec2' AS url
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(regexp_replace(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+        FROM d
+    ),
+    p AS (
+        SELECT doc_id, url, scheme,
+               lower(regexp_extract(
+                   regexp_extract(rest, '^([^/?]*)', 1),
+                   '^([^:]*)', 1)) AS host,
+               regexp_extract(
+                   regexp_extract(rest, '^([^/?]*)', 1),
+                   ':(\\d+)$', 1) AS port,
+               regexp_replace(rest, '^[^/?]*', '') AS pathq
+        FROM s
+    ),
+    q AS (
+        SELECT doc_id, url, scheme, host,
+               CASE WHEN (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+                      OR port = ''
+                    THEN '' ELSE ':' || port END AS keep_port,
+               CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = ''
+                    THEN '/'
+                    ELSE regexp_replace(
+                        regexp_extract(pathq, '^([^?]*)', 1),
+                        '(.)/$', '\\1') END AS path,
+               COALESCE(array_to_string(list_sort(list_filter(
+                   string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                       '^(utm_[a-z]+|fbclid|gclid|msclkid|ref_src)=')
+               )), '&'), '') AS norm_q
+        FROM p
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host || keep_port || path
+           || (CASE WHEN norm_q = '' THEN '' ELSE '?' || norm_q END)
+               AS url_norm
+    FROM q
 """
 
 

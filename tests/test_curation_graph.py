@@ -412,6 +412,44 @@ class TestRebalanceSources:
         assert a == b and a
 
 
+class TestNormalizeUrls:
+    CASES = [
+        # (raw, expected)
+        ("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag",
+         "https://www.example.com/A/b?a=1&b=2"),
+        ("http://host.com:8080/path", "http://host.com:8080/path"),
+        ("http://host.com:80/", "http://host.com/"),
+        ("https://h.io", "https://h.io/"),
+        ("https://h.io/x/?fbclid=z", "https://h.io/x"),
+        ("http://h.io/?gclid=1&q=search", "http://h.io/?q=search"),
+    ]
+
+    def test_hand_cases(self, spark):
+        from h3_indexer_spark.operators.curation import normalize_urls
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)],
+            ["id", "url"],
+        )
+        got = {r.id: r.url_norm for r in normalize_urls(df).collect()}
+        for i, (raw, want) in enumerate(self.CASES):
+            assert got[i] == want, (raw, got[i], want)
+
+    def test_idempotent(self, spark):
+        from h3_indexer_spark.operators.curation import normalize_urls
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)],
+            ["id", "url"],
+        )
+        once = normalize_urls(df).select(
+            "id", F.col("url_norm").alias("url")
+        )
+        twice = {r.id: r.url_norm for r in normalize_urls(once).collect()}
+        for r in normalize_urls(df).collect():
+            assert twice[r.id] == r.url_norm
+
+
 class TestCleanLines:
     def test_rules(self, spark):
         from h3_indexer_spark.operators.curation import clean_lines
