@@ -90,6 +90,44 @@ def main() -> None:
         timed(f"minhash_near_dups x{factor}", minhash_near_dups(d), rows)
         d.unpersist()
 
+    # feature engineering over events: rolling window (one window
+    # shuffle, frame-bounded state) and EWMA (applyInPandas recurrence
+    # kernel). Copies shift BOTH ids so user count grows with the
+    # factor and per-key history stays constant — the linear-scaling
+    # regime a 100 TB event log actually presents (more keys, not
+    # unboundedly deeper histories).
+    from h3_indexer_spark.operators.features import (
+        ewma_features,
+        rolling_features,
+    )
+    from h3_indexer_spark.queries import _load_events
+
+    ev = _load_events(spark, SF_DIR).select(
+        "event_id", "user_id",
+        F.expr("ts div 1000").alias("ts_us"), "value",
+    )
+    n_ev = ev.count()
+    for factor in factors:
+        e = None
+        for i in range(factor):
+            c = ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 10 * n_ev)
+            ).withColumn("user_id", F.col("user_id") + F.lit(i * 100_000))
+            e = c if e is None else e.unionByName(c)
+        e = e.repartition(64).cache()
+        rows = e.count()
+        timed(
+            f"rolling_features x{factor}",
+            rolling_features(e, "user_id", ["ts_us", "event_id"], "value"),
+            rows,
+        )
+        timed(
+            f"ewma_features x{factor}",
+            ewma_features(e, "user_id", ["ts_us", "event_id"], "value"),
+            rows,
+        )
+        e.unpersist()
+
     # geo: points at growing n (the index-stage kernel)
     for n_pts in [100_000, 1_000_000, 5_000_000]:
         if n_pts > 100_000 * max_factor:
