@@ -874,12 +874,23 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification
-    (operators/dedup.py). rows-only: hash-based candidate generation is
-    not SQL-expressible offline; determinism comes from the fixed seed."""
+    (operators/dedup.py). ORACLE-CHECKED against the all-pairs exact
+    5-gram Jaccard SQL: surfaced pairs are exact-Jaccard-verified, so
+    emitted == exact iff LSH recall is 1 — the contract pins 64 bands
+    of 2 rows, where a pair at the 0.5 threshold is missed with
+    p = (1-0.5²)⁶⁴ ≈ 1e-8 and the corpus's actual near-dup pairs
+    (J ≥ 0.75 at sf0.1, J ≥ 0.875 at sf0.01, nothing between 0.35
+    and the threshold) with p ≤ 1e-23. Jaccard over xxhash64'd
+    shingles equals Jaccard over the raw grams absent 64-bit
+    collisions (~n²/2⁶⁴ per doc pair). Production default stays
+    16 bands × 4 rows (steeper S-curve, fewer candidates)."""
     from h3_indexer_spark.operators.dedup import minhash_near_dups
 
     return minhash_near_dups(
-        load(spark, sf_dir, "documents"), threshold=0.5
+        load(spark, sf_dir, "documents"),
+        threshold=0.5,
+        num_hashes=128,
+        bands=64,
     ).select("id_a", "id_b", "jaccard")
 
 
@@ -1665,7 +1676,6 @@ QUERIES: dict[str, Query] = {
     "q_scan_parquet": q_scan_parquet,
     "q_scan_where": q_scan_where,
     "q_project": q_project,
-    "q_mul_ratio": q_mul_ratio,
     # joins
     "q_join_left_small": q_join_left_small,
     "q_join_full_outer": q_join_full_outer,
@@ -1694,6 +1704,7 @@ QUERIES: dict[str, Query] = {
     "q_tfidf": q_tfidf,
     # dedup family
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1723,6 +1734,7 @@ QUERIES: dict[str, Query] = {
     "q_media_audio": q_media_audio,
     # -- beyond the window: oracle-checkable (tests/test_oracle.py;
     #    driver-green in CORRECTNESS_r01-r03) ---------------------------
+    "q_mul_ratio": q_mul_ratio,
     "q_join_anti": q_join_anti,
     "q_join_semi": q_join_semi,
     "q_groupby_stats": q_groupby_stats,
@@ -1755,7 +1767,6 @@ QUERIES: dict[str, Query] = {
     "q_quantile_bins": q_quantile_bins,
     "q_ewma": q_ewma,
     "q_approx_stats": q_approx_stats,
-    "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
     "q_knn_lsh": q_knn_lsh,
@@ -1960,6 +1971,33 @@ ORACLES: dict[str, str] = {
     "q_dedup_ngram_jaccard": f"""
         WITH {_ngram_pair_ctes()}
         SELECT id_a, id_b, jaccard FROM pairs
+    """,
+    # all-pairs exact 5-gram Jaccard — valid oracle for the LSH path
+    # because surfaced candidates are exact-verified and the contract's
+    # 64×2 banding makes recall certain (see q_dedup_minhash docstring);
+    # tokenization mirrors shingles(): regex-split on whitespace runs
+    "q_dedup_minhash": """
+        WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                   FROM documents),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(ws) - 4, 1) + 1),
+                s -> array_to_string(ws[s:s+4], ' ')))) AS gram
+            FROM w
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b)
+        WHERE jaccard >= 0.5
     """,
     "q_dedup_clusters": f"""
         WITH RECURSIVE {_ngram_pair_ctes()},
