@@ -384,42 +384,59 @@ def embedding_near_dups(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash=None,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash fingerprint per document: token xxhash64 → per-bit
-    ±1 votes (popcount form: bit_b set ⟺ 2·ones_b > n) → pack.
+    """``n_bits``-wide SimHash fingerprint per document: token hash →
+    per-bit ±1 votes (popcount form: bit_b set ⟺ 2·ones_b > n) → pack.
     Output: (id, simhash) as long.
 
+    ``token_hash`` maps a token Column to a long Column; the default
+    xxhash64 is the production hash, while the driver contract passes
+    an md5-derived 60-bit hash (identical in DuckDB, so the whole
+    fingerprint is SQL-mirrorable — same recipe as the md5 variant of
+    textops.fingerprint). ``n_bits`` must be ≤ 64 and match the hash's
+    width.
+
     ZERO-shuffle formulation: tokenization and hashing stay JVM-side
-    (seeded xxhash64 in a codegen'd transform), then one Arrow hop
-    computes the 64 bit votes per document with numpy unpackbits —
-    a (tokens × 64) bit-matrix column sum per doc, no explode, no
-    fingerprint shuffle at all. Measured at sf0.1: 6.7× faster
-    steady-state and 2.4× faster first-run than the previous
-    explode + 65-aggregate groupBy (which itself beat the interpreted
-    HOF fold 2×); fingerprints are bit-identical across all three."""
+    (codegen'd transform), then one Arrow hop computes the bit votes
+    per document with numpy unpackbits — a (tokens × n_bits)
+    bit-matrix column sum per doc, no explode, no fingerprint shuffle
+    at all. Measured at sf0.1: 6.7× faster steady-state and 2.4×
+    faster first-run than the previous explode + 65-aggregate groupBy
+    (which itself beat the interpreted HOF fold 2×); fingerprints are
+    bit-identical across all three."""
+    if token_hash is None:
+        # wrap: xxhash64 is *args-variadic, which the HOF lambda
+        # machinery rejects as a direct callback
+        def token_hash(t):
+            return F.xxhash64(t)
     hashed = df.select(
         id_col,
         F.transform(
-            F.split(F.col(text_col), r"\s+"), lambda t: F.xxhash64(t)
+            F.split(F.col(text_col), r"\s+"), token_hash
         ).alias("_ths"),
     ).where(F.col("_ths").isNotNull())
+
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64)).astype(
+        np.uint64
+    )
 
     def fn(batches):
         for pdf in batches:
             fps = []
             for ths in pdf["_ths"]:
-                a = np.asarray(ths, dtype=np.uint64)
+                a = np.asarray(ths, dtype=np.int64).view(np.uint64)
                 n = len(a)
                 bits = np.unpackbits(
                     a.view(np.uint8).reshape(n, 8), axis=1,
                     bitorder="little",
-                )
+                )[:, :n_bits]
                 ones = bits.sum(axis=0)
-                fp = int(
-                    np.packbits(2 * ones > n, bitorder="little")
-                    .view(np.uint64)[0]
-                )
+                fp = int(((2 * ones > n).astype(np.uint64) * weights).sum())
                 fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
             yield pd.DataFrame(
                 {
@@ -437,13 +454,18 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    token_hash=None,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """SimHash near-dup candidates: split the 64-bit fingerprint into
+    """SimHash near-dup candidates: split the fingerprint into
     ``bands`` blocks; by pigeonhole, any pair within ``max_hamming``
-    (< bands) shares at least one exact block. Verify with popcount.
-    Output: (id_a, id_b, hamming)."""
-    fps = simhash(df, text_col, id_col)
-    width = 64 // bands
+    (< bands) shares at least one exact block — candidate generation
+    is EXHAUSTIVE, not probabilistic, so the output is exactly the
+    set of pairs with fingerprint hamming ≤ ``max_hamming``. Verify
+    with popcount. Output: (id_a, id_b, hamming)."""
+    fps = simhash(df, text_col, id_col, token_hash=token_hash,
+                  n_bits=n_bits)
+    width = n_bits // bands
     block_cols = [
         F.shiftrightunsigned(F.col("simhash"), b * width)
         .bitwiseAND((1 << width) - 1)
