@@ -1,0 +1,218 @@
+"""Product/behavioral analytics over event streams: funnels, cohort
+retention, heavy hitters, time-series gap-fill.
+
+These extend the engine beyond the reference's geospatial scope (the
+reference has no event-analytics surface; its only temporal handling is
+the job-status timestamps in /root/reference/src/h3_indexer/config.py)
+into the session/event analyses a large-scale behavioral dataset needs.
+Every operator is a pure DataFrame composition — no Python in the hot
+path — and every aggregation is partial-agg friendly (map-side combine
+before the shuffle).
+
+Scale posture, per operator, is documented in each docstring; the
+shared principles:
+
+- All shuffles key on the entity id (``user_id``) or on low-cardinality
+  derived keys (cohort, period) — never on unbounded composites.
+- Sequential-stage logic (funnels) uses per-stage filtered aggregates
+  joined on the entity id: S-1 equi-joins whose inputs shrink
+  monotonically (stage k's table only contains users who reached
+  k-1). The alternative single-shuffle sorted-array fold keeps state
+  per user in one array; at 100 TB the join form wins because each
+  stage's filter pushes to the scan and the join sides are
+  user-cardinality, not event-cardinality.
+- Time bucketing is integer arithmetic on epoch-nano longs (``ts div
+  period``), which both Spark and an external SQL engine compute
+  identically — no timezone or calendar dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DAY_NS = 86_400 * 10**9
+WEEK_NS = 7 * DAY_NS
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each entity, the first time each
+    stage was completed, where stage k must occur STRICTLY AFTER that
+    entity's stage k-1 completion (the classic product-analytics
+    semantics — a purchase before the first click does not count as a
+    post-click purchase).
+
+    Output: one row per entity that completed stage 0, with columns
+    ``t_0 .. t_{S-1}`` (epoch-nano longs, null once the chain breaks)
+    and ``stages_reached``.
+
+    Scale: stage 0 is a filtered groupBy (partial aggs, one shuffle on
+    ``id_col``); each later stage is a filtered events scan joined to
+    the (entity-cardinality) previous frontier on ``id_col`` followed
+    by the same groupBy — S-1 equi-join+agg rounds whose right side
+    shrinks monotonically. All event-side filters push down to the
+    scan; no stage ever materializes event×event pairs."""
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    ts = F.col(ts_col)
+    out = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(id_col)
+        .agg(F.min(ts).alias("t_0"))
+    )
+    for k, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            events.where(F.col(type_col) == stage)
+            .join(out.select(id_col, f"t_{k - 1}"), id_col)
+            .where(ts > F.col(f"t_{k - 1}"))
+            .groupBy(id_col)
+            .agg(F.min(ts).alias(f"t_{k}"))
+        )
+        out = out.join(nxt, id_col, "left")
+    reached = sum(
+        (F.col(f"t_{k}").isNotNull().cast("long") for k in range(len(stages))),
+        F.lit(0),
+    )
+    return out.withColumn("stages_reached", reached)
+
+
+def cohort_retention(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    period_ns: int = WEEK_NS,
+) -> DataFrame:
+    """Cohort retention matrix: entities are grouped into cohorts by
+    the period of their FIRST event; for every (cohort, period-offset)
+    cell, count the distinct entities active in that period.
+
+    ``cohort_period`` is the integer epoch-period of the first event
+    (``first_ts div period_ns``); ``period_offset`` is whole periods
+    elapsed since that first event. Output: (cohort_period,
+    period_offset, n_active) — the standard retention triangle.
+
+    Scale: one groupBy on ``id_col`` to find first-touch (partial
+    min), one equi-join of events back to that entity-cardinality
+    table on ``id_col``, then a COUNT(DISTINCT id) over the tiny
+    (cohort × offset) key space — Spark plans the distinct as a
+    two-level partial aggregate, so the final shuffle carries only
+    (cohort, offset, id) triples already deduplicated map-side."""
+    ts = F.col(ts_col)
+    firsts = events.groupBy(id_col).agg(F.min(ts).alias("_first_ts"))
+    return (
+        events.select(id_col, ts_col)
+        .join(firsts, id_col)
+        .select(
+            F.col(id_col),
+            F.expr(f"_first_ts div {period_ns}").alias("cohort_period"),
+            F.expr(f"({ts_col} - _first_ts) div {period_ns}").alias(
+                "period_offset"
+            ),
+        )
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.countDistinct(id_col).alias("n_active"))
+    )
+
+
+def frequent_items(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact per-group heavy hitters: the top-``k`` most frequent
+    ``item_col`` values within each ``group_col``, deterministically
+    tie-broken (count desc, then item asc). Output: (group, item,
+    n_occurrences, rnk).
+
+    Scale: counting is a two-key groupBy with map-side partial
+    aggregation — the shuffle carries (group, item) partial counts,
+    not rows. The rank window then partitions by ``group_col`` alone;
+    its input is already collapsed to distinct (group, item) pairs, so
+    window state is bounded by per-group item cardinality, not event
+    count. For item cardinalities too large for that window at 100 TB,
+    cap candidates first with a per-partition top-k (the same
+    count-then-rank applied within partitions) — exactness is kept by
+    re-merging, or traded for a count-min sketch when approximate
+    counts suffice."""
+    counts = df.groupBy(group_col, item_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_occurrences").desc(), F.col(item_col).asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            group_col,
+            item_col,
+            "n_occurrences",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regularize an irregular event stream onto a dense daily grid per
+    entity: one row for EVERY day between the entity's first and last
+    event, with that day's event count (0 on gap days) and the
+    forward-filled last observed daily value sum.
+
+    Output: (id, day, n_events, sum_value_ffill) where ``day`` is the
+    integer epoch-day and ``sum_value_ffill`` carries the most recent
+    active day's sum across gaps (never null: day one is active by
+    construction).
+
+    Scale: events first collapse to (id, day) daily aggregates — the
+    only event-cardinality shuffle. The grid explode is bounded by
+    each entity's day span (a sequence of ints, generated JVM-side),
+    the grid join is co-keyed on (id, day), and the forward-fill
+    window partitions by entity ordered by day with running-frame
+    state of exactly one value. Dense-grid size = Σ spans, linear in
+    entities × horizon, independent of event count."""
+    day = F.expr(f"{ts_col} div {DAY_NS}").alias("day")
+    daily = (
+        events.select(id_col, day, value_col)
+        .groupBy(id_col, "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_sum_dec"),
+        )
+    )
+    grid = (
+        daily.groupBy(id_col)
+        .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, [id_col, "day"], "left")
+        .select(
+            id_col,
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last(F.col("_sum_dec"), ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("sum_value_ffill"),
+        )
+    )

@@ -237,3 +237,46 @@ def minmax_scale(
         (v - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
     )
     return joined.withColumn(out_col, scaled).drop("_mn", "_mx")
+
+
+def standardize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Z-score standardization of ``value_col`` — (x − mean) / stddev,
+    optionally per ``group_col``. The mean/variance come from EXACT
+    DECIMAL(18,6) sums (n, Σx, Σx²), so the derived doubles are
+    bit-deterministic regardless of aggregation order (the same trick
+    as relational.grouped_corr): mean = Σx/n, sample variance =
+    (Σx² − (Σx)²/n) / (n−1), then one sqrt and one division per row —
+    a fixed IEEE op sequence an external SQL engine reproduces
+    bit-for-bit.
+
+    Plan shape mirrors minmax_scale: one partial-aggregated moments
+    pass (one row per group), broadcast back onto the table — the big
+    side never shuffles. Degenerate groups (stddev 0 or n = 1) map to
+    0.0, mirrored in the oracle. Nulls pass through as null."""
+    out_col = out_col or f"{value_col}_z"
+    dv = F.col(value_col).cast("decimal(19,4)")
+    aggs = [
+        F.count(F.col(value_col)).alias("_n"),
+        F.sum(dv).alias("_sx"),
+        F.sum(dv * dv).alias("_sxx"),
+    ]
+    if group_col is None:
+        moments = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(moments))
+    else:
+        moments = df.groupBy(group_col).agg(*aggs)
+        joined = df.join(F.broadcast(moments), group_col)
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    z = F.when(
+        (F.col("_n") <= 1) | (var <= 0.0), F.lit(0.0)
+    ).otherwise((F.col(value_col).cast("double") - mean) / F.sqrt(var))
+    return joined.withColumn(out_col, z).drop("_n", "_sx", "_sxx")

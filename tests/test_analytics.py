@@ -1,0 +1,165 @@
+"""Semantic unit tests for operators/analytics.py and
+features.standardize on small constructed inputs — the oracle tests in
+test_oracle.py check engine-vs-SQL equivalence on the driver fixtures;
+these pin the operator CONTRACTS (ordering constraints, gap handling,
+degenerate groups, tie-breaks) on adversarial hand-built cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from h3_indexer_spark.operators.analytics import (
+    DAY_NS,
+    cohort_retention,
+    frequent_items,
+    funnel,
+    gap_fill_daily,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from h3_indexer_spark.session import get_spark_session
+
+    s = get_spark_session(
+        app_name="test_analytics", master="local[4]", shuffle_partitions=4
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, value double"
+    )
+
+
+class TestFunnel:
+    def test_strict_ordering_required(self, spark):
+        # user 1: full ordered chain; user 2: purchase BEFORE click —
+        # stage 3 must not count; user 3: never clicked
+        ev = _events(
+            spark,
+            [
+                (1, 100, "view", 0.0),
+                (1, 200, "click", 0.0),
+                (1, 300, "purchase", 0.0),
+                (2, 100, "view", 0.0),
+                (2, 150, "purchase", 0.0),
+                (2, 200, "click", 0.0),
+                (3, 100, "view", 0.0),
+            ],
+        )
+        out = {
+            r.user_id: r
+            for r in funnel(ev, ["view", "click", "purchase"]).collect()
+        }
+        assert out[1].t_0 == 100 and out[1].t_1 == 200 and out[1].t_2 == 300
+        assert out[1].stages_reached == 3
+        assert out[2].t_1 == 200 and out[2].t_2 is None
+        assert out[2].stages_reached == 2
+        assert out[3].t_1 is None and out[3].stages_reached == 1
+
+    def test_same_timestamp_not_after(self, spark):
+        # strict > : a click at exactly the view's timestamp is not a
+        # post-view click
+        ev = _events(
+            spark, [(1, 100, "view", 0.0), (1, 100, "click", 0.0)]
+        )
+        row = funnel(ev, ["view", "click"]).collect()[0]
+        assert row.t_1 is None
+
+    def test_entities_without_stage0_excluded(self, spark):
+        ev = _events(spark, [(9, 100, "click", 0.0)])
+        assert funnel(ev, ["view", "click"]).count() == 0
+
+
+class TestCohortRetention:
+    def test_offsets_and_distinct_counts(self, spark):
+        wk = 7 * DAY_NS
+        ev = _events(
+            spark,
+            [
+                # user 1 first-touch week 0, active weeks 0 and 2 (twice)
+                (1, 0, "view", 0.0),
+                (1, 2 * wk, "view", 0.0),
+                (1, 2 * wk + 1, "view", 0.0),
+                # user 2 same cohort week, only week 0
+                (2, wk - 1, "view", 0.0),
+                # user 3 cohort week 1
+                (3, wk, "view", 0.0),
+            ],
+        )
+        out = {
+            (r.cohort_period, r.period_offset): r.n_active
+            for r in cohort_retention(ev).collect()
+        }
+        assert out[(0, 0)] == 2  # users 1 and 2 in their first week
+        assert out[(0, 2)] == 1  # user 1 returned; counted once
+        assert out[(1, 0)] == 1
+        assert (0, 1) not in out
+
+
+class TestFrequentItems:
+    def test_topk_with_deterministic_ties(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1)] * 3 + [("a", 2)] * 3 + [("a", 3)] * 1,
+            "grp string, item long",
+        )
+        rows = frequent_items(df, "grp", "item", k=2).collect()
+        assert [(r.item, r.n_occurrences, r.rnk) for r in rows] == [
+            (1, 3, 1),  # tie with item 2 broken by item asc
+            (2, 3, 2),
+        ]
+
+
+class TestGapFill:
+    def test_zero_fill_and_ffill(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, 0 * DAY_NS + 5, "view", 2.0),
+                (1, 0 * DAY_NS + 6, "view", 3.0),
+                # day 1, 2 silent
+                (1, 3 * DAY_NS + 1, "view", 7.0),
+            ],
+        )
+        rows = {
+            r.day: r for r in gap_fill_daily(ev).collect()
+        }
+        assert sorted(rows) == [0, 1, 2, 3]
+        assert rows[0].n_events == 2 and rows[0].sum_value_ffill == 5.0
+        assert rows[1].n_events == 0 and rows[1].sum_value_ffill == 5.0
+        assert rows[2].n_events == 0 and rows[2].sum_value_ffill == 5.0
+        assert rows[3].n_events == 1 and rows[3].sum_value_ffill == 7.0
+
+
+class TestStandardize:
+    def test_zscore_values_and_degenerate_group(self, spark):
+        from h3_indexer_spark.operators.features import standardize
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("g", 3.0), ("c", 5.0), ("c", 5.0)],
+            "grp string, x double",
+        )
+        out = standardize(df, "x", group_col="grp", out_col="z")
+        vals = sorted(
+            (r.grp, r.x, r.z) for r in out.collect()
+        )
+        # group g: mean 2, sample std 1 -> z = -1, 0, 1
+        assert [v[2] for v in vals if v[0] == "g"] == [-1.0, 0.0, 1.0]
+        # constant group: variance 0 -> 0.0 by contract, not NaN
+        assert [v[2] for v in vals if v[0] == "c"] == [0.0, 0.0]
+
+    def test_broadcast_no_fact_shuffle(self, spark):
+        """The moments join must broadcast — the fact side of
+        standardize never shuffles (plan-locked, same posture as
+        minmax_scale)."""
+        from h3_indexer_spark.operators.features import standardize
+
+        df = spark.range(1000).select(
+            (F.col("id") % 7).alias("grp"), F.col("id").cast("double").alias("x")
+        )
+        plan = standardize(df, "x", group_col="grp")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
