@@ -958,14 +958,33 @@ def q_semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs_fast(emb, cents, threshold=0.3)
 
 
+def _md5_60bit(t: F.Column) -> F.Column:
+    """60-bit token hash both engines compute identically: low 15 hex
+    chars of md5 → bigint. Used by oracle-checked contract variants;
+    production paths default to xxhash64 (cheaper, JVM-native)."""
+    return F.conv(
+        F.substring(F.md5(t.cast("binary")), 18, 15), 16, 10
+    ).cast("long")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup candidates (operators/dedup.py).
-    rows-only (xxhash64)."""
+    ORACLE-CHECKED: with 4 bands and max_hamming 3 < 4 the pigeonhole
+    candidate generation is exhaustive, so the output is exactly the
+    all-pairs set with fingerprint hamming ≤ 3 — deterministic given
+    the fingerprints. The contract pins the md5-derived 60-bit token
+    hash (identical in DuckDB), making the fingerprint itself
+    SQL-mirrorable; production default stays xxhash64."""
     from h3_indexer_spark.operators.dedup import simhash_near_dups
 
     return simhash_near_dups(
-        load(spark, sf_dir, "documents"), max_hamming=3
-    ).select("id_a", "id_b", "hamming")
+        load(spark, sf_dir, "documents"),
+        max_hamming=3,
+        token_hash=_md5_60bit,
+        n_bits=60,
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
 
 
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,6 +1658,194 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# §2.8 Classic decision-support joins (TPC-H-shaped, multi-way)
+# --------------------------------------------------------------------------
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: top-10 unshipped
+    BUILDING-segment orders by revenue — a 3-way join with selective
+    date predicates on both fact-side scans. First date-typed
+    predicates in the contract: both l_shipdate > D and
+    o_orderdate < D must reach their parquet scans as pushed filters
+    (plan-locked in tests/test_plans.py). The top-10 is deterministic
+    via the (revenue desc, orderkey asc) total order; revenue uses the
+    same double-product → DECIMAL(18,6) sum idiom as q_groupby_sum so
+    the hash matches bit-for-bit cross-engine."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            ).alias("_rev_dec")
+        )
+    )
+    return (
+        rev.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            F.col("_rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue: a 6-way snowflake join
+    (region→nation→customer→orders→lineitem→supplier) with the
+    supplier-nation = customer-nation locality constraint, revenue per
+    nation over one order-date year. Dimension tables (region, nation)
+    are explicitly broadcast — the fact-side chain shuffles only on
+    its join keys (orderkey, custkey); at cluster scale supplier joins
+    shuffle-hash on suppkey while the ≤ nation-cardinality aggregate
+    collapses map-side."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    region = (
+        load(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nations), supp.s_nationkey == nations.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            ).alias("_rev_dec")
+        )
+        .select("n_name", F.col("_rev_dec").cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.8 Behavioral analytics (events table) — operators/analytics.py
+# --------------------------------------------------------------------------
+
+
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase (operators/
+    analytics.py::funnel): per-user first completion time of each
+    stage, each stage strictly after the previous one. All timestamps
+    are epoch-nano longs, so the sequential min-chain is pure integer
+    arithmetic in both engines."""
+    from h3_indexer_spark.operators.analytics import funnel
+
+    return funnel(_load_events(spark, sf_dir), _FUNNEL_STAGES).select(
+        "user_id", "t_0", "t_1", "t_2", "stages_reached"
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/analytics.py::
+    cohort_retention): users cohorted by epoch-week of first event,
+    distinct-active counts per (cohort, week-offset) cell. Integer
+    epoch-nano bucketing — no calendar dependence."""
+    from h3_indexer_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_load_events(spark, sf_dir))
+
+
+def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group heavy hitters (operators/analytics.py::
+    frequent_items): top-3 most active users per event type,
+    deterministically tie-broken (count desc, user asc)."""
+    from h3_indexer_spark.operators.analytics import frequent_items
+
+    return frequent_items(
+        _load_events(spark, sf_dir), "event_type", "user_id", k=3
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily per-user grid with zero-filled counts and
+    forward-filled value sums (operators/analytics.py::
+    gap_fill_daily) — the resample/regularization primitive for
+    irregular event streams."""
+    from h3_indexer_spark.operators.analytics import gap_fill_daily
+
+    return gap_fill_daily(_load_events(spark, sf_dir))
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (operators/features.py::
+    standardize) of l_extendedprice within l_returnflag. Moments come
+    from exact DECIMAL sums; the per-row (x−mean)/sqrt(var) is a fixed
+    IEEE op sequence, rounded to 12 decimals in both engines to
+    absorb any final-ulp divergence."""
+    from h3_indexer_spark.operators.features import standardize
+
+    out = standardize(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        ),
+        "l_extendedprice",
+        group_col="l_returnflag",
+        out_col="price_z",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("price_z"), 12).alias("price_z"),
+    )
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators/relational.py::profile_table): per-
     column row/null/exact-distinct counts, numeric min/max/mean and
@@ -1675,7 +1882,6 @@ QUERIES: dict[str, Query] = {
     # scans / projection
     "q_scan_parquet": q_scan_parquet,
     "q_scan_where": q_scan_where,
-    "q_project": q_project,
     # joins
     "q_join_left_small": q_join_left_small,
     "q_join_full_outer": q_join_full_outer,
@@ -1705,6 +1911,7 @@ QUERIES: dict[str, Query] = {
     # dedup family
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
@@ -1735,6 +1942,16 @@ QUERIES: dict[str, Query] = {
     # -- beyond the window: oracle-checkable (tests/test_oracle.py;
     #    driver-green in CORRECTNESS_r01-r03) ---------------------------
     "q_mul_ratio": q_mul_ratio,
+    "q_project": q_project,
+    # classic decision-support joins (round 4)
+    "q_top_orders": q_top_orders,
+    "q_region_revenue": q_region_revenue,
+    # behavioral analytics (round 4)
+    "q_funnel": q_funnel,
+    "q_retention_cohorts": q_retention_cohorts,
+    "q_frequent_items": q_frequent_items,
+    "q_gap_fill": q_gap_fill,
+    "q_zscore": q_zscore,
     "q_join_anti": q_join_anti,
     "q_join_semi": q_join_semi,
     "q_groupby_stats": q_groupby_stats,
@@ -1767,7 +1984,6 @@ QUERIES: dict[str, Query] = {
     "q_quantile_bins": q_quantile_bins,
     "q_ewma": q_ewma,
     "q_approx_stats": q_approx_stats,
-    "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
     "q_knn_lsh": q_knn_lsh,
     "q_pagerank": q_pagerank,
@@ -1955,6 +2171,36 @@ def _ngram_pair_ctes() -> str:
     """
 
 
+def _simhash_oracle() -> str:
+    """Mirror of q_dedup_simhash: the md5-60-bit token hash, the 60
+    per-bit majority votes (bit_b set ⟺ 2·ones_b > n over all tokens,
+    duplicates included), the packed fingerprint, and the exhaustive
+    hamming ≤ 3 pair set."""
+    votes = ",\n                   ".join(
+        f"SUM((hv >> {b}) & 1) AS o{b}" for b in range(60)
+    )
+    pack = "\n                 + ".join(
+        f"CASE WHEN 2*o{b} > n THEN (1::BIGINT << {b}) ELSE 0 END"
+        for b in range(60)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                   FROM documents),
+        t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+        h AS (SELECT doc_id,
+                     CAST('0x' || substr(md5(tok), 18, 15) AS BIGINT) AS hv
+              FROM t),
+        v AS (SELECT doc_id, COUNT(*) AS n,
+                   {votes}
+              FROM h GROUP BY doc_id),
+        f AS (SELECT doc_id, {pack} AS fp FROM v)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """
+
+
 _PII_AUG = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR)"
     " || '@mail.example.com or call +1-555-'"
@@ -1998,6 +2244,124 @@ ORACLES: dict[str, str] = {
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b)
         WHERE jaccard >= 0.5
+    """,
+    "q_dedup_simhash": _simhash_oracle(),
+    "q_top_orders": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q_region_revenue": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND s_nationkey = c_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q_funnel": """
+        WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
+                   FROM events),
+        s0 AS (SELECT user_id, MIN(tns) AS t_0 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (SELECT e.user_id, MIN(tns) AS t_1
+               FROM e JOIN s0 ON e.user_id = s0.user_id
+               WHERE event_type = 'click' AND tns > s0.t_0
+               GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, MIN(tns) AS t_2
+               FROM e JOIN s1 ON e.user_id = s1.user_id
+               WHERE event_type = 'purchase' AND tns > s1.t_1
+               GROUP BY e.user_id)
+        SELECT s0.user_id, t_0, t_1, t_2,
+               CAST(1 + CASE WHEN t_1 IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS stages_reached
+        FROM s0
+        LEFT JOIN s1 ON s0.user_id = s1.user_id
+        LEFT JOIN s2 ON s0.user_id = s2.user_id
+    """,
+    "q_retention_cohorts": f"""
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
+        f AS (SELECT user_id, MIN(tns) AS ft FROM e GROUP BY user_id)
+        SELECT ft // {7 * 86_400 * 10**9} AS cohort_period,
+               (tns - ft) // {7 * 86_400 * 10**9} AS period_offset,
+               COUNT(DISTINCT e.user_id) AS n_active
+        FROM e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    "q_frequent_items": """
+        SELECT event_type, user_id, n_occurrences, rnk FROM (
+            SELECT event_type, user_id, COUNT(*) AS n_occurrences,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY COUNT(*) DESC, user_id ASC
+                   ) AS BIGINT) AS rnk
+            FROM events GROUP BY event_type, user_id)
+        WHERE rnk <= 3
+    """,
+    "q_gap_fill": f"""
+        WITH e AS (SELECT user_id, epoch_ns(ts) // {86_400 * 10**9} AS day,
+                          value
+                   FROM events),
+        daily AS (
+            SELECT user_id, day, COUNT(*) AS n_events,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS sd
+            FROM e GROUP BY user_id, day
+        ),
+        span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                 FROM daily GROUP BY user_id),
+        grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+                 FROM span)
+        SELECT g.user_id, g.day,
+               COALESCE(d.n_events, 0) AS n_events,
+               CAST(last_value(d.sd IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS sum_value_ffill
+        FROM grid g
+        LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    "q_zscore": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   COUNT(l_extendedprice) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)))
+                        AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                            * CAST(l_extendedprice AS DECIMAL(19,4)))
+                        AS DOUBLE) AS sxx
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_orderkey, l_linenumber, l.l_returnflag,
+               ROUND(CASE WHEN n <= 1 OR
+                          (sxx - sx * sx / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0) <= 0.0
+                     THEN 0.0
+                     ELSE (CAST(l_extendedprice AS DOUBLE)
+                           - sx / CAST(n AS DOUBLE))
+                          / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) - 1.0))
+                     END, 12) AS price_z
+        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
     """,
     "q_dedup_clusters": f"""
         WITH RECURSIVE {_ngram_pair_ctes()},

@@ -66,6 +66,34 @@ def _plan(spark, key: str) -> str:
         # survivor filter is an anti-join (training side not shuffled
         # for the contamination probe)
         ("q_decontaminate", ["BroadcastHashJoin", "LeftAnti"]),
+        # Q3-shape: BOTH date predicates must reach their scans (a
+        # timestamp cast that lands driver-side would full-scan the
+        # fact table at 100 TB) and the top-10 must be heap-based
+        (
+            "q_top_orders",
+            [
+                "PushedFilters: [IsNotNull(l_shipdate), "
+                "GreaterThan(l_shipdate",
+                "PushedFilters: [IsNotNull(o_orderdate), "
+                "LessThan(o_orderdate",
+                "TakeOrderedAndProject",
+            ],
+        ),
+        # Q5-shape snowflake: dims broadcast; the order-date year
+        # filter reaches the orders scan
+        (
+            "q_region_revenue",
+            [
+                "BroadcastHashJoin",
+                "PushedFilters: [IsNotNull(o_orderdate), "
+                "GreaterThanOrEqual(o_orderdate",
+            ],
+        ),
+        # z-score moments broadcast back: the fact side never shuffles
+        ("q_zscore", ["BroadcastHashJoin"]),
+        # funnel: every stage filter reaches its events scan
+        ("q_funnel", ["PushedFilters: [IsNotNull(event_type), "
+                      "EqualTo(event_type,view)"]),
     ],
 )
 def test_plan_properties(spark, key, required):
