@@ -204,6 +204,61 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def contamination_fraction(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Graded variant of :func:`decontaminate`: instead of the binary
+    any-shared-gram verdict, score each training document by the
+    FRACTION of its distinct word ``n``-grams that appear in the
+    benchmark set — the thresholdable signal used when a hard drop is
+    too aggressive (docs quoting a benchmark sentence vs docs that ARE
+    a benchmark item). Output: (id, n_grams, n_overlap, overlap_frac)
+    for every training row, overlap_frac an exact integer ratio.
+
+    Same 100 TB posture as decontaminate: the distinct benchmark gram
+    set broadcasts, the training side's grams explode narrow and
+    semi-join map-side, and the only shuffle is the per-document
+    re-aggregation keyed on ``id_col``."""
+    bench_grams = benchmark.select(
+        F.explode_outer(_word_ngrams(text_col, n)).alias("_gram")
+    ).distinct()
+    train_grams = train.select(
+        id_col,
+        F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias(
+            "_gram"
+        ),
+    )
+    overlap = (
+        train_grams.join(F.broadcast(bench_grams), "_gram", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    totals = train.select(
+        id_col,
+        F.size(F.array_distinct(_word_ngrams(text_col, n))).alias(
+            "n_grams"
+        ),
+    )
+    return (
+        totals.join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            (
+                F.coalesce(F.col("_hits"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 def _word_ngrams(text_col: str, n: int):
     """Word n-grams as strings; a document shorter than ``n`` words
     contributes its whole text as one gram."""

@@ -334,3 +334,61 @@ def fuzzy_pairs(
         .where(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
     )
+
+
+def rare_word_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 3,
+) -> DataFrame:
+    """Corpus-frequency quality signal (the CCNet-style recipe):
+    fraction of a document's tokens that are RARE — appearing in fewer
+    than ``min_df`` documents corpus-wide. High rare-ratio flags
+    boilerplate-free but low-quality text (typos, codes, gibberish);
+    near-zero flags templated text. Output: (id, n_tokens, n_rare,
+    rare_ratio), with rare_ratio an exact integer ratio cast to double.
+
+    Scale shape: the corpus vocabulary HEAD (tokens with df ≥ min_df)
+    is the small side — vocabulary heads are ~10⁵-10⁶ entries at any
+    corpus size by Zipf's law, while the rare TAIL grows unboundedly —
+    so the common set broadcasts and rarity is counted as
+    n_tokens − common_hits. Per-doc token positions explode narrow
+    (no pre-shuffle), hit the broadcast semi-join, and re-aggregate on
+    the id — ONE shuffle keyed on the document id. The df-threshold
+    aggregation itself is a distinct + groupBy over (token, doc)
+    pairs, partial-aggregated map-side."""
+    toks = F.split(F.col(text_col), r"\s+")
+    exploded = df.select(
+        id_col, F.explode(toks).alias("_tok")
+    )
+    common = (
+        exploded.distinct()
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_tok")
+    )
+    hits = (
+        exploded.join(F.broadcast(common), "_tok", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    n_tok = df.select(id_col, F.size(toks).alias("n_tokens"))
+    return (
+        n_tok.join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_common"), F.lit(0))
+            ).cast("long").alias("n_rare"),
+            (
+                (
+                    F.col("n_tokens")
+                    - F.coalesce(F.col("_common"), F.lit(0))
+                ).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            ).alias("rare_ratio"),
+        )
+    )

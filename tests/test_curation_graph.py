@@ -550,3 +550,48 @@ class TestCurationPipeline:
         )
         assert "Exchange hashpartitioning" not in plan
         assert "Exchange SinglePartition" not in plan
+
+
+class TestContaminationFraction:
+    def test_graded_consistent_with_binary(self, spark):
+        """decontaminate's dropped set must be exactly the docs with
+        overlap_frac > 0 (the graded signal refines, never disagrees
+        with, the binary verdict)."""
+        from h3_indexer_spark.operators.curation import (
+            contamination_fraction,
+            decontaminate,
+        )
+        from h3_indexer_spark.queries import load
+        from tests.conftest import SF_SMALL
+
+        docs = load(spark, SF_SMALL, "documents")
+        bench = docs.where(F.col("doc_id") < 50)
+        train = docs.where(F.col("doc_id") >= 50)
+        survivors = {
+            r.doc_id for r in decontaminate(train, bench, n=5).collect()
+        }
+        frac = {
+            r.doc_id: r.overlap_frac
+            for r in contamination_fraction(train, bench, n=5).collect()
+        }
+        assert set(frac) == {r.doc_id for r in train.collect()}
+        assert survivors == {d for d, f in frac.items() if f == 0.0}
+        assert any(f > 0 for f in frac.values())
+
+    def test_full_overlap_is_one(self, spark):
+        from h3_indexer_spark.operators.curation import (
+            contamination_fraction,
+        )
+
+        bench = spark.createDataFrame(
+            [(1, "a b c d e f g")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [(100, "a b c d e f g"), (101, "z y x w v u t")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.overlap_frac
+            for r in contamination_fraction(train, bench, n=5).collect()
+        }
+        assert out[100] == 1.0 and out[101] == 0.0

@@ -78,3 +78,24 @@ class TestFuzzyPairs:
             fuzzy_pairs(df, "id", "name", max_dist=2, prefix_len=4).count()
             == 0
         )
+
+
+class TestRareWords:
+    def test_constructed_corpus(self, spark):
+        from h3_indexer_spark.operators.textops import rare_word_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "common common zebra"),
+                (2, "common word"),
+                (3, "common word qux"),
+            ],
+            "doc_id long, text string",
+        )
+        # min_df=2 over DOCUMENT frequency: 'common' in 3 docs,
+        # 'word' in 2 -> common; 'zebra'/'qux' rare
+        out = {r.doc_id: r for r in rare_word_stats(df, min_df=2).collect()}
+        assert out[1].n_tokens == 3 and out[1].n_rare == 1
+        assert out[1].rare_ratio == 1.0 / 3.0
+        assert out[2].n_rare == 0 and out[2].rare_ratio == 0.0
+        assert out[3].n_rare == 1
