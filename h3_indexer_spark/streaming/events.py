@@ -163,3 +163,88 @@ def stream_stream_interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {tolerance_s} SECONDS"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def streaming_funnel(
+    events: DataFrame,
+    stages: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Stateful streaming twin of operators/analytics.funnel: per-key
+    state machine tracking the first completion time of each ordered
+    stage (stage k strictly after the key's stage k-1 completion).
+    State per key is exactly ``len(stages)`` epoch-nano longs (-1 =
+    not reached) — flat in stream length, the applyInPandasWithState
+    bounded-state contract.
+
+    Within a micro-batch, rows are sorted by event time and the chain
+    is recomputed stage-by-stage with vectorized masks, so a single
+    batch reproduces the batch operator exactly. ACROSS batches the
+    update is monotone (each stage time only moves earlier, and later
+    stages only fill after earlier ones), which equals the batch
+    semantics whenever each key's events arrive in event-time order —
+    the usual per-key-ordered ingestion. Under cross-batch disorder a
+    stage-k event processed before stage k-1 was known is not
+    retroactively applied; buffer by watermark upstream if that
+    guarantee is needed. Emits one updated row per key per batch with
+    the current (t_0..t_{S-1}, stages_reached); keys yet to complete
+    stage 0 emit nothing (mirroring the batch funnel's inner frontier).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    S = len(stages)
+    if S < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    t_cols = [f"t_{k}" for k in range(S)]
+    out_schema = (
+        f"{id_col} long, "
+        + ", ".join(f"{c} long" for c in t_cols)
+        + ", stages_reached long"
+    )
+    state_schema = ", ".join(f"{c} long" for c in t_cols)
+
+    def fn(key, pdfs, state: GroupState):
+        cur = list(state.get) if state.exists else [-1] * S
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if rows:
+            pdf = pd.concat(rows, ignore_index=True)
+            tsv = pdf[ts_col]
+            if str(tsv.dtype).startswith("datetime64"):
+                tsv = tsv.astype("int64")  # epoch nanos
+            order = np.argsort(tsv.to_numpy(), kind="stable")
+            tv = tsv.to_numpy()[order]
+            types = pdf[type_col].to_numpy()[order]
+            for k, stage in enumerate(stages):
+                mask = types == stage
+                if k > 0:
+                    if cur[k - 1] < 0:
+                        break
+                    mask &= tv > cur[k - 1]
+                if mask.any():
+                    cand = int(tv[mask].min())
+                    cur[k] = cand if cur[k] < 0 else min(cur[k], cand)
+            state.update(tuple(cur))
+        if cur[0] < 0:
+            return
+        out = {id_col: [key[0]]}
+        for k, c in enumerate(t_cols):
+            out[c] = pd.array(
+                [cur[k] if cur[k] >= 0 else None], dtype="Int64"
+            )
+        out["stages_reached"] = [sum(1 for t in cur if t >= 0)]
+        yield pd.DataFrame(out)
+
+    return (
+        events.groupBy(id_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

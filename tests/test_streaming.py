@@ -305,3 +305,49 @@ class TestStreamingCuration:
             assert g == w and len(g) > 0
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamingFunnel:
+    def test_matches_batch_funnel(self, spark, events_dir):
+        """The stateful streaming funnel must equal the batch operator
+        on the same data (availableNow; per-batch sort makes the
+        single-pass exact)."""
+        from h3_indexer_spark.operators.analytics import funnel
+        from h3_indexer_spark.streaming.events import streaming_funnel
+
+        stages = ["view", "click", "purchase"]
+        stream = streaming_funnel(
+            _read_stream(spark, events_dir), stages
+        )
+        got = _run_stream(spark, stream, output_mode="update")
+        # update mode can emit a row per batch per key; keep the last
+        from pyspark.sql import Window
+
+        batch_events = spark.read.parquet(events_dir).withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+        want = {
+            r.user_id: (r.t_0, r.t_1, r.t_2, r.stages_reached)
+            for r in funnel(batch_events, stages).collect()
+        }
+        # take each user's final emitted state (max stages_reached,
+        # then earliest chain — monotone updates make the last row the
+        # most complete; dedupe via pandas)
+        gp = got.toPandas().sort_values("stages_reached").groupby("user_id").tail(1)
+        g = {
+            int(r.user_id): (
+                None if pd_isna(r.t_0) else int(r.t_0),
+                None if pd_isna(r.t_1) else int(r.t_1),
+                None if pd_isna(r.t_2) else int(r.t_2),
+                int(r.stages_reached),
+            )
+            for r in gp.itertuples()
+        }
+        assert g == want
+        assert len(g) > 0
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
