@@ -830,6 +830,46 @@ def _dedup_embedding_oracle() -> str:
     """
 
 
+def _dedup_embedding_lsh_oracle() -> str:
+    """Mirror of q_dedup_embedding_lsh via the all-pairs exact cosine:
+    valid because banded sign-LSH recall is certain on this geometry —
+    the corpus's natural pair cosines top out at 0.60 (measured at
+    both SFs) while the planted near-identical copies sit at ~0.99995,
+    where a 16-bit band collides with p≈0.95 and 20 bands miss with
+    p≈1e-26. The union + first-component perturbation is reproduced in
+    SQL with the identical float→double op sequence, and the cosine is
+    the same left-associative fold as the exact-path oracle."""
+    dot = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) * "
+        f"CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_EMB_DIM)
+    )
+    na = _norm_sql("a.embedding", one_based=True)
+    nb = _norm_sql("b.embedding", one_based=True)
+    return f"""
+        WITH uni AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_prepend(
+                       CAST(embedding[1] AS DOUBLE) * 1.01,
+                       list_transform(embedding[2:],
+                                      x -> CAST(x AS DOUBLE))
+                   ) AS embedding
+            FROM embeddings
+        )
+        SELECT id_a, id_b, cosine_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   (0.0 + {dot}) / (sqrt(0.0 + {na}) * sqrt(0.0 + {nb}))
+                       AS cosine_sim
+            FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+        ) WHERE cosine_sim >= 0.99
+    """
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (operators/textops.py): whitespace + BPE-ish regex
     + bytes/token — zero-shuffle narrow map."""
@@ -1014,7 +1054,10 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN top-k (operators/similarity.py) — the 100 TB scale
-    path for q_knn_brute. rows-only: bucketing is seeded-random."""
+    path for q_knn_brute. ORACLE-CHECKED: the seeded hyperplanes
+    inline as literals in the oracle, which recomputes every sign bit
+    and the multi-probe bucket list in SQL (margin-assured sign
+    agreement — see _lsh_oracle)."""
     from h3_indexer_spark.operators.similarity import cosine_topk_lsh
 
     return cosine_topk_lsh(
@@ -1278,6 +1321,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") < 50)
     train = docs.where(F.col("doc_id") >= 50)
     return decontaminate(train, bench, n=5).select("doc_id", "n_chars")
+
+
+def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination scoring (operators/curation.py::
+    contamination_fraction): per-training-doc fraction of distinct
+    word 5-grams shared with the benchmark half — the thresholdable
+    sibling of q_decontaminate's binary drop."""
+    from h3_indexer_spark.operators.curation import contamination_fraction
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 50)
+    train = docs.where(F.col("doc_id") >= 50)
+    return contamination_fraction(train, bench, n=5)
+
+
+def q_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal (operators/textops.py::
+    rare_word_stats): per-doc fraction of tokens appearing in fewer
+    than 3 documents corpus-wide. The vocabulary head broadcasts;
+    rarity is counted by complement."""
+    from h3_indexer_spark.operators.textops import rare_word_stats
+
+    return rare_word_stats(load(spark, sf_dir, "documents"), min_df=3)
 
 
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1952,6 +2018,9 @@ QUERIES: dict[str, Query] = {
     "q_frequent_items": q_frequent_items,
     "q_gap_fill": q_gap_fill,
     "q_zscore": q_zscore,
+    # graded curation signals (round 4)
+    "q_contamination_frac": q_contamination_frac,
+    "q_rare_words": q_rare_words,
     "q_join_anti": q_join_anti,
     "q_join_semi": q_join_semi,
     "q_groupby_stats": q_groupby_stats,
@@ -2131,6 +2200,54 @@ def _knn_oracle() -> str:
     """
 
 
+def _lsh_oracle() -> str:
+    """Mirror of q_knn_lsh: the seeded hyperplanes are deterministic,
+    so they inline as double literals — the oracle recomputes each
+    vector's 8 sign bits with the same left-associative dot chain,
+    filters to the multi-probe bucket list (computed here, identically
+    to cosine_topk_lsh's driver-side probe expansion), and ranks the
+    survivors with the exact q_knn_brute cosine. Sign agreement
+    between the engine's GEMM and this chain is margin-assured: the
+    smallest |dot| across all vectors×planes is 6.3e-6 at sf0.1
+    (6.2e-4 at sf0.01), eight orders above double summation-order
+    divergence."""
+    from h3_indexer_spark.operators.similarity import random_hyperplanes
+
+    q = _query_vector()
+    planes = random_hyperplanes(_EMB_DIM, 8, 42)
+    bits = "\n                 + ".join(
+        f"CASE WHEN ({_dot_sql('embedding', p, True)}) >= 0 "
+        f"THEN {1 << b} ELSE 0 END"
+        for b, p in enumerate(planes)
+    )
+    qb = 0
+    for b, plane in enumerate(planes):
+        if sum(pv * qv for pv, qv in zip(plane, q)) >= 0:
+            qb |= 1 << b
+    probes = {qb} | {qb ^ (1 << b) for b in range(8)} | {
+        qb ^ (1 << b1) ^ (1 << b2)
+        for b1 in range(8)
+        for b2 in range(b1 + 1, 8)
+    }
+    probe_list = ", ".join(str(p) for p in sorted(probes))
+    dot = _dot_sql("embedding", q, one_based=True)
+    norm = _norm_sql("embedding", one_based=True)
+    qn = _q_norm_const()
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   ({bits}) AS bucket
+            FROM embeddings
+        )
+        SELECT vec_id,
+               ({dot}) / (sqrt({norm}) * ({qn!r})) AS cosine_sim
+        FROM b
+        WHERE bucket IN ({probe_list})
+        ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
 def _ngram_pair_ctes() -> str:
     """Shared CTE chain mirroring dedup.ngram_jaccard_exact_pairs
     (n=3, max_df=100): distinct word 3-grams -> stop-shingle cap ->
@@ -2246,6 +2363,49 @@ ORACLES: dict[str, str] = {
         WHERE jaccard >= 0.5
     """,
     "q_dedup_simhash": _simhash_oracle(),
+    "q_contamination_frac": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(ws) - 4, 1) + 1),
+                s -> array_to_string(ws[s:s+4], ' ')))) AS gram
+            FROM w
+        ),
+        bset AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+        tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g
+                WHERE doc_id >= 50 GROUP BY doc_id),
+        ov AS (SELECT g.doc_id, COUNT(*) AS n_overlap
+               FROM g JOIN bset ON g.gram = bset.gram
+               WHERE g.doc_id >= 50 GROUP BY g.doc_id)
+        SELECT t.doc_id, t.n_grams,
+               COALESCE(ov.n_overlap, 0) AS n_overlap,
+               CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+                   / CAST(greatest(t.n_grams, 1) AS DOUBLE)
+                   AS overlap_frac
+        FROM tot t LEFT JOIN ov ON t.doc_id = ov.doc_id
+    """,
+    "q_rare_words": """
+        WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+                   FROM documents),
+        t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+        common AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(DISTINCT doc_id) AS dfc
+                FROM t GROUP BY tok)
+            WHERE dfc >= 3
+        ),
+        hits AS (SELECT t.doc_id, COUNT(*) AS ch
+                 FROM t JOIN common ON t.tok = common.tok
+                 GROUP BY t.doc_id),
+        n AS (SELECT doc_id, len(ws) AS n_tokens FROM w)
+        SELECT n.doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_tokens - COALESCE(ch, 0) AS BIGINT) AS n_rare,
+               CAST(n_tokens - COALESCE(ch, 0) AS DOUBLE)
+                   / CAST(greatest(n_tokens, 1) AS DOUBLE) AS rare_ratio
+        FROM n LEFT JOIN hits ON n.doc_id = hits.doc_id
+    """,
     "q_top_orders": """
         SELECT o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
@@ -2870,7 +3030,9 @@ ORACLES: dict[str, str] = {
         GROUP BY md5(text)
     """,
     "q_knn_brute": _knn_oracle(),
+    "q_knn_lsh": _lsh_oracle(),
     "q_dedup_embedding": _dedup_embedding_oracle(),
+    "q_dedup_embedding_lsh": _dedup_embedding_lsh_oracle(),
     "q_token_count": """
         SELECT doc_id,
                CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
