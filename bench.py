@@ -67,6 +67,11 @@ HEADLINE = [
     "q_window_sliding",
     "q_rolling_features",
     "q_minmax_scale",
+    "q_top_orders",
+    "q_region_revenue",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_gap_fill",
 ]
 
 
@@ -312,6 +317,20 @@ def main() -> None:
         run(fn(spark, sf_dir))
         timings[key] = round(time.perf_counter() - t0, 4)
 
+    # second pass: steady-state timings. The cold pass above includes
+    # per-query Catalyst codegen compilation and JVM JIT warm-up —
+    # one-time costs a long-lived cluster session never re-pays (a
+    # probe on this round's VM measured q_semantic_dedup at 28s cold
+    # vs 2.4s steady). The headline metric stays the cold sum for
+    # round-over-round comparability; the steady fields show the
+    # throughput a production session actually gets.
+    steady: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = queries[key]
+        t0 = time.perf_counter()
+        run(fn(spark, sf_dir))
+        steady[key] = round(time.perf_counter() - t0, 4)
+
     for key, secs in _geo_pipeline_bench(spark, sf).items():
         timings[key] = secs
 
@@ -349,6 +368,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_steady": steady,
+                "steady_total": round(sum(steady.values()), 4),
                 "sf": sf,
                 "input_row_groups": _row_groups(raw_sf_dir),
                 "bench_row_groups": _row_groups(sf_dir),

@@ -128,6 +128,34 @@ def main() -> None:
         )
         e.unpersist()
 
+    # behavioral analytics over the same grown event log: the funnel's
+    # S-1 join rounds and gap-fill's grid explode must stay linear in
+    # key count (same more-keys-not-deeper-histories regime as above)
+    from h3_indexer_spark.operators.analytics import (
+        funnel,
+        gap_fill_daily,
+    )
+
+    ev_f = _load_events(spark, SF_DIR).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    for factor in factors:
+        e = None
+        for i in range(factor):
+            c = ev_f.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * 100_000)
+            )
+            e = c if e is None else e.unionByName(c)
+        e = e.repartition(64).cache()
+        rows = e.count()
+        timed(
+            f"funnel x{factor}",
+            funnel(e, ["view", "click", "purchase"]),
+            rows,
+        )
+        timed(f"gap_fill_daily x{factor}", gap_fill_daily(e), rows)
+        e.unpersist()
+
     # geo: points at growing n (the index-stage kernel)
     for n_pts in [100_000, 1_000_000, 5_000_000]:
         if n_pts > 100_000 * max_factor:

@@ -82,7 +82,13 @@ def get_spark_session(
         # must broadcast; AQE can also convert to broadcast at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs all N executor threads in the driver JVM, so
+        # the driver heap IS the executor heap: at 8g, heavy
+        # Arrow/GEMM workloads GC-thrash (bench measured steady-state
+        # q_semantic_dedup 13.7s at 8g vs 1.6s at 32g on local[32]).
+        # A real cluster sizes spark.executor.memory instead and can
+        # keep the driver small.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
