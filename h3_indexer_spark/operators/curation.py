@@ -279,6 +279,7 @@ def decontaminate_bloom(
     n: int = 5,
     n_bits: int = 1 << 20,
     n_hashes: int = 4,
+    algo: str = "xxhash64",
 ) -> DataFrame:
     """Bloom-filter variant of :func:`decontaminate` for when even the
     DISTINCT benchmark n-gram set is too large to broadcast as an
@@ -304,18 +305,38 @@ def decontaminate_bloom(
     Size ``n_bits`` ≈ 10× the benchmark gram count for a <2% per-gram
     false-positive rate at the default 4 hashes.
 
-    rows-only key (seeded xxhash64 is not reproducible in the offline
-    oracle); the no-false-negative guarantee and the false-positive
-    band are locked in tests/test_curation_graph.py.
+    ``algo="xxhash64"`` (production default) hashes JVM-native;
+    ``algo="md5"`` derives each position from the low 60 bits of
+    md5(i || gram) — bit-identical in an external SQL engine, so the
+    whole bloom construction AND membership test become
+    oracle-checkable (same recipe as fingerprint/simhash md5
+    variants). The no-false-negative guarantee and the false-positive
+    band are locked in tests/test_curation_graph.py either way.
     """
     import numpy as np
 
+    def _pos_expr(i: int):
+        if algo == "md5":
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(str(i)), F.col("_gram")).cast(
+                            "binary"
+                        )
+                    ),
+                    18,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        else:
+            h = F.xxhash64(F.col("_gram"), F.lit(i))
+        return F.pmod(h, F.lit(n_bits)).cast("long")
+
     def _positions(grams: DataFrame) -> list:
         pos_cols = [
-            (F.pmod(F.xxhash64(F.col("_gram"), F.lit(i)), F.lit(n_bits)))
-            .cast("long")
-            .alias(f"_p{i}")
-            for i in range(n_hashes)
+            _pos_expr(i).alias(f"_p{i}") for i in range(n_hashes)
         ]
         stacked = grams.select(pos_cols).select(
             F.explode(F.array(*[F.col(f"_p{i}") for i in range(n_hashes)]))
@@ -345,13 +366,7 @@ def decontaminate_bloom(
     train_grams = train.select(
         id_col, F.explode(_word_ngrams(text_col, n)).alias("_gram")
     )
-    hash_arr = F.array(
-        *[
-            F.pmod(F.xxhash64(F.col("_gram"), F.lit(i)), F.lit(n_bits))
-            .cast("long")
-            for i in range(n_hashes)
-        ]
-    )
+    hash_arr = F.array(*[_pos_expr(i) for i in range(n_hashes)])
     contaminated = (
         train_grams.select(id_col, hash_arr.alias("_h"))
         .where(in_bloom(F.col("_h")))

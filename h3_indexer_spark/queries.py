@@ -1351,15 +1351,20 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontaminate_bloom): same leakage semantics as q_decontaminate
     but the benchmark gram set compresses to a 128 KiB bitset instead
     of a broadcast string set — the path for eval suites too big to
-    broadcast exactly. rows-only (seeded xxhash64); the
-    no-false-negative guarantee (bloom ⊆ exact survivor set) and the
-    false-positive band are locked in tests/test_curation_graph.py."""
+    broadcast exactly. ORACLE-CHECKED: the contract pins the md5
+    position hash (low 60 bits of md5(i || gram) mod n_bits — identical
+    in DuckDB), so the oracle rebuilds the bloom's position set and
+    replays the same all-positions-set membership test in SQL,
+    INCLUDING any false-positive drops. The no-false-negative
+    guarantee (bloom ⊆ exact survivor set) and the false-positive band
+    stay locked in tests/test_curation_graph.py; production default
+    remains seeded xxhash64."""
     from h3_indexer_spark.operators.curation import decontaminate_bloom
 
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") < 50)
     train = docs.where(F.col("doc_id") >= 50)
-    return decontaminate_bloom(train, bench, n=5).select(
+    return decontaminate_bloom(train, bench, n=5, algo="md5").select(
         "doc_id", "n_chars"
     )
 
@@ -1957,11 +1962,8 @@ QUERIES: dict[str, Query] = {
     "q_count_distinct": q_count_distinct,
     "q_profile": q_profile,
     "q_corr": q_corr,
-    "q_histogram": q_histogram,
     # dataflow / reshaping
     "q_explode": q_explode,
-    "q_pivot_events": q_pivot_events,
-    "q_sample_stratified": q_sample_stratified,
     # windows / temporal
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
@@ -1972,7 +1974,6 @@ QUERIES: dict[str, Query] = {
     # text analysis
     "q_text_stats": q_text_stats,
     "q_fingerprint": q_fingerprint,
-    "q_ngram_bigrams": q_ngram_bigrams,
     "q_tfidf": q_tfidf,
     # dedup family
     "q_dedup_exact": q_dedup_exact,
@@ -1991,36 +1992,43 @@ QUERIES: dict[str, Query] = {
     # curation pipeline stages
     "q_corpus_curation": q_corpus_curation,
     "q_decontaminate": q_decontaminate,
-    "q_chunk_docs": q_chunk_docs,
     "q_clean_lines": q_clean_lines,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_top_orders": q_top_orders,
+    "q_region_revenue": q_region_revenue,
+    "q_funnel": q_funnel,
+    "q_retention_cohorts": q_retention_cohorts,
+    "q_frequent_items": q_frequent_items,
+    "q_gap_fill": q_gap_fill,
+    "q_zscore": q_zscore,
+    "q_contamination_frac": q_contamination_frac,
+    "q_rare_words": q_rare_words,
+    "q_decontaminate_bloom": q_decontaminate_bloom,
+    "q_knn_lsh": q_knn_lsh,
+    "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
+    # multimodal plumbing
+    "q_media_meta": q_media_meta,
+    # -- beyond the window: oracle-checkable (tests/test_oracle.py;
+    #    driver-green in CORRECTNESS_r01-r03) ---------------------------
+    "q_mul_ratio": q_mul_ratio,
+    "q_histogram": q_histogram,
+    "q_pivot_events": q_pivot_events,
+    "q_sample_stratified": q_sample_stratified,
+    "q_ngram_bigrams": q_ngram_bigrams,
+    "q_chunk_docs": q_chunk_docs,
     "q_seq_pack": q_seq_pack,
     "q_json_extract": q_json_extract,
     "q_domain_cap": q_domain_cap,
     "q_rebalance_sources": q_rebalance_sources,
     "q_ntile_bins": q_ntile_bins,
     "q_minmax_scale": q_minmax_scale,
-    "q_fuzzy_join": q_fuzzy_join,
-    # multimodal plumbing
-    "q_media_meta": q_media_meta,
     "q_media_audio": q_media_audio,
-    # -- beyond the window: oracle-checkable (tests/test_oracle.py;
-    #    driver-green in CORRECTNESS_r01-r03) ---------------------------
-    "q_mul_ratio": q_mul_ratio,
     "q_project": q_project,
     # classic decision-support joins (round 4)
-    "q_top_orders": q_top_orders,
-    "q_region_revenue": q_region_revenue,
     # behavioral analytics (round 4)
-    "q_funnel": q_funnel,
-    "q_retention_cohorts": q_retention_cohorts,
-    "q_frequent_items": q_frequent_items,
-    "q_gap_fill": q_gap_fill,
-    "q_zscore": q_zscore,
     # graded curation signals (round 4)
-    "q_contamination_frac": q_contamination_frac,
-    "q_rare_words": q_rare_words,
     "q_join_anti": q_join_anti,
     "q_join_semi": q_join_semi,
     "q_groupby_stats": q_groupby_stats,
@@ -2049,12 +2057,9 @@ QUERIES: dict[str, Query] = {
     "q_url_normalize": q_url_normalize,
     # -- rows-only tail: seeded/sketch/iterative keys with no external
     #    oracle (each self-verified in tests) --------------------------
-    "q_decontaminate_bloom": q_decontaminate_bloom,
     "q_quantile_bins": q_quantile_bins,
     "q_ewma": q_ewma,
     "q_approx_stats": q_approx_stats,
-    "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
-    "q_knn_lsh": q_knn_lsh,
     "q_pagerank": q_pagerank,
     "q_kmeans": q_kmeans,
     "q_media_resize": q_media_resize,
@@ -2363,6 +2368,39 @@ ORACLES: dict[str, str] = {
         WHERE jaccard >= 0.5
     """,
     "q_dedup_simhash": _simhash_oracle(),
+    "q_decontaminate_bloom": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(ws) - 4, 1) + 1),
+                s -> array_to_string(ws[s:s+4], ' ')))) AS gram
+            FROM w
+        ),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+        bpos AS (
+            SELECT DISTINCT
+                   CAST('0x' || substr(md5(CAST(i AS VARCHAR) || gram),
+                                       18, 15) AS BIGINT) % 1048576 AS p
+            FROM bg, range(4) t(i)
+        ),
+        tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 50),
+        th AS (
+            SELECT doc_id, gram,
+                   CAST('0x' || substr(md5(CAST(i AS VARCHAR) || gram),
+                                       18, 15) AS BIGINT) % 1048576 AS p
+            FROM tg, range(4) t(i)
+        ),
+        hit_grams AS (
+            SELECT doc_id, gram
+            FROM th GROUP BY doc_id, gram
+            HAVING COUNT(*) FILTER (p IN (SELECT p FROM bpos)) = 4
+        ),
+        bad AS (SELECT DISTINCT doc_id FROM hit_grams)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id >= 50
+          AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
     "q_contamination_frac": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                    FROM documents),
