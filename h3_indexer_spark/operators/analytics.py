@@ -216,3 +216,62 @@ def gap_fill_daily(
             .alias("sum_value_ffill"),
         )
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent preceding touch event (click/view/campaign interaction) by
+    the same entity — the marketing-attribution primitive, and the
+    carry-forward sibling of the as-of join when both streams live in
+    one table.
+
+    ONE window pass, no join: events sort per entity on (ts, tiebreak)
+    and two IGNORE NULLS ``last`` expressions over the
+    unbounded-preceding-to-1-preceding frame carry the latest touch's
+    time and type forward onto each row; conversion rows are then
+    filtered out with their attribution attached (nulls = organic
+    conversion, no prior touch). Both expressions read the same frame,
+    so they always describe the same touch row. Window state is one
+    (ts, type) pair per cursor — flat memory at any history length.
+    Preceding means earlier in the (ts, tiebreak) total order; a touch
+    sharing a conversion's exact timestamp attributes only if its
+    tiebreak orders first."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(touch_types)
+    touch_ts = F.last(
+        F.when(is_touch, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    touch_type = F.last(
+        F.when(is_touch, F.col(type_col)), ignorenulls=True
+    ).over(w)
+    return (
+        events.select(
+            order_tiebreak,
+            id_col,
+            ts_col,
+            type_col,
+            touch_ts.alias("touch_ts"),
+            touch_type.alias("touch_type"),
+        )
+        .where(F.col(type_col) == conversion_type)
+        .select(
+            order_tiebreak,
+            id_col,
+            F.col(ts_col).alias("conv_ts"),
+            "touch_ts",
+            "touch_type",
+            (F.col(ts_col) - F.col("touch_ts")).alias("lag_ns"),
+        )
+    )

@@ -280,3 +280,41 @@ def standardize(
         (F.col("_n") <= 1) | (var <= 0.0), F.lit(0.0)
     ).otherwise((F.col(value_col).cast("double") - mean) / F.sqrt(var))
     return joined.withColumn(out_col, z).drop("_n", "_sx", "_sxx")
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Median/IQR robust scaling — (x − median) / (p75 − p25),
+    optionally per group. The outlier-insensitive sibling of
+    :func:`standardize`: one extreme value shifts a mean/stddev scaler
+    arbitrarily but moves the median and quartiles at most one rank.
+
+    The quartiles come from Spark's exact interpolated ``percentile``
+    aggregate, whose formula matches external engines' quantile_cont
+    bit-for-bit (the q_quantiles parity result); like minmax_scale the
+    tiny per-group quartile table broadcasts back, so the fact side
+    never shuffles. Degenerate groups (IQR 0) map to 0.0. At corpus
+    scale the exact percentile's per-group sort state is the cost —
+    swap in percentile_approx (same shape, sketch state) when groups
+    exceed ~10^8 rows and rank-exactness stops mattering."""
+    out_col = out_col or f"{value_col}_robust"
+    aggs = [
+        F.expr(f"percentile({value_col}, 0.25)").alias("_p25"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("_p50"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("_p75"),
+    ]
+    if group_col is None:
+        quart = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(quart))
+    else:
+        quart = df.groupBy(group_col).agg(*aggs)
+        joined = df.join(F.broadcast(quart), group_col)
+    iqr = F.col("_p75") - F.col("_p25")
+    scaled = F.when(iqr <= 0.0, F.lit(0.0)).otherwise(
+        (F.col(value_col).cast("double") - F.col("_p50")) / iqr
+    )
+    return joined.withColumn(out_col, scaled).drop("_p25", "_p50", "_p75")

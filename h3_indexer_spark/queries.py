@@ -1896,9 +1896,11 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score standardization (operators/features.py::
     standardize) of l_extendedprice within l_returnflag. Moments come
-    from exact DECIMAL sums; the per-row (x−mean)/sqrt(var) is a fixed
-    IEEE op sequence, rounded to 12 decimals in both engines to
-    absorb any final-ulp divergence."""
+    from exact DECIMAL sums; the per-row (x−mean)/sqrt(var) is the
+    identical IEEE op sequence in both engines, so values are
+    bit-equal with no rounding guard (double ROUND itself diverges at
+    half-way boundaries — measured on q_robust_scale — so it is
+    deliberately avoided)."""
     from h3_indexer_spark.operators.features import standardize
 
     out = standardize(
@@ -1913,7 +1915,44 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        F.round(F.col("price_z"), 12).alias("price_z"),
+        "price_z",
+    )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators/analytics.py::
+    attribute_conversions): each purchase attributed to the user's
+    most recent preceding click/view — one window pass, no join."""
+    from h3_indexer_spark.operators.analytics import attribute_conversions
+
+    return attribute_conversions(
+        _load_events(spark, sf_dir), "purchase", ["click", "view"]
+    )
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling (operators/features.py::robust_scale)
+    of l_extendedprice within l_returnflag — exact interpolated
+    quartiles broadcast back. The quartiles are bit-equal cross-engine
+    (the q_quantiles parity result) and the per-row scale expression
+    is the identical IEEE op sequence, so values match with NO
+    rounding guard — double rounding itself diverges between engines
+    at half-way boundaries and is deliberately avoided."""
+    from h3_indexer_spark.operators.features import robust_scale
+
+    out = robust_scale(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        ),
+        "l_extendedprice",
+        group_col="l_returnflag",
+        out_col="price_robust",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "price_robust",
     )
 
 
@@ -1972,7 +2011,6 @@ QUERIES: dict[str, Query] = {
     "q_interval_join": q_interval_join,
     "q_range_join": q_range_join,
     # text analysis
-    "q_text_stats": q_text_stats,
     "q_fingerprint": q_fingerprint,
     "q_tfidf": q_tfidf,
     # dedup family
@@ -1984,7 +2022,6 @@ QUERIES: dict[str, Query] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_embedding": q_dedup_embedding,
     "q_semantic_dedup": q_semantic_dedup,
-    "q_dup_spans": q_dup_spans,
     "q_dedup_resolve": q_dedup_resolve,
     # similarity search
     "q_knn_brute": q_knn_brute,
@@ -2002,7 +2039,9 @@ QUERIES: dict[str, Query] = {
     "q_retention_cohorts": q_retention_cohorts,
     "q_frequent_items": q_frequent_items,
     "q_gap_fill": q_gap_fill,
+    "q_attribution": q_attribution,
     "q_zscore": q_zscore,
+    "q_robust_scale": q_robust_scale,
     "q_contamination_frac": q_contamination_frac,
     "q_rare_words": q_rare_words,
     "q_decontaminate_bloom": q_decontaminate_bloom,
@@ -2013,6 +2052,8 @@ QUERIES: dict[str, Query] = {
     # -- beyond the window: oracle-checkable (tests/test_oracle.py;
     #    driver-green in CORRECTNESS_r01-r03) ---------------------------
     "q_mul_ratio": q_mul_ratio,
+    "q_text_stats": q_text_stats,
+    "q_dup_spans": q_dup_spans,
     "q_histogram": q_histogram,
     "q_pivot_events": q_pivot_events,
     "q_sample_stratified": q_sample_stratified,
@@ -2368,6 +2409,45 @@ ORACLES: dict[str, str] = {
         WHERE jaccard >= 0.5
     """,
     "q_dedup_simhash": _simhash_oracle(),
+    "q_attribution": """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns,
+                          event_type
+                   FROM events),
+        a AS (
+            SELECT event_id, user_id, tns, event_type,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN tns END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY tns, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS touch_ts,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY tns, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS touch_type
+            FROM e
+        )
+        SELECT event_id, user_id, tns AS conv_ts, touch_ts, touch_type,
+               tns - touch_ts AS lag_ns
+        FROM a WHERE event_type = 'purchase'
+    """,
+    "q_robust_scale": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.25) AS p25,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.75) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_orderkey, l_linenumber, l.l_returnflag,
+               CASE WHEN (p75 - p25) <= 0.0 THEN 0.0
+                    ELSE (CAST(l_extendedprice AS DOUBLE) - p50)
+                         / (p75 - p25)
+               END AS price_robust
+        FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    """,
     "q_decontaminate_bloom": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                    FROM documents),
@@ -2550,15 +2630,15 @@ ORACLES: dict[str, str] = {
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_orderkey, l_linenumber, l.l_returnflag,
-               ROUND(CASE WHEN n <= 1 OR
-                          (sxx - sx * sx / CAST(n AS DOUBLE))
-                              / (CAST(n AS DOUBLE) - 1.0) <= 0.0
-                     THEN 0.0
-                     ELSE (CAST(l_extendedprice AS DOUBLE)
-                           - sx / CAST(n AS DOUBLE))
-                          / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
-                                 / (CAST(n AS DOUBLE) - 1.0))
-                     END, 12) AS price_z
+               CASE WHEN n <= 1 OR
+                         (sxx - sx * sx / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - 1.0) <= 0.0
+                    THEN 0.0
+                    ELSE (CAST(l_extendedprice AS DOUBLE)
+                          - sx / CAST(n AS DOUBLE))
+                         / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                                / (CAST(n AS DOUBLE) - 1.0))
+               END AS price_z
         FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
     """,
     "q_dedup_clusters": f"""

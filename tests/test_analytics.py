@@ -163,3 +163,83 @@ class TestStandardize:
         )
         plan = standardize(df, "x", group_col="grp")._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestAttribution:
+    def test_last_touch_semantics(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            attribute_conversions,
+        )
+
+        ev = spark.createDataFrame(
+            [
+                # user 1: view(10), click(20), purchase(30) -> click
+                (1, 1, 10, "view", 0.0),
+                (2, 1, 20, "click", 0.0),
+                (3, 1, 30, "purchase", 0.0),
+                # organic purchase, no prior touch
+                (4, 2, 10, "purchase", 0.0),
+                # touch AFTER the purchase must not attribute
+                (5, 2, 20, "click", 0.0),
+                # user 3: second purchase re-attributes to same click
+                (6, 3, 10, "click", 0.0),
+                (7, 3, 20, "purchase", 0.0),
+                (8, 3, 30, "purchase", 0.0),
+            ],
+            "event_id long, user_id long, ts long, event_type string, "
+            "value double",
+        )
+        out = {
+            r.event_id: (r.touch_ts, r.touch_type, r.lag_ns)
+            for r in attribute_conversions(
+                ev, "purchase", ["click", "view"]
+            ).collect()
+        }
+        assert out[3] == (20, "click", 10)
+        assert out[4] == (None, None, None)
+        assert out[7] == (10, "click", 10)
+        assert out[8] == (10, "click", 20)
+
+    def test_same_ts_tiebreak(self, spark):
+        """A touch sharing the conversion's timestamp attributes only
+        if its event_id orders first."""
+        from h3_indexer_spark.operators.analytics import (
+            attribute_conversions,
+        )
+
+        ev = spark.createDataFrame(
+            [
+                (1, 1, 50, "click", 0.0),
+                (2, 1, 50, "purchase", 0.0),  # click id 1 precedes
+                (9, 2, 50, "purchase", 0.0),  # click id 10 follows
+                (10, 2, 50, "click", 0.0),
+            ],
+            "event_id long, user_id long, ts long, event_type string, "
+            "value double",
+        )
+        out = {
+            r.event_id: r.touch_ts
+            for r in attribute_conversions(
+                ev, "purchase", ["click", "view"]
+            ).collect()
+        }
+        assert out[2] == 50 and out[9] is None
+
+
+class TestRobustScale:
+    def test_values_and_degenerate(self, spark):
+        from h3_indexer_spark.operators.features import robust_scale
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 5.0),
+             ("c", 7.0), ("c", 7.0)],
+            "grp string, x double",
+        )
+        out = robust_scale(df, "x", group_col="grp", out_col="r")
+        vals = {(r.grp, r.x): r.r for r in out.collect()}
+        # g: median 3, IQR = 4 - 2 = 2
+        assert vals[("g", 3.0)] == 0.0
+        assert vals[("g", 5.0)] == 1.0
+        assert vals[("g", 1.0)] == -1.0
+        # constant group -> 0.0 by contract
+        assert vals[("c", 7.0)] == 0.0
