@@ -72,6 +72,10 @@ HEADLINE = [
     "q_funnel",
     "q_retention_cohorts",
     "q_gap_fill",
+    "q_attribution",
+    "q_zscore",
+    "q_rare_words",
+    "q_contamination_frac",
 ]
 
 

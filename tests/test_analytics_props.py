@@ -1,0 +1,154 @@
+"""Property-based tests: the analytics operators vs brute-force Python
+references on randomized event streams. Hypothesis explores orderings,
+ties, gaps, and degenerate users that hand-written cases miss; the
+reference implementations are deliberately naive (per-user loops over
+sorted lists) so a disagreement always indicts the distributed plan."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from h3_indexer_spark.operators.analytics import (
+    DAY_NS,
+    attribute_conversions,
+    funnel,
+    gap_fill_daily,
+)
+
+STAGES = ["view", "click", "purchase"]
+TYPES = STAGES + ["signup", "error"]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from h3_indexer_spark.session import get_spark_session
+
+    s = get_spark_session(
+        app_name="test_analytics_props",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # user_id
+        st.integers(min_value=0, max_value=4 * DAY_NS),  # ts
+        st.sampled_from(TYPES),
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, width=32
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, t, ty, float(v)) for i, (u, t, ty, v) in enumerate(rows)],
+        "event_id long, user_id long, ts long, event_type string, "
+        "value double",
+    )
+
+
+def _ref_funnel(rows):
+    """Naive funnel: per user, earliest stage-k event strictly after
+    the stage-(k-1) completion. Ties on ts don't matter for min()."""
+    out = {}
+    users = {u for u, *_ in rows}
+    for u in users:
+        evs = sorted((t, ty) for uu, t, ty, _ in rows if uu == u)
+        times = []
+        prev = None
+        for stage in STAGES:
+            cands = [
+                t
+                for t, ty in evs
+                if ty == stage and (prev is None or t > prev)
+            ]
+            if not cands:
+                break
+            prev = min(cands)
+            times.append(prev)
+        if times:
+            times += [None] * (len(STAGES) - len(times))
+            out[u] = (times[0], times[1], times[2], sum(t is not None for t in times))
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_funnel_matches_reference(spark, rows):
+    got = {
+        r.user_id: (r.t_0, r.t_1, r.t_2, r.stages_reached)
+        for r in funnel(_df(spark, rows), STAGES).collect()
+    }
+    assert got == _ref_funnel(rows)
+
+
+def _ref_attribution(rows):
+    """Naive last-touch: per purchase, the latest (ts, event_id)-ordered
+    click/view strictly before it in the total order."""
+    out = {}
+    indexed = [
+        (i, u, t, ty) for i, (u, t, ty, _) in enumerate(rows)
+    ]
+    for i, u, t, ty in indexed:
+        if ty != "purchase":
+            continue
+        touches = [
+            (tt, jj)
+            for jj, uu, tt, tty in indexed
+            if uu == u and tty in ("click", "view") and (tt, jj) < (t, i)
+        ]
+        out[i] = max(touches)[0] if touches else None
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_attribution_matches_reference(spark, rows):
+    got = {
+        r.event_id: r.touch_ts
+        for r in attribute_conversions(
+            _df(spark, rows), "purchase", ["click", "view"]
+        ).collect()
+    }
+    assert got == _ref_attribution(rows)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_gap_fill_invariants(spark, rows):
+    """Structural invariants on random streams: per user the day column
+    is a contiguous range, event counts are conserved, and the
+    forward-fill never yields null."""
+    res = gap_fill_daily(_df(spark, rows)).collect()
+    by_user = {}
+    for r in res:
+        by_user.setdefault(r.user_id, []).append(r)
+    users = {u for u, *_ in rows}
+    assert set(by_user) == users
+    for u, rs in by_user.items():
+        days = sorted(r.day for r in rs)
+        assert days == list(range(days[0], days[-1] + 1))
+        n_events = sum(r.n_events for r in rs)
+        assert n_events == sum(1 for uu, *_ in rows if uu == u)
+        assert all(r.sum_value_ffill is not None for r in rs)
