@@ -275,3 +275,40 @@ def attribute_conversions(
             (F.col(ts_col) - F.col("touch_ts")).alias("lag_ns"),
         )
     )
+
+
+def inter_event_stats(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-entity inter-arrival statistics: event count and the
+    min/max/mean gap between consecutive events (epoch-nano longs) —
+    the cadence signal behind churn scoring and bot detection
+    (near-zero uniform gaps) and the input to sessionization threshold
+    tuning.
+
+    ONE window pass (lag over the per-entity (ts, tiebreak) order)
+    fused with the groupBy that follows — both key on ``id_col``, so
+    Catalyst reuses the single hash exchange. Gap aggregates are
+    integer min/max/sum; the mean divides exact longs in double at the
+    end, so results are bit-deterministic. Entities with one event get
+    n_events=1 and null gaps."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    return (
+        events.select(id_col, F.col(ts_col), F.col(order_tiebreak))
+        .withColumn("_gap", gap)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_gap").alias("min_gap_ns"),
+            F.max("_gap").alias("max_gap_ns"),
+            (
+                F.sum("_gap").cast("double") / F.count("_gap").cast("double")
+            ).alias("mean_gap_ns"),
+        )
+    )

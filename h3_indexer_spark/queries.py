@@ -1930,6 +1930,36 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival cadence (operators/analytics.py::
+    inter_event_stats): count + min/max/mean gap between consecutive
+    events — one fused window+groupBy exchange."""
+    from h3_indexer_spark.operators.analytics import inter_event_stats
+
+    return inter_event_stats(_load_events(spark, sf_dir))
+
+
+def q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier flagging by composition: standardize event values within
+    each event type (operators/features.py::standardize — broadcast
+    moments, bit-deterministic) and keep |z| ≥ 2 rows. Demonstrates
+    feature ops composing into detection queries with the oracle
+    checking the full pipeline."""
+    from h3_indexer_spark.operators.features import standardize
+
+    out = standardize(
+        _load_events(spark, sf_dir).select(
+            "event_id", "event_type", "value"
+        ),
+        "value",
+        group_col="event_type",
+        out_col="z",
+    )
+    return out.where(F.abs(F.col("z")) >= 2.0).select(
+        "event_id", "event_type", "value", "z"
+    )
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/IQR robust scaling (operators/features.py::robust_scale)
     of l_extendedprice within l_returnflag — exact interpolated
@@ -2052,6 +2082,8 @@ QUERIES: dict[str, Query] = {
     # -- beyond the window: oracle-checkable (tests/test_oracle.py;
     #    driver-green in CORRECTNESS_r01-r03) ---------------------------
     "q_mul_ratio": q_mul_ratio,
+    "q_event_gaps": q_event_gaps,
+    "q_anomalies": q_anomalies,
     "q_text_stats": q_text_stats,
     "q_dup_spans": q_dup_spans,
     "q_histogram": q_histogram,
@@ -2432,6 +2464,50 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, tns AS conv_ts, touch_ts, touch_type,
                tns - touch_ts AS lag_ns
         FROM a WHERE event_type = 'purchase'
+    """,
+    "q_event_gaps": """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+                   FROM events),
+        g AS (
+            SELECT user_id,
+                   tns - lag(tns) OVER (PARTITION BY user_id
+                                        ORDER BY tns, event_id) AS gap
+            FROM e
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MIN(gap) AS min_gap_ns,
+               MAX(gap) AS max_gap_ns,
+               CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE)
+                   AS mean_gap_ns
+        FROM g GROUP BY user_id
+    """,
+    "q_anomalies": """
+        WITH m AS (
+            SELECT event_type,
+                   COUNT(value) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(19,4))) AS DOUBLE)
+                       AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(19,4))
+                            * CAST(value AS DECIMAL(19,4))) AS DOUBLE)
+                       AS sxx
+            FROM events GROUP BY event_type
+        ),
+        z AS (
+            SELECT event_id, e.event_type, value,
+                   CASE WHEN n <= 1 OR
+                             (sxx - sx * sx / CAST(n AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) - 1.0) <= 0.0
+                        THEN 0.0
+                        ELSE (CAST(value AS DOUBLE)
+                              - sx / CAST(n AS DOUBLE))
+                             / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                                    / (CAST(n AS DOUBLE) - 1.0))
+                   END AS z
+            FROM events e JOIN m ON e.event_type = m.event_type
+        )
+        SELECT event_id, event_type, value, z
+        FROM z WHERE abs(z) >= 2.0
     """,
     "q_robust_scale": """
         WITH m AS (
