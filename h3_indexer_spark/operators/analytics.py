@@ -312,3 +312,112 @@ def inter_event_stats(
             ).alias("mean_gap_ns"),
         )
     )
+
+
+HOUR_NS = 3_600 * 10**9
+
+
+def time_rollup(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Multi-grain time rollup in ONE scan: event counts and exact
+    value sums at hour, day, and week grains simultaneously via
+    GROUPING SETS — the OLAP time-hierarchy aggregation that would
+    otherwise cost three passes. Output: (grain, bucket_start_ns,
+    n_events, sum_value).
+
+    GROUPING SETS plans as a single scan + Expand(3) + one hash
+    aggregate: each input row contributes one row per grain before the
+    partial aggregation collapses them map-side, so the shuffle
+    carries at most (distinct buckets × grains) rows — time-bucket
+    cardinality, not event cardinality. Buckets are integer epoch-nano
+    truncations (no calendar/timezone dependence); sums are
+    DECIMAL-exact then cast."""
+    df = events.select(
+        F.expr(f"{ts_col} div {HOUR_NS}").alias("_h"),
+        F.expr(f"{ts_col} div {DAY_NS}").alias("_d"),
+        F.expr(f"{ts_col} div {WEEK_NS}").alias("_w"),
+        F.col(value_col).cast("decimal(19,4)").alias("_v"),
+    )
+    df.createOrReplaceTempView("_time_rollup_in")
+    return df.sparkSession.sql(f"""
+        SELECT CASE WHEN grouping(_h) = 0 THEN 'hour'
+                    WHEN grouping(_d) = 0 THEN 'day'
+                    ELSE 'week' END AS grain,
+               CASE WHEN grouping(_h) = 0 THEN _h * {HOUR_NS}
+                    WHEN grouping(_d) = 0 THEN _d * {DAY_NS}
+                    ELSE _w * {WEEK_NS} END AS bucket_start_ns,
+               COUNT(*) AS n_events,
+               CAST(SUM(_v) AS DOUBLE) AS sum_value
+        FROM _time_rollup_in
+        GROUP BY GROUPING SETS ((_h), (_d), (_w))
+    """)
+
+
+def co_occurrence(
+    df: DataFrame,
+    id_col: str = "user_id",
+    item_col: str = "event_type",
+) -> DataFrame:
+    """Item co-occurrence with lift: for every unordered item pair,
+    the number of entities exhibiting BOTH, and the lift
+    support·N / (count_a·count_b) — the association-mining primitive
+    (market-basket affinity, event-type correlation). Output:
+    (item_a, item_b, n_both, lift) with item_a < item_b and lift an
+    exact-integer-ratio double.
+
+    Scale: entities first collapse to DISTINCT (entity, item) pairs
+    (map-side partial distinct); the pair build self-joins that table
+    on the entity key, so per-entity work is |item-set|² — bounded by
+    the item vocabulary, not event count, exactly like the n-gram
+    inverted-index dedup. For web-scale item vocabularies, cap hot
+    entities (max items per entity) or hot items (max_df) first; the
+    marginals table is item-cardinality and broadcasts. The lazy plan
+    recomputes the distinct-pairs subquery per reference (Catalyst
+    does not reuse exchanges across re-aliased subplans); in a
+    production pipeline persist or materialize that one
+    entity×item table first and every downstream branch reads it —
+    the plans/indexer.py cache-at-stage-boundary posture."""
+    pairs_src = df.select(id_col, item_col).distinct()
+    # entity total as a 1-row lazy aggregate crossJoined back (keeps
+    # the operator action-free; no driver-side count)
+    n_df = pairs_src.agg(
+        F.countDistinct(id_col).cast("double").alias("_n_entities")
+    )
+    marg = pairs_src.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    a = pairs_src.select(
+        F.col(id_col).alias("_id"), F.col(item_col).alias("item_a")
+    )
+    b = pairs_src.select(
+        F.col(id_col).alias("_id"), F.col(item_col).alias("item_b")
+    )
+    both = (
+        a.join(b, "_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma = marg.select(
+        F.col(item_col).alias("item_a"), F.col("_cnt").alias("_ca")
+    )
+    mb = marg.select(
+        F.col(item_col).alias("item_b"), F.col("_cnt").alias("_cb")
+    )
+    return (
+        both.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double") * F.col("_n_entities")
+                / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -1960,6 +1960,24 @@ def q_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain OLAP time rollup (operators/analytics.py::
+    time_rollup): hour/day/week event counts and exact sums in ONE
+    scan via GROUPING SETS (scan + Expand(3) + one hash aggregate)."""
+    from h3_indexer_spark.operators.analytics import time_rollup
+
+    return time_rollup(_load_events(spark, sf_dir))
+
+
+def q_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence with lift (operators/analytics.py::
+    co_occurrence): unordered type pairs by distinct-user support,
+    lift as an exact integer ratio in double."""
+    from h3_indexer_spark.operators.analytics import co_occurrence
+
+    return co_occurrence(_load_events(spark, sf_dir))
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/IQR robust scaling (operators/features.py::robust_scale)
     of l_extendedprice within l_returnflag — exact interpolated
@@ -2084,6 +2102,8 @@ QUERIES: dict[str, Query] = {
     "q_mul_ratio": q_mul_ratio,
     "q_event_gaps": q_event_gaps,
     "q_anomalies": q_anomalies,
+    "q_time_rollup": q_time_rollup,
+    "q_co_occurrence": q_co_occurrence,
     "q_text_stats": q_text_stats,
     "q_dup_spans": q_dup_spans,
     "q_histogram": q_histogram,
@@ -2464,6 +2484,47 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, tns AS conv_ts, touch_ts, touch_type,
                tns - touch_ts AS lag_ns
         FROM a WHERE event_type = 'purchase'
+    """,
+    "q_time_rollup": f"""
+        WITH e AS (
+            SELECT epoch_ns(ts) // {3_600 * 10**9} AS h,
+                   epoch_ns(ts) // {86_400 * 10**9} AS d,
+                   epoch_ns(ts) // {7 * 86_400 * 10**9} AS w,
+                   CAST(value AS DECIMAL(19,4)) AS v
+            FROM events
+        )
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                    WHEN grouping(d) = 0 THEN 'day'
+                    ELSE 'week' END AS grain,
+               CASE WHEN grouping(h) = 0 THEN h * {3_600 * 10**9}
+                    WHEN grouping(d) = 0 THEN d * {86_400 * 10**9}
+                    ELSE w * {7 * 86_400 * 10**9} END AS bucket_start_ns,
+               COUNT(*) AS n_events,
+               CAST(SUM(v) AS DOUBLE) AS sum_value
+        FROM e
+        GROUP BY GROUPING SETS ((h), (d), (w))
+    """,
+    "q_co_occurrence": """
+        WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS nu
+              FROM p),
+        m AS (SELECT event_type, COUNT(*) AS cnt FROM p
+              GROUP BY event_type),
+        pr AS (
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   COUNT(*) AS n_both
+            FROM p a JOIN p b ON a.user_id = b.user_id
+                            AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT item_a, item_b, n_both,
+               CAST(n_both AS DOUBLE) * nu
+                   / (CAST(ma.cnt AS DOUBLE) * CAST(mb.cnt AS DOUBLE))
+                   AS lift
+        FROM pr
+        JOIN m ma ON ma.event_type = item_a
+        JOIN m mb ON mb.event_type = item_b
+        CROSS JOIN n
     """,
     "q_event_gaps": """
         WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns

@@ -243,3 +243,59 @@ class TestRobustScale:
         assert vals[("g", 1.0)] == -1.0
         # constant group -> 0.0 by contract
         assert vals[("c", 7.0)] == 0.0
+
+
+class TestCoOccurrence:
+    def test_support_and_lift(self, spark):
+        from h3_indexer_spark.operators.analytics import co_occurrence
+
+        df = spark.createDataFrame(
+            [
+                (1, "a"), (1, "b"),
+                (2, "a"), (2, "b"),
+                (3, "a"), (3, "c"),
+                (4, "d"),
+            ],
+            "user_id long, event_type string",
+        )
+        out = {
+            (r.item_a, r.item_b): (r.n_both, r.lift)
+            for r in co_occurrence(df).collect()
+        }
+        # a&b: both=2, lift = 2*4/(3*2) = 4/3
+        assert out[("a", "b")] == (2, 2 * 4 / (3 * 2))
+        assert out[("a", "c")] == (1, 1 * 4 / (3 * 1))
+        assert ("a", "d") not in out  # no shared entity
+
+
+class TestTimeRollup:
+    def test_grain_consistency(self, spark):
+        """Each grain's buckets partition the events: counts at every
+        grain sum to the total, and day sums equal their hours'."""
+        from h3_indexer_spark.operators.analytics import (
+            DAY_NS,
+            HOUR_NS,
+            time_rollup,
+        )
+
+        ev = spark.createDataFrame(
+            [
+                (1, 1 * HOUR_NS + 5, "view", 1.5),
+                (2, 1 * HOUR_NS + 6, "view", 2.5),
+                (3, 30 * HOUR_NS, "view", 4.0),   # day 1
+                (4, 10 * DAY_NS, "view", 8.0),    # week 1
+            ],
+            "event_id long, ts long, event_type string, value double",
+        )
+        rows = time_rollup(ev).collect()
+        by_grain = {}
+        for r in rows:
+            by_grain.setdefault(r.grain, []).append(r)
+        for g in ("hour", "day", "week"):
+            assert sum(r.n_events for r in by_grain[g]) == 4
+            assert sum(r.sum_value for r in by_grain[g]) == 16.0
+        hours = {r.bucket_start_ns: r for r in by_grain["hour"]}
+        assert hours[1 * HOUR_NS].n_events == 2
+        assert hours[1 * HOUR_NS].sum_value == 4.0
+        days = {r.bucket_start_ns: r for r in by_grain["day"]}
+        assert days[0].n_events == 2 and days[1 * DAY_NS].n_events == 1

@@ -94,6 +94,8 @@ def _plan(spark, key: str) -> str:
         # funnel: every stage filter reaches its events scan
         ("q_funnel", ["PushedFilters: [IsNotNull(event_type), "
                       "EqualTo(event_type,view)"]),
+        # multi-grain rollup: ONE scan + Expand, never three passes
+        ("q_time_rollup", ["Expand"]),
     ],
 )
 def test_plan_properties(spark, key, required):
