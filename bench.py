@@ -76,6 +76,11 @@ HEADLINE = [
     "q_zscore",
     "q_rare_words",
     "q_contamination_frac",
+    "q_event_gaps",
+    "q_anomalies",
+    "q_time_rollup",
+    "q_co_occurrence",
+    "q_robust_scale",
 ]
 
 
@@ -374,6 +379,10 @@ def main() -> None:
                 "queries": timings,
                 "queries_steady": steady,
                 "steady_total": round(sum(steady.values()), 4),
+                "per_query_cold_avg": round(total / len(timings), 4),
+                "per_query_steady_avg": round(
+                    sum(steady.values()) / max(len(steady), 1), 4
+                ),
                 "sf": sf,
                 "input_row_groups": _row_groups(raw_sf_dir),
                 "bench_row_groups": _row_groups(sf_dir),

@@ -248,3 +248,97 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Stateful streaming twin of operators/analytics.
+    attribute_conversions: per-key state is ONE (touch_ts, touch_type)
+    pair — the latest touch seen — and each conversion emits
+    immediately with that attribution attached. Bounded state at any
+    stream length, the cheapest possible stateful operator.
+
+    Within a micro-batch rows process in event-time order (stable
+    sort), so single-batch output equals the batch operator wherever
+    (ts) is unambiguous; the batch twin breaks exact-timestamp ties by
+    event id, which a stream cannot reproduce across batches — ties
+    are documented engine-order. Cross-batch, the same per-key
+    event-time-ordered-arrival contract as streaming_funnel applies.
+    Emits (id, conv_ts, touch_ts, touch_type, lag_ns) per conversion,
+    append-style (one output row per conversion event, per batch)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{id_col} long, conv_ts long, touch_ts long, "
+        "touch_type string, lag_ns long"
+    )
+    state_schema = "touch_ts long, touch_type string"
+
+    def fn(key, pdfs, state: GroupState):
+        touch_ts, touch_type = (
+            state.get if state.exists else (None, None)
+        )
+        convs: list[tuple] = []
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if rows:
+            pdf = pd.concat(rows, ignore_index=True)
+            tsv = pdf[ts_col]
+            if str(tsv.dtype).startswith("datetime64"):
+                tsv = tsv.astype("int64")
+            order = np.argsort(tsv.to_numpy(), kind="stable")
+            tv = tsv.to_numpy()[order]
+            types = pdf[type_col].to_numpy()[order]
+            for t, ty in zip(tv, types):
+                if ty == conversion_type:
+                    convs.append(
+                        (
+                            key[0],
+                            int(t),
+                            touch_ts,
+                            touch_type,
+                            None
+                            if touch_ts is None
+                            else int(t) - touch_ts,
+                        )
+                    )
+                if ty in touch_types:
+                    touch_ts, touch_type = int(t), ty
+            state.update((touch_ts, touch_type))
+        if convs:
+            # build nullable-int columns via pd.array: an astype from
+            # an object column routes through float64 and rounds
+            # epoch-nanos (observed: ...604000 -> ...604096)
+            yield pd.DataFrame(
+                {
+                    id_col: [c[0] for c in convs],
+                    "conv_ts": pd.array(
+                        [c[1] for c in convs], dtype="int64"
+                    ),
+                    "touch_ts": pd.array(
+                        [c[2] for c in convs], dtype="Int64"
+                    ),
+                    "touch_type": [c[3] for c in convs],
+                    "lag_ns": pd.array(
+                        [c[4] for c in convs], dtype="Int64"
+                    ),
+                }
+            )
+
+    return (
+        events.groupBy(id_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -351,3 +351,34 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+class TestStreamingAttribution:
+    def test_matches_batch_attribution(self, spark, events_dir):
+        from h3_indexer_spark.operators.analytics import (
+            attribute_conversions,
+        )
+        from h3_indexer_spark.streaming.events import (
+            streaming_attribution,
+        )
+
+        stream = streaming_attribution(
+            _read_stream(spark, events_dir), "purchase", ["click", "view"]
+        )
+        got = _run_stream(spark, stream, output_mode="append")
+        batch_events = spark.read.parquet(events_dir).withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+        want = sorted(
+            (r.user_id, r.conv_ts,
+             r.touch_ts, r.touch_type, r.lag_ns)
+            for r in attribute_conversions(
+                batch_events, "purchase", ["click", "view"]
+            ).collect()
+        )
+        g = sorted(
+            (r.user_id, r.conv_ts, r.touch_ts, r.touch_type, r.lag_ns)
+            for r in got.collect()
+        )
+        assert g == want
+        assert len(g) > 0
