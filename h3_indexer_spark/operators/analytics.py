@@ -421,3 +421,104 @@ def co_occurrence(
             ).alias("lift"),
         )
     )
+
+
+def frequent_items_scalable(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 3,
+    candidates_per_partition: int = 64,
+) -> DataFrame:
+    """Scale path of :func:`frequent_items` for item vocabularies too
+    large for an exact per-group rank window: per-partition candidate
+    generation + exact recount, with a per-group CERTIFICATION bound
+    instead of silent approximation.
+
+    Phase 1 (one narrow mapInPandas, no shuffle): each partition
+    emits its local top ``candidates_per_partition`` items per group,
+    plus ONE bound row per (partition, group) carrying the largest
+    count an item NOT surfaced from that partition could have (its
+    local rank-m count — the SpaceSaving residual). Phase 2: the
+    candidate union is exactly recounted with a broadcast semi-join
+    (only candidate rows aggregate), ranked, and each group carries
+    ``max_missed`` = Σ over partitions of the residual bound. A
+    returned row is PROVABLY in the true top-k when its exact count
+    exceeds ``max_missed`` — the ``certified`` column says so
+    row-by-row, so callers never mistake approximate output for exact
+    (the same no-silent-caps posture as the LSH near-dup paths).
+
+    State per partition is ``groups × candidates`` counters; raise
+    ``candidates_per_partition`` to shrink the bound (it falls as
+    n_partition/m). Output: (group, item, n_occurrences, rnk,
+    max_missed, certified)."""
+    import pandas as pd
+
+    g_type = df.schema[group_col].dataType.simpleString()
+    i_type = df.schema[item_col].dataType.simpleString()
+    src = df.select(group_col, item_col)
+
+    def local_tops(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for (g, it), c in (
+                pdf.groupby([group_col, item_col], sort=False)
+                .size()
+                .items()
+            ):
+                key = (g, it)
+                acc[key] = acc.get(key, 0) + int(c)
+        by_group: dict = {}
+        for (g, it), c in acc.items():
+            by_group.setdefault(g, []).append((c, it))
+        rows = []
+        for g, pairs in by_group.items():
+            pairs.sort(key=lambda p: (-p[0], str(p[1])))
+            kept = pairs[:candidates_per_partition]
+            for c, it in kept:
+                rows.append((g, it, 0))
+            # one bound row per (partition, group): an unreported
+            # item's count here is at most the rank-m count
+            bound = kept[-1][0] if len(pairs) > len(kept) else 0
+            rows.append((g, None, bound))
+        yield pd.DataFrame(
+            rows, columns=[group_col, item_col, "_bound"]
+        )
+
+    cand = src.mapInPandas(
+        local_tops,
+        schema=f"{group_col} {g_type}, {item_col} {i_type}, _bound long",
+    )
+    per_group_bound = (
+        cand.where(F.col(item_col).isNull())
+        .groupBy(group_col)
+        .agg(F.sum("_bound").alias("max_missed"))
+    )
+    cand_items = (
+        cand.where(F.col(item_col).isNotNull())
+        .select(group_col, item_col)
+        .distinct()
+    )
+    exact = (
+        src.join(F.broadcast(cand_items), [group_col, item_col], "semi")
+        .groupBy(group_col, item_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_occurrences").desc(), F.col(item_col).asc()
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .join(F.broadcast(per_group_bound), group_col)
+        .select(
+            group_col,
+            item_col,
+            "n_occurrences",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "max_missed",
+            (F.col("n_occurrences") > F.col("max_missed")).alias(
+                "certified"
+            ),
+        )
+    )

@@ -1883,6 +1883,27 @@ def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_items_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified candidate-generation heavy hitters (operators/
+    analytics.py::frequent_items_scalable). The contract pins a
+    candidate budget ≥ the fixture's item vocabulary, where the
+    algorithm is provably exact (every item is a candidate, all
+    residual bounds are 0, every row certified) — so the oracle is
+    the exact top-k SQL plus the constant bound columns. Production
+    calls size the budget to memory and read ``certified``."""
+    from h3_indexer_spark.operators.analytics import (
+        frequent_items_scalable,
+    )
+
+    return frequent_items_scalable(
+        _load_events(spark, sf_dir),
+        "event_type",
+        "user_id",
+        k=3,
+        candidates_per_partition=100_000,
+    )
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense daily per-user grid with zero-filled counts and
     forward-filled value sums (operators/analytics.py::
@@ -2104,6 +2125,7 @@ QUERIES: dict[str, Query] = {
     "q_anomalies": q_anomalies,
     "q_time_rollup": q_time_rollup,
     "q_co_occurrence": q_co_occurrence,
+    "q_frequent_items_scalable": q_frequent_items_scalable,
     "q_text_stats": q_text_stats,
     "q_dup_spans": q_dup_spans,
     "q_histogram": q_histogram,
@@ -2484,6 +2506,19 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, tns AS conv_ts, touch_ts, touch_type,
                tns - touch_ts AS lag_ns
         FROM a WHERE event_type = 'purchase'
+    """,
+    "q_frequent_items_scalable": """
+        SELECT event_type, user_id, n_occurrences, rnk,
+               CAST(0 AS BIGINT) AS max_missed,
+               TRUE AS certified
+        FROM (
+            SELECT event_type, user_id, COUNT(*) AS n_occurrences,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY COUNT(*) DESC, user_id ASC
+                   ) AS BIGINT) AS rnk
+            FROM events GROUP BY event_type, user_id)
+        WHERE rnk <= 3
     """,
     "q_time_rollup": f"""
         WITH e AS (

@@ -299,3 +299,49 @@ class TestTimeRollup:
         assert hours[1 * HOUR_NS].sum_value == 4.0
         days = {r.bucket_start_ns: r for r in by_grain["day"]}
         assert days[0].n_events == 2 and days[1 * DAY_NS].n_events == 1
+
+
+class TestFrequentItemsScalable:
+    def test_matches_exact_and_certifies(self, spark):
+        """On a zipf-ish distribution the scale path must return the
+        same top-k as the exact operator, with every row certified."""
+        from h3_indexer_spark.operators.analytics import (
+            frequent_items,
+            frequent_items_scalable,
+        )
+
+        rows = []
+        for g in ("x", "y"):
+            for item in range(60):
+                for _ in range(200 // (item + 1)):
+                    rows.append((g, item))
+        df = spark.createDataFrame(
+            rows, "grp string, item long"
+        ).repartition(8)
+        exact = {
+            (r.grp, r.rnk): (r.item, r.n_occurrences)
+            for r in frequent_items(df, "grp", "item", k=3).collect()
+        }
+        got = frequent_items_scalable(
+            df, "grp", "item", k=3, candidates_per_partition=16
+        ).collect()
+        assert {
+            (r.grp, r.rnk): (r.item, r.n_occurrences) for r in got
+        } == exact
+        assert all(r.certified for r in got)
+
+    def test_uncertified_when_candidates_too_few(self, spark):
+        """With a starved candidate budget over a flat distribution
+        the bound must trip: rows come back uncertified rather than
+        silently approximate."""
+        from h3_indexer_spark.operators.analytics import (
+            frequent_items_scalable,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i % 500) for i in range(10_000)], "grp string, item long"
+        ).repartition(16)
+        got = frequent_items_scalable(
+            df, "grp", "item", k=3, candidates_per_partition=2
+        ).collect()
+        assert got and not all(r.certified for r in got)

@@ -429,3 +429,74 @@ def test_compact_parquet_merges_small_files(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+class TestZOrderWrite:
+    def _file_coverage(self, path, col):
+        """Mean fraction of the global value range each parquet file's
+        [min,max] footer stats span for ``col`` — the file-pruning
+        figure of merit (1.0 = every file spans everything, no filter
+        ever prunes; small = most files prune)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        spans, los, his = [], [], []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+            los.append(lo)
+            his.append(hi)
+        global_span = max(his) - min(los)
+        return sum(spans) / len(spans) / max(global_span, 1e-12)
+
+    def test_clusters_both_dimensions(self, spark, tmp_path):
+        """Z-order must tighten per-file ranges on BOTH columns; a
+        plain sort tightens only its leading column."""
+        from h3_indexer_spark.sources.writers import zorder_write
+
+        n = 40_000
+        df = spark.range(n).select(
+            (F.col("id") % 1000).alias("a"),
+            F.floor(F.col("id") / 1000).alias("b"),
+        )
+        zpath = str(tmp_path / "zorder")
+        spath = str(tmp_path / "sorted")
+        zorder_write(df, zpath, ["a", "b"], n_files=16)
+        (
+            df.repartitionByRange(16, "a")
+            .sortWithinPartitions("a")
+            .write.mode("overwrite")
+            .parquet(spath)
+        )
+        za, zb = self._file_coverage(zpath, "a"), self._file_coverage(zpath, "b")
+        sa, sb = self._file_coverage(spath, "a"), self._file_coverage(spath, "b")
+        # plain sort: near-perfect on a, useless on b
+        assert sa < 0.15 and sb > 0.9
+        # z-order: strong pruning on BOTH dimensions
+        assert za < 0.45 and zb < 0.45
+
+    def test_roundtrip_content(self, spark, tmp_path):
+        from h3_indexer_spark.sources.writers import zorder_write
+
+        df = spark.range(5000).select(
+            (F.col("id") % 97).alias("a"),
+            (F.col("id") % 89).cast("double").alias("b"),
+        )
+        p = str(tmp_path / "z2")
+        zorder_write(df, p, ["a", "b"], n_files=4)
+        back = spark.read.parquet(p)
+        assert back.count() == 5000
+        assert (
+            back.groupBy().agg(F.sum("a"), F.sum("b")).collect()
+            == df.groupBy().agg(F.sum("a"), F.sum("b")).collect()
+        )
