@@ -1159,6 +1159,27 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide→long reshape (the inverse of q_pivot_events,
+    completing the reshape pair; also the building block of
+    profile_table's one-scan melt). Spark's native unpivot keeps this
+    a pure narrow map: each input row emits its measure rows in place,
+    no shuffle, no Expand-join."""
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return df.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "tax"],
+        "metric",
+        "val",
+    )
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot/crosstab: per-user event counts by type. The pivot value
     list is fixed (never inferred) so the output schema is stable and
@@ -2126,6 +2147,7 @@ QUERIES: dict[str, Query] = {
     "q_time_rollup": q_time_rollup,
     "q_co_occurrence": q_co_occurrence,
     "q_frequent_items_scalable": q_frequent_items_scalable,
+    "q_unpivot": q_unpivot,
     "q_text_stats": q_text_stats,
     "q_dup_spans": q_dup_spans,
     "q_histogram": q_histogram,
@@ -2506,6 +2528,16 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, tns AS conv_ts, touch_ts, touch_type,
                tns - touch_ts AS lag_ns
         FROM a WHERE event_type = 'purchase'
+    """,
+    "q_unpivot": """
+        SELECT l_orderkey, l_linenumber, metric, val FROM (
+            UNPIVOT (SELECT l_orderkey, l_linenumber,
+                            CAST(l_quantity AS DOUBLE) AS quantity,
+                            CAST(l_extendedprice AS DOUBLE)
+                                AS extendedprice,
+                            CAST(l_tax AS DOUBLE) AS tax
+                     FROM lineitem)
+            ON quantity, extendedprice, tax INTO NAME metric VALUE val)
     """,
     "q_frequent_items_scalable": """
         SELECT event_type, user_id, n_occurrences, rnk,
