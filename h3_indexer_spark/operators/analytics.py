@@ -328,7 +328,9 @@ def time_rollup(
     otherwise cost three passes. Output: (grain, bucket_start_ns,
     n_events, sum_value).
 
-    GROUPING SETS plans as a single scan + Expand(3) + one hash
+    GROUPING SETS (the native DataFrame groupingSets API — no SQL, no
+    temp views, no session state) plans as a single scan + Expand(3) +
+    one hash
     aggregate: each input row contributes one row per grain before the
     partial aggregation collapses them map-side, so the shuffle
     carries at most (distinct buckets × grains) rows — time-bucket
@@ -341,19 +343,30 @@ def time_rollup(
         F.expr(f"{ts_col} div {WEEK_NS}").alias("_w"),
         F.col(value_col).cast("decimal(19,4)").alias("_v"),
     )
-    df.createOrReplaceTempView("_time_rollup_in")
-    return df.sparkSession.sql(f"""
-        SELECT CASE WHEN grouping(_h) = 0 THEN 'hour'
-                    WHEN grouping(_d) = 0 THEN 'day'
-                    ELSE 'week' END AS grain,
-               CASE WHEN grouping(_h) = 0 THEN _h * {HOUR_NS}
-                    WHEN grouping(_d) = 0 THEN _d * {DAY_NS}
-                    ELSE _w * {WEEK_NS} END AS bucket_start_ns,
-               COUNT(*) AS n_events,
-               CAST(SUM(_v) AS DOUBLE) AS sum_value
-        FROM _time_rollup_in
-        GROUP BY GROUPING SETS ((_h), (_d), (_w))
-    """)
+    agg = df.groupingSets(
+        [["_h"], ["_d"], ["_w"]], "_h", "_d", "_w"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_v").cast("double").alias("sum_value"),
+        F.grouping("_h").alias("_gh"),
+        F.grouping("_d").alias("_gd"),
+    )
+    grain = (
+        F.when(F.col("_gh") == 0, F.lit("hour"))
+        .when(F.col("_gd") == 0, F.lit("day"))
+        .otherwise(F.lit("week"))
+    )
+    bucket = (
+        F.when(F.col("_gh") == 0, F.col("_h") * F.lit(HOUR_NS))
+        .when(F.col("_gd") == 0, F.col("_d") * F.lit(DAY_NS))
+        .otherwise(F.col("_w") * F.lit(WEEK_NS))
+    )
+    return agg.select(
+        grain.alias("grain"),
+        bucket.alias("bucket_start_ns"),
+        "n_events",
+        "sum_value",
+    )
 
 
 def co_occurrence(
@@ -451,12 +464,21 @@ def frequent_items_scalable(
     State per partition is ``groups × candidates`` counters; raise
     ``candidates_per_partition`` to shrink the bound (it falls as
     n_partition/m). Output: (group, item, n_occurrences, rnk,
-    max_missed, certified)."""
+    max_missed, certified).
+
+    Null groups/items are EXCLUDED up front (null item doubles as the
+    bound-row sentinel, and a null key would silently vanish inside
+    the pandas groupby and the recount equi-join, poisoning the
+    certification) — coalesce nulls to a sentinel value first if they
+    are meaningful; the exact :func:`frequent_items` twin counts them
+    natively."""
     import pandas as pd
 
     g_type = df.schema[group_col].dataType.simpleString()
     i_type = df.schema[item_col].dataType.simpleString()
-    src = df.select(group_col, item_col)
+    src = df.select(group_col, item_col).where(
+        F.col(group_col).isNotNull() & F.col(item_col).isNotNull()
+    )
 
     def local_tops(batches):
         acc: dict = {}

@@ -90,21 +90,37 @@ def compact_parquet(
     file metadata for all of them.
 
     Sizing comes from the actual on-disk bytes (not a row-count
-    guess), and the rewrite is a coalesce — a narrow, shuffle-free
-    repack that only merges read-splits (it can only lower the
-    partition count, so the written file count may come in under the
-    byte-derived target). Returns the ACTUAL output file count, read
-    back from the written dataset."""
+    guess) via the Hadoop FileSystem API, so it is correct on ANY
+    store the session can read (s3a://, hdfs://, file:…) — a
+    local-path stat would silently size remote datasets at 0 and
+    coalesce everything into one task. The rewrite is a coalesce — a
+    narrow, shuffle-free repack that only merges read-splits (it can
+    only lower the partition count, so the written file count may
+    come in under the byte-derived target). Returns the ACTUAL output
+    file count, read back from the written dataset. ``dst_path`` must
+    differ from ``src_path``: an in-place overwrite would delete the
+    source under the lazy read (use a temp dir + swap for in-place
+    compaction)."""
     import math
-    import os
 
+    from urllib.parse import urlparse
+
+    if urlparse(dst_path).path.rstrip("/") == urlparse(
+        src_path
+    ).path.rstrip("/") and urlparse(dst_path).netloc == urlparse(
+        src_path
+    ).netloc:
+        raise ValueError(
+            "compact_parquet cannot overwrite its own input "
+            "(dst_path == src_path); write to a scratch dir and swap"
+        )
     df = spark.read.parquet(src_path)
-    files = df.inputFiles()
-    total = 0
-    for f in files:
-        local = f.removeprefix("file:")
-        if os.path.isfile(local):
-            total += os.path.getsize(local)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    total = fs.getContentSummary(hpath).getLength()
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df.coalesce(n_out).write.mode("overwrite").option(
         "compression", "snappy"
@@ -151,6 +167,17 @@ def zorder_write(
 
     if not cols:
         raise ValueError("zorder_write needs at least one column")
+    # the Morton key must fit the 62 non-sign bits of a long: JVM
+    # shiftleft masks shift amounts mod 64, so an overflowing layout
+    # would silently wrap high-order rank bits onto low positions
+    # (and bit 63 would flip signed range ordering). Degrade rank
+    # resolution instead of corrupting the curve.
+    bits = min(bits, 62 // len(cols))
+    if bits < 1:
+        raise ValueError(
+            f"zorder_write supports at most 62 dimensions; got "
+            f"{len(cols)}"
+        )
     n_buckets = 1 << bits
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],

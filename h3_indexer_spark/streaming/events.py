@@ -79,11 +79,17 @@ def streaming_dedup(
     watermark: str = "1 hour",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Exactly-once event stream: drop duplicate event ids arriving
-    within the watermark (dropDuplicates state is watermark-bounded)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates(
-        (id_cols or ["event_id"]) + [ts_col]
-    )
+    """Effectively-once event stream: drop duplicate event ids with
+    dropDuplicatesWithinWatermark — dedup keys on the IDs ALONE, so a
+    redelivered event whose timestamp was re-stamped by the source
+    (the common at-least-once replay shape) still collapses, while
+    per-key state expires once the watermark passes it. (The older
+    dropDuplicates(keys + [ts]) formulation bounded state the same way
+    but silently kept re-stamped replays — ids-only is the semantics
+    the name promises.)"""
+    return events.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(id_cols or ["event_id"])
 
 
 def stateful_running_value(
@@ -200,8 +206,9 @@ def streaming_funnel(
     if S < 2:
         raise ValueError("funnel needs at least 2 stages")
     t_cols = [f"t_{k}" for k in range(S)]
+    id_type = events.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, "
+        f"{id_col} {id_type}, "
         + ", ".join(f"{c} long" for c in t_cols)
         + ", stages_reached long"
     )
@@ -276,8 +283,9 @@ def streaming_attribution(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    id_type = events.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, conv_ts long, touch_ts long, "
+        f"{id_col} {id_type}, conv_ts long, touch_ts long, "
         "touch_type string, lag_ns long"
     )
     state_schema = "touch_ts long, touch_type string"
