@@ -152,3 +152,77 @@ def test_gap_fill_invariants(spark, rows):
         n_events = sum(r.n_events for r in rs)
         assert n_events == sum(1 for uu, *_ in rows if uu == u)
         assert all(r.sum_value_ffill is not None for r in rs)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_co_occurrence_matches_reference(spark, rows):
+    from itertools import combinations
+
+    from h3_indexer_spark.operators.analytics import co_occurrence
+
+    got = {
+        (r.item_a, r.item_b): (r.n_both, r.lift)
+        for r in co_occurrence(_df(spark, rows)).collect()
+    }
+    by_user: dict = {}
+    for u, _, ty, _ in rows:
+        by_user.setdefault(u, set()).add(ty)
+    n_users = len(by_user)
+    marg: dict = {}
+    for items in by_user.values():
+        for it in items:
+            marg[it] = marg.get(it, 0) + 1
+    want: dict = {}
+    for items in by_user.values():
+        for a, b in combinations(sorted(items), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert set(got) == set(want)
+    for pair, n_both in want.items():
+        g_n, g_lift = got[pair]
+        assert g_n == n_both
+        assert g_lift == n_both * float(n_users) / (
+            marg[pair[0]] * marg[pair[1]]
+        )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_time_rollup_matches_reference(spark, rows):
+    from decimal import Decimal
+
+    from h3_indexer_spark.operators.analytics import (
+        HOUR_NS,
+        WEEK_NS,
+        time_rollup,
+    )
+
+    got = {
+        (r.grain, r.bucket_start_ns): (r.n_events, r.sum_value)
+        for r in time_rollup(_df(spark, rows)).collect()
+    }
+    want: dict = {}
+    for _, t, _, v in rows:
+        for grain, period in (
+            ("hour", HOUR_NS), ("day", DAY_NS), ("week", WEEK_NS)
+        ):
+            key = (grain, (t // period) * period)
+            n, sv = want.get(key, (0, Decimal(0)))
+            want[key] = (
+                n + 1,
+                sv + Decimal(f"{float(v):.4f}").quantize(
+                    Decimal("0.0001")
+                ),
+            )
+    assert set(got) == set(want)
+    for k, (n, sv) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == float(sv)

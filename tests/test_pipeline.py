@@ -554,3 +554,26 @@ class TestReferenceNotebookGolden:
         row = rows["8412c87ffffffff"]
         assert abs(row.h3_area_km2 - 1656.520601) / 1656.520601 < 1e-6
         assert abs(row.sum_POPESTIMAT - 48.563249) < 1e-9
+
+
+class TestTrainingDataPipeline:
+    def test_end_to_end_smoke(self, spark, tmp_path):
+        """The composition example runs end-to-end at the smallest SF
+        and every stage's row count is sane and monotone."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(
+            0, str(Path(__file__).resolve().parent.parent / "examples")
+        )
+        from training_data_pipeline import run as run_ttp
+
+        from tests.conftest import SF_SMALL
+
+        counts = run_ttp(spark, SF_SMALL, str(tmp_path / "corpus"))
+        assert counts["ingested"] > 0
+        assert 0 < counts["curated"] <= counts["ingested"]
+        assert 0 < counts["near_deduped"] <= counts["curated"]
+        assert counts["packed"] == counts["near_deduped"]
+        assert counts["written"] == counts["packed"]
+        assert counts["n_packs"] >= 1
