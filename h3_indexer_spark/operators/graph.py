@@ -190,3 +190,72 @@ def pagerank(
     verts.unpersist()
     withdeg.unpersist()
     return ranks.select(F.col("v").alias(id_col), "rank")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected graph — the local
+    clustering signal (dense near-dup cliques, tightly-knit co-visit
+    groups). Output: (vertex, n_triangles) for every vertex incident
+    to at least one triangle.
+
+    Scale design: edges are oriented low→high by (degree, id) before
+    the wedge join — the standard orientation bound: every vertex's
+    out-degree is O(√m), so wedge volume is Σ out-deg² ≤ m^1.5
+    regardless of skew (a raw id-ordered join lets one high-degree hub
+    generate deg² wedges). Wedges then semi-join against the oriented
+    edge set; each triangle is found exactly once and credited to its
+    three corners with one explode + one aggregation. Three shuffles
+    total (degree count, wedge join, corner aggregation), all
+    hash-keyed and partial-aggregated."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_u").alias("_x"))
+        .unionAll(e.select(F.col("_v").alias("_x")))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    da = deg.select(F.col("_x").alias("_u"), F.col("_d").alias("_du"))
+    db = deg.select(F.col("_x").alias("_v"), F.col("_d").alias("_dv"))
+    ranked = e.join(da, "_u").join(db, "_v")
+    # orient from the (degree, id)-smaller endpoint to the larger
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("_u")).otherwise(F.col("_v")).alias("_a"),
+        F.when(fwd, F.col("_v")).otherwise(F.col("_u")).alias("_b"),
+    )
+    w1 = oriented.select(
+        F.col("_a").alias("_p"), F.col("_b").alias("_q")
+    )
+    w2 = oriented.select(
+        F.col("_a").alias("_p"), F.col("_b").alias("_r")
+    )
+    wedges = w1.join(w2, "_p").where(F.col("_q") < F.col("_r"))
+    closing = oriented.select(
+        F.least("_a", "_b").alias("_q2"),
+        F.greatest("_a", "_b").alias("_r2"),
+    ).distinct()
+    tris = wedges.join(
+        closing,
+        (F.least("_q", "_r") == F.col("_q2"))
+        & (F.greatest("_q", "_r") == F.col("_r2")),
+        "semi",
+    )
+    corners = tris.select(
+        F.explode(F.array("_p", "_q", "_r")).alias("vertex")
+    )
+    return corners.groupBy("vertex").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -435,3 +435,35 @@ def extract_audio_features(
     return df.select(id_col, payload_col).mapInPandas(
         fn, schema=AUDIO_FEATURE_SCHEMA
     )
+
+
+def dedup_media_by_content(
+    df: "DataFrame",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+):
+    """Exact content-level media dedup: group binary payloads by md5
+    digest, keep the minimum id as canonical, count the copies —
+    byte-identical re-uploads/re-crawls of the same asset collapse
+    regardless of filename or metadata. Output: (id, content_hash,
+    n_copies), one row per distinct content.
+
+    The digest is a narrow JVM expression over the binary column (no
+    decode, no Python), so the only shuffle carries (hash, id) pairs
+    with map-side partial aggregation — the cheapest possible
+    multimodal dedup, and the first pass to run before any perceptual
+    (decode-based) near-dup. md5 here is a content FINGERPRINT, not a
+    security boundary; both the engine and external SQL oracles
+    compute it identically over the same bytes."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.col(payload_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "content_hash", "n_copies")
+    )

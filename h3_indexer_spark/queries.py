@@ -1085,6 +1085,39 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-level media dedup (operators/multimodal.py::
+    dedup_media_by_content): binary payloads grouped by md5 digest,
+    minimum id canonical, copies counted. The fixture corpus is
+    duplicate-free, so the first 20 payloads are re-appended under
+    shifted ids — every re-upload must collapse onto its original
+    (n_copies = 2) while the rest stay singletons."""
+    from h3_indexer_spark.operators.multimodal import (
+        dedup_media_by_content,
+    )
+
+    media = _media_table(spark, sf_dir)
+    dupes = media.where(F.col("media_id") < 20).select(
+        (F.col("media_id") + 100_000).alias("media_id"), "payload"
+    )
+    return dedup_media_by_content(media.unionByName(dupes))
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (operators/graph.py::
+    triangle_counts) over the exact n-gram Jaccard near-dup graph —
+    the local clique/clustering signal on the dedup pair structure.
+    Degree-ordered orientation bounds wedge volume at m^1.5; the
+    oracle counts each a<b<c triangle directly with a triple join."""
+    from h3_indexer_spark.operators.dedup import ngram_jaccard_exact_pairs
+    from h3_indexer_spark.operators.graph import triangle_counts
+
+    pairs = ngram_jaccard_exact_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=100
+    )
+    return triangle_counts(pairs)
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (operators/similarity.py): coarse-quantize to 16
     cells, probe the query's 4 nearest — at scale the table is stored
@@ -2148,6 +2181,8 @@ QUERIES: dict[str, Query] = {
     "q_co_occurrence": q_co_occurrence,
     "q_frequent_items_scalable": q_frequent_items_scalable,
     "q_unpivot": q_unpivot,
+    "q_media_dedup": q_media_dedup,
+    "q_triangles": q_triangles,
     "q_text_stats": q_text_stats,
     "q_dup_spans": q_dup_spans,
     "q_histogram": q_histogram,
@@ -2844,6 +2879,33 @@ ORACLES: dict[str, str] = {
                                 / (CAST(n AS DOUBLE) - 1.0))
                END AS price_z
         FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    """,
+    "q_media_dedup": """
+        WITH m AS (
+            SELECT doc_id AS media_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS media_id, text FROM documents
+            WHERE doc_id < 20
+        )
+        SELECT MIN(media_id) AS media_id,
+               md5(text) AS content_hash,
+               COUNT(*) AS n_copies
+        FROM m GROUP BY md5(text)
+    """,
+    "q_triangles": f"""
+        WITH {_ngram_pair_ctes()},
+        e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+        t AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT vertex, COUNT(*) AS n_triangles FROM (
+            SELECT a AS vertex FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+        GROUP BY vertex
     """,
     "q_dedup_clusters": f"""
         WITH RECURSIVE {_ngram_pair_ctes()},

@@ -595,3 +595,38 @@ class TestContaminationFraction:
             for r in contamination_fraction(train, bench, n=5).collect()
         }
         assert out[100] == 1.0 and out[101] == 0.0
+
+
+class TestTriangleCounts:
+    def test_k4_and_pendant(self, spark):
+        """K4 (every vertex in 3 triangles) plus a pendant edge that
+        joins no triangle."""
+        from h3_indexer_spark.operators.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(4) for b in range(a + 1, 4)]
+            + [(3, 9)],
+            "id_a long, id_b long",
+        )
+        out = {r.vertex: r.n_triangles for r in triangle_counts(edges).collect()}
+        assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_duplicate_and_reversed_edges_ignored(self, spark):
+        from h3_indexer_spark.operators.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (4, 4)],
+            "id_a long, id_b long",
+        )
+        out = {r.vertex: r.n_triangles for r in triangle_counts(edges).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_skewed_star_has_no_triangles(self, spark):
+        """A hub with 200 spokes: degree-ordered orientation must not
+        blow up and the star graph has zero triangles."""
+        from h3_indexer_spark.operators.graph import triangle_counts
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 201)], "id_a long, id_b long"
+        )
+        assert triangle_counts(edges).count() == 0
