@@ -1,0 +1,145 @@
+"""Declarative data-quality expectations over any table — the generic
+descendant of the geo pipeline's Validate stage (plans/validator.py
+enforces the reference's fixed schema/uniqueness/type rules,
+/root/reference/src/h3_indexer/validator.py:64-115; this module lets
+users declare their OWN rules over arbitrary tables and get a
+violations report instead of a hard failure).
+
+Rule kinds:
+
+- ``{"rule": "not_null", "column": c}``
+- ``{"rule": "unique", "columns": [c, ...]}`` — duplicate-key rows
+- ``{"rule": "range", "column": c, "min": x, "max": y}`` (either bound
+  optional; nulls don't violate range — pair with not_null)
+- ``{"rule": "in_set", "column": c, "allowed": [...]}``
+- ``{"rule": "foreign_key", "column": c, "ref": DataFrame,
+  "ref_column": r}`` — orphaned references
+
+Scale posture: every row-level rule (not_null/range/in_set) is ONE
+conditional-sum aggregate — they all fuse into a single scan with
+map-side partial aggregation, no shuffle of data rows. ``unique`` is
+one groupBy on the key columns (partial counts). ``foreign_key`` is a
+broadcast anti-join when the reference side is dimension-sized (the
+common case — pass a pre-distinct projection for big refs). The report
+is a tiny DataFrame: one row per rule."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_expectations(
+    df: DataFrame, rules: list[dict]
+) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` and return one report row per
+    rule: (rule_id, rule, target, n_violations, n_rows, passed).
+    Row-level rules share one scan; unknown rule kinds fail fast (the
+    validate-early posture of the geo Job config)."""
+    spark = df.sparkSession
+    n_rows_col = F.count(F.lit(1)).alias("n_rows")
+    row_level_aggs: list = []
+    row_level_meta: list[tuple[int, str, str]] = []
+    reports: list[DataFrame] = []
+
+    for i, spec in enumerate(rules):
+        kind = spec.get("rule")
+        if kind == "not_null":
+            c = spec["column"]
+            row_level_aggs.append(
+                F.sum(
+                    F.col(c).isNull().cast("long")
+                ).alias(f"_v{i}")
+            )
+            row_level_meta.append((i, kind, c))
+        elif kind == "range":
+            c = spec["column"]
+            cond = F.lit(False)
+            if "min" in spec:
+                cond = cond | (F.col(c) < F.lit(spec["min"]))
+            if "max" in spec:
+                cond = cond | (F.col(c) > F.lit(spec["max"]))
+            row_level_aggs.append(
+                F.sum(cond.cast("long")).alias(f"_v{i}")
+            )
+            row_level_meta.append((i, kind, c))
+        elif kind == "in_set":
+            c = spec["column"]
+            viol = (
+                F.col(c).isNotNull()
+                & ~F.col(c).isin(list(spec["allowed"]))
+            )
+            row_level_aggs.append(
+                F.sum(viol.cast("long")).alias(f"_v{i}")
+            )
+            row_level_meta.append((i, kind, c))
+        elif kind == "unique":
+            cols = list(spec["columns"])
+            dup_rows = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .agg(
+                    F.coalesce(F.sum("_n"), F.lit(0)).alias(
+                        "n_violations"
+                    )
+                )
+            )
+            reports.append(
+                dup_rows.select(
+                    F.lit(i).alias("rule_id"),
+                    F.lit(kind).alias("rule"),
+                    F.lit(",".join(cols)).alias("target"),
+                    F.col("n_violations").cast("long"),
+                )
+            )
+        elif kind == "foreign_key":
+            c = spec["column"]
+            ref = spec["ref"].select(
+                F.col(spec["ref_column"]).alias("_ref")
+            ).distinct()
+            orphans = (
+                df.select(F.col(c).alias("_ref"))
+                .where(F.col("_ref").isNotNull())
+                .join(F.broadcast(ref), "_ref", "anti")
+                .agg(F.count(F.lit(1)).alias("n_violations"))
+            )
+            reports.append(
+                orphans.select(
+                    F.lit(i).alias("rule_id"),
+                    F.lit(kind).alias("rule"),
+                    F.lit(c).alias("target"),
+                    F.col("n_violations").cast("long"),
+                )
+            )
+        else:
+            raise ValueError(
+                f"rule {i}: unknown kind {kind!r}; valid: not_null, "
+                "unique, range, in_set, foreign_key"
+            )
+
+    if row_level_aggs:
+        agg_row = df.agg(n_rows_col, *row_level_aggs)
+        for i, kind, target in row_level_meta:
+            reports.append(
+                agg_row.select(
+                    F.lit(i).alias("rule_id"),
+                    F.lit(kind).alias("rule"),
+                    F.lit(target).alias("target"),
+                    F.col(f"_v{i}").cast("long").alias("n_violations"),
+                )
+            )
+
+    # 1-row total crossJoined back: keeps the checker action-free
+    totals = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    out = reduce(lambda a, b: a.unionByName(b), reports)
+    return out.crossJoin(F.broadcast(totals)).select(
+        "rule_id",
+        "rule",
+        "target",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

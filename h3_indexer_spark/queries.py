@@ -1192,6 +1192,31 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (operators/expectations.py::
+    check_expectations) over lineitem: null/uniqueness/range/set
+    membership rules fuse into ONE scan of conditional sums, the
+    referential-integrity probe to orders is a broadcast anti-join.
+    The generic descendant of the geo Validate stage."""
+    from h3_indexer_spark.operators.expectations import check_expectations
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return check_expectations(
+        li,
+        [
+            {"rule": "not_null", "column": "l_quantity"},
+            {"rule": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+            {"rule": "range", "column": "l_discount", "min": 0.0,
+             "max": 0.1},
+            {"rule": "in_set", "column": "l_returnflag",
+             "allowed": ["A", "N", "R"]},
+            {"rule": "foreign_key", "column": "l_orderkey",
+             "ref": orders, "ref_column": "o_orderkey"},
+        ],
+    )
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt — wide→long reshape (the inverse of q_pivot_events,
     completing the reshape pair; also the building block of
@@ -2183,6 +2208,7 @@ QUERIES: dict[str, Query] = {
     "q_unpivot": q_unpivot,
     "q_media_dedup": q_media_dedup,
     "q_triangles": q_triangles,
+    "q_expectations": q_expectations,
     "q_text_stats": q_text_stats,
     "q_dup_spans": q_dup_spans,
     "q_histogram": q_histogram,
@@ -2563,6 +2589,44 @@ ORACLES: dict[str, str] = {
         SELECT event_id, user_id, tns AS conv_ts, touch_ts, touch_type,
                tns - touch_ts AS lag_ns
         FROM a WHERE event_type = 'purchase'
+    """,
+    "q_expectations": """
+        WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+                   FROM lineitem),
+        v AS (
+            SELECT 0 AS rule_id, 'not_null' AS rule,
+                   'l_quantity' AS target,
+                   CAST((SELECT COUNT(*) FROM lineitem
+                         WHERE l_quantity IS NULL) AS BIGINT)
+                       AS n_violations
+            UNION ALL
+            SELECT 1, 'unique', 'l_orderkey,l_linenumber',
+                   CAST(COALESCE((SELECT SUM(n) FROM (
+                       SELECT COUNT(*) AS n FROM lineitem
+                       GROUP BY l_orderkey, l_linenumber
+                       HAVING COUNT(*) > 1)), 0) AS BIGINT)
+            UNION ALL
+            SELECT 2, 'range', 'l_discount',
+                   CAST((SELECT COUNT(*) FROM lineitem
+                         WHERE l_discount < 0.0 OR l_discount > 0.1)
+                        AS BIGINT)
+            UNION ALL
+            SELECT 3, 'in_set', 'l_returnflag',
+                   CAST((SELECT COUNT(*) FROM lineitem
+                         WHERE l_returnflag IS NOT NULL
+                           AND l_returnflag NOT IN ('A', 'N', 'R'))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 4, 'foreign_key', 'l_orderkey',
+                   CAST((SELECT COUNT(*) FROM lineitem
+                         WHERE l_orderkey IS NOT NULL
+                           AND l_orderkey NOT IN
+                               (SELECT o_orderkey FROM orders))
+                        AS BIGINT)
+        )
+        SELECT rule_id, rule, target, n_violations, n_rows,
+               n_violations = 0 AS passed
+        FROM v CROSS JOIN t
     """,
     "q_unpivot": """
         SELECT l_orderkey, l_linenumber, metric, val FROM (

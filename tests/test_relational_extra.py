@@ -235,3 +235,76 @@ def test_sketch_stats_error_bounds(spark):
         for q, v in zip((0.5, 0.9), (row["approx_q50"], row["approx_q90"])):
             rank = np.searchsorted(prices[flag], v) / n
             assert abs(rank - q) <= 0.01, (flag, q, v, rank)
+
+
+class TestExpectations:
+    def test_all_rule_kinds(self, spark):
+        from h3_indexer_spark.operators.expectations import (
+            check_expectations,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, 10.0, "a", 100),
+                (2, -5.0, "b", 100),
+                (2, None, "z", 999),   # dup id, null val, bad cat, orphan
+                (4, 200.0, "a", 101),  # over max
+            ],
+            "id long, val double, cat string, fk long",
+        )
+        ref = spark.createDataFrame(
+            [(100,), (101,)], "ref_id long"
+        )
+        report = {
+            r.rule_id: r
+            for r in check_expectations(
+                df,
+                [
+                    {"rule": "not_null", "column": "val"},
+                    {"rule": "unique", "columns": ["id"]},
+                    {"rule": "range", "column": "val", "min": 0.0,
+                     "max": 100.0},
+                    {"rule": "in_set", "column": "cat",
+                     "allowed": ["a", "b"]},
+                    {"rule": "foreign_key", "column": "fk",
+                     "ref": ref, "ref_column": "ref_id"},
+                ],
+            ).collect()
+        }
+        assert len(report) == 5
+        assert report[0].n_violations == 1 and not report[0].passed
+        assert report[1].n_violations == 2  # both rows of the dup key
+        assert report[2].n_violations == 2  # -5 and 200; null exempt
+        assert report[3].n_violations == 1  # 'z'; null exempt
+        assert report[4].n_violations == 1  # 999
+        assert all(r.n_rows == 4 for r in report.values())
+
+    def test_clean_table_passes(self, spark):
+        from h3_indexer_spark.operators.expectations import (
+            check_expectations,
+        )
+
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 5).alias("grp")
+        )
+        rep = check_expectations(
+            df,
+            [
+                {"rule": "not_null", "column": "grp"},
+                {"rule": "unique", "columns": ["id"]},
+                {"rule": "range", "column": "grp", "min": 0, "max": 4},
+            ],
+        ).collect()
+        assert all(r.passed for r in rep)
+
+    def test_unknown_rule_fails_fast(self, spark):
+        import pytest as _pytest
+
+        from h3_indexer_spark.operators.expectations import (
+            check_expectations,
+        )
+
+        with _pytest.raises(ValueError, match="unknown kind"):
+            check_expectations(
+                spark.range(1), [{"rule": "nope"}]
+            )
