@@ -2178,8 +2178,6 @@ QUERIES: dict[str, Query] = {
     "q_corpus_curation": q_corpus_curation,
     "q_decontaminate": q_decontaminate,
     "q_clean_lines": q_clean_lines,
-    "q_pii_scrub": q_pii_scrub,
-    "q_repetition": q_repetition,
     "q_fuzzy_join": q_fuzzy_join,
     "q_top_orders": q_top_orders,
     "q_region_revenue": q_region_revenue,
@@ -2193,22 +2191,24 @@ QUERIES: dict[str, Query] = {
     "q_contamination_frac": q_contamination_frac,
     "q_rare_words": q_rare_words,
     "q_decontaminate_bloom": q_decontaminate_bloom,
+    "q_expectations": q_expectations,
+    "q_triangles": q_triangles,
+    "q_media_dedup": q_media_dedup,
     "q_knn_lsh": q_knn_lsh,
     "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
     # multimodal plumbing
-    "q_media_meta": q_media_meta,
     # -- beyond the window: oracle-checkable (tests/test_oracle.py;
     #    driver-green in CORRECTNESS_r01-r03) ---------------------------
     "q_mul_ratio": q_mul_ratio,
+    "q_pii_scrub": q_pii_scrub,
+    "q_repetition": q_repetition,
+    "q_media_meta": q_media_meta,
     "q_event_gaps": q_event_gaps,
     "q_anomalies": q_anomalies,
     "q_time_rollup": q_time_rollup,
     "q_co_occurrence": q_co_occurrence,
     "q_frequent_items_scalable": q_frequent_items_scalable,
     "q_unpivot": q_unpivot,
-    "q_media_dedup": q_media_dedup,
-    "q_triangles": q_triangles,
-    "q_expectations": q_expectations,
     "q_text_stats": q_text_stats,
     "q_dup_spans": q_dup_spans,
     "q_histogram": q_histogram,
