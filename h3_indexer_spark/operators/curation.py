@@ -204,6 +204,69 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def dedup_spans_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """C4-style GLOBAL span deduplication: split every document into
+    spans on ``delim`` (lines in C4; any repeated-unit boundary), and
+    keep each distinct span ONLY at its first global occurrence
+    (smallest ``id_col``, then earliest position) — boilerplate
+    headers, navigation blocks, and license footers that repeat across
+    a crawl survive exactly once corpus-wide. Documents are rebuilt
+    from their surviving spans in order. Output: (id, clean_text,
+    n_spans, n_kept).
+
+    Scale: posexplode is narrow; ownership is ONE rank window
+    partitioned by the span value (first-occurrence = row_number 1
+    over (id, pos)) — the shuffle carries (span, id, pos) rows and
+    partial nothing, so hot boilerplate spans are the skew risk; AQE
+    skew handling covers moderate heat, and a df-cap pre-filter (drop
+    spans above a document-frequency ceiling outright, the stop-
+    shingle trick from the n-gram dedup) is the pressure valve for
+    pathological ones. The rebuild is one groupBy on the document id
+    with an order-preserving array sort."""
+    spans = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), delim)).alias(
+            "pos", "_span"
+        ),
+    )
+    w = Window.partitionBy("_span").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    kept = spans.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_span"))),
+                lambda x: x["_span"],
+            ),
+            delim,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        id_col,
+        F.size(F.split(F.col(text_col), delim)).cast("long").alias(
+            "n_spans"
+        ),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def contamination_fraction(
     train: DataFrame,
     benchmark: DataFrame,

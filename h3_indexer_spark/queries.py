@@ -1402,6 +1402,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=5).select("doc_id", "n_chars")
 
 
+def q_dedup_spans_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup (operators/curation.py::
+    dedup_spans_global): every repeated cross-document span survives
+    only at its first global occurrence. The single-line fixture docs
+    are split at the ' table ' stand-in boundary (same trick as
+    q_clean_lines)."""
+    from h3_indexer_spark.operators.curation import dedup_spans_global
+
+    return dedup_spans_global(
+        load(spark, sf_dir, "documents"), delim=" table "
+    )
+
+
 def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded contamination scoring (operators/curation.py::
     contamination_fraction): per-training-doc fraction of distinct
@@ -2146,7 +2159,6 @@ QUERIES: dict[str, Query] = {
     "q_join_skew_salted": q_join_skew_salted,
     # aggregation
     "q_groupby_sum": q_groupby_sum,
-    "q_count_distinct": q_count_distinct,
     "q_profile": q_profile,
     "q_corr": q_corr,
     # dataflow / reshaping
@@ -2192,6 +2204,7 @@ QUERIES: dict[str, Query] = {
     "q_rare_words": q_rare_words,
     "q_decontaminate_bloom": q_decontaminate_bloom,
     "q_expectations": q_expectations,
+    "q_dedup_spans_global": q_dedup_spans_global,
     "q_triangles": q_triangles,
     "q_media_dedup": q_media_dedup,
     "q_knn_lsh": q_knn_lsh,
@@ -2200,6 +2213,7 @@ QUERIES: dict[str, Query] = {
     # -- beyond the window: oracle-checkable (tests/test_oracle.py;
     #    driver-green in CORRECTNESS_r01-r03) ---------------------------
     "q_mul_ratio": q_mul_ratio,
+    "q_count_distinct": q_count_distinct,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_media_meta": q_media_meta,
@@ -2783,6 +2797,35 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, n_chars FROM documents
         WHERE doc_id >= 50
           AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    "q_dedup_spans_global": """
+        WITH w AS (SELECT doc_id,
+                          string_split(text, ' table ') AS ls
+                   FROM documents),
+        s AS (SELECT doc_id, unnest(ls) AS span,
+                     generate_subscripts(ls, 1) AS pos
+              FROM w),
+        k AS (
+            SELECT doc_id, span, pos FROM (
+                SELECT doc_id, span, pos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY span
+                           ORDER BY doc_id, pos) AS rn
+                FROM s)
+            WHERE rn = 1
+        ),
+        r AS (
+            SELECT doc_id,
+                   string_agg(span, ' table ' ORDER BY pos)
+                       AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM k GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               COALESCE(r.clean_text, '') AS clean_text,
+               CAST(len(w.ls) AS BIGINT) AS n_spans,
+               COALESCE(r.n_kept, 0) AS n_kept
+        FROM w LEFT JOIN r ON w.doc_id = r.doc_id
     """,
     "q_contamination_frac": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

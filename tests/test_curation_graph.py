@@ -630,3 +630,35 @@ class TestTriangleCounts:
             [(0, i) for i in range(1, 201)], "id_a long, id_b long"
         )
         assert triangle_counts(edges).count() == 0
+
+
+class TestGlobalSpanDedup:
+    def test_first_occurrence_wins(self, spark):
+        from h3_indexer_spark.operators.curation import dedup_spans_global
+
+        df = spark.createDataFrame(
+            [
+                (1, "header\nalpha\nfooter"),
+                (2, "header\nbeta\nfooter"),
+                (3, "header\nheader\ngamma"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup_spans_global(df).collect()}
+        # doc 1 owns header and footer; later docs lose them
+        assert out[1].clean_text == "header\nalpha\nfooter"
+        assert out[2].clean_text == "beta"
+        # within-doc repeat of an already-owned span also drops
+        assert out[3].clean_text == "gamma"
+        assert (out[1].n_spans, out[1].n_kept) == (3, 3)
+        assert (out[2].n_spans, out[2].n_kept) == (3, 1)
+        assert (out[3].n_spans, out[3].n_kept) == (3, 1)
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        from h3_indexer_spark.operators.curation import dedup_spans_global
+
+        df = spark.createDataFrame(
+            [(1, "x\ny"), (2, "x\ny")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in dedup_spans_global(df).collect()}
+        assert out[2].clean_text == "" and out[2].n_kept == 0
