@@ -81,6 +81,10 @@ HEADLINE = [
     "q_time_rollup",
     "q_co_occurrence",
     "q_robust_scale",
+    "q_dedup_spans_global",
+    "q_expectations",
+    "q_triangles",
+    "q_media_dedup",
 ]
 
 

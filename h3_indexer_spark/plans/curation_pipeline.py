@@ -88,6 +88,12 @@ def _stage_decontaminate(df: DataFrame, **kw) -> DataFrame:
     return decontaminate(df, **kw)
 
 
+def _stage_dedup_spans_global(df: DataFrame, **kw) -> DataFrame:
+    from h3_indexer_spark.operators.curation import dedup_spans_global
+
+    return dedup_spans_global(df, **kw)
+
+
 def _stage_stratified_sample(df: DataFrame, **kw) -> DataFrame:
     from h3_indexer_spark.operators.textops import stratified_sample_by_key
 
@@ -103,6 +109,7 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "filter": _stage_filter,
     "exact_dedup": _stage_exact_dedup,
     "decontaminate": _stage_decontaminate,
+    "dedup_spans_global": _stage_dedup_spans_global,
     "stratified_sample": _stage_stratified_sample,
 }
 
