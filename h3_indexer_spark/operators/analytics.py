@@ -544,3 +544,55 @@ def frequent_items_scalable(
             ),
         )
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct-actives (the DAU/WAU/MAU family): for every
+    day with data, the number of DISTINCT entities active in the
+    trailing ``window_days`` (inclusive of that day). Output:
+    (day, n_active_today, n_active_window).
+
+    Distinct-over-sliding-window cannot partial-aggregate as a window
+    function (distinct state is not mergeable across frame slides), so
+    the scalable formulation materializes (entity, day) once —
+    event-cardinality collapse, the only big shuffle — then CONTRIBUTES
+    each entity-day to the ``window_days`` window positions it is
+    visible from (a bounded sequence explode, ×7 for WAU) and
+    re-distincts per window day. Shuffle volume is entities × active
+    days × window, independent of raw event count; the same shape at
+    any scale, with no per-day full-history rescans."""
+    day = F.expr(f"{ts_col} div {DAY_NS}")
+    ed = events.select(
+        F.col(id_col).alias("_id"), day.alias("_day")
+    ).distinct()
+    today = ed.groupBy("_day").agg(
+        F.countDistinct("_id").alias("n_active_today")
+    )
+    contrib = ed.select(
+        "_id",
+        F.explode(
+            F.sequence(
+                F.col("_day"), F.col("_day") + F.lit(window_days - 1)
+            )
+        ).alias("_wday"),
+    )
+    windowed = contrib.groupBy("_wday").agg(
+        F.countDistinct("_id").alias("n_active_window")
+    )
+    # only report days that actually have data (window positions past
+    # the last active day are phantom)
+    return (
+        today.join(
+            windowed, today["_day"] == windowed["_wday"]
+        )
+        .select(
+            F.col("_day").alias("day"),
+            "n_active_today",
+            "n_active_window",
+        )
+    )

@@ -1996,6 +1996,16 @@ def q_frequent_items_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives (operators/analytics.py::
+    rolling_active_users) — the DAU/WAU primitive. Entity-days
+    materialize once, contribute to their 7 visible window positions,
+    and re-distinct per day."""
+    from h3_indexer_spark.operators.analytics import rolling_active_users
+
+    return rolling_active_users(_load_events(spark, sf_dir))
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense daily per-user grid with zero-filled counts and
     forward-filled value sums (operators/analytics.py::
@@ -2214,6 +2224,7 @@ QUERIES: dict[str, Query] = {
     #    driver-green in CORRECTNESS_r01-r03) ---------------------------
     "q_mul_ratio": q_mul_ratio,
     "q_count_distinct": q_count_distinct,
+    "q_active_users": q_active_users,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_media_meta": q_media_meta,
@@ -2941,6 +2952,27 @@ ORACLES: dict[str, str] = {
                    ) AS BIGINT) AS rnk
             FROM events GROUP BY event_type, user_id)
         WHERE rnk <= 3
+    """,
+    "q_active_users": f"""
+        WITH ed AS (
+            SELECT DISTINCT user_id,
+                   epoch_ns(ts) // {86_400 * 10**9} AS day
+            FROM events
+        ),
+        today AS (
+            SELECT day, COUNT(DISTINCT user_id) AS n_active_today
+            FROM ed GROUP BY day
+        ),
+        contrib AS (
+            SELECT user_id, unnest(range(day, day + 7)) AS wday
+            FROM ed
+        ),
+        win AS (
+            SELECT wday, COUNT(DISTINCT user_id) AS n_active_window
+            FROM contrib GROUP BY wday
+        )
+        SELECT t.day, t.n_active_today, w.n_active_window
+        FROM today t JOIN win w ON t.day = w.wday
     """,
     "q_gap_fill": f"""
         WITH e AS (SELECT user_id, epoch_ns(ts) // {86_400 * 10**9} AS day,

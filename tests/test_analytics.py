@@ -345,3 +345,31 @@ class TestFrequentItemsScalable:
             df, "grp", "item", k=3, candidates_per_partition=2
         ).collect()
         assert got and not all(r.certified for r in got)
+
+
+class TestRollingActiveUsers:
+    def test_trailing_window_semantics(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            rolling_active_users,
+        )
+
+        ev = _events(
+            spark,
+            [
+                (1, 0 * DAY_NS, "view", 0.0),
+                (2, 0 * DAY_NS + 5, "view", 0.0),
+                (1, 3 * DAY_NS, "view", 0.0),
+                (3, 8 * DAY_NS, "view", 0.0),  # user 1's day-3 still in window
+            ],
+        )
+        out = {
+            r.day: (r.n_active_today, r.n_active_window)
+            for r in rolling_active_users(ev).collect()
+        }
+        # only days with data are reported
+        assert sorted(out) == [0, 3, 8]
+        assert out[0] == (2, 2)
+        # day 3 window covers days -3..3 -> users 1,2 (day 0) + 1 (day 3)
+        assert out[3] == (1, 2)
+        # day 8 window covers days 2..8 -> user 1 (day 3) + user 3
+        assert out[8] == (1, 2)
