@@ -596,3 +596,73 @@ def rolling_active_users(
             "n_active_window",
         )
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    period_ns: int = WEEK_NS,
+) -> DataFrame:
+    """Growth accounting: for every period, how many active entities
+    are NEW (first period ever), RETAINED (also active the previous
+    period), or RESURRECTED (active before, but not the previous
+    period) — plus how many CHURNED (active previous period, absent
+    now). The standard startup-metrics decomposition; new + retained +
+    resurrected = that period's actives, and retained + churned = the
+    previous period's actives. Output: (period, n_new, n_retained,
+    n_resurrected, n_churned).
+
+    Scale: events collapse once to distinct (entity, period) — the
+    only event-cardinality shuffle. Classification is one equi-join to
+    the entity-cardinality first-period table plus one self-join
+    shifted a period back (both hash on the entity id); every
+    aggregate then keys on the tiny period axis with map-side
+    partials. Churn is only reported for periods that themselves have
+    data (no phantom churn into empty trailing periods)."""
+    ep = events.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"{ts_col} div {period_ns}").alias("_p"),
+    ).distinct()
+    firsts = ep.groupBy("_id").agg(F.min("_p").alias("_first"))
+    prev_active = ep.select(
+        "_id", (F.col("_p") + 1).alias("_p"), F.lit(1).alias("_was_prev")
+    )
+    classified = (
+        ep.join(firsts, "_id")
+        .join(prev_active, ["_id", "_p"], "left")
+        .select(
+            "_p",
+            F.when(F.col("_p") == F.col("_first"), F.lit("new"))
+            .when(F.col("_was_prev").isNotNull(), F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("_status"),
+        )
+    )
+    per_period = classified.groupBy("_p").agg(
+        F.sum((F.col("_status") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("_status") == "retained").cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum((F.col("_status") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    churned = (
+        prev_active.join(ep, ["_id", "_p"], "anti")
+        .join(ep.select("_p").distinct(), "_p", "semi")
+        .groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        per_period.join(churned, "_p", "left")
+        .select(
+            F.col("_p").alias("period"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias(
+                "n_churned"
+            ),
+        )
+    )

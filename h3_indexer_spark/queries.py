@@ -1996,6 +1996,16 @@ def q_frequent_items_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (operators/analytics.py::
+    growth_accounting): per period, new / retained / resurrected
+    actives plus churn from the previous period — one entity-period
+    collapse, one first-touch join, one shifted self-join."""
+    from h3_indexer_spark.operators.analytics import growth_accounting
+
+    return growth_accounting(_load_events(spark, sf_dir))
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct actives (operators/analytics.py::
     rolling_active_users) — the DAU/WAU primitive. Entity-days
@@ -2225,6 +2235,7 @@ QUERIES: dict[str, Query] = {
     "q_mul_ratio": q_mul_ratio,
     "q_count_distinct": q_count_distinct,
     "q_active_users": q_active_users,
+    "q_growth_accounting": q_growth_accounting,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_media_meta": q_media_meta,
@@ -2952,6 +2963,50 @@ ORACLES: dict[str, str] = {
                    ) AS BIGINT) AS rnk
             FROM events GROUP BY event_type, user_id)
         WHERE rnk <= 3
+    """,
+    "q_growth_accounting": f"""
+        WITH ep AS (
+            SELECT DISTINCT user_id,
+                   epoch_ns(ts) // {7 * 86_400 * 10**9} AS p
+            FROM events
+        ),
+        f AS (SELECT user_id, MIN(p) AS first_p FROM ep
+              GROUP BY user_id),
+        pa AS (SELECT user_id, p + 1 AS p FROM ep),
+        cl AS (
+            SELECT ep.p,
+                   CASE WHEN ep.p = f.first_p THEN 'new'
+                        WHEN pa.user_id IS NOT NULL THEN 'retained'
+                        ELSE 'resurrected' END AS status
+            FROM ep
+            JOIN f ON ep.user_id = f.user_id
+            LEFT JOIN pa ON pa.user_id = ep.user_id AND pa.p = ep.p
+        ),
+        per AS (
+            SELECT p,
+                   SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                       AS n_new,
+                   SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                       AS n_retained,
+                   SUM(CASE WHEN status = 'resurrected' THEN 1
+                       ELSE 0 END) AS n_resurrected
+            FROM cl GROUP BY p
+        ),
+        ch AS (
+            SELECT pa.p, CAST(COUNT(*) AS BIGINT) AS n_churned
+            FROM pa
+            WHERE NOT EXISTS (
+                      SELECT 1 FROM ep e2
+                      WHERE e2.user_id = pa.user_id AND e2.p = pa.p)
+              AND pa.p IN (SELECT DISTINCT p FROM ep)
+            GROUP BY pa.p
+        )
+        SELECT per.p AS period,
+               CAST(n_new AS BIGINT) AS n_new,
+               CAST(n_retained AS BIGINT) AS n_retained,
+               CAST(n_resurrected AS BIGINT) AS n_resurrected,
+               COALESCE(ch.n_churned, 0) AS n_churned
+        FROM per LEFT JOIN ch ON per.p = ch.p
     """,
     "q_active_users": f"""
         WITH ed AS (

@@ -373,3 +373,38 @@ class TestRollingActiveUsers:
         assert out[3] == (1, 2)
         # day 8 window covers days 2..8 -> user 1 (day 3) + user 3
         assert out[8] == (1, 2)
+
+
+class TestGrowthAccounting:
+    def test_classification_and_identities(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            WEEK_NS,
+            growth_accounting,
+        )
+
+        wk = WEEK_NS
+        ev = _events(
+            spark,
+            [
+                # u1: weeks 0,1 (new, then retained); absent wk2 (churn)
+                (1, 0, "view", 0.0),
+                (1, 1 * wk, "view", 0.0),
+                # u2: week 0 only -> churned in week 1
+                (2, 10, "view", 0.0),
+                # u3: weeks 0 and 2 -> resurrected at 2
+                (3, 20, "view", 0.0),
+                (3, 2 * wk, "view", 0.0),
+                # u4: first seen week 2
+                (4, 2 * wk + 5, "view", 0.0),
+            ],
+        )
+        out = {
+            r.period: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+            for r in growth_accounting(ev).collect()
+        }
+        assert out[0] == (3, 0, 0, 0)
+        assert out[1] == (0, 1, 0, 2)   # u1 retained; u2,u3 churned
+        assert out[2] == (1, 0, 1, 1)   # u4 new, u3 resurrected, u1 churned
+        # identity: retained(p) + churned(p) = actives(p-1)
+        assert out[1][1] + out[1][3] == 3
+        assert out[2][1] + out[2][3] == 1  # actives in week 1 = u1 only
