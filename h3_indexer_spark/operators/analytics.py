@@ -666,3 +666,51 @@ def growth_accounting(
             ),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition statistics over each entity's
+    ordered event stream: for every (current → next) event-type pair,
+    the transition count and probability P(next | current) — the user-
+    journey model behind next-action prediction and funnel discovery.
+    Output: (from_type, to_type, n_transitions, p_transition), with
+    the probability an exact integer ratio (count / from-type total).
+
+    ONE window pass (lead over the per-entity (ts, tiebreak) order —
+    narrow after its single shuffle on the entity id) produces the
+    consecutive pairs; the pair counts partial-aggregate into the tiny
+    type×type key space, and the per-source totals broadcast back.
+    Each entity's last event has no successor and drops out."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("_tot").cast("double")
+            ).alias("p_transition"),
+        )
+    )

@@ -1996,6 +1996,16 @@ def q_frequent_items_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (operators/
+    analytics.py::event_transitions): counts and exact-ratio
+    P(next | current) from one lead window over each user's ordered
+    stream."""
+    from h3_indexer_spark.operators.analytics import event_transitions
+
+    return event_transitions(_load_events(spark, sf_dir))
+
+
 def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly growth accounting (operators/analytics.py::
     growth_accounting): per period, new / retained / resurrected
@@ -2236,6 +2246,7 @@ QUERIES: dict[str, Query] = {
     "q_count_distinct": q_count_distinct,
     "q_active_users": q_active_users,
     "q_growth_accounting": q_growth_accounting,
+    "q_transitions": q_transitions,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_media_meta": q_media_meta,
@@ -2963,6 +2974,26 @@ ORACLES: dict[str, str] = {
                    ) AS BIGINT) AS rnk
             FROM events GROUP BY event_type, user_id)
         WHERE rnk <= 3
+    """,
+    "q_transitions": """
+        WITH s AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS to_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT from_type, to_type, COUNT(*) AS n_transitions
+            FROM s WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        ),
+        tot AS (SELECT from_type, SUM(n_transitions) AS t FROM pairs
+                GROUP BY from_type)
+        SELECT p.from_type, p.to_type, p.n_transitions,
+               CAST(p.n_transitions AS DOUBLE) / CAST(t AS DOUBLE)
+                   AS p_transition
+        FROM pairs p JOIN tot ON p.from_type = tot.from_type
     """,
     "q_growth_accounting": f"""
         WITH ep AS (

@@ -408,3 +408,30 @@ class TestGrowthAccounting:
         # identity: retained(p) + churned(p) = actives(p-1)
         assert out[1][1] + out[1][3] == 3
         assert out[2][1] + out[2][3] == 1  # actives in week 1 = u1 only
+
+
+class TestEventTransitions:
+    def test_counts_and_probabilities(self, spark):
+        from h3_indexer_spark.operators.analytics import event_transitions
+
+        ev = spark.createDataFrame(
+            [
+                (1, 1, 10, "a", 0.0),
+                (2, 1, 20, "b", 0.0),
+                (3, 1, 30, "a", 0.0),
+                (4, 1, 40, "c", 0.0),
+                (5, 2, 10, "a", 0.0),
+                (6, 2, 20, "b", 0.0),
+                (7, 3, 10, "z", 0.0),  # singleton: no transition
+            ],
+            "event_id long, user_id long, ts long, event_type string, "
+            "value double",
+        )
+        out = {
+            (r.from_type, r.to_type): (r.n_transitions, r.p_transition)
+            for r in event_transitions(ev).collect()
+        }
+        assert out[("a", "b")] == (2, 2 / 3)
+        assert out[("a", "c")] == (1, 1 / 3)
+        assert out[("b", "a")] == (1, 1.0)
+        assert ("z", None) not in out and len(out) == 3
