@@ -85,6 +85,9 @@ HEADLINE = [
     "q_expectations",
     "q_triangles",
     "q_media_dedup",
+    "q_active_users",
+    "q_growth_accounting",
+    "q_transitions",
 ]
 
 
