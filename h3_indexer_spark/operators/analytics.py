@@ -714,3 +714,48 @@ def event_transitions(
             ).alias("p_transition"),
         )
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    length: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most common event paths: every run of ``length``
+    consecutive events in an entity's ordered stream becomes a path
+    (the n-gram census over journeys), counted corpus-wide and ranked
+    with a deterministic tie-break — the journey-mining primitive
+    behind "what do users actually do before X".
+
+    One window shuffle on the entity id, then ``length - 1`` lead
+    expressions over the SAME window frame (no extra exchange), a
+    partial-aggregated count over the path strings, and the rank
+    window on the tiny distinct-path table. Output: (path,
+    n_occurrences, rnk), path as an arrow-joined string."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    paths = (
+        events.select(
+            F.concat_ws(" -> ", *steps).alias("path"),
+            steps[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    rk = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("path").asc()
+    )
+    return (
+        paths.withColumn("rnk", F.row_number().over(rk))
+        .where(F.col("rnk") <= k)
+        .select("path", "n_occurrences", F.col("rnk").cast("bigint").alias("rnk"))
+    )

@@ -1996,6 +1996,15 @@ def q_frequent_items_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-step user journeys (operators/analytics.py::
+    top_event_paths): consecutive event-type runs counted corpus-wide,
+    deterministically ranked."""
+    from h3_indexer_spark.operators.analytics import top_event_paths
+
+    return top_event_paths(_load_events(spark, sf_dir))
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix (operators/
     analytics.py::event_transitions): counts and exact-ratio
@@ -2247,6 +2256,7 @@ QUERIES: dict[str, Query] = {
     "q_active_users": q_active_users,
     "q_growth_accounting": q_growth_accounting,
     "q_transitions": q_transitions,
+    "q_top_paths": q_top_paths,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_media_meta": q_media_meta,
@@ -2974,6 +2984,29 @@ ORACLES: dict[str, str] = {
                    ) AS BIGINT) AS rnk
             FROM events GROUP BY event_type, user_id)
         WHERE rnk <= 3
+    """,
+    "q_top_paths": """
+        WITH s AS (
+            SELECT event_type AS a,
+                   lead(event_type, 1) OVER w AS b,
+                   lead(event_type, 2) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_ns(ts), event_id)
+        ),
+        p AS (
+            SELECT a || ' -> ' || b || ' -> ' || c AS path,
+                   COUNT(*) AS n_occurrences
+            FROM s WHERE c IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT path, n_occurrences, rnk FROM (
+            SELECT path, n_occurrences,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY n_occurrences DESC, path ASC)
+                   AS BIGINT) AS rnk
+            FROM p)
+        WHERE rnk <= 10
     """,
     "q_transitions": """
         WITH s AS (

@@ -350,3 +350,40 @@ def streaming_attribution(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+):
+    """Distinct actives per event-time window on an unbounded stream.
+    Structured Streaming rejects COUNT(DISTINCT) in streaming
+    aggregations outright, so the standard two-stage rewrite applies:
+    watermark-bounded dropDuplicates on (entity, window-start) shrinks
+    the stream to one row per entity-window, then a plain windowed
+    count — both stages keep bounded state (dedup state expires with
+    the watermark, the count state with window finalization). The
+    batch twin is a groupBy window countDistinct; parity is locked in
+    tests."""
+    deduped = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.window(ts_col, window).alias("_w"),
+        )
+        .dropDuplicates([id_col, "_w"])
+    )
+    return (
+        deduped.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        .select(
+            F.date_format("_w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_distinct_users",
+        )
+    )

@@ -226,3 +226,31 @@ def test_time_rollup_matches_reference(spark, rows):
     for k, (n, sv) in want.items():
         assert got[k][0] == n
         assert got[k][1] == float(sv)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_growth_accounting_identities(spark, rows):
+    """On random streams: new+retained+resurrected = that period's
+    actives, retained(p)+churned(p) = actives(p-1), and a user's first
+    period is always classified new."""
+    from h3_indexer_spark.operators.analytics import (
+        WEEK_NS,
+        growth_accounting,
+    )
+
+    out = {
+        r.period: r for r in growth_accounting(_df(spark, rows)).collect()
+    }
+    actives: dict = {}
+    for u, t, *_ in rows:
+        actives.setdefault(t // WEEK_NS, set()).add(u)
+    assert set(out) == set(actives)
+    for p, r in out.items():
+        assert r.n_new + r.n_retained + r.n_resurrected == len(actives[p])
+        prev = actives.get(p - 1, set())
+        assert r.n_retained + r.n_churned == len(prev)

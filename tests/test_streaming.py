@@ -382,3 +382,35 @@ class TestStreamingAttribution:
         )
         assert g == want
         assert len(g) > 0
+
+
+class TestStreamingDistinctUsers:
+    def test_matches_batch_count_distinct(self, spark, events_dir):
+        """Streaming rejects COUNT(DISTINCT); the dedup-then-count
+        rewrite must equal the batch countDistinct per window."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_distinct_users,
+        )
+
+        stream = streaming_distinct_users(_read_stream(spark, events_dir))
+        got = {
+            (r.window_start): r.n_distinct_users
+            for r in _run_stream(spark, stream).collect()
+        }
+        batch = spark.read.parquet(events_dir)
+        want = {
+            r.window_start: r.n
+            for r in (
+                batch.groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.countDistinct("user_id").alias("n"))
+                .select(
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                        "window_start"
+                    ),
+                    "n",
+                )
+                .collect()
+            )
+        }
+        assert got == want
+        assert len(got) > 10
