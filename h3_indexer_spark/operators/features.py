@@ -318,3 +318,65 @@ def robust_scale(
         (F.col(value_col).cast("double") - F.col("_p50")) / iqr
     )
     return joined.withColumn(out_col, scaled).drop("_p25", "_p50", "_p75")
+
+
+def impute(
+    df: DataFrame,
+    value_col: str,
+    strategy: str = "mean",
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Missing-value imputation: replace nulls in ``value_col`` with
+    the column's (or group's) mean or median — the standard
+    preprocessing step before models that cannot consume nulls.
+    ``strategy``: "mean" (exact DECIMAL-sum mean, bit-deterministic)
+    or "median" (exact interpolated percentile, the q_quantiles parity
+    result). Groups whose statistic is itself null (all-null groups)
+    leave the null in place — silently inventing a 0 would bias
+    downstream.
+
+    Same broadcast shape as the scalers: one tiny aggregate joined
+    back, the fact side never shuffles."""
+    out_col = out_col or f"{value_col}_imputed"
+    if strategy == "mean":
+        stat = (
+            F.sum(F.col(value_col).cast("decimal(19,4)")).cast("double")
+            / F.count(F.col(value_col)).cast("double")
+        ).alias("_fill")
+    elif strategy == "median":
+        stat = F.expr(f"percentile({value_col}, 0.5)").alias("_fill")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}: mean|median")
+    if group_col is None:
+        fills = df.agg(stat)
+        joined = df.crossJoin(F.broadcast(fills))
+    else:
+        fills = df.groupBy(group_col).agg(stat)
+        joined = df.join(F.broadcast(fills), group_col)
+    return joined.withColumn(
+        out_col,
+        F.coalesce(F.col(value_col).cast("double"), F.col("_fill")),
+    ).drop("_fill")
+
+
+def one_hot(
+    df: DataFrame,
+    category_col: str,
+    categories: list[str],
+    prefix: str | None = None,
+) -> DataFrame:
+    """Fixed-vocabulary one-hot encoding: one 0/1 column per listed
+    category (narrow map, zero shuffle, fully codegen). The vocabulary
+    is EXPLICIT — the caller pins it, so train/serve schemas never
+    drift with the data (the silent failure of inferred-vocabulary
+    encoders); values outside it encode as all-zeros. Nulls also
+    encode all-zeros."""
+    prefix = prefix if prefix is not None else category_col
+    cols = [
+        F.when(F.col(category_col) == F.lit(c), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias(f"{prefix}_{c}")
+        for c in categories
+    ]
+    return df.select("*", *cols)

@@ -1996,6 +1996,39 @@ def q_frequent_items_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation (operators/features.py::impute): event
+    values below 2.0 are masked to null, then refilled with each
+    event type's exact-decimal mean of the SURVIVING values —
+    broadcast fills, fact side never shuffles."""
+    from h3_indexer_spark.operators.features import impute
+
+    masked = _load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") >= 2.0, F.col("value")).alias("value_masked"),
+    )
+    return impute(
+        masked, "value_masked", strategy="mean", group_col="event_type",
+        out_col="value_imputed",
+    ).select("event_id", "event_type", "value_masked", "value_imputed")
+
+
+def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-vocabulary one-hot encoding (operators/features.py::
+    one_hot): explicit category list so train/serve schemas never
+    drift; out-of-vocabulary types encode all-zeros. Pure narrow
+    map."""
+    from h3_indexer_spark.operators.features import one_hot
+
+    return one_hot(
+        _load_events(spark, sf_dir).select("event_id", "event_type"),
+        "event_type",
+        ["view", "click", "purchase"],
+        prefix="is",
+    )
+
+
 def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 3-step user journeys (operators/analytics.py::
     top_event_paths): consecutive event-type runs counted corpus-wide,
@@ -2257,6 +2290,8 @@ QUERIES: dict[str, Query] = {
     "q_growth_accounting": q_growth_accounting,
     "q_transitions": q_transitions,
     "q_top_paths": q_top_paths,
+    "q_impute": q_impute,
+    "q_one_hot": q_one_hot,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_media_meta": q_media_meta,
@@ -2984,6 +3019,33 @@ ORACLES: dict[str, str] = {
                    ) AS BIGINT) AS rnk
             FROM events GROUP BY event_type, user_id)
         WHERE rnk <= 3
+    """,
+    "q_impute": """
+        WITH m AS (
+            SELECT event_id, event_type,
+                   CASE WHEN value >= 2.0 THEN value END AS value_masked
+            FROM events
+        ),
+        f AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value_masked AS DECIMAL(19,4)))
+                        AS DOUBLE)
+                       / CAST(COUNT(value_masked) AS DOUBLE) AS fill
+            FROM m GROUP BY event_type
+        )
+        SELECT event_id, m.event_type, value_masked,
+               COALESCE(value_masked, fill) AS value_imputed
+        FROM m JOIN f ON m.event_type = f.event_type
+    """,
+    "q_one_hot": """
+        SELECT event_id, event_type,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                   AS is_view,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                   AS is_click,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_purchase
+        FROM events
     """,
     "q_top_paths": """
         WITH s AS (

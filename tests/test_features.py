@@ -190,3 +190,43 @@ class TestMinMaxScale:
         tree = plan.split("(1) Scan")[0]
         assert "BroadcastHashJoin" in tree, plan
         assert "SortMergeJoin" not in tree, plan
+
+
+class TestImputeOneHot:
+    def test_impute_mean_and_median_and_all_null_group(self, spark):
+        from h3_indexer_spark.operators.features import impute
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 3.0), ("g", None),
+             ("h", None), ("h", None)],
+            "grp string, x double",
+        )
+        mean_out = {
+            (r.grp, r.x): r.x_imputed
+            for r in impute(df, "x", "mean", "grp").collect()
+        }
+        assert mean_out[("g", None)] == 2.0
+        # all-null group stays null rather than inventing a value
+        assert mean_out[("h", None)] is None
+        med = impute(
+            spark.createDataFrame(
+                [("g", 1.0), ("g", 2.0), ("g", 9.0), ("g", None)],
+                "grp string, x double",
+            ),
+            "x", "median", "grp",
+        ).collect()
+        assert {r.x_imputed for r in med} == {1.0, 2.0, 9.0}
+        assert [r.x_imputed for r in med if r.x is None] == [2.0]
+
+    def test_one_hot_oov_and_null(self, spark):
+        from h3_indexer_spark.operators.features import one_hot
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "zzz"), (4, None)],
+            "id long, cat string",
+        )
+        out = {
+            r.id: (r.cat_a, r.cat_b)
+            for r in one_hot(df, "cat", ["a", "b"]).collect()
+        }
+        assert out == {1: (1, 0), 2: (0, 1), 3: (0, 0), 4: (0, 0)}
