@@ -759,3 +759,128 @@ def top_event_paths(
         .where(F.col("rnk") <= k)
         .select("path", "n_occurrences", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square contingency analysis for two categorical
+    columns — the segmentation sanity check ("does event mix differ by
+    language/source or is the split random?"). Returns ONE ROW PER
+    CELL: (a, b, observed, expected, contribution) where expected =
+    row_total × col_total / n and contribution = (o − e)²/e; the
+    chi-square statistic is the trivial sum of ``contribution``
+    (one extra aggregate for the caller). Per-cell emission is
+    deliberate: every value is a fixed arithmetic expression over
+    exact integer counts — deterministic cross-engine — whereas a
+    cross-cell double SUM depends on aggregation order; and the cells
+    themselves show WHICH combinations drive the dependence.
+
+    One two-key groupBy builds the cells (map-side partials);
+    marginals aggregate FROM the cells (cell-cardinality input, not
+    rows) and broadcast back; the full category grid is materialized
+    so ZERO cells contribute their (0−e)²/e term — dropping them
+    understates the statistic most exactly when dependence is
+    strongest. Nulls in either column are excluded, as in the
+    classical test. The grid crossJoin is category-cardinality ×
+    category-cardinality — tiny for real categorical columns; don't
+    point this at high-cardinality ids."""
+    src = df.select(col_a, col_b).where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+    observed = src.groupBy(col_a, col_b).agg(
+        F.count(F.lit(1)).alias("_obs")
+    )
+    # the FULL category grid: zero cells contribute (0-e)^2/e too —
+    # dropping them understates the statistic exactly when dependence
+    # is strongest (a perfect association leaves half the grid empty)
+    grid = observed.select(col_a).distinct().crossJoin(
+        observed.select(col_b).distinct()
+    )
+    cells = grid.join(observed, [col_a, col_b], "left").select(
+        col_a,
+        col_b,
+        F.coalesce("_obs", F.lit(0)).alias("observed"),
+    )
+    ra = cells.groupBy(col_a).agg(F.sum("observed").alias("_ra"))
+    rb = cells.groupBy(col_b).agg(F.sum("observed").alias("_rb"))
+    tot = cells.agg(F.sum("observed").alias("_n"))
+    joined = (
+        cells.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(rb), col_b)
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_rb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    o = F.col("observed").cast("double")
+    return joined.select(
+        col_a,
+        col_b,
+        "observed",
+        e.alias("expected"),
+        ((o - e) * (o - e) / e).alias("contribution"),
+    )
+
+
+def time_weighted_average(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-entity time-weighted average: each observation's value is
+    held until the next observation, and the average weights each
+    value by how long it was in force — the TWAP/sensor-mean
+    semantics where arithmetic means over-count bursts of rapid
+    updates. Durations are truncated to whole SECONDS so the
+    value×duration products stay inside exact DECIMAL precision
+    (nanosecond durations would overflow 38 digits); zero-second
+    holds therefore contribute nothing. The final observation carries
+    no duration; entities with no timed observations report null.
+    Output: (id, n_obs, twap).
+
+    ONE window pass (lead over the per-entity order) computes holding
+    durations; the aggregate is Σ value·duration / Σ duration with an
+    exact-DECIMAL numerator and integer denominator, divided once in
+    double — deterministic regardless of aggregation order."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    dur_s = F.expr(
+        f"(lead({ts_col}) OVER (PARTITION BY {id_col} "
+        f"ORDER BY {ts_col}, {order_tiebreak}) - {ts_col}) "
+        f"div {10**9}"
+    )
+    timed = events.select(
+        id_col,
+        F.col(value_col).cast("decimal(19,4)").alias("_v"),
+        dur_s.alias("_dur"),
+    ).where(F.col("_dur").isNotNull() & (F.col("_dur") > 0))
+    return (
+        events.select(id_col)
+        .distinct()
+        .join(
+            timed.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_obs"),
+                (
+                    F.sum(
+                        F.col("_v") * F.col("_dur").cast("decimal(11,0)")
+                    ).cast("double")
+                    / F.sum("_dur").cast("double")
+                ).alias("twap"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            "twap",
+        )
+    )

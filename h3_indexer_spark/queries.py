@@ -1996,6 +1996,31 @@ def q_frequent_items_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for event_type × weekday
+    (operators/analytics.py::chi_square_independence): per-cell
+    observed/expected/contribution from exact integer counts — the
+    statistic is the sum of the contribution column."""
+    from h3_indexer_spark.operators.analytics import (
+        chi_square_independence,
+    )
+
+    ev = _load_events(spark, sf_dir).select(
+        "event_type",
+        (F.expr(f"ts div {86_400 * 10**9}") % 7).alias("weekday"),
+    )
+    return chi_square_independence(ev, "event_type", "weekday")
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (operators/analytics.py::
+    time_weighted_average): hold-until-next weighting with
+    second-resolution durations, exact-DECIMAL numerator."""
+    from h3_indexer_spark.operators.analytics import time_weighted_average
+
+    return time_weighted_average(_load_events(spark, sf_dir))
+
+
 def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-mean imputation (operators/features.py::impute): event
     values below 2.0 are masked to null, then refilled with each
@@ -2292,6 +2317,8 @@ QUERIES: dict[str, Query] = {
     "q_top_paths": q_top_paths,
     "q_impute": q_impute,
     "q_one_hot": q_one_hot,
+    "q_chi_square": q_chi_square,
+    "q_twap": q_twap,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_media_meta": q_media_meta,
@@ -3019,6 +3046,73 @@ ORACLES: dict[str, str] = {
                    ) AS BIGINT) AS rnk
             FROM events GROUP BY event_type, user_id)
         WHERE rnk <= 3
+    """,
+    "q_chi_square": f"""
+        WITH src AS (
+            SELECT event_type,
+                   (epoch_ns(ts) // {86_400 * 10**9}) % 7 AS weekday
+            FROM events
+        ),
+        obs AS (
+            SELECT event_type, weekday, COUNT(*) AS o
+            FROM src GROUP BY event_type, weekday
+        ),
+        grid AS (
+            SELECT a.event_type, b.weekday
+            FROM (SELECT DISTINCT event_type FROM obs) a
+            CROSS JOIN (SELECT DISTINCT weekday FROM obs) b
+        ),
+        cells AS (
+            SELECT grid.event_type, grid.weekday,
+                   COALESCE(obs.o, 0) AS observed
+            FROM grid
+            LEFT JOIN obs ON grid.event_type = obs.event_type
+                         AND grid.weekday = obs.weekday
+        ),
+        ra AS (SELECT event_type, SUM(observed) AS r FROM cells
+               GROUP BY event_type),
+        rb AS (SELECT weekday, SUM(observed) AS c FROM cells
+               GROUP BY weekday),
+        t AS (SELECT SUM(observed) AS n FROM cells)
+        SELECT cells.event_type, cells.weekday, cells.observed,
+               CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS expected,
+               (CAST(observed AS DOUBLE)
+                - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+               * (CAST(observed AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                      / CAST(n AS DOUBLE)) AS contribution
+        FROM cells
+        JOIN ra ON cells.event_type = ra.event_type
+        JOIN rb ON cells.weekday = rb.weekday
+        CROSS JOIN t
+    """,
+    "q_twap": f"""
+        WITH d AS (
+            SELECT user_id,
+                   CAST(value AS DECIMAL(19,4)) AS v,
+                   (lead(epoch_ns(ts)) OVER (
+                        PARTITION BY user_id
+                        ORDER BY epoch_ns(ts), event_id)
+                    - epoch_ns(ts)) // {10**9} AS dur
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(v * CAST(dur AS DECIMAL(11,0))) AS DOUBLE)
+                       / CAST(SUM(dur) AS DOUBLE) AS twap
+            FROM d WHERE dur IS NOT NULL AND dur > 0
+            GROUP BY user_id
+        )
+        SELECT u.user_id,
+               COALESCE(agg.n_obs, 0) AS n_obs,
+               agg.twap
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN agg ON u.user_id = agg.user_id
     """,
     "q_impute": """
         WITH m AS (

@@ -435,3 +435,51 @@ class TestEventTransitions:
         assert out[("a", "c")] == (1, 1 / 3)
         assert out[("b", "a")] == (1, 1.0)
         assert ("z", None) not in out and len(out) == 3
+
+
+class TestChiSquareAndTwap:
+    def test_chi_square_uniform_vs_skewed(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            chi_square_independence,
+        )
+
+        # perfectly independent 2x2 -> every contribution 0
+        rows = []
+        for a in ("x", "y"):
+            for b in ("p", "q"):
+                rows += [(a, b)] * 10
+        df = spark.createDataFrame(rows, "a string, b string")
+        out = chi_square_independence(df, "a", "b").collect()
+        assert all(r.contribution == 0.0 for r in out)
+        assert all(r.expected == 10.0 for r in out)
+        # fully dependent: contributions positive
+        df2 = spark.createDataFrame(
+            [("x", "p")] * 10 + [("y", "q")] * 10, "a string, b string"
+        )
+        chi2 = sum(
+            r.contribution
+            for r in chi_square_independence(df2, "a", "b").collect()
+        )
+        assert chi2 == 20.0  # classic 2x2 perfect association: chi2 = n
+
+    def test_twap_holds_values(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            time_weighted_average,
+        )
+
+        s = 10**9
+        ev = spark.createDataFrame(
+            [
+                # value 10 held 3s, value 20 held 1s -> twap 12.5
+                (1, 1, 0 * s, "view", 10.0),
+                (2, 1, 3 * s, "view", 20.0),
+                (3, 1, 4 * s, "view", 99.0),  # final obs: no duration
+                (4, 2, 0 * s, "view", 7.0),   # singleton: null twap
+            ],
+            "event_id long, user_id long, ts long, event_type string, "
+            "value double",
+        )
+        out = {r.user_id: (r.n_obs, r.twap) for r in
+               time_weighted_average(ev).collect()}
+        assert out[1] == (2, (10.0 * 3 + 20.0 * 1) / 4)
+        assert out[2] == (0, None)
