@@ -172,8 +172,10 @@ def gap_fill_daily(
 
     Output: (id, day, n_events, sum_value_ffill) where ``day`` is the
     integer epoch-day and ``sum_value_ffill`` carries the most recent
-    active day's sum across gaps (never null: day one is active by
-    construction).
+    non-null daily sum across gaps. A day whose events all carry null
+    values has no observed sum — it inherits the previous one like a
+    gap day, and leading all-null days yield null until the first
+    day with an observed value.
 
     Scale: events first collapse to (id, day) daily aggregates — the
     only event-cardinality shuffle. The grid explode is bounded by
@@ -566,6 +568,8 @@ def rolling_active_users(
     re-distincts per window day. Shuffle volume is entities × active
     days × window, independent of raw event count; the same shape at
     any scale, with no per-day full-history rescans."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1: {window_days}")
     day = F.expr(f"{ts_col} div {DAY_NS}")
     ed = events.select(
         F.col(id_col).alias("_id"), day.alias("_day")
@@ -742,12 +746,19 @@ def top_event_paths(
     steps = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, length)
     ]
+    # every step must be non-null: concat_ws silently SKIPS nulls, so
+    # an interior null would shorten the path string and collide with
+    # genuinely shorter sequences
+    step_cols = [st.alias(f"_s{i}") for i, st in enumerate(steps)]
+    runs = events.select(*step_cols)
+    for i in range(length):
+        runs = runs.where(F.col(f"_s{i}").isNotNull())
     paths = (
-        events.select(
-            F.concat_ws(" -> ", *steps).alias("path"),
-            steps[-1].alias("_last"),
+        runs.select(
+            F.concat_ws(
+                " -> ", *[F.col(f"_s{i}") for i in range(length)]
+            ).alias("path")
         )
-        .where(F.col("_last").isNotNull())
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
@@ -852,11 +863,9 @@ def time_weighted_average(
     w = Window.partitionBy(id_col).orderBy(
         F.col(ts_col).asc(), F.col(order_tiebreak).asc()
     )
-    dur_s = F.expr(
-        f"(lead({ts_col}) OVER (PARTITION BY {id_col} "
-        f"ORDER BY {ts_col}, {order_tiebreak}) - {ts_col}) "
-        f"div {10**9}"
-    )
+    dur_s = (
+        (F.lead(ts_col).over(w) - F.col(ts_col)) / F.lit(10**9)
+    ).cast("long")
     timed = events.select(
         id_col,
         F.col(value_col).cast("decimal(19,4)").alias("_v"),

@@ -190,9 +190,7 @@ def decontaminate(
     semi-join — the 100 TB training side never shuffles. Returns the
     surviving training rows unchanged.
     """
-    bench_grams = benchmark.select(
-        F.explode_outer(_word_ngrams(text_col, n)).alias("_gram")
-    ).distinct()
+    bench_grams = _bench_grams(benchmark, text_col, n)
     train_grams = train.select(
         id_col, F.explode(_word_ngrams(text_col, n)).alias("_gram")
     )
@@ -286,9 +284,7 @@ def contamination_fraction(
     set broadcasts, the training side's grams explode narrow and
     semi-join map-side, and the only shuffle is the per-document
     re-aggregation keyed on ``id_col``."""
-    bench_grams = benchmark.select(
-        F.explode_outer(_word_ngrams(text_col, n)).alias("_gram")
-    ).distinct()
+    bench_grams = _bench_grams(benchmark, text_col, n)
     train_grams = train.select(
         id_col,
         F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias(
@@ -320,6 +316,14 @@ def contamination_fraction(
             ).alias("overlap_frac"),
         )
     )
+
+
+def _bench_grams(benchmark: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams of the benchmark set — shared by every
+    decontamination variant so gram-extraction fixes apply once."""
+    return benchmark.select(
+        F.explode_outer(_word_ngrams(text_col, n)).alias("_gram")
+    ).distinct()
 
 
 def _word_ngrams(text_col: str, n: int):
@@ -407,9 +411,7 @@ def decontaminate_bloom(
         )
         return [r["_p"] for r in stacked.distinct().collect()]
 
-    bench_grams = benchmark.select(
-        F.explode_outer(_word_ngrams(text_col, n)).alias("_gram")
-    ).distinct()
+    bench_grams = _bench_grams(benchmark, text_col, n)
     bits = np.zeros(n_bits // 64 + 1, dtype=np.uint64)
     pos = np.asarray(_positions(bench_grams), dtype=np.int64)
     if len(pos):

@@ -39,6 +39,12 @@ def check_expectations(
     Row-level rules share one scan; unknown rule kinds fail fast (the
     validate-early posture of the geo Job config)."""
     spark = df.sparkSession
+    if not rules:
+        return spark.createDataFrame(
+            [],
+            "rule_id int, rule string, target string, "
+            "n_violations long, n_rows long, passed boolean",
+        )
     n_rows_col = F.count(F.lit(1)).alias("n_rows")
     row_level_aggs: list = []
     row_level_meta: list[tuple[int, str, str]] = []
@@ -132,8 +138,13 @@ def check_expectations(
                 )
             )
 
-    # 1-row total crossJoined back: keeps the checker action-free
-    totals = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    # 1-row total crossJoined back: keeps the checker action-free.
+    # Reuse agg_row's n_rows when the fused row-level scan exists —
+    # a separate count would re-scan the table for nothing.
+    if row_level_aggs:
+        totals = agg_row.select(F.col("n_rows").cast("long").alias("n_rows"))
+    else:
+        totals = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     out = reduce(lambda a, b: a.unionByName(b), reports)
     return out.crossJoin(F.broadcast(totals)).select(
         "rule_id",

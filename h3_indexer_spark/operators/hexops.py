@@ -70,6 +70,14 @@ def compact_cells_df(
         h3_string_to_long(F.col(cell_col)).alias("_c"),
         resolution_expr(F.col(cell_col)).alias("_r"),
     ).distinct()
+    # bounded driver pull: ONE scalar (the max resolution) sizes the
+    # round count. Each round's plan references the previous frontier
+    # in three places, so lineage fans out ~3^rounds — a static
+    # 15-round sweep builds an astronomically deep plan (observed
+    # hanging Catalyst at test scale), while the data-bounded count
+    # keeps it to a handful of rounds. At cluster scale, persist the
+    # frontier between rounds to cut the lineage entirely (the
+    # plans/indexer.py cache-at-stage-boundary posture).
     max_res = cells.agg(F.max("_r")).collect()[0][0]
     if max_res is None:
         return df.select(F.col(cell_col)).limit(0)
