@@ -259,3 +259,54 @@ def triangle_counts(
     return corners.groupBy("vertex").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Local clustering coefficient per vertex: 2·T / (d·(d−1)) where
+    T is the vertex's triangle count and d its degree — how close each
+    vertex's neighborhood is to a clique (1.0 inside near-dup cliques,
+    ~0 for hub-and-spoke structure). Vertices of degree < 2 have an
+    undefined coefficient and report 0.0 by the usual convention.
+    Output: (vertex, degree, n_triangles, clustering_coeff).
+
+    Composes :func:`triangle_counts` (degree-ordered wedge join,
+    m^1.5-bounded) with the degree table; the final join is
+    vertex-cardinality on both sides and the coefficient is an exact
+    integer ratio in double."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_u").alias("vertex"))
+        .unionAll(e.select(F.col("_v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tris = triangle_counts(edges, src, dst)
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(tris, "vertex", "left")
+        .select(
+            "vertex",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") < 2, F.lit(0.0)
+            ).otherwise(
+                F.lit(2.0)
+                * F.coalesce("n_triangles", F.lit(0)).cast("double")
+                / (d * (d - F.lit(1.0)))
+            ).alias("clustering_coeff"),
+        )
+    )

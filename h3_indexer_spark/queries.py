@@ -1085,6 +1085,34 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact higher moments per group (operators/relational.py::
+    grouped_moments): mean/variance/skewness/excess-kurtosis of
+    l_extendedprice by returnflag from integer-cents power sums —
+    bit-deterministic where streaming skewness()/kurtosis() fold in
+    float and drift with partition order."""
+    from h3_indexer_spark.operators.relational import grouped_moments
+
+    return grouped_moments(
+        load(spark, sf_dir, "lineitem"), "l_extendedprice",
+        ["l_returnflag"],
+    )
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (operators/graph.py::
+    clustering_coefficients) over the near-dup pair graph — 2T/(d(d−1))
+    per vertex, composing the degree-ordered triangle count with the
+    degree table."""
+    from h3_indexer_spark.operators.dedup import ngram_jaccard_exact_pairs
+    from h3_indexer_spark.operators.graph import clustering_coefficients
+
+    pairs = ngram_jaccard_exact_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=100
+    )
+    return clustering_coefficients(pairs)
+
+
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content-level media dedup (operators/multimodal.py::
     dedup_media_by_content): binary payloads grouped by md5 digest,
@@ -2319,6 +2347,8 @@ QUERIES: dict[str, Query] = {
     "q_one_hot": q_one_hot,
     "q_chi_square": q_chi_square,
     "q_twap": q_twap,
+    "q_moments": q_moments,
+    "q_clustering_coeff": q_clustering_coeff,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_media_meta": q_media_meta,
@@ -3293,6 +3323,90 @@ ORACLES: dict[str, str] = {
                                 / (CAST(n AS DOUBLE) - 1.0))
                END AS price_z
         FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    """,
+    "q_moments": """
+        WITH cc AS (
+            SELECT l_returnflag,
+                   CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                        AS BIGINT) AS c
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ),
+        a AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   SUM(CAST(c AS DECIMAL(18,0))) AS s1,
+                   SUM(CAST(c * c AS DECIMAL(20,0))) AS s2,
+                   SUM(CAST(c * c AS DECIMAL(19,0))
+                       * CAST(c AS DECIMAL(19,0))) AS s3,
+                   SUM(CAST(c * c AS DECIMAL(19,0))
+                       * CAST(c * c AS DECIMAL(19,0))) AS s4
+            FROM cc GROUP BY l_returnflag
+        ),
+        d AS (
+            SELECT l_returnflag, n_rows,
+                   CAST(n_rows AS DOUBLE) AS n,
+                   CAST(s1 AS DOUBLE) / 100.0 AS s1d,
+                   CAST(s2 AS DOUBLE) / 10000.0 AS s2d,
+                   CAST(s3 AS DOUBLE) / 1000000.0 AS s3d,
+                   CAST(s4 AS DOUBLE) / 100000000.0 AS s4d
+            FROM a
+        ),
+        m AS (
+            SELECT *,
+                   s1d / n AS mean,
+                   s2d / n - (s1d / n) * (s1d / n) AS m2
+            FROM d
+        )
+        SELECT l_returnflag, n_rows,
+               mean,
+               CASE WHEN n_rows >= 2
+                    THEN (s2d - s1d * s1d / n) / (n - 1.0) END
+                   AS var_samp,
+               CASE WHEN n_rows >= 3 AND m2 > 0.0
+                    THEN ((s3d / n - (3.0 * mean) * (s2d / n))
+                          + ((2.0 * mean) * mean) * mean)
+                         / sqrt((m2 * m2) * m2)
+                         * sqrt(n * (n - 1.0)) / (n - 2.0) END
+                   AS skewness,
+               CASE WHEN n_rows >= 4 AND m2 > 0.0
+                    THEN (((s4d / n - (4.0 * mean) * (s3d / n))
+                           + (((6.0 * mean) * mean) * (s2d / n)))
+                          - (((3.0 * mean) * mean) * mean) * mean)
+                         / (m2 * m2) - 3.0 END
+                   AS kurtosis_excess
+        FROM m
+    """,
+    "q_clustering_coeff": f"""
+        WITH {_ngram_pair_ctes()},
+        e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+        t AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        tri AS (
+            SELECT vertex, COUNT(*) AS n_t FROM (
+                SELECT a AS vertex FROM t
+                UNION ALL SELECT b FROM t
+                UNION ALL SELECT c FROM t)
+            GROUP BY vertex
+        ),
+        deg AS (
+            SELECT vertex, COUNT(*) AS d FROM (
+                SELECT u AS vertex FROM e
+                UNION ALL SELECT v FROM e)
+            GROUP BY vertex
+        )
+        SELECT deg.vertex,
+               CAST(d AS BIGINT) AS degree,
+               CAST(COALESCE(n_t, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d < 2 THEN 0.0
+                    ELSE 2.0 * CAST(COALESCE(n_t, 0) AS DOUBLE)
+                         / (CAST(d AS DOUBLE)
+                            * (CAST(d AS DOUBLE) - 1.0)) END
+                   AS clustering_coeff
+        FROM deg LEFT JOIN tri ON deg.vertex = tri.vertex
     """,
     "q_media_dedup": """
         WITH m AS (

@@ -308,3 +308,37 @@ class TestExpectations:
             check_expectations(
                 spark.range(1), [{"rule": "nope"}]
             )
+
+
+class TestGroupedMoments:
+    def test_known_distribution(self, spark):
+        """Symmetric data: skewness exactly 0; constant group: higher
+        moments null; values validated against closed forms."""
+        from h3_indexer_spark.operators.relational import grouped_moments
+
+        df = spark.createDataFrame(
+            [("s", 1.0), ("s", 2.0), ("s", 3.0),
+             ("c", 5.0), ("c", 5.0), ("c", 5.0), ("c", 5.0)],
+            "grp string, x double",
+        )
+        out = {r.grp: r for r in
+               grouped_moments(df, "x", ["grp"]).collect()}
+        s = out["s"]
+        assert s.mean == 2.0 and s.var_samp == 1.0
+        assert s.skewness == 0.0
+        # n=3 < 4: kurtosis undefined
+        assert s.kurtosis_excess is None
+        c = out["c"]
+        assert c.mean == 5.0 and c.var_samp == 0.0
+        assert c.skewness is None and c.kurtosis_excess is None
+
+    def test_skewed_sign(self, spark):
+        from h3_indexer_spark.operators.relational import grouped_moments
+
+        df = spark.createDataFrame(
+            [("g", v) for v in [1.0, 1.0, 1.0, 1.0, 10.0]],
+            "grp string, x double",
+        )
+        r = grouped_moments(df, "x", ["grp"]).collect()[0]
+        assert r.skewness > 1.0  # heavy right tail
+        assert r.kurtosis_excess is not None
