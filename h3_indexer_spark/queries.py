@@ -2111,6 +2111,62 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth_accounting(_load_events(spark, sf_dir))
 
 
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated retention/survival curve: for each week offset, the
+    fraction of ELIGIBLE users still active — composing
+    cohort_retention with per-cohort sizes, weighting every cohort by
+    its size and counting only cohorts old enough to have reached the
+    offset (right-censoring: a week-0 cohort can't contribute to
+    offset 3 if the data ends before then). Exact integer ratios."""
+    from h3_indexer_spark.operators.analytics import cohort_retention
+
+    ret = cohort_retention(_load_events(spark, sf_dir))
+    sizes = (
+        ret.where(F.col("period_offset") == 0)
+        .select(
+            "cohort_period", F.col("n_active").alias("_cohort_size")
+        )
+    )
+    max_p = ret.agg(
+        F.max(F.col("cohort_period") + F.col("period_offset")).alias(
+            "_max_p"
+        )
+    )
+    # explicit eligibility GRID: the sparse retention table has no row
+    # for a cohort with zero actives at an offset, so joining it alone
+    # would silently drop that cohort's size from the denominator
+    grid = (
+        sizes.crossJoin(F.broadcast(max_p))
+        .select(
+            "cohort_period",
+            "_cohort_size",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("_max_p") - F.col("cohort_period"),
+                )
+            ).alias("period_offset"),
+        )
+    )
+    joined = grid.join(ret, ["cohort_period", "period_offset"], "left")
+    return (
+        joined.groupBy("period_offset")
+        .agg(
+            F.sum(F.coalesce("n_active", F.lit(0))).alias("n_active"),
+            F.sum("_cohort_size").alias("n_eligible"),
+        )
+        .select(
+            "period_offset",
+            "n_active",
+            "n_eligible",
+            (
+                F.col("n_active").cast("double")
+                / F.col("n_eligible").cast("double")
+            ).alias("retention_rate"),
+        )
+    )
+
+
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct actives (operators/analytics.py::
     rolling_active_users) — the DAU/WAU primitive. Entity-days
@@ -2349,6 +2405,7 @@ QUERIES: dict[str, Query] = {
     "q_twap": q_twap,
     "q_moments": q_moments,
     "q_clustering_coeff": q_clustering_coeff,
+    "q_retention_curve": q_retention_curve,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_media_meta": q_media_meta,
@@ -3257,6 +3314,39 @@ ORACLES: dict[str, str] = {
                CAST(n_resurrected AS BIGINT) AS n_resurrected,
                COALESCE(ch.n_churned, 0) AS n_churned
         FROM per LEFT JOIN ch ON per.p = ch.p
+    """,
+    "q_retention_curve": f"""
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
+        f AS (SELECT user_id, MIN(tns) AS ft FROM e GROUP BY user_id),
+        ret AS (
+            SELECT ft // {7 * 86_400 * 10**9} AS cohort_period,
+                   (tns - ft) // {7 * 86_400 * 10**9} AS period_offset,
+                   COUNT(DISTINCT e.user_id) AS n_active
+            FROM e JOIN f ON e.user_id = f.user_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT cohort_period, n_active AS cohort_size FROM ret
+            WHERE period_offset = 0
+        ),
+        mx AS (SELECT MAX(cohort_period + period_offset) AS max_p
+               FROM ret),
+        grid AS (
+            SELECT cohort_period, cohort_size,
+                   unnest(range(0, max_p - cohort_period + 1))
+                       AS period_offset
+            FROM sizes CROSS JOIN mx
+        )
+        SELECT g.period_offset,
+               SUM(COALESCE(r.n_active, 0)) AS n_active,
+               SUM(g.cohort_size) AS n_eligible,
+               CAST(SUM(COALESCE(r.n_active, 0)) AS DOUBLE)
+                   / CAST(SUM(g.cohort_size) AS DOUBLE)
+                   AS retention_rate
+        FROM grid g
+        LEFT JOIN ret r ON g.cohort_period = r.cohort_period
+                       AND g.period_offset = r.period_offset
+        GROUP BY g.period_offset
     """,
     "q_active_users": f"""
         WITH ed AS (
