@@ -88,6 +88,9 @@ HEADLINE = [
     "q_active_users",
     "q_growth_accounting",
     "q_transitions",
+    "q_retention_curve",
+    "q_moments",
+    "q_top_paths",
 ]
 
 
