@@ -2091,6 +2091,27 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_event_paths(_load_events(spark, sf_dir))
 
 
+def q_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dwell times: how long users linger after each
+    action before their next event — the lead-gap attributed to the
+    CURRENT event's type, summarized with exact interpolated
+    percentiles (the q_quantiles parity result). One window shuffle on
+    the user id, then a tiny per-type aggregate."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ev = _load_events(spark, sf_dir).select(
+        "event_type",
+        (F.lead("ts").over(w) - F.col("ts")).alias("_dwell"),
+    ).where(F.col("_dwell").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_dwells"),
+        F.expr("percentile(_dwell, 0.5)").alias("p50_ns"),
+        F.expr("percentile(_dwell, 0.9)").alias("p90_ns"),
+        F.max("_dwell").alias("max_ns"),
+    )
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix (operators/
     analytics.py::event_transitions): counts and exact-ratio
@@ -2406,6 +2427,7 @@ QUERIES: dict[str, Query] = {
     "q_moments": q_moments,
     "q_clustering_coeff": q_clustering_coeff,
     "q_retention_curve": q_retention_curve,
+    "q_dwell_times": q_dwell_times,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_media_meta": q_media_meta,
@@ -3250,6 +3272,23 @@ ORACLES: dict[str, str] = {
                    AS BIGINT) AS rnk
             FROM p)
         WHERE rnk <= 10
+    """,
+    "q_dwell_times": """
+        WITH d AS (
+            SELECT event_type,
+                   lead(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id)
+                   - epoch_ns(ts) AS dwell
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_dwells,
+               quantile_cont(dwell, 0.5) AS p50_ns,
+               quantile_cont(dwell, 0.9) AS p90_ns,
+               MAX(dwell) AS max_ns
+        FROM d WHERE dwell IS NOT NULL
+        GROUP BY event_type
     """,
     "q_transitions": """
         WITH s AS (
