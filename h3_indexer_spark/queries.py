@@ -462,8 +462,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The runtime conf sets exist ONLY because the correctness driver
     runs these queries on a plain foreign SparkSession it builds
-    itself — they are deliberate, not leftovers (see
-    .claude/skills/verify/SKILL.md gotchas)."""
+    itself — they are deliberate, not leftovers: any session that
+    runs the contract must carry them or the nanos/TZ behavior
+    drifts from the oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # date_format/ window rendering and NTZ→epoch conversion must agree
     # with DuckDB's naive-as-UTC reading regardless of machine TZ.
@@ -2351,31 +2352,15 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by tests/test_oracle.py, which runs the identical comparison on every
 # ORACLES key. tests/test_entry.py locks this layout.
 QUERIES: dict[str, Query] = {
-    # -- driver window 0-49: every key oracle-checkable ------------------
-    # scans / projection
+    # -- driver window 0-49 (round 5): 20 regression anchors + the 30
+    #    oracle keys that had never had a driver-green CORRECTNESS row
+    #    in rounds 1-4 (VERDICT r4 item #1). Every key oracle-checkable.
+    # anchors: scan/agg/topk/funnel + full dedup family + knn/profile/
+    #          expectations/graph/media/fuzzy
     "q_scan_parquet": q_scan_parquet,
-    "q_scan_where": q_scan_where,
-    # joins
-    "q_join_left_small": q_join_left_small,
-    "q_join_full_outer": q_join_full_outer,
-    "q_join_skew_salted": q_join_skew_salted,
-    # aggregation
     "q_groupby_sum": q_groupby_sum,
-    "q_profile": q_profile,
-    "q_corr": q_corr,
-    # dataflow / reshaping
-    "q_explode": q_explode,
-    # windows / temporal
-    "q_window_tumbling": q_window_tumbling,
-    "q_sessionize": q_sessionize,
-    "q_rolling_features": q_rolling_features,
-    "q_asof_join": q_asof_join,
-    "q_interval_join": q_interval_join,
-    "q_range_join": q_range_join,
-    # text analysis
-    "q_fingerprint": q_fingerprint,
-    "q_tfidf": q_tfidf,
-    # dedup family
+    "q_top_orders": q_top_orders,
+    "q_funnel": q_funnel,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
@@ -2385,37 +2370,14 @@ QUERIES: dict[str, Query] = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_semantic_dedup": q_semantic_dedup,
     "q_dedup_resolve": q_dedup_resolve,
-    # similarity search
-    "q_knn_brute": q_knn_brute,
     "q_knn_ivf": q_knn_ivf,
-    # curation pipeline stages
-    "q_corpus_curation": q_corpus_curation,
-    "q_decontaminate": q_decontaminate,
-    "q_clean_lines": q_clean_lines,
-    "q_fuzzy_join": q_fuzzy_join,
-    "q_top_orders": q_top_orders,
-    "q_region_revenue": q_region_revenue,
-    "q_funnel": q_funnel,
-    "q_retention_cohorts": q_retention_cohorts,
-    "q_frequent_items": q_frequent_items,
-    "q_gap_fill": q_gap_fill,
-    "q_attribution": q_attribution,
-    "q_zscore": q_zscore,
-    "q_robust_scale": q_robust_scale,
-    "q_contamination_frac": q_contamination_frac,
-    "q_rare_words": q_rare_words,
-    "q_decontaminate_bloom": q_decontaminate_bloom,
+    "q_fingerprint": q_fingerprint,
+    "q_profile": q_profile,
     "q_expectations": q_expectations,
-    "q_dedup_spans_global": q_dedup_spans_global,
     "q_triangles": q_triangles,
     "q_media_dedup": q_media_dedup,
-    "q_knn_lsh": q_knn_lsh,
-    "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
-    # multimodal plumbing
-    # -- beyond the window: oracle-checkable (tests/test_oracle.py;
-    #    driver-green in CORRECTNESS_r01-r03) ---------------------------
-    "q_mul_ratio": q_mul_ratio,
-    "q_count_distinct": q_count_distinct,
+    "q_fuzzy_join": q_fuzzy_join,
+    # rotated-in: behavioral analytics, feature eng, curation, text
     "q_active_users": q_active_users,
     "q_growth_accounting": q_growth_accounting,
     "q_transitions": q_transitions,
@@ -2430,19 +2392,14 @@ QUERIES: dict[str, Query] = {
     "q_dwell_times": q_dwell_times,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
-    "q_media_meta": q_media_meta,
     "q_event_gaps": q_event_gaps,
     "q_anomalies": q_anomalies,
     "q_time_rollup": q_time_rollup,
     "q_co_occurrence": q_co_occurrence,
     "q_frequent_items_scalable": q_frequent_items_scalable,
     "q_unpivot": q_unpivot,
-    "q_text_stats": q_text_stats,
     "q_dup_spans": q_dup_spans,
     "q_histogram": q_histogram,
-    "q_pivot_events": q_pivot_events,
-    "q_sample_stratified": q_sample_stratified,
-    "q_ngram_bigrams": q_ngram_bigrams,
     "q_chunk_docs": q_chunk_docs,
     "q_seq_pack": q_seq_pack,
     "q_json_extract": q_json_extract,
@@ -2450,11 +2407,48 @@ QUERIES: dict[str, Query] = {
     "q_rebalance_sources": q_rebalance_sources,
     "q_ntile_bins": q_ntile_bins,
     "q_minmax_scale": q_minmax_scale,
+    "q_url_normalize": q_url_normalize,
+    # -- beyond the window: oracle-checkable (tests/test_oracle.py runs
+    #    the identical comparison; all were driver-green in r1-r4) ------
+    "q_scan_where": q_scan_where,
+    "q_join_left_small": q_join_left_small,
+    "q_join_full_outer": q_join_full_outer,
+    "q_join_skew_salted": q_join_skew_salted,
+    "q_corr": q_corr,
+    "q_explode": q_explode,
+    "q_window_tumbling": q_window_tumbling,
+    "q_sessionize": q_sessionize,
+    "q_rolling_features": q_rolling_features,
+    "q_asof_join": q_asof_join,
+    "q_interval_join": q_interval_join,
+    "q_range_join": q_range_join,
+    "q_tfidf": q_tfidf,
+    "q_knn_brute": q_knn_brute,
+    "q_corpus_curation": q_corpus_curation,
+    "q_decontaminate": q_decontaminate,
+    "q_clean_lines": q_clean_lines,
+    "q_region_revenue": q_region_revenue,
+    "q_retention_cohorts": q_retention_cohorts,
+    "q_frequent_items": q_frequent_items,
+    "q_gap_fill": q_gap_fill,
+    "q_attribution": q_attribution,
+    "q_zscore": q_zscore,
+    "q_robust_scale": q_robust_scale,
+    "q_contamination_frac": q_contamination_frac,
+    "q_rare_words": q_rare_words,
+    "q_decontaminate_bloom": q_decontaminate_bloom,
+    "q_dedup_spans_global": q_dedup_spans_global,
+    "q_knn_lsh": q_knn_lsh,
+    "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "q_mul_ratio": q_mul_ratio,
+    "q_count_distinct": q_count_distinct,
+    "q_media_meta": q_media_meta,
+    "q_text_stats": q_text_stats,
+    "q_pivot_events": q_pivot_events,
+    "q_sample_stratified": q_sample_stratified,
+    "q_ngram_bigrams": q_ngram_bigrams,
     "q_media_audio": q_media_audio,
     "q_project": q_project,
-    # classic decision-support joins (round 4)
-    # behavioral analytics (round 4)
-    # graded curation signals (round 4)
     "q_join_anti": q_join_anti,
     "q_join_semi": q_join_semi,
     "q_groupby_stats": q_groupby_stats,
@@ -2480,7 +2474,6 @@ QUERIES: dict[str, Query] = {
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_knn_batch": q_knn_batch,
-    "q_url_normalize": q_url_normalize,
     # -- rows-only tail: seeded/sketch/iterative keys with no external
     #    oracle (each self-verified in tests) --------------------------
     "q_quantile_bins": q_quantile_bins,

@@ -40,6 +40,60 @@ def test_driver_window_all_oracle_checkable():
     assert not missing, f"non-oracle keys inside the driver window: {missing}"
 
 
+ROTATED_R5 = {
+    # The 30 oracle keys that had never had a driver-green CORRECTNESS
+    # row in rounds 1-4; round 5 rotates them into the 50-key window so
+    # every oracle key has been driver-verified at least once.
+    "q_active_users", "q_growth_accounting", "q_transitions",
+    "q_top_paths", "q_impute", "q_one_hot", "q_chi_square", "q_twap",
+    "q_moments", "q_clustering_coeff", "q_retention_curve",
+    "q_dwell_times", "q_pii_scrub", "q_repetition", "q_event_gaps",
+    "q_anomalies", "q_time_rollup", "q_co_occurrence",
+    "q_frequent_items_scalable", "q_unpivot", "q_dup_spans",
+    "q_histogram", "q_chunk_docs", "q_seq_pack", "q_json_extract",
+    "q_domain_cap", "q_rebalance_sources", "q_ntile_bins",
+    "q_minmax_scale", "q_url_normalize",
+}
+
+
+def test_round5_window_composition():
+    """Round-5 rotation: the 30 never-driver-verified oracle keys all sit
+    inside the driver's 50-key window, alongside 20 regression anchors
+    covering scan/agg/dedup/knn/graph/media."""
+    import __spark_entry__ as e
+
+    window = set(list(e.queries())[:50])
+    missing = ROTATED_R5 - window
+    assert not missing, f"rotated keys fell out of the window: {missing}"
+    anchors = {
+        "q_scan_parquet", "q_groupby_sum", "q_funnel", "q_dedup_exact",
+        "q_dedup_minhash", "q_semantic_dedup", "q_knn_ivf", "q_profile",
+        "q_expectations", "q_triangles",
+    }
+    assert anchors <= window
+
+
+def test_every_oracle_key_has_a_driver_row():
+    """Union of CORRECTNESS_r01-r04 driver rows plus the current window
+    must cover every ORACLES key — i.e. after this round's driver run,
+    no oracle key will ever have been skipped by the gate."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen = set(list(e.queries())[:50])
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        try:
+            seen |= set(json.load(open(path)))
+        except (json.JSONDecodeError, OSError):  # pragma: no cover
+            continue
+    uncovered = set(e.oracle_sql()) - seen
+    assert not uncovered, f"oracle keys never driver-checked: {uncovered}"
+
+
 def test_no_array_columns_cross_contract_boundary(spark):
     """The driver's canonicalizer sorts rows by every column and dies
     on unhashable cells (CORRECTNESS_r03: q_approx_stats TypeError).
