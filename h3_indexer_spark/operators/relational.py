@@ -385,7 +385,8 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     when exact NDVs aren't required — this plan's state is
     proportional to the distinct pair count. Mean is exact-decimal
     sum / count in double so it is bit-deterministic regardless of
-    row order (see the DECIMAL(18,6) rule in .claude/skills/verify).
+    row order (exact DECIMAL(18,6) accumulation, double only at the
+    final division).
 
     Float/double distinct keys fold -0.0 into 0.0 first:
     COUNT(DISTINCT) treats them as one value in both engines, but
