@@ -104,6 +104,23 @@ def test_plan_properties(spark, key, required):
         assert needle in plan, f"{key}: expected {needle!r} in plan:\n{plan}"
 
 
+def test_profile_is_single_scan(spark):
+    """profile_table (relational.py::profile_table) is ONE pass: a
+    single lineitem scan feeding an explode and two stacked hash
+    aggregates. The regressions it guards against: (a) the old
+    two-branch form that scanned the source once per branch, and (b)
+    a GROUPING SETS rewrite that plans as Expand x(n_cols+1) into a
+    SortAggregate (measured 12x slower)."""
+    import re
+
+    plan = _plan(spark, "q_profile")
+    # one numbered scan node in the detail section (the tree section
+    # prints the same node a second time — don't double-count it)
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"q_profile reads its input {scans}x:\n{plan}"
+    assert "Expand" not in plan, f"q_profile regressed to Expand:\n{plan}"
+
+
 def test_join_left_small_no_probe_shuffle(spark):
     """The probe (lineitem) side of J1 must not exchange: only the
     broadcast of the small side moves."""
