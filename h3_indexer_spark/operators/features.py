@@ -19,6 +19,44 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# The per-group stats tables the scaler/impute family joins back are
+# tiny for any sane group column, but "tiny" must be verified, not
+# assumed: an unconditional F.broadcast of a 10^8-cardinality group
+# column's aggregate would OOM the driver rather than degrade. Groups
+# up to this count broadcast (a 100k-row, few-column stats table is
+# single-digit MB); past it the join degrades to a plain equi-join
+# that AQE plans shuffle-side.
+BROADCAST_GROUP_LIMIT = 100_000
+
+
+def _stats_join(
+    df: DataFrame,
+    stats: DataFrame,
+    group_col: str | None,
+    broadcast_groups: int | None = None,
+) -> DataFrame:
+    """Join a per-group statistics table back onto the fact table.
+
+    Ungrouped stats are a single row — always a broadcast cross join.
+    Grouped stats broadcast only after a LIMIT-bounded count verifies
+    the cardinality is at most ``broadcast_groups`` (default
+    ``BROADCAST_GROUP_LIMIT``); the stats frame is cached first so the
+    probe does not recompute the aggregation the join itself needs.
+    Past the threshold the fact side takes one hash shuffle instead of
+    the driver taking an OOM — the correct degradation. The bounded
+    count makes callers eager (one small job at construction time);
+    every caller documents that.
+    """
+    if group_col is None:
+        return df.crossJoin(F.broadcast(stats))
+    if broadcast_groups is None:
+        broadcast_groups = BROADCAST_GROUP_LIMIT
+    stats = stats.persist()
+    if stats.limit(broadcast_groups + 1).count() <= broadcast_groups:
+        return df.join(F.broadcast(stats), group_col)
+    return df.join(stats, group_col)
+
+
 def rolling_features(
     df: DataFrame,
     key_col: str,
@@ -227,12 +265,11 @@ def minmax_scale(
         bounds = df.agg(
             F.min(v).alias("_mn"), F.max(v).alias("_mx")
         )
-        joined = df.crossJoin(F.broadcast(bounds))
     else:
         bounds = df.groupBy(group_col).agg(
             F.min(v).alias("_mn"), F.max(v).alias("_mx")
         )
-        joined = df.join(F.broadcast(bounds), group_col)
+    joined = _stats_join(df, bounds, group_col)
     scaled = F.when(F.col("_mx") == F.col("_mn"), F.lit(0.5)).otherwise(
         (v - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
     )
@@ -267,10 +304,9 @@ def standardize(
     ]
     if group_col is None:
         moments = df.agg(*aggs)
-        joined = df.crossJoin(F.broadcast(moments))
     else:
         moments = df.groupBy(group_col).agg(*aggs)
-        joined = df.join(F.broadcast(moments), group_col)
+    joined = _stats_join(df, moments, group_col)
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
     sxx = F.col("_sxx").cast("double")
@@ -309,10 +345,9 @@ def robust_scale(
     ]
     if group_col is None:
         quart = df.agg(*aggs)
-        joined = df.crossJoin(F.broadcast(quart))
     else:
         quart = df.groupBy(group_col).agg(*aggs)
-        joined = df.join(F.broadcast(quart), group_col)
+    joined = _stats_join(df, quart, group_col)
     iqr = F.col("_p75") - F.col("_p25")
     scaled = F.when(iqr <= 0.0, F.lit(0.0)).otherwise(
         (F.col(value_col).cast("double") - F.col("_p50")) / iqr
@@ -350,10 +385,9 @@ def impute(
         raise ValueError(f"unknown strategy {strategy!r}: mean|median")
     if group_col is None:
         fills = df.agg(stat)
-        joined = df.crossJoin(F.broadcast(fills))
     else:
         fills = df.groupBy(group_col).agg(stat)
-        joined = df.join(F.broadcast(fills), group_col)
+    joined = _stats_join(df, fills, group_col)
     return joined.withColumn(
         out_col,
         F.coalesce(F.col(value_col).cast("double"), F.col("_fill")),

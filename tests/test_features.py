@@ -191,6 +191,58 @@ class TestMinMaxScale:
         assert "BroadcastHashJoin" in tree, plan
         assert "SortMergeJoin" not in tree, plan
 
+    def test_broadcast_guard_degrades_above_threshold(
+        self, spark, monkeypatch
+    ):
+        """Past BROADCAST_GROUP_LIMIT distinct groups the stats join
+        must NOT carry a broadcast hint — it degrades to a plain
+        equi-join (driver-OOM-safe) instead. Below the threshold the
+        hint stays. Asserted on the optimized logical plan, where the
+        explicit hint shows as a broadcast join strategy on the stats
+        side regardless of what AQE later picks."""
+        from h3_indexer_spark.operators import features as FE
+
+        df = (
+            spark.range(40)
+            .withColumn("g", F.col("id") % 20)
+            .withColumn("v", F.col("id").cast("double"))
+        )
+
+        def optimized(res):
+            return str(res._jdf.queryExecution().optimizedPlan())
+
+        # 20 groups <= limit: hint present
+        monkeypatch.setattr(FE, "BROADCAST_GROUP_LIMIT", 1000)
+        assert "strategy=broadcast" in optimized(
+            FE.standardize(df, "v", group_col="g")
+        )
+        # 20 groups > limit of 5: hint gone, plain join
+        monkeypatch.setattr(FE, "BROADCAST_GROUP_LIMIT", 5)
+        assert "strategy=broadcast" not in optimized(
+            FE.standardize(df, "v", group_col="g")
+        )
+
+    def test_guarded_paths_agree(self, spark, monkeypatch):
+        """Both sides of the guard compute identical results."""
+        from h3_indexer_spark.operators import features as FE
+
+        df = (
+            spark.range(30)
+            .withColumn("g", F.col("id") % 10)
+            .withColumn("v", (F.col("id") * 3 % 7).cast("double"))
+        )
+        monkeypatch.setattr(FE, "BROADCAST_GROUP_LIMIT", 2)
+        shuffled = {
+            (r.id, r.v_z)
+            for r in FE.standardize(df, "v", group_col="g").collect()
+        }
+        monkeypatch.setattr(FE, "BROADCAST_GROUP_LIMIT", 100_000)
+        broadcasted = {
+            (r.id, r.v_z)
+            for r in FE.standardize(df, "v", group_col="g").collect()
+        }
+        assert shuffled == broadcasted
+
 
 class TestImputeOneHot:
     def test_impute_mean_and_median_and_all_null_group(self, spark):
