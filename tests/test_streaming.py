@@ -58,6 +58,56 @@ def _read_stream(spark, events_dir):
     return spark.readStream.schema(schema).parquet(events_dir)
 
 
+def _run_stream_with_drop_count(spark, stream_df, output_mode="append"):
+    """Run to completion and also return the total rows the stateful
+    operators dropped for violating the watermark (the explicit
+    late-data accounting surfaced in StreamingQueryProgress)."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    return spark.table(name), dropped
+
+
+def _write_event_batches(spark, d, batches):
+    """Append each batch as one parquet file with strictly increasing
+    mtimes, so maxFilesPerTrigger=1 replays them in order — the
+    controlled-lateness harness (a later batch can carry an event time
+    the watermark has already passed)."""
+    import time as _time
+
+    for rows in batches:
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, event_type string, "
+            "value double, user_id long",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "event_type",
+            "value",
+            "user_id",
+        )
+        df.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
 class TestWindowedAgg:
     def test_matches_batch(self, spark, events_dir):
         stream = windowed_event_agg(_read_stream(spark, events_dir))
@@ -156,6 +206,170 @@ class TestLateData:
             # the 10:00 window finalized with ONLY event 1 — the late
             # event 3 arrived after the watermark passed the window end
             assert finalized.get("10:00") == 1, finalized
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+class TestLateDataAccounting:
+    """Watermark-violating events injected into each stateful stream,
+    with the drop made EXPLICIT via numRowsDroppedByWatermark and
+    reconciled against the batch plan (which, having no watermark,
+    always counts the late rows)."""
+
+    B = "2024-06-01 "
+
+    def test_windowed_drop_count_reconciles_with_batch(self, spark):
+        d = tempfile.mkdtemp(prefix="h3idx_latewin_")
+        try:
+            stream_src = _write_event_batches(
+                spark,
+                d,
+                [
+                    [
+                        (1, self.B + "10:15:00", "click", 1.0, 7),
+                        (2, self.B + "13:00:00", "click", 1.0, 7),
+                    ],
+                    # advances the watermark to 12:00 and evicts the
+                    # finalized [10:00,11:00) window
+                    [(5, self.B + "13:30:00", "click", 1.0, 7)],
+                    # late: 10:30 is behind the 12:00 watermark
+                    [
+                        (3, self.B + "10:30:00", "click", 1.0, 7),
+                        (4, self.B + "14:00:00", "click", 1.0, 7),
+                    ],
+                ],
+            )
+            agg = windowed_event_agg(
+                stream_src, window="1 hour", watermark="1 hour"
+            )
+            got, dropped = _run_stream_with_drop_count(spark, agg)
+            assert dropped == 1, f"expected exactly the one late row: {dropped}"
+            finalized = {
+                r.window_start.strftime("%H:%M"): r.n_events
+                for r in got.collect()
+            }
+            # batch (no watermark) counts BOTH rows in the 10:00 window;
+            # the stream finalized it with one — the difference IS the
+            # dropped count
+            batch = windowed_event_agg(
+                spark.read.parquet(d), window="1 hour", watermark="1 hour"
+            )
+            batch_1000 = {
+                r.window_start.strftime("%H:%M"): r.n_events
+                for r in batch.collect()
+            }["10:00"]
+            assert batch_1000 - finalized["10:00"] == dropped
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_session_late_event_dropped_not_merged(self, spark):
+        """A late event that WOULD have merged into an already-finalized
+        session must be dropped (and counted), not spawn a phantom
+        session or mutate emitted output."""
+        d = tempfile.mkdtemp(prefix="h3idx_latesess_")
+        try:
+            stream_src = _write_event_batches(
+                spark,
+                d,
+                [
+                    [
+                        (1, self.B + "10:00:00", "click", 1.0, 7),
+                        (2, self.B + "13:00:00", "click", 1.0, 7),
+                    ],
+                    # watermark 12:00 > session end 10:30 → finalize+evict
+                    [(5, self.B + "13:30:00", "click", 1.0, 7)],
+                    # 10:10 would have extended the 10:00 session
+                    [
+                        (3, self.B + "10:10:00", "click", 1.0, 7),
+                        (4, self.B + "14:00:00", "click", 1.0, 7),
+                    ],
+                ],
+            )
+            agg = sessionized_agg(
+                stream_src, gap="30 minutes", watermark="1 hour"
+            )
+            got, dropped = _run_stream_with_drop_count(spark, agg)
+            assert dropped == 1, dropped
+            sessions = {
+                r.session_start.strftime("%H:%M"): r.n_events
+                for r in got.collect()
+            }
+            assert sessions.get("10:00") == 1, sessions
+            assert "10:10" not in sessions
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_dedup_state_expires_with_watermark(self, spark):
+        """dropDuplicatesWithinWatermark keeps per-id state only within
+        the watermark: a replay inside it collapses; a replay after the
+        id's state expired passes through again. This is the documented
+        bounded-state trade — at 100 TB/day the state store cannot hold
+        every id forever, so effectively-once holds only within the
+        lateness bound."""
+        d = tempfile.mkdtemp(prefix="h3idx_latededup_")
+        try:
+            stream_src = _write_event_batches(
+                spark,
+                d,
+                [
+                    [(1, self.B + "10:00:00", "click", 1.0, 7)],
+                    # same id replayed within the watermark → collapses
+                    [(1, self.B + "10:00:00", "click", 1.0, 7)],
+                    # advance watermark to 12:00, expiring id 1's state
+                    # (kept only until watermark > 10:00 + 1h delay)
+                    [(99, self.B + "13:00:00", "click", 1.0, 8)],
+                    # eviction commits at END of the batch that runs
+                    # with the advanced watermark — burn one batch
+                    [(98, self.B + "13:10:00", "click", 1.0, 8)],
+                    # re-stamped replay AFTER expiry → passes through
+                    [(1, self.B + "12:30:00", "click", 1.0, 7)],
+                ],
+            )
+            stream = streaming_dedup(stream_src, watermark="1 hour")
+            got, _ = _run_stream_with_drop_count(spark, stream)
+            counts = {
+                r.event_id: r["count"]
+                for r in got.groupBy("event_id").count().collect()
+            }
+            assert counts == {1: 2, 98: 1, 99: 1}, counts
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_funnel_cross_batch_disorder_is_not_retroactive(self, spark):
+        """streaming_funnel's documented contract: a stage-k event
+        processed before the key's stage k-1 completion is known is NOT
+        retroactively applied (buffer upstream by watermark if that
+        guarantee is needed). The batch funnel on the same data DOES
+        count the chain — the difference is the disorder cost."""
+        from h3_indexer_spark.operators.analytics import funnel
+        from h3_indexer_spark.streaming.events import streaming_funnel
+
+        d = tempfile.mkdtemp(prefix="h3idx_latefun_")
+        try:
+            stream_src = _write_event_batches(
+                spark,
+                d,
+                [
+                    # click arrives in an earlier batch...
+                    [(1, self.B + "10:30:00", "click", 1.0, 7)],
+                    # ...than the view that precedes it in event time
+                    [(2, self.B + "10:00:00", "view", 1.0, 7)],
+                ],
+            )
+            stream = streaming_funnel(stream_src, ["view", "click"])
+            got, _ = _run_stream_with_drop_count(
+                spark, stream, output_mode="update"
+            )
+            rows = {r.user_id: r for r in got.collect()}
+            assert rows[7].stages_reached == 1, rows
+            assert rows[7].t_1 is None
+            batch = funnel(
+                spark.read.parquet(d).withColumn(
+                    "ts", F.unix_micros("ts") * 1000
+                ),
+                ["view", "click"],
+            )
+            assert batch.collect()[0].stages_reached == 2
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
