@@ -21,7 +21,10 @@ from h3_indexer_spark.plans.indexer import index_job
 from h3_indexer_spark.plans.resolver import resolve_job
 from h3_indexer_spark.plans.validator import validate_config
 from h3_indexer_spark.session import get_spark_session
-from h3_indexer_spark.sources.writers import write_partitioned_parquet
+from h3_indexer_spark.sources.writers import (
+    write_parquet,
+    write_partitioned_parquet,
+)
 
 log = logging.getLogger("h3_indexer_spark")
 
@@ -35,6 +38,25 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--validate-only", action="store_true")
     mode.add_argument("--index-only", action="store_true")
     mode.add_argument("--run-all", action="store_true", default=False)
+    p.add_argument(
+        "--zorder",
+        metavar="COLS",
+        help=(
+            "comma-separated numeric columns; the resolved output is "
+            "written Z-order-clustered on them (multi-dimensional "
+            "data skipping) instead of hive-partitioned"
+        ),
+    )
+    p.add_argument(
+        "--expectations",
+        metavar="RULES_PATH",
+        help=(
+            "YAML/JSON list of data-quality rules (operators/"
+            "expectations.py kinds); the resolved output is written "
+            "ONLY if every rule passes — the report always lands at "
+            "<output>/expectations_report, and a failed gate exits 3"
+        ),
+    )
     return p
 
 
@@ -62,8 +84,46 @@ def run(argv: list[str] | None = None) -> int:
 
     resolve_job(job, spark)
     out = f"{job.output_path}/resolved"
-    write_partitioned_parquet(job.h3_resolved_df, out)
-    log.info("resolved job %s -> %s", job.id, out)
+
+    if args.expectations:
+        from h3_indexer_spark.config.loader import rules_from_path
+        from h3_indexer_spark.operators.expectations import (
+            check_expectations,
+        )
+
+        report = check_expectations(
+            job.h3_resolved_df, rules_from_path(args.expectations)
+        )
+        report_out = f"{job.output_path}/expectations_report"
+        write_parquet(report, report_out)
+        failed = [
+            (r.rule, r.target, r.n_violations)
+            for r in report.collect()
+            if not r.passed
+        ]
+        if failed:
+            for rule, target, n in failed:
+                log.error(
+                    "expectation FAILED: %s on %s (%d violations)",
+                    rule,
+                    target,
+                    n,
+                )
+            log.error(
+                "resolved output NOT written (report at %s)", report_out
+            )
+            return 3
+        log.info("expectations passed (report at %s)", report_out)
+
+    if args.zorder:
+        from h3_indexer_spark.sources.writers import zorder_write
+
+        cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+        zorder_write(job.h3_resolved_df, out, cols)
+        log.info("resolved job %s -> %s (z-ordered on %s)", job.id, out, cols)
+    else:
+        write_partitioned_parquet(job.h3_resolved_df, out)
+        log.info("resolved job %s -> %s", job.id, out)
     return 0
 
 

@@ -60,3 +60,23 @@ def job_from_path(path: str | Path) -> Job:
     if p.suffix.lower() in (".yaml", ".yml"):
         return job_from_yaml_path(p)
     return job_from_json(p.read_text())
+
+
+def rules_from_path(path: str | Path) -> list[dict[str, Any]]:
+    """Load a data-quality rules list (operators/expectations.py rule
+    dicts) from a YAML or JSON file for the CLI's --expectations gate.
+    Only declarative rule kinds are file-expressible — foreign_key
+    needs a DataFrame ref and stays API-only."""
+    p = Path(path)
+    text = p.read_text()
+    if p.suffix.lower() in (".yaml", ".yml") and _HAVE_YAML:
+        data = yaml.safe_load(text)
+    else:
+        data = json.loads(text)
+    if not isinstance(data, list) or not all(
+        isinstance(r, dict) for r in data
+    ):
+        raise ValueError(
+            f"{path}: expectations file must be a list of rule dicts"
+        )
+    return data
