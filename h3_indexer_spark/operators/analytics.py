@@ -893,3 +893,75 @@ def time_weighted_average(
             "twap",
         )
     )
+
+
+def event_type_entropy(
+    events: DataFrame,
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-entity Shannon entropy of the event-type distribution — the
+    behavioral-diversity signal (H = 0: a single-action bot; high H:
+    a human exploring every surface). Output: (id, n_events,
+    n_types, entropy_nats).
+
+    Computed from integer counts via H = ln(N) − (Σ nᵢ·ln nᵢ)/N: the
+    two-level aggregate keeps every sum exact-integer until the final
+    fixed ln/divide sequence, so the result is reproducible
+    cross-engine (the q_tfidf precedent: both engines' ln agree
+    bit-for-bit on integer inputs). Two partial-aggregated shuffles,
+    the second over entity-cardinality rows only."""
+    counts = events.groupBy(id_col, type_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    nd = F.col("_n").cast("double")
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(nd * F.log(nd)).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_events",
+            "n_types",
+            (
+                F.log(F.col("n_events").cast("double"))
+                - F.col("_s") / F.col("n_events").cast("double")
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def lag1_autocorr(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-entity lag-1 autocorrelation of ``value_col`` over the
+    entity's time-ordered stream — the temporal-dependence signal
+    (≈0: white noise / independent actions; near ±1: momentum or
+    alternation, the heartbeat of bot detection and sensor
+    diagnostics). Output: (id, n_rows, corr) where n_rows counts the
+    consecutive (v_t, v_{t+1}) pairs.
+
+    ONE window shuffle builds the lead pairs (same partition key as
+    the corr aggregate that follows, so the groupBy reuses the
+    window's hash partitioning without a second exchange), then the
+    exact-DECIMAL Pearson machinery of relational.grouped_corr gives
+    the bit-deterministic statistic. Entities with < 3 events or zero
+    variance yield NULL (degenerate-denominator rule)."""
+    from h3_indexer_spark.operators.relational import grouped_corr
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    pairs = (
+        events.select(id_col, ts_col, order_tiebreak, value_col)
+        .withColumn("_next", F.lead(value_col).over(w))
+        .where(F.col("_next").isNotNull())
+    )
+    return grouped_corr(pairs, [id_col], value_col, "_next")

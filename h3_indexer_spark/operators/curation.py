@@ -697,3 +697,167 @@ def clean_lines(
         .withColumn("n_kept_lines", F.size("_kept").cast("bigint"))
         .drop("_lines", "_kept")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic dataset splitting
+# --------------------------------------------------------------------------
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the step between a
+    curated corpus and training. Each document's split comes from a
+    60-bit md5-derived hash of (salt || id): content-independent,
+    seedless, and stable across engines and re-runs, so (a) adding
+    documents never moves existing ones between splits, and (b) any
+    engine (or the eval harness, in SQL) can recompute membership
+    without a lookup table. ``salt`` gives independent re-splits.
+
+    ``fractions`` maps split name → fraction, summing to ≤ 1 (any
+    remainder joins the LAST split in insertion order). Assignment is
+    by hash bands: h < f1·2^60 → split 1, h < (f1+f2)·2^60 → split 2,
+    … — exact band arithmetic on integers, no float comparison
+    ambiguity at the boundaries beyond the fixed band edges
+    themselves.
+
+    Pure narrow expression — zero shuffle at any corpus size, and the
+    md5 band recipe has an exact DuckDB twin (hash-checkable).
+    """
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    # 60-bit uniform hash: md5 hex chars [18, 33) parsed base-16
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    space = float(1 << 60)
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        edge = F.lit(int(cum * space))
+        expr = (
+            F.when(h < edge, F.lit(name))
+            if expr is None
+            else expr.when(h < edge, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+# --------------------------------------------------------------------------
+# Boilerplate-line removal (CCNet-style cross-document line frequency)
+# --------------------------------------------------------------------------
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 5,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Find boilerplate: lines (segments of ``text_col`` split on
+    ``delimiter``, trimmed) that occur in at least ``min_docs``
+    DISTINCT documents — navigation bars, cookie banners, footers in a
+    crawl all repeat across pages while prose doesn't (the CCNet /
+    RefinedWeb line-dedup signal). Returns (line, n_docs), the
+    corpus-level boilerplate vocabulary.
+
+    Plan: explode → distinct (doc, line) collapse map-side → count per
+    line — one shuffle keyed on the line text, partial-aggregated, so
+    the shuffle carries distinct pairs, not raw occurrences. Lines
+    shorter than ``min_chars`` are ignored (isolated short strings
+    repeat by chance, not boilerplate).
+    """
+    import re as _re
+
+    # F.split takes a REGEX; the delimiter contract is LITERAL (and
+    # DuckDB's str_split twin is literal) — escape it
+    line = F.explode(
+        F.split(F.col(text_col), _re.escape(delimiter), -1)
+    ).alias("_raw")
+    return (
+        df.select(F.col(id_col).alias("_id"), line)
+        .select("_id", F.trim(F.col("_raw")).alias("line"))
+        .where(F.length("line") >= min_chars)
+        .groupBy("line")
+        .agg(F.countDistinct("_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 5,
+    delimiter: str = "\n",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Strip the :func:`boilerplate_lines` vocabulary out of every
+    document, preserving the order of surviving lines. Adds
+    ``out_col`` plus ``n_lines_removed``.
+
+    Plan: the boilerplate vocabulary aggregates to a single array row
+    and broadcasts; each document then filters its own split lines
+    against it with an array higher-order function — the corpus side
+    is a NARROW map (no explode/regroup round trip, no shuffle of
+    document rows). The broadcast is bounded by the boilerplate
+    vocabulary, which is small by construction (only text repeated
+    across ``min_docs``+ documents qualifies — at crawl scale a few
+    hundred thousand short strings); raise ``min_docs``/``min_chars``
+    to shrink it further before loosening them.
+    """
+    bp = boilerplate_lines(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        min_docs=min_docs,
+        min_chars=min_chars,
+        delimiter=delimiter,
+    )
+    bp_arr = bp.agg(
+        F.coalesce(
+            F.array_sort(F.collect_list("line")), F.array().cast("array<string>")
+        ).alias("_bp")
+    )
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(delimiter), -1)
+    kept = F.filter(
+        lines, lambda x: ~F.array_contains(F.col("_bp"), F.trim(x))
+    )
+    return (
+        df.crossJoin(F.broadcast(bp_arr))
+        .withColumn(out_col, F.array_join(kept, delimiter))
+        .withColumn(
+            "n_lines_removed",
+            (F.size(lines) - F.size(kept)).cast("bigint"),
+        )
+        .drop("_bp")
+    )

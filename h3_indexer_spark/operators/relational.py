@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -549,4 +549,138 @@ def grouped_moments(
         F.when((F.col("n_rows") >= 4) & (m2 > 0.0), kurt).alias(
             "kurtosis_excess"
         ),
+    )
+
+
+def grouped_mode(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group modal value with a deterministic tie-break (highest
+    count, then smallest value) — the categorical summary statistic
+    profile_table can't express. Output: (*group_cols, mode,
+    n_occurrences).
+
+    Plan: two-key partial-aggregated count (the shuffle carries
+    (group, value) pairs, not rows), then a rank window whose input is
+    already collapsed to distinct pairs — window state bounded by
+    per-group value cardinality. Nulls are excluded (a null mode is
+    indistinguishable from an empty group).
+    """
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n_occurrences").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col(value_col).alias("mode"),
+            "n_occurrences",
+        )
+    )
+
+
+def grouped_mad(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group median absolute deviation: median(|x − median(x)|) —
+    the robust dispersion statistic (a single wild outlier moves
+    stddev arbitrarily but MAD at most one rank). Output:
+    (*group_cols, median, mad, n_rows).
+
+    Two exact interpolated-percentile passes: the per-group medians
+    (tiny table) broadcast back onto the rows, then the deviations
+    aggregate per group again. Spark's exact ``percentile`` matches
+    external engines' quantile_cont bit-for-bit (the q_quantiles
+    parity result), and |x − m| is one IEEE op, so the composition is
+    hash-checkable. Same per-group sort-state cost profile as
+    robust_scale — swap percentile_approx in past ~10^8-row groups.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
+        F.count(F.col(value_col)).alias("n_rows"),
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_absdev",
+        F.abs(F.col(value_col).cast("double") - F.col("_med")),
+    )
+    return (
+        dev.groupBy(*group_cols)
+        .agg(
+            F.first("_med").alias("median"),
+            F.expr("percentile(_absdev, 0.5)").alias("mad"),
+            F.first("n_rows").alias("n_rows"),
+        )
+        .select(*group_cols, "median", "mad", "n_rows")
+    )
+
+
+def grouped_regression(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS y = a·x + b) in ONE
+    partial-aggregated pass: slope, intercept, and r² from exact
+    DECIMAL sums — the trend-fitting sibling of grouped_corr, and the
+    same determinism argument: n, Σx, Σy, Σxy, Σx², Σy² accumulate
+    exactly in DECIMAL(38,12) (order-independent), the closed forms
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)
+        intercept = (Σy − slope·Σx) / n
+        r² = corr²
+
+    are fixed IEEE sequences. slope/intercept round to 6 decimals and
+    r² to 12: the FMA-contraction ulp between compiled engines scales
+    with the statistic's MAGNITUDE, so for unbounded-scale outputs the
+    rounding quantum must sit well above one ulp of the value (12
+    decimals is a no-op on a 5e4-magnitude double) — r² is |x| ≤ 1 and
+    keeps the grouped_corr rule. Built-ins regr_slope/regr_intercept stream
+    co-moments in data order and aren't cross-engine reproducible —
+    same reason grouped_corr avoids F.corr. Pairwise-null exclusion;
+    degenerate groups (zero x-variance) yield NULLs. Output:
+    (*group_cols, n_rows, slope, intercept, r2)."""
+    dx = F.col(x_col).cast("decimal(18,6)")
+    dy = F.col(y_col).cast("decimal(18,6)")
+    agg = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dx).alias("_sx"),
+            F.sum(dy).alias("_sy"),
+            F.sum(dx * dy).alias("_sxy"),
+            F.sum(dx * dx).alias("_sxx"),
+            F.sum(dy * dy).alias("_syy"),
+        )
+    )
+    nd = F.col("n_rows").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    slope = (nd * sxy - sx * sy) / var_x
+    den = F.sqrt(var_x) * F.sqrt(var_y)
+    corr = (nd * sxy - sx * sy) / den
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        F.round(F.when(var_x > 0, slope), 6).alias("slope"),
+        F.round(
+            F.when(var_x > 0, (sy - slope * sx) / nd), 6
+        ).alias("intercept"),
+        F.round(F.when(den > 0, corr * corr), 12).alias("r2"),
     )

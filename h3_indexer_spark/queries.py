@@ -2340,6 +2340,113 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.profile_table(load(spark, sf_dir, "lineitem"), cols)
 
 
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/curation.py::
+    assign_splits): 90/5/5 by md5-hash bands over doc_id — seedless,
+    engine-independent membership every pipeline stage can recompute."""
+    from h3_indexer_spark.operators.curation import assign_splits
+
+    return assign_splits(
+        load(spark, sf_dir, "documents"),
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-segment census (operators/curation.py::
+    boilerplate_lines): segments occurring in >= 2 distinct documents.
+    The fixture corpus has no newline structure, so the contract splits
+    on sentences ('. ') — the planted duplicate documents make their
+    sentences 'boilerplate', exercising the full explode/distinct/count
+    machinery."""
+    from h3_indexer_spark.operators.curation import boilerplate_lines
+
+    return boilerplate_lines(
+        load(spark, sf_dir, "documents"),
+        min_docs=2,
+        min_chars=10,
+        delimiter=". ",
+    )
+
+
+def q_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (operators/curation.py::remove_boilerplate):
+    every document with the q_boilerplate vocabulary stripped, order of
+    surviving segments preserved. Emits an md5 digest of the cleaned
+    text (string equality, compactly) plus the removed-segment count."""
+    from h3_indexer_spark.operators.curation import remove_boilerplate
+
+    out = remove_boilerplate(
+        load(spark, sf_dir, "documents"),
+        min_docs=2,
+        min_chars=10,
+        delimiter=". ",
+    )
+    return out.select(
+        "doc_id",
+        "n_lines_removed",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple OLS (operators/relational.py::
+    grouped_regression): price-vs-quantity slope/intercept/r2 per
+    return flag from exact DECIMAL sums (grouped_corr determinism
+    rule, 12-decimal absorb for the FMA-contraction ulp)."""
+    return R.grouped_regression(
+        load(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group modal value (operators/relational.py::grouped_mode)
+    of l_quantity per return flag, deterministically tie-broken."""
+    return R.grouped_mode(
+        load(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity"
+    )
+
+
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation (operators/relational.py::
+    grouped_mad) of l_extendedprice per return flag — two exact
+    interpolated-percentile passes (bit-equal cross-engine, the
+    q_quantiles parity result)."""
+    return R.grouped_mad(
+        load(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice"
+    )
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 value autocorrelation (operators/analytics.py::
+    lag1_autocorr): one lead window + the exact-DECIMAL Pearson
+    machinery of grouped_corr."""
+    from h3_indexer_spark.operators.analytics import lag1_autocorr
+
+    return lag1_autocorr(_load_events(spark, sf_dir))
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Shannon entropy (operators/analytics.py::
+    event_type_entropy). Integer counts stay exact through both
+    aggregation levels; the final ln/divide sequence rounds to 12
+    decimals because the Σ n·ln n term sums doubles in engine order
+    (the grouped_corr absorb rule — NOT the identical-sequence case
+    where rounding is avoided)."""
+    from h3_indexer_spark.operators.analytics import event_type_entropy
+
+    out = event_type_entropy(_load_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round("entropy_nats", 12).alias("entropy_nats"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2355,8 +2462,8 @@ QUERIES: dict[str, Query] = {
     # -- driver window 0-49 (round 5): 20 regression anchors + the 30
     #    oracle keys that had never had a driver-green CORRECTNESS row
     #    in rounds 1-4 (VERDICT r4 item #1). Every key oracle-checkable.
-    # anchors: scan/agg/topk/funnel + full dedup family + knn/profile/
-    #          expectations/graph/media/fuzzy
+    # anchors: scan/agg/topk/funnel + dedup core + knn/profile/
+    #          expectations/graph (12, all driver-green in r4)
     "q_scan_parquet": q_scan_parquet,
     "q_groupby_sum": q_groupby_sum,
     "q_top_orders": q_top_orders,
@@ -2364,19 +2471,20 @@ QUERIES: dict[str, Query] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
-    "q_dedup_keep_best": q_dedup_keep_best,
-    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_dedup_embedding": q_dedup_embedding,
     "q_semantic_dedup": q_semantic_dedup,
-    "q_dedup_resolve": q_dedup_resolve,
     "q_knn_ivf": q_knn_ivf,
-    "q_fingerprint": q_fingerprint,
     "q_profile": q_profile,
     "q_expectations": q_expectations,
     "q_triangles": q_triangles,
-    "q_media_dedup": q_media_dedup,
-    "q_fuzzy_join": q_fuzzy_join,
+    # round-5 NEW operators (first driver check this round)
+    "q_data_split": q_data_split,
+    "q_boilerplate": q_boilerplate,
+    "q_boilerplate_clean": q_boilerplate_clean,
+    "q_regression": q_regression,
+    "q_mode": q_mode,
+    "q_mad": q_mad,
+    "q_autocorr": q_autocorr,
+    "q_entropy": q_entropy,
     # rotated-in: behavioral analytics, feature eng, curation, text
     "q_active_users": q_active_users,
     "q_growth_accounting": q_growth_accounting,
@@ -2410,6 +2518,14 @@ QUERIES: dict[str, Query] = {
     "q_url_normalize": q_url_normalize,
     # -- beyond the window: oracle-checkable (tests/test_oracle.py runs
     #    the identical comparison; all were driver-green in r1-r4) ------
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_resolve": q_dedup_resolve,
+    "q_fingerprint": q_fingerprint,
+    "q_media_dedup": q_media_dedup,
+    "q_fuzzy_join": q_fuzzy_join,
     "q_scan_where": q_scan_where,
     "q_join_left_small": q_join_left_small,
     "q_join_full_outer": q_join_full_outer,
@@ -4587,4 +4703,196 @@ ORACLES["q_minmax_scale"] = """
                 ELSE (CAST(l.l_extendedprice AS DOUBLE) - b.mn)
                      / (b.mx - b.mn) END AS price_scaled
     FROM lineitem l JOIN b USING (l_returnflag)
+"""
+
+
+def _data_split_oracle() -> str:
+    """Mirror assign_splits' band edges with the IDENTICAL float
+    accumulation (0.9, then 0.9+0.05) so the integer thresholds match
+    to the bit."""
+    space = float(1 << 60)
+    cum = 0.0
+    cum += 0.9
+    t_train = int(cum * space)
+    cum += 0.05
+    t_val = int(cum * space)
+    return f"""
+    SELECT doc_id,
+           CASE WHEN h < {t_train} THEN 'train'
+                WHEN h < {t_val} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)
+                    AS BIGINT) AS h
+        FROM documents
+    )
+    """
+
+
+ORACLES["q_data_split"] = _data_split_oracle()
+
+_BOILERPLATE_CTE = """
+    bp AS (
+        SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+        FROM (
+            SELECT doc_id, trim(u.part) AS line
+            FROM documents, UNNEST(str_split(text, '. ')) AS u(part)
+        )
+        WHERE length(line) >= 10
+        GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+"""
+
+ORACLES["q_boilerplate"] = f"""
+    WITH {_BOILERPLATE_CTE}
+    SELECT line, n_docs FROM bp
+"""
+
+ORACLES["q_boilerplate_clean"] = f"""
+    WITH {_BOILERPLATE_CTE},
+    bpl AS (
+        SELECT COALESCE(list(line ORDER BY line), []) AS bp_list FROM bp
+    ),
+    d AS (
+        SELECT doc_id,
+               str_split(text, '. ') AS parts,
+               list_filter(
+                   str_split(text, '. '),
+                   x -> NOT list_contains(bp_list, trim(x))
+               ) AS kept
+        FROM documents, bpl
+    )
+    SELECT doc_id,
+           CAST(len(parts) - len(kept) AS BIGINT) AS n_lines_removed,
+           md5(COALESCE(array_to_string(kept, '. '), '')) AS clean_md5
+    FROM d
+"""
+
+ORACLES["q_regression"] = """
+    WITH a AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
+                   AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                        * CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                        * CAST(l_quantity AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                        * CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS syy
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY l_returnflag
+    ),
+    b AS (
+        SELECT l_returnflag, n_rows, sx, sy, sxy, sxx, syy,
+               CAST(n_rows AS DOUBLE) * sxx - sx * sx AS var_x,
+               CAST(n_rows AS DOUBLE) * syy - sy * sy AS var_y,
+               (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_rows AS DOUBLE) * sxx - sx * sx) AS slope
+        FROM a
+    )
+    SELECT l_returnflag, n_rows,
+           ROUND(CASE WHEN var_x > 0 THEN slope END, 6) AS slope,
+           ROUND(CASE WHEN var_x > 0
+                 THEN (sy - slope * sx) / CAST(n_rows AS DOUBLE)
+                 END, 6) AS intercept,
+           ROUND(CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
+                 THEN ((CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                       / (sqrt(var_x) * sqrt(var_y)))
+                      * ((CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                         / (sqrt(var_x) * sqrt(var_y)))
+                 END, 12) AS r2
+    FROM b
+"""
+
+ORACLES["q_mode"] = """
+    SELECT l_returnflag, l_quantity AS mode, n_occurrences
+    FROM (
+        SELECT l_returnflag, l_quantity,
+               COUNT(*) AS n_occurrences,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY COUNT(*) DESC, l_quantity ASC
+               ) AS rn
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL
+        GROUP BY l_returnflag, l_quantity
+    )
+    WHERE rn = 1
+"""
+
+ORACLES["q_mad"] = """
+    WITH med AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS m,
+               COUNT(l_extendedprice) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           med.m AS median,
+           quantile_cont(
+               abs(CAST(l.l_extendedprice AS DOUBLE) - med.m), 0.5
+           ) AS mad,
+           med.n_rows
+    FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+    GROUP BY l.l_returnflag, med.m, med.n_rows
+"""
+
+ORACLES["q_autocorr"] = """
+    WITH p AS (
+        SELECT user_id,
+               value AS x,
+               LEAD(value) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS y
+        FROM events
+    ),
+    a AS (
+        SELECT user_id,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,4))
+                        * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(19,4))
+                        * CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(19,4))
+                        * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS syy
+        FROM p
+        WHERE y IS NOT NULL AND x IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_rows,
+           ROUND(CASE WHEN sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy) > 0
+                THEN (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy))
+           END, 12) AS corr
+    FROM a
+"""
+
+ORACLES["q_entropy"] = """
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           SUM(n) AS n_events,
+           COUNT(*) AS n_types,
+           ROUND(
+               ln(CAST(SUM(n) AS DOUBLE))
+               - SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+                 / CAST(SUM(n) AS DOUBLE),
+               12
+           ) AS entropy_nats
+    FROM c GROUP BY user_id
 """
