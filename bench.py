@@ -91,6 +91,13 @@ HEADLINE = [
     "q_retention_curve",
     "q_moments",
     "q_top_paths",
+    # round-5 operators
+    "q_data_split",
+    "q_boilerplate_clean",
+    "q_regression",
+    "q_mad",
+    "q_autocorr",
+    "q_entropy",
 ]
 
 
