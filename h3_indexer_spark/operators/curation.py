@@ -18,7 +18,7 @@ instead of a single-task global window.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --------------------------------------------------------------------------
@@ -861,3 +861,43 @@ def remove_boilerplate(
         )
         .drop("_bp")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability equal to its weight (clamped to [0, 1]) — quality-
+    proportional downsampling, the knob between hard filtering (keep
+    iff score > t) and keeping everything. The coin flip is the same
+    seedless md5-band construction as assign_splits: u = hash(salt ||
+    id) / 2^60, keep iff u < weight — so membership is reproducible
+    across engines and runs, independent rows stay independent, and a
+    re-run with a different ``salt`` draws a fresh sample.
+
+    ``weight_col`` may be a column name or a Column expression (e.g. a
+    quality score mapped through any monotone transform). The band
+    edge is floor(w · 2^60) computed EXPLICITLY — a bare double→long
+    cast truncates in Spark but rounds in some SQL engines, so the
+    floor keeps the contract bit-identical cross-engine. Pure narrow
+    expression; zero shuffle at any corpus size."""
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    edge = F.floor(w * F.lit(float(1 << 60))).cast("long")
+    return df.where(h < edge)

@@ -684,3 +684,73 @@ def grouped_regression(
         ).alias("intercept"),
         F.round(F.when(den > 0, corr * corr), 12).alias("r2"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: classify every
+    key as added / removed / changed (/ unchanged) and expose both
+    sides' values — the daily-crawl / dimension-refresh diff primitive
+    that feeds incremental downstream recomputes instead of full
+    reruns. Output: (*key_cols, status, old_<c>/new_<c> per compare
+    column, n_changed_cols).
+
+    ONE full-outer hash join on the key columns (both sides shuffle
+    once on the same key — no window, no second pass); presence is
+    tracked with literal marker columns so a legitimately-null
+    attribute is never mistaken for absence, and value comparison is
+    null-safe (<=>). Keys must be non-null (the standard PK contract —
+    a null key row would silently cross-match). At 100 TB, bucket both
+    snapshots on the key at write time and the join plans with ZERO
+    Exchange (writers.write_bucketed_table)."""
+    osel = (
+        old.select(
+            *key_cols,
+            *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        )
+        .withColumn("_in_old", F.lit(1))
+    )
+    nsel = (
+        new.select(
+            *key_cols,
+            *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        )
+        .withColumn("_in_new", F.lit(1))
+    )
+    j = osel.join(nsel, key_cols, "full_outer")
+    n_changed = sum(
+        (
+            (~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))).cast("int")
+            for c in compare_cols
+        ),
+        F.lit(0),
+    )
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(n_changed > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.withColumn("status", status).withColumn(
+        "n_changed_cols",
+        F.when(
+            F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull(),
+            n_changed,
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out.select(
+        *key_cols,
+        "status",
+        *[f"old_{c}" for c in compare_cols],
+        *[f"new_{c}" for c in compare_cols],
+        "n_changed_cols",
+    )

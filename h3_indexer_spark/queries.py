@@ -2447,6 +2447,68 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change-data-capture (operators/relational.py::
+    snapshot_diff): two deterministic synthetic snapshots of orders
+    (old = keys not divisible by 7; new = keys not divisible by 5,
+    with every third key's total price bumped) diffed into
+    added/removed/changed rows via ONE full-outer hash join."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.where(F.col("o_orderkey") % 7 != 0)
+    new = orders.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return R.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling (operators/curation.py::
+    weighted_sample): keep each document with probability
+    min(1, n_chars/2000) via the seedless md5-band coin — quality-
+    proportional downsampling any engine reproduces."""
+    from h3_indexer_spark.operators.curation import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs,
+        F.col("n_chars").cast("double") / F.lit(2000.0),
+    ).select("doc_id", "n_chars")
+
+
+def q_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The config-driven analytics pipeline end-to-end (plans/
+    analytics_pipeline.py): a declarative prepare-filter + funnel
+    report, returned through run_analytics — proving the config path
+    produces the exact operator composition (the oracle is the funnel
+    SQL with the prepare predicate folded in)."""
+    from h3_indexer_spark.plans.analytics_pipeline import run_analytics
+
+    out = run_analytics(
+        spark,
+        _load_events(spark, sf_dir),
+        {
+            "prepare": [
+                {"stage": "filter", "predicate": "value IS NOT NULL"},
+            ],
+            "reports": [
+                {
+                    "report": "funnel",
+                    "name": "f",
+                    "stages": list(_FUNNEL_STAGES),
+                },
+            ],
+        },
+    )
+    return out["f"].select("user_id", "t_0", "t_1", "t_2", "stages_reached")
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2466,17 +2528,17 @@ QUERIES: dict[str, Query] = {
     #          expectations/graph (12, all driver-green in r4)
     "q_scan_parquet": q_scan_parquet,
     "q_groupby_sum": q_groupby_sum,
-    "q_top_orders": q_top_orders,
     "q_funnel": q_funnel,
     "q_dedup_exact": q_dedup_exact,
-    "q_dedup_minhash": q_dedup_minhash,
-    "q_dedup_simhash": q_dedup_simhash,
     "q_semantic_dedup": q_semantic_dedup,
     "q_knn_ivf": q_knn_ivf,
     "q_profile": q_profile,
     "q_expectations": q_expectations,
     "q_triangles": q_triangles,
     # round-5 NEW operators (first driver check this round)
+    "q_snapshot_diff": q_snapshot_diff,
+    "q_weighted_sample": q_weighted_sample,
+    "q_analytics_pipeline": q_analytics_pipeline,
     "q_data_split": q_data_split,
     "q_boilerplate": q_boilerplate,
     "q_boilerplate_clean": q_boilerplate_clean,
@@ -2518,6 +2580,9 @@ QUERIES: dict[str, Query] = {
     "q_url_normalize": q_url_normalize,
     # -- beyond the window: oracle-checkable (tests/test_oracle.py runs
     #    the identical comparison; all were driver-green in r1-r4) ------
+    "q_top_orders": q_top_orders,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
@@ -4895,4 +4960,86 @@ ORACLES["q_entropy"] = """
                12
            ) AS entropy_nats
     FROM c GROUP BY user_id
+"""
+
+
+ORACLES["q_snapshot_diff"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus, 1 AS in_old
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    n AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus, 1 AS in_new
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.o_totalprice AS old_o_totalprice,
+               o.o_orderstatus AS old_o_orderstatus,
+               n.o_totalprice AS new_o_totalprice,
+               n.o_orderstatus AS new_o_orderstatus,
+               o.in_old, n.in_new,
+               (CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                     THEN 1 ELSE 0 END
+                + CASE WHEN o.o_orderstatus IS DISTINCT FROM
+                            n.o_orderstatus
+                       THEN 1 ELSE 0 END) AS nc
+        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN in_old IS NULL THEN 'added'
+                WHEN in_new IS NULL THEN 'removed'
+                WHEN nc > 0 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_o_totalprice, old_o_orderstatus,
+           new_o_totalprice, new_o_orderstatus,
+           CAST(CASE WHEN in_old IS NOT NULL AND in_new IS NOT NULL
+                     THEN nc ELSE 0 END AS BIGINT) AS n_changed_cols
+    FROM j
+    WHERE NOT (in_old IS NOT NULL AND in_new IS NOT NULL AND nc = 0)
+"""
+
+ORACLES["q_weighted_sample"] = """
+    SELECT doc_id, n_chars
+    FROM (
+        SELECT doc_id, n_chars,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)
+                    AS BIGINT) AS h,
+               CAST(floor(
+                   CASE WHEN CAST(n_chars AS DOUBLE) / 2000.0 > 1.0
+                        THEN 1.0
+                        WHEN CAST(n_chars AS DOUBLE) / 2000.0 < 0.0
+                        THEN 0.0
+                        ELSE CAST(n_chars AS DOUBLE) / 2000.0 END
+                   * 1152921504606846976.0
+               ) AS BIGINT) AS edge
+        FROM documents
+    )
+    WHERE h < edge
+"""
+
+ORACLES["q_analytics_pipeline"] = """
+    WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
+               FROM events WHERE value IS NOT NULL),
+    s0 AS (SELECT user_id, MIN(tns) AS t_0 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, MIN(tns) AS t_1
+           FROM e JOIN s0 ON e.user_id = s0.user_id
+           WHERE event_type = 'click' AND tns > s0.t_0
+           GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, MIN(tns) AS t_2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE event_type = 'purchase' AND tns > s1.t_1
+           GROUP BY e.user_id)
+    SELECT s0.user_id, t_0, t_1, t_2,
+           CAST(1 + CASE WHEN t_1 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS stages_reached
+    FROM s0
+    LEFT JOIN s1 ON s0.user_id = s1.user_id
+    LEFT JOIN s2 ON s0.user_id = s2.user_id
 """

@@ -67,10 +67,19 @@ def test_round5_window_composition():
     assert not missing, f"rotated keys fell out of the window: {missing}"
     anchors = {
         "q_scan_parquet", "q_groupby_sum", "q_funnel", "q_dedup_exact",
-        "q_dedup_minhash", "q_semantic_dedup", "q_knn_ivf", "q_profile",
+        "q_semantic_dedup", "q_knn_ivf", "q_profile",
         "q_expectations", "q_triangles",
     }
     assert anchors <= window
+    # round-5 NEW operators debut in the window so they get a driver
+    # row in their first round (the keys they displaced are all
+    # driver-green from r4)
+    new_r5 = {
+        "q_data_split", "q_boilerplate", "q_boilerplate_clean",
+        "q_regression", "q_mode", "q_mad", "q_autocorr", "q_entropy",
+        "q_snapshot_diff", "q_weighted_sample", "q_analytics_pipeline",
+    }
+    assert new_r5 <= window
 
 
 def test_every_oracle_key_has_a_driver_row():

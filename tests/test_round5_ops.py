@@ -180,3 +180,68 @@ class TestEntropyAutocorr:
         assert got[1].corr == pytest.approx(-1.0, abs=1e-9)
         assert got[2].corr == pytest.approx(1.0, abs=1e-9)
         assert got[1].n_rows == 19
+
+
+class TestSnapshotDiff:
+    def test_classifies_all_statuses(self, spark):
+        from h3_indexer_spark.operators.relational import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"),
+             (4, None, "D")],
+            ["k", "price", "status_c"],
+        )
+        new = spark.createDataFrame(
+            [(1, 10.0, "A"),          # unchanged
+             (2, 25.0, "B"),          # changed (price)
+             (4, None, "D"),          # unchanged (null == null, safe)
+             (5, 50.0, "E")],         # added
+            ["k", "price", "status_c"],
+        )
+        got = {
+            r.k: r
+            for r in snapshot_diff(
+                old, new, ["k"], ["price", "status_c"]
+            ).collect()
+        }
+        assert set(got) == {2, 3, 5}  # unchanged rows excluded
+        assert got[2].status == "changed" and got[2].n_changed_cols == 1
+        assert got[2].old_price == 20.0 and got[2].new_price == 25.0
+        assert got[3].status == "removed"
+        assert got[5].status == "added"
+
+    def test_include_unchanged(self, spark):
+        from h3_indexer_spark.operators.relational import snapshot_diff
+
+        df = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+        out = snapshot_diff(df, df, ["k"], ["v"], include_unchanged=True)
+        assert out.collect()[0].status == "unchanged"
+
+
+class TestWeightedSample:
+    def test_extreme_weights_and_determinism(self, spark):
+        from h3_indexer_spark.operators.curation import weighted_sample
+
+        df = (
+            spark.range(4000)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("w", (F.col("doc_id") % 2).cast("double"))
+        )
+        kept = weighted_sample(df, "w")
+        ids = {r.doc_id for r in kept.collect()}
+        # weight 0 rows can never survive; weight 1 rows always do
+        assert all(i % 2 == 1 for i in ids)
+        assert len(ids) == 2000
+        again = {r.doc_id for r in weighted_sample(df, "w").collect()}
+        assert ids == again
+
+    def test_keep_rate_tracks_weight(self, spark):
+        from h3_indexer_spark.operators.curation import weighted_sample
+
+        df = (
+            spark.range(20000)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn("w", F.lit(0.3))
+        )
+        n = weighted_sample(df, "w").count()
+        assert abs(n / 20000 - 0.3) < 0.02
