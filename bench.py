@@ -98,6 +98,7 @@ HEADLINE = [
     "q_mad",
     "q_autocorr",
     "q_entropy",
+    "q_snapshot_diff",
 ]
 
 
