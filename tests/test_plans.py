@@ -104,6 +104,39 @@ def test_plan_properties(spark, key, required):
         assert needle in plan, f"{key}: expected {needle!r} in plan:\n{plan}"
 
 
+def test_round5_narrow_ops_stay_shuffle_free(spark):
+    """data_split and weighted_sample are pure md5-band expressions:
+    any Exchange besides the documented single-row-group ingest
+    rebalance means a narrow map got planned as a reshuffle."""
+    for key in ("q_data_split", "q_weighted_sample"):
+        plan = _plan(spark, key)
+        assert "Exchange hashpartitioning" not in plan, (key, plan)
+        assert "Exchange rangepartitioning" not in plan, (key, plan)
+
+
+def test_snapshot_diff_is_one_join(spark):
+    """CDC must be exactly one full-outer join — no window, no second
+    pass over either snapshot."""
+    import re
+
+    plan = _plan(spark, "q_snapshot_diff")
+    assert "FullOuter" in plan, plan
+    joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan))
+    assert joins == 1, f"expected 1 join, got {joins}:\n{plan}"
+    assert "Window" not in plan
+
+
+def test_boilerplate_clean_broadcasts_vocabulary(spark):
+    """remove_boilerplate's corpus side must stay narrow: the
+    boilerplate vocabulary arrives via a broadcast nested-loop (1-row
+    array fold), never by shuffling the document rows."""
+    plan = _plan(spark, "q_boilerplate_clean")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the only hash exchanges belong to the vocabulary aggregation
+    # (line-keyed), never to a document-keyed repartition
+    assert "hashpartitioning(doc_id" not in plan, plan
+
+
 def test_profile_is_single_scan(spark):
     """profile_table (relational.py::profile_table) is ONE pass: a
     single lineitem scan feeding an explode and two stacked hash
