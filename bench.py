@@ -420,6 +420,12 @@ def main() -> None:
     try:
         with open(out_path, "w") as fh:
             fh.write(line + "\n")
+        # the per-round default name WILL be stale next round; the
+        # append-only history preserves every run regardless, so a
+        # forgotten rename can never clobber cross-round comparisons
+        hist = Path(__file__).resolve().parent / "BENCH_local_history.jsonl"
+        with open(hist, "a") as fh:
+            fh.write(line + "\n")
     except OSError as exc:  # pragma: no cover - read-only checkout
         print(f"warn: could not persist bench line: {exc}", file=sys.stderr)
     spark.stop()

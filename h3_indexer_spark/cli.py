@@ -61,7 +61,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if (args.validate_only or args.index_only) and (
+        args.zorder or args.expectations
+    ):
+        # both flags act on the RESOLVED output, which these modes
+        # never produce — exiting 0 with the gate silently skipped
+        # would read as "expectations passed" to a CI pipeline
+        parser.error(
+            "--zorder/--expectations apply to the resolved output; "
+            "they cannot be combined with --validate-only/--index-only"
+        )
     logging.basicConfig(level=logging.INFO)
     job = (
         job_from_path(args.yaml_path)
@@ -94,11 +105,17 @@ def run(argv: list[str] | None = None) -> int:
         report = check_expectations(
             job.h3_resolved_df, rules_from_path(args.expectations)
         )
+        # one evaluation: collect the (one-row-per-rule) report, then
+        # write the collected rows — write_parquet(report) followed by
+        # report.collect() would run the whole rule scan twice
+        rows = report.collect()
         report_out = f"{job.output_path}/expectations_report"
-        write_parquet(report, report_out)
+        write_parquet(
+            spark.createDataFrame(rows, report.schema), report_out
+        )
         failed = [
             (r.rule, r.target, r.n_violations)
-            for r in report.collect()
+            for r in rows
             if not r.passed
         ]
         if failed:

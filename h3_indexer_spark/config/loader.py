@@ -69,8 +69,19 @@ def rules_from_path(path: str | Path) -> list[dict[str, Any]]:
     needs a DataFrame ref and stays API-only."""
     p = Path(path)
     text = p.read_text()
-    if p.suffix.lower() in (".yaml", ".yml") and _HAVE_YAML:
-        data = yaml.safe_load(text)
+    if p.suffix.lower() in (".yaml", ".yml"):
+        if _HAVE_YAML:
+            data = yaml.safe_load(text)
+        else:
+            # JSON is valid YAML; try it, but surface a clear message
+            # instead of a bare JSONDecodeError when it isn't
+            try:
+                data = json.loads(text)
+            except json.JSONDecodeError as exc:
+                raise RuntimeError(
+                    f"{path}: PyYAML is not installed; provide the "
+                    "rules as JSON"
+                ) from exc
     else:
         data = json.loads(text)
     if not isinstance(data, list) or not all(
@@ -78,5 +89,11 @@ def rules_from_path(path: str | Path) -> list[dict[str, Any]]:
     ):
         raise ValueError(
             f"{path}: expectations file must be a list of rule dicts"
+        )
+    bad = [r.get("rule") for r in data if r.get("rule") == "foreign_key"]
+    if bad:
+        raise ValueError(
+            f"{path}: foreign_key rules need a DataFrame ref and are "
+            "API-only (operators.expectations.check_expectations)"
         )
     return data

@@ -733,6 +733,9 @@ def assign_splits(
         fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
     if not fractions:
         raise ValueError("fractions must be non-empty")
+    neg = {k: v for k, v in fractions.items() if v < 0}
+    if neg:
+        raise ValueError(f"fractions must be >= 0: {neg}")
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")

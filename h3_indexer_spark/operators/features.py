@@ -32,28 +32,33 @@ BROADCAST_GROUP_LIMIT = 100_000
 def _stats_join(
     df: DataFrame,
     stats: DataFrame,
-    group_col: str | None,
+    group_col: str | list[str] | None,
     broadcast_groups: int | None = None,
 ) -> DataFrame:
     """Join a per-group statistics table back onto the fact table.
 
     Ungrouped stats are a single row — always a broadcast cross join.
-    Grouped stats broadcast only after a LIMIT-bounded count verifies
-    the cardinality is at most ``broadcast_groups`` (default
-    ``BROADCAST_GROUP_LIMIT``); the stats frame is cached first so the
-    probe does not recompute the aggregation the join itself needs.
-    Past the threshold the fact side takes one hash shuffle instead of
-    the driver taking an OOM — the correct degradation. The bounded
-    count makes callers eager (one small job at construction time);
-    every caller documents that.
+    Grouped stats broadcast only after a bounded ``take`` verifies the
+    cardinality is at most ``broadcast_groups`` (default
+    ``BROADCAST_GROUP_LIMIT``); the fetched rows (a few MB at the cap)
+    then re-enter the plan as a LocalRelation, so the aggregation runs
+    exactly once, nothing stays cached, and the broadcast side is a
+    local table Catalyst sizes precisely. Past the threshold the fact
+    side takes one hash shuffle instead of the driver taking an OOM —
+    the correct degradation (the aggregation recomputes inside that
+    join; rare by the tiny-stats contract, and cheap next to the
+    shuffle it accompanies). The bounded probe makes callers EAGER:
+    one aggregation job runs at operator-construction time, not at
+    first action — each caller's docstring states this.
     """
     if group_col is None:
         return df.crossJoin(F.broadcast(stats))
     if broadcast_groups is None:
         broadcast_groups = BROADCAST_GROUP_LIMIT
-    stats = stats.persist()
-    if stats.limit(broadcast_groups + 1).count() <= broadcast_groups:
-        return df.join(F.broadcast(stats), group_col)
+    head = stats.take(broadcast_groups + 1)
+    if len(head) <= broadcast_groups:
+        local = stats.sparkSession.createDataFrame(head, stats.schema)
+        return df.join(F.broadcast(local), group_col)
     return df.join(stats, group_col)
 
 
@@ -258,6 +263,11 @@ def minmax_scale(
     The scale expression is (x - min) / (max - min) on doubles: three
     IEEE ops with exact min/max inputs, so results are
     bit-deterministic and oracle-checkable.
+
+    Grouped calls are EAGER: the :func:`_stats_join` cardinality probe
+    runs one aggregation job at construction time, and past
+    ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast degrades
+    to a plain shuffle join instead of a driver OOM.
     """
     out_col = out_col or f"{value_col}_scaled"
     v = F.col(value_col).cast("double")
@@ -294,7 +304,13 @@ def standardize(
     Plan shape mirrors minmax_scale: one partial-aggregated moments
     pass (one row per group), broadcast back onto the table — the big
     side never shuffles. Degenerate groups (stddev 0 or n = 1) map to
-    0.0, mirrored in the oracle. Nulls pass through as null."""
+    0.0, mirrored in the oracle. Nulls pass through as null.
+
+    Grouped calls are EAGER: the :func:`_stats_join` cardinality probe
+    runs one aggregation job at construction time, and past
+    ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast degrades
+    to a plain shuffle join instead of a driver OOM.
+    """
     out_col = out_col or f"{value_col}_z"
     dv = F.col(value_col).cast("decimal(19,4)")
     aggs = [
@@ -336,7 +352,13 @@ def robust_scale(
     never shuffles. Degenerate groups (IQR 0) map to 0.0. At corpus
     scale the exact percentile's per-group sort state is the cost —
     swap in percentile_approx (same shape, sketch state) when groups
-    exceed ~10^8 rows and rank-exactness stops mattering."""
+    exceed ~10^8 rows and rank-exactness stops mattering.
+
+    Grouped calls are EAGER: the :func:`_stats_join` cardinality probe
+    runs one aggregation job at construction time, and past
+    ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast degrades
+    to a plain shuffle join instead of a driver OOM.
+    """
     out_col = out_col or f"{value_col}_robust"
     aggs = [
         F.expr(f"percentile({value_col}, 0.25)").alias("_p25"),
@@ -372,7 +394,13 @@ def impute(
     downstream.
 
     Same broadcast shape as the scalers: one tiny aggregate joined
-    back, the fact side never shuffles."""
+    back, the fact side never shuffles.
+
+    Grouped calls are EAGER: the :func:`_stats_join` cardinality probe
+    runs one aggregation job at construction time, and past
+    ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast degrades
+    to a plain shuffle join instead of a driver OOM.
+    """
     out_col = out_col or f"{value_col}_imputed"
     if strategy == "mean":
         stat = (

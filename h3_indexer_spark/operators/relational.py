@@ -598,7 +598,10 @@ def grouped_mad(
     (*group_cols, median, mad, n_rows).
 
     Two exact interpolated-percentile passes: the per-group medians
-    (tiny table) broadcast back onto the rows, then the deviations
+    (tiny table) join back onto the rows via the guarded broadcast of
+    features._stats_join (degrades to a shuffle join past 100k groups
+    instead of OOMing the driver; EAGER — one probe job runs at
+    construction), then the deviations
     aggregate per group again. Spark's exact ``percentile`` matches
     external engines' quantile_cont bit-for-bit (the q_quantiles
     parity result), and |x − m| is one IEEE op, so the composition is
@@ -609,7 +612,9 @@ def grouped_mad(
         F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
         F.count(F.col(value_col)).alias("n_rows"),
     )
-    dev = df.join(F.broadcast(med), group_cols).withColumn(
+    from h3_indexer_spark.operators.features import _stats_join
+
+    dev = _stats_join(df, med, group_cols).withColumn(
         "_absdev",
         F.abs(F.col(value_col).cast("double") - F.col("_med")),
     )

@@ -247,6 +247,11 @@ def validate_config(config: dict) -> None:
     if not isinstance(config, dict):
         raise ValueError(f"config must be a dict, got {type(config)}")
     for i, spec in enumerate(config.get("prepare", [])):
+        if not isinstance(spec, dict):
+            errors.append(
+                f"prepare[{i}]: expected a dict, got {type(spec).__name__}"
+            )
+            continue
         name = spec.get("stage")
         if name not in _PREPARE:
             errors.append(
@@ -258,6 +263,11 @@ def validate_config(config: dict) -> None:
         errors.append("config.reports is empty — nothing to compute")
     seen: set[str] = set()
     for i, spec in enumerate(reports):
+        if not isinstance(spec, dict):
+            errors.append(
+                f"reports[{i}]: expected a dict, got {type(spec).__name__}"
+            )
+            continue
         name = spec.get("report")
         out = spec.get("name", name)
         if name not in _REPORTS:
@@ -292,8 +302,10 @@ def run_analytics(
     spark, events: DataFrame, config: dict
 ) -> dict[str, DataFrame]:
     """Build every configured report over the shared prepared event
-    frame. Returns {output_name: DataFrame}, all lazy — nothing
-    executes until the caller acts on a report, and each report's plan
+    frame. Returns {output_name: DataFrame}. Construction is lazy with
+    ONE exception: a grouped ``anomalies`` report triggers the scaler
+    family's broadcast-cardinality probe (one small aggregation job)
+    at build time — see features._stats_join. Each report's plan
     embeds the same pushed-down prepare subtree."""
     validate_config(config)
     prepared = prepare_events(events, config)

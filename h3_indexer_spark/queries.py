@@ -2521,11 +2521,14 @@ def q_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by tests/test_oracle.py, which runs the identical comparison on every
 # ORACLES key. tests/test_entry.py locks this layout.
 QUERIES: dict[str, Query] = {
-    # -- driver window 0-49 (round 5): 20 regression anchors + the 30
-    #    oracle keys that had never had a driver-green CORRECTNESS row
-    #    in rounds 1-4 (VERDICT r4 item #1). Every key oracle-checkable.
-    # anchors: scan/agg/topk/funnel + dedup core + knn/profile/
-    #          expectations/graph (12, all driver-green in r4)
+    # -- driver window 0-49 (round 5): 9 regression anchors + 11 NEW
+    #    round-5 operator keys (debuting so they get a driver row in
+    #    their first round) + the 30 oracle keys that had never had a
+    #    driver-green CORRECTNESS row in rounds 1-4 (VERDICT r4 item
+    #    #1). Every key oracle-checkable; every displaced key is
+    #    driver-green from r4. Composition locked in tests/test_entry.
+    # anchors (9, all driver-green in r4): scan/agg/funnel + dedup
+    #          core + knn/profile/expectations/graph
     "q_scan_parquet": q_scan_parquet,
     "q_groupby_sum": q_groupby_sum,
     "q_funnel": q_funnel,

@@ -95,6 +95,18 @@ class TestAnalyticsPipeline:
         assert "missing required params ['stages']" in msg
         assert "duplicate output name 'f'" in msg
 
+    def test_non_dict_entries_reported_not_crashed(self):
+        with pytest.raises(ValueError) as exc:
+            validate_config(
+                {
+                    "prepare": ["filter"],
+                    "reports": ["funnel"],
+                }
+            )
+        msg = str(exc.value)
+        assert "prepare[0]: expected a dict, got str" in msg
+        assert "reports[0]: expected a dict, got str" in msg
+
     def test_empty_reports_rejected(self):
         with pytest.raises(ValueError, match="reports is empty"):
             validate_config({"reports": []})

@@ -72,6 +72,16 @@ class TestCliRunAll:
         )
 
 
+class TestCliFlagValidation:
+    def test_gate_flags_rejected_with_partial_modes(self, fixture_dir, out_dir):
+        cfg = _cfg(fixture_dir, out_dir)
+        for mode in ("--validate-only", "--index-only"):
+            with pytest.raises(SystemExit):
+                run(["--json-input", cfg, mode, "--expectations", "x.json"])
+            with pytest.raises(SystemExit):
+                run(["--json-input", cfg, mode, "--zorder", "a"])
+
+
 class TestCliZorderExpectations:
     def test_gated_zordered_output(self, spark, fixture_dir, out_dir):
         """Passing gate + z-order: report written, resolved output is

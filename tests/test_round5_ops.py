@@ -32,6 +32,8 @@ class TestAssignSplits:
             assign_splits(df, fractions={"a": 0.8, "b": 0.4})
         with pytest.raises(ValueError, match="non-empty"):
             assign_splits(df, fractions={})
+        with pytest.raises(ValueError, match=">= 0"):
+            assign_splits(df, fractions={"train": -0.1, "rest": 1.0})
 
     def test_membership_is_stable_under_growth(self, spark):
         """Adding documents must never move existing ones between
