@@ -156,6 +156,52 @@ def main() -> None:
         timed(f"gap_fill_daily x{factor}", gap_fill_daily(e), rows)
         e.unpersist()
 
+    # round-5 operators: boilerplate census/removal over the grown
+    # corpus (distinct-pair shuffle keyed on the line; removal is a
+    # narrow map behind a bounded vocabulary broadcast), CDC diff
+    # between two grown snapshots (ONE full-outer join), and
+    # entropy/autocorr over the grown event log (key-linear regime)
+    from h3_indexer_spark.operators.analytics import (
+        event_type_entropy,
+        lag1_autocorr,
+    )
+    from h3_indexer_spark.operators.curation import remove_boilerplate
+    from h3_indexer_spark.operators.relational import snapshot_diff
+
+    for factor in factors:
+        d = scaled(docs, "doc_id", factor, text_col="text").repartition(
+            64
+        ).cache()
+        rows = d.count()
+        timed(
+            f"remove_boilerplate x{factor}",
+            remove_boilerplate(d, min_docs=2, min_chars=10, delimiter=". "),
+            rows,
+        )
+        old_snap = d.where(F.col("doc_id") % 7 != 0)
+        new_snap = d.where(F.col("doc_id") % 5 != 0)
+        timed(
+            f"snapshot_diff x{factor}",
+            snapshot_diff(old_snap, new_snap, ["doc_id"], ["text"]),
+            rows,
+        )
+        d.unpersist()
+
+    for factor in factors:
+        e = None
+        for i in range(factor):
+            c = ev_f.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * 100_000)
+            ).withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 10_000_000)
+            )
+            e = c if e is None else e.unionByName(c)
+        e = e.repartition(64).cache()
+        rows = e.count()
+        timed(f"event_type_entropy x{factor}", event_type_entropy(e), rows)
+        timed(f"lag1_autocorr x{factor}", lag1_autocorr(e), rows)
+        e.unpersist()
+
     # geo: points at growing n (the index-stage kernel)
     for n_pts in [100_000, 1_000_000, 5_000_000]:
         if n_pts > 100_000 * max_factor:

@@ -3,8 +3,9 @@
 composition story in one runnable script: ingest → config-driven
 curation (quality/language gates, PII scrub, exact dedup,
 decontamination) → MinHash near-dedup with survivor resolution →
-feature assembly (tokens, rare-word ratio, repetition) → sequence
-packing → Z-order-clustered Parquet, printing per-stage row counts and
+feature assembly (tokens, rare-word ratio, repetition) →
+quality-weighted sampling → deterministic train/val/test splits →
+sequence packing → Z-order-clustered Parquet, printing per-stage row counts and
 the final layout's footer statistics.
 
 Every stage is the same library operator the contract queries check
@@ -83,18 +84,32 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
             repetition_stats(deduped.select("doc_id", "text")), "doc_id"
         )
     )
+    # quality-proportional downsampling, then deterministic splits —
+    # both md5-band coins, so a re-run (or another engine) reproduces
+    # the exact sample and split membership
+    from h3_indexer_spark.operators.curation import (
+        assign_splits,
+        weighted_sample,
+    )
+
+    sampled = weighted_sample(
+        feats, F.least(F.lit(1.0), F.col("quality") + F.lit(0.2))
+    )
+    counts["sampled"] = sampled.count()
+    split = assign_splits(sampled)
+
     packed = pack_sequences(
-        feats.select("doc_id", "n_tokens_ws"),
+        split.select("doc_id", "n_tokens_ws"),
         token_col="n_tokens_ws",
         budget=2048,
     )
-    out = feats.join(packed.select("doc_id", "pack_id"), "doc_id")
+    out = split.join(packed.select("doc_id", "pack_id"), "doc_id")
     counts["packed"] = out.count()
     counts["n_packs"] = out.select("pack_id").distinct().count()
 
     zorder_write(
         out.select(
-            "doc_id", "pack_id", "quality", "rare_ratio",
+            "doc_id", "pack_id", "split", "quality", "rare_ratio",
             "n_tokens_ws", "lang_pred", "text",
         ),
         out_dir,
