@@ -826,15 +826,18 @@ def remove_boilerplate(
     document, preserving the order of surviving lines. Adds
     ``out_col`` plus ``n_lines_removed``.
 
-    Plan: the boilerplate vocabulary aggregates to a single array row
-    and broadcasts; each document then filters its own split lines
-    against it with an array higher-order function — the corpus side
-    is a NARROW map (no explode/regroup round trip, no shuffle of
-    document rows). The broadcast is bounded by the boilerplate
-    vocabulary, which is small by construction (only text repeated
-    across ``min_docs``+ documents qualifies — at crawl scale a few
-    hundred thousand short strings); raise ``min_docs``/``min_chars``
-    to shrink it further before loosening them.
+    Plan: the boilerplate vocabulary aggregates to a single MAP row
+    (line → true) and broadcasts; each document then filters its own
+    split lines with a hash-map membership probe — O(1) per line, so
+    per-document cost stays O(lines) even at crawl-scale vocabularies
+    (an array_contains formulation would scan the whole vocabulary per
+    line, O(lines × vocab)). The corpus side is a NARROW map — no
+    explode/regroup round trip, no shuffle of document rows. The
+    broadcast is bounded by the boilerplate vocabulary, which is small
+    by construction (only text repeated across ``min_docs``+ documents
+    qualifies — at crawl scale a few hundred thousand short strings);
+    raise ``min_docs``/``min_chars`` to shrink it further before
+    loosening them.
     """
     bp = boilerplate_lines(
         df,
@@ -844,19 +847,25 @@ def remove_boilerplate(
         min_chars=min_chars,
         delimiter=delimiter,
     )
-    bp_arr = bp.agg(
-        F.coalesce(
-            F.array_sort(F.collect_list("line")), F.array().cast("array<string>")
+    bp_map = bp.agg(
+        F.map_from_arrays(
+            F.coalesce(
+                F.collect_list("line"), F.array().cast("array<string>")
+            ),
+            F.coalesce(
+                F.collect_list(F.lit(True)),
+                F.array().cast("array<boolean>"),
+            ),
         ).alias("_bp")
     )
     import re as _re
 
     lines = F.split(F.col(text_col), _re.escape(delimiter), -1)
     kept = F.filter(
-        lines, lambda x: ~F.array_contains(F.col("_bp"), F.trim(x))
+        lines, lambda x: ~F.map_contains_key(F.col("_bp"), F.trim(x))
     )
     return (
-        df.crossJoin(F.broadcast(bp_arr))
+        df.crossJoin(F.broadcast(bp_map))
         .withColumn(out_col, F.array_join(kept, delimiter))
         .withColumn(
             "n_lines_removed",
