@@ -217,3 +217,41 @@ def zorder_write(
         .option("compression", "snappy")
         .parquet(path)
     )
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] | list[str] = OUTPUT_PARTITION_COLS,
+    max_records_per_file: int = 500_000,
+) -> None:
+    """Incremental partition-level upsert: overwrite ONLY the
+    partitions present in ``df``, leaving every other partition of the
+    existing dataset untouched — the merge primitive for daily
+    re-crawls / late-arriving corrections on a partitioned corpus,
+    without a table format. A plain ``mode("overwrite")`` +
+    ``partitionBy`` would delete the ENTIRE dataset first (static
+    overwrite); this uses Spark's dynamic partition-overwrite mode,
+    scoped to this one write and restored afterward so the session's
+    global semantics don't silently change.
+
+    At 100 TB this is the difference between rewriting ~1/365th of a
+    year-partitioned corpus and rewriting all of it. Granularity is
+    the partition: a row-level merge needs a log-structured table
+    format (Delta/Iceberg/Hudi) — at partition granularity plain
+    Parquet + this mode gives the same idempotent replay property
+    (re-running a day's batch converges to the same state).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("compression", "snappy")
+            .option("maxRecordsPerFile", str(max_records_per_file))
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

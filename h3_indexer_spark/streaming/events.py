@@ -387,3 +387,165 @@ def streaming_distinct_users(
             "n_distinct_users",
         )
     )
+
+
+def streaming_anomalies(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+    min_n: int = 30,
+):
+    """Streaming twin of the batch anomaly query (standardize + |z|
+    gate): per-key RUNNING mean/variance maintained with Welford's
+    online update in applyInPandasWithState, each row scored against
+    the statistics as of its arrival. State per key is exactly three
+    numbers (n, mean, M2) — flat in stream length, no window buffer.
+
+    Semantics differ from batch BY DESIGN and the difference is the
+    point: batch standardize scores against the final global moments;
+    a stream can only know the past, so each row is scored against the
+    prefix statistics — the true online-detection contract (no
+    lookahead leakage). Scores are emitted only once a key has seen
+    ``min_n`` values (cold-start suppression); the batched Welford
+    merge (Chan's parallel update per micro-batch, vectorized) makes
+    one numpy pass per key per batch, no per-row Python.
+
+    Emits (key, event_id, value, z) per flagged row, append-style."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, event_id long, value double, z double"
+    )
+    state_schema = "n long, mean double, m2 double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        flagged = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            ids = pdf["event_id"].to_numpy()
+            # score THIS batch against the prefix stats (pre-update):
+            # online semantics, no lookahead inside the batch either
+            # beyond its own boundary
+            if n >= min_n and m2 > 0:
+                sd = (m2 / (n - 1)) ** 0.5
+                z = (x - mean) / sd
+                hit = np.abs(z) >= z_threshold
+                for i in np.flatnonzero(hit):
+                    flagged.append((key[0], int(ids[i]), float(x[i]), float(z[i])))
+            # Chan's parallel merge of the batch into the running state
+            bn = len(x)
+            bmean = float(x.mean())
+            bm2 = float(((x - bmean) ** 2).sum())
+            delta = bmean - mean
+            tot = n + bn
+            mean = mean + delta * bn / tot
+            m2 = m2 + bm2 + delta * delta * n * bn / tot
+            n = tot
+        state.update((n, mean, m2))
+        if flagged:
+            yield pd.DataFrame(
+                flagged, columns=[key_col, "event_id", "value", "z"]
+            )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    capacity: int = 64,
+):
+    """Streaming SpaceSaving heavy hitters per key: bounded-state
+    approximate top items over an unbounded stream — the online twin
+    of analytics.frequent_items_scalable, with the same certification
+    honesty. State per key is at most ``capacity`` (item, count,
+    overestimate) triples; when full, the minimum-count item is
+    evicted and its count seeds the newcomer (the SpaceSaving
+    guarantee: true_count ≤ count, count − err ≤ true_count).
+
+    Emits the CURRENT top table per key per batch (update-style):
+    (key, item, est_count, err, guaranteed) where ``guaranteed`` marks
+    items whose lower bound clears the next candidate's upper bound —
+    provably in the true top set, never silently approximate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, item string, est_count long, "
+        "err long, guaranteed boolean"
+    )
+    state_schema = "items array<string>, counts array<long>, errs array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, errs = state.get
+            table = {
+                it: [c, e] for it, c, e in zip(items, counts, errs)
+            }
+        else:
+            table = {}
+        for pdf in pdfs:
+            # vectorized per-batch tally, then ONE merge per distinct
+            # item (batched SpaceSaving: an absent item arriving with
+            # c occurrences seeds at evicted_min + c, err evicted_min)
+            for it, c in pdf[item_col].astype(str).value_counts().items():
+                c = int(c)
+                if it in table:
+                    table[it][0] += c
+                elif len(table) < capacity:
+                    table[it] = [c, 0]
+                else:
+                    victim = min(table, key=lambda k: table[k][0])
+                    vcount = table.pop(victim)[0]
+                    table[it] = [vcount + c, vcount]
+        state.update(
+            (
+                list(table.keys()),
+                [v[0] for v in table.values()],
+                [v[1] for v in table.values()],
+            )
+        )
+        rows = sorted(
+            ((it, c, e) for it, (c, e) in table.items()),
+            key=lambda t: (-t[1], t[0]),
+        )
+        if rows:
+            # an item is guaranteed top-i if its lower bound (count-err)
+            # beats the (i+1)-th item's upper bound (count)
+            out = []
+            for i, (it, c, e) in enumerate(rows):
+                nxt = rows[i + 1][1] if i + 1 < len(rows) else 0
+                out.append((key[0], it, c, e, (c - e) >= nxt))
+            yield pd.DataFrame(
+                out,
+                columns=[key_col, "item", "est_count", "err", "guaranteed"],
+            )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

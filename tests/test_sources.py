@@ -500,3 +500,55 @@ class TestZOrderWrite:
             back.groupBy().agg(F.sum("a"), F.sum("b")).collect()
             == df.groupBy().agg(F.sum("a"), F.sum("b")).collect()
         )
+
+
+class TestUpsertPartitions:
+    def test_only_touched_partitions_replaced(self, spark, tmp_path):
+        from h3_indexer_spark.sources.writers import (
+            upsert_partitions,
+            write_partitioned_parquet,
+        )
+
+        out = str(tmp_path / "upsert")
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+            ["id", "part", "v"],
+        )
+        write_partitioned_parquet(base, out, partition_cols=("part",))
+        untouched_files = set()
+        import glob as _glob
+
+        untouched_files = set(_glob.glob(f"{out}/part=b/*.parquet")) | set(
+            _glob.glob(f"{out}/part=c/*.parquet")
+        )
+        # upsert replaces partition 'a' only (id 1 corrected, id 2 gone)
+        batch = spark.createDataFrame(
+            [(1, "a", 11.0), (5, "a", 50.0)], ["id", "part", "v"]
+        )
+        upsert_partitions(batch, out, partition_cols=("part",))
+        got = {
+            (r.id, r.part, r.v)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {
+            (1, "a", 11.0), (5, "a", 50.0),
+            (3, "b", 30.0), (4, "c", 40.0),
+        }
+        # untouched partitions keep their physical files (no rewrite)
+        after = set(_glob.glob(f"{out}/part=b/*.parquet")) | set(
+            _glob.glob(f"{out}/part=c/*.parquet")
+        )
+        assert untouched_files == after
+
+    def test_session_mode_restored(self, spark, tmp_path):
+        from h3_indexer_spark.sources.writers import upsert_partitions
+
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "STATIC"
+        )
+        df = spark.createDataFrame([(1, "a", 1.0)], ["id", "part", "v"])
+        upsert_partitions(df, str(tmp_path / "x"), partition_cols=("part",))
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            == prev
+        )

@@ -628,3 +628,167 @@ class TestStreamingDistinctUsers:
         }
         assert got == want
         assert len(got) > 10
+
+
+class TestStreamingAnomalies:
+    def test_online_prefix_semantics(self, spark):
+        """A planted outlier after the warm-up window must flag; rows
+        inside the cold-start window must not (no stats yet); and the
+        z is computed against PREFIX stats — no lookahead."""
+        from h3_indexer_spark.streaming.events import streaming_anomalies
+
+        d = tempfile.mkdtemp(prefix="h3idx_sanom_")
+        try:
+            base = "2024-06-01 "
+            # batch 1: 40 calm values (mean 10, tiny spread)
+            calm = [
+                (i, base + f"10:{i:02d}:00", "click", 10.0 + (i % 5) * 0.1, 7)
+                for i in range(40)
+            ]
+            # batch 2: one wild value + one calm
+            wild = [
+                (100, base + "11:00:00", "click", 50.0, 7),
+                (101, base + "11:01:00", "click", 10.2, 7),
+            ]
+            stream_src = _write_event_batches(spark, d, [calm, wild])
+            got, _ = _run_stream_with_drop_count(
+                spark,
+                streaming_anomalies(
+                    stream_src, key_col="event_type", z_threshold=3.0
+                ),
+                output_mode="append",
+            )
+            rows = got.collect()
+            flagged = {r.event_id for r in rows}
+            assert 100 in flagged, rows
+            # calm rows: batch 1 is entirely cold-start (state empty at
+            # scoring time), 101 is within 3 sd of the calm prefix
+            assert flagged == {100}, rows
+            z = [r.z for r in rows if r.event_id == 100][0]
+            assert z > 3.0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_running_stats_match_batch_moments(self, spark):
+        """After all batches, the per-key Welford state must equal the
+        batch mean/variance — verified indirectly: a final sentinel
+        value scored by the stream gets the same z the batch formula
+        gives against all prior data."""
+        import math
+
+        from h3_indexer_spark.streaming.events import streaming_anomalies
+
+        d = tempfile.mkdtemp(prefix="h3idx_sanom2_")
+        try:
+            base = "2024-06-01 "
+            vals = [10.0, 12.0, 9.0, 11.0, 10.5, 9.5, 11.5, 10.0] * 5
+            hist = [
+                (i, base + f"10:{i:02d}:00", "click", v, 7)
+                for i, v in enumerate(vals)
+            ]
+            probe = [(999, base + "11:00:00", "click", 30.0, 7)]
+            stream_src = _write_event_batches(spark, d, [hist, probe])
+            got, _ = _run_stream_with_drop_count(
+                spark,
+                streaming_anomalies(
+                    stream_src, z_threshold=3.0, min_n=30
+                ),
+                output_mode="append",
+            )
+            z_stream = {r.event_id: r.z for r in got.collect()}[999]
+            n = len(vals)
+            mean = sum(vals) / n
+            var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+            z_batch = (30.0 - mean) / math.sqrt(var)
+            assert abs(z_stream - z_batch) < 1e-9
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamingHeavyHitters:
+    def test_exact_within_capacity_and_guaranteed(self, spark):
+        """With distinct items <= capacity the sketch is exact: the
+        final update's counts equal the batch groupBy, errs are 0,
+        and every item is certified."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_heavy_hitters,
+        )
+
+        d = tempfile.mkdtemp(prefix="h3idx_shh_")
+        try:
+            base = "2024-06-01 "
+            rows_a, rows_b = [], []
+            eid = 0
+            for u, n_a, n_b in [(1, 5, 3), (2, 2, 2), (3, 1, 0)]:
+                for _ in range(n_a):
+                    rows_a.append(
+                        (eid, base + "10:00:00", "click", 1.0, u)
+                    )
+                    eid += 1
+                for _ in range(n_b):
+                    rows_b.append(
+                        (eid, base + "10:30:00", "click", 1.0, u)
+                    )
+                    eid += 1
+            stream_src = _write_event_batches(spark, d, [rows_a, rows_b])
+            got, _ = _run_stream_with_drop_count(
+                spark,
+                streaming_heavy_hitters(
+                    stream_src, key_col="event_type", item_col="user_id",
+                    capacity=16,
+                ),
+                output_mode="update",
+            )
+            # memory sink in update mode appends each batch's emission;
+            # keep the LAST emission per item (max est_count)
+            final = {}
+            for r in got.collect():
+                cur = final.get(r.item)
+                if cur is None or r.est_count > cur.est_count:
+                    final[r.item] = r
+            assert {k: v.est_count for k, v in final.items()} == {
+                "1": 8, "2": 4, "3": 1
+            }
+            assert all(v.err == 0 and v.guaranteed for v in final.values())
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_eviction_keeps_bounds_honest(self, spark):
+        """Past capacity, evicted-and-reinserted items carry err > 0
+        and true_count <= est_count always holds."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_heavy_hitters,
+        )
+
+        d = tempfile.mkdtemp(prefix="h3idx_shh2_")
+        try:
+            base = "2024-06-01 "
+            rows = []
+            eid = 0
+            true = {}
+            # heavy items 0,1 + a tail of singletons that forces churn
+            stream_plan = [0] * 20 + [1] * 10 + list(range(100, 130))
+            for u in stream_plan:
+                rows.append((eid, base + "10:00:00", "click", 1.0, u))
+                true[str(u)] = true.get(str(u), 0) + 1
+                eid += 1
+            stream_src = _write_event_batches(spark, d, [rows])
+            got, _ = _run_stream_with_drop_count(
+                spark,
+                streaming_heavy_hitters(
+                    stream_src, key_col="event_type", item_col="user_id",
+                    capacity=8,
+                ),
+                output_mode="update",
+            )
+            table = {r.item: r for r in got.collect()}
+            assert len(table) <= 8
+            for item, r in table.items():
+                t = true.get(item, 0)
+                assert t <= r.est_count, (item, t, r)
+                assert r.est_count - r.err <= t, (item, t, r)
+            # the two heavies must be present and certified
+            assert table["0"].est_count >= 20
+            assert table["0"].guaranteed
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
