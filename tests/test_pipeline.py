@@ -574,6 +574,8 @@ class TestTrainingDataPipeline:
         assert counts["ingested"] > 0
         assert 0 < counts["curated"] <= counts["ingested"]
         assert 0 < counts["near_deduped"] <= counts["curated"]
-        assert counts["packed"] == counts["near_deduped"]
+        # quality-weighted sampling sits between dedup and packing
+        assert 0 < counts["sampled"] <= counts["near_deduped"]
+        assert counts["packed"] == counts["sampled"]
         assert counts["written"] == counts["packed"]
         assert counts["n_packs"] >= 1
