@@ -905,22 +905,34 @@ def event_type_entropy(
     a human exploring every surface). Output: (id, n_events,
     n_types, entropy_nats).
 
-    Computed from integer counts via H = ln(N) − (Σ nᵢ·ln nᵢ)/N: the
-    two-level aggregate keeps every sum exact-integer until the final
-    fixed ln/divide sequence, so the result is reproducible
-    cross-engine (the q_tfidf precedent: both engines' ln agree
-    bit-for-bit on integer inputs). Two partial-aggregated shuffles,
-    the second over entity-cardinality rows only."""
+    Computed from integer counts via H = ln(N) − (Σ nᵢ·ln nᵢ)/N.
+    Every count stays exact-integer through both aggregation levels;
+    the one float SUM (Σ nᵢ·ln nᵢ) is evaluated as a sequential fold
+    over the SORTED term list, because a plain SUM of doubles
+    accumulates in engine/partition order — two engines (or two runs)
+    can disagree in the last ulp, which a hash gate then amplifies
+    into a mismatch. Sorting first (n·ln n is monotone in n for
+    n ≥ 1, so sorting the terms equals sorting the counts) pins ONE
+    IEEE addition order that any engine reproduces bit-for-bit, and
+    no rounding guard is needed. The per-entity type list is small
+    (the type vocabulary), so collect_list state is bounded. Two
+    partial-aggregated shuffles, the second over entity-cardinality
+    rows only."""
     counts = events.groupBy(id_col, type_col).agg(
         F.count(F.lit(1)).alias("_n")
     )
     nd = F.col("_n").cast("double")
+    term_sum = F.aggregate(
+        F.array_sort(F.collect_list(nd * F.log(nd))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         counts.groupBy(id_col)
         .agg(
             F.sum("_n").alias("n_events"),
             F.count(F.lit(1)).alias("n_types"),
-            F.sum(nd * F.log(nd)).alias("_s"),
+            term_sum.alias("_s"),
         )
         .select(
             id_col,

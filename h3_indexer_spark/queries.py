@@ -2431,11 +2431,16 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type Shannon entropy (operators/analytics.py::
-    event_type_entropy). Integer counts stay exact through both
-    aggregation levels; the final ln/divide sequence rounds to 12
-    decimals because the Σ n·ln n term sums doubles in engine order
-    (the grouped_corr absorb rule — NOT the identical-sequence case
-    where rounding is avoided)."""
+    event_type_entropy). Two determinism layers: the one float SUM
+    folds over the SORTED term list in both engines (pins the
+    addition order — a plain SUM accumulates in engine/partition
+    order and its error compounds with term count), then ROUND(9)
+    absorbs the remaining fixed ~1-ulp transcendental gap — measured:
+    JVM ln(74.0) = 4.304065093204169 vs libm 4.30406509320417 — which
+    no expression-shape mirroring can remove. 9 decimals keeps the
+    quantum (1e-9) six orders above the ulp gap (~1e-15), so the
+    boundary-flip probability is negligible where ROUND(12) would sit
+    a mere 1e3 above it."""
     from h3_indexer_spark.operators.analytics import event_type_entropy
 
     out = event_type_entropy(_load_events(spark, sf_dir))
@@ -2443,7 +2448,7 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
         "n_types",
-        F.round("entropy_nats", 12).alias("entropy_nats"),
+        F.round("entropy_nats", 9).alias("entropy_nats"),
     )
 
 
@@ -4958,9 +4963,15 @@ ORACLES["q_entropy"] = """
            COUNT(*) AS n_types,
            ROUND(
                ln(CAST(SUM(n) AS DOUBLE))
-               - SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
-                 / CAST(SUM(n) AS DOUBLE),
-               12
+               - list_reduce(
+                     list_prepend(
+                         0.0,
+                         list_sort(list(CAST(n AS DOUBLE)
+                                        * ln(CAST(n AS DOUBLE))))
+                     ),
+                     (acc, x) -> acc + x
+                 ) / CAST(SUM(n) AS DOUBLE),
+               9
            ) AS entropy_nats
     FROM c GROUP BY user_id
 """
