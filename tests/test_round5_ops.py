@@ -247,3 +247,95 @@ class TestWeightedSample:
         )
         n = weighted_sample(df, "w").count()
         assert abs(n / 20000 - 0.3) < 0.02
+
+
+class TestRound5Properties:
+    def test_snapshot_diff_reconstructs_new_table(self, spark):
+        """Invariant: old + diff = new. Applying the diff to the old
+        snapshot (drop removed, apply changed, add added) must
+        reproduce the new snapshot exactly — the property that makes
+        the diff a faithful CDC stream."""
+        import random
+
+        from h3_indexer_spark.operators.relational import snapshot_diff
+
+        rng = random.Random(7)
+        old_rows, new_rows = [], []
+        for k in range(300):
+            in_old = rng.random() < 0.8
+            in_new = rng.random() < 0.8
+            v_old = round(rng.uniform(0, 100), 2) if rng.random() < 0.9 else None
+            v_new = (
+                v_old
+                if rng.random() < 0.5
+                else (round(rng.uniform(0, 100), 2) if rng.random() < 0.9 else None)
+            )
+            s_old = rng.choice(["A", "B", None])
+            s_new = s_old if rng.random() < 0.7 else rng.choice(["A", "B", None])
+            if in_old:
+                old_rows.append((k, v_old, s_old))
+            if in_new:
+                new_rows.append((k, v_new, s_new))
+        schema = "k long, v double, s string"
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        diff = snapshot_diff(
+            old, new, ["k"], ["v", "s"], include_unchanged=True
+        ).collect()
+        rebuilt = set()
+        for r in diff:
+            if r.status == "removed":
+                continue
+            rebuilt.add((r.k, r.new_v, r.new_s))
+        assert rebuilt == {tuple(r) for r in new_rows}
+        # and the status partition is total: every old/new key classified
+        assert {r.k for r in diff} == {r[0] for r in old_rows} | {
+            r[0] for r in new_rows
+        }
+
+    def test_weighted_sample_monotone_in_weight(self, spark):
+        """For a fixed salt, raising every weight can only ADD rows
+        (keep iff hash < floor(w·2^60) is monotone in w) — the
+        property that makes threshold sweeps stable instead of
+        reshuffling the kept set."""
+        from h3_indexer_spark.operators.curation import weighted_sample
+
+        df = (
+            spark.range(5000)
+            .withColumnRenamed("id", "doc_id")
+            .withColumn(
+                "w", (F.col("doc_id") % 100).cast("double") / 100.0
+            )
+        )
+        lo = {
+            r.doc_id
+            for r in weighted_sample(df, F.col("w") * 0.5).collect()
+        }
+        hi = {r.doc_id for r in weighted_sample(df, "w").collect()}
+        assert lo <= hi
+        assert len(hi) > len(lo) > 0
+
+    def test_entropy_invariant_under_type_relabeling(self, spark):
+        """Shannon entropy depends only on the count multiset, not the
+        labels — relabeling event types must not change any user's
+        entropy."""
+        from h3_indexer_spark.operators.analytics import event_type_entropy
+
+        rows = [
+            (u, t)
+            for u in range(30)
+            for t in ["a"] * (u % 4 + 1) + ["b"] * 2 + ["c"] * 1
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "event_type"])
+        relabeled = df.withColumn(
+            "event_type", F.concat(F.lit("xx_"), F.col("event_type"))
+        )
+        a = {
+            r.user_id: r.entropy_nats
+            for r in event_type_entropy(df).collect()
+        }
+        b = {
+            r.user_id: r.entropy_nats
+            for r in event_type_entropy(relabeled).collect()
+        }
+        assert a == b
