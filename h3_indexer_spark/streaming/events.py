@@ -549,3 +549,41 @@ def streaming_heavy_hitters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_to_partitioned_parquet(
+    stream: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    checkpoint: str,
+    trigger_available_now: bool = False,
+):
+    """Stream→lake sink: write a streaming DataFrame to partitioned
+    Parquet through foreachBatch + partition-level dynamic overwrite
+    (sources/writers.upsert_partitions). Each micro-batch rewrites
+    ONLY the partitions it touches, so a re-delivered batch (failure
+    replay) converges to the same files instead of duplicating rows —
+    idempotent at partition granularity without a table format, the
+    same exactly-once-per-partition contract a Delta MERGE gives at
+    row granularity.
+
+    The checkpoint directory carries the source offsets: on restart,
+    processing resumes after the last COMMITTED batch, and a batch
+    that wrote files but died before committing is replayed —
+    harmless, because the rewrite is idempotent. Use a batch id/date
+    column in ``partition_cols`` so concurrent-epoch output lands in
+    disjoint partitions. Returns the started StreamingQuery."""
+    from h3_indexer_spark.sources.writers import upsert_partitions
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitions(batch_df, path, partition_cols)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -792,3 +792,55 @@ class TestStreamingHeavyHitters:
             assert table["0"].guaranteed
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamToPartitionedParquet:
+    def test_incremental_partition_writes_and_idempotent_replay(
+        self, spark, events_dir
+    ):
+        """The foreachBatch upsert sink: (a) output equals the batch
+        plan partitioned the same way; (b) re-running the SAME input
+        through a FRESH checkpoint (a full replay — the worst case)
+        converges to the same rows, not duplicates."""
+        from h3_indexer_spark.streaming.events import (
+            stream_to_partitioned_parquet,
+        )
+
+        d = tempfile.mkdtemp(prefix="h3idx_slake_")
+        try:
+            out = f"{d}/lake"
+            src = _read_stream(spark, events_dir).withColumn(
+                "day", F.to_date("ts")
+            )
+            q = stream_to_partitioned_parquet(
+                src, out, ["day"], f"{d}/ckpt1",
+                trigger_available_now=True,
+            )
+            q.awaitTermination(120)
+            batch = spark.read.parquet(events_dir).withColumn(
+                "day", F.to_date("ts")
+            )
+            got = spark.read.parquet(out)
+            assert got.count() == batch.count()
+            assert (
+                got.select("day").distinct().count()
+                == batch.select("day").distinct().count()
+            )
+            # full replay with a fresh checkpoint: same state, no dupes
+            q2 = stream_to_partitioned_parquet(
+                _read_stream(spark, events_dir).withColumn(
+                    "day", F.to_date("ts")
+                ),
+                out,
+                ["day"],
+                f"{d}/ckpt2",
+                trigger_available_now=True,
+            )
+            q2.awaitTermination(120)
+            again = spark.read.parquet(out)
+            assert again.count() == batch.count()
+            assert {r.event_id for r in again.select("event_id").collect()} == {
+                r.event_id for r in batch.select("event_id").collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
