@@ -351,12 +351,24 @@ def main() -> None:
     # vs 2.4s steady). The headline metric stays the cold sum for
     # round-over-round comparability; the steady fields show the
     # throughput a production session actually gets.
+    # Median-of-N reps: this host shows 3-5x run-to-run jitter on
+    # identical plans (round-5 artifact recorded q_funnel at 4.96s vs
+    # 1.51/1.56s in same-round runs), so a single steady draw can land
+    # a fake multi-x "regression" in the official record. The median of
+    # 3 reps is robust to one scheduler stall while keeping the pass
+    # under ~3x the single-shot cost. Cold stays single-shot by
+    # definition.
+    steady_reps = int(os.environ.get("SPARK_GRAFT_STEADY_REPS", "3"))
     steady: dict[str, float] = {}
     for key in HEADLINE:
         fn = queries[key]
-        t0 = time.perf_counter()
-        run(fn(spark, sf_dir))
-        steady[key] = round(time.perf_counter() - t0, 4)
+        reps = []
+        for _ in range(steady_reps):
+            t0 = time.perf_counter()
+            run(fn(spark, sf_dir))
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        steady[key] = round(reps[len(reps) // 2], 4)
 
     for key, secs in _geo_pipeline_bench(spark, sf).items():
         timings[key] = secs
@@ -405,6 +417,7 @@ def main() -> None:
             "bench_row_groups": _row_groups(sf_dir),
             "layout_normalized": sf_dir != raw_sf_dir,
             "n_headline": len(HEADLINE),
+            "steady_reps": steady_reps,
         }
     )
     print(line)
@@ -415,7 +428,7 @@ def main() -> None:
     # override the name via SPARK_GRAFT_BENCH_OUT).
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).resolve().parent / "BENCH_local_r5.json"),
+        str(Path(__file__).resolve().parent / "BENCH_local_r6.json"),
     )
     try:
         with open(out_path, "w") as fh:

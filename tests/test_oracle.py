@@ -33,11 +33,40 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _numeric_kind(dtype) -> str | None:
+    """Collapse a pandas dtype to 'int' / 'float' (None for non-numeric).
+
+    The driver's correctness gate hashes STRINGIFIED values, so an int64
+    column on one engine vs float64 on the other (e.g. DuckDB SUM(BIGINT)
+    -> HUGEINT -> float64) prints 57 vs 57.0 and fails hash_match even
+    when every value compares equal.  Round 5 shipped exactly that drift
+    because _values_equal(57, 57.0) is True; this kind check makes the
+    local mirror representation-faithful.
+    """
+    kind = getattr(dtype, "kind", None)
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    return None
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None:
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"column mismatch: {sorted(spark_pdf.columns)} vs "
         f"{sorted(duck_pdf.columns)}"
     )
+    for col in spark_pdf.columns:
+        ks = _numeric_kind(spark_pdf[col].dtype)
+        kd = _numeric_kind(duck_pdf[col].dtype)
+        if ks is not None and kd is not None:
+            assert ks == kd, (
+                f"dtype kind mismatch in {col!r}: spark="
+                f"{spark_pdf[col].dtype} vs duck={duck_pdf[col].dtype} — "
+                "the driver stringifies these differently (57 vs 57.0); "
+                "cast the oracle (or the Spark query) so both engines "
+                "agree on int-vs-float"
+            )
     assert len(spark_pdf) == len(duck_pdf), (
         f"row count mismatch: {len(spark_pdf)} vs {len(duck_pdf)}"
     )
@@ -49,6 +78,17 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None:
             assert _values_equal(x, y), (
                 f"value mismatch in {col!r} row {i}: spark={x!r} duck={y!r}"
             )
+
+
+def test_compare_frames_rejects_int_float_drift():
+    """Regression lock for the round-5 HUGEINT incident: equal VALUES in
+    different numeric representations must fail locally, because the
+    driver's stringified hash will fail them."""
+    a = pd.DataFrame({"n": pd.Series([57], dtype="int64")})
+    b = pd.DataFrame({"n": pd.Series([57.0], dtype="float64")})
+    with pytest.raises(AssertionError, match="dtype kind mismatch"):
+        compare_frames(a, b)
+    compare_frames(a.copy(), a.copy())
 
 
 def _oracle_keys():
