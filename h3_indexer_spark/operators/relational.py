@@ -759,3 +759,66 @@ def snapshot_diff(
         *[f"new_{c}" for c in compare_cols],
         "n_changed_cols",
     )
+
+
+def merge_by_key(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str] | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Row-level MERGE (upsert + delete-vector) without a table
+    format: returns the post-merge state of ``target`` after applying
+    ``source`` — MATCHED rows take the source's values wholesale (a
+    legitimately-NULL source value still wins: matching is decided by
+    presence markers, not COALESCE), NOT-MATCHED source rows are
+    inserted, unmatched target rows pass through, and rows whose
+    ``delete_col`` flag is true on the source side are dropped
+    (matched → delete; unmatched-delete → no-op tombstone). This is
+    the key-level complement to partition-level
+    ``sources.writers.upsert_partitions`` and the CDC classifier
+    ``snapshot_diff`` (parity surface: reference emits full snapshots
+    only — this is beyond-reference MERGE INTO semantics, expressed as
+    one relational plan instead of a table-format transaction log).
+
+    Plan shape: ONE full-outer hash join on the key columns — both
+    sides shuffle once on the same key; no window, no second pass.
+    Keys must be non-null (PK contract, same as snapshot_diff). At
+    100 TB: bucket the target on the key at write time
+    (writers.write_bucketed_table) and re-bucket each merged output
+    the same way — then every nightly merge joins with ZERO Exchange
+    on the target side (locked in tests/test_round6_ops.py), reading
+    and rewriting only shuffled-once source data. Idempotent: merging
+    the same source twice converges to the same state.
+    """
+    if value_cols is None:
+        tgt_vals = [c for c in target.columns if c not in key_cols]
+        value_cols = [
+            c
+            for c in source.columns
+            if c not in key_cols and c != delete_col and c in tgt_vals
+        ]
+    tsel = target.select(
+        *key_cols, *[F.col(c).alias(f"_t_{c}") for c in value_cols]
+    ).withColumn("_in_t", F.lit(1))
+    scols = [F.col(c).alias(f"_s_{c}") for c in value_cols]
+    if delete_col is not None:
+        scols.append(
+            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)).alias(
+                "_s_del"
+            )
+        )
+    ssel = source.select(*key_cols, *scols).withColumn("_in_s", F.lit(1))
+    j = tsel.join(ssel, key_cols, "full_outer")
+    if delete_col is not None:
+        # matched + delete-flag → drop; unmatched tombstone → no row to
+        # insert either way
+        j = j.where(~F.coalesce(F.col("_s_del"), F.lit(False)))
+    out_vals = [
+        F.when(F.col("_in_s").isNotNull(), F.col(f"_s_{c}"))
+        .otherwise(F.col(f"_t_{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    return j.select(*key_cols, *out_vals)

@@ -2515,6 +2515,43 @@ def q_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE (operators/relational.py::merge_by_key): the
+    customer table merged with a deterministic change-set — keys
+    ending in 3 updated (name suffixed, balance doubled), fresh keys
+    (+1,000,000) inserted, keys ending in 7 deleted via the
+    delete-vector flag. ONE full-outer hash join; source values win
+    on match via presence markers (NULL-safe), target rows pass
+    through otherwise."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    upd = cust.where(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("_u")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") * F.lit(2.0)).alias("c_acctbal"),
+        F.lit(False).alias("deleted"),
+    )
+    ins = cust.where(F.col("c_custkey") % 10 == 4).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("_new")).alias("c_name"),
+        "c_nationkey",
+        F.lit(111.25).alias("c_acctbal"),
+        F.lit(False).alias("deleted"),
+    )
+    dels = cust.where(F.col("c_custkey") % 10 == 7).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.lit(True).alias("deleted"),
+    )
+    src = upd.unionByName(ins).unionByName(dels)
+    return R.merge_by_key(
+        cust, src, ["c_custkey"], delete_col="deleted"
+    )
+
 
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
@@ -2587,14 +2624,15 @@ QUERIES: dict[str, Query] = {
     "q_window_lag": q_window_lag,
     "q_window_rank": q_window_rank,
     "q_window_sliding": q_window_sliding,
-    # anchors (displaced one-for-one by new round-6 operator keys)
+    # new round-6 operator keys (debut in the window) + anchors
+    "q_merge_upsert": q_merge_upsert,
     "q_scan_parquet": q_scan_parquet,
     "q_groupby_sum": q_groupby_sum,
     "q_funnel": q_funnel,
     "q_dedup_exact": q_dedup_exact,
     "q_snapshot_diff": q_snapshot_diff,
-    "q_knn_ivf": q_knn_ivf,
     # beyond the window: driver-green r4/r5; tests/test_oracle.py runs the identical comparison every session
+    "q_knn_ivf": q_knn_ivf,
     "q_semantic_dedup": q_semantic_dedup,
     "q_profile": q_profile,
     "q_expectations": q_expectations,
@@ -5061,4 +5099,32 @@ ORACLES["q_analytics_pipeline"] = """
     FROM s0
     LEFT JOIN s1 ON s0.user_id = s1.user_id
     LEFT JOIN s2 ON s0.user_id = s2.user_id
+"""
+
+
+ORACLES["q_merge_upsert"] = """
+    WITH src AS (
+        SELECT c_custkey, c_name || '_u' AS c_name, c_nationkey,
+               c_acctbal * 2.0 AS c_acctbal, FALSE AS deleted
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name || '_new', c_nationkey,
+               CAST(111.25 AS DOUBLE), FALSE
+        FROM customer WHERE c_custkey % 10 = 4
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, TRUE
+        FROM customer WHERE c_custkey % 10 = 7
+    ),
+    t AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, 1 AS _in_t
+          FROM customer),
+    s AS (SELECT *, 1 AS _in_s FROM src)
+    SELECT c_custkey,
+           CASE WHEN s._in_s = 1 THEN s.c_name ELSE t.c_name END
+               AS c_name,
+           CASE WHEN s._in_s = 1 THEN s.c_nationkey ELSE t.c_nationkey END
+               AS c_nationkey,
+           CASE WHEN s._in_s = 1 THEN s.c_acctbal ELSE t.c_acctbal END
+               AS c_acctbal
+    FROM t FULL JOIN s USING (c_custkey)
+    WHERE NOT COALESCE(s.deleted, FALSE)
 """
