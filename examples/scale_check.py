@@ -303,5 +303,128 @@ def semantic_dedup_scale(spark) -> None:
         df.unpersist()
 
 
+def round6_scale(max_factor: int = 50) -> None:
+    """Round-6 curves: the config-driven analytics pipeline end-to-end
+    (verdict r5 item #6 — the one round-5 addition without a SCALE.md
+    row), row-level merge_by_key, and PQ encode+ADC search. Run alone:
+    ``python examples/scale_check.py <max_factor> round6``."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from h3_indexer_spark.operators.relational import merge_by_key
+    from h3_indexer_spark.plans.analytics_pipeline import run_analytics
+    from h3_indexer_spark.queries import _load_events
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r6", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    factors = [f for f in (1, 5, 20, 50) if f <= max_factor]
+
+    # analytics pipeline (prepare filter + funnel report) over events
+    # grown by disjoint user-id copies (more keys, constant history)
+    ev = _load_events(spark, SF_DIR).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    cfg = {
+        "prepare": [
+            {"stage": "filter", "predicate": "value IS NOT NULL"},
+        ],
+        "reports": [
+            {
+                "report": "funnel",
+                "name": "f",
+                "stages": ["view", "click", "purchase"],
+            },
+        ],
+    }
+    for factor in factors:
+        e = None
+        for i in range(factor):
+            c = ev.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * 100_000)
+            )
+            e = c if e is None else e.unionByName(c)
+        e = e.repartition(64).cache()
+        rows = e.count()
+        timed(
+            f"analytics_pipeline x{factor}",
+            run_analytics(spark, e, cfg)["f"],
+            rows,
+        )
+        e.unpersist()
+
+    # merge_by_key: target = grown orders snapshot, source = 30% of
+    # keys updated + 10% inserted + 10% delete-flagged
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    n_ord = orders.count()
+    for factor in factors:
+        t = None
+        for i in range(factor):
+            c = orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 10 * n_ord)
+            )
+            t = c if t is None else t.unionByName(c)
+        t = t.repartition(64).cache()
+        rows = t.count()
+        upd = t.where(F.col("o_orderkey") % 10 < 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        ).withColumn("deleted", F.lit(False))
+        ins = t.where(F.col("o_orderkey") % 10 == 3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+        ).withColumn("deleted", F.lit(False))
+        dels = t.where(F.col("o_orderkey") % 10 == 4).withColumn(
+            "deleted", F.lit(True)
+        )
+        src = upd.unionByName(ins).unionByName(dels)
+        timed(
+            f"merge_by_key x{factor}",
+            merge_by_key(t, src, ["o_orderkey"], delete_col="deleted"),
+            rows,
+        )
+        t.unpersist()
+
+    # PQ: encode throughput and ADC search over grown embeddings
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_emb = emb.count()
+    books = pq_train(emb, m=16, nbits=6, sample=500)
+    q_rows = emb.orderBy("vec_id").limit(1).collect()
+    query = list(q_rows[0]["embedding"])
+    for factor in factors:
+        e = None
+        for i in range(factor):
+            c = emb.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10 * n_emb)
+            )
+            e = c if e is None else e.unionByName(c)
+        e = e.repartition(64).cache()
+        rows = e.count()
+        timed(f"pq_encode x{factor}", pq_encode(e, books), rows)
+        enc = pq_encode(e, books).cache()
+        enc.count()
+        timed(
+            f"pq_adc_topk x{factor}",
+            pq_adc_topk(enc, query, books, k=10),
+            rows,
+        )
+        enc.unpersist()
+        e.unpersist()
+
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[2] == "round6":
+        round6_scale(int(sys.argv[1]))
+    else:
+        main()

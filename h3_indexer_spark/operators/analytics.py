@@ -977,3 +977,135 @@ def lag1_autocorr(
         .where(F.col("_next").isNotNull())
     )
     return grouped_corr(pairs, [id_col], value_col, "_next")
+
+
+def ab_test_zscore(
+    events: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Two-sample A/B comparison (Welch z): per-arm count / mean /
+    variance of ``metric_col`` and the z-statistic for the
+    treatment−control mean difference — the experiment-readout
+    primitive over an event log.
+
+    ONE filtered groupBy: per-arm Σv and Σv² accumulate in exact
+    DECIMAL(19,4) (the grouped_corr/regression determinism rule —
+    19 digits forces DuckDB onto int128 so both engines sum exactly),
+    cast to double only for the final mean/variance/z arithmetic,
+    which then mirrors the oracle's op sequence bit-for-bit. The
+    z-score is ROUND(…,12) to absorb the cross-engine
+    contraction ulp in the compound expression (q_regression
+    precedent). Sample variance (n−1); arms with n<2 report null
+    variance and z. Output: one row (n_control, n_treatment,
+    mean_control, mean_treatment, diff, z_score).
+
+    Scale: the aggregation is two partial-agg rows per partition —
+    no shuffle wider than 2 keys; the final stats are a 2-row fold.
+    """
+    v = F.col(metric_col).cast("decimal(19,4)")
+    per_arm = (
+        events.where(
+            F.col(arm_col).isin(control, treatment)
+            & F.col(metric_col).isNotNull()
+        )
+        .groupBy(arm_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("_sx"),
+            F.sum(v * v).alias("_sxx"),
+        )
+    )
+    picked = per_arm.select(
+        arm_col,
+        "n",
+        F.col("_sx").cast("double").alias("sx"),
+        F.col("_sxx").cast("double").alias("sxx"),
+    )
+    c = picked.where(F.col(arm_col) == control).select(
+        F.col("n").alias("n_control"),
+        F.col("sx").alias("_sx_c"),
+        F.col("sxx").alias("_sxx_c"),
+    )
+    t = picked.where(F.col(arm_col) == treatment).select(
+        F.col("n").alias("n_treatment"),
+        F.col("sx").alias("_sx_t"),
+        F.col("sxx").alias("_sxx_t"),
+    )
+    j = c.crossJoin(t)  # 1 row x 1 row
+    nc = F.col("n_control").cast("double")
+    nt = F.col("n_treatment").cast("double")
+    mean_c = F.col("_sx_c") / nc
+    mean_t = F.col("_sx_t") / nt
+    var_c = (nc * F.col("_sxx_c") - F.col("_sx_c") * F.col("_sx_c")) / (
+        nc * (nc - F.lit(1.0))
+    )
+    var_t = (nt * F.col("_sxx_t") - F.col("_sx_t") * F.col("_sx_t")) / (
+        nt * (nt - F.lit(1.0))
+    )
+    se = F.sqrt(var_t / nt + var_c / nc)
+    return j.select(
+        "n_control",
+        "n_treatment",
+        mean_c.alias("mean_control"),
+        mean_t.alias("mean_treatment"),
+        (mean_t - mean_c).alias("diff"),
+        F.round(
+            F.when(
+                (F.col("n_control") >= 2)
+                & (F.col("n_treatment") >= 2)
+                & (se > 0),
+                (mean_t - mean_c) / se,
+            ),
+            12,
+        ).alias("z_score"),
+    )
+
+
+def period_over_period(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_ns: int = 7 * 86_400 * 10**9,
+) -> DataFrame:
+    """Period-over-period trend report: total ``value_col`` per
+    period (integer epoch-ns bucketing — the cross-engine-stable
+    convention) with the previous period's total and the relative
+    change — the WoW/MoM growth readout.
+
+    One groupBy shuffle on the period key (exact DECIMAL sum), then
+    one UNPARTITIONED lag window — safe because the window input is
+    the already-aggregated period table (one row per period), never
+    the event log. Gaps between periods are treated as missing (lag
+    takes the previous EXISTING period; a calendar-dense variant
+    would gap-fill first — analytics.gap_fill_daily composes).
+    Output: (period, total, prev_total, pct_change), pct_change null
+    for the first period and when prev_total is 0."""
+    per = (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(
+            # integer `div`, NOT `/`: float division of epoch-nano
+            # longs exceeds double's 53-bit mantissa and mis-buckets
+            F.expr(
+                f"CAST({ts_col} AS BIGINT) div {period_ns}"
+            ).alias("period")
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(19,4)"))
+            .cast("double")
+            .alias("total")
+        )
+    )
+    w = Window.orderBy(F.col("period").asc())
+    prev = F.lag("total").over(w)
+    return per.select(
+        "period",
+        "total",
+        prev.alias("prev_total"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            (F.col("total") - prev) / prev,
+        ).alias("pct_change"),
+    )

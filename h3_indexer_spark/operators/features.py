@@ -34,25 +34,41 @@ def _stats_join(
     stats: DataFrame,
     group_col: str | list[str] | None,
     broadcast_groups: int | None = None,
+    probe: bool = True,
 ) -> DataFrame:
     """Join a per-group statistics table back onto the fact table.
 
     Ungrouped stats are a single row — always a broadcast cross join.
-    Grouped stats broadcast only after a bounded ``take`` verifies the
-    cardinality is at most ``broadcast_groups`` (default
-    ``BROADCAST_GROUP_LIMIT``); the fetched rows (a few MB at the cap)
-    then re-enter the plan as a LocalRelation, so the aggregation runs
-    exactly once, nothing stays cached, and the broadcast side is a
-    local table Catalyst sizes precisely. Past the threshold the fact
-    side takes one hash shuffle instead of the driver taking an OOM —
-    the correct degradation (the aggregation recomputes inside that
-    join; rare by the tiny-stats contract, and cheap next to the
-    shuffle it accompanies). The bounded probe makes callers EAGER:
-    one aggregation job runs at operator-construction time, not at
-    first action — each caller's docstring states this.
+
+    With ``probe=True`` (default), grouped stats broadcast only after
+    a bounded ``take`` verifies the cardinality is at most
+    ``broadcast_groups`` (default ``BROADCAST_GROUP_LIMIT``); the
+    fetched rows (a few MB at the cap) then re-enter the plan as a
+    LocalRelation, so the aggregation runs exactly once, nothing stays
+    cached, and the broadcast side is a local table Catalyst sizes
+    precisely — the fact side never shuffles, even in the STATIC plan.
+    Past the threshold the fact side takes one hash shuffle instead of
+    the driver taking an OOM — the correct degradation (the
+    aggregation recomputes inside that join: the probe's job was a
+    separate execution; rare by the tiny-stats contract, and cheap
+    next to the shuffle it accompanies). The bounded probe makes
+    callers EAGER: one aggregation job runs at operator-construction
+    time, not at first action — each caller's docstring states this.
+
+    With ``probe=False``, the operator stays fully LAZY: a plain
+    equi-join whose physical strategy AQE picks at runtime from the
+    stats side's ACTUAL shuffle size (small stats convert to a
+    runtime broadcast join with a local shuffle reader, so no full
+    fact-side exchange is transferred; huge stats keep the safe
+    shuffle join) and the aggregation executes exactly once either
+    way. Use this for repeated pipeline construction or when the
+    extra construction-time job matters more than a guaranteed
+    shuffle-free static plan.
     """
     if group_col is None:
         return df.crossJoin(F.broadcast(stats))
+    if not probe:
+        return df.join(stats, group_col)
     if broadcast_groups is None:
         broadcast_groups = BROADCAST_GROUP_LIMIT
     head = stats.take(broadcast_groups + 1)
@@ -250,6 +266,7 @@ def minmax_scale(
     value_col: str,
     group_col: str | None = None,
     out_col: str | None = None,
+    probe: bool = True,
 ) -> DataFrame:
     """Min-max normalization of ``value_col`` to [0, 1], optionally per
     ``group_col`` — feature conditioning before clustering / training.
@@ -264,10 +281,12 @@ def minmax_scale(
     IEEE ops with exact min/max inputs, so results are
     bit-deterministic and oracle-checkable.
 
-    Grouped calls are EAGER: the :func:`_stats_join` cardinality probe
-    runs one aggregation job at construction time, and past
-    ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast degrades
-    to a plain shuffle join instead of a driver OOM.
+    Grouped calls are EAGER by default: the :func:`_stats_join`
+    cardinality probe runs one aggregation job at construction time,
+    and past ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast
+    degrades to a plain shuffle join instead of a driver OOM. Pass
+    ``probe=False`` for a fully lazy plan (plain equi-join; AQE
+    broadcasts small stats at runtime, the aggregation executes once).
     """
     out_col = out_col or f"{value_col}_scaled"
     v = F.col(value_col).cast("double")
@@ -279,7 +298,7 @@ def minmax_scale(
         bounds = df.groupBy(group_col).agg(
             F.min(v).alias("_mn"), F.max(v).alias("_mx")
         )
-    joined = _stats_join(df, bounds, group_col)
+    joined = _stats_join(df, bounds, group_col, probe=probe)
     scaled = F.when(F.col("_mx") == F.col("_mn"), F.lit(0.5)).otherwise(
         (v - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
     )
@@ -291,6 +310,7 @@ def standardize(
     value_col: str,
     group_col: str | None = None,
     out_col: str | None = None,
+    probe: bool = True,
 ) -> DataFrame:
     """Z-score standardization of ``value_col`` — (x − mean) / stddev,
     optionally per ``group_col``. The mean/variance come from EXACT
@@ -306,10 +326,12 @@ def standardize(
     side never shuffles. Degenerate groups (stddev 0 or n = 1) map to
     0.0, mirrored in the oracle. Nulls pass through as null.
 
-    Grouped calls are EAGER: the :func:`_stats_join` cardinality probe
-    runs one aggregation job at construction time, and past
-    ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast degrades
-    to a plain shuffle join instead of a driver OOM.
+    Grouped calls are EAGER by default: the :func:`_stats_join`
+    cardinality probe runs one aggregation job at construction time,
+    and past ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast
+    degrades to a plain shuffle join instead of a driver OOM. Pass
+    ``probe=False`` for a fully lazy plan (plain equi-join; AQE
+    broadcasts small stats at runtime, the aggregation executes once).
     """
     out_col = out_col or f"{value_col}_z"
     dv = F.col(value_col).cast("decimal(19,4)")
@@ -322,7 +344,7 @@ def standardize(
         moments = df.agg(*aggs)
     else:
         moments = df.groupBy(group_col).agg(*aggs)
-    joined = _stats_join(df, moments, group_col)
+    joined = _stats_join(df, moments, group_col, probe=probe)
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
     sxx = F.col("_sxx").cast("double")
@@ -339,6 +361,7 @@ def robust_scale(
     value_col: str,
     group_col: str | None = None,
     out_col: str | None = None,
+    probe: bool = True,
 ) -> DataFrame:
     """Median/IQR robust scaling — (x − median) / (p75 − p25),
     optionally per group. The outlier-insensitive sibling of
@@ -354,10 +377,12 @@ def robust_scale(
     swap in percentile_approx (same shape, sketch state) when groups
     exceed ~10^8 rows and rank-exactness stops mattering.
 
-    Grouped calls are EAGER: the :func:`_stats_join` cardinality probe
-    runs one aggregation job at construction time, and past
-    ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast degrades
-    to a plain shuffle join instead of a driver OOM.
+    Grouped calls are EAGER by default: the :func:`_stats_join`
+    cardinality probe runs one aggregation job at construction time,
+    and past ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast
+    degrades to a plain shuffle join instead of a driver OOM. Pass
+    ``probe=False`` for a fully lazy plan (plain equi-join; AQE
+    broadcasts small stats at runtime, the aggregation executes once).
     """
     out_col = out_col or f"{value_col}_robust"
     aggs = [
@@ -369,7 +394,7 @@ def robust_scale(
         quart = df.agg(*aggs)
     else:
         quart = df.groupBy(group_col).agg(*aggs)
-    joined = _stats_join(df, quart, group_col)
+    joined = _stats_join(df, quart, group_col, probe=probe)
     iqr = F.col("_p75") - F.col("_p25")
     scaled = F.when(iqr <= 0.0, F.lit(0.0)).otherwise(
         (F.col(value_col).cast("double") - F.col("_p50")) / iqr
@@ -383,6 +408,7 @@ def impute(
     strategy: str = "mean",
     group_col: str | None = None,
     out_col: str | None = None,
+    probe: bool = True,
 ) -> DataFrame:
     """Missing-value imputation: replace nulls in ``value_col`` with
     the column's (or group's) mean or median — the standard
@@ -396,10 +422,12 @@ def impute(
     Same broadcast shape as the scalers: one tiny aggregate joined
     back, the fact side never shuffles.
 
-    Grouped calls are EAGER: the :func:`_stats_join` cardinality probe
-    runs one aggregation job at construction time, and past
-    ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast degrades
-    to a plain shuffle join instead of a driver OOM.
+    Grouped calls are EAGER by default: the :func:`_stats_join`
+    cardinality probe runs one aggregation job at construction time,
+    and past ``BROADCAST_GROUP_LIMIT`` distinct groups the broadcast
+    degrades to a plain shuffle join instead of a driver OOM. Pass
+    ``probe=False`` for a fully lazy plan (plain equi-join; AQE
+    broadcasts small stats at runtime, the aggregation executes once).
     """
     out_col = out_col or f"{value_col}_imputed"
     if strategy == "mean":
@@ -415,7 +443,7 @@ def impute(
         fills = df.agg(stat)
     else:
         fills = df.groupBy(group_col).agg(stat)
-    joined = _stats_join(df, fills, group_col)
+    joined = _stats_join(df, fills, group_col, probe=probe)
     return joined.withColumn(
         out_col,
         F.coalesce(F.col(value_col).cast("double"), F.col("_fill")),
@@ -442,3 +470,77 @@ def one_hot(
         for c in categories
     ]
     return df.select("*", *cols)
+
+
+def label_future_event(
+    events: DataFrame,
+    target: Column,
+    id_col: str = "user_id",
+    day_col: str = "day",
+    horizon: int = 7,
+    label_col: str = "label",
+) -> DataFrame:
+    """Forward-looking training labels: for every (entity, day) with
+    activity, does a target event (``target`` — any boolean Column
+    over the event row) occur within the NEXT ``horizon`` days? The
+    churn/conversion label-join every supervised pipeline needs,
+    expressed without a self-join: aggregate to one row per (entity,
+    day), then ONE RANGE-frame window (1 FOLLOWING .. horizon
+    FOLLOWING over the integer day) takes the max target flag — so
+    the plan is a single shuffle keyed on the entity, bounded frame
+    state, and no event×event pair blowup.
+
+    The label only sees days on which the entity has SOME event —
+    correct by construction here because the target is itself an
+    event (its day is present in the grid). Output: (id, day,
+    has_target, label) with ``label`` = 1 iff the target fires in
+    (day, day+horizon].
+    """
+    daily = events.groupBy(
+        F.col(id_col), F.col(day_col).cast("long").alias(day_col)
+    ).agg(F.max(target.cast("int")).alias("has_target"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col(day_col).asc())
+        .rangeBetween(1, horizon)
+    )
+    return daily.select(
+        id_col,
+        day_col,
+        "has_target",
+        F.coalesce(F.max("has_target").over(w), F.lit(0)).alias(
+            label_col
+        ),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    out_col: str = "q_uniform",
+) -> DataFrame:
+    """Rank-based quantile normalization to (0, 1): each row maps to
+    (row_number − 0.5) / n over the global (value, tiebreak) order —
+    the heavy-tail-robust feature transform (uniformized scores feed
+    curriculum schedules and calibration layers; Φ⁻¹ of the output
+    gives the gaussianized variant).
+
+    Same single-task-sort caveat as :func:`ntile_bins` (this exact
+    variant is the oracle baseline; past ~10^8 rows switch to
+    percentile_approx cut points). ``n`` comes from an unbounded
+    COUNT window over the same sort — no second scan, no driver
+    round-trip. ``tiebreak_col`` makes the order total so the
+    normalized values are bit-deterministic cross-engine; (r−0.5)/n
+    is two exact-integer-derived doubles and one division, identical
+    in any engine."""
+    order = [F.col(value_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.orderBy(*order)
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rn = F.row_number().over(w).cast("double")
+    n = F.count(F.lit(1)).over(w_all).cast("double")
+    return df.withColumn(out_col, (rn - F.lit(0.5)) / n)

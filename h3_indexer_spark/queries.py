@@ -2355,17 +2355,19 @@ def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-segment census (operators/curation.py::
     boilerplate_lines): segments occurring in >= 2 distinct documents.
-    The fixture corpus has no newline structure, so the contract splits
-    on sentences ('. ') — the planted duplicate documents make their
-    sentences 'boilerplate', exercising the full explode/distinct/count
-    machinery."""
+    The synthetic corpus is flat space-separated words (no newlines or
+    sentence punctuation), so the contract segments on spaces with
+    min_chars=4 — the shared vocabulary is the repeated-segment
+    structure, giving a NON-EMPTY census (24 rows at sf0.01) that
+    actually exercises the explode/distinct/count machinery (the
+    round-5 '. ' split returned 0 rows and verified nothing)."""
     from h3_indexer_spark.operators.curation import boilerplate_lines
 
     return boilerplate_lines(
         load(spark, sf_dir, "documents"),
         min_docs=2,
-        min_chars=10,
-        delimiter=". ",
+        min_chars=4,
+        delimiter=" ",
     )
 
 
@@ -2379,8 +2381,8 @@ def q_boilerplate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = remove_boilerplate(
         load(spark, sf_dir, "documents"),
         min_docs=2,
-        min_chars=10,
-        delimiter=". ",
+        min_chars=4,
+        delimiter=" ",
     )
     return out.select(
         "doc_id",
@@ -2553,6 +2555,80 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k (operators/pq.py): 16 coarse cells, probe 4,
+    candidates ranked by product-quantized asymmetric distance (m=16
+    sub-spaces x 64 codewords -> 16 bytes/vector instead of 256) — the
+    memory-bounded refinement of q_knn_ivf's coarse index. Rows-only:
+    the codebook k-means is iterative float (no SQL mirror); accuracy
+    is locked by the recall-vs-q_knn_brute bound and the ADC
+    numpy-equivalence test in tests/test_round6_ops.py."""
+    from h3_indexer_spark.operators.pq import ivfpq_topk, pq_train
+    from h3_indexer_spark.operators.similarity import sampled_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, n_cells=16)
+    books = pq_train(emb, m=16, nbits=6, sample=500)
+    return ivfpq_topk(
+        emb, _query_vector(), cents, books, n_probe=4, k=10
+    )
+
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample z (operators/analytics.py::ab_test_zscore):
+    users split into deterministic arms by user_id parity, comparing
+    event value means. Exact DECIMAL(19,4) Σv/Σv² per arm; the
+    compound z expression mirrors the oracle op-for-op (ROUND 12
+    absorbs the contraction ulp, q_regression precedent)."""
+    from h3_indexer_spark.operators.analytics import ab_test_zscore
+
+    ev = _load_events(spark, sf_dir).withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, F.lit("control")).otherwise(
+            F.lit("treatment")
+        ),
+    )
+    return ab_test_zscore(ev, "arm", "value", "control", "treatment")
+
+
+def q_label_future(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking conversion labels (operators/features.py::
+    label_future_event): for every active (user, day), whether a
+    purchase occurs within the next 7 days — ONE RANGE-frame window
+    over the integer day, no self-join."""
+    from h3_indexer_spark.operators.features import label_future_event
+
+    ev = _load_events(spark, sf_dir).withColumn(
+        "day", F.expr(f"ts div {86_400 * 10**9}")
+    )
+    return label_future_event(
+        ev, F.col("event_type") == "purchase", "user_id", "day", 7
+    )
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization (operators/features.py::
+    quantile_normalize): document lengths uniformized to (0,1) by
+    global rank, doc_id tiebreak — (row_number − 0.5)/n is exact
+    integer-derived double arithmetic, bit-equal in any engine."""
+    from h3_indexer_spark.operators.features import quantile_normalize
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_normalize(docs, "n_chars", tiebreak_col="doc_id")
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week trend (operators/analytics.py::
+    period_over_period): 7-day integer epoch-ns buckets, exact
+    DECIMAL totals, lag + relative change over the tiny period
+    table."""
+    from h3_indexer_spark.operators.analytics import period_over_period
+
+    return period_over_period(_load_events(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2626,13 +2702,18 @@ QUERIES: dict[str, Query] = {
     "q_window_sliding": q_window_sliding,
     # new round-6 operator keys (debut in the window) + anchors
     "q_merge_upsert": q_merge_upsert,
+    "q_knn_ivfpq": q_knn_ivfpq,
+    "q_ab_test": q_ab_test,
+    "q_label_future": q_label_future,
+    "q_quantile_normalize": q_quantile_normalize,
+    "q_period_over_period": q_period_over_period,
+    # beyond the window: driver-green r4/r5; tests/test_oracle.py runs the identical comparison every session
+    "q_knn_ivf": q_knn_ivf,
     "q_scan_parquet": q_scan_parquet,
     "q_groupby_sum": q_groupby_sum,
     "q_funnel": q_funnel,
     "q_dedup_exact": q_dedup_exact,
     "q_snapshot_diff": q_snapshot_diff,
-    # beyond the window: driver-green r4/r5; tests/test_oracle.py runs the identical comparison every session
-    "q_knn_ivf": q_knn_ivf,
     "q_semantic_dedup": q_semantic_dedup,
     "q_profile": q_profile,
     "q_expectations": q_expectations,
@@ -4853,9 +4934,9 @@ _BOILERPLATE_CTE = """
         SELECT line, COUNT(DISTINCT doc_id) AS n_docs
         FROM (
             SELECT doc_id, trim(u.part) AS line
-            FROM documents, UNNEST(str_split(text, '. ')) AS u(part)
+            FROM documents, UNNEST(str_split(text, ' ')) AS u(part)
         )
-        WHERE length(line) >= 10
+        WHERE length(line) >= 4
         GROUP BY line
         HAVING COUNT(DISTINCT doc_id) >= 2
     )
@@ -4873,16 +4954,16 @@ ORACLES["q_boilerplate_clean"] = f"""
     ),
     d AS (
         SELECT doc_id,
-               str_split(text, '. ') AS parts,
+               str_split(text, ' ') AS parts,
                list_filter(
-                   str_split(text, '. '),
+                   str_split(text, ' '),
                    x -> NOT list_contains(bp_list, trim(x))
                ) AS kept
         FROM documents, bpl
     )
     SELECT doc_id,
            CAST(len(parts) - len(kept) AS BIGINT) AS n_lines_removed,
-           md5(COALESCE(array_to_string(kept, '. '), '')) AS clean_md5
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
     FROM d
 """
 
@@ -5127,4 +5208,93 @@ ORACLES["q_merge_upsert"] = """
                AS c_acctbal
     FROM t FULL JOIN s USING (c_custkey)
     WHERE NOT COALESCE(s.deleted, FALSE)
+"""
+
+
+ORACLES["q_ab_test"] = """
+    WITH a AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(19,4))
+                        * CAST(value AS DECIMAL(19,4))) AS DOUBLE)
+                   AS sxx
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    ),
+    c AS (SELECT n AS n_control, sx AS sx_c, sxx AS sxx_c
+          FROM a WHERE arm = 'control'),
+    t AS (SELECT n AS n_treatment, sx AS sx_t, sxx AS sxx_t
+          FROM a WHERE arm = 'treatment')
+    SELECT n_control, n_treatment,
+           sx_c / CAST(n_control AS DOUBLE) AS mean_control,
+           sx_t / CAST(n_treatment AS DOUBLE) AS mean_treatment,
+           sx_t / CAST(n_treatment AS DOUBLE)
+               - sx_c / CAST(n_control AS DOUBLE) AS diff,
+           ROUND(CASE WHEN n_control >= 2 AND n_treatment >= 2
+                       AND sqrt(
+                   (CAST(n_treatment AS DOUBLE) * sxx_t - sx_t * sx_t)
+                   / (CAST(n_treatment AS DOUBLE)
+                      * (CAST(n_treatment AS DOUBLE) - 1.0))
+                   / CAST(n_treatment AS DOUBLE)
+                   + (CAST(n_control AS DOUBLE) * sxx_c - sx_c * sx_c)
+                   / (CAST(n_control AS DOUBLE)
+                      * (CAST(n_control AS DOUBLE) - 1.0))
+                   / CAST(n_control AS DOUBLE)) > 0
+           THEN (sx_t / CAST(n_treatment AS DOUBLE)
+                 - sx_c / CAST(n_control AS DOUBLE))
+                / sqrt(
+                   (CAST(n_treatment AS DOUBLE) * sxx_t - sx_t * sx_t)
+                   / (CAST(n_treatment AS DOUBLE)
+                      * (CAST(n_treatment AS DOUBLE) - 1.0))
+                   / CAST(n_treatment AS DOUBLE)
+                   + (CAST(n_control AS DOUBLE) * sxx_c - sx_c * sx_c)
+                   / (CAST(n_control AS DOUBLE)
+                      * (CAST(n_control AS DOUBLE) - 1.0))
+                   / CAST(n_control AS DOUBLE))
+           END, 12) AS z_score
+    FROM c CROSS JOIN t
+"""
+
+ORACLES["q_label_future"] = f"""
+    WITH daily AS (
+        SELECT user_id,
+               epoch_ns(ts) // {86_400 * 10**9} AS day,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_target
+        FROM events
+        GROUP BY user_id, epoch_ns(ts) // {86_400 * 10**9}
+    )
+    SELECT user_id, day, has_target,
+           COALESCE(MAX(has_target) OVER (
+               PARTITION BY user_id ORDER BY day
+               RANGE BETWEEN 1 FOLLOWING AND 7 FOLLOWING
+           ), 0) AS label
+    FROM daily
+"""
+
+ORACLES["q_quantile_normalize"] = """
+    SELECT doc_id, n_chars,
+           (CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS DOUBLE)
+            - 0.5) / CAST(COUNT(*) OVER () AS DOUBLE) AS q_uniform
+    FROM documents
+"""
+
+ORACLES["q_period_over_period"] = f"""
+    WITH per AS (
+        SELECT epoch_ns(ts) // {7 * 86_400 * 10**9} AS period,
+               CAST(SUM(CAST(value AS DECIMAL(19,4))) AS DOUBLE)
+                   AS total
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT period, total,
+           LAG(total) OVER (ORDER BY period) AS prev_total,
+           CASE WHEN LAG(total) OVER (ORDER BY period) IS NOT NULL
+                 AND LAG(total) OVER (ORDER BY period) <> 0
+                THEN (total - LAG(total) OVER (ORDER BY period))
+                     / LAG(total) OVER (ORDER BY period)
+           END AS pct_change
+    FROM per
 """

@@ -36,6 +36,8 @@ ROWS_ONLY_R6 = {
     "q_quantile_bins", "q_ewma", "q_approx_stats", "q_pagerank",
     "q_kmeans", "q_media_resize", "q_media_frames",
     "q_semantic_dedup_fast",
+    # new round-6 rows-only operator, debuting in the window
+    "q_knn_ivfpq",
 }
 STALE_R2 = {
     "q_media_audio", "q_media_meta", "q_ngram_bigrams",
@@ -71,6 +73,13 @@ def test_round6_window_composition():
     assert no_oracle <= ROWS_ONLY_R6, (
         f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R6}"
     )
+    # round-6 NEW operators debut in the window so each gets a driver
+    # row in its first round (displacing r4/r5-green anchors)
+    new_r6 = {
+        "q_merge_upsert", "q_knn_ivfpq", "q_ab_test", "q_label_future",
+        "q_quantile_normalize", "q_period_over_period",
+    }
+    assert new_r6 <= window
 
 
 def test_every_oracle_key_has_a_driver_row():
