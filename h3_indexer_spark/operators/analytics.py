@@ -1109,3 +1109,59 @@ def period_over_period(
             (F.col("total") - prev) / prev,
         ).alias("pct_change"),
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    breaks: list[float],
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    feature — the standard drift monitor between a training corpus and
+    fresh data. ``breaks`` are explicit bucket edges (len(breaks)+1
+    buckets: (-inf,b0), [b0,b1), ..., [b_last,inf)); per bucket the
+    old/new shares p,q and the PSI term (p−q)·ln(p/q). Σ terms > 0.2
+    is the conventional act threshold.
+
+    One conditional-count aggregation per side (a CASE cascade over
+    the broadcast-literal edges — no shuffle wider than the bucket
+    count), full-outer join of the two tiny bucket tables, shares via
+    window totals over those same rows. p and q are exact integer
+    ratios; ln(p/q) is ROUND(…,9)-absorbed (the q_entropy ln-ulp
+    rule). Buckets empty on either side report a NULL psi_term (the
+    standard undefined case) with both counts visible. Output:
+    (bucket, n_old, n_new, p_old, p_new, psi_term)."""
+    def bucket(col: Column) -> Column:
+        b = F.lit(0)
+        for i, edge in enumerate(breaks):
+            b = F.when(col < F.lit(float(edge)), b).otherwise(
+                F.lit(i + 1)
+            )
+        return b
+
+    def side(df: DataFrame, n_name: str) -> DataFrame:
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(bucket(F.col(value_col)).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    j = side(old, "n_old").join(side(new, "n_new"), "bucket", "full_outer")
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_old = F.coalesce("n_old", F.lit(0)).cast("long")
+    n_new = F.coalesce("n_new", F.lit(0)).cast("long")
+    p = n_old.cast("double") / F.sum(n_old).over(w).cast("double")
+    q = n_new.cast("double") / F.sum(n_new).over(w).cast("double")
+    return j.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        n_old.alias("n_old"),
+        n_new.alias("n_new"),
+        p.alias("p_old"),
+        q.alias("p_new"),
+        F.round(
+            F.when((p > 0) & (q > 0), (p - q) * F.log(p / q)), 9
+        ).alias("psi_term"),
+    )

@@ -1,0 +1,198 @@
+"""Distributed spatial radius join via H3 bucketing.
+
+The scale answer to "find all pairs of points within d km": index both
+sides at an H3 resolution whose cells are wide relative to d, expand
+ONE side to its cell plus ring-1 neighbors (≤7 cells — the from-scratch
+exact-IJK neighbor kernel, functions/h3/coverage.py), equi-join on the
+cell, and apply the exact haversine filter to the candidates. Each
+candidate pair meets exactly once (the un-expanded side keeps its
+single home cell), so no distinct pass is needed.
+
+Cost shape at 100 TB: two narrow indexing passes, ONE hash shuffle per
+side on the cell key (the expanded side carries ≤7× rows), and a
+candidate set bounded by local density — never the n² cross join a
+naive formulation pays. Certain recall: any two points within
+``radius_km`` share a cell or sit in adjacent cells whenever
+``radius_km`` is at most ~0.7× the resolution's average hex edge
+(pentagon-distorted cells included — same 0.7-edge margin rule the
+coverage kernel uses); ``pick_res_for_radius`` enforces that bound and
+the property suite verifies exact parity with a brute-force join on
+random fixtures (tests/test_round6_ops.py).
+
+Reference parity note: the reference engine has no near-join at all
+(README.md lists point/line/polygon indexing only) — this is
+beyond-reference surface built on the same H3 kernels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Average hexagon edge length per H3 resolution, km (public H3 table).
+AVG_EDGE_KM = [
+    1107.712591, 418.676005, 158.244655, 59.810857, 22.606379,
+    8.544408, 3.229482, 1.220629, 0.461354, 0.174375, 0.065907,
+    0.024910, 0.009415, 0.003559, 0.001348, 0.000509,
+]
+
+# Keep radius within this fraction of the average edge so ring-1
+# expansion certainly covers the disk even on pentagon-distorted cells.
+_EDGE_SAFETY = 0.7
+
+_EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def pick_res_for_radius(radius_km: float) -> int:
+    """Finest resolution whose cells keep ring-1 recall certain for
+    ``radius_km`` (radius <= 0.7 x average edge)."""
+    if radius_km <= 0:
+        raise ValueError("radius_km must be positive")
+    res = 0
+    for r in range(15, -1, -1):
+        if radius_km <= _EDGE_SAFETY * AVG_EDGE_KM[r]:
+            res = r
+            break
+    return res
+
+
+def haversine_km(
+    lat1: Column, lng1: Column, lat2: Column, lng2: Column
+) -> Column:
+    """Great-circle distance as a PURE column expression (sin/cos/asin
+    inside whole-stage codegen — no Python in the pair-filter hot
+    path). Sphere model: consistent with the 0.7-edge bucketing margin;
+    use geodesy.vincenty_distance_m_batch where spheroid accuracy
+    matters more than a JVM-only plan."""
+    # degree->radian via ONE literal multiply, NOT F.radians: Java's
+    # toRadians computes x/180*PI while libm engines compute
+    # x*(PI/180) — a 1-ulp divergence that would break bit-parity
+    # with external oracles mirroring this expression.
+    c = F.lit(0.017453292519943295)  # PI/180 as a single constant
+    rlat1 = lat1 * c
+    rlat2 = lat2 * c
+    dlat = (lat2 - lat1) * c / F.lit(2.0)
+    dlng = (lng2 - lng1) * c / F.lit(2.0)
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlng) * F.sin(dlng)
+    )
+    return (
+        F.lit(2.0 * _EARTH_RADIUS_KM)
+        * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+    )
+
+
+def _cell_udf(res: int):
+    from h3_indexer_spark.functions.h3 import core
+    from h3_indexer_spark.functions.h3.vectorized import (
+        latlng_to_cell_batch,
+    )
+
+    @F.pandas_udf("long")
+    def to_cell(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cells = latlng_to_cell_batch(
+            lat.to_numpy(dtype="float64"),
+            lng.to_numpy(dtype="float64"),
+            res,
+        )
+        return pd.Series(np.asarray(cells, dtype="int64"))
+
+    return to_cell
+
+
+def _cell_with_neighbors_udf(res: int):
+    from h3_indexer_spark.functions.h3.coverage import (
+        cell_neighbors_batch,
+    )
+    from h3_indexer_spark.functions.h3.vectorized import (
+        latlng_to_cell_batch,
+    )
+
+    @F.pandas_udf("array<long>")
+    def to_cells(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cells = np.asarray(
+            latlng_to_cell_batch(
+                lat.to_numpy(dtype="float64"),
+                lng.to_numpy(dtype="float64"),
+                res,
+            ),
+            dtype="int64",
+        )
+        nbrs = cell_neighbors_batch(cells)  # (n, 6), zero-padded
+        out = []
+        for c, row in zip(cells, nbrs):
+            out.append([int(c)] + [int(x) for x in row if x])
+        return pd.Series(out)
+
+    return to_cells
+
+
+def h3_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    left_cols: tuple[str, str, str] = ("id", "lat", "lng"),
+    right_cols: tuple[str, str, str] = ("id", "lat", "lng"),
+    res: int | None = None,
+) -> DataFrame:
+    """All (left, right) pairs within ``radius_km`` great-circle km.
+    Output: (l_<id>, r_<id>, dist_km). ``res`` defaults to
+    pick_res_for_radius; passing a coarser res trades candidate volume
+    for fewer shuffle keys, passing a finer one breaks the recall
+    guarantee (rejected)."""
+    auto = pick_res_for_radius(radius_km)
+    if res is None:
+        res = auto
+    elif res > auto:
+        raise ValueError(
+            f"res {res} too fine for radius {radius_km} km: ring-1 "
+            f"recall requires res <= {auto}"
+        )
+    lid, llat, llng = left_cols
+    rid, rlat, rlng = right_cols
+    lcell = _cell_udf(res)
+    rcells = _cell_with_neighbors_udf(res)
+    lt = left.select(
+        F.col(lid).alias(f"l_{lid}"),
+        F.col(llat).alias("_l_lat"),
+        F.col(llng).alias("_l_lng"),
+        lcell(F.col(llat), F.col(llng)).alias("_cell"),
+    )
+    rt = right.select(
+        F.col(rid).alias(f"r_{rid}"),
+        F.col(rlat).alias("_r_lat"),
+        F.col(rlng).alias("_r_lng"),
+        F.explode(
+            rcells(F.col(rlat), F.col(rlng))
+        ).alias("_cell"),
+    )
+    dist = haversine_km(
+        F.col("_l_lat"), F.col("_l_lng"),
+        F.col("_r_lat"), F.col("_r_lng"),
+    )
+    return (
+        lt.join(rt, "_cell")
+        .where(dist <= F.lit(float(radius_km)))
+        .select(f"l_{lid}", f"r_{rid}", dist.alias("dist_km"))
+    )
+
+
+def h3_self_radius_join(
+    df: DataFrame,
+    radius_km: float,
+    cols: tuple[str, str, str] = ("id", "lat", "lng"),
+    res: int | None = None,
+) -> DataFrame:
+    """Unordered within-radius pairs of one point set (l_id < r_id —
+    each pair once, self-pairs excluded)."""
+    out = h3_radius_join(df, df, radius_km, cols, cols, res)
+    lid, rid = f"l_{cols[0]}", f"r_{cols[0]}"
+    return out.where(F.col(lid) < F.col(rid))

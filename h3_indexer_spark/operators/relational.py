@@ -822,3 +822,86 @@ def merge_by_key(
         for c in value_cols
     ]
     return j.select(*key_cols, *out_vals)
+
+
+def grouped_sum_state(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maintainable per-group aggregate STATE: (group, n_rows,
+    sum_dec) with the sum in exact DECIMAL(19,4) so it can be
+    algebraically updated by deltas without float drift. Finalize for
+    reporting with :func:`finalize_grouped_sum`."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).cast("decimal(19,4)")).alias("sum_dec"),
+    )
+
+
+def update_grouped_sum(
+    state: DataFrame,
+    diff: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Incremental aggregate maintenance: apply a CDC diff (the output
+    of :func:`snapshot_diff` whose compare_cols include ``group_col``
+    and ``value_col``) to a :func:`grouped_sum_state` WITHOUT
+    rescanning the base table — the materialized-view maintenance
+    primitive. Cost is proportional to |changes|, not |table|: at
+    100 TB a daily 0.1% churn updates the aggregate ~1000× cheaper
+    than recomputing, and because the state sums are exact DECIMAL the
+    result is BIT-IDENTICAL to a full recompute over the new snapshot
+    (locked by the q_incremental_agg oracle, which IS that recompute).
+
+    Each diff row contributes a retraction to its old group
+    (removed/changed) and an addition to its new group
+    (added/changed) — group migrations handled naturally; unchanged
+    rows (if included) contribute nothing by exact cancellation.
+    Plan: one union + one groupBy over the DELTA only, then a
+    full-outer join with the state on the group key; groups whose
+    count reaches zero are dropped.
+    """
+    og, ng = f"old_{group_col}", f"new_{group_col}"
+    ov, nv = f"old_{value_col}", f"new_{value_col}"
+    rem = diff.where(F.col("status").isin("removed", "changed")).select(
+        F.col(og).alias(group_col),
+        F.lit(-1).cast("long").alias("_dn"),
+        (-F.col(ov).cast("decimal(19,4)")).alias("_dv"),
+    )
+    add = diff.where(F.col("status").isin("added", "changed")).select(
+        F.col(ng).alias(group_col),
+        F.lit(1).cast("long").alias("_dn"),
+        F.col(nv).cast("decimal(19,4)").alias("_dv"),
+    )
+    delta = (
+        rem.unionByName(add)
+        .groupBy(group_col)
+        .agg(
+            F.sum("_dn").alias("_dn"),
+            F.sum("_dv").alias("_dv"),
+        )
+    )
+    merged = state.join(delta, group_col, "full_outer").select(
+        group_col,
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce(
+                F.col("sum_dec"), F.lit(0).cast("decimal(19,4)")
+            )
+            + F.coalesce(F.col("_dv"), F.lit(0).cast("decimal(19,4)"))
+        ).cast("decimal(19,4)").alias("sum_dec"),
+    )
+    return merged.where(F.col("n_rows") > 0)
+
+
+def finalize_grouped_sum(state: DataFrame, sum_name: str = "sum_v") -> DataFrame:
+    """Report form of a grouped-sum state: decimal -> double."""
+    return state.select(
+        *[c for c in state.columns if c != "sum_dec"],
+        F.col("sum_dec").cast("double").alias(sum_name),
+    )

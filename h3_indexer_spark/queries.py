@@ -2629,6 +2629,102 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     return period_over_period(_load_events(spark, sf_dir))
 
 
+
+def q_h3_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (operators/geo_join.py::
+    h3_self_radius_join): deterministic pseudo-random points derived
+    from customer keys, all unordered pairs within 5 km. Spark runs
+    the H3-bucketed plan (ring-1 expansion at res 5, one shuffle per
+    side); the oracle is the O(n²) brute-force SQL — valid because
+    5 km <= 0.7 x the res-5 average edge makes ring-1 recall certain,
+    and the haversine expression mirrors the oracle op-for-op (PI/180
+    as ONE literal multiply: Java's toRadians divides by 180 first,
+    libm multiplies — a 1-ulp trap). JVM Math.sin/asin and libm still
+    diverge by 1 ulp on some inputs (measured), so the contract emits
+    FLOOR(dist*1000) meters instead of the raw double; the filter and
+    floor boundary margins are asserted far above ulp scale in
+    tests/test_round6_ops.py."""
+    from h3_indexer_spark.operators.geo_join import h3_self_radius_join
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.lit(40.0)
+            + ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(100000))
+            .cast("double")
+            / F.lit(50000.0)
+        ).alias("lat"),
+        (
+            F.lit(-100.0)
+            + ((F.col("c_custkey") * F.lit(40503)) % F.lit(100000))
+            .cast("double")
+            / F.lit(50000.0)
+        ).alias("lng"),
+    )
+    out = h3_self_radius_join(pts, 5.0)
+    return out.select(
+        "l_id",
+        "r_id",
+        F.floor(F.col("dist_km") * F.lit(1000.0)).alias("dist_m"),
+    )
+
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/relational.py::
+    grouped_sum_state/update_grouped_sum): per-status order totals of
+    the NEW snapshot computed WITHOUT scanning it — the old snapshot's
+    exact-DECIMAL state updated by the CDC diff alone (cost ∝
+    |changes|). The oracle IS the full recompute over the new
+    snapshot, so a green row proves algebraic maintenance ==
+    recompute to the bit. Fixture mutates values (price bump, %3) AND
+    migrates groups (status flip to 'X', %11)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.where(F.col("o_orderkey") % 7 != 0)
+    new = (
+        orders.where(F.col("o_orderkey") % 5 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.col("o_totalprice") + F.lit(1.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.lit("X")
+            ).otherwise(F.col("o_orderstatus")),
+        )
+    )
+    diff = R.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    state = R.grouped_sum_state(old, "o_orderstatus", "o_totalprice")
+    updated = R.update_grouped_sum(
+        state, diff, "o_orderstatus", "o_totalprice"
+    )
+    return R.finalize_grouped_sum(updated)
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor (operators/
+    analytics.py::psi_drift): document-length distribution of two
+    deterministic snapshots (new shifted +37 chars) over fixed bucket
+    edges — per-bucket shares and (p−q)·ln(p/q) terms, ln ROUND(9)
+    per the q_entropy rule."""
+    from h3_indexer_spark.operators.analytics import psi_drift
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(37)
+    )
+    return psi_drift(old, new, "n_chars", [150.0, 300.0, 450.0])
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2671,7 +2767,6 @@ QUERIES: dict[str, Query] = {
     "q_pivot_events": q_pivot_events,
     "q_sample_stratified": q_sample_stratified,
     # last driver window round 3
-    "q_count": q_count,
     "q_count_distinct": q_count_distinct,
     "q_cube": q_cube,
     "q_dedup_windowed": q_dedup_windowed,
@@ -2686,9 +2781,7 @@ QUERIES: dict[str, Query] = {
     "q_join_semi": q_join_semi,
     "q_knn_batch": q_knn_batch,
     "q_lang_id": q_lang_id,
-    "q_lit_cols": q_lit_cols,
     "q_mul_ratio": q_mul_ratio,
-    "q_project": q_project,
     "q_quality_score": q_quality_score,
     "q_quantiles": q_quantiles,
     "q_rollup": q_rollup,
@@ -2707,8 +2800,14 @@ QUERIES: dict[str, Query] = {
     "q_label_future": q_label_future,
     "q_quantile_normalize": q_quantile_normalize,
     "q_period_over_period": q_period_over_period,
+    "q_h3_radius_join": q_h3_radius_join,
+    "q_incremental_agg": q_incremental_agg,
+    "q_psi_drift": q_psi_drift,
     # beyond the window: driver-green r4/r5; tests/test_oracle.py runs the identical comparison every session
     "q_knn_ivf": q_knn_ivf,
+    "q_project": q_project,
+    "q_count": q_count,
+    "q_lit_cols": q_lit_cols,
     "q_scan_parquet": q_scan_parquet,
     "q_groupby_sum": q_groupby_sum,
     "q_funnel": q_funnel,
@@ -5297,4 +5396,96 @@ ORACLES["q_period_over_period"] = f"""
                      / LAG(total) OVER (ORDER BY period)
            END AS pct_change
     FROM per
+"""
+
+
+# Haversine written ONCE and reused verbatim in the oracle so both
+# engines execute the identical IEEE op sequence (single-literal
+# degree->radian multiply; see q_h3_radius_join docstring).
+_HAVERSINE_SQL = """
+    2.0 * 6371.0088 * asin(least(1.0, sqrt(
+        sin((b.lat - a.lat) * 0.017453292519943295 / 2.0)
+            * sin((b.lat - a.lat) * 0.017453292519943295 / 2.0)
+        + cos(a.lat * 0.017453292519943295)
+            * cos(b.lat * 0.017453292519943295)
+            * sin((b.lng - a.lng) * 0.017453292519943295 / 2.0)
+            * sin((b.lng - a.lng) * 0.017453292519943295 / 2.0)
+    )))
+"""
+
+ORACLES["q_h3_radius_join"] = f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               40.0 + CAST((c_custkey * 2654435761) % 100000 AS DOUBLE)
+                   / 50000.0 AS lat,
+               -100.0 + CAST((c_custkey * 40503) % 100000 AS DOUBLE)
+                   / 50000.0 AS lng
+        FROM customer
+    )
+    SELECT a.id AS l_id, b.id AS r_id,
+           CAST(FLOOR({_HAVERSINE_SQL} * 1000.0) AS BIGINT) AS dist_m
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE {_HAVERSINE_SQL} <= 5.0
+"""
+
+
+ORACLES["q_incremental_agg"] = """
+    WITH new_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 5 <> 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE)
+               AS sum_v
+    FROM new_snap
+    GROUP BY o_orderstatus
+"""
+
+ORACLES["q_psi_drift"] = """
+    WITH o AS (
+        SELECT CASE WHEN n_chars < 150.0 THEN 0
+                    WHEN n_chars < 300.0 THEN 1
+                    WHEN n_chars < 450.0 THEN 2
+                    ELSE 3 END AS bucket,
+               COUNT(*) AS n_old
+        FROM documents WHERE doc_id % 7 <> 0 AND n_chars IS NOT NULL
+        GROUP BY 1
+    ),
+    n AS (
+        SELECT CASE WHEN n_chars + 37 < 150.0 THEN 0
+                    WHEN n_chars + 37 < 300.0 THEN 1
+                    WHEN n_chars + 37 < 450.0 THEN 2
+                    ELSE 3 END AS bucket,
+               COUNT(*) AS n_new
+        FROM documents WHERE doc_id % 5 <> 0 AND n_chars IS NOT NULL
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+               CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+               CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+        FROM o FULL JOIN n ON o.bucket = n.bucket
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, n_old, n_new,
+           CAST(n_old AS DOUBLE) / CAST(SUM(n_old) OVER () AS DOUBLE)
+               AS p_old,
+           CAST(n_new AS DOUBLE) / CAST(SUM(n_new) OVER () AS DOUBLE)
+               AS p_new,
+           ROUND(CASE WHEN n_old > 0 AND n_new > 0 THEN
+               (CAST(n_old AS DOUBLE)
+                    / CAST(SUM(n_old) OVER () AS DOUBLE)
+                - CAST(n_new AS DOUBLE)
+                    / CAST(SUM(n_new) OVER () AS DOUBLE))
+               * ln((CAST(n_old AS DOUBLE)
+                     / CAST(SUM(n_old) OVER () AS DOUBLE))
+                    / (CAST(n_new AS DOUBLE)
+                       / CAST(SUM(n_new) OVER () AS DOUBLE)))
+           END, 9) AS psi_term
+    FROM j
 """

@@ -44,11 +44,13 @@ STALE_R2 = {
     "q_pivot_events", "q_sample_stratified",
 }
 STALE_R3 = {
-    "q_count", "q_count_distinct", "q_cube", "q_dedup_windowed",
+    # q_count / q_project / q_lit_cols (r3-green, trivial operators)
+    # gave their slots to never-checked round-6 debuts
+    "q_count_distinct", "q_cube", "q_dedup_windowed",
     "q_distinct", "q_except", "q_filter_notnull", "q_first",
     "q_groupby_stats", "q_intersect", "q_join_anti",
     "q_join_left_attr", "q_join_semi", "q_knn_batch", "q_lang_id",
-    "q_lit_cols", "q_mul_ratio", "q_project", "q_quality_score",
+    "q_mul_ratio", "q_quality_score",
     "q_quantiles", "q_rollup", "q_sort_limit", "q_text_stats",
     "q_token_count", "q_topk_window", "q_union", "q_window_lag",
     "q_window_rank", "q_window_sliding",
@@ -78,6 +80,7 @@ def test_round6_window_composition():
     new_r6 = {
         "q_merge_upsert", "q_knn_ivfpq", "q_ab_test", "q_label_future",
         "q_quantile_normalize", "q_period_over_period",
+        "q_h3_radius_join", "q_incremental_agg", "q_psi_drift",
     }
     assert new_r6 <= window
 

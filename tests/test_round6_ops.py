@@ -343,3 +343,196 @@ class TestAnalyticsR6:
         assert got[0][1] == 0.95
         us = sorted(u for _, u in got)
         assert us == [(i + 0.5) / 10.0 for i in range(10)]
+
+
+class TestH3RadiusJoin:
+    def test_exact_parity_with_brute_force(self, spark):
+        """The bucketed plan must return EXACTLY the brute-force pair
+        set (recall AND precision) on a random fixture — the certain-
+        recall lock for the 0.7-edge resolution rule."""
+        import numpy as np
+
+        from h3_indexer_spark.operators.geo_join import (
+            h3_self_radius_join,
+            pick_res_for_radius,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 400
+        lat = 43.0 + rng.random(n) * 1.5
+        lng = -71.0 + rng.random(n) * 1.5
+        df = spark.createDataFrame(
+            [(i, float(lat[i]), float(lng[i])) for i in range(n)],
+            "id bigint, lat double, lng double",
+        )
+        radius = 4.0
+        assert pick_res_for_radius(radius) == 5
+        got = {
+            (r["l_id"], r["r_id"])
+            for r in h3_self_radius_join(df, radius).collect()
+        }
+        # numpy brute force with the same haversine
+        c = 0.017453292519943295
+        la, lo = lat * c, lng * c
+        dlat = (la[None, :] - la[:, None]) / 2.0
+        dlng = (lo[None, :] - lo[:, None]) / 2.0
+        a = (
+            np.sin(dlat) ** 2
+            + np.cos(la[:, None]) * np.cos(la[None, :]) * np.sin(dlng) ** 2
+        )
+        d = 2.0 * 6371.0088 * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+        ii, jj = np.where((d <= radius) & (np.arange(n)[:, None] < np.arange(n)[None, :]))
+        want = set(zip(ii.tolist(), jj.tolist()))
+        assert got == want
+        assert len(want) > 50  # non-vacuous fixture
+
+    def test_contract_margins_safe(self, spark):
+        """The q_h3_radius_join contract survives 1-ulp trig divergence
+        only if no pair sits at the 5 km filter boundary or a
+        floor-meter boundary. Assert both margins are >= 1e-6 km
+        (~7 orders above ulp scale) on the current testdata."""
+        from tests.conftest import SF_ORACLE
+
+        import numpy as np
+
+        from h3_indexer_spark.queries import load
+
+        pts = (
+            load(spark, SF_ORACLE, "customer")
+            .select("c_custkey")
+            .collect()
+        )
+        keys = np.array([r[0] for r in pts], dtype=np.int64)
+        lat = 40.0 + (keys * 2654435761 % 100000).astype(float) / 50000.0
+        lng = -100.0 + (keys * 40503 % 100000).astype(float) / 50000.0
+        c = 0.017453292519943295
+        la, lo = lat * c, lng * c
+        dlat = (la[None, :] - la[:, None]) / 2.0
+        dlng = (lo[None, :] - lo[:, None]) / 2.0
+        a = (
+            np.sin(dlat) ** 2
+            + np.cos(la[:, None]) * np.cos(la[None, :]) * np.sin(dlng) ** 2
+        )
+        d = 2.0 * 6371.0088 * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+        iu = np.triu_indices(len(keys), 1)
+        dv = d[iu]
+        assert np.abs(dv - 5.0).min() > 1e-6, "pair at filter boundary"
+        inside = dv[dv <= 5.0]
+        m = inside * 1000.0
+        frac = np.abs(m - np.round(m))
+        # floor flips when the value sits ON an integer meter boundary
+        assert frac.min() > 1e-6, "pair at floor-meter boundary"
+        assert len(inside) > 100
+
+    def test_res_too_fine_rejected(self, spark):
+        from h3_indexer_spark.operators.geo_join import h3_radius_join
+
+        df = spark.createDataFrame(
+            [(1, 40.0, -100.0)], "id bigint, lat double, lng double"
+        )
+        with pytest.raises(ValueError, match="too fine"):
+            h3_radius_join(df, df, 5.0, res=9)
+
+
+class TestIncrementalAgg:
+    def test_update_equals_recompute_with_migration(self, spark):
+        """Maintained state after a diff (updates + inserts + deletes +
+        GROUP MIGRATIONS) must equal a full recompute bit-for-bit."""
+        from h3_indexer_spark.operators.relational import (
+            finalize_grouped_sum,
+            grouped_sum_state,
+            snapshot_diff,
+            update_grouped_sum,
+        )
+
+        old_rows = [
+            (1, "a", 10.5), (2, "a", 1.25), (3, "b", 7.0),
+            (4, "b", 2.0), (5, "c", 9.0),
+        ]
+        new_rows = [
+            (1, "a", 10.5),        # unchanged
+            (2, "b", 1.25),        # group migration a -> b
+            (3, "b", 8.5),         # value change
+            (5, "c", 9.0),         # unchanged; key 4 deleted
+            (6, "d", 3.75),        # insert into a NEW group
+        ]
+        schema = "k bigint, g string, v double"
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        diff = snapshot_diff(old, new, ["k"], ["g", "v"])
+        state = grouped_sum_state(old, "g", "v")
+        got = {
+            r["g"]: (r["n_rows"], r["sum_v"])
+            for r in finalize_grouped_sum(
+                update_grouped_sum(state, diff, "g", "v")
+            ).collect()
+        }
+        want = {
+            r["g"]: (r["n_rows"], r["sum_v"])
+            for r in finalize_grouped_sum(
+                grouped_sum_state(new, "g", "v")
+            ).collect()
+        }
+        assert got == want
+        assert set(got) == {"a", "b", "c", "d"}
+
+    def test_emptied_group_dropped(self, spark):
+        from h3_indexer_spark.operators.relational import (
+            grouped_sum_state,
+            snapshot_diff,
+            update_grouped_sum,
+        )
+
+        schema = "k bigint, g string, v double"
+        old = spark.createDataFrame([(1, "a", 5.0), (2, "b", 1.0)], schema)
+        new = spark.createDataFrame([(2, "b", 1.0)], schema)
+        diff = snapshot_diff(old, new, ["k"], ["g", "v"])
+        out = update_grouped_sum(
+            grouped_sum_state(old, "g", "v"), diff, "g", "v"
+        )
+        assert [r["g"] for r in out.collect()] == ["b"]
+
+
+class TestPsiDrift:
+    def test_psi_matches_numpy(self, spark):
+        import numpy as np
+
+        from h3_indexer_spark.operators.analytics import psi_drift
+
+        rng = np.random.default_rng(5)
+        a = rng.normal(100, 30, 400)
+        b = rng.normal(120, 30, 300)
+        old = spark.createDataFrame(
+            [(float(x),) for x in a], "v double"
+        )
+        new = spark.createDataFrame(
+            [(float(x),) for x in b], "v double"
+        )
+        breaks = [70.0, 100.0, 130.0]
+        got = {
+            r["bucket"]: r
+            for r in psi_drift(old, new, "v", breaks).collect()
+        }
+        edges = [-np.inf] + breaks + [np.inf]
+        for i in range(4):
+            n_old = int(((a >= edges[i]) & (a < edges[i + 1])).sum())
+            n_new = int(((b >= edges[i]) & (b < edges[i + 1])).sum())
+            r = got[i]
+            assert (r["n_old"], r["n_new"]) == (n_old, n_new)
+            p, q = n_old / 400.0, n_new / 300.0
+            if n_old and n_new:
+                assert abs(r["psi_term"] - (p - q) * np.log(p / q)) < 1e-9
+        # shares sum to 1
+        assert abs(sum(r["p_old"] for r in got.values()) - 1.0) < 1e-12
+
+    def test_empty_bucket_null_term(self, spark):
+        from h3_indexer_spark.operators.analytics import psi_drift
+
+        old = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        new = spark.createDataFrame([(10.0,), (11.0,)], "v double")
+        rows = {r["bucket"]: r for r in psi_drift(
+            old, new, "v", [5.0]
+        ).collect()}
+        assert rows[0]["psi_term"] is None
+        assert rows[1]["psi_term"] is None
+        assert rows[0]["n_old"] == 2 and rows[0]["n_new"] == 0
