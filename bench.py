@@ -99,6 +99,19 @@ HEADLINE = [
     "q_autocorr",
     "q_entropy",
     "q_snapshot_diff",
+    # round-6 operators
+    "q_merge_upsert",
+    "q_knn_ivfpq",
+    "q_ab_test",
+    "q_cuped",
+    "q_label_future",
+    "q_quantile_normalize",
+    "q_period_over_period",
+    "q_h3_radius_join",
+    "q_incremental_agg",
+    "q_psi_drift",
+    "q_winsorize",
+    "q_weighted_median",
 ]
 
 

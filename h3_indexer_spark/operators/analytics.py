@@ -1165,3 +1165,92 @@ def psi_drift(
             F.when((p > 0) & (q > 0), (p - q) * F.log(p / q)), 9
         ).alias("psi_term"),
     )
+
+
+def cuped_ab_test(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout: adjust the experiment
+    metric by a pre-experiment covariate (y_adj = y − θ(x − x̄),
+    θ = cov(x,y)/var(x) pooled over both arms) and report the Welch z
+    on the adjusted means — the standard ~30-70% variance reduction
+    when the covariate is last period's value of the same metric.
+
+    No per-row adjusted column is ever materialized: every adjusted
+    moment expands algebraically over per-arm exact-DECIMAL sums
+    (Σy, Σx, Σxy, Σxx, Σyy), so the whole readout is ONE two-key
+    aggregation and a 2-row fold, deterministic regardless of row
+    order — mean_adj = ȳ_a − θ(x̄_a − x̄), var_adj = var_y +
+    θ²var_x − 2θcov_xy per arm. ROUND(…,12) on θ and z absorbs the
+    cross-engine contraction ulp (q_regression rule). Output: one row
+    (n_control, n_treatment, theta, mean_control_adj,
+    mean_treatment_adj, diff_adj, z_score)."""
+    y = F.col(metric_col).cast("decimal(19,4)")
+    x = F.col(covariate_col).cast("decimal(19,4)")
+    per_arm = (
+        df.where(
+            F.col(arm_col).isin(control, treatment)
+            & F.col(metric_col).isNotNull()
+            & F.col(covariate_col).isNotNull()
+        )
+        .groupBy(arm_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(x * y).cast("double").alias("sxy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    c = per_arm.where(F.col(arm_col) == control).select(
+        *[F.col(z).alias(f"{z}_c") for z in ("n", "sy", "sx", "sxy", "sxx", "syy")]
+    )
+    t = per_arm.where(F.col(arm_col) == treatment).select(
+        *[F.col(z).alias(f"{z}_t") for z in ("n", "sy", "sx", "sxy", "sxx", "syy")]
+    )
+    j = c.crossJoin(t)  # 1 x 1
+    nc = F.col("n_c").cast("double")
+    nt = F.col("n_t").cast("double")
+    n = nc + nt
+    sy = F.col("sy_c") + F.col("sy_t")
+    sx = F.col("sx_c") + F.col("sx_t")
+    sxy = F.col("sxy_c") + F.col("sxy_t")
+    sxx = F.col("sxx_c") + F.col("sxx_t")
+    # pooled theta = cov(x,y)/var(x) over ALL rows
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    mean_x = sx / n
+
+    def arm_stats(suf, cnt):
+        my = F.col(f"sy_{suf}") / cnt
+        mx = F.col(f"sx_{suf}") / cnt
+        mean_adj = my - theta * (mx - mean_x)
+        var_y = (cnt * F.col(f"syy_{suf}") - F.col(f"sy_{suf}") * F.col(f"sy_{suf}")) / (cnt * (cnt - F.lit(1.0)))
+        var_x = (cnt * F.col(f"sxx_{suf}") - F.col(f"sx_{suf}") * F.col(f"sx_{suf}")) / (cnt * (cnt - F.lit(1.0)))
+        cov = (cnt * F.col(f"sxy_{suf}") - F.col(f"sx_{suf}") * F.col(f"sy_{suf}")) / (cnt * (cnt - F.lit(1.0)))
+        var_adj = var_y + theta * theta * var_x - F.lit(2.0) * theta * cov
+        return mean_adj, var_adj
+
+    mean_c, var_c = arm_stats("c", nc)
+    mean_t, var_t = arm_stats("t", nt)
+    se = F.sqrt(var_t / nt + var_c / nc)
+    return j.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round(theta, 12).alias("theta"),
+        mean_c.alias("mean_control_adj"),
+        mean_t.alias("mean_treatment_adj"),
+        (mean_t - mean_c).alias("diff_adj"),
+        F.round(
+            F.when(
+                (F.col("n_c") >= 2) & (F.col("n_t") >= 2) & (se > 0),
+                (mean_t - mean_c) / se,
+            ),
+            12,
+        ).alias("z_score"),
+    )

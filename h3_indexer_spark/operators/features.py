@@ -544,3 +544,38 @@ def quantile_normalize(
     rn = F.row_number().over(w).cast("double")
     n = F.count(F.lit(1)).over(w_all).cast("double")
     return df.withColumn(out_col, (rn - F.lit(0.5)) / n)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    group_col: str | None = None,
+    out_col: str | None = None,
+    probe: bool = True,
+) -> DataFrame:
+    """Winsorization: clip ``value_col`` at the exact interpolated
+    [lower, upper] quantiles, optionally per group — the heavy-tail
+    guard before mean-based aggregation or scaling. Exact
+    ``percentile()`` matches DuckDB ``quantile_cont`` bit-for-bit
+    (recorded determinism rule), so clipped values are
+    oracle-checkable; at corpus scale swap ``percentile_approx`` cut
+    points (same plan shape). One tiny quantile aggregation broadcast
+    back (see :func:`_stats_join`; ``probe=False`` for the lazy AQE
+    path); the fact side never shuffles."""
+    out_col = out_col or f"{value_col}_w"
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.percentile(v, F.lit(lower)).alias("_qlo"),
+        F.percentile(v, F.lit(upper)).alias("_qhi"),
+    ]
+    if group_col is None:
+        stats = df.agg(*aggs)
+    else:
+        stats = df.groupBy(group_col).agg(*aggs)
+    joined = _stats_join(df, stats, group_col, probe=probe)
+    clipped = F.when(v < F.col("_qlo"), F.col("_qlo")).when(
+        v > F.col("_qhi"), F.col("_qhi")
+    ).otherwise(v)
+    return joined.withColumn(out_col, clipped).drop("_qlo", "_qhi")

@@ -905,3 +905,51 @@ def finalize_grouped_sum(state: DataFrame, sum_name: str = "sum_v") -> DataFrame
         *[c for c in state.columns if c != "sum_dec"],
         F.col("sum_dec").cast("double").alias(sum_name),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group lower weighted median: the smallest value whose
+    cumulative weight reaches half the group total — duration-weighted
+    latency medians, quantity-weighted price medians. Output:
+    (*group_cols, w_median).
+
+    ONE window pass per group (cumulative exact-DECIMAL weight over
+    the (value, weight) sort) + a min-aggregate over the qualifying
+    rows. The halfway test is ``2·cum ≥ total`` in EXACT DECIMAL — no
+    division, no float threshold, so engines can't disagree at the
+    boundary. Null values/weights and non-positive weights are
+    excluded (standard weighted-quantile contract). Window state is
+    one running decimal per cursor — flat memory; the sort is
+    per-group, never global."""
+    groups = list(group_cols or [])
+    wd = F.col(weight_col).cast("decimal(19,4)")
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(
+        *groups,
+        F.col(value_col).cast("double").alias("_v"),
+        wd.alias("_w"),
+    )
+    w_cum = (
+        Window.partitionBy(*groups).orderBy(F.col("_v").asc())
+        if groups
+        else Window.partitionBy().orderBy(F.col("_v").asc())
+    ).rangeBetween(Window.unboundedPreceding, 0)
+    w_all = (
+        Window.partitionBy(*groups) if groups else Window.partitionBy()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = F.sum("_w").over(w_cum)
+    total = F.sum("_w").over(w_all)
+    qual = base.withColumn(
+        "_q", (cum * F.lit(2)) >= total
+    ).where(F.col("_q"))
+    if groups:
+        return qual.groupBy(*groups).agg(F.min("_v").alias("w_median"))
+    return qual.agg(F.min("_v").alias("w_median"))

@@ -2725,6 +2725,60 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(old, new, "n_chars", [150.0, 300.0, 450.0])
 
 
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B (operators/analytics.py::
+    cuped_ab_test): lineitem price as the metric, quantity as the
+    pre-experiment covariate (strongly correlated), arms by order-key
+    parity. All adjusted moments expand over per-arm exact-DECIMAL
+    sums — one aggregation, no per-row adjusted column."""
+    from h3_indexer_spark.operators.analytics import cuped_ab_test
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "arm",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("control")).otherwise(
+            F.lit("treatment")
+        ),
+    )
+    return cuped_ab_test(
+        li, "arm", "l_extendedprice", "l_quantity", "control", "treatment"
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at exact per-group quantiles (operators/
+    features.py::winsorize): prices clipped to the [5%, 95%] exact
+    interpolated quantiles per return flag (Spark percentile() ==
+    DuckDB quantile_cont bit-for-bit — recorded rule); tiny quantile
+    table broadcast back, fact side never shuffles."""
+    from h3_indexer_spark.operators.features import winsorize
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return winsorize(
+        li,
+        "l_extendedprice",
+        lower=0.05,
+        upper=0.95,
+        group_col="l_returnflag",
+        out_col="price_w",
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "price_w")
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group lower weighted median (operators/relational.py::
+    weighted_median): quantity-weighted price median per return flag.
+    The halfway test is 2·cum >= total in exact DECIMAL — no float
+    threshold for engines to disagree on."""
+    return R.weighted_median(
+        load(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        ["l_returnflag"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2772,8 +2826,6 @@ QUERIES: dict[str, Query] = {
     "q_dedup_windowed": q_dedup_windowed,
     "q_distinct": q_distinct,
     "q_except": q_except,
-    "q_filter_notnull": q_filter_notnull,
-    "q_first": q_first,
     "q_groupby_stats": q_groupby_stats,
     "q_intersect": q_intersect,
     "q_join_anti": q_join_anti,
@@ -2789,7 +2841,6 @@ QUERIES: dict[str, Query] = {
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_topk_window": q_topk_window,
-    "q_union": q_union,
     "q_window_lag": q_window_lag,
     "q_window_rank": q_window_rank,
     "q_window_sliding": q_window_sliding,
@@ -2803,8 +2854,14 @@ QUERIES: dict[str, Query] = {
     "q_h3_radius_join": q_h3_radius_join,
     "q_incremental_agg": q_incremental_agg,
     "q_psi_drift": q_psi_drift,
+    "q_cuped": q_cuped,
+    "q_winsorize": q_winsorize,
+    "q_weighted_median": q_weighted_median,
     # beyond the window: driver-green r4/r5; tests/test_oracle.py runs the identical comparison every session
     "q_knn_ivf": q_knn_ivf,
+    "q_filter_notnull": q_filter_notnull,
+    "q_first": q_first,
+    "q_union": q_union,
     "q_project": q_project,
     "q_count": q_count,
     "q_lit_cols": q_lit_cols,
@@ -5488,4 +5545,114 @@ ORACLES["q_psi_drift"] = """
                        / CAST(SUM(n_new) OVER () AS DOUBLE)))
            END, 9) AS psi_term
     FROM j
+"""
+
+
+ORACLES["q_cuped"] = """
+    WITH a AS (
+        SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'control'
+                    ELSE 'treatment' END AS arm,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                        * CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                        * CAST(l_quantity AS DECIMAL(19,4)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                        * CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS syy
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        GROUP BY 1
+    ),
+    c AS (SELECT n AS n_c, sy AS sy_c, sx AS sx_c, sxy AS sxy_c,
+                 sxx AS sxx_c, syy AS syy_c FROM a WHERE arm='control'),
+    t AS (SELECT n AS n_t, sy AS sy_t, sx AS sx_t, sxy AS sxy_t,
+                 sxx AS sxx_t, syy AS syy_t FROM a WHERE arm='treatment'),
+    f AS (
+        SELECT *,
+               CAST(n_c AS DOUBLE) AS nc, CAST(n_t AS DOUBLE) AS nt,
+               CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE) AS nn,
+               sy_c + sy_t AS sy, sx_c + sx_t AS sx,
+               sxy_c + sxy_t AS sxy, sxx_c + sxx_t AS sxx
+        FROM c CROSS JOIN t
+    ),
+    g AS (
+        SELECT *,
+               (nn * sxy - sx * sy) / (nn * sxx - sx * sx) AS theta,
+               sx / nn AS mean_x
+        FROM f
+    ),
+    h AS (
+        SELECT *,
+               sy_c / nc - theta * (sx_c / nc - mean_x) AS mean_c,
+               sy_t / nt - theta * (sx_t / nt - mean_x) AS mean_t,
+               (nc * syy_c - sy_c * sy_c) / (nc * (nc - 1.0))
+                   + theta * theta
+                     * ((nc * sxx_c - sx_c * sx_c) / (nc * (nc - 1.0)))
+                   - 2.0 * theta
+                     * ((nc * sxy_c - sx_c * sy_c) / (nc * (nc - 1.0)))
+                   AS var_c,
+               (nt * syy_t - sy_t * sy_t) / (nt * (nt - 1.0))
+                   + theta * theta
+                     * ((nt * sxx_t - sx_t * sx_t) / (nt * (nt - 1.0)))
+                   - 2.0 * theta
+                     * ((nt * sxy_t - sx_t * sy_t) / (nt * (nt - 1.0)))
+                   AS var_t
+        FROM g
+    )
+    SELECT n_c AS n_control, n_t AS n_treatment,
+           ROUND(theta, 12) AS theta,
+           mean_c AS mean_control_adj,
+           mean_t AS mean_treatment_adj,
+           mean_t - mean_c AS diff_adj,
+           ROUND(CASE WHEN n_c >= 2 AND n_t >= 2
+                       AND sqrt(var_t / nt + var_c / nc) > 0
+                 THEN (mean_t - mean_c)
+                      / sqrt(var_t / nt + var_c / nc) END, 12)
+               AS z_score
+    FROM h
+"""
+
+ORACLES["q_winsorize"] = """
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05)
+                   AS qlo,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95)
+                   AS qhi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CASE WHEN CAST(l.l_extendedprice AS DOUBLE) < q.qlo THEN q.qlo
+                WHEN CAST(l.l_extendedprice AS DOUBLE) > q.qhi THEN q.qhi
+                ELSE CAST(l.l_extendedprice AS DOUBLE) END AS price_w
+    FROM lineitem l JOIN q USING (l_returnflag)
+"""
+
+ORACLES["q_weighted_median"] = """
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DOUBLE) AS v,
+               CAST(l_quantity AS DECIMAL(19,4)) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_quantity > 0
+    ),
+    cw AS (
+        SELECT l_returnflag, v,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS total
+        FROM base
+    )
+    SELECT l_returnflag, MIN(v) AS w_median
+    FROM cw WHERE cum * 2 >= total
+    GROUP BY l_returnflag
 """

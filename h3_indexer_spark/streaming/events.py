@@ -587,3 +587,81 @@ def stream_to_partitioned_parquet(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_merge_upsert(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint: str,
+    seq_col: str,
+    delete_col: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """Streaming row-level upsert sink: maintain a keyed Parquet table
+    from a change stream via foreachBatch + merge_by_key — the
+    streaming face of the batch MERGE (operators/relational.py). Each
+    micro-batch (a) collapses to latest-per-key by ``seq_col`` (a
+    batch can carry several versions of one key; the greatest seq
+    wins, key-order independent), (b) full-outer-merges into the
+    current table state, (c) writes the post-merge state to a scratch
+    dir and atomically swaps it in via Hadoop FileSystem.rename — the
+    reader never observes a half-written table, and the lazy read of
+    the old state is never overwritten in place.
+
+    Exactly-once without a table format: the checkpoint replays only
+    uncommitted batches, and replaying a batch is a no-op because
+    merge_by_key is idempotent (same keys, same seq-max rows → same
+    state). At 100 TB, keep the maintained table bucketed on the key
+    (write_bucketed_table) so each nightly/continuous merge joins
+    without an Exchange; the swap step is metadata-only either way.
+    Returns the started StreamingQuery."""
+    from pyspark.sql import Window
+
+    from h3_indexer_spark.operators.relational import merge_by_key
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        target = jvm.org.apache.hadoop.fs.Path(path)
+        fs = target.getFileSystem(hconf)
+        if fs.exists(target):
+            current = spark.read.parquet(path)
+            merged = merge_by_key(
+                current, latest, key_cols, delete_col=delete_col
+            )
+        else:
+            merged = latest.drop(delete_col) if delete_col else latest
+            if delete_col:
+                merged = (
+                    latest.where(~F.coalesce(
+                        F.col(delete_col).cast("boolean"), F.lit(False)
+                    )).drop(delete_col)
+                )
+        tmp = f"{path}__swap_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+        old_p = jvm.org.apache.hadoop.fs.Path(f"{path}__old_{batch_id}")
+        if fs.exists(target):
+            fs.rename(target, old_p)
+        fs.rename(tmp_p, target)
+        fs.delete(old_p, True)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -44,15 +44,16 @@ STALE_R2 = {
     "q_pivot_events", "q_sample_stratified",
 }
 STALE_R3 = {
-    # q_count / q_project / q_lit_cols (r3-green, trivial operators)
-    # gave their slots to never-checked round-6 debuts
+    # q_count / q_project / q_lit_cols / q_filter_notnull / q_first /
+    # q_union (r3-green, trivial operators) gave their slots to
+    # never-checked round-6 debuts
     "q_count_distinct", "q_cube", "q_dedup_windowed",
-    "q_distinct", "q_except", "q_filter_notnull", "q_first",
+    "q_distinct", "q_except",
     "q_groupby_stats", "q_intersect", "q_join_anti",
     "q_join_left_attr", "q_join_semi", "q_knn_batch", "q_lang_id",
     "q_mul_ratio", "q_quality_score",
     "q_quantiles", "q_rollup", "q_sort_limit", "q_text_stats",
-    "q_token_count", "q_topk_window", "q_union", "q_window_lag",
+    "q_token_count", "q_topk_window", "q_window_lag",
     "q_window_rank", "q_window_sliding",
 }
 
@@ -81,6 +82,7 @@ def test_round6_window_composition():
         "q_merge_upsert", "q_knn_ivfpq", "q_ab_test", "q_label_future",
         "q_quantile_normalize", "q_period_over_period",
         "q_h3_radius_join", "q_incremental_agg", "q_psi_drift",
+        "q_cuped", "q_winsorize", "q_weighted_median",
     }
     assert new_r6 <= window
 
