@@ -199,3 +199,43 @@ def test_entry_broadcasts_dimension(spark):
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_round6_plan_properties(spark):
+    """Round-6 operator plan locks."""
+    # winsorize: quantile table broadcasts back; fact never shuffles
+    plan = _plan(spark, "q_winsorize")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    # radius join: candidates come from an equi-join on the cell key
+    # (hash or broadcast) — any nested-loop/cartesian means the H3
+    # bucketing fell out of the plan and the join is O(n^2) at scale
+    plan = _plan(spark, "q_h3_radius_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+    # merge: exactly one full-outer join, no window in the merge path
+    import re
+
+    plan = _plan(spark, "q_merge_upsert")
+    assert "FullOuter" in plan, plan
+    joins = len(re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        plan,
+    ))
+    assert joins == 1, f"expected 1 join, got {joins}:\n{plan}"
+    assert "Window" not in plan
+
+    # incremental agg: the delta groupBy and the state merge join both
+    # hash on the group key — the join must NOT introduce a THIRD
+    # repartitioning of the delta (exchange reuse on o_orderstatus)
+    plan = _plan(spark, "q_incremental_agg")
+    assert "FullOuter" in plan, plan
+
+    # weighted median: one window pass + final aggregate, no join
+    plan = _plan(spark, "q_weighted_median")
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
