@@ -1132,6 +1132,14 @@ def psi_drift(
     rule). Buckets empty on either side report a NULL psi_term (the
     standard undefined case) with both counts visible. Output:
     (bucket, n_old, n_new, p_old, p_new, psi_term)."""
+    if not breaks or sorted(breaks) != list(breaks) or len(
+        set(breaks)
+    ) != len(breaks):
+        raise ValueError(
+            "breaks must be non-empty, strictly ascending bucket "
+            f"edges; got {breaks!r}"
+        )
+
     def bucket(col: Column) -> Column:
         b = F.lit(0)
         for i, edge in enumerate(breaks):

@@ -496,9 +496,16 @@ def label_future_event(
     has_target, label) with ``label`` = 1 iff the target fires in
     (day, day+horizon].
     """
+    # COALESCE: a day whose every event has a NULL target predicate
+    # (e.g. NULL event_type) must flag 0, not NULL — max() ignores
+    # nulls and returns NULL on an all-null group
     daily = events.groupBy(
         F.col(id_col), F.col(day_col).cast("long").alias(day_col)
-    ).agg(F.max(target.cast("int")).alias("has_target"))
+    ).agg(
+        F.coalesce(F.max(target.cast("int")), F.lit(0)).alias(
+            "has_target"
+        )
+    )
     w = (
         Window.partitionBy(id_col)
         .orderBy(F.col(day_col).asc())

@@ -46,17 +46,23 @@ _EDGE_SAFETY = 0.7
 _EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
 
 
-def pick_res_for_radius(radius_km: float) -> int:
-    """Finest resolution whose cells keep ring-1 recall certain for
-    ``radius_km`` (radius <= 0.7 x average edge)."""
+def pick_res_for_radius(radius_km: float, k: int = 1) -> int:
+    """Finest resolution whose cells keep ring-``k`` recall certain
+    for ``radius_km`` (radius <= k x 0.7 x average edge)."""
     if radius_km <= 0:
         raise ValueError("radius_km must be positive")
-    res = 0
+    if k < 1:
+        raise ValueError("k must be >= 1")
     for r in range(15, -1, -1):
-        if radius_km <= _EDGE_SAFETY * AVG_EDGE_KM[r]:
-            res = r
-            break
-    return res
+        if radius_km <= k * _EDGE_SAFETY * AVG_EDGE_KM[r]:
+            return r
+    raise ValueError(
+        f"radius_km {radius_km} exceeds k={k} x {_EDGE_SAFETY} x the "
+        f"res-0 average edge "
+        f"({k * _EDGE_SAFETY * AVG_EDGE_KM[0]:.0f} km) — raise k "
+        "(ring-k expansion costs 1+3k(k+1) cells per point) to cover "
+        "continental radii"
+    )
 
 
 def haversine_km(
@@ -106,7 +112,7 @@ def _cell_udf(res: int):
     return to_cell
 
 
-def _cell_with_neighbors_udf(res: int):
+def _cell_with_neighbors_udf(res: int, k: int = 1):
     from h3_indexer_spark.functions.h3.coverage import (
         cell_neighbors_batch,
     )
@@ -126,11 +132,31 @@ def _cell_with_neighbors_udf(res: int):
             ),
             dtype="int64",
         )
-        nbrs = cell_neighbors_batch(cells)  # (n, 6), zero-padded
-        out = []
-        for c, row in zip(cells, nbrs):
-            out.append([int(c)] + [int(x) for x in row if x])
-        return pd.Series(out)
+        # k-ring by iterated exact-IJK neighbor expansion: ring i+1 =
+        # neighbors(ring ≤ i) — set-dedup per point keeps the disk
+        # size at 1+3k(k+1) cells
+        disks = [{int(c)} for c in cells]
+        frontier = [list(d) for d in disks]
+        for _ in range(k):
+            flat = np.asarray(
+                [c for f in frontier for c in f], dtype="int64"
+            )
+            if not len(flat):
+                break
+            nbrs = cell_neighbors_batch(flat)
+            pos = 0
+            new_frontier = []
+            for i, f in enumerate(frontier):
+                fresh = set()
+                for _j in range(len(f)):
+                    for x in nbrs[pos]:
+                        if x and int(x) not in disks[i]:
+                            fresh.add(int(x))
+                    pos += 1
+                disks[i] |= fresh
+                new_frontier.append(list(fresh))
+            frontier = new_frontier
+        return pd.Series([sorted(d) for d in disks])
 
     return to_cells
 
@@ -142,24 +168,28 @@ def h3_radius_join(
     left_cols: tuple[str, str, str] = ("id", "lat", "lng"),
     right_cols: tuple[str, str, str] = ("id", "lat", "lng"),
     res: int | None = None,
+    k: int = 1,
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_km`` great-circle km.
     Output: (l_<id>, r_<id>, dist_km). ``res`` defaults to
     pick_res_for_radius; passing a coarser res trades candidate volume
     for fewer shuffle keys, passing a finer one breaks the recall
-    guarantee (rejected)."""
-    auto = pick_res_for_radius(radius_km)
+    guarantee (rejected). ``k`` widens the expansion to ring-k
+    (1+3k(k+1) cells per right point) — lets a coarse-grid join use a
+    finer resolution (recall certain while radius <= k x 0.7 x edge),
+    and is the only way to cover radii beyond 0.7 x the res-0 edge."""
+    auto = pick_res_for_radius(radius_km, k)
     if res is None:
         res = auto
     elif res > auto:
         raise ValueError(
-            f"res {res} too fine for radius {radius_km} km: ring-1 "
+            f"res {res} too fine for radius {radius_km} km: ring-{k} "
             f"recall requires res <= {auto}"
         )
     lid, llat, llng = left_cols
     rid, rlat, rlng = right_cols
     lcell = _cell_udf(res)
-    rcells = _cell_with_neighbors_udf(res)
+    rcells = _cell_with_neighbors_udf(res, k)
     lt = left.select(
         F.col(lid).alias(f"l_{lid}"),
         F.col(llat).alias("_l_lat"),
@@ -190,9 +220,10 @@ def h3_self_radius_join(
     radius_km: float,
     cols: tuple[str, str, str] = ("id", "lat", "lng"),
     res: int | None = None,
+    k: int = 1,
 ) -> DataFrame:
     """Unordered within-radius pairs of one point set (l_id < r_id —
     each pair once, self-pairs excluded)."""
-    out = h3_radius_join(df, df, radius_km, cols, cols, res)
+    out = h3_radius_join(df, df, radius_km, cols, cols, res, k)
     lid, rid = f"l_{cols[0]}", f"r_{cols[0]}"
     return out.where(F.col(lid) < F.col(rid))

@@ -25,9 +25,11 @@ Neighbor Search", IEEE TPAMI 2011):
           no per-row Python). Top-k via Spark's TakeOrdered (per-
           partition heap + driver merge of k rows per partition).
 
-Everything is deterministic: k-means init is the first-k-distinct
-sub-vectors of the sample (same convention as clustering.kmeans_fit),
-ties break to the lowest code id, so encode/search are reproducible
+Everything is deterministic: k-means init is the k
+lexicographically-SMALLEST distinct sub-vectors of the sample
+(np.unique row order — a value-sorted convention, unlike
+clustering.kmeans_fit's smallest-id seeds), ties break to the lowest
+code id, so encode/search are reproducible
 across runs and engines — locked by numpy-equivalence and
 recall-vs-brute tests (tests/test_round6_ops.py).
 """
@@ -62,7 +64,9 @@ def pq_train(
     ``sample`` rows). Returns codebooks of shape (m, 2**nbits, dim/m).
 
     Per sub-space Lloyd iterations run in driver numpy on the sample
-    (sample x 2^nbits GEMMs — microseconds); an empty codeword keeps
+    (sample x 2^nbits GEMMs — microseconds); init is the ksub
+    lexicographically-smallest distinct sub-vectors (np.unique order);
+    an empty codeword keeps
     its previous position, and if the sample has fewer distinct
     sub-vectors than codewords the surplus codewords duplicate the
     last distinct one (argmin ties then resolve to the lowest id, so

@@ -767,6 +767,7 @@ def merge_by_key(
     key_cols: list[str],
     value_cols: list[str] | None = None,
     delete_col: str | None = None,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Row-level MERGE (upsert + delete-vector) without a table
     format: returns the post-merge state of ``target`` after applying
@@ -791,6 +792,14 @@ def merge_by_key(
     on the target side (locked in tests/test_round6_ops.py), reading
     and rewriting only shuffled-once source data. Idempotent: merging
     the same source twice converges to the same state.
+
+    ``seq_col`` (a version/sequence column present on BOTH sides)
+    makes the update CONDITIONAL: a matched source row wins — and a
+    matched delete applies — only when source.seq > target.seq
+    (strictly greater: equal-seq keeps the target, so replays and
+    late re-deliveries of the already-applied version are no-ops).
+    This is what protects a maintained table from out-of-order change
+    delivery (streaming.stream_merge_upsert passes it through).
     """
     if value_cols is None:
         tgt_vals = [c for c in target.columns if c not in key_cols]
@@ -799,6 +808,11 @@ def merge_by_key(
             for c in source.columns
             if c not in key_cols and c != delete_col and c in tgt_vals
         ]
+    if seq_col is not None and seq_col not in value_cols:
+        raise ValueError(
+            f"seq_col {seq_col!r} must be a value column present on "
+            "both sides so the merged row carries its version"
+        )
     tsel = target.select(
         *key_cols, *[F.col(c).alias(f"_t_{c}") for c in value_cols]
     ).withColumn("_in_t", F.lit(1))
@@ -811,12 +825,22 @@ def merge_by_key(
         )
     ssel = source.select(*key_cols, *scols).withColumn("_in_s", F.lit(1))
     j = tsel.join(ssel, key_cols, "full_outer")
+    src_wins = F.col("_in_s").isNotNull()
+    if seq_col is not None:
+        src_wins = src_wins & (
+            F.col("_in_t").isNull()
+            | (F.col(f"_s_{seq_col}") > F.col(f"_t_{seq_col}"))
+        )
     if delete_col is not None:
-        # matched + delete-flag → drop; unmatched tombstone → no row to
-        # insert either way
-        j = j.where(~F.coalesce(F.col("_s_del"), F.lit(False)))
+        # delete applies only when the delete's version wins (matched
+        # + winning seq → drop; unmatched tombstone → src_wins is true
+        # with no target row, so nothing inserts; STALE delete → the
+        # target row survives)
+        j = j.where(
+            ~(F.coalesce(F.col("_s_del"), F.lit(False)) & src_wins)
+        )
     out_vals = [
-        F.when(F.col("_in_s").isNotNull(), F.col(f"_s_{c}"))
+        F.when(src_wins, F.col(f"_s_{c}"))
         .otherwise(F.col(f"_t_{c}"))
         .alias(c)
         for c in value_cols

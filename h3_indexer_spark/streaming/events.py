@@ -601,20 +601,26 @@ def stream_merge_upsert(
     """Streaming row-level upsert sink: maintain a keyed Parquet table
     from a change stream via foreachBatch + merge_by_key — the
     streaming face of the batch MERGE (operators/relational.py). Each
-    micro-batch (a) collapses to latest-per-key by ``seq_col`` (a
-    batch can carry several versions of one key; the greatest seq
-    wins, key-order independent), (b) full-outer-merges into the
-    current table state, (c) writes the post-merge state to a scratch
-    dir and atomically swaps it in via Hadoop FileSystem.rename — the
-    reader never observes a half-written table, and the lazy read of
-    the old state is never overwritten in place.
+    micro-batch (a) collapses to latest-per-key by ``seq_col``
+    (deterministically: ties on seq break over the remaining columns,
+    so equal-(key,seq) duplicates resolve the same way every replay),
+    (b) merges into the current table with the SEQ-CONDITIONAL merge —
+    a stored row is only overwritten (or deleted) by a strictly
+    greater ``seq_col``, so a late micro-batch carrying stale versions
+    can never regress the table — and (c) publishes the post-merge
+    state by a rename swap.
 
-    Exactly-once without a table format: the checkpoint replays only
-    uncommitted batches, and replaying a batch is a no-op because
-    merge_by_key is idempotent (same keys, same seq-max rows → same
-    state). At 100 TB, keep the maintained table bucketed on the key
-    (write_bucketed_table) so each nightly/continuous merge joins
-    without an Exchange; the swap step is metadata-only either way.
+    The swap is two renames (HDFS renames are atomic individually, the
+    pair is not), so the batch START runs crash recovery: a leftover
+    ``__old_<id>`` directory with no live table means a crash landed
+    between the renames — the newest backup is renamed back before
+    merging; leftover ``__swap_*`` scratch is discarded. With that,
+    replaying the interrupted batch always sees either the pre-swap or
+    the post-swap state, and the seq-conditional merge makes both
+    replays converge — exactly-once table maintenance without a table
+    format. At 100 TB, keep the maintained table bucketed on the key
+    (write_bucketed_table) so each merge joins without an Exchange;
+    the swap step is metadata-only either way.
     Returns the started StreamingQuery."""
     from pyspark.sql import Window
 
@@ -624,31 +630,62 @@ def stream_merge_upsert(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        target = jvm.org.apache.hadoop.fs.Path(path)
+        fs = target.getFileSystem(hconf)
+
+        # crash recovery: restore the newest backup if a previous run
+        # died between the two swap renames; drop stale scratch dirs
+        parent = target.getParent()
+        base = target.getName()
+        leftovers = []
+        if parent is not None and fs.exists(parent):
+            it = fs.listStatus(parent)
+            for st in it:
+                name = st.getPath().getName()
+                if name.startswith(f"{base}__old_"):
+                    leftovers.append((int(name.rsplit("_", 1)[1]), st.getPath()))
+                elif name.startswith(f"{base}__swap_"):
+                    fs.delete(st.getPath(), True)
+        leftovers.sort()
+        if leftovers:
+            if not fs.exists(target):
+                fs.rename(leftovers[-1][1], target)
+                leftovers.pop()
+            for _, p in leftovers:
+                fs.delete(p, True)
+
+        tiebreaks = [
+            F.col(c).desc()
+            for c in batch_df.columns
+            if c not in key_cols and c != seq_col
+        ]
         w = Window.partitionBy(*key_cols).orderBy(
-            F.col(seq_col).desc()
+            F.col(seq_col).desc(), *tiebreaks
         )
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        target = jvm.org.apache.hadoop.fs.Path(path)
-        fs = target.getFileSystem(hconf)
         if fs.exists(target):
             current = spark.read.parquet(path)
             merged = merge_by_key(
-                current, latest, key_cols, delete_col=delete_col
+                current,
+                latest,
+                key_cols,
+                delete_col=delete_col,
+                seq_col=seq_col,
             )
         else:
-            merged = latest.drop(delete_col) if delete_col else latest
+            merged = latest
             if delete_col:
-                merged = (
-                    latest.where(~F.coalesce(
+                merged = merged.where(
+                    ~F.coalesce(
                         F.col(delete_col).cast("boolean"), F.lit(False)
-                    )).drop(delete_col)
-                )
+                    )
+                ).drop(delete_col)
         tmp = f"{path}__swap_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)

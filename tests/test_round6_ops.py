@@ -682,3 +682,198 @@ class TestStreamMergeUpsert:
             for r in spark.read.parquet(tbl).collect()
         }
         assert got == {1: ("a", 1), 2: ("b", 2)}
+
+
+class TestCodeReviewFixes:
+    """Regression locks for the round-6 code-review findings."""
+
+    def test_merge_seq_conditional(self, spark):
+        """With seq_col, a stale source version (seq <= stored) must
+        not overwrite or delete; equal seq keeps the target."""
+        tgt = spark.createDataFrame(
+            [(1, "new", 20), (2, "keep", 5), (3, "x", 7)],
+            "k bigint, v string, seq bigint",
+        )
+        src = spark.createDataFrame(
+            [
+                (1, "old", 15, False),   # stale update -> ignored
+                (2, "keep2", 5, False),  # equal seq -> target kept
+                (3, None, 6, True),      # stale delete -> row survives
+                (4, "ins", 1, False),    # insert
+            ],
+            "k bigint, v string, seq bigint, deleted boolean",
+        )
+        got = {
+            r["k"]: (r["v"], r["seq"])
+            for r in merge_by_key(
+                tgt, src, ["k"], delete_col="deleted", seq_col="seq"
+            ).collect()
+        }
+        assert got == {
+            1: ("new", 20), 2: ("keep", 5), 3: ("x", 7), 4: ("ins", 1)
+        }
+        # and a WINNING update/delete still applies
+        src2 = spark.createDataFrame(
+            [(1, "newer", 21, False), (3, None, 8, True)],
+            "k bigint, v string, seq bigint, deleted boolean",
+        )
+        got2 = {
+            r["k"]: (r["v"], r["seq"])
+            for r in merge_by_key(
+                tgt, src2, ["k"], delete_col="deleted", seq_col="seq"
+            ).collect()
+        }
+        assert got2 == {1: ("newer", 21), 2: ("keep", 5)}
+
+    def test_stream_merge_late_batch_cannot_regress(self, spark, tmp_path):
+        """A later micro-batch carrying a STALE seq for an existing key
+        must not move the table backwards (code-review finding #3)."""
+        import pandas as pd
+
+        from h3_indexer_spark.streaming.events import stream_merge_upsert
+
+        src = tmp_path / "changes"
+        src.mkdir()
+        tbl = str(tmp_path / "table")
+        pd.DataFrame(
+            {"k": [1], "v": ["new"], "seq": [20]}
+        ).to_parquet(src / "part-000.parquet")
+        pd.DataFrame(
+            {"k": [1, 2], "v": ["old", "b"], "seq": [15, 1]}
+        ).to_parquet(src / "part-001.parquet")
+        stream = spark.readStream.schema(
+            "k bigint, v string, seq bigint"
+        ).option("maxFilesPerTrigger", "1").parquet(str(src))
+        q = stream_merge_upsert(
+            stream, tbl, ["k"], str(tmp_path / "ckpt"), "seq",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        got = {
+            r["k"]: (r["v"], r["seq"])
+            for r in spark.read.parquet(tbl).collect()
+        }
+        assert got == {1: ("new", 20), 2: ("b", 1)}
+
+    def test_stream_merge_recovers_from_interrupted_swap(
+        self, spark, tmp_path
+    ):
+        """Simulate a crash between the two swap renames (table gone,
+        __old_<id> left behind): the next batch must restore the backup
+        and keep all prior state (code-review finding #1)."""
+        import os
+        import shutil
+
+        import pandas as pd
+
+        from h3_indexer_spark.streaming.events import stream_merge_upsert
+
+        src = tmp_path / "changes"
+        src.mkdir()
+        tbl = str(tmp_path / "table")
+        pd.DataFrame(
+            {"k": [1, 2], "v": ["a", "b"], "seq": [1, 2]}
+        ).to_parquet(src / "part-000.parquet")
+        stream = spark.readStream.schema(
+            "k bigint, v string, seq bigint"
+        ).parquet(str(src))
+        q = stream_merge_upsert(
+            stream, tbl, ["k"], str(tmp_path / "c1"), "seq",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        # simulate the crash window: table renamed away, swap not done
+        shutil.move(tbl, f"{tbl}__old_99")
+        assert not os.path.exists(tbl)
+        pd.DataFrame(
+            {"k": [3], "v": ["c"], "seq": [3]}
+        ).to_parquet(src / "part-001.parquet")
+        stream2 = spark.readStream.schema(
+            "k bigint, v string, seq bigint"
+        ).parquet(str(src))
+        q2 = stream_merge_upsert(
+            stream2, tbl, ["k"], str(tmp_path / "c2"), "seq",
+            trigger_available_now=True,
+        )
+        q2.awaitTermination(120)
+        got = {r["k"]: r["v"] for r in spark.read.parquet(tbl).collect()}
+        assert got == {1: "a", 2: "b", 3: "c"}
+        assert not os.path.exists(f"{tbl}__old_99")
+
+    def test_pick_res_raises_beyond_res0(self):
+        from h3_indexer_spark.operators.geo_join import (
+            pick_res_for_radius,
+        )
+
+        with pytest.raises(ValueError, match="res-0"):
+            pick_res_for_radius(1000.0)
+
+    def test_label_future_all_null_target_is_zero(self, spark):
+        from h3_indexer_spark.operators.features import label_future_event
+
+        df = spark.createDataFrame(
+            [(1, 0, None), (1, 3, "purchase")],
+            "user_id bigint, day bigint, event_type string",
+        )
+        got = {
+            (r["user_id"], r["day"]): (r["has_target"], r["label"])
+            for r in label_future_event(
+                df, F.col("event_type") == "purchase"
+            ).collect()
+        }
+        assert got[(1, 0)] == (0, 1)  # NULL-only day flags 0, not NULL
+
+    def test_psi_rejects_unsorted_breaks(self, spark):
+        from h3_indexer_spark.operators.analytics import psi_drift
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="ascending"):
+            psi_drift(df, df, "v", [300.0, 150.0])
+        with pytest.raises(ValueError, match="ascending"):
+            psi_drift(df, df, "v", [150.0, 150.0])
+        with pytest.raises(ValueError, match="ascending"):
+            psi_drift(df, df, "v", [])
+
+
+class TestKRingRadiusJoin:
+    def test_k2_finer_res_exact_parity(self, spark):
+        """Ring-2 expansion at a finer resolution returns the identical
+        pair set as ring-1 at the auto resolution (both must equal the
+        brute-force set — recall stays certain while candidate volume
+        per cell shrinks)."""
+        import numpy as np
+
+        from h3_indexer_spark.operators.geo_join import (
+            h3_self_radius_join,
+            pick_res_for_radius,
+        )
+
+        rng = np.random.default_rng(23)
+        n = 250
+        lat = 37.0 + rng.random(n) * 1.0
+        lng = 5.0 + rng.random(n) * 1.0
+        df = spark.createDataFrame(
+            [(i, float(lat[i]), float(lng[i])) for i in range(n)],
+            "id bigint, lat double, lng double",
+        )
+        radius = 4.0
+        assert pick_res_for_radius(radius, k=1) == 5
+        assert pick_res_for_radius(radius, k=2) == 6
+        p1 = {
+            (r["l_id"], r["r_id"])
+            for r in h3_self_radius_join(df, radius, k=1).collect()
+        }
+        p2 = {
+            (r["l_id"], r["r_id"])
+            for r in h3_self_radius_join(df, radius, k=2).collect()
+        }
+        assert p1 == p2
+        assert len(p1) > 20
+
+    def test_continental_radius_possible_with_k(self):
+        from h3_indexer_spark.operators.geo_join import (
+            pick_res_for_radius,
+        )
+
+        # 1000 km impossible at k=1, fine at k=2 (res 0)
+        assert pick_res_for_radius(1000.0, k=2) == 0
