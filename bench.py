@@ -112,6 +112,9 @@ HEADLINE = [
     "q_psi_drift",
     "q_winsorize",
     "q_weighted_median",
+    "q_target_encode",
+    "q_sample_per_group",
+    "q_changepoint",
 ]
 
 

@@ -1262,3 +1262,85 @@ def cuped_ab_test(
             12,
         ).alias("z_score"),
     )
+
+
+def changepoint_cusum(
+    events: DataFrame,
+    id_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-entity CUSUM change-point: the position in each entity's
+    ordered value series where the cumulative deviation from the
+    series mean peaks — the classic single-change-point locator
+    (level shift in spend/latency/engagement). Output: (id, n_obs,
+    cp_index [1-based, the last index BEFORE the candidate change],
+    max_dev [the peak |S_i| in value units]).
+
+    Division-free inner loop: instead of S_i = Σ(v_j − v̄) (whose
+    mean is a rounding-sensitive DECIMAL division), it scales to
+    T_i = n·C_i − i·Σv with C_i the prefix sum in exact BIGINT
+    ten-thousandths (DECIMAL(19,4) quantization × 10⁴) — T = n·S in
+    pure int64 arithmetic, so argmax|T| ≡ argmax|S| and engines
+    cannot disagree at the comparison (and no DECIMAL width is ever
+    near either engine's 38-digit cap). ONE
+    window pass (prefix sum + row index over the per-entity order)
+    and one rank window on the SAME partitioning (no second
+    shuffle); ties break to the earliest index. max_dev is T/n cast
+    to double at the very end. The final row (i = n, T = 0 by
+    construction) is excluded — a "change after the last point" is
+    not a change."""
+    order_cols = order_cols or ["ts", "event_id"]
+    w = Window.partitionBy(id_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    v = F.col(value_col).cast("decimal(19,4)")
+    base = (
+        events.where(F.col(value_col).isNotNull())
+        .select(id_col, *order_cols, v.alias("_v"))
+        .withColumn(
+            "_c",
+            F.sum("_v").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_n",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(id_col).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
+            "_total",
+            F.sum("_v").over(
+                Window.partitionBy(id_col).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    c_i = (F.col("_c") * F.lit(10000)).cast("long")
+    tot_i = (F.col("_total") * F.lit(10000)).cast("long")
+    t = F.col("_n").cast("long") * c_i - F.col("_i").cast("long") * tot_i
+    scored = base.where(F.col("_i") < F.col("_n")).withColumn(
+        "_t_abs", F.abs(t)
+    )
+    rk = Window.partitionBy(id_col).orderBy(
+        F.col("_t_abs").desc(), F.col("_i").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(rk))
+        .where(F.col("_rk") == 1)
+        .select(
+            id_col,
+            F.col("_n").cast("bigint").alias("n_obs"),
+            F.col("_i").cast("bigint").alias("cp_index"),
+            (
+                F.col("_t_abs").cast("double")
+                / (F.col("_n").cast("double") * F.lit(10000.0))
+            ).alias("max_dev"),
+        )
+    )

@@ -913,3 +913,47 @@ def weighted_sample(
     ).cast("long")
     edge = F.floor(w * F.lit(float(1 << 60))).cast("long")
     return df.where(h < edge)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-per-group sample: within each group, keep the
+    ``k`` rows with the smallest 60-bit md5 hash of (salt || id) —
+    the reservoir-sample shape every mixture/debug/eval slice needs,
+    but seedless and growth-stable: a row's hash never changes, so
+    adding rows to a group only ever displaces the largest-hash
+    survivors, and any engine recomputes membership from the data
+    alone (same recipe as assign_splits). ``salt`` draws an
+    independent sample.
+
+    ONE window shuffle keyed on the group; WindowGroupLimit stops
+    per-group work at k rows. Ties are impossible in practice (60-bit
+    hash) and broken by id for certainty."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -586,3 +586,66 @@ def winsorize(
         v > F.col("_qhi"), F.col("_qhi")
     ).otherwise(v)
     return joined.withColumn(out_col, clipped).drop("_qlo", "_qhi")
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    leave_one_out: bool = False,
+    out_col: str | None = None,
+    probe: bool = True,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    high-cardinality-categorical workhorse: each category maps to
+    (Σy_c + m·prior) / (n_c + m) with the global mean as prior, so
+    rare categories shrink toward the prior instead of memorizing
+    noise. ``leave_one_out=True`` excludes the ROW'S OWN target from
+    its encoding ((Σy_c − y_i + m·prior)/(n_c − 1 + m)) — the
+    leakage-safe variant for encoding the training split itself.
+
+    All sums are exact DECIMAL(19,4), so the category table is
+    deterministic; the final arithmetic runs in double mirroring the
+    oracle op-for-op. One category aggregation broadcast back (same
+    shape and ``probe`` contract as the scaler family — fact side
+    never shuffles) plus one 1-row global-prior broadcast; LOO is a
+    pure per-row expression on top, no second shuffle. Null targets
+    are excluded from the statistics and encode to the prior (or the
+    category posterior), never poison Σy."""
+    out_col = out_col or f"{cat_col}_enc"
+    y = F.col(target_col).cast("decimal(19,4)")
+    glob = df.where(F.col(target_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_gn"),
+        F.sum(y).cast("double").alias("_gs"),
+    )
+    stats = (
+        df.where(F.col(target_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(
+            F.count(F.lit(1)).alias("_cn"),
+            F.sum(y).cast("double").alias("_cs"),
+        )
+    )
+    joined = _stats_join(
+        df.crossJoin(F.broadcast(glob)), stats, cat_col, probe=probe
+    )
+    prior = F.col("_gs") / F.col("_gn").cast("double")
+    m = F.lit(float(smoothing))
+    if leave_one_out:
+        yv = F.col(target_col).cast("double")
+        own = F.when(F.col(target_col).isNotNull(), yv).otherwise(
+            F.lit(0.0)
+        )
+        own_n = F.col(target_col).isNotNull().cast("int").cast("double")
+        enc = (F.col("_cs") - own + m * prior) / (
+            F.col("_cn").cast("double") - own_n + m
+        )
+    else:
+        enc = (F.col("_cs") + m * prior) / (
+            F.col("_cn").cast("double") + m
+        )
+    enc = F.coalesce(enc, prior)
+    return joined.withColumn(out_col, enc).drop(
+        "_gn", "_gs", "_cn", "_cs"
+    )

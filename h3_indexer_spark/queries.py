@@ -2779,6 +2779,50 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding (operators/features.py::
+    target_encode): document language encoded by mean document length,
+    m=20 shrinkage toward the global prior, the row's own target
+    excluded — the leakage-safe high-cardinality-categorical
+    transform. Exact-DECIMAL category sums; the double arithmetic
+    mirrors the oracle op-for-op."""
+    from h3_indexer_spark.operators.features import target_encode
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return target_encode(
+        docs, "lang", "n_chars", smoothing=20.0, leave_one_out=True
+    ).select("doc_id", "lang", "lang_enc")
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (operators/curation.py::
+    sample_per_group): 10 documents per source by smallest md5-band
+    hash — seedless, growth-stable reservoir any engine recomputes.
+    One window shuffle; WindowGroupLimit caps per-group work."""
+    from h3_indexer_spark.operators.curation import sample_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_per_group(docs, "source", 10, "doc_id")
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM change-point (operators/analytics.py::
+    changepoint_cusum): the peak cumulative deviation position in each
+    user's value series. T = n·prefix − i·total in exact BIGINT
+    ten-thousandths, so the argmax comparison has no float boundary."""
+    from h3_indexer_spark.operators.analytics import changepoint_cusum
+
+    return changepoint_cusum(
+        _load_events(spark, sf_dir),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2824,10 +2868,7 @@ QUERIES: dict[str, Query] = {
     "q_count_distinct": q_count_distinct,
     "q_cube": q_cube,
     "q_dedup_windowed": q_dedup_windowed,
-    "q_distinct": q_distinct,
-    "q_except": q_except,
     "q_groupby_stats": q_groupby_stats,
-    "q_intersect": q_intersect,
     "q_join_anti": q_join_anti,
     "q_join_left_attr": q_join_left_attr,
     "q_join_semi": q_join_semi,
@@ -2857,8 +2898,14 @@ QUERIES: dict[str, Query] = {
     "q_cuped": q_cuped,
     "q_winsorize": q_winsorize,
     "q_weighted_median": q_weighted_median,
+    "q_target_encode": q_target_encode,
+    "q_sample_per_group": q_sample_per_group,
+    "q_changepoint": q_changepoint,
     # beyond the window: driver-green r4/r5; tests/test_oracle.py runs the identical comparison every session
     "q_knn_ivf": q_knn_ivf,
+    "q_distinct": q_distinct,
+    "q_except": q_except,
+    "q_intersect": q_intersect,
     "q_filter_notnull": q_filter_notnull,
     "q_first": q_first,
     "q_union": q_union,
@@ -5655,4 +5702,91 @@ ORACLES["q_weighted_median"] = """
     SELECT l_returnflag, MIN(v) AS w_median
     FROM cw WHERE cum * 2 >= total
     GROUP BY l_returnflag
+"""
+
+
+ORACLES["q_target_encode"] = """
+    WITH g AS (
+        SELECT COUNT(*) AS gn,
+               CAST(SUM(CAST(n_chars AS DECIMAL(19,4))) AS DOUBLE)
+                   AS gs
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    c AS (
+        SELECT lang, COUNT(*) AS cn,
+               CAST(SUM(CAST(n_chars AS DECIMAL(19,4))) AS DOUBLE)
+                   AS cs
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           COALESCE(
+               (c.cs - CASE WHEN d.n_chars IS NOT NULL
+                            THEN CAST(d.n_chars AS DOUBLE)
+                            ELSE 0.0 END
+                + 20.0 * (g.gs / CAST(g.gn AS DOUBLE)))
+               / (CAST(c.cn AS DOUBLE)
+                  - CAST(CAST(d.n_chars IS NOT NULL AS INTEGER)
+                         AS DOUBLE)
+                  + 20.0),
+               g.gs / CAST(g.gn AS DOUBLE)
+           ) AS lang_enc
+    FROM documents d
+    CROSS JOIN g
+    LEFT JOIN c ON d.lang = c.lang
+"""
+
+ORACLES["q_sample_per_group"] = """
+    WITH h AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)
+                    AS BIGINT) AS hh
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY hh, doc_id) AS rn
+        FROM h
+    )
+    SELECT doc_id, source FROM r WHERE rn <= 10
+"""
+
+ORACLES["q_changepoint"] = """
+    WITH v AS (
+        SELECT user_id, epoch_ns(ts) AS tns, event_id,
+               CAST(CAST(value AS DECIMAL(19,4)) * 10000 AS BIGINT)
+                   AS vi
+        FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+        SELECT user_id, vi,
+               SUM(vi) OVER (PARTITION BY user_id
+                             ORDER BY tns, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS c,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY tns, event_id) AS i,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               SUM(vi) OVER (PARTITION BY user_id) AS total
+        FROM v
+    ),
+    t AS (
+        SELECT user_id, n, i,
+               abs(CAST(n AS BIGINT) * CAST(c AS BIGINT)
+                   - CAST(i AS BIGINT) * CAST(total AS BIGINT))
+                   AS t_abs
+        FROM w WHERE i < n
+    ),
+    r AS (
+        SELECT user_id, n, i, t_abs,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY t_abs DESC, i ASC) AS rk
+        FROM t
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           CAST(i AS BIGINT) AS cp_index,
+           CAST(t_abs AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+               AS max_dev
+    FROM r WHERE rk = 1
 """

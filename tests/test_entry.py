@@ -44,12 +44,13 @@ STALE_R2 = {
     "q_pivot_events", "q_sample_stratified",
 }
 STALE_R3 = {
-    # q_count / q_project / q_lit_cols / q_filter_notnull / q_first /
-    # q_union (r3-green, trivial operators) gave their slots to
-    # never-checked round-6 debuts
+    # Nine r3-green TRIVIAL keys (count/project/lit_cols/
+    # filter_notnull/first/union/distinct/except/intersect) gave
+    # their slots to never-checked round-6 debuts — a no-driver-row
+    # key outranks re-checking a trivial operator the local mirror
+    # re-verifies every session
     "q_count_distinct", "q_cube", "q_dedup_windowed",
-    "q_distinct", "q_except",
-    "q_groupby_stats", "q_intersect", "q_join_anti",
+    "q_groupby_stats", "q_join_anti",
     "q_join_left_attr", "q_join_semi", "q_knn_batch", "q_lang_id",
     "q_mul_ratio", "q_quality_score",
     "q_quantiles", "q_rollup", "q_sort_limit", "q_text_stats",
@@ -83,6 +84,7 @@ def test_round6_window_composition():
         "q_quantile_normalize", "q_period_over_period",
         "q_h3_radius_join", "q_incremental_agg", "q_psi_drift",
         "q_cuped", "q_winsorize", "q_weighted_median",
+        "q_target_encode", "q_sample_per_group", "q_changepoint",
     }
     assert new_r6 <= window
 

@@ -877,3 +877,90 @@ class TestKRingRadiusJoin:
 
         # 1000 km impossible at k=1, fine at k=2 (res 0)
         assert pick_res_for_radius(1000.0, k=2) == 0
+
+
+class TestTargetEncodeSampleChangepoint:
+    def test_target_encode_matches_numpy(self, spark):
+        import numpy as np
+
+        from h3_indexer_spark.operators.features import target_encode
+
+        rows = [
+            ("a", 10.0), ("a", 20.0), ("a", 30.0),
+            ("b", 100.0), ("b", None),
+            ("c", 50.0),
+        ]
+        df = spark.createDataFrame(rows, "cat string, y double")
+        m = 2.0
+        ys = [v for _, v in rows if v is not None]
+        prior = float(np.mean(ys))
+        out = target_encode(df, "cat", "y", smoothing=m).collect()
+        for r in out:
+            grp = [v for c, v in rows if c == r["cat"] and v is not None]
+            want = (sum(grp) + m * prior) / (len(grp) + m)
+            assert abs(r["cat_enc"] - want) < 1e-12, r
+
+        loo = target_encode(
+            df, "cat", "y", smoothing=m, leave_one_out=True
+        ).collect()
+        for r in loo:
+            grp = [v for c, v in rows if c == r["cat"] and v is not None]
+            if r["y"] is None:
+                want = (sum(grp) + m * prior) / (len(grp) + m)
+            else:
+                want = (sum(grp) - r["y"] + m * prior) / (
+                    len(grp) - 1 + m
+                )
+            assert abs(r["cat_enc"] - want) < 1e-12, r
+
+    def test_sample_per_group_stable_under_growth(self, spark):
+        """Adding rows to a group must never CHANGE which of the
+        original rows rank first — only displace the tail (the
+        growth-stability that makes the sample reproducible)."""
+        from h3_indexer_spark.operators.curation import sample_per_group
+
+        base = spark.createDataFrame(
+            [(i, "g") for i in range(40)], "id bigint, g string"
+        )
+        grown = spark.createDataFrame(
+            [(i, "g") for i in range(80)], "id bigint, g string"
+        )
+        s1 = {r["id"] for r in sample_per_group(base, "g", 5, "id").collect()}
+        s2 = {r["id"] for r in sample_per_group(grown, "g", 5, "id").collect()}
+        # every survivor of the grown sample that is an ORIGINAL id
+        # must also be a survivor of the base sample
+        assert {i for i in s2 if i < 40} <= s1
+        assert len(s1) == 5 and len(s2) == 5
+        # salt draws a different sample
+        s3 = {
+            r["id"]
+            for r in sample_per_group(
+                grown, "g", 5, "id", salt="x"
+            ).collect()
+        }
+        assert s3 != s2
+
+    def test_changepoint_finds_level_shift(self, spark):
+        from h3_indexer_spark.operators.analytics import changepoint_cusum
+
+        rows = []
+        for i in range(20):
+            v = 1.0 if i < 12 else 9.0  # shift after index 12
+            rows.append((1, i * 1000, i, v))
+        # entity 2: pure constant — every |T| equal (0), earliest wins
+        for i in range(5):
+            rows.append((2, i * 1000, 100 + i, 4.0))
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts bigint, event_id bigint, value double"
+        )
+        got = {
+            r["user_id"]: (r["n_obs"], r["cp_index"], r["max_dev"])
+            for r in changepoint_cusum(
+                df, "user_id", ["ts", "event_id"], "value"
+            ).collect()
+        }
+        n, cp, dev = got[1]
+        assert (n, cp) == (20, 12)
+        # S_12 = 12*(1 - mean); mean = (12*1+8*9)/20 = 4.2 -> |S|=38.4
+        assert abs(dev - 38.4) < 1e-9
+        assert got[2] == (5, 1, 0.0)
