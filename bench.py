@@ -115,6 +115,7 @@ HEADLINE = [
     "q_target_encode",
     "q_sample_per_group",
     "q_changepoint",
+    "q_point_in_polygon",
 ]
 
 

@@ -227,3 +227,117 @@ def h3_self_radius_join(
     out = h3_radius_join(df, df, radius_km, cols, cols, res, k)
     lid, rid = f"l_{cols[0]}", f"r_{cols[0]}"
     return out.where(F.col(lid) < F.col(rid))
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 6,
+    point_cols: tuple[str, str, str] = ("id", "lat", "lng"),
+    poly_cols: tuple[str, str] = ("poly_id", "geom_wkt"),
+    how: str = "inner",
+) -> DataFrame:
+    """Distributed point-in-polygon join ("which region contains each
+    point") via H3 cover bucketing: every polygon explodes to its
+    covering cells (the same polyfill cover the Index stage uses —
+    boundary-traversal cells ∪ center-inside cells, so any cell
+    overlapping the polygon is present), every point maps to its one
+    cell, candidates equi-join on the cell, and an exact even-odd
+    ray-cast (the kernel's ``_point_in_ring`` arithmetic) settles each
+    candidate. Output: (point id, lat, lng, poly id) — one row per
+    containing polygon (overlapping polygons produce multiple rows);
+    ``how="left"`` keeps uncontained points with a NULL polygon id.
+
+    Correctness: p inside polygon ⇒ cell(p) overlaps the polygon ⇒
+    cell(p) is in the cover — candidate recall is certain at ANY
+    resolution; ``res`` only trades cover size (finer = more cells
+    per polygon) against candidate selectivity (coarser = more false
+    candidates per cell for the exact test). Scale shape: one narrow
+    polyfill pass on the polygon side (cover explode ≈ area/cell_area
+    rows), one narrow cell map on the point side, ONE equi-join
+    shuffle on the cell key, and the exact test is a worker-local
+    vector ray-cast with the parsed ring memoized per polygon —
+    points with holes honored (even-odd)."""
+    pid, plat, plng = point_cols
+    gid, gwkt = poly_cols
+
+    from h3_indexer_spark.functions.geometry import parse_any
+    from h3_indexer_spark.functions.h3.coverage import polyfill
+
+    @F.pandas_udf("array<long>")
+    def cover(wkts: pd.Series) -> pd.Series:
+        out = []
+        for w in wkts:
+            if w is None:
+                out.append([])
+                continue
+            kind, rings = parse_any(w)
+            if kind.upper() != "POLYGON" or not rings:
+                out.append([])
+                continue
+            # cover the OUTER ring only: passing holes would drop
+            # cells whose CENTER sits in a hole even when they still
+            # overlap kept area — losing candidates near hole edges.
+            # Holes are honored by the exact even-odd test instead.
+            out.append([int(c) for c in polyfill(rings[0], res)])
+        return pd.Series(out)
+
+    @F.pandas_udf("boolean")
+    def pip(lat: pd.Series, lng: pd.Series, wkts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from h3_indexer_spark.functions.h3.coverage import (
+            _points_in_ring_v,
+        )
+
+        la = lat.to_numpy(dtype="float64")
+        ln = lng.to_numpy(dtype="float64")
+        res_mask = np.zeros(len(la), dtype=bool)
+        rings_cache: dict[str, list] = {}
+        wk = wkts.to_numpy(dtype=object)
+        for w in pd.unique(wk):
+            if w is None:
+                continue
+            if w not in rings_cache:
+                _, rings = parse_any(w)
+                rings_cache[w] = rings
+            rings = rings_cache[w]
+            m = wk == w
+            inside = _points_in_ring_v(ln[m], la[m], rings[0])
+            for hole in rings[1:]:
+                inside &= ~_points_in_ring_v(ln[m], la[m], hole)
+            res_mask[m] = inside
+        return pd.Series(res_mask)
+
+    pt = points.select(
+        F.col(pid).alias(f"pt_{pid}"),
+        F.col(plat).alias("_p_lat"),
+        F.col(plng).alias("_p_lng"),
+        _cell_udf(res)(F.col(plat), F.col(plng)).alias("_cell"),
+    )
+    pg = polygons.select(
+        F.col(gid).alias(f"pg_{gid}"),
+        F.col(gwkt).alias("_wkt"),
+        F.explode(cover(F.col(gwkt))).alias("_cell"),
+    )
+    cand = pt.join(pg, "_cell").where(
+        pip(F.col("_p_lat"), F.col("_p_lng"), F.col("_wkt"))
+    )
+    matched = cand.select(
+        f"pt_{pid}",
+        F.col("_p_lat").alias(plat),
+        F.col("_p_lng").alias(plng),
+        f"pg_{gid}",
+    )
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    base = points.select(
+        F.col(pid).alias(f"pt_{pid}"),
+        F.col(plat),
+        F.col(plng),
+    )
+    return base.join(
+        matched.select(f"pt_{pid}", f"pg_{gid}"), f"pt_{pid}", "left"
+    )

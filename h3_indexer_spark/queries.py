@@ -2823,6 +2823,62 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed point-in-polygon join (operators/geo_join.py::
+    point_in_polygon_join): customer-derived points vs a 5x5 grid of
+    rectangle polygons built from the nation table. Spark runs the
+    H3-cover-bucketed plan (polyfill explode + cell equi-join + exact
+    even-odd ray-cast); the oracle is the brute-force BETWEEN test —
+    valid because cover recall is certain at any resolution and the
+    fixture's rectangle edges sit OFF the point-coordinate lattice
+    (offsets 1.3e-5 / width 0.45007 vs point quanta of 2.5e-5), so
+    strict-vs-inclusive edge semantics can never differ; the margin
+    is asserted in tests/test_round6_ops.py. Polygon WKT strings are
+    built with CAST(double AS STRING) — Java's shortest-round-trip
+    repr — so the parsed ring bits equal the oracle's arithmetic."""
+    from h3_indexer_spark.operators.geo_join import point_in_polygon_join
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.lit(40.0)
+            + ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(100000))
+            .cast("double")
+            / F.lit(40000.0)
+        ).alias("lat"),
+        (
+            F.lit(-100.0)
+            + ((F.col("c_custkey") * F.lit(40503)) % F.lit(100000))
+            .cast("double")
+            / F.lit(40000.0)
+        ).alias("lng"),
+    )
+    nk = F.col("n_nationkey")
+    x0 = F.lit(-100.0) + (nk % 5).cast("double") * F.lit(0.5) + F.lit(0.000013)
+    y0 = (
+        F.lit(40.0)
+        + F.floor(nk / 5).cast("double") * F.lit(0.5)
+        + F.lit(0.000013)
+    )
+    x1 = x0 + F.lit(0.45007)
+    y1 = y0 + F.lit(0.45007)
+    ss = lambda c: c.cast("string")  # noqa: E731
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        ss(x0), F.lit(" "), ss(y0), F.lit(", "),
+        ss(x1), F.lit(" "), ss(y0), F.lit(", "),
+        ss(x1), F.lit(" "), ss(y1), F.lit(", "),
+        ss(x0), F.lit(" "), ss(y1), F.lit(", "),
+        ss(x0), F.lit(" "), ss(y0),
+        F.lit("))"),
+    )
+    polys = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("poly_id"), wkt.alias("geom_wkt")
+    )
+    return point_in_polygon_join(pts, polys, res=6)
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2874,7 +2930,6 @@ QUERIES: dict[str, Query] = {
     "q_join_semi": q_join_semi,
     "q_knn_batch": q_knn_batch,
     "q_lang_id": q_lang_id,
-    "q_mul_ratio": q_mul_ratio,
     "q_quality_score": q_quality_score,
     "q_quantiles": q_quantiles,
     "q_rollup": q_rollup,
@@ -2901,8 +2956,10 @@ QUERIES: dict[str, Query] = {
     "q_target_encode": q_target_encode,
     "q_sample_per_group": q_sample_per_group,
     "q_changepoint": q_changepoint,
+    "q_point_in_polygon": q_point_in_polygon,
     # beyond the window: driver-green r4/r5; tests/test_oracle.py runs the identical comparison every session
     "q_knn_ivf": q_knn_ivf,
+    "q_mul_ratio": q_mul_ratio,
     "q_distinct": q_distinct,
     "q_except": q_except,
     "q_intersect": q_intersect,
@@ -5789,4 +5846,28 @@ ORACLES["q_changepoint"] = """
            CAST(t_abs AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
                AS max_dev
     FROM r WHERE rk = 1
+"""
+
+
+ORACLES["q_point_in_polygon"] = """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               40.0 + CAST((c_custkey * 2654435761) % 100000 AS DOUBLE)
+                   / 40000.0 AS lat,
+               -100.0 + CAST((c_custkey * 40503) % 100000 AS DOUBLE)
+                   / 40000.0 AS lng
+        FROM customer
+    ),
+    rects AS (
+        SELECT n_nationkey AS poly_id,
+               -100.0 + CAST(n_nationkey % 5 AS DOUBLE) * 0.5
+                   + 0.000013 AS x0,
+               40.0 + CAST(n_nationkey // 5 AS DOUBLE) * 0.5
+                   + 0.000013 AS y0
+        FROM nation
+    )
+    SELECT p.id AS pt_id, p.lat, p.lng, r.poly_id AS pg_poly_id
+    FROM pts p JOIN rects r
+      ON p.lng > r.x0 AND p.lng < r.x0 + 0.45007
+     AND p.lat > r.y0 AND p.lat < r.y0 + 0.45007
 """

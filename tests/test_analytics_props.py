@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from h3_indexer_spark.operators.analytics import (
     DAY_NS,
@@ -254,3 +255,96 @@ def test_growth_accounting_identities(spark, rows):
         assert r.n_new + r.n_retained + r.n_resurrected == len(actives[p])
         prev = actives.get(p - 1, set())
         assert r.n_retained + r.n_churned == len(prev)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 CDC algebra: merge and incremental-aggregate maintenance vs
+# brute-force dict references under randomized change sets.
+# ---------------------------------------------------------------------------
+
+table_strategy = st.dictionaries(
+    st.integers(min_value=1, max_value=12),          # key
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),            # group
+        st.integers(min_value=-500, max_value=500),  # value in 0.25 steps
+    ),
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=table_strategy, new=table_strategy)
+def test_incremental_agg_equals_recompute(spark, old, new):
+    """For ANY pair of snapshots: state(old) + diff(old, new) must
+    equal state(new) exactly — inserts, deletes, value changes, and
+    group migrations all emerge from random dict pairs."""
+    from h3_indexer_spark.operators.relational import (
+        finalize_grouped_sum,
+        grouped_sum_state,
+        snapshot_diff,
+        update_grouped_sum,
+    )
+
+    schema = "k bigint, g string, v double"
+
+    def df_of(d):
+        rows = [(k, g, v / 4.0) for k, (g, v) in d.items()]
+        return spark.createDataFrame(rows, schema)
+
+    old_df, new_df = df_of(old), df_of(new)
+    diff = snapshot_diff(old_df, new_df, ["k"], ["g", "v"])
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in finalize_grouped_sum(
+            update_grouped_sum(
+                grouped_sum_state(old_df, "g", "v"), diff, "g", "v"
+            )
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in finalize_grouped_sum(
+            grouped_sum_state(new_df, "g", "v")
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=table_strategy, new=table_strategy)
+def test_merge_of_diff_reconstructs_new_snapshot(spark, old, new):
+    """Applying snapshot_diff(old, new) to old via merge_by_key must
+    reproduce new exactly, for ANY snapshot pair."""
+    from h3_indexer_spark.operators.relational import (
+        merge_by_key,
+        snapshot_diff,
+    )
+
+    schema = "k bigint, g string, v double"
+    rows_old = [(k, g, v / 4.0) for k, (g, v) in old.items()]
+    rows_new = [(k, g, v / 4.0) for k, (g, v) in new.items()]
+    old_df = spark.createDataFrame(rows_old or [], schema)
+    new_df = spark.createDataFrame(rows_new or [], schema)
+    diff = snapshot_diff(old_df, new_df, ["k"], ["g", "v"])
+    src = diff.select(
+        "k",
+        F.coalesce("new_g", "old_g").alias("g"),
+        F.coalesce("new_v", "old_v").alias("v"),
+        (F.col("status") == "removed").alias("deleted"),
+    )
+    merged = {
+        (r["k"], r["g"], r["v"])
+        for r in merge_by_key(
+            old_df, src, ["k"], delete_col="deleted"
+        ).collect()
+    }
+    want = {(k, g, v / 4.0) for k, (g, v) in new.items()}
+    assert merged == want

@@ -964,3 +964,108 @@ class TestTargetEncodeSampleChangepoint:
         # S_12 = 12*(1 - mean); mean = (12*1+8*9)/20 = 4.2 -> |S|=38.4
         assert abs(dev - 38.4) < 1e-9
         assert got[2] == (5, 1, 0.0)
+
+
+class TestPointInPolygonJoin:
+    def test_general_polygons_match_numpy_brute(self, spark):
+        """Non-rectangular polygons (triangle + hexagon-with-hole):
+        the bucketed join must equal a brute-force even-odd test."""
+        import numpy as np
+
+        from h3_indexer_spark.functions.h3.coverage import (
+            _points_in_ring_v,
+        )
+        from h3_indexer_spark.operators.geo_join import (
+            point_in_polygon_join,
+        )
+
+        rng = np.random.default_rng(17)
+        n = 500
+        lat = 40.0 + rng.random(n) * 1.2
+        lng = -100.0 + rng.random(n) * 1.2
+        pts = spark.createDataFrame(
+            [(i, float(lat[i]), float(lng[i])) for i in range(n)],
+            "id bigint, lat double, lng double",
+        )
+        tri = [(-99.9, 40.1), (-99.1, 40.2), (-99.5, 41.0)]
+        hexa = [
+            (-99.4, 40.3), (-99.0, 40.5), (-99.0, 40.9),
+            (-99.4, 41.1), (-99.8, 40.9), (-99.8, 40.5),
+        ]
+        hole = [(-99.5, 40.6), (-99.3, 40.6), (-99.3, 40.8), (-99.5, 40.8)]
+
+        def wkt_ring(r):
+            return ", ".join(f"{x} {y}" for x, y in r + [r[0]])
+
+        polys = spark.createDataFrame(
+            [
+                (1, f"POLYGON (({wkt_ring(tri)}))"),
+                (2, f"POLYGON (({wkt_ring(hexa)}), ({wkt_ring(hole)}))"),
+            ],
+            "poly_id bigint, geom_wkt string",
+        )
+        got = {
+            (r["pt_id"], r["pg_poly_id"])
+            for r in point_in_polygon_join(pts, polys, res=6).collect()
+        }
+        want = set()
+        for pid_, ring, holes in ((1, tri, []), (2, hexa, [hole])):
+            inside = _points_in_ring_v(lng, lat, ring)
+            for h in holes:
+                inside &= ~_points_in_ring_v(lng, lat, h)
+            want |= {(int(i), pid_) for i in np.where(inside)[0]}
+        assert got == want
+        assert len(want) > 30
+
+    def test_contract_edge_margins(self, spark):
+        """No fixture point may sit within 1e-9 deg of any rectangle
+        edge — the guard that keeps strict-vs-inclusive edge handling
+        (and the even-odd ray-cast) unambiguous across engines."""
+        import numpy as np
+
+        from tests.conftest import SF_ORACLE
+
+        from h3_indexer_spark.queries import load
+
+        keys = np.array(
+            [
+                r[0]
+                for r in load(spark, SF_ORACLE, "customer")
+                .select("c_custkey")
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+        lat = 40.0 + (keys * 2654435761 % 100000).astype(float) / 40000.0
+        lng = -100.0 + (keys * 40503 % 100000).astype(float) / 40000.0
+        edges_x, edges_y = [], []
+        for k in range(25):
+            x0 = -100.0 + (k % 5) * 0.5 + 0.000013
+            y0 = 40.0 + (k // 5) * 0.5 + 0.000013
+            edges_x += [x0, x0 + 0.45007]
+            edges_y += [y0, y0 + 0.45007]
+        dx = np.abs(lng[:, None] - np.array(edges_x)[None, :]).min()
+        dy = np.abs(lat[:, None] - np.array(edges_y)[None, :]).min()
+        assert min(dx, dy) > 1e-9, (dx, dy)
+
+    def test_left_join_keeps_uncontained(self, spark):
+        from h3_indexer_spark.operators.geo_join import (
+            point_in_polygon_join,
+        )
+
+        pts = spark.createDataFrame(
+            [(1, 40.5, -99.5), (2, 10.0, 10.0)],
+            "id bigint, lat double, lng double",
+        )
+        polys = spark.createDataFrame(
+            [(7, "POLYGON ((-99.9 40.1, -99.1 40.1, -99.1 40.9, "
+                 "-99.9 40.9, -99.9 40.1))")],
+            "poly_id bigint, geom_wkt string",
+        )
+        got = {
+            r["pt_id"]: r["pg_poly_id"]
+            for r in point_in_polygon_join(
+                pts, polys, res=6, how="left"
+            ).collect()
+        }
+        assert got == {1: 7, 2: None}
