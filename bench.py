@@ -354,6 +354,40 @@ def main() -> None:
 
     run(spark.range(256).repartition(32).select(_warm("id")))
 
+    # Touch the H3 kernel's derived tables in EVERY worker process
+    # (~3.3 s one-time derivation per process — session setup, not
+    # operator cost; without this, each spatial query's reps keep
+    # landing on fresh workers and the per-process build pollutes the
+    # timings). One task per core, each indexing a point.
+    @F.pandas_udf("long")
+    def _warm_h3(v: pd.Series) -> pd.Series:
+        from h3_indexer_spark.functions.h3.vectorized import (
+            latlng_to_cell_batch,
+        )
+
+        latlng_to_cell_batch(
+            (40.0 + v * 0).to_numpy(dtype="float64"),
+            (-100.0 + v * 0).to_numpy(dtype="float64"),
+            6,
+        )
+        return v
+
+    # Join-shaped warmup: a spatial join runs pandas-UDF stages on
+    # BOTH sides concurrently, which forks a second bank of Python
+    # workers (measured 33 -> 65 daemons on local[32]) — warm both
+    # banks so no timed rep ever pays the per-process build.
+    warm_a = (
+        spark.range(int(cpus) * 2)
+        .repartition(int(cpus) * 2)
+        .select(_warm_h3("id").alias("id"))
+    )
+    warm_b = (
+        spark.range(int(cpus) * 2)
+        .repartition(int(cpus) * 2)
+        .select(_warm_h3("id").alias("id"))
+    )
+    run(warm_a.join(warm_b, "id"))
+
     timings: dict[str, float] = {}
     for key in HEADLINE:
         fn = queries[key]

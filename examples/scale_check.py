@@ -422,6 +422,122 @@ def round6_scale(max_factor: int = 50) -> None:
         e.unpersist()
 
 
+    # spatial joins: radius self-join and point-in-polygon at growing
+    # point counts (candidate volume tracks local density; the PIP
+    # polygon side is fixed at a 25-rect grid)
+    from h3_indexer_spark.operators.geo_join import (
+        h3_self_radius_join,
+        point_in_polygon_join,
+    )
+
+    for n_pts in (20_000, 100_000, 500_000):
+        pts = (
+            spark.range(n_pts)
+            .select(
+                F.col("id"),
+                (F.lit(40.0) + (F.col("id") * 2654435761 % 100000)
+                 .cast("double") / F.lit(40000.0)).alias("lat"),
+                (F.lit(-100.0) + (F.col("id") * 40503 % 100000)
+                 .cast("double") / F.lit(40000.0)).alias("lng"),
+            )
+            .repartition(64)
+            .cache()
+        )
+        pts.count()
+        timed(
+            f"h3_radius_join n={n_pts}",
+            h3_self_radius_join(pts, 2.0),
+            n_pts,
+        )
+        rects = spark.range(25).select(
+            F.col("id").alias("poly_id"),
+            F.concat(
+                F.lit("POLYGON (("),
+                (F.lit(-100.0) + (F.col("id") % 5).cast("double") * 0.5).cast("string"), F.lit(" "),
+                (F.lit(40.0) + F.floor(F.col("id") / 5).cast("double") * 0.5).cast("string"), F.lit(", "),
+                (F.lit(-99.55) + (F.col("id") % 5).cast("double") * 0.5).cast("string"), F.lit(" "),
+                (F.lit(40.0) + F.floor(F.col("id") / 5).cast("double") * 0.5).cast("string"), F.lit(", "),
+                (F.lit(-99.55) + (F.col("id") % 5).cast("double") * 0.5).cast("string"), F.lit(" "),
+                (F.lit(40.45) + F.floor(F.col("id") / 5).cast("double") * 0.5).cast("string"), F.lit(", "),
+                (F.lit(-100.0) + (F.col("id") % 5).cast("double") * 0.5).cast("string"), F.lit(" "),
+                (F.lit(40.45) + F.floor(F.col("id") / 5).cast("double") * 0.5).cast("string"), F.lit(", "),
+                (F.lit(-100.0) + (F.col("id") % 5).cast("double") * 0.5).cast("string"), F.lit(" "),
+                (F.lit(40.0) + F.floor(F.col("id") / 5).cast("double") * 0.5).cast("string"),
+                F.lit("))"),
+            ).alias("geom_wkt"),
+        )
+        timed(
+            f"point_in_polygon n={n_pts}",
+            point_in_polygon_join(pts, rects, res=6),
+            n_pts,
+        )
+        pts.unpersist()
+
+    # feature/analytics additions over grown lineitem/events
+    from h3_indexer_spark.operators.analytics import changepoint_cusum
+    from h3_indexer_spark.operators.features import (
+        target_encode,
+        winsorize,
+    )
+    from h3_indexer_spark.operators.relational import weighted_median
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice",
+    )
+    n_li = li.count()
+    for factor in factors:
+        t = None
+        for i in range(factor):
+            c = li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * 10 * n_li)
+            )
+            t = c if t is None else t.unionByName(c)
+        t = t.repartition(64).cache()
+        rows = t.count()
+        timed(
+            f"target_encode x{factor}",
+            target_encode(t, "l_returnflag", "l_extendedprice"),
+            rows,
+        )
+        timed(
+            f"winsorize x{factor}",
+            winsorize(
+                t, "l_extendedprice", group_col="l_returnflag"
+            ),
+            rows,
+        )
+        timed(
+            f"weighted_median x{factor}",
+            weighted_median(
+                t, "l_extendedprice", "l_quantity", ["l_returnflag"]
+            ),
+            rows,
+        )
+        t.unpersist()
+
+    ev_cp = _load_events(spark, SF_DIR).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    for factor in factors:
+        e = None
+        for i in range(factor):
+            c = ev_cp.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * 100_000)
+            ).withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 10_000_000)
+            )
+            e = c if e is None else e.unionByName(c)
+        e = e.repartition(64).cache()
+        rows = e.count()
+        timed(
+            f"changepoint_cusum x{factor}",
+            changepoint_cusum(e, "user_id", ["ts", "event_id"]),
+            rows,
+        )
+        e.unpersist()
+
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[2] == "round6":
