@@ -1279,11 +1279,14 @@ def changepoint_cusum(
 
     Division-free inner loop: instead of S_i = Σ(v_j − v̄) (whose
     mean is a rounding-sensitive DECIMAL division), it scales to
-    T_i = n·C_i − i·Σv with C_i the prefix sum in exact BIGINT
-    ten-thousandths (DECIMAL(19,4) quantization × 10⁴) — T = n·S in
-    pure int64 arithmetic, so argmax|T| ≡ argmax|S| and engines
-    cannot disagree at the comparison (and no DECIMAL width is ever
-    near either engine's 38-digit cap). ONE
+    T_i = n·C_i − i·Σv with C_i the prefix sum in exact DECIMAL(25,0)
+    ten-thousandths (DECIMAL(19,4) quantization × 10⁴) and n, i in
+    DECIMAL(12,0) — the products are DECIMAL(38,0), exact in both
+    engines with NO possibility of int64 wraparound (an int64 T wraps
+    silently in non-ANSI Spark at ~1M events × 1e3 values, picking an
+    arbitrary argmax; DECIMAL(38,0) holds n·C up to 10³⁸). T = n·S,
+    so argmax|T| ≡ argmax|S| and engines cannot disagree at the
+    comparison. ONE
     window pass (prefix sum + row index over the per-entity order)
     and one rank window on the SAME partitioning (no second
     shuffle); ties break to the earliest index. max_dev is T/n cast
@@ -1322,9 +1325,12 @@ def changepoint_cusum(
             ),
         )
     )
-    c_i = (F.col("_c") * F.lit(10000)).cast("long")
-    tot_i = (F.col("_total") * F.lit(10000)).cast("long")
-    t = F.col("_n").cast("long") * c_i - F.col("_i").cast("long") * tot_i
+    c_i = (F.col("_c") * F.lit(10000)).cast("decimal(25,0)")
+    tot_i = (F.col("_total") * F.lit(10000)).cast("decimal(25,0)")
+    t = (
+        F.col("_n").cast("decimal(12,0)") * c_i
+        - F.col("_i").cast("decimal(12,0)") * tot_i
+    )
     scored = base.where(F.col("_i") < F.col("_n")).withColumn(
         "_t_abs", F.abs(t)
     )

@@ -26,6 +26,25 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------------
 
 
+def md5_band60(prefix: Column | str, value: Column) -> Column:
+    """The shared 60-bit uniform hash every deterministic-membership
+    operator keys on: md5 hex chars [18, 33) of (prefix || value),
+    parsed base-16 into a BIGINT in [0, 2^60). ONE definition — the
+    cross-operator determinism contract (assign_splits /
+    weighted_sample / sample_per_group / bloom positions all promise
+    "same recipe", and an edit to a hand-copied variant would silently
+    break that parity) and the exact DuckDB twin is
+    ``CAST('0x' || substr(md5(x), 18, 15) AS BIGINT)``."""
+    pfx = F.lit(prefix) if isinstance(prefix, str) else prefix
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(pfx, value).cast("binary")), 18, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -384,19 +403,7 @@ def decontaminate_bloom(
 
     def _pos_expr(i: int):
         if algo == "md5":
-            h = F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(F.lit(str(i)), F.col("_gram")).cast(
-                            "binary"
-                        )
-                    ),
-                    18,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
+            h = md5_band60(str(i), F.col("_gram"))
         else:
             h = F.xxhash64(F.col("_gram"), F.lit(i))
         return F.pmod(h, F.lit(n_bits)).cast("long")
@@ -740,19 +747,7 @@ def assign_splits(
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
     # 60-bit uniform hash: md5 hex chars [18, 33) parsed base-16
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt), F.col(id_col).cast("string")
-                ).cast("binary")
-            ),
-            18,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = md5_band60(salt, F.col(id_col).cast("string"))
     space = float(1 << 60)
     names = list(fractions)
     cum = 0.0
@@ -898,19 +893,7 @@ def weighted_sample(
     expression; zero shuffle at any corpus size."""
     w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
     w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt), F.col(id_col).cast("string")
-                ).cast("binary")
-            ),
-            18,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = md5_band60(salt, F.col(id_col).cast("string"))
     edge = F.floor(w * F.lit(float(1 << 60))).cast("long")
     return df.where(h < edge)
 
@@ -936,19 +919,7 @@ def sample_per_group(
     hash) and broken by id for certainty."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(salt), F.col(id_col).cast("string")
-                ).cast("binary")
-            ),
-            18,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = md5_band60(salt, F.col(id_col).cast("string"))
     w = Window.partitionBy(group_col).orderBy(
         h.asc(), F.col(id_col).asc()
     )

@@ -35,6 +35,7 @@ def _stats_join(
     group_col: str | list[str] | None,
     broadcast_groups: int | None = None,
     probe: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
     """Join a per-group statistics table back onto the fact table.
 
@@ -68,14 +69,14 @@ def _stats_join(
     if group_col is None:
         return df.crossJoin(F.broadcast(stats))
     if not probe:
-        return df.join(stats, group_col)
+        return df.join(stats, group_col, how)
     if broadcast_groups is None:
         broadcast_groups = BROADCAST_GROUP_LIMIT
     head = stats.take(broadcast_groups + 1)
     if len(head) <= broadcast_groups:
         local = stats.sparkSession.createDataFrame(head, stats.schema)
-        return df.join(F.broadcast(local), group_col)
-    return df.join(stats, group_col)
+        return df.join(F.broadcast(local), group_col, how)
+    return df.join(stats, group_col, how)
 
 
 def rolling_features(
@@ -627,8 +628,15 @@ def target_encode(
             F.sum(y).cast("double").alias("_cs"),
         )
     )
+    # LEFT join: a category whose targets are all NULL (or a NULL
+    # category) has no stats row — its rows must SURVIVE and encode to
+    # the prior via the coalesce below, not silently drop (review r6).
     joined = _stats_join(
-        df.crossJoin(F.broadcast(glob)), stats, cat_col, probe=probe
+        df.crossJoin(F.broadcast(glob)),
+        stats,
+        cat_col,
+        probe=probe,
+        how="left",
     )
     prior = F.col("_gs") / F.col("_gn").cast("double")
     m = F.lit(float(smoothing))

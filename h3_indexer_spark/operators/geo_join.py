@@ -261,8 +261,23 @@ def point_in_polygon_join(
     pid, plat, plng = point_cols
     gid, gwkt = poly_cols
 
-    from h3_indexer_spark.functions.geometry import parse_any
+    from h3_indexer_spark.functions.geometry import parse_any_parts
     from h3_indexer_spark.functions.h3.coverage import polyfill
+
+    def _polygon_parts(value):
+        """POLYGON parts of any geometry (handles MULTIPOLYGON /
+        GEOMETRYCOLLECTION via parse_any_parts); non-areal parts
+        (points, lines) contribute no area and are skipped —
+        documented empty-cover behavior, not an error."""
+        try:
+            parts = parse_any_parts(value)
+        except Exception:
+            return []
+        return [
+            rings
+            for kind, rings in parts
+            if kind.upper() == "POLYGON" and rings
+        ]
 
     @F.pandas_udf("array<long>")
     def cover(wkts: pd.Series) -> pd.Series:
@@ -271,15 +286,15 @@ def point_in_polygon_join(
             if w is None:
                 out.append([])
                 continue
-            kind, rings = parse_any(w)
-            if kind.upper() != "POLYGON" or not rings:
-                out.append([])
-                continue
-            # cover the OUTER ring only: passing holes would drop
-            # cells whose CENTER sits in a hole even when they still
-            # overlap kept area — losing candidates near hole edges.
-            # Holes are honored by the exact even-odd test instead.
-            out.append([int(c) for c in polyfill(rings[0], res)])
+            # cover each part's OUTER ring only: covering with holes
+            # would drop cells whose CENTER sits in a hole even when
+            # they still overlap kept area — losing candidates near
+            # hole edges. Holes are honored by the exact test instead.
+            cells: dict[int, None] = {}
+            for rings in _polygon_parts(w):
+                for c in polyfill(rings[0], res):
+                    cells[int(c)] = None
+            out.append(list(cells))
         return pd.Series(out)
 
     @F.pandas_udf("boolean")
@@ -293,20 +308,21 @@ def point_in_polygon_join(
         la = lat.to_numpy(dtype="float64")
         ln = lng.to_numpy(dtype="float64")
         res_mask = np.zeros(len(la), dtype=bool)
-        rings_cache: dict[str, list] = {}
+        parts_cache: dict[str, list] = {}
         wk = wkts.to_numpy(dtype=object)
         for w in pd.unique(wk):
             if w is None:
                 continue
-            if w not in rings_cache:
-                _, rings = parse_any(w)
-                rings_cache[w] = rings
-            rings = rings_cache[w]
+            if w not in parts_cache:
+                parts_cache[w] = _polygon_parts(w)
             m = wk == w
-            inside = _points_in_ring_v(ln[m], la[m], rings[0])
-            for hole in rings[1:]:
-                inside &= ~_points_in_ring_v(ln[m], la[m], hole)
-            res_mask[m] = inside
+            any_inside = np.zeros(int(m.sum()), dtype=bool)
+            for rings in parts_cache[w]:
+                inside = _points_in_ring_v(ln[m], la[m], rings[0])
+                for hole in rings[1:]:
+                    inside &= ~_points_in_ring_v(ln[m], la[m], hole)
+                any_inside |= inside
+            res_mask[m] = any_inside
         return pd.Series(res_mask)
 
     pt = points.select(

@@ -827,10 +827,20 @@ def merge_by_key(
     j = tsel.join(ssel, key_cols, "full_outer")
     src_wins = F.col("_in_s").isNotNull()
     if seq_col is not None:
-        src_wins = src_wins & (
-            F.col("_in_t").isNull()
-            | (F.col(f"_s_{seq_col}") > F.col(f"_t_{seq_col}"))
+        # Three-valued-logic hardening (review r6): a NULL source seq
+        # always LOSES (an unversioned change may not clobber or
+        # delete versioned state), a NULL target seq loses to any
+        # versioned source (unversioned state is upgradable), and the
+        # whole predicate must be non-NULL or .where() silently drops
+        # delete rows it should keep.
+        s_seq = F.col(f"_s_{seq_col}")
+        t_seq = F.col(f"_t_{seq_col}")
+        newer = (
+            F.when(s_seq.isNull(), F.lit(False))
+            .when(t_seq.isNull(), F.lit(True))
+            .otherwise(s_seq > t_seq)
         )
+        src_wins = src_wins & (F.col("_in_t").isNull() | newer)
     if delete_col is not None:
         # delete applies only when the delete's version wins (matched
         # + winning seq → drop; unmatched tombstone → src_wins is true

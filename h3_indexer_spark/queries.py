@@ -2811,8 +2811,9 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user CUSUM change-point (operators/analytics.py::
     changepoint_cusum): the peak cumulative deviation position in each
-    user's value series. T = n·prefix − i·total in exact BIGINT
-    ten-thousandths, so the argmax comparison has no float boundary."""
+    user's value series. T = n·prefix − i·total in exact DECIMAL(38,0)
+    ten-thousandths, so the argmax comparison has no float boundary
+    and no int64 wraparound at any realistic per-entity history."""
     from h3_indexer_spark.operators.analytics import changepoint_cusum
 
     return changepoint_cusum(
@@ -5830,8 +5831,9 @@ ORACLES["q_changepoint"] = """
     ),
     t AS (
         SELECT user_id, n, i,
-               abs(CAST(n AS BIGINT) * CAST(c AS BIGINT)
-                   - CAST(i AS BIGINT) * CAST(total AS BIGINT))
+               abs(CAST(n AS DECIMAL(12,0)) * CAST(c AS DECIMAL(25,0))
+                   - CAST(i AS DECIMAL(12,0))
+                     * CAST(total AS DECIMAL(25,0)))
                    AS t_abs
         FROM w WHERE i < n
     ),

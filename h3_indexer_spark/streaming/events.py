@@ -645,7 +645,14 @@ def stream_merge_upsert(
             for st in it:
                 name = st.getPath().getName()
                 if name.startswith(f"{base}__old_"):
-                    leftovers.append((int(name.rsplit("_", 1)[1]), st.getPath()))
+                    suffix = name.rsplit("_", 1)[1]
+                    # only OUR numeric batch-id backups participate in
+                    # recovery; a user's manual "__old_backup" copy is
+                    # ignored, never a crash loop
+                    if suffix.isdigit():
+                        leftovers.append(
+                            (int(suffix), st.getPath())
+                        )
                 elif name.startswith(f"{base}__swap_"):
                     fs.delete(st.getPath(), True)
         leftovers.sort()
@@ -656,10 +663,18 @@ def stream_merge_upsert(
             for _, p in leftovers:
                 fs.delete(p, True)
 
+        # only ORDERABLE column types may tiebreak (a map-typed
+        # attrs column would fail analysis); non-orderable columns
+        # are skipped — determinism then rests on (key, seq) plus
+        # the orderable columns, documented best-effort
+        from pyspark.sql.types import MapType
+
         tiebreaks = [
-            F.col(c).desc()
-            for c in batch_df.columns
-            if c not in key_cols and c != seq_col
+            F.col(f.name).desc()
+            for f in batch_df.schema.fields
+            if f.name not in key_cols
+            and f.name != seq_col
+            and not isinstance(f.dataType, MapType)
         ]
         w = Window.partitionBy(*key_cols).orderBy(
             F.col(seq_col).desc(), *tiebreaks

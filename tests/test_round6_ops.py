@@ -1069,3 +1069,135 @@ class TestPointInPolygonJoin:
             ).collect()
         }
         assert got == {1: 7, 2: None}
+
+
+class TestReviewRound2Fixes:
+    def test_target_encode_keeps_null_target_categories(self, spark):
+        """A category with only NULL targets (and a NULL category) must
+        keep its rows and encode to the global prior, matching the
+        LEFT-JOIN oracle (review-2 finding #1)."""
+        from h3_indexer_spark.operators.features import target_encode
+
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("b", None), (None, 5.0)],
+            "cat string, y double",
+        )
+        out = target_encode(df, "cat", "y", smoothing=2.0).collect()
+        assert len(out) == 4
+        prior = (10.0 + 20.0 + 5.0) / 3.0
+        by_cat = {}
+        for r in out:
+            by_cat.setdefault(r["cat"], []).append(r["cat_enc"])
+        assert by_cat["b"] == [prior]
+        assert by_cat[None] == [prior]
+
+    def test_merge_null_seq_loses_both_paths(self, spark):
+        tgt = spark.createDataFrame(
+            [(1, "a", 5), (2, "b", None)],
+            "k bigint, v string, seq bigint",
+        )
+        src = spark.createDataFrame(
+            [
+                (1, None, None, True),    # NULL-seq delete -> ignored
+                (1, "x", None, False),    # NULL-seq update -> ignored
+                (2, "b2", 7, False),      # versioned beats NULL target
+            ],
+            "k bigint, v string, seq bigint, deleted boolean",
+        )
+        # NULL-seq delete alone
+        got = {
+            r["k"]: (r["v"], r["seq"])
+            for r in merge_by_key(
+                tgt,
+                src.where(F.col("deleted")),
+                ["k"],
+                delete_col="deleted",
+                seq_col="seq",
+            ).collect()
+        }
+        assert got == {1: ("a", 5), 2: ("b", None)}
+        # NULL-seq update + versioned-over-NULL-target update
+        got2 = {
+            r["k"]: (r["v"], r["seq"])
+            for r in merge_by_key(
+                tgt,
+                src.where(~F.col("deleted")),
+                ["k"],
+                delete_col="deleted",
+                seq_col="seq",
+            ).collect()
+        }
+        assert got2 == {1: ("a", 5), 2: ("b2", 7)}
+
+    def test_stream_merge_with_map_column(self, spark, tmp_path):
+        """A map-typed attrs column must not break the latest-per-key
+        window (maps are not orderable; review-2 finding #3)."""
+        import pandas as pd
+
+        from h3_indexer_spark.streaming.events import stream_merge_upsert
+
+        src = tmp_path / "chg"
+        src.mkdir()
+        tbl = str(tmp_path / "tbl")
+        spark.createDataFrame(
+            [(1, "a", 1, {"x": "1"}), (1, "b", 2, {"x": "2"})],
+            "k bigint, v string, seq bigint, attrs map<string,string>",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(
+            "k bigint, v string, seq bigint, attrs map<string,string>"
+        ).parquet(str(src))
+        q = stream_merge_upsert(
+            stream, tbl, ["k"], str(tmp_path / "ck"), "seq",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(tbl).collect()
+        assert len(rows) == 1 and rows[0]["v"] == "b"
+
+    def test_recovery_ignores_manual_backup_dirs(self, spark, tmp_path):
+        import pandas as pd
+
+        from h3_indexer_spark.streaming.events import stream_merge_upsert
+
+        src = tmp_path / "chg"
+        src.mkdir()
+        tbl = str(tmp_path / "tbl")
+        (tmp_path / "tbl__old_backup").mkdir()  # manual copy, non-numeric
+        pd.DataFrame({"k": [1], "v": ["a"], "seq": [1]}).to_parquet(
+            src / "p0.parquet"
+        )
+        stream = spark.readStream.schema(
+            "k bigint, v string, seq bigint"
+        ).parquet(str(src))
+        q = stream_merge_upsert(
+            stream, tbl, ["k"], str(tmp_path / "ck"), "seq",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(tbl).count() == 1
+        import os
+
+        assert os.path.exists(tmp_path / "tbl__old_backup")
+
+    def test_pip_multipolygon(self, spark):
+        from h3_indexer_spark.operators.geo_join import (
+            point_in_polygon_join,
+        )
+
+        pts = spark.createDataFrame(
+            [(1, 40.5, -99.5), (2, 41.5, -98.5), (3, 42.8, -95.0)],
+            "id bigint, lat double, lng double",
+        )
+        mp = (
+            "MULTIPOLYGON (((-99.9 40.1, -99.1 40.1, -99.1 40.9, "
+            "-99.9 40.9, -99.9 40.1)), ((-98.9 41.1, -98.1 41.1, "
+            "-98.1 41.9, -98.9 41.9, -98.9 41.1)))"
+        )
+        polys = spark.createDataFrame(
+            [(7, mp)], "poly_id bigint, geom_wkt string"
+        )
+        got = {
+            (r["pt_id"], r["pg_poly_id"])
+            for r in point_in_polygon_join(pts, polys, res=6).collect()
+        }
+        assert got == {(1, 7), (2, 7)}
