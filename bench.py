@@ -116,6 +116,8 @@ HEADLINE = [
     "q_sample_per_group",
     "q_changepoint",
     "q_point_in_polygon",
+    "q_attribution_positional",
+    "q_rolling_median",
 ]
 
 

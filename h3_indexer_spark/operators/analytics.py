@@ -1350,3 +1350,94 @@ def changepoint_cusum(
             ).alias("max_dev"),
         )
     )
+
+
+def attribution_positional(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    first_weight: float = 0.4,
+    last_weight: float = 0.4,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    conversion splits one unit of credit over ALL of the entity's
+    preceding touches — ``first_weight`` to the earliest,
+    ``last_weight`` to the latest, the remainder evenly across the
+    middles (single-touch journeys get full credit; two-touch split
+    first/last proportionally). The standard refinement of last-touch
+    (``attribute_conversions``) when campaigns deserve credit for
+    initiating journeys, not just closing them.
+
+    Plan: one window pass numbers each entity's touches and counts
+    them per conversion scope; conversions join back to the touch
+    list on the entity id — the only event-cardinality shuffle is
+    keyed on ``id_col`` and the per-conversion fanout equals that
+    conversion's OWN touch count (bounded by per-entity history, the
+    same contract as the funnel). Credit weights are exact rational
+    expressions of the touch count: position weights are
+    w_first + w_last + (n−2)·w_mid == 1 by construction, so credit
+    conserves — Σ credit per conversion = 1, locked by test. Output:
+    one row per (conversion, touch) with (id, conv_ts, touch_ts,
+    touch_type, position, n_touches, credit)."""
+    ts = F.col(ts_col)
+    touches = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(id_col),
+        ts.alias("touch_ts"),
+        F.col(type_col).alias("touch_type"),
+        F.col(order_tiebreak).alias("_tb"),
+    )
+    convs = events.where(F.col(type_col) == conversion_type).select(
+        F.col(id_col),
+        ts.alias("conv_ts"),
+        F.col(order_tiebreak).alias("_ctb"),
+    )
+    j = convs.join(touches, id_col).where(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        | (
+            (F.col("touch_ts") == F.col("conv_ts"))
+            & (F.col("_tb") < F.col("_ctb"))
+        )
+    )
+    w = Window.partitionBy(id_col, "conv_ts", "_ctb").orderBy(
+        F.col("touch_ts").asc(), F.col("_tb").asc()
+    )
+    wn = Window.partitionBy(id_col, "conv_ts", "_ctb")
+    pos = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(
+        wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    nd = n.cast("double")
+    # weights folded in PYTHON doubles and inlined as single literals:
+    # an engine-side "1.0 - 0.4 - 0.4" is double in Spark but exact
+    # DECIMAL in some SQL engines (0.19999999999999996 vs 0.2) — one
+    # literal removes the cross-engine arithmetic entirely
+    wf = float(first_weight)
+    wl = float(last_weight)
+    w_first2 = wf / (wf + wl)
+    w_last2 = wl / (wf + wl)
+    w_mid = 1.0 - wf - wl
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(
+            n == 2,
+            F.when(pos == 1, F.lit(w_first2)).otherwise(F.lit(w_last2)),
+        )
+        .otherwise(
+            F.when(pos == 1, F.lit(wf))
+            .when(pos == n, F.lit(wl))
+            .otherwise(F.lit(w_mid) / (nd - F.lit(2.0)))
+        )
+    )
+    return j.select(
+        id_col,
+        "conv_ts",
+        "touch_ts",
+        "touch_type",
+        pos.cast("bigint").alias("position"),
+        n.cast("bigint").alias("n_touches"),
+        credit.alias("credit"),
+    )

@@ -657,3 +657,29 @@ def target_encode(
     return joined.withColumn(out_col, enc).drop(
         "_gn", "_gs", "_cn", "_cs"
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 5,
+    out_col: str = "roll_median",
+) -> DataFrame:
+    """Per-key trailing-window EXACT median (ROWS frame, last
+    ``window`` rows including current) — the robust twin of
+    rolling_features' mean: spike-insensitive baselines for anomaly
+    scoring and smoothing. Exact interpolated percentile over the
+    frame (Spark ``percentile`` == DuckDB ``quantile_cont``
+    bit-for-bit, the recorded rule), ONE window shuffle, frame state
+    bounded at ``window`` rows. ``order_cols`` must total-order each
+    key (pass a tiebreaker). For very wide windows at corpus scale,
+    swap percentile_approx — same plan shape."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    med = F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).over(w)
+    return df.withColumn(out_col, med)

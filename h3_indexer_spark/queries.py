@@ -2880,6 +2880,38 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon_join(pts, polys, res=6)
 
 
+
+def q_attribution_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based multi-touch attribution (operators/analytics.py::
+    attribution_positional): every purchase splits credit 40/40 over
+    its first/last preceding view-or-click touch, middles sharing the
+    remaining 20% — credit conservation (Σ=1 per conversion) holds by
+    exact rational construction. The contract emits the per-touch
+    credit rows; doubles are exact n-derived rationals identical in
+    both engines."""
+    from h3_indexer_spark.operators.analytics import (
+        attribution_positional,
+    )
+
+    return attribution_positional(
+        _load_events(spark, sf_dir), "purchase", ["view", "click"]
+    )
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-5 exact rolling median (operators/
+    features.py::rolling_median) — percentile() over a ROWS frame ==
+    DuckDB quantile_cont bit-for-bit."""
+    from h3_indexer_spark.operators.features import rolling_median
+
+    ev = _load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    ).where(F.col("value").isNotNull())
+    return rolling_median(
+        ev, "user_id", ["ts", "event_id"], "value"
+    ).select("event_id", "user_id", "roll_median")
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -2931,12 +2963,10 @@ QUERIES: dict[str, Query] = {
     "q_join_semi": q_join_semi,
     "q_knn_batch": q_knn_batch,
     "q_lang_id": q_lang_id,
-    "q_quality_score": q_quality_score,
     "q_quantiles": q_quantiles,
     "q_rollup": q_rollup,
     "q_sort_limit": q_sort_limit,
     "q_text_stats": q_text_stats,
-    "q_token_count": q_token_count,
     "q_topk_window": q_topk_window,
     "q_window_lag": q_window_lag,
     "q_window_rank": q_window_rank,
@@ -2958,8 +2988,12 @@ QUERIES: dict[str, Query] = {
     "q_sample_per_group": q_sample_per_group,
     "q_changepoint": q_changepoint,
     "q_point_in_polygon": q_point_in_polygon,
+    "q_attribution_positional": q_attribution_positional,
+    "q_rolling_median": q_rolling_median,
     # beyond the window: driver-green r4/r5; tests/test_oracle.py runs the identical comparison every session
     "q_knn_ivf": q_knn_ivf,
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
     "q_mul_ratio": q_mul_ratio,
     "q_distinct": q_distinct,
     "q_except": q_except,
@@ -5872,4 +5906,53 @@ ORACLES["q_point_in_polygon"] = """
     FROM pts p JOIN rects r
       ON p.lng > r.x0 AND p.lng < r.x0 + 0.45007
      AND p.lat > r.y0 AND p.lat < r.y0 + 0.45007
+"""
+
+
+ORACLES["q_attribution_positional"] = """
+    WITH t AS (
+        SELECT user_id, epoch_ns(ts) AS touch_ts,
+               event_type AS touch_type, event_id AS tb
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    c AS (
+        SELECT user_id, epoch_ns(ts) AS conv_ts, event_id AS ctb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT c.user_id, c.conv_ts, c.ctb, t.touch_ts, t.touch_type,
+               t.tb
+        FROM c JOIN t ON c.user_id = t.user_id
+        WHERE t.touch_ts < c.conv_ts
+           OR (t.touch_ts = c.conv_ts AND t.tb < c.ctb)
+    ),
+    r AS (
+        SELECT user_id, conv_ts, ctb, touch_ts, touch_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, conv_ts, ctb
+                                  ORDER BY touch_ts, tb) AS position,
+               COUNT(*) OVER (PARTITION BY user_id, conv_ts, ctb)
+                   AS n_touches
+        FROM j
+    )
+    SELECT user_id, conv_ts, touch_ts, touch_type,
+           CAST(position AS BIGINT) AS position,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+                WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+                WHEN position = 1 THEN CAST(0.4 AS DOUBLE)
+                WHEN position = n_touches THEN CAST(0.4 AS DOUBLE)
+                ELSE CAST(0.19999999999999996 AS DOUBLE)
+                     / (CAST(n_touches AS DOUBLE) - 2.0)
+           END AS credit
+    FROM r
+"""
+
+ORACLES["q_rolling_median"] = """
+    SELECT event_id, user_id,
+           quantile_cont(CAST(value AS DOUBLE), 0.5) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS roll_median
+    FROM events WHERE value IS NOT NULL
 """

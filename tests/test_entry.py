@@ -52,9 +52,8 @@ STALE_R3 = {
     "q_count_distinct", "q_cube", "q_dedup_windowed",
     "q_groupby_stats", "q_join_anti",
     "q_join_left_attr", "q_join_semi", "q_knn_batch", "q_lang_id",
-    "q_quality_score",
     "q_quantiles", "q_rollup", "q_sort_limit", "q_text_stats",
-    "q_token_count", "q_topk_window", "q_window_lag",
+    "q_topk_window", "q_window_lag",
     "q_window_rank", "q_window_sliding",
 }
 
@@ -85,7 +84,8 @@ def test_round6_window_composition():
         "q_h3_radius_join", "q_incremental_agg", "q_psi_drift",
         "q_cuped", "q_winsorize", "q_weighted_median",
         "q_target_encode", "q_sample_per_group", "q_changepoint",
-        "q_point_in_polygon",
+        "q_point_in_polygon", "q_attribution_positional",
+        "q_rolling_median",
     }
     assert new_r6 <= window
 

@@ -1201,3 +1201,65 @@ class TestReviewRound2Fixes:
             for r in point_in_polygon_join(pts, polys, res=6).collect()
         }
         assert got == {(1, 7), (2, 7)}
+
+
+class TestPositionalAttributionRollingMedian:
+    def test_credit_conserves_and_positions(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            attribution_positional,
+        )
+
+        rows = [
+            # u1: three touches then purchase -> 0.4/0.2/0.4
+            (1, 10, "view", 1), (1, 20, "click", 2), (1, 30, "view", 3),
+            (1, 40, "purchase", 4),
+            # u2: single touch -> 1.0
+            (2, 10, "click", 5), (2, 20, "purchase", 6),
+            # u3: two touches -> 0.5/0.5
+            (3, 10, "view", 7), (3, 20, "click", 8),
+            (3, 30, "purchase", 9),
+            # u4: organic purchase -> no rows
+            (4, 10, "purchase", 10),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts bigint, event_type string, event_id bigint"
+        )
+        out = attribution_positional(
+            df, "purchase", ["view", "click"]
+        ).collect()
+        by_user = {}
+        for r in out:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["position"], r["credit"])
+            )
+        assert sorted(by_user[1]) == [(1, 0.4), (2, 0.19999999999999996), (3, 0.4)]
+        assert by_user[2] == [(1, 1.0)]
+        assert sorted(by_user[3]) == [(1, 0.5), (2, 0.5)]
+        assert 4 not in by_user
+        # conservation: each conversion's credits sum to ~1
+        import collections
+
+        sums = collections.defaultdict(float)
+        for r in out:
+            sums[(r["user_id"], r["conv_ts"])] += r["credit"]
+        for v in sums.values():
+            assert abs(v - 1.0) < 1e-12
+
+    def test_rolling_median_semantics(self, spark):
+        from h3_indexer_spark.operators.features import rolling_median
+
+        rows = [(1, i, i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7, 100])]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ts bigint, event_id bigint, value double"
+        )
+        got = {
+            r["ts"]: r["roll_median"]
+            for r in rolling_median(
+                df, "user_id", ["ts", "event_id"], "value", window=3
+            ).collect()
+        }
+        assert got[0] == 5.0
+        assert got[1] == 3.0   # median of (5,1) interpolated
+        assert got[2] == 5.0   # (5,1,9)
+        assert got[3] == 3.0   # (1,9,3)
+        assert got[5] == 7.0   # (3,7,100) -> robust to the spike
