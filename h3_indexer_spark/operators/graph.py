@@ -310,3 +310,59 @@ def clustering_coefficients(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph where
+    every vertex keeps degree >= k — the standard densest-region
+    prefilter before community detection, spam-ring isolation, or
+    near-dup cluster triage (a vertex in a large duplicate family
+    survives a high-k core; incidental pairs don't). Returns
+    (vertex, degree) for surviving vertices with their degree INSIDE
+    the core.
+
+    Iterative peeling: drop all vertices with current degree < k,
+    recompute degrees over the induced subgraph, repeat to fixpoint.
+    Each round is one degree aggregation + one semi-join edge filter —
+    shuffles keyed on the vertex id only; rounds are bounded by the
+    longest peeling chain (typically very few). The same
+    localCheckpoint lineage-truncation discipline as
+    connected_components (an iterative plan nests otherwise), and the
+    convergence probe is a 1-row count action per round.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dirs = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_edges = dirs.count()
+    for _ in range(max_iter):
+        deg = dirs.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a")
+        pruned = (
+            dirs.join(keep, "a", "left_semi")
+            .join(
+                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+            .localCheckpoint()
+        )
+        n = pruned.count()
+        dirs = pruned
+        if n == prev_edges:
+            break
+        prev_edges = n
+    return (
+        dirs.groupBy(F.col("a").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= k)
+    )

@@ -2912,6 +2912,29 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "roll_median")
 
 
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the user co-occurrence graph (operators/graph.py::
+    k_core): users sharing an event day form edges; the core keeps
+    the densely-interacting region. Rows-only: iterative peeling has
+    no SQL mirror; exactness is locked against a Python peeling
+    reference in tests/test_round6_ops.py."""
+    from h3_indexer_spark.operators.graph import k_core
+
+    ev = _load_events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts div {86_400 * 10**9}").alias("day")
+    ).distinct()
+    a = ev.select(F.col("user_id").alias("src"), "day")
+    b = ev.select(F.col("user_id").alias("dst"), "day")
+    edges = (
+        a.join(b, "day")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return k_core(edges, 3)
+
+
 # --------------------------------------------------------------------------
 # Registry + DuckDB oracles
 # --------------------------------------------------------------------------
@@ -3092,6 +3115,8 @@ QUERIES: dict[str, Query] = {
     "q_dedup_spans_global": q_dedup_spans_global,
     "q_knn_lsh": q_knn_lsh,
     "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
+    # rows-only (beyond the window): iterative peeling, no SQL mirror
+    "q_kcore": q_kcore,
 }
 
 

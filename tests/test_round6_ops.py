@@ -1263,3 +1263,55 @@ class TestPositionalAttributionRollingMedian:
         assert got[2] == 5.0   # (5,1,9)
         assert got[3] == 3.0   # (1,9,3)
         assert got[5] == 7.0   # (3,7,100) -> robust to the spike
+
+
+class TestKCore:
+    def test_matches_python_peeling(self, spark):
+        """k_core must equal a brute-force peeling reference on a
+        random graph, for several k."""
+        import numpy as np
+
+        from h3_indexer_spark.operators.graph import k_core
+
+        rng = np.random.default_rng(9)
+        n = 60
+        pairs = {
+            (int(a), int(b)) if a < b else (int(b), int(a))
+            for a, b in rng.integers(0, n, size=(220, 2))
+            if a != b
+        }
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in sorted(pairs)], "src bigint, dst bigint"
+        )
+
+        def ref_kcore(pairs, k):
+            adj = {}
+            for a, b in pairs:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            changed = True
+            while changed:
+                changed = False
+                for v in list(adj):
+                    if len(adj[v]) < k:
+                        for u in adj.pop(v):
+                            adj[u].discard(v)
+                        changed = True
+            return {v: len(ns) for v, ns in adj.items() if ns}
+
+        for k in (2, 3, 4):
+            got = {
+                r["vertex"]: r["degree"]
+                for r in k_core(edges, k).collect()
+            }
+            assert got == ref_kcore(pairs, k), k
+
+    def test_triangle_is_2core_not_3core(self, spark):
+        from h3_indexer_spark.operators.graph import k_core
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src bigint, dst bigint"
+        )
+        got2 = {r["vertex"] for r in k_core(edges, 2).collect()}
+        assert got2 == {1, 2, 3}  # the pendant vertex 4 peels off
+        assert k_core(edges, 3).count() == 0
