@@ -138,6 +138,51 @@ def cell_neighbors_batch(cells) -> "np.ndarray":
     return out
 
 
+def cell_disk_batch(cells, k: int) -> "np.ndarray":
+    """Ring-``k`` disks (the cell plus every cell within grid distance
+    ``k``) for an int64 cell array, as an (n, width) int64 matrix,
+    zero-padded, each row ascending after its padding zeros. width is
+    the hexagonal bound 1+3k(k+1); pentagon-touched disks simply
+    carry more padding.
+
+    Fully vectorized — the whole batch advances one hop at a time:
+    ONE cell_neighbors_batch call per hop over the current disk
+    matrix, then a row-wise sort + shift-compare dedup (duplicate
+    slots collapse to the 0 padding; 0 is never a valid H3 id since
+    the mode bits are always set). Expanding the whole disk each hop
+    instead of tracking a frontier costs ≤7/6 extra neighbor lookups
+    per hop and removes every per-row Python loop — this replaces the
+    per-point set-dedup expansion the radius join's pandas UDF used.
+    """
+    import numpy as np
+
+    cur = np.asarray(cells, dtype=np.int64).reshape(-1, 1)
+    if cur.shape[0] == 0:
+        return cur
+    for _ in range(max(0, int(k))):
+        flat = cur.ravel()
+        valid = flat != 0
+        nb = np.zeros((flat.shape[0], 6), dtype=np.int64)
+        if valid.any():
+            nb[valid] = cell_neighbors_batch(flat[valid])
+        combined = np.concatenate(
+            [cur, nb.reshape(cur.shape[0], -1)], axis=1
+        )
+        combined.sort(axis=1)
+        dup = np.zeros(combined.shape, dtype=bool)
+        dup[:, 1:] = combined[:, 1:] == combined[:, :-1]
+        combined[dup] = 0
+        combined.sort(axis=1)
+        # compact: zeros sort to the front of every row, so the last
+        # max-nonzero columns hold every disk — keeps the matrix at
+        # the true disk width (≤1+3k(k+1)) instead of 7^hops
+        width = int((combined != 0).sum(axis=1).max()) if len(
+            combined
+        ) else 0
+        cur = combined[:, combined.shape[1] - width:]
+    return cur
+
+
 @lru_cache(maxsize=16384)
 def _cell_neighbors_probe(h: int) -> tuple[int, ...]:
     """Geometric fallback for cells the IJK path cannot resolve:

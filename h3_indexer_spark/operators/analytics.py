@@ -28,7 +28,7 @@ shared principles:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DAY_NS = 86_400 * 10**9
@@ -1000,41 +1000,39 @@ def ab_test_zscore(
     contraction ulp in the compound expression (q_regression
     precedent). Sample variance (n−1); arms with n<2 report null
     variance and z. Output: one row (n_control, n_treatment,
-    mean_control, mean_treatment, diff, z_score).
+    mean_control, mean_treatment, diff, z_score). The row is
+    GUARANTEED even when an arm (or the whole input) is empty: the
+    readout is a single global conditional aggregation, so a missing
+    arm reports n=0 with null mean/variance/z rather than collapsing
+    the readout to zero rows (an absent row is indistinguishable
+    from "query never ran"; an n=0 row is self-describing).
 
-    Scale: the aggregation is two partial-agg rows per partition —
-    no shuffle wider than 2 keys; the final stats are a 2-row fold.
+    Scale: the aggregation is two conditional-sum accumulator rows
+    per partition folded to ONE global row — no shuffle at all
+    beyond the final single-row fold.
     """
     v = F.col(metric_col).cast("decimal(19,4)")
-    per_arm = (
+    is_c = F.col(arm_col) == control
+    is_t = F.col(arm_col) == treatment
+    # ONE unconditional agg over the filtered log: .agg on an empty
+    # input still yields exactly one row (counts 0, sums NULL) —
+    # the missing-arm guarantee. Conditional DECIMAL sums equal the
+    # per-group sums exactly (same value multiset, exact addition),
+    # so the double-side arithmetic below is bit-identical to the
+    # previous grouped formulation and the oracle.
+    j = (
         events.where(
-            F.col(arm_col).isin(control, treatment)
-            & F.col(metric_col).isNotNull()
+            (is_c | is_t) & F.col(metric_col).isNotNull()
         )
-        .groupBy(arm_col)
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(v).alias("_sx"),
-            F.sum(v * v).alias("_sxx"),
+            F.count(F.when(is_c, F.lit(1))).alias("n_control"),
+            F.sum(F.when(is_c, v)).cast("double").alias("_sx_c"),
+            F.sum(F.when(is_c, v * v)).cast("double").alias("_sxx_c"),
+            F.count(F.when(is_t, F.lit(1))).alias("n_treatment"),
+            F.sum(F.when(is_t, v)).cast("double").alias("_sx_t"),
+            F.sum(F.when(is_t, v * v)).cast("double").alias("_sxx_t"),
         )
     )
-    picked = per_arm.select(
-        arm_col,
-        "n",
-        F.col("_sx").cast("double").alias("sx"),
-        F.col("_sxx").cast("double").alias("sxx"),
-    )
-    c = picked.where(F.col(arm_col) == control).select(
-        F.col("n").alias("n_control"),
-        F.col("sx").alias("_sx_c"),
-        F.col("sxx").alias("_sxx_c"),
-    )
-    t = picked.where(F.col(arm_col) == treatment).select(
-        F.col("n").alias("n_treatment"),
-        F.col("sx").alias("_sx_t"),
-        F.col("sxx").alias("_sxx_t"),
-    )
-    j = c.crossJoin(t)  # 1 row x 1 row
     nc = F.col("n_control").cast("double")
     nt = F.col("n_treatment").cast("double")
     mean_c = F.col("_sx_c") / nc
@@ -1197,32 +1195,36 @@ def cuped_ab_test(
     θ²var_x − 2θcov_xy per arm. ROUND(…,12) on θ and z absorbs the
     cross-engine contraction ulp (q_regression rule). Output: one row
     (n_control, n_treatment, theta, mean_control_adj,
-    mean_treatment_adj, diff_adj, z_score)."""
+    mean_treatment_adj, diff_adj, z_score) — GUARANTEED one row even
+    when an arm (or the whole input) is empty: the readout is one
+    global conditional aggregation (missing arm → n=0 with null
+    moments/z), never a zero-row collapse."""
     y = F.col(metric_col).cast("decimal(19,4)")
     x = F.col(covariate_col).cast("decimal(19,4)")
-    per_arm = (
-        df.where(
-            F.col(arm_col).isin(control, treatment)
-            & F.col(metric_col).isNotNull()
-            & F.col(covariate_col).isNotNull()
+    is_c = F.col(arm_col) == control
+    is_t = F.col(arm_col) == treatment
+    # conditional DECIMAL sums == per-group sums exactly (same value
+    # multiset, exact addition) — bit-parity with the oracle's
+    # grouped formulation is preserved, and .agg on empty input
+    # still emits its one row (the empty-arm guarantee).
+    aggs = [F.count(F.when(is_c, F.lit(1))).alias("n_c")] + [
+        F.sum(F.when(is_c, expr)).cast("double").alias(f"{nm}_c")
+        for nm, expr in (
+            ("sy", y), ("sx", x), ("sxy", x * y),
+            ("sxx", x * x), ("syy", y * y),
         )
-        .groupBy(arm_col)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(y).cast("double").alias("sy"),
-            F.sum(x).cast("double").alias("sx"),
-            F.sum(x * y).cast("double").alias("sxy"),
-            F.sum(x * x).cast("double").alias("sxx"),
-            F.sum(y * y).cast("double").alias("syy"),
+    ] + [F.count(F.when(is_t, F.lit(1))).alias("n_t")] + [
+        F.sum(F.when(is_t, expr)).cast("double").alias(f"{nm}_t")
+        for nm, expr in (
+            ("sy", y), ("sx", x), ("sxy", x * y),
+            ("sxx", x * x), ("syy", y * y),
         )
-    )
-    c = per_arm.where(F.col(arm_col) == control).select(
-        *[F.col(z).alias(f"{z}_c") for z in ("n", "sy", "sx", "sxy", "sxx", "syy")]
-    )
-    t = per_arm.where(F.col(arm_col) == treatment).select(
-        *[F.col(z).alias(f"{z}_t") for z in ("n", "sy", "sx", "sxy", "sxx", "syy")]
-    )
-    j = c.crossJoin(t)  # 1 x 1
+    ]
+    j = df.where(
+        (is_c | is_t)
+        & F.col(metric_col).isNotNull()
+        & F.col(covariate_col).isNotNull()
+    ).agg(*aggs)
     nc = F.col("n_c").cast("double")
     nt = F.col("n_t").cast("double")
     n = nc + nt

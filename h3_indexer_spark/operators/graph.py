@@ -331,10 +331,18 @@ def k_core(
     recompute degrees over the induced subgraph, repeat to fixpoint.
     Each round is one degree aggregation + one semi-join edge filter —
     shuffles keyed on the vertex id only; rounds are bounded by the
-    longest peeling chain (typically very few). The same
+    longest peeling chain (typically very few, but adversarial
+    topologies — a path graph at k=2 — need ~n/2 rounds). The same
     localCheckpoint lineage-truncation discipline as
     connected_components (an iterative plan nests otherwise), and the
     convergence probe is a 1-row count action per round.
+
+    ``max_iter`` is a SAFETY VALVE, not a result parameter: if the
+    peel has not reached a fixpoint within ``max_iter`` rounds the
+    call raises RuntimeError rather than silently returning the
+    not-yet-converged superset (every vertex still standing after a
+    partial peel looks like a core member even when the true k-core
+    is empty).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -346,7 +354,10 @@ def k_core(
         .localCheckpoint()
     )
     prev_edges = dirs.count()
+    converged = prev_edges == 0
     for _ in range(max_iter):
+        if converged:
+            break
         deg = dirs.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("a")
         pruned = (
@@ -359,8 +370,15 @@ def k_core(
         n = pruned.count()
         dirs = pruned
         if n == prev_edges:
-            break
+            converged = True
         prev_edges = n
+    if not converged:
+        raise RuntimeError(
+            f"k_core(k={k}) did not converge within max_iter="
+            f"{max_iter} peel rounds ({prev_edges} directed edges "
+            "still changing) — raise max_iter; returning the "
+            "partial peel would report a superset of the true core"
+        )
     return (
         dirs.groupBy(F.col("a").alias("vertex"))
         .agg(F.count(F.lit(1)).alias("degree"))

@@ -80,6 +80,11 @@ def pq_train(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "no vectors to train PQ codebooks on: the input has no "
+            f"non-null rows in column {vec_col!r}"
+        )
     x = np.asarray([r[1] for r in rows], dtype=np.float64)
     dim = x.shape[1]
     books = []

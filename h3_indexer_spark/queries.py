@@ -2947,21 +2947,87 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by tests/test_oracle.py, which runs the identical comparison on every
 # ORACLES key. tests/test_entry.py locks this layout.
 QUERIES: dict[str, Query] = {
-    # -- driver window 0-49 (round 6): the 2 round-5 oracle-typing
-    #    victims (q_entropy / q_retention_curve — engine bit-exact,
-    #    oracle now CAST ... AS BIGINT), the 8 rows-only keys that have
-    #    never had a non-red driver row (VERDICT r5 item #4; the driver
-    #    records a rows+schema check for no-oracle keys), the 5 keys
-    #    whose last driver window was round 2, the 29 whose last was
-    #    round 3 (VERDICT r5 item #5), and 6 anchor slots that new
-    #    round-6 operators displace as they land. Composition locked in
-    #    tests/test_entry.py; every displaced key is driver-green from
-    #    r4/r5 and stays covered by the identical local comparison in
-    #    tests/test_oracle.py.
-    # round-5 oracle-typing fixes (driver must re-hash these)
+    # -- driver window 0-49 (round 7): q_kcore (the ONLY contract key
+    #    with no driver record in any round — VERDICT r6 item #2), the
+    #    12 keys whose last driver window was round 3 (same item), the
+    #    two reworked spatial joins (PIP's candidate shuffle slimmed,
+    #    the radius join's k-ring expansion vectorized — VERDICT r6
+    #    items #1/#4 require re-verification), new round-7 operator
+    #    keys as they land, and the stalest round-4 keys filling the
+    #    rest (dedup family first — the LLM-pipeline core). Every
+    #    displaced key is driver-green from r4-r6 and stays covered by
+    #    the identical local comparison in tests/test_oracle.py.
+    #    Composition locked in tests/test_entry.py.
+    # never driver-recorded (rows-only: iterative peeling, no SQL
+    # mirror — the driver records rows+schema)
+    "q_kcore": q_kcore,
+    # last driver window round 3 (testdata regenerated 4x since)
+    "q_project": q_project,
+    "q_lit_cols": q_lit_cols,
+    "q_mul_ratio": q_mul_ratio,
+    "q_filter_notnull": q_filter_notnull,
+    "q_first": q_first,
+    "q_count": q_count,
+    "q_distinct": q_distinct,
+    "q_union": q_union,
+    "q_intersect": q_intersect,
+    "q_except": q_except,
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    # reworked this round — must stay hash-green under the new plans
+    "q_point_in_polygon": q_point_in_polygon,
+    "q_h3_radius_join": q_h3_radius_join,
+    # new round-7 operator keys (debut in the window; each uncommented
+    # as its implementation lands this round)
+    # stalest remaining: last driver window round 4 (dedup family and
+    # the high-algorithm keys first; the 6 r4 keys that don't fit —
+    # scan_where, sessionize, tfidf, top_orders, window_tumbling,
+    # zscore — rotate in round 8)
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "q_dedup_resolve": q_dedup_resolve,
+    "q_dedup_spans_global": q_dedup_spans_global,
+    "q_knn_brute": q_knn_brute,
+    "q_knn_lsh": q_knn_lsh,
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_asof_join": q_asof_join,
+    "q_interval_join": q_interval_join,
+    "q_range_join": q_range_join,
+    "q_fingerprint": q_fingerprint,
+    "q_decontaminate": q_decontaminate,
+    "q_decontaminate_bloom": q_decontaminate_bloom,
+    "q_media_dedup": q_media_dedup,
+    "q_corpus_curation": q_corpus_curation,
+    "q_contamination_frac": q_contamination_frac,
+    "q_rare_words": q_rare_words,
+    "q_attribution": q_attribution,
+    "q_clean_lines": q_clean_lines,
+    "q_frequent_items": q_frequent_items,
+    # -- beyond the window: driver-green r4-r6; tests/test_oracle.py
+    #    runs the identical comparison every session
+    "q_gap_fill": q_gap_fill,
+    "q_join_full_outer": q_join_full_outer,
+    "q_join_left_small": q_join_left_small,
+    "q_join_skew_salted": q_join_skew_salted,
+    "q_region_revenue": q_region_revenue,
+    "q_retention_cohorts": q_retention_cohorts,
+    "q_robust_scale": q_robust_scale,
+    "q_rolling_features": q_rolling_features,
+    "q_corr": q_corr,
+    "q_explode": q_explode,
+    "q_scan_where": q_scan_where,
+    "q_sessionize": q_sessionize,
+    "q_tfidf": q_tfidf,
+    "q_top_orders": q_top_orders,
+    "q_window_tumbling": q_window_tumbling,
+    "q_zscore": q_zscore,
     "q_entropy": q_entropy,
     "q_retention_curve": q_retention_curve,
-    # rows-only keys: first non-red driver record (rows+schema)
     "q_quantile_bins": q_quantile_bins,
     "q_ewma": q_ewma,
     "q_approx_stats": q_approx_stats,
@@ -2970,13 +3036,11 @@ QUERIES: dict[str, Query] = {
     "q_media_resize": q_media_resize,
     "q_media_frames": q_media_frames,
     "q_semantic_dedup_fast": q_semantic_dedup_fast,
-    # stalest: last driver window round 2
     "q_media_audio": q_media_audio,
     "q_media_meta": q_media_meta,
     "q_ngram_bigrams": q_ngram_bigrams,
     "q_pivot_events": q_pivot_events,
     "q_sample_stratified": q_sample_stratified,
-    # last driver window round 3
     "q_count_distinct": q_count_distinct,
     "q_cube": q_cube,
     "q_dedup_windowed": q_dedup_windowed,
@@ -2994,14 +3058,12 @@ QUERIES: dict[str, Query] = {
     "q_window_lag": q_window_lag,
     "q_window_rank": q_window_rank,
     "q_window_sliding": q_window_sliding,
-    # new round-6 operator keys (debut in the window) + anchors
     "q_merge_upsert": q_merge_upsert,
     "q_knn_ivfpq": q_knn_ivfpq,
     "q_ab_test": q_ab_test,
     "q_label_future": q_label_future,
     "q_quantile_normalize": q_quantile_normalize,
     "q_period_over_period": q_period_over_period,
-    "q_h3_radius_join": q_h3_radius_join,
     "q_incremental_agg": q_incremental_agg,
     "q_psi_drift": q_psi_drift,
     "q_cuped": q_cuped,
@@ -3010,23 +3072,9 @@ QUERIES: dict[str, Query] = {
     "q_target_encode": q_target_encode,
     "q_sample_per_group": q_sample_per_group,
     "q_changepoint": q_changepoint,
-    "q_point_in_polygon": q_point_in_polygon,
     "q_attribution_positional": q_attribution_positional,
     "q_rolling_median": q_rolling_median,
-    # beyond the window: driver-green r4/r5; tests/test_oracle.py runs the identical comparison every session
     "q_knn_ivf": q_knn_ivf,
-    "q_token_count": q_token_count,
-    "q_quality_score": q_quality_score,
-    "q_mul_ratio": q_mul_ratio,
-    "q_distinct": q_distinct,
-    "q_except": q_except,
-    "q_intersect": q_intersect,
-    "q_filter_notnull": q_filter_notnull,
-    "q_first": q_first,
-    "q_union": q_union,
-    "q_project": q_project,
-    "q_count": q_count,
-    "q_lit_cols": q_lit_cols,
     "q_scan_parquet": q_scan_parquet,
     "q_groupby_sum": q_groupby_sum,
     "q_funnel": q_funnel,
@@ -3074,49 +3122,6 @@ QUERIES: dict[str, Query] = {
     "q_ntile_bins": q_ntile_bins,
     "q_minmax_scale": q_minmax_scale,
     "q_url_normalize": q_url_normalize,
-    "q_top_orders": q_top_orders,
-    "q_dedup_minhash": q_dedup_minhash,
-    "q_dedup_simhash": q_dedup_simhash,
-    "q_dedup_keep_best": q_dedup_keep_best,
-    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_dedup_embedding": q_dedup_embedding,
-    "q_dedup_resolve": q_dedup_resolve,
-    "q_fingerprint": q_fingerprint,
-    "q_media_dedup": q_media_dedup,
-    "q_fuzzy_join": q_fuzzy_join,
-    "q_scan_where": q_scan_where,
-    "q_join_left_small": q_join_left_small,
-    "q_join_full_outer": q_join_full_outer,
-    "q_join_skew_salted": q_join_skew_salted,
-    "q_corr": q_corr,
-    "q_explode": q_explode,
-    "q_window_tumbling": q_window_tumbling,
-    "q_sessionize": q_sessionize,
-    "q_rolling_features": q_rolling_features,
-    "q_asof_join": q_asof_join,
-    "q_interval_join": q_interval_join,
-    "q_range_join": q_range_join,
-    "q_tfidf": q_tfidf,
-    "q_knn_brute": q_knn_brute,
-    "q_corpus_curation": q_corpus_curation,
-    "q_decontaminate": q_decontaminate,
-    "q_clean_lines": q_clean_lines,
-    "q_region_revenue": q_region_revenue,
-    "q_retention_cohorts": q_retention_cohorts,
-    "q_frequent_items": q_frequent_items,
-    "q_gap_fill": q_gap_fill,
-    "q_attribution": q_attribution,
-    "q_zscore": q_zscore,
-    "q_robust_scale": q_robust_scale,
-    "q_contamination_frac": q_contamination_frac,
-    "q_rare_words": q_rare_words,
-    "q_decontaminate_bloom": q_decontaminate_bloom,
-    "q_dedup_spans_global": q_dedup_spans_global,
-    "q_knn_lsh": q_knn_lsh,
-    "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
-    # rows-only (beyond the window): iterative peeling, no SQL mirror
-    "q_kcore": q_kcore,
 }
 
 

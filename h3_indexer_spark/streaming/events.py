@@ -655,10 +655,27 @@ def stream_merge_upsert(
                         )
                 elif name.startswith(f"{base}__swap_"):
                     fs.delete(st.getPath(), True)
+        # Hadoop FileSystem.rename signals most failures by RETURNING
+        # FALSE (not raising) — an unchecked rename followed by the
+        # backup delete below would destroy the only surviving copy
+        # of the table. Every rename in this sink goes through this
+        # guard; on failure we abort the batch with the __old_ backup
+        # intact so the documented crash-recovery path can restore it
+        # on the next start.
+        def rename_or_raise(src_p, dst_p, what: str) -> None:
+            if not fs.rename(src_p, dst_p):
+                raise IOError(
+                    f"stream_merge_upsert: rename failed during "
+                    f"{what}: {src_p} -> {dst_p}; aborting batch "
+                    "with backups left in place for crash recovery"
+                )
+
         leftovers.sort()
         if leftovers:
             if not fs.exists(target):
-                fs.rename(leftovers[-1][1], target)
+                rename_or_raise(
+                    leftovers[-1][1], target, "crash recovery"
+                )
                 leftovers.pop()
             for _, p in leftovers:
                 fs.delete(p, True)
@@ -706,8 +723,11 @@ def stream_merge_upsert(
         tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
         old_p = jvm.org.apache.hadoop.fs.Path(f"{path}__old_{batch_id}")
         if fs.exists(target):
-            fs.rename(target, old_p)
-        fs.rename(tmp_p, target)
+            rename_or_raise(target, old_p, "swap (backup step)")
+        rename_or_raise(tmp_p, target, "swap (publish step)")
+        # the backup is deleted ONLY after the publish rename
+        # verifiably succeeded — until then __old_<id> is the sole
+        # durable copy and crash recovery knows how to restore it
         fs.delete(old_p, True)
 
     writer = (

