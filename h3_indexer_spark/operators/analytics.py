@@ -1443,3 +1443,176 @@ def attribution_positional(
         n.cast("bigint").alias("n_touches"),
         credit.alias("credit"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient of a non-negative value column
+    (revenue-concentration / inequality readout):
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the ascending-sorted
+    values — 0 = perfectly even, →1 = fully concentrated.
+
+    Scale-first EXACT formulation: instead of ranking every row (a
+    corpus-wide single-partition row_number), collapse to one row per
+    DISTINCT value (count c, the value v), take ONE ordered window
+    over that level table for the prefix count, and expand each
+    level's rank-weighted sum in closed form — ranks of a c-long run
+    starting after prefix p sum to c·p + c·(c+1)/2, so
+    Σᵢ i·x₍ᵢ₎ = Σ_levels v·(c·p + c·(c+1)/2), exact in DECIMAL (ties
+    contribute identically under any tie order, so no tiebreak column
+    is needed at all). The window runs over |distinct values| rows.
+    Output: one row (n, total, gini); gini is the only double and is
+    computed from exact DECIMAL/BIGINT inputs in one mirrored op
+    sequence."""
+    v = F.col(value_col).cast("decimal(19,4)")
+    levels = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lv = levels.select(
+        "_v",
+        "_c",
+        F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_p"),
+    )
+    # rank-run weight c·p + c·(c+1)/2 — integer-exact; DECIMAL(18,0)
+    # cast keeps the v·weight product inside DECIMAL(38,4) in every
+    # engine's decimal-multiplication rule
+    weight = (
+        F.col("_c") * F.col("_p")
+        + F.expr("_c * (_c + 1) div 2")  # integer div — `/` on longs
+        # is a DOUBLE in Spark and would lose exactness past 2^53
+    ).cast("decimal(18,0)")
+    agg = lv.agg(
+        F.sum(F.col("_c")).cast("bigint").alias("n"),
+        F.sum(F.col("_v") * F.col("_c").cast("decimal(18,0)"))
+        .alias("_total"),
+        F.sum(F.col("_v") * weight).alias("_s1"),
+    )
+    n = F.col("n").cast("double")
+    total = F.col("_total").cast("double")
+    s1 = F.col("_s1").cast("double")
+    return agg.select(
+        "n",
+        total.alias("total"),
+        (
+            F.lit(2.0) * s1 / (n * total) - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic lifecycle-marketing readout. Per customer: most
+    recent order timestamp, order count, exact DECIMAL spend; each
+    dimension then scores 1..``n_bins`` by NTILE over a TOTAL order
+    (metric, customer id) — the explicit tiebreak makes bucket
+    boundaries deterministic on any engine, where a bare
+    ntile-over-metric would let ties land by partition luck. Higher
+    score = more recent / more frequent / higher spend. Output:
+    (customer, recency_ts, frequency, monetary, r, f, m, segment)
+    with segment the concatenated "rfm" digit string.
+
+    Scale shape: ONE customer-keyed aggregation; the three NTILEs run
+    over the aggregated per-customer table (|customers| rows, not
+    |orders|) — at larger scale swap NTILE for precomputed
+    percentile cut-points (features.quantile_bins) to avoid the
+    global-order window; semantics match at the documented
+    boundaries."""
+    per = orders.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(ts_col).alias("recency_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(19,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    def score(col: str) -> Column:
+        return F.ntile(n_bins).over(
+            Window.orderBy(F.col(col).asc(), F.col("customer").asc())
+        )
+    scored = per.select(
+        "customer",
+        "recency_ts",
+        "frequency",
+        "monetary",
+        score("recency_ts").alias("r"),
+        score("frequency").alias("f"),
+        score("monetary").alias("m"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )
+
+
+def survival_risk_table(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    day_ns: int = 86_400 * 10**9,
+    censor_horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier risk table over an event log: per observed
+    lifetime length, how many subjects were still at risk, how many
+    "died" (churned) at exactly that length, and how many were
+    censored — the integer-exact core of the survival curve (the KM
+    estimator is Π(1 − dᵢ/nᵢ) over these rows; emitting the d/n
+    integers keeps the contract engine-exact, and any client derives
+    the float curve in one pass).
+
+    Semantics: lifetime = floor((last − first)/day) in whole days per
+    subject; a subject whose last event is within
+    ``censor_horizon_days`` of the corpus's max timestamp is CENSORED
+    (still alive at observation end), otherwise its lifetime ends in
+    churn. n_risk at lifetime t counts subjects with lifetime ≥ t
+    (standard: censored subjects leave the risk set after t).
+
+    Scale shape: one subject-keyed aggregation, a tiny per-lifetime
+    aggregation, and a suffix-sum window over the |distinct
+    lifetimes| table; the corpus max is a 1-row broadcast fold."""
+    per = events.groupBy(F.col(id_col).alias("_id")).agg(
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    gmax = events.agg(F.max(ts_col).alias("_gmax"))
+    lt = per.crossJoin(F.broadcast(gmax)).select(
+        F.expr(f"CAST(_last - _first AS BIGINT) div {day_ns}").alias(
+            "lifetime_days"
+        ),
+        (
+            F.col("_last")
+            < F.col("_gmax") - F.lit(censor_horizon_days * day_ns)
+        ).cast("int").alias("_died"),
+    )
+    by_t = lt.groupBy("lifetime_days").agg(
+        F.sum("_died").cast("bigint").alias("n_events"),
+        F.sum(F.lit(1) - F.col("_died")).cast("bigint").alias(
+            "n_censored"
+        ),
+    )
+    w = Window.orderBy(F.col("lifetime_days").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return by_t.select(
+        "lifetime_days",
+        F.sum(
+            F.col("n_events") + F.col("n_censored")
+        ).over(w).cast("bigint").alias("n_risk"),
+        "n_events",
+        "n_censored",
+    )

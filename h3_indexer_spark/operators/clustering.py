@@ -137,3 +137,91 @@ def kmeans_fit(
             break
         history.append(inertia)
     return centroids, history
+
+
+def dbscan(
+    points: DataFrame,
+    eps_km: float,
+    min_pts: int,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Density-based spatial clustering (DBSCAN, Ester et al. 1996),
+    composed entirely from the engine's scale primitives — no new
+    kernel: neighborhoods come from the H3-bucketed radius self-join
+    (geo_join.h3_radius_join: certain recall, one cell-keyed shuffle
+    per side), core points are a neighbor-count aggregation, clusters
+    are connected components over the core-core adjacency
+    (graph.connected_components: pointer jumping, O(log n) rounds),
+    and border points attach to their smallest-labelled core
+    neighbor. Labels are the minimum member id of each cluster's core
+    set — fully deterministic, no seed, no visit order.
+
+    Output: (id, cluster, is_core) — cluster NULL for noise points;
+    is_core ∈ {0,1}. Standard DBSCAN border semantics: a border point
+    belongs to A cluster it is density-reachable from; when several
+    qualify, the smallest label wins (deterministic choice of the
+    algorithm's order-dependent freedom).
+
+    Scale: every stage is a bounded equi-join or aggregation — the
+    radius join never goes n², components never iterate past log n,
+    and the only driver actions are the components' 1-row
+    convergence probes."""
+    from h3_indexer_spark.operators.geo_join import h3_radius_join
+    from h3_indexer_spark.operators.graph import connected_components
+
+    pairs = h3_radius_join(
+        points,
+        points,
+        eps_km,
+        (id_col, lat_col, lng_col),
+        (id_col, lat_col, lng_col),
+    ).select(
+        F.col(f"l_{id_col}").alias("a"), F.col(f"r_{id_col}").alias("b")
+    ).localCheckpoint()  # neighbor pairs feed 3 branches; the radius
+    # join's pandas-UDF stages should run once, and the iterative
+    # components would otherwise re-nest them every round
+    # pairs includes the self-pair (dist 0), so |N_eps(p)| is the
+    # plain count per left id — the textbook definition
+    ncount = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n_nbr"))
+    core_ids = ncount.where(F.col("n_nbr") >= min_pts).select("a")
+    core_edges = (
+        pairs.where(F.col("a") < F.col("b"))
+        .join(core_ids, "a", "left_semi")
+        .join(core_ids.select(F.col("a").alias("b")), "b", "left_semi")
+    )
+    comps = connected_components(
+        core_edges.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ),
+        core_ids.select(F.col("a").alias("vid")),
+        id_col="vid",
+    ).select(F.col("vid"), F.col("component"))
+    # border points: non-core with >= 1 core neighbor — attach the
+    # smallest component label among those neighbors
+    border = (
+        pairs.join(
+            comps.select(
+                F.col("vid").alias("b"), F.col("component")
+            ),
+            "b",
+        )
+        .join(core_ids, "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("component").alias("component"))
+    )
+    labeled = comps.select(
+        F.col("vid").alias("a"), "component", F.lit(1).alias("is_core")
+    ).unionByName(
+        border.select("a", "component", F.lit(0).alias("is_core"))
+    )
+    return (
+        points.select(F.col(id_col))
+        .join(labeled, points[id_col] == labeled["a"], "left")
+        .select(
+            F.col(id_col),
+            F.col("component").alias("cluster"),
+            F.coalesce(F.col("is_core"), F.lit(0)).alias("is_core"),
+        )
+    )

@@ -83,6 +83,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 42,
     bands: int = 16,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash signature per document: ``num_hashes`` minima over the
     shingle array — zero shuffle.
@@ -131,14 +132,15 @@ def minhash_signatures(
                 for r_ in range(rows_per_band):
                     acc = _splitmix64(acc ^ sig[:, b * rows_per_band + r_])
                 band_arr[:, b] = acc
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "sh_arr": pdf["sh_arr"],
-                    "sig": list(sig.view(np.int64)),
-                    "bands": list(band_arr.view(np.int64)),
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "sh_arr": pdf["sh_arr"],
+                "sig": list(sig.view(np.int64)),
+                "bands": list(band_arr.view(np.int64)),
+            }
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     # preserve the caller's id type (string doc ids must survive the
     # Arrow hop, not be coerced to long)
@@ -147,6 +149,11 @@ def minhash_signatures(
         f"{id_col} {id_type}, sh_arr array<long>, sig array<long>, "
         "bands array<long>"
     )
+    for c in carry_cols:
+        # passthrough columns (e.g. the event-time column the
+        # streaming twin watermarks on) ride the same Arrow hop
+        ct = shingle_df.schema[c].dataType.simpleString()
+        schema += f", {c} {ct}"
     return shingle_df.mapInPandas(fn, schema=schema)
 
 

@@ -1,0 +1,144 @@
+"""Pattern-mining operators: market-basket association rules and
+Pareto-frontier (skyline) extraction.
+
+Beyond-reference surface (the reference engine has no mining ops):
+these are the classic retail/feature-discovery primitives a
+training-data pipeline runs over transaction-shaped tables —
+re-expressed as pure DataFrame plans (one equi-self-join bounded by
+basket size for pairs; an aggregated-levels window for the skyline),
+never the naive all-pairs/all-rows quadratic formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    k: int = 30,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Pairwise association rules (Agrawal & Srikant's Apriori at the
+    2-itemset level): for every ordered item pair (a → b) with joint
+    support ≥ ``min_support`` baskets, the support / confidence /
+    lift readout — the co-purchase / co-occurrence miner.
+
+    Output: (antecedent, consequent, n_joint, n_antecedent,
+    confidence, lift), top ``k`` by (lift desc, antecedent asc,
+    consequent asc). confidence = n_joint/n_antecedent and
+    lift = n_joint·N/(n_a·n_b) are single divisions of exact BIGINT
+    counts — bit-equal in any engine.
+
+    Scale shape: baskets collapse to DISTINCT (basket, item) first;
+    the pair generation is ONE equi-self-join on the basket key, so
+    work is Σ_b s_b² (bounded by basket size, never corpus²);
+    ``max_basket_size`` drops pathological mega-baskets (a basket
+    with 10⁵ items contributes 10¹⁰ pairs — cap-and-log is the
+    standard guard; capped baskets are EXCLUDED, not sampled, so
+    results stay deterministic). Item supports ride a second narrow
+    aggregation of the same distinct table; N is a 1-row broadcast
+    fold."""
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = items.groupBy("_b").agg(
+            F.count(F.lit(1)).alias("_sz")
+        ).where(F.col("_sz") <= max_basket_size).select("_b")
+        items = items.join(sizes, "_b", "left_semi")
+    n_baskets = df.select(basket_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item_support = items.groupBy("_i").agg(
+        F.count(F.lit(1)).alias("_n_item")
+    )
+    a = items.select(F.col("_b"), F.col("_i").alias("antecedent"))
+    b = items.select(F.col("_b"), F.col("_i").alias("consequent"))
+    pairs = (
+        a.join(b, "_b")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_joint"))
+        .where(F.col("n_joint") >= min_support)
+    )
+    sup_a = item_support.select(
+        F.col("_i").alias("antecedent"),
+        F.col("_n_item").alias("n_antecedent"),
+    )
+    sup_b = item_support.select(
+        F.col("_i").alias("consequent"),
+        F.col("_n_item").alias("_n_consequent"),
+    )
+    joined = (
+        pairs.join(F.broadcast(sup_a), "antecedent")
+        .join(F.broadcast(sup_b), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    nj = F.col("n_joint").cast("double")
+    na = F.col("n_antecedent").cast("double")
+    nb = F.col("_n_consequent").cast("double")
+    nn = F.col("n_baskets").cast("double")
+    return (
+        joined.select(
+            "antecedent",
+            "consequent",
+            F.col("n_joint").cast("bigint").alias("n_joint"),
+            F.col("n_antecedent").cast("bigint").alias("n_antecedent"),
+            (nj / na).alias("confidence"),
+            (nj * nn / (na * nb)).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(k)
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+) -> DataFrame:
+    """The 2-D Pareto frontier (Börzsönyi et al., "The Skyline
+    Operator", ICDE 2001): rows not dominated by any other row, where
+    A dominates B iff A.minimize ≤ B.minimize ∧ A.maximize ≥
+    B.maximize with at least one strict. Classic price-vs-quality
+    shortlisting. Returns the full surviving rows.
+
+    Plan: collapse to one row per ``minimize_col`` level (keeping the
+    level's max of ``maximize_col``), ONE ordered window over that
+    aggregated level table for the strictly-cheaper running max, then
+    a broadcast join back. A row survives iff it carries its level's
+    max AND beats every cheaper level's max. Equal (min,max)
+    duplicates all survive (neither dominates). The window runs over
+    |distinct levels| rows, not the corpus; beyond memory, skyline is
+    decomposable — skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))
+    — so a per-partition local pass can pre-shrink the input with the
+    same operator before this global step."""
+    levels = df.groupBy(F.col(minimize_col).alias("_lvl")).agg(
+        F.max(maximize_col).alias("_lvl_max")
+    )
+    w = Window.orderBy(F.col("_lvl").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    levels = levels.select(
+        "_lvl",
+        "_lvl_max",
+        F.max("_lvl_max").over(w).alias("_prev_max"),
+    )
+    # no broadcast hint: with near-unique values the level table is
+    # corpus-sized (Catalyst picks SMJ); with few levels its stats
+    # auto-broadcast it
+    out = df.join(levels, df[minimize_col] == levels["_lvl"])
+    keep = (F.col(maximize_col) == F.col("_lvl_max")) & (
+        F.col("_prev_max").isNull()
+        | (F.col("_prev_max") < F.col(maximize_col))
+    )
+    return out.where(keep).drop("_lvl", "_lvl_max", "_prev_max")

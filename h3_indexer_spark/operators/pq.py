@@ -212,3 +212,53 @@ def ivfpq_topk(
         k,
         id_col,
     )
+
+
+def ivfpq_topk_rerank(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: np.ndarray,
+    n_probe: int = 4,
+    k: int = 10,
+    n_refine: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC+R (the re-rank refinement of Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011
+    §V): ADC selects the ``n_refine`` best candidates by quantized
+    distance, then ONLY those candidates' raw vectors are re-scored
+    with the EXACT squared-L2 distance and the final top-``k`` is
+    taken from the exact scores. Whenever the true top-k survives the
+    ADC cut (empirically near-certain for n_refine >> k — the recall
+    curve is asserted in tests), the composed index returns exactly
+    the brute-force answer while still reading PQ codes for the
+    corpus and raw vectors for just ``n_refine`` rows.
+
+    Scale shape: the ADC pass is the same narrow scan + TakeOrdered
+    as ivfpq_topk (n_refine rows reach the driver side of the plan);
+    the refine pass broadcast-semi-joins those n_refine ids against
+    the raw table — the corpus is scanned, never shuffled, and the
+    exact distance is a pure codegen expression (no Python). At
+    100 TB keep the raw vectors partitioned by ``ivf_cell`` so the
+    refine scan prunes to the probed partitions too."""
+    cand = ivfpq_topk(
+        df, query, centroids, codebooks, n_probe,
+        max(int(n_refine), int(k)), vec_col, id_col,
+    )
+    q = [float(v) for v in query]
+    # exact squared-L2, left-associative — the identical IEEE op
+    # sequence any external engine produces from the mirrored SQL
+    terms = " + ".join(
+        f"(CAST({vec_col}[{i}] AS DOUBLE) - ({v!r})) * "
+        f"(CAST({vec_col}[{i}] AS DOUBLE) - ({v!r}))"
+        for i, v in enumerate(q)
+    )
+    refined = (
+        df.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
+        .select(id_col, F.expr(f"0.0 + {terms}").alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    return refined

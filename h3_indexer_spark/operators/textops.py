@@ -392,3 +392,216 @@ def rare_word_stats(
             ).alias("rare_ratio"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 30,
+    symbol_col: Column | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One iteration of the BPE tokenizer-trainer's pair census: the
+    corpus-wide frequency of every adjacent symbol pair, weighted by
+    word frequency — the inner statistic of byte-pair-encoding
+    training (Sennrich et al. 2016; the reference engine has no
+    tokenizer surface — beyond-reference LLM-pipeline op).
+
+    Two-level aggregation, the canonical trainer shape: (1) collapse
+    the corpus to DISTINCT words with counts (the |vocab| table — at
+    100 TB this is the only pass that touches every token, and it is
+    a plain word-count), (2) explode each distinct word's adjacent
+    character pairs and sum word counts per pair. Pair work is then
+    ∝ |vocab| × word-length, independent of corpus size. Output:
+    (pair, n) — top ``k`` by (n desc, pair asc), exact BIGINT counts.
+
+    ``symbol_col``/``weight_col`` run the census over an existing
+    symbol-sequence table (array<string> + count) instead — the
+    later-round input of ``bpe_train``."""
+    if symbol_col is not None:
+        pairs = df.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        symbol_col, 1,
+                        F.greatest(F.size(symbol_col) - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        symbol_col, 2,
+                        F.greatest(F.size(symbol_col) - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+            F.col(weight_col).alias("wn"),
+        )
+    else:
+        words = df.select(
+            F.explode(_lower_tokens(text_col)).alias("w")
+        ).where(F.length("w") >= 2)
+        wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+        # adjacent CHARACTER pairs of each distinct word; sequence()
+        # only after the length>=2 filter (Spark's sequence(1, 0)
+        # counts DOWN — it would fabricate pairs for 1-char words)
+        pairs = wc.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            F.col("wn"),
+        )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> list[tuple[str, str]]:
+    """Bounded byte-pair-encoding trainer: ``n_merges`` rounds of
+    (census the adjacent pairs → pick the most frequent → merge it
+    everywhere), greedy left-to-right within each word — the exact
+    classic algorithm, distributed.
+
+    The corpus collapses ONCE to distinct words with counts; every
+    later round runs over that |vocab|-sized symbol table (array of
+    symbols + weight). The per-round argmax is a 1-row TakeOrdered
+    action (bounded driver pull); the merge rewrite is a pure
+    higher-order-function fold (aggregate() with a look-behind on
+    the accumulator tail — no Python in the rewrite). Rounds are
+    localCheckpointed so the iterative plan doesn't nest. Returns
+    the merge list in order — ties break lexicographically, so the
+    result is deterministic on any cluster."""
+    words = df.select(
+        F.explode(_lower_tokens(text_col)).alias("w")
+    ).where(F.length("w") >= 2)
+    sym = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select(
+            F.expr("split(w, '')").alias("syms"),
+            F.col("wn"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = bpe_pair_counts(
+            sym, k=1, symbol_col=F.col("syms"), weight_col="wn"
+        ).collect()
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ", 1)
+        merges.append((a, b))
+        merged = F.lit(a + b)
+        # greedy left-to-right merge: fold symbols; when the
+        # accumulator tail is `a` and the next symbol is `b`,
+        # replace the tail with the merged symbol
+        sym = sym.select(
+            F.aggregate(
+                F.col("syms"),
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(merged),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+            F.col("wn"),
+        ).localCheckpoint()
+    return merges
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    quant: int = 1000,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term
+    list — the classic retrieval scorer (Robertson & Walker 1994),
+    the ranking face of the inverted-index ops. Output: (id, score_q)
+    with score_q = FLOOR(score × ``quant``) — ln() differs by 1 ulp
+    across math libraries, so the contract emits the quantized
+    integer (the established trig/ln recipe; margins are asserted in
+    the session tests) while the raw double stays available from the
+    internal expression.
+
+    Determinism shape: per-term tf pivots to ONE column per query
+    term via conditional aggregation (each a single value), and the
+    score sums the per-term contributions in FIXED listed order —
+    never a float SUM whose accumulation order the engine owns.
+    Scale shape: one token explode filtered to the query terms
+    (broadcast hash set) → one (doc)-keyed conditional-sum groupBy;
+    document lengths ride the same pass; df/N/avgdl fold to a 1-row
+    broadcast join. No shuffle wider than the doc key."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    toks = _lower_tokens(text_col)
+
+    def term_count(word: str) -> Column:
+        # single-arg lambda, built per term: a 2-arg lambda would be
+        # interpreted by filter() as (element, INDEX)
+        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(F.filter(toks, lambda t: F.length(t) > 0)).alias("dl"),
+        *[term_count(w).alias(f"tf_{i}") for i, w in enumerate(terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf_{i}") > 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("bigint").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))  # 1-row fold
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfi = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+        )
+        contribs.append(idf * tf * F.lit(k1 + 1.0) / denom)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return (
+        j.select(
+            id_col,
+            F.floor(score * F.lit(float(quant))).cast("bigint").alias(
+                "score_q"
+            ),
+        )
+        .where(F.col("score_q") > 0)
+        .orderBy(F.col("score_q").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1207,6 +1207,129 @@ def q_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer pair census (operators/textops.py::bpe_pair_counts):
+    corpus-wide adjacent character-pair frequencies weighted by word
+    frequency — one iteration of byte-pair-encoding training. The
+    corpus collapses to distinct words first, so pair work is
+    ∝ |vocab|, not corpus size; counts are exact BIGINTs and the
+    top-30 is (n desc, pair asc)-deterministic. The bounded
+    multi-round merge loop (bpe_train) is locked against a pure-
+    Python reference in tests/test_round7_ops.py."""
+    from h3_indexer_spark.operators.textops import bpe_pair_counts
+
+    return bpe_pair_counts(load(spark, sf_dir, "documents"), "text", k=30)
+
+
+_BM25_TERMS = ["join", "query", "spark", "stream"]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scores (operators/textops.py::bm25_scores)
+    against a fixed 4-term query. tf pivots to one column per term
+    (conditional size() — each a single integer) and the score adds
+    the per-term contributions in FIXED sorted-term order, never an
+    engine-ordered float SUM; ln() is the one op libm and the JVM
+    disagree on by 1 ulp, so the contract emits FLOOR(score*1000)
+    (trig/ln recipe) — the integer-boundary margin is asserted in
+    tests/test_round7_ops.py."""
+    from h3_indexer_spark.operators.textops import bm25_scores
+
+    return bm25_scores(
+        load(spark, sf_dir, "documents"), _BM25_TERMS, "text", "doc_id",
+        k=20,
+    )
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise market-basket association rules (operators/mining.py::
+    association_rules): orders as baskets, part brands as items —
+    support / confidence / lift per ordered brand pair, top-30 by
+    lift with a full lexicographic tiebreak. Counts are exact
+    BIGINTs; confidence and lift are single divisions of those
+    counts, bit-equal in any engine."""
+    from h3_indexer_spark.operators.mining import association_rules
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]
+    ).select("l_orderkey", "p_brand")
+    return association_rules(
+        baskets, "l_orderkey", "p_brand", min_support=2, k=30
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order revenue (operators/analytics.py::
+    gini_coefficient) — the closed-form rank-run formulation over
+    distinct value levels: exact DECIMAL Σv·c and Σv·(c·p+c(c+1)/2),
+    one |levels|-sized window, and a single mirrored double op
+    sequence for the final coefficient."""
+    from h3_indexer_spark.operators.analytics import gini_coefficient
+
+    return gini_coefficient(load(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/analytics.py::
+    rfm_segments): per-customer recency/frequency/monetary with
+    NTILE(5) scores over TOTAL (metric, customer) orders — the
+    explicit tiebreak pins bucket boundaries; recency is emitted as
+    the formatted timestamp string (q_window_tumbling convention —
+    the parquet physical type is TIMESTAMP_NTZ, which unix_micros
+    rejects and the driver comparator can't hash)."""
+    from h3_indexer_spark.operators.analytics import rfm_segments
+
+    out = rfm_segments(load(spark, sf_dir, "orders"))
+    return out.select(
+        "customer",
+        F.date_format(F.col("recency_ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("recency_str"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        "r",
+        "f",
+        "m",
+        "segment",
+    )
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (operators/sketches.py::
+    hll_registers) over orders.o_custkey at p=8 — the sketch surface
+    itself (bucket, max-rho integers from the portable 60-bit md5
+    hash), hash-checkable in any engine; mergeability and the
+    estimator's error bound are locked in tests/test_round7_ops.py."""
+    from h3_indexer_spark.operators.sketches import hll_registers
+
+    return hll_registers(load(spark, sf_dir, "orders"), "o_custkey", p=8)
+
+
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table (operators/analytics.py::
+    survival_risk_table) over per-user event lifetimes with a 7-day
+    censoring horizon — integer-exact (lifetime_days, n_risk,
+    n_events, n_censored); the float survival curve is a trivial
+    client-side Π(1−d/n) over these rows."""
+    from h3_indexer_spark.operators.analytics import survival_risk_table
+
+    return survival_risk_table(_load_events(spark, sf_dir))
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (operators/mining.py::skyline_2d) over
+    part: minimize retail price, maximize size — rows no other part
+    dominates. Aggregated-levels window plan (|distinct prices| rows
+    through the window, never the corpus); the oracle is the
+    textbook NOT EXISTS dominance test."""
+    from h3_indexer_spark.operators.mining import skyline_2d
+
+    return skyline_2d(
+        load(spark, sf_dir, "part"), "p_retailprice", "p_size"
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (operators/textops.py::
     tfidf_topk, linear inverse document frequency so the score
@@ -2575,6 +2698,31 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R (operators/pq.py::ivfpq_topk_rerank): ADC selects the
+    100 best candidates by product-quantized distance, their raw
+    vectors are exactly re-scored (squared-L2, pure codegen), and the
+    final top-10 comes from the exact scores. The contract runs in
+    exactness mode — n_probe equals n_cells so IVF pruning drops
+    nothing and the ONLY approximation is the ADC cut, whose
+    recall@100 of the true top-10 is asserted at both SFs in
+    tests/test_round7_ops.py — which makes the brute-force exact-L2
+    top-k a valid SQL oracle for the whole composed index (production
+    sets n_probe < n_cells and the same refine machinery applies).
+    Left-associative exact-L2 mirrors the oracle op-for-op, so
+    distances are bit-equal with no rounding."""
+    from h3_indexer_spark.operators.pq import ivfpq_topk_rerank, pq_train
+    from h3_indexer_spark.operators.similarity import sampled_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, n_cells=16)
+    books = pq_train(emb, m=16, nbits=6, sample=500)
+    return ivfpq_topk_rerank(
+        emb, _query_vector(), cents, books,
+        n_probe=16, k=10, n_refine=100,
+    )
+
+
 
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch two-sample z (operators/analytics.py::ab_test_zscore):
@@ -2668,6 +2816,35 @@ def q_h3_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("dist_km") * F.lit(1000.0)).alias("dist_m"),
     )
 
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (operators/clustering.py::dbscan)
+    over the q_h3_radius_join point fixture (eps=5 km, min_pts=4) —
+    a pure composition of the H3 radius join, a neighbor-count
+    aggregation, and pointer-jumping connected components; labels
+    are min-member-id so the result is seedless-deterministic.
+    Rows-only: components are iterative (no SQL mirror — q_kcore
+    precedent); exact parity with a brute-force Python DBSCAN is
+    locked in tests/test_round7_ops.py."""
+    from h3_indexer_spark.operators.clustering import dbscan
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.lit(40.0)
+            + ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(100000))
+            .cast("double")
+            / F.lit(50000.0)
+        ).alias("lat"),
+        (
+            F.lit(-100.0)
+            + ((F.col("c_custkey") * F.lit(40503)) % F.lit(100000))
+            .cast("double")
+            / F.lit(50000.0)
+        ).alias("lng"),
+    )
+    return dbscan(pts, 5.0, 4)
 
 
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2977,8 +3154,18 @@ QUERIES: dict[str, Query] = {
     # reworked this round — must stay hash-green under the new plans
     "q_point_in_polygon": q_point_in_polygon,
     "q_h3_radius_join": q_h3_radius_join,
-    # new round-7 operator keys (debut in the window; each uncommented
+    # new round-7 operator keys (debut in the window; each added
     # as its implementation lands this round)
+    "q_knn_ivfpq_rerank": q_knn_ivfpq_rerank,
+    "q_bpe_pairs": q_bpe_pairs,
+    "q_bm25": q_bm25,
+    "q_assoc_rules": q_assoc_rules,
+    "q_gini": q_gini,
+    "q_rfm": q_rfm,
+    "q_hll_registers": q_hll_registers,
+    "q_survival": q_survival,
+    "q_skyline": q_skyline,
+    "q_dbscan": q_dbscan,
     # stalest remaining: last driver window round 4 (dedup family and
     # the high-algorithm keys first; the 6 r4 keys that don't fit —
     # scan_where, sessionize, tfidf, top_orders, window_tumbling,
@@ -3258,6 +3445,257 @@ def _knn_oracle() -> str:
                ({dot}) / (sqrt({norm}) * ({qn!r})) AS cosine_sim
         FROM embeddings
         ORDER BY cosine_sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+def _bpe_pairs_oracle() -> str:
+    """Mirror of bpe_pair_counts: identical tokenization to the other
+    text oracles, distinct-word pre-aggregation, then per-word
+    adjacent character pairs via list_transform over range(1, len)
+    (range is end-exclusive = Spark's sequence(1, len-1) after the
+    length>=2 filter)."""
+    return r"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(
+                lower(regexp_replace(text, '[^\w\s]', ' ', 'g')),
+                '\s+')) AS w
+            FROM documents
+        ),
+        wc AS (
+            SELECT w, COUNT(*) AS wn FROM toks
+            WHERE length(w) >= 2 GROUP BY w
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(
+                       range(1, length(w)),
+                       i -> substring(w, CAST(i AS INTEGER), 2)
+                   )) AS pair,
+                   wn
+            FROM wc
+        )
+        SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC
+        LIMIT 30
+    """
+
+
+def _bm25_oracle() -> str:
+    """Mirror of q_bm25: tf per term as list_filter counts, the 1-row
+    corpus stats fold, and the score summed in the SAME sorted-term
+    order with the same literal constants and op shape; ln() absorbed
+    by the FLOOR(score*1000) quantization."""
+    terms = sorted(set(_BM25_TERMS))
+    tf_cols = ",\n                   ".join(
+        f"len(list_filter(toks, x -> x = '{w}')) AS tf_{i}"
+        for i, w in enumerate(terms)
+    )
+    df_cols = ",\n                   ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * CAST(tf_{i} AS DOUBLE) * 2.2"
+        f" / (CAST(tf_{i} AS DOUBLE)"
+        f" + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))"
+        for i in range(len(terms))
+    )
+    return rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(
+                       lower(regexp_replace(text, '[^\w\s]', ' ', 'g')),
+                       '\s+') AS toks
+            FROM documents
+        ),
+        pd AS (
+            SELECT doc_id,
+                   len(list_filter(toks, x -> len(x) > 0)) AS dl,
+                   {tf_cols}
+            FROM t
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                   {df_cols}
+            FROM pd
+        )
+        SELECT doc_id,
+               CAST(FLOOR(({contribs}) * 1000.0) AS BIGINT) AS score_q
+        FROM pd, s
+        WHERE CAST(FLOOR(({contribs}) * 1000.0) AS BIGINT) > 0
+        ORDER BY score_q DESC, doc_id ASC
+        LIMIT 20
+    """
+
+
+_ASSOC_RULES_ORACLE = """
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (
+        SELECT CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    sup AS (SELECT i, COUNT(*) AS n_item FROM items GROUP BY i),
+    pairs AS (
+        SELECT a.i AS antecedent, b.i AS consequent,
+               COUNT(*) AS n_joint
+        FROM items a JOIN items b
+          ON a.b = b.b AND a.i <> b.i
+        GROUP BY a.i, b.i
+        HAVING COUNT(*) >= 2
+    )
+    SELECT antecedent, consequent,
+           CAST(n_joint AS BIGINT) AS n_joint,
+           CAST(sa.n_item AS BIGINT) AS n_antecedent,
+           CAST(n_joint AS DOUBLE) / CAST(sa.n_item AS DOUBLE)
+               AS confidence,
+           CAST(n_joint AS DOUBLE) * CAST(nb.n AS DOUBLE)
+               / (CAST(sa.n_item AS DOUBLE) * CAST(sb.n_item AS DOUBLE))
+               AS lift
+    FROM pairs
+    JOIN sup sa ON pairs.antecedent = sa.i
+    JOIN sup sb ON pairs.consequent = sb.i
+    CROSS JOIN nb
+    ORDER BY lift DESC, antecedent ASC, consequent ASC
+    LIMIT 30
+"""
+
+_GINI_ORACLE = """
+    WITH lv AS (
+        SELECT CAST(o_totalprice AS DECIMAL(19,4)) AS v,
+               COUNT(*) AS c
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    lw AS (
+        SELECT v, c,
+               COALESCE(SUM(c) OVER (
+                   ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS p
+        FROM lv
+    ),
+    agg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               SUM(v * CAST(c AS DECIMAL(18,0))) AS total_d,
+               SUM(v * CAST(c * p + c * (c + 1) // 2
+                            AS DECIMAL(18,0))) AS s1_d
+        FROM lw
+    )
+    SELECT n,
+           CAST(total_d AS DOUBLE) AS total,
+           2.0 * CAST(s1_d AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(total_d AS DOUBLE))
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM agg
+"""
+
+_RFM_ORACLE = """
+    WITH per AS (
+        SELECT o_custkey AS customer,
+               MAX(o_orderdate) AS recency_ts,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4)))
+                    AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT customer,
+           strftime(recency_ts, '%Y-%m-%d %H:%M:%S') AS recency_str,
+           frequency,
+           monetary,
+           NTILE(5) OVER (ORDER BY recency_ts ASC, customer ASC) AS r,
+           NTILE(5) OVER (ORDER BY frequency ASC, customer ASC) AS f,
+           NTILE(5) OVER (ORDER BY monetary ASC, customer ASC) AS m,
+           CAST(NTILE(5) OVER (ORDER BY recency_ts ASC, customer ASC)
+                AS VARCHAR)
+           || CAST(NTILE(5) OVER (ORDER BY frequency ASC, customer ASC)
+                AS VARCHAR)
+           || CAST(NTILE(5) OVER (ORDER BY monetary ASC, customer ASC)
+                AS VARCHAR) AS segment
+    FROM per
+"""
+
+_HLL_ORACLE = """
+    WITH h AS (
+        SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                   18, 15) AS BIGINT) AS h
+        FROM orders WHERE o_custkey IS NOT NULL
+    )
+    SELECT CAST(h % 256 AS INTEGER) AS bucket,
+           CAST(MAX(CASE WHEN h // 256 = 0 THEN 53
+                         ELSE 52 - length(bin(h // 256)) + 1
+                    END) AS INTEGER) AS rho
+    FROM h GROUP BY 1
+"""
+
+
+def _survival_oracle() -> str:
+    day = 86_400 * 10**9
+    return f"""
+        WITH per AS (
+            SELECT user_id,
+                   MIN(epoch_ns(ts)) AS f,
+                   MAX(epoch_ns(ts)) AS l
+            FROM events GROUP BY user_id
+        ),
+        g AS (SELECT MAX(epoch_ns(ts)) AS gmax FROM events),
+        lt AS (
+            SELECT (l - f) // {day} AS lifetime_days,
+                   CASE WHEN l < gmax - {7 * day} THEN 1 ELSE 0
+                   END AS died
+            FROM per, g
+        ),
+        by_t AS (
+            SELECT lifetime_days,
+                   CAST(SUM(died) AS BIGINT) AS n_events,
+                   CAST(SUM(1 - died) AS BIGINT) AS n_censored
+            FROM lt GROUP BY lifetime_days
+        )
+        SELECT lifetime_days,
+               CAST(SUM(n_events + n_censored) OVER (
+                   ORDER BY lifetime_days ASC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS BIGINT) AS n_risk,
+               n_events, n_censored
+        FROM by_t
+    """
+
+
+_SKYLINE_ORACLE = """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice
+               OR b.p_size > a.p_size)
+    )
+"""
+
+
+def _ivfpq_rerank_oracle() -> str:
+    """Brute-force exact squared-L2 top-10 — a valid oracle for
+    q_knn_ivfpq_rerank because that query probes every IVF cell and
+    its ADC recall@100 of the true top-10 is test-asserted; the
+    left-associative subtraction/square chain mirrors the engine's
+    refine expression bit-for-bit (DuckDB arrays are 1-based)."""
+    terms = " + ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) - ({v!r})) * "
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) - ({v!r}))"
+        for i, v in enumerate(_query_vector())
+    )
+    return f"""
+        SELECT vec_id, 0.0 + {terms} AS l2_dist
+        FROM embeddings
+        ORDER BY l2_dist ASC, vec_id ASC
         LIMIT 10
     """
 
@@ -4702,6 +5140,15 @@ ORACLES: dict[str, str] = {
         GROUP BY md5(text)
     """,
     "q_knn_brute": _knn_oracle(),
+    "q_knn_ivfpq_rerank": _ivfpq_rerank_oracle(),
+    "q_bpe_pairs": _bpe_pairs_oracle(),
+    "q_bm25": _bm25_oracle(),
+    "q_assoc_rules": _ASSOC_RULES_ORACLE,
+    "q_gini": _GINI_ORACLE,
+    "q_rfm": _RFM_ORACLE,
+    "q_hll_registers": _HLL_ORACLE,
+    "q_survival": _survival_oracle(),
+    "q_skyline": _SKYLINE_ORACLE,
     "q_knn_lsh": _lsh_oracle(),
     "q_dedup_embedding": _dedup_embedding_oracle(),
     "q_dedup_embedding_lsh": _dedup_embedding_lsh_oracle(),

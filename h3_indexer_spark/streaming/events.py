@@ -737,3 +737,140 @@ def stream_merge_upsert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_content_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch exact content dedup
+    (operators/dedup.py): first document per exact content wins,
+    later re-deliveries and byte-identical copies are dropped. Keys
+    on the md5 digest of the content (not the raw text) so the
+    per-key state is 32 bytes however large the document, and the
+    watermark expires digests once no duplicate can still arrive —
+    the standard bounded-state shape.
+    """
+    return (
+        docs.withColumn(
+            "_content_digest", F.md5(F.col(text_col).cast("binary"))
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_digest"])
+        .drop("_content_digest")
+    )
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    delay_ns: int = 3_600 * 10**9,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+):
+    """Streaming twin of the batch MinHash near-dup
+    (operators/dedup.py::minhash_near_dups): every document's LSH
+    band buckets are computed with the SAME signature kernel as the
+    batch path, and per-bucket state remembers the first document
+    that claimed the bucket. A document whose bucket was already
+    claimed by an EARLIER document emits a (doc, dup_of, bucket) row
+    — the streaming candidate-suppression verdict (batch semantics:
+    "shares any band bucket with an earlier doc"; the union of
+    emitted doc ids is exactly that set, which the parity test
+    checks against the batch signatures).
+
+    State expiry: EventTimeTimeout — a bucket's claim expires
+    ``delay_ns`` after its claimant's event time passes the
+    watermark, so state is bounded by the arrival rate × window, the
+    same contract as the other stateful ops here. ``ts_col`` must be
+    a TIMESTAMP column (streaming watermarks require one).
+
+    Note the per-bucket state keeps ONE claimant (the earliest), not
+    the member list — candidate-pair fan-out against every historic
+    member would make state corpus-sized; first-claimant suppression
+    is the deliberate streaming trade and matches first-wins batch
+    resolution.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from h3_indexer_spark.operators.dedup import (
+        _shingle_hash_array,
+        minhash_signatures,
+    )
+
+    # every stage up to the stateful op is a NARROW transform of the
+    # one input stream (a join back to docs would be a stream-stream
+    # self-join): shingle hash array + event time in one select, the
+    # batch signature kernel with ts as a passthrough column, then
+    # the band explode
+    sh = docs.select(
+        id_col,
+        F.col(ts_col),
+        _shingle_hash_array(text_col, k).alias("sh_arr"),
+    )
+    sig = minhash_signatures(
+        sh, id_col, num_hashes, bands=bands, carry_cols=(ts_col,)
+    )
+    stacked = (
+        sig.select(
+            id_col, ts_col, F.explode(F.col("bands")).alias("bucket")
+        )
+        .withWatermark(ts_col, f"{delay_ns // 10**9} seconds")
+    )
+
+    out_schema = (
+        f"bucket long, {id_col} long, dup_of long"
+    )
+    state_schema = "first_id long, first_ts_ns long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(
+            [ts_col, id_col], ignore_index=True
+        )
+        first_id, first_ts = (
+            state.get if state.exists else (None, None)
+        )
+        out_ids, out_dups = [], []
+        for _, r in rows.iterrows():
+            ts_ns = int(r[ts_col].value)
+            if first_id is None:
+                first_id, first_ts = int(r[id_col]), ts_ns
+            elif int(r[id_col]) != first_id:
+                out_ids.append(int(r[id_col]))
+                out_dups.append(first_id)
+        state.update((first_id, first_ts))
+        state.setTimeoutTimestamp(
+            first_ts // 1_000_000 + delay_ns // 1_000_000
+        )
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "bucket": [int(key[0])] * len(out_ids),
+                    id_col: out_ids,
+                    "dup_of": out_dups,
+                }
+            )
+
+    return stacked.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

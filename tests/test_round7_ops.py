@@ -198,6 +198,440 @@ class TestAbReadoutAlwaysOneRow:
         )
 
 
+class TestIvfPqRerank:
+    """IVFADC+R: the exact re-rank must recover the brute-force top-k
+    whenever the true top-k survives the ADC cut — asserted
+    empirically at both SFs (the margin behind the SQL oracle)."""
+
+    @pytest.mark.parametrize(
+        "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_equals_brute_force_both_sfs(self, spark, sf_dir):
+        from h3_indexer_spark.queries import (
+            _query_vector,
+            load,
+            q_knn_ivfpq_rerank,
+        )
+
+        got = [
+            (r["vec_id"], r["l2_dist"])
+            for r in q_knn_ivfpq_rerank(spark, sf_dir).collect()
+        ]
+        emb = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in load(spark, sf_dir, "embeddings").collect()
+        }
+        q = np.asarray(_query_vector())
+        exact = sorted(
+            (float(((v - q) ** 2).sum()), i) for i, v in emb.items()
+        )[:10]
+        assert [i for _, i in exact] == [i for i, _ in got]
+        for (d_exact, _), (_, d_got) in zip(exact, got):
+            assert d_got == pytest.approx(d_exact, rel=1e-9)
+
+    def test_adc_cut_retains_true_topk(self, spark):
+        """recall@n_refine margin: the true top-10 must sit WELL inside
+        the ADC top-100 (not at its boundary) so the oracle equality
+        is robust, not a coin-flip."""
+        from h3_indexer_spark.operators.pq import ivfpq_topk, pq_train
+        from h3_indexer_spark.operators.similarity import (
+            sampled_centroids,
+        )
+        from h3_indexer_spark.queries import _query_vector, load
+
+        sf_dir = "/root/testdata/sf0.01"
+        emb_df = load(spark, sf_dir, "embeddings")
+        cents = sampled_centroids(emb_df, n_cells=16)
+        books = pq_train(emb_df, m=16, nbits=6, sample=500)
+        adc = ivfpq_topk(
+            emb_df, _query_vector(), cents, books, n_probe=16, k=100
+        )
+        adc_ids = [r["vec_id"] for r in adc.collect()]
+        emb = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb_df.collect()
+        }
+        q = np.asarray(_query_vector())
+        exact = sorted(
+            (float(((v - q) ** 2).sum()), i) for i, v in emb.items()
+        )
+        true10 = {i for _, i in exact[:10]}
+        # every true top-10 id inside the ADC top-100, and inside its
+        # first 60 (margin: boundary candidates are unstable)
+        assert true10 <= set(adc_ids)
+        assert true10 <= set(adc_ids[:60])
+
+
+class TestBpe:
+    @staticmethod
+    def _py_bpe(word_counts: dict[str, int], n_merges: int):
+        """Textbook BPE reference: greedy left-to-right merge of the
+        most frequent adjacent pair (ties lexicographically-smallest
+        pair), over a word-frequency table."""
+        syms = {w: list(w) for w in word_counts}
+        merges = []
+        for _ in range(n_merges):
+            census: dict[tuple[str, str], int] = {}
+            for w, s in syms.items():
+                for a, b in zip(s, s[1:]):
+                    census[(a, b)] = census.get((a, b), 0) + word_counts[w]
+            if not census:
+                break
+            best = min(census, key=lambda p: (-census[p], p))
+            merges.append(best)
+            a, b = best
+            for w, s in syms.items():
+                out: list[str] = []
+                for x in s:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms[w] = out
+        return merges
+
+    def test_train_matches_python_reference(self, spark):
+        from h3_indexer_spark.operators.textops import bpe_train
+
+        texts = [
+            "low lower lowest slow slower flow",
+            "new newer newest stew strew",
+            "low low low slow stew new new",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        wc: dict[str, int] = {}
+        for t in texts:
+            for w in t.split():
+                if len(w) >= 2:
+                    wc[w] = wc.get(w, 0) + 1
+        assert bpe_train(df, "text", n_merges=6) == self._py_bpe(wc, 6)
+
+    def test_census_tie_order(self, spark):
+        from h3_indexer_spark.operators.textops import bpe_pair_counts
+
+        df = spark.createDataFrame([("ab ab cd cd",)], "text string")
+        rows = bpe_pair_counts(df, "text", k=10).collect()
+        # text mode emits 2-char substrings; symbol mode (bpe_train)
+        # emits space-joined symbol pairs
+        assert [(r["pair"], r["n"]) for r in rows] == [
+            ("ab", 2), ("cd", 2),
+        ]
+
+
+class TestBm25Margins:
+    @pytest.mark.parametrize(
+        "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_floor_quantization_margin(self, spark, sf_dir):
+        """The FLOOR(score*1000) contract survives cross-engine ln()
+        ulp only when no score sits near an integer boundary — assert
+        every document's scaled score is > 1e-6 from its floor (ulp
+        divergence is ~1e-12 relative)."""
+        from h3_indexer_spark.operators.textops import bm25_scores
+        from h3_indexer_spark.queries import _BM25_TERMS, load
+
+        # rebuild the RAW score with the same expression but no floor
+        import h3_indexer_spark.operators.textops as tx
+        from pyspark.sql import functions as F
+
+        docs = load(spark, sf_dir, "documents")
+        scored = bm25_scores(docs, _BM25_TERMS, "text", "doc_id", k=50)
+        # margin check on the quantized column's neighborhood: raw
+        # scores recomputed in numpy from token counts
+        import numpy as np
+
+        toks = [
+            (r["doc_id"], [w for w in __import__("re").sub(
+                r"[^\w\s]", " ", (r["text"] or "")
+            ).lower().split() if w])
+            for r in docs.select("doc_id", "text").collect()
+        ]
+        terms = sorted(set(_BM25_TERMS))
+        n = float(len(toks))
+        dls = np.array([len(t) for _, t in toks], dtype=np.float64)
+        avgdl = dls.sum() / n
+        tf = np.array(
+            [[t.count(w) for w in terms] for _, t in toks],
+            dtype=np.float64,
+        )
+        dfs = (tf > 0).sum(axis=0).astype(np.float64)
+        idf = np.log(1.0 + (n - dfs + 0.5) / (dfs + 0.5))
+        denom = tf + 1.2 * (0.25 + 0.75 * dls[:, None] / avgdl)
+        scores = (idf * tf * 2.2 / denom).sum(axis=1)
+        scaled = scores * 1000.0
+        frac = np.abs(scaled - np.round(scaled))
+        # every score*1000 stays far from an integer boundary
+        assert (frac[scores > 0] > 1e-6).all(), frac.min()
+        expected_pos = int((np.floor(scaled) > 0).sum())
+        assert expected_pos > 0
+        assert scored.count() == min(50, expected_pos)
+
+
+class TestHll:
+    def test_merge_equals_sketch_of_union(self, spark):
+        from h3_indexer_spark.operators.sketches import (
+            hll_merge,
+            hll_registers,
+        )
+
+        a = spark.range(0, 4000).selectExpr("id AS v")
+        b = spark.range(3000, 9000).selectExpr("id AS v")
+        u = a.unionByName(b)
+        merged = {
+            (r["bucket"], r["rho"])
+            for r in hll_merge(
+                hll_registers(a, "v"), hll_registers(b, "v")
+            ).collect()
+        }
+        direct = {
+            (r["bucket"], r["rho"])
+            for r in hll_registers(u, "v").collect()
+        }
+        assert merged == direct
+
+    def test_estimate_error_bound(self, spark):
+        from h3_indexer_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        for n in (500, 20000):
+            df = spark.range(0, n).selectExpr("id AS v")
+            est = hll_estimate(hll_registers(df, "v", p=8), p=8)
+            # 1.04/sqrt(256) ~ 6.5% std error; allow 4 sigma
+            assert abs(est - n) / n < 0.26, (n, est)
+
+    def test_rho_definition(self, spark):
+        """rho must be 1 + leading zero count of the high 52 bits."""
+        from h3_indexer_spark.operators.sketches import hll_registers
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "v long")
+        rows = hll_registers(df, "v", p=8).collect()
+        import hashlib
+
+        expect: dict[int, int] = {}
+        for i in range(200):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[17:32], 16)
+            bucket, rem = h % 256, h >> 8
+            rho = 53 if rem == 0 else 52 - rem.bit_length() + 1
+            expect[bucket] = max(expect.get(bucket, 0), rho)
+        assert {r["bucket"]: r["rho"] for r in rows} == expect
+
+
+class TestGini:
+    def test_matches_numpy(self, spark):
+        from h3_indexer_spark.operators.analytics import gini_coefficient
+
+        rng = np.random.RandomState(11)
+        # quantized to 1e-4 like the DECIMAL(19,4) cast
+        vals = np.round(rng.lognormal(3, 1, 2000), 4)
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "x double"
+        )
+        r = gini_coefficient(df, "x").collect()[0]
+        xs = np.sort(vals)
+        n = len(xs)
+        g = 2.0 * (np.arange(1, n + 1) * xs).sum() / (n * xs.sum()) - (
+            n + 1.0
+        ) / n
+        assert r["n"] == n
+        assert r["gini"] == pytest.approx(g, abs=1e-12)
+        assert 0.0 < r["gini"] < 1.0
+
+    def test_uniform_is_zero(self, spark):
+        from h3_indexer_spark.operators.analytics import gini_coefficient
+
+        df = spark.createDataFrame([(5.0,)] * 100, "x double")
+        assert gini_coefficient(df, "x").collect()[0][
+            "gini"
+        ] == pytest.approx(0.0, abs=1e-15)
+
+
+class TestSkyline:
+    def test_matches_brute_force(self, spark):
+        from h3_indexer_spark.operators.mining import skyline_2d
+
+        rng = np.random.RandomState(5)
+        rows = [
+            (i, float(rng.randint(0, 50)), int(rng.randint(0, 50)))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "id long, price double, size int")
+        got = {r["id"] for r in skyline_2d(df, "price", "size").collect()}
+        want = {
+            i
+            for i, p, s in rows
+            if not any(
+                (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+                for _, p2, s2 in rows
+            )
+        }
+        assert got == want
+
+    def test_duplicates_all_survive(self, spark):
+        from h3_indexer_spark.operators.mining import skyline_2d
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 9), (2, 1.0, 9), (3, 2.0, 9), (4, 0.5, 1)],
+            "id long, price double, size int",
+        )
+        got = {r["id"] for r in skyline_2d(df, "price", "size").collect()}
+        # (3) dominated by (1)/(2) [cheaper, same size]; (4) survives
+        # (strictly cheapest); the two duplicates both survive
+        assert got == {1, 2, 4}
+
+
+class TestAssociationRules:
+    def test_counts_and_lift(self, spark):
+        from h3_indexer_spark.operators.mining import association_rules
+
+        rows = [
+            (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+            (3, "c"), (1, "a"),  # duplicate item in basket 1 ignored
+        ]
+        df = spark.createDataFrame(rows, "b long, i string")
+        out = {
+            (r["antecedent"], r["consequent"]): r
+            for r in association_rules(df, "b", "i", min_support=2).collect()
+        }
+        ab = out[("a", "b")]
+        assert ab["n_joint"] == 2 and ab["n_antecedent"] == 3
+        assert ab["confidence"] == pytest.approx(2 / 3)
+        # lift = n_joint*N/(n_a*n_b) = 2*4/(3*2)
+        assert ab["lift"] == pytest.approx(8 / 6)
+        ba = out[("b", "a")]
+        assert ba["confidence"] == pytest.approx(1.0)
+
+    def test_max_basket_size_drops_megabasket(self, spark):
+        from h3_indexer_spark.operators.mining import association_rules
+
+        rows = [(1, f"i{k}") for k in range(20)] + [
+            (2, "x"), (2, "y"), (3, "x"), (3, "y"),
+        ]
+        df = spark.createDataFrame(rows, "b long, i string")
+        out = association_rules(
+            df, "b", "i", min_support=2, max_basket_size=5
+        ).collect()
+        pairs = {(r["antecedent"], r["consequent"]) for r in out}
+        assert pairs == {("x", "y"), ("y", "x")}
+
+
+class TestSurvival:
+    def test_risk_table_semantics(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            survival_risk_table,
+        )
+
+        day = 86_400 * 10**9
+        # users: u1 spans 3 days then churns; u2 spans 3 days, active
+        # at end (censored); u3 single event long ago (lifetime 0,
+        # churned); global max = t0+30d (u2's last event)
+        rows = [
+            ("u1", 0), ("u1", 3 * day),
+            ("u2", 27 * day), ("u2", 30 * day),
+            ("u3", 5 * day),
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts long")
+        out = {
+            r["lifetime_days"]: r
+            for r in survival_risk_table(df).collect()
+        }
+        assert out[0]["n_events"] == 1          # u3 churned at 0
+        assert out[0]["n_censored"] == 0
+        assert out[0]["n_risk"] == 3            # everyone reaches 0
+        assert out[3]["n_events"] == 1          # u1 churned at 3
+        assert out[3]["n_censored"] == 1        # u2 censored at 3
+        assert out[3]["n_risk"] == 2
+
+
+class TestDbscan:
+    @staticmethod
+    def _py_dbscan(pts: dict[int, tuple[float, float]], eps_km, min_pts):
+        import math
+
+        def hav(p, q):
+            c = 0.017453292519943295
+            la1, lo1 = pts[p]
+            la2, lo2 = pts[q]
+            dlat = (la2 - la1) * c / 2.0
+            dlng = (lo2 - lo1) * c / 2.0
+            a = (
+                math.sin(dlat) ** 2
+                + math.cos(la1 * c) * math.cos(la2 * c)
+                * math.sin(dlng) ** 2
+            )
+            return 2 * 6371.0088 * math.asin(min(1.0, math.sqrt(a)))
+
+        ids = sorted(pts)
+        nbrs = {
+            i: [j for j in ids if hav(i, j) <= eps_km] for i in ids
+        }
+        core = {i for i in ids if len(nbrs[i]) >= min_pts}
+        # union-find over core-core edges
+        parent = {i: i for i in core}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in core:
+            for j in nbrs[i]:
+                if j in core and j != i:
+                    a, b = find(i), find(j)
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+        label = {i: min(
+            j for j in core if find(j) == find(i)
+        ) for i in core}
+        out = {}
+        for i in ids:
+            if i in core:
+                out[i] = (label[i], 1)
+            else:
+                cands = [label[j] for j in nbrs[i] if j in core]
+                out[i] = (min(cands) if cands else None, 0)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from h3_indexer_spark.operators.clustering import dbscan
+
+        rng = np.random.RandomState(17)
+        # three dense blobs + sparse noise
+        blobs = []
+        for cx, cy in ((40.0, -100.0), (40.3, -100.2), (40.6, -99.8)):
+            blobs += [
+                (cx + rng.uniform(-0.01, 0.01),
+                 cy + rng.uniform(-0.01, 0.01))
+                for _ in range(25)
+            ]
+        noise = [
+            (39.0 + rng.uniform(0, 3), -101.0 + rng.uniform(0, 3))
+            for _ in range(40)
+        ]
+        pts = {i: p for i, p in enumerate(blobs + noise)}
+        df = spark.createDataFrame(
+            [(i, float(la), float(lo)) for i, (la, lo) in pts.items()],
+            "id long, lat double, lng double",
+        )
+        got = {
+            r["id"]: (r["cluster"], r["is_core"])
+            for r in dbscan(df, 3.0, 5).collect()
+        }
+        want = self._py_dbscan(pts, 3.0, 5)
+        assert got == want
+        # sanity: the three blobs produced >= 3 distinct clusters
+        assert len({c for c, _ in want.values() if c is not None}) >= 3
+
+    def test_contract_fixture_runs(self, spark):
+        from h3_indexer_spark.queries import q_dbscan
+
+        rows = q_dbscan(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 150
+        assert {r["is_core"] for r in rows} <= {0, 1}
+
+
 class TestPqTrainEmptyInput:
     def test_raises_clear_error(self, spark):
         from h3_indexer_spark.operators.pq import pq_train

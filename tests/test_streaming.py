@@ -844,3 +844,155 @@ class TestStreamToPartitionedParquet:
             }
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_doc_batches(spark, d, batches):
+    """Docs-shaped twin of _write_event_batches: (doc_id, ts, text)."""
+    import time as _time
+
+    for rows in batches:
+        df = spark.createDataFrame(
+            rows, "doc_id long, ts_s string, text string"
+        ).select(
+            "doc_id", F.to_timestamp("ts_s").alias("ts"), "text"
+        )
+        df.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+class TestStreamingNearDup:
+    B = "2024-03-01 "
+
+    _DOCS = {
+        # 0/1: near-dups (30 shared words, one divergent tail word)
+        0: "w" + " w".join(str(i) for i in range(30)) + " alpha",
+        1: "w" + " w".join(str(i) for i in range(30)) + " beta",
+        # 2: exact copy of 0 (also a near-dup and a content-dup)
+        2: "w" + " w".join(str(i) for i in range(30)) + " alpha",
+        # 3: unrelated
+        3: "z" + " z".join(str(i) for i in range(40)),
+    }
+
+    def test_content_dedup_drops_exact_copy(self, spark):
+        from h3_indexer_spark.streaming.events import (
+            streaming_content_dedup,
+        )
+
+        d = tempfile.mkdtemp(prefix="h3idx_scdd_")
+        try:
+            src = _write_doc_batches(
+                spark,
+                d,
+                [
+                    [(0, self.B + "10:00:00", self._DOCS[0])],
+                    [(2, self.B + "10:01:00", self._DOCS[2])],
+                    [(3, self.B + "10:02:00", self._DOCS[3])],
+                ],
+            )
+            out = _run_stream(
+                spark,
+                streaming_content_dedup(src),
+                output_mode="append",
+            )
+            assert {r["doc_id"] for r in out.collect()} == {0, 3}
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _batch_suppressed(self, spark, rows):
+        """Batch reference: doc is suppressed iff it shares any band
+        bucket with an earlier (ts, id) doc — computed with the SAME
+        signature kernel the streaming op uses."""
+        from h3_indexer_spark.operators.dedup import (
+            minhash_signatures,
+            shingles,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, _, t in rows], "doc_id long, text string"
+        )
+        sig = minhash_signatures(shingles(df), bands=16)
+        buckets = {
+            r["doc_id"]: set(r["bands"]) for r in sig.collect()
+        }
+        order = [i for i, _, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+        seen: set[int] = set()
+        claimed: dict[int, int] = {}
+        suppressed = set()
+        for i in order:
+            hit = any(b in claimed for b in buckets[i])
+            if hit:
+                suppressed.add(i)
+            for b in buckets[i]:
+                claimed.setdefault(b, i)
+            seen.add(i)
+        return suppressed
+
+    def test_minhash_parity_with_batch(self, spark):
+        from h3_indexer_spark.streaming.events import (
+            streaming_minhash_dedup,
+        )
+
+        rows = [
+            (0, self.B + "10:00:00", self._DOCS[0]),
+            (1, self.B + "10:01:00", self._DOCS[1]),
+            (2, self.B + "10:02:00", self._DOCS[2]),
+            (3, self.B + "10:03:00", self._DOCS[3]),
+        ]
+        d = tempfile.mkdtemp(prefix="h3idx_smhd_")
+        try:
+            src = _write_doc_batches(
+                spark, d, [[r] for r in rows]
+            )
+            out = _run_stream(
+                spark,
+                streaming_minhash_dedup(src),
+                output_mode="append",
+            )
+            got = {r["doc_id"] for r in out.collect()}
+            want = self._batch_suppressed(spark, rows)
+            assert got == want
+            assert want == {1, 2}  # both near-dups of doc 0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_minhash_state_expires(self, spark):
+        """A bucket claim expires once the watermark passes its
+        claimant's event time + delay: a near-dup arriving after
+        expiry is NOT suppressed (bounded-state trade, documented)."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_minhash_dedup,
+        )
+
+        d = tempfile.mkdtemp(prefix="h3idx_smhe_")
+        try:
+            src = _write_doc_batches(
+                spark,
+                d,
+                [
+                    [(0, self.B + "10:00:00", self._DOCS[0])],
+                    # advance watermark far past 10:00 + 1h
+                    [(3, self.B + "14:00:00", self._DOCS[3])],
+                    # burn a batch so eviction commits
+                    [(4, self.B + "14:01:00", self._DOCS[3] + " q")],
+                    # near-dup of doc 0, after its claims expired
+                    [(5, self.B + "13:30:00", self._DOCS[1])],
+                ],
+            )
+            out = _run_stream(
+                spark,
+                streaming_minhash_dedup(src),
+                output_mode="append",
+            )
+            got = {r["doc_id"] for r in out.collect()}
+            # 4 IS suppressed (near-dup of 3, inside the window);
+            # 5 is NOT (doc 0's claims expired)
+            assert 5 not in got
+            assert 4 in got
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
