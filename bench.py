@@ -118,6 +118,20 @@ HEADLINE = [
     "q_point_in_polygon",
     "q_attribution_positional",
     "q_rolling_median",
+    # round-7 operators
+    "q_knn_ivfpq_rerank",
+    "q_bpe_pairs",
+    "q_bm25",
+    "q_assoc_rules",
+    "q_gini",
+    "q_rfm",
+    "q_hll_registers",
+    "q_survival",
+    "q_skyline",
+    "q_dbscan",
+    "q_kcore",
+    "q_lm_score",
+    "q_feature_hash",
 ]
 
 
@@ -363,6 +377,7 @@ def main() -> None:
     # timings). One task per core, each indexing a point.
     @F.pandas_udf("long")
     def _warm_h3(v: pd.Series) -> pd.Series:
+        from h3_indexer_spark.functions.h3.coverage import polyfill
         from h3_indexer_spark.functions.h3.vectorized import (
             latlng_to_cell_batch,
         )
@@ -370,6 +385,14 @@ def main() -> None:
         latlng_to_cell_batch(
             (40.0 + v * 0).to_numpy(dtype="float64"),
             (-100.0 + v * 0).to_numpy(dtype="float64"),
+            6,
+        )
+        # the polygon-cover path (polyfill boundary traversal) builds
+        # further derived tables on first touch — warm it too, or the
+        # first point_in_polygon reps pay it per worker process
+        polyfill(
+            [(-100.0, 40.0), (-99.95, 40.0), (-99.95, 40.05),
+             (-100.0, 40.0)],
             6,
         )
         return v
@@ -481,7 +504,7 @@ def main() -> None:
     # override the name via SPARK_GRAFT_BENCH_OUT).
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).resolve().parent / "BENCH_local_r6.json"),
+        str(Path(__file__).resolve().parent / "BENCH_local_r7.json"),
     )
     try:
         with open(out_path, "w") as fh:

@@ -539,8 +539,146 @@ def round6_scale(max_factor: int = 50) -> None:
 
 
 
+def round7_scale(max_factor: int = 50) -> None:
+    """Round-7 curves. Two parts:
+
+    (a) point_in_polygon_join against HARD polygons — 25 two-part
+    MULTIPOLYGONs whose outer rings are 500-vertex wavy stars, each
+    part carrying a 100-vertex hole (the round-6 curve used plain
+    rectangles; VERDICT r6 asked for the many-vertex-with-holes
+    case). With the round-7 slim shuffle the per-cover-cell exchange
+    is 16 bytes regardless of the ~14 KB WKT.
+
+    (b) throughput curves for the round-7 operator family
+    (association rules, gini, skyline, HLL registers, survival,
+    BM25, BPE census) over disjoint-copy-scaled inputs.
+
+    Run: ``python examples/scale_check.py <max_factor> round7``."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.analytics import (
+        gini_coefficient,
+        survival_risk_table,
+    )
+    from h3_indexer_spark.operators.geo_join import point_in_polygon_join
+    from h3_indexer_spark.operators.mining import (
+        association_rules,
+        skyline_2d,
+    )
+    from h3_indexer_spark.operators.sketches import hll_registers
+    from h3_indexer_spark.operators.textops import (
+        bm25_scores,
+        bpe_pair_counts,
+    )
+    from h3_indexer_spark.queries import _load_events
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r7", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- (a) PIP with many-vertex multipolygons-with-holes
+    def ring(cx, cy, r0, n, wave=0.0, reverse=False):
+        pts = []
+        for i in range(n):
+            th = 2 * math.pi * i / n
+            r = r0 * (1.0 + wave * math.sin(12 * th))
+            pts.append((cx + r * math.cos(th), cy + r * math.sin(th)))
+        pts.append(pts[0])
+        if reverse:
+            pts = pts[::-1]
+        return "(" + ", ".join(f"{x!r} {y!r}" for x, y in pts) + ")"
+
+    polys = []
+    for pid in range(25):
+        cx = -100.0 + (pid % 5) * 0.5 + 0.22
+        cy = 40.0 + (pid // 5) * 0.5 + 0.22
+        parts = []
+        for dx in (0.0, 0.26):
+            outer = ring(cx + dx, cy, 0.11, 500, wave=0.3)
+            hole = ring(cx + dx, cy, 0.03, 100, reverse=True)
+            parts.append(f"({outer}, {hole})")
+        polys.append((pid, "MULTIPOLYGON (" + ", ".join(parts) + ")"))
+    poly_df = spark.createDataFrame(polys, "poly_id long, geom_wkt string")
+    print(f"polygon WKT bytes each: ~{len(polys[0][1])}")
+
+    for n_pts in (20_000, 100_000, 500_000):
+        pts = (
+            spark.range(n_pts)
+            .select(
+                F.col("id"),
+                (F.lit(40.0) + (F.col("id") * 2654435761 % 100000)
+                 .cast("double") / F.lit(40000.0)).alias("lat"),
+                (F.lit(-100.0) + (F.col("id") * 40503 % 100000)
+                 .cast("double") / F.lit(40000.0)).alias("lng"),
+            )
+            .repartition(64)
+            .cache()
+        )
+        pts.count()
+        timed(
+            f"point_in_polygon HARD n={n_pts}",
+            point_in_polygon_join(pts, poly_df, res=6),
+            n_pts,
+        )
+        pts.unpersist()
+
+    # ---- (b) round-7 operator curves
+    factors = [f for f in (1, 5, 20, 50) if f <= max_factor]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = _load_events(spark, SF_DIR)
+
+    for factor in factors:
+        o = scaled(orders, "o_orderkey", factor)
+        o = o.repartition(64).cache()
+        rows = o.count()
+        timed(f"gini x{factor}", gini_coefficient(o, "o_totalprice"), rows)
+        timed(f"hll_registers x{factor}",
+              hll_registers(o, "o_custkey", p=8), rows)
+        o.unpersist()
+
+        p = scaled(pt, "p_partkey", factor).repartition(64).cache()
+        rows = p.count()
+        timed(f"skyline x{factor}",
+              skyline_2d(p, "p_retailprice", "p_size"), rows)
+        p.unpersist()
+
+        l2 = scaled(li, "l_orderkey", factor)
+        baskets = l2.join(F.broadcast(pt),
+                          l2["l_partkey"] == pt["p_partkey"]).select(
+            "l_orderkey", "p_brand"
+        ).repartition(64).cache()
+        rows = baskets.count()
+        timed(f"assoc_rules x{factor}",
+              association_rules(baskets, "l_orderkey", "p_brand"), rows)
+        baskets.unpersist()
+
+        e2 = scaled(ev, "user_id", factor).repartition(64).cache()
+        rows = e2.count()
+        timed(f"survival x{factor}", survival_risk_table(e2), rows)
+        e2.unpersist()
+
+        d2 = scaled(docs, "doc_id", factor, text_col=None)
+        d2 = d2.repartition(64).cache()
+        rows = d2.count()
+        timed(f"bm25 x{factor}",
+              bm25_scores(d2, ["join", "query", "spark", "stream"],
+                          "text", "doc_id"), rows)
+        timed(f"bpe_pairs x{factor}", bpe_pair_counts(d2, "text"), rows)
+        d2.unpersist()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[2] == "round6":
         round6_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round7":
+        round7_scale(int(sys.argv[1]))
     else:
         main()

@@ -474,6 +474,32 @@ def _derived():
     return _DERIVED
 
 
+def export_derived_blob() -> bytes:
+    """Pickle the derived H3 tables (~10 KB) for closure shipping.
+
+    The numeric derivation costs ~2.6 s per PROCESS — paid once on the
+    driver, then by every fresh Python worker the first time a spatial
+    pandas UDF lands on it, which made spatial queries' early reps
+    3-10× slower until the whole (growing) worker pool happened to
+    warm. UDF factories call this on the DRIVER and capture the blob
+    in the UDF closure; workers then seed_derived_blob() and skip the
+    derivation entirely."""
+    import pickle
+
+    return pickle.dumps(_derived())
+
+
+def seed_derived_blob(blob: bytes) -> None:
+    """Install driver-derived tables in this process (no-op if the
+    tables already exist — never overwrites, so a worker that already
+    derived keeps its identical copy)."""
+    global _DERIVED
+    if _DERIVED is None:
+        import pickle
+
+        _DERIVED = pickle.loads(blob)
+
+
 def _base_cell_is_cw_offset(bc: int, face: int) -> bool:
     offs = BASE_CELL_DATA[bc][3]
     return face in offs

@@ -683,3 +683,55 @@ def rolling_median(
     )
     med = F.percentile(F.col(value_col).cast("double"), F.lit(0.5)).over(w)
     return df.withColumn(out_col, med)
+
+
+def feature_hash(
+    df: DataFrame,
+    cols: list[str],
+    n_features: int = 8,
+    id_col: str | None = None,
+    prefix: str = "fh_",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): encode
+    arbitrary-cardinality categorical columns into a FIXED
+    ``n_features``-wide numeric vector with no vocabulary, no fit
+    step, and no train/serve skew — bucket = hash(col:=value) mod m,
+    sign = ± from an independent hash bit, output[b] = Σ signs. The
+    no-state property is what makes it the default categorical
+    encoder for streaming/100 TB pipelines (one-hot needs a fitted
+    vocabulary broadcast; this needs nothing).
+
+    Pure narrow expressions on the engine's portable md5 hash (the
+    oracle-hash recipe — any engine recomputes the exact buckets and
+    signs), emitted as dense integer columns ``{prefix}0 ..
+    {prefix}{m-1}`` summed in fixed column-list order. NULL values
+    contribute nothing."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+
+    def h60(c: str) -> Column:
+        token = F.concat(
+            F.lit(c + ":"), F.col(c).cast("string")
+        )
+        return F.conv(
+            F.substring(F.md5(token.cast("binary")), 18, 15), 16, 10
+        ).cast("long")
+
+    outs = []
+    for b in range(n_features):
+        acc = F.lit(0)
+        for c in cols:
+            h = h60(c)
+            bucket = h % F.lit(n_features)
+            # sign bit from a hash bit OUTSIDE the bucket range
+            sign = F.when(
+                F.shiftright(h, 40) % 2 == 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+            acc = acc + F.when(
+                F.col(c).isNotNull() & (bucket == b), sign
+            ).otherwise(F.lit(0))
+        outs.append(acc.cast("int").alias(f"{prefix}{b}"))
+    keep = [F.col(id_col)] if id_col else [F.col(c) for c in cols]
+    return df.select(*keep, *outs)

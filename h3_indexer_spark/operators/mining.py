@@ -51,7 +51,9 @@ def association_rules(
             F.count(F.lit(1)).alias("_sz")
         ).where(F.col("_sz") <= max_basket_size).select("_b")
         items = items.join(sizes, "_b", "left_semi")
-    n_baskets = df.select(basket_col).distinct().agg(
+    # N over the SAME (post-cap) basket universe as the supports —
+    # mixing a pre-cap N into lift would skew every ratio
+    n_baskets = items.select("_b").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )
     item_support = items.groupBy("_i").agg(

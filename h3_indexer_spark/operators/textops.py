@@ -605,3 +605,123 @@ def bm25_scores(
         .orderBy(F.col("score_q").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def lm_score_stupid_backoff(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    quant: int = 1_000_000,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Per-document language-model quality score — the CCNet-style
+    corpus filter: train bigram/unigram counts on ``train`` (defaults
+    to the scored corpus itself) and score every document by its mean
+    token log-probability under STUPID BACKOFF (Brants et al. 2007:
+    p(w|v) = C(v,w)/C(v) when the bigram was seen, else α·C(w)/T —
+    unnormalized scores, no discounting state, the standard
+    web-scale choice). Documents far below the corpus mean read as
+    gibberish/boilerplate; far above as memorized duplicates.
+
+    Determinism shape: each token position contributes
+    FLOOR(quant·log10 p) — an INTEGER — and the per-document sum of
+    integers is order-free, so the score survives any aggregation
+    order on any engine (a raw double Σlog would be summation-order
+    nondeterministic; log10's 1-ulp cross-library divergence is
+    absorbed by the floor, margins test-asserted). Output:
+    (id, n_scored, logprob_q) with logprob_q the scaled integer sum;
+    mean log-prob = logprob_q / quant / n_scored.
+
+    Scale shape: counts are two groupBy aggregations over the train
+    corpus; scoring explodes each doc's adjacent token pairs and
+    equi-joins the count tables on the bigram/unigram keys (broadcast
+    when the vocabulary is small — this fixture; shuffle hash join on
+    the token key at web scale, documented), then ONE doc-keyed
+    integer sum. OOV tokens (count 0 even after backoff) contribute
+    the floor of log10(alpha/T) — a finite floor, not -inf, keeping
+    the score total-ordered."""
+    if train is None:
+        train = docs
+    toks = F.filter(_lower_tokens(text_col), lambda t: F.length(t) > 0)
+
+    def pairs_of(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        t = df.select(*cols, toks.alias("_toks"))
+        return t.select(
+            *cols,
+            F.posexplode(
+                F.zip_with(
+                    F.slice(
+                        F.col("_toks"), 1,
+                        F.greatest(F.size("_toks") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("_toks"), 2,
+                        F.greatest(F.size("_toks") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                )
+            ),
+        ).select(
+            *cols,
+            F.col("col.w1").alias("w1"),
+            F.col("col.w2").alias("w2"),
+        )
+
+    uni = (
+        train.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    total = uni.agg(F.sum("c_w").cast("bigint").alias("t_total"))
+    bi = (
+        pairs_of(train, with_id=False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_vw"))
+    )
+    # broadcast_counts=True fits fixture-sized vocabularies; at web
+    # scale the bigram table outgrows a broadcast — pass False and the
+    # count attachment becomes plain hash joins keyed on the token
+    # columns (same semantics, one shuffle per count table)
+    maybe_b = F.broadcast if broadcast_counts else (lambda d: d)
+    scored_pairs = (
+        pairs_of(docs, with_id=True)
+        .join(maybe_b(bi), ["w1", "w2"], "left")
+        .join(
+            maybe_b(uni.select(F.col("w").alias("w1"),
+                               F.col("c_w").alias("c_v"))),
+            "w1",
+            "left",
+        )
+        .join(
+            maybe_b(uni.select(F.col("w").alias("w2"),
+                               F.col("c_w").alias("c_w2"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    t_d = F.col("t_total").cast("double")
+    p = F.when(
+        F.col("c_vw").isNotNull() & F.col("c_v").isNotNull(),
+        F.col("c_vw").cast("double") / F.col("c_v").cast("double"),
+    ).otherwise(
+        F.lit(alpha)
+        * (
+            F.coalesce(F.col("c_w2"), F.lit(0)).cast("double")
+            + F.lit(1.0)
+        )
+        / t_d
+    )
+    contrib = F.floor(F.log10(p) * F.lit(float(quant))).cast("bigint")
+    return (
+        scored_pairs.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(contrib).cast("bigint").alias("logprob_q"),
+        )
+    )

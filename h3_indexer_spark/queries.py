@@ -1330,6 +1330,40 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_retailprice", "p_size")
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff LM quality scores (operators/textops.py::
+    lm_score_stupid_backoff): bigram/unigram counts train on the
+    English slice, every document scores by mean token log-prob —
+    the CCNet-style corpus filter. Each token position contributes
+    FLOOR(1e6·log10 p) so the per-doc sum is an ORDER-FREE integer
+    (a raw double Σlog would be summation-order nondeterministic);
+    log10's cross-library ulp is absorbed by the floor, margins
+    asserted in tests/test_round7_ops.py."""
+    from h3_indexer_spark.operators.textops import lm_score_stupid_backoff
+
+    docs = load(spark, sf_dir, "documents")
+    return lm_score_stupid_backoff(
+        docs, train=docs.where(F.col("lang") == "en")
+    )
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick categorical encoding (operators/features.py::
+    feature_hash): orders' status+priority into 8 signed hash
+    buckets — vocabulary-free, no fit step, the train/serve-skew-
+    proof encoder. Buckets and signs come from the portable md5
+    hash, so the dense integer columns are bit-checkable in any
+    engine."""
+    from h3_indexer_spark.operators.features import feature_hash
+
+    return feature_hash(
+        load(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        n_features=8,
+        id_col="o_orderkey",
+    )
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (operators/textops.py::
     tfidf_topk, linear inverse document frequency so the score
@@ -2826,10 +2860,20 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     are min-member-id so the result is seedless-deterministic.
     Rows-only: components are iterative (no SQL mirror — q_kcore
     precedent); exact parity with a brute-force Python DBSCAN is
-    locked in tests/test_round7_ops.py."""
+    locked in tests/test_round7_ops.py.
+
+    The fixture slice is CAPPED at 2,000 points: the hashed
+    coordinates spread over a fixed 2°×2° box, so an uncapped slice
+    PERCOLATES at sf0.1 density (one giant cluster whose diameter
+    drives ~log n pointer-jump rounds — a property of the fixture's
+    geometry, not the operator; the radius join and components carry
+    their own SCALE.md curves). The cap keeps cluster structure
+    density-stable across SFs."""
     from h3_indexer_spark.operators.clustering import dbscan
 
-    pts = load(spark, sf_dir, "customer").select(
+    pts = load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") <= 2000
+    ).select(
         F.col("c_custkey").alias("id"),
         (
             F.lit(40.0)
@@ -3091,20 +3135,27 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the user co-occurrence graph (operators/graph.py::
-    k_core): users sharing an event day form edges; the core keeps
-    the densely-interacting region. Rows-only: iterative peeling has
-    no SQL mirror; exactness is locked against a Python peeling
-    reference in tests/test_round6_ops.py."""
+    """3-core of the part co-purchase graph (operators/graph.py::
+    k_core): parts ordered together form edges (the assoc_rules
+    basket universe), the core keeps the densely co-purchased
+    region. Edge volume is bounded by basket size² — the same
+    guarded shape association_rules uses — where the previous
+    user×day co-occurrence fixture was quadratic in DAILY ACTIVES
+    (a per-group n² blowup that made the fixture, not the operator,
+    the cost). Rows-only: iterative peeling has no SQL mirror;
+    exactness is locked against a Python peeling reference in
+    tests/test_round6_ops.py."""
     from h3_indexer_spark.operators.graph import k_core
 
-    ev = _load_events(spark, sf_dir).select(
-        "user_id", F.expr(f"ts div {86_400 * 10**9}").alias("day")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     ).distinct()
-    a = ev.select(F.col("user_id").alias("src"), "day")
-    b = ev.select(F.col("user_id").alias("dst"), "day")
+    a = li.select(F.col("l_orderkey").alias("_b"),
+                  F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("_b"),
+                  F.col("l_partkey").alias("dst"))
     edges = (
-        a.join(b, "day")
+        a.join(b, "_b")
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
@@ -3165,6 +3216,8 @@ QUERIES: dict[str, Query] = {
     "q_hll_registers": q_hll_registers,
     "q_survival": q_survival,
     "q_skyline": q_skyline,
+    "q_lm_score": q_lm_score,
+    "q_feature_hash": q_feature_hash,
     "q_dbscan": q_dbscan,
     # stalest remaining: last driver window round 4 (dedup family and
     # the high-algorithm keys first; the 6 r4 keys that don't fit —
@@ -3193,6 +3246,8 @@ QUERIES: dict[str, Query] = {
     "q_contamination_frac": q_contamination_frac,
     "q_rare_words": q_rare_words,
     "q_attribution": q_attribution,
+    # -- beyond the window (q_clean_lines / q_frequent_items moved
+    #    out when q_lm_score / q_feature_hash debuted)
     "q_clean_lines": q_clean_lines,
     "q_frequent_items": q_frequent_items,
     # -- beyond the window: driver-green r4-r6; tests/test_oracle.py
@@ -3530,6 +3585,96 @@ def _bm25_oracle() -> str:
         WHERE CAST(FLOOR(({contribs}) * 1000.0) AS BIGINT) > 0
         ORDER BY score_q DESC, doc_id ASC
         LIMIT 20
+    """
+
+
+_LM_SCORE_ORACLE = r"""
+    WITH dt AS (
+        SELECT doc_id, lang,
+               list_filter(
+                   string_split_regex(
+                       lower(regexp_replace(text, '[^\w\s]', ' ', 'g')),
+                       '\s+'),
+                   x -> len(x) > 0) AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c_w FROM (
+            SELECT unnest(toks) AS w FROM dt WHERE lang = 'en'
+        ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t_total FROM uni),
+    tr_pairs AS (
+        SELECT pr.w1 AS w1, pr.w2 AS w2 FROM (
+            SELECT unnest(list_transform(
+                range(1, len(toks)),
+                i -> {'w1': toks[CAST(i AS INTEGER)],
+                      'w2': toks[CAST(i AS INTEGER) + 1]})) AS pr
+            FROM dt WHERE lang = 'en'
+        )
+    ),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c_vw FROM tr_pairs GROUP BY w1, w2
+    ),
+    doc_pairs AS (
+        SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, len(toks)),
+                i -> {'w1': toks[CAST(i AS INTEGER)],
+                      'w2': toks[CAST(i AS INTEGER) + 1]})) AS pr
+            FROM dt
+        )
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(FLOOR(log10(
+                   CASE WHEN bi.c_vw IS NOT NULL AND uv.c_w IS NOT NULL
+                        THEN CAST(bi.c_vw AS DOUBLE)
+                             / CAST(uv.c_w AS DOUBLE)
+                        ELSE 0.4 * (CAST(COALESCE(uw.c_w, 0) AS DOUBLE)
+                                    + 1.0)
+                             / CAST(t_total AS DOUBLE)
+                   END) * 1000000.0) AS BIGINT) AS contrib
+        FROM doc_pairs
+        LEFT JOIN bi ON doc_pairs.w1 = bi.w1 AND doc_pairs.w2 = bi.w2
+        LEFT JOIN uni uv ON doc_pairs.w1 = uv.w
+        LEFT JOIN uni uw ON doc_pairs.w2 = uw.w
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(contrib) AS BIGINT) AS logprob_q
+    FROM scored GROUP BY doc_id
+"""
+
+
+def _feature_hash_oracle() -> str:
+    """Mirror of feature_hash over orders: bucket/sign per column
+    from the portable md5 hash, summed in the same fixed column
+    order."""
+    cols = ["o_orderstatus", "o_orderpriority"]
+    m = 8
+    exprs = []
+    for b in range(m):
+        parts = []
+        for c in cols:
+            h = (
+                f"CAST('0x' || substr(md5('{c}:' || "
+                f"CAST({c} AS VARCHAR)), 18, 15) AS BIGINT)"
+            )
+            parts.append(
+                f"(CASE WHEN {c} IS NOT NULL AND ({h}) % {m} = {b} "
+                f"THEN (CASE WHEN (({h}) // 1099511627776) % 2 = 0 "
+                f"THEN 1 ELSE -1 END) ELSE 0 END)"
+            )
+        exprs.append(
+            "CAST(" + " + ".join(parts) + f" AS INTEGER) AS fh_{b}"
+        )
+    cols_sql = ",\n           ".join(exprs)
+    return f"""
+        SELECT o_orderkey,
+           {cols_sql}
+        FROM orders
     """
 
 
@@ -5149,6 +5294,8 @@ ORACLES: dict[str, str] = {
     "q_hll_registers": _HLL_ORACLE,
     "q_survival": _survival_oracle(),
     "q_skyline": _SKYLINE_ORACLE,
+    "q_lm_score": _LM_SCORE_ORACLE,
+    "q_feature_hash": _feature_hash_oracle(),
     "q_knn_lsh": _lsh_oracle(),
     "q_dedup_embedding": _dedup_embedding_oracle(),
     "q_dedup_embedding_lsh": _dedup_embedding_lsh_oracle(),

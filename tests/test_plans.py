@@ -258,3 +258,47 @@ def test_point_in_polygon_shuffles_carry_no_geometry(spark):
             )
     # geometry re-attach is a broadcast join (region-table norm)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_round7_plan_properties(spark):
+    """Round-7 operator plan locks."""
+    # IVFADC+R: candidate ids broadcast into a semi-join (the corpus
+    # is scanned, never shuffled) and the final top-k is heap-based
+    plan = _plan(spark, "q_knn_ivfpq_rerank")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # hashing-trick encoder is a pure narrow map: no hash exchange
+    plan = _plan(spark, "q_feature_hash")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+    # HLL registers: partial aggregation collapses each partition to
+    # <= 2^p rows before ONE exchange; no joins, no windows
+    plan = _plan(spark, "q_hll_registers")
+    assert "partial_max" in plan or "HashAggregate" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+    # association rules: the only nested-loop is the documented 1-row
+    # N fold; the pair generation must be an equi-join
+    import re
+
+    plan = _plan(spark, "q_assoc_rules")
+    assert "CartesianProduct" not in plan, plan
+    # count numbered plan NODES (the formatted details section repeats
+    # each node name once more)
+    nlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    assert nlj <= 1, f"unexpected nested-loop joins ({nlj}):\n{plan}"
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+    # skyline: the global window runs over the AGGREGATED level table
+    # (a HashAggregate sits below the single-partition exchange)
+    plan = _plan(spark, "q_skyline")
+    assert "Window" in plan and "HashAggregate" in plan, plan
+
+    # gini: one row out, all sums exact-decimal — no raw-row window
+    # (the only window input is the level aggregate) and no join
+    plan = _plan(spark, "q_gini")
+    assert "Join" not in plan, plan

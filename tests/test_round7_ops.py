@@ -632,6 +632,97 @@ class TestDbscan:
         assert {r["is_core"] for r in rows} <= {0, 1}
 
 
+class TestLmScore:
+    @pytest.mark.parametrize(
+        "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_floor_margins_and_reference(self, spark, sf_dir):
+        """Recompute every token position's log10(p)*1e6 in Python and
+        assert (a) the floor margins clear cross-library ulp by many
+        orders and (b) the engine's per-doc integer sums match."""
+        import re as _re
+
+        from h3_indexer_spark.queries import load, q_lm_score
+
+        docs = [
+            (r["doc_id"], r["lang"], [
+                w for w in _re.sub(
+                    r"[^\w\s]", " ", (r["text"] or "")
+                ).lower().split() if w
+            ])
+            for r in load(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text").collect()
+        ]
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        for _, lang, toks in docs:
+            if lang != "en":
+                continue
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        t = float(sum(uni.values()))
+        import math
+
+        want: dict[int, tuple[int, int]] = {}
+        margins = []
+        for doc_id, _, toks in docs:
+            n, s = 0, 0
+            for a, b in zip(toks, toks[1:]):
+                if (a, b) in bi and a in uni:
+                    p = bi[(a, b)] / uni[a]
+                else:
+                    p = 0.4 * (uni.get(b, 0) + 1.0) / t
+                scaled = math.log10(p) * 1e6
+                margins.append(abs(scaled - round(scaled)))
+                n += 1
+                s += math.floor(scaled)
+            if n:
+                want[doc_id] = (n, s)
+        # log10 contributes ~1e-16 relative ulp; scaled values are
+        # O(1e6), so divergence is ~1e-10 — demand 1e-6 clearance
+        # for every position that isn't an exact power of 10
+        tight = [m for m in margins if m > 0]
+        assert min(tight) > 1e-6
+        got = {
+            r["doc_id"]: (r["n_scored"], r["logprob_q"])
+            for r in q_lm_score(spark, sf_dir).collect()
+        }
+        assert got == want
+
+
+class TestFeatureHash:
+    def test_matches_reference_and_nulls(self, spark):
+        import hashlib
+
+        from h3_indexer_spark.operators.features import feature_hash
+
+        rows = [(1, "A", "P1"), (2, "B", None), (3, None, "P2")]
+        df = spark.createDataFrame(rows, "id long, s string, p string")
+        out = {
+            r["id"]: [r[f"fh_{b}"] for b in range(8)]
+            for r in feature_hash(
+                df, ["s", "p"], n_features=8, id_col="id"
+            ).collect()
+        }
+
+        def h60(tok: str) -> int:
+            return int(
+                hashlib.md5(tok.encode()).hexdigest()[17:32], 16
+            )
+
+        for rid, s, p in rows:
+            vec = [0] * 8
+            for cname, v in (("s", s), ("p", p)):
+                if v is None:
+                    continue
+                h = h60(f"{cname}:{v}")
+                sign = 1 if (h >> 40) % 2 == 0 else -1
+                vec[h % 8] += sign
+            assert out[rid] == vec, (rid, out[rid], vec)
+
+
 class TestPqTrainEmptyInput:
     def test_raises_clear_error(self, spark):
         from h3_indexer_spark.operators.pq import pq_train
