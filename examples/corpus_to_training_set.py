@@ -74,10 +74,16 @@ def main() -> None:
         F.expr("percentile(mean_logprob, 0.02)").alias("lo"),
         F.expr("percentile(mean_logprob, 0.98)").alias("hi"),
     )
+    # LEFT join: docs with <2 scorable tokens have no LM row — the
+    # band filter has no opinion on them, so they pass through with a
+    # null score rather than being silently dropped by an inner join
     kept_lm = (
-        gated.join(lm.select("doc_id", "mean_logprob"), "doc_id")
+        gated.join(lm.select("doc_id", "mean_logprob"), "doc_id", "left")
         .crossJoin(F.broadcast(bounds))
-        .where(F.col("mean_logprob").between(F.col("lo"), F.col("hi")))
+        .where(
+            F.col("mean_logprob").isNull()
+            | F.col("mean_logprob").between(F.col("lo"), F.col("hi"))
+        )
         .drop("lo", "hi")
     )
 

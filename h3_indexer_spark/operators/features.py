@@ -701,29 +701,36 @@ def feature_hash(
     encoder for streaming/100 TB pipelines (one-hot needs a fitted
     vocabulary broadcast; this needs nothing).
 
-    Pure narrow expressions on the engine's portable md5 hash (the
-    oracle-hash recipe — any engine recomputes the exact buckets and
-    signs), emitted as dense integer columns ``{prefix}0 ..
-    {prefix}{m-1}`` summed in fixed column-list order. NULL values
-    contribute nothing."""
+    Pure narrow expressions on the engine's portable md5 hash
+    (curation.md5_band60 — the ONE shared recipe definition; any
+    engine recomputes the exact buckets and signs), emitted as dense
+    integer columns ``{prefix}0 .. {prefix}{m-1}`` summed in fixed
+    column-list order. NULL values contribute nothing. The hash is
+    materialized ONCE per input column in an intermediate projection
+    — inlining it into every bucket's CASE would cost
+    2·n_features md5 evaluations per column per row (conditional
+    branches defeat common-subexpression elimination)."""
+    from h3_indexer_spark.operators.curation import md5_band60
+
     if not cols:
         raise ValueError("cols must be non-empty")
     if n_features < 1:
         raise ValueError("n_features must be >= 1")
-
-    def h60(c: str) -> Column:
-        token = F.concat(
-            F.lit(c + ":"), F.col(c).cast("string")
-        )
-        return F.conv(
-            F.substring(F.md5(token.cast("binary")), 18, 15), 16, 10
-        ).cast("long")
-
+    keep = [id_col] if id_col else list(cols)
+    hashed = df.select(
+        *[F.col(c) for c in dict.fromkeys(keep + list(cols))],
+        *[
+            md5_band60(c + ":", F.col(c).cast("string")).alias(
+                f"_fh_h_{i}"
+            )
+            for i, c in enumerate(cols)
+        ],
+    )
     outs = []
     for b in range(n_features):
         acc = F.lit(0)
-        for c in cols:
-            h = h60(c)
+        for i, c in enumerate(cols):
+            h = F.col(f"_fh_h_{i}")
             bucket = h % F.lit(n_features)
             # sign bit from a hash bit OUTSIDE the bucket range
             sign = F.when(
@@ -733,5 +740,4 @@ def feature_hash(
                 F.col(c).isNotNull() & (bucket == b), sign
             ).otherwise(F.lit(0))
         outs.append(acc.cast("int").alias(f"{prefix}{b}"))
-    keep = [F.col(id_col)] if id_col else [F.col(c) for c in cols]
-    return df.select(*keep, *outs)
+    return hashed.select(*[F.col(c) for c in keep], *outs)

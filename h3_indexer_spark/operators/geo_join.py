@@ -268,7 +268,13 @@ def point_in_polygon_join(
     cover keys instead of ~100 MB of repeated WKT — the shuffled
     bytes no longer multiply cover size by geometry size. The exact
     test stays a worker-local vectorized ray-cast with the parsed
-    rings memoized per polygon — holes honored (even-odd)."""
+    rings memoized per polygon — holes honored (even-odd).
+
+    ``poly_id`` must UNIQUELY identify a polygon row: the geometry
+    re-attaches by that key after the cell join, so duplicate ids
+    would cross-match one row's cover cells against another row's
+    geometry (multi-part shapes belong in ONE row as a MULTIPOLYGON,
+    which the cover and the exact test both handle)."""
     pid, plat, plng = point_cols
     gid, gwkt = poly_cols
 

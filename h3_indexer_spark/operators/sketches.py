@@ -20,14 +20,13 @@ from pyspark.sql import functions as F
 
 
 def _md5_60bit(col: Column) -> Column:
-    """The portable 60-bit hash: low 15 hex chars of md5 of the
-    value's string form — identical in any engine with md5()
-    (the repo-wide oracle-hash recipe)."""
-    return F.conv(
-        F.substring(F.md5(col.cast("string").cast("binary")), 18, 15),
-        16,
-        10,
-    ).cast("long")
+    """The portable 60-bit hash of the value's string form — a thin
+    wrapper over curation.md5_band60, the ONE shared definition of
+    the cross-operator md5 hash recipe (hand-copying it here would
+    let the two drift apart silently)."""
+    from h3_indexer_spark.operators.curation import md5_band60
+
+    return md5_band60("", col.cast("string"))
 
 
 def hll_registers(

@@ -620,9 +620,10 @@ def lm_score_stupid_backoff(
     corpus filter: train bigram/unigram counts on ``train`` (defaults
     to the scored corpus itself) and score every document by its mean
     token log-probability under STUPID BACKOFF (Brants et al. 2007:
-    p(w|v) = C(v,w)/C(v) when the bigram was seen, else α·C(w)/T —
-    unnormalized scores, no discounting state, the standard
-    web-scale choice). Documents far below the corpus mean read as
+    p(w|v) = C(v,w)/C(v) when the bigram was seen, else the backoff
+    α·(C(w)+1)/T — add-one on the unigram so out-of-vocabulary
+    tokens score the finite floor α/T instead of -inf; unnormalized
+    scores, no discounting state, the standard web-scale choice). Documents far below the corpus mean read as
     gibberish/boilerplate; far above as memorized duplicates.
 
     Determinism shape: each token position contributes

@@ -780,9 +780,20 @@ def streaming_minhash_dedup(
     that claimed the bucket. A document whose bucket was already
     claimed by an EARLIER document emits a (doc, dup_of, bucket) row
     — the streaming candidate-suppression verdict (batch semantics:
-    "shares any band bucket with an earlier doc"; the union of
-    emitted doc ids is exactly that set, which the parity test
-    checks against the batch signatures).
+    "shares any band bucket with an EARLIER-event-time doc"; the
+    union of emitted doc ids converges to exactly that set, which
+    the parity test checks against the batch signatures).
+
+    Out-of-order arrival keeps event-time semantics: the per-bucket
+    claimant is the earliest-(ts, id) document SEEN SO FAR, not the
+    first processed — when a later micro-batch delivers a doc with
+    an earlier event time than the current claimant (still inside
+    the watermark), the claim SWAPS and the deposed claimant is
+    emitted as the dup instead. Already-emitted rows naming the old
+    claimant as ``dup_of`` stand — they reference a doc that is now
+    itself a dup, which is exactly the transitive-cluster shape the
+    batch resolver (dedup_resolve) collapses, so the suppressed SET
+    still matches the batch reference.
 
     State expiry: EventTimeTimeout — a bucket's claim expires
     ``delay_ns`` after its claimant's event time passes the
@@ -792,9 +803,12 @@ def streaming_minhash_dedup(
 
     Note the per-bucket state keeps ONE claimant (the earliest), not
     the member list — candidate-pair fan-out against every historic
-    member would make state corpus-sized; first-claimant suppression
-    is the deliberate streaming trade and matches first-wins batch
-    resolution.
+    member would make state corpus-sized; single-claimant
+    suppression is the deliberate streaming trade and matches
+    first-wins batch resolution. ``id_col`` may be any orderable
+    type (string doc ids included) — the output/state schemas are
+    derived from the input schema, mirroring the batch kernel's
+    id-type preservation.
     """
     from pyspark.sql.streaming.state import (
         GroupState,
@@ -826,10 +840,13 @@ def streaming_minhash_dedup(
         .withWatermark(ts_col, f"{delay_ns // 10**9} seconds")
     )
 
+    # id type follows the INPUT schema (string doc ids are first-class
+    # in the batch twin; hardcoding long here would crash on them)
+    id_type = docs.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"bucket long, {id_col} long, dup_of long"
+        f"bucket long, {id_col} {id_type}, dup_of {id_type}"
     )
-    state_schema = "first_id long, first_ts_ns long"
+    state_schema = f"first_id {id_type}, first_ts_ns long"
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -849,10 +866,23 @@ def streaming_minhash_dedup(
         out_ids, out_dups = [], []
         for _, r in rows.iterrows():
             ts_ns = int(r[ts_col].value)
+            rid = r[id_col]
             if first_id is None:
-                first_id, first_ts = int(r[id_col]), ts_ns
-            elif int(r[id_col]) != first_id:
-                out_ids.append(int(r[id_col]))
+                first_id, first_ts = rid, ts_ns
+            elif rid == first_id:
+                continue
+            elif (ts_ns, rid) < (first_ts, first_id):
+                # earlier-event-time doc arrived late: it takes the
+                # claim and the DEPOSED claimant is the dup — keeps
+                # the claimant first-by-EVENT-TIME, not
+                # first-processed, so the suppressed set converges
+                # to the batch (sort by ts, id) reference under
+                # cross-batch disorder
+                out_ids.append(first_id)
+                out_dups.append(rid)
+                first_id, first_ts = rid, ts_ns
+            else:
+                out_ids.append(rid)
                 out_dups.append(first_id)
         state.update((first_id, first_ts))
         state.setTimeoutTimestamp(

@@ -996,3 +996,68 @@ class TestStreamingNearDup:
             assert 4 in got
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+    def test_minhash_out_of_order_keeps_event_time_claimant(self, spark):
+        """A later micro-batch delivering an EARLIER-event-time near-dup
+        must take the bucket claim: the deposed (later-ts) doc emits as
+        the dup, so the suppressed set matches the batch (ts, id)-order
+        reference even under cross-batch disorder."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_minhash_dedup,
+        )
+
+        rows = [
+            (1, self.B + "10:30:00", self._DOCS[0]),   # arrives first
+            (0, self.B + "10:00:00", self._DOCS[1]),   # earlier ts, late
+        ]
+        d = tempfile.mkdtemp(prefix="h3idx_smho_")
+        try:
+            src = _write_doc_batches(spark, d, [[r] for r in rows])
+            out = _run_stream(
+                spark,
+                streaming_minhash_dedup(src),
+                output_mode="append",
+            )
+            got = {r["doc_id"] for r in out.collect()}
+            want = self._batch_suppressed(spark, rows)
+            assert got == want == {1}
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_minhash_string_doc_ids(self, spark):
+        """String ids are first-class in the batch kernel; the stream
+        twin's schemas follow the input id type."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_minhash_dedup,
+        )
+        import time as _time
+
+        d = tempfile.mkdtemp(prefix="h3idx_smhs_")
+        try:
+            batches = [
+                [("a", self.B + "10:00:00", self._DOCS[0])],
+                [("b", self.B + "10:01:00", self._DOCS[1])],
+            ]
+            for rows in batches:
+                df = spark.createDataFrame(
+                    rows, "doc_id string, ts_s string, text string"
+                ).select(
+                    "doc_id", F.to_timestamp("ts_s").alias("ts"), "text"
+                )
+                df.coalesce(1).write.mode("append").parquet(d)
+                _time.sleep(1.1)
+            schema = spark.read.parquet(d).schema
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            out = _run_stream(
+                spark,
+                streaming_minhash_dedup(src),
+                output_mode="append",
+            )
+            got = [(r["doc_id"], r["dup_of"]) for r in out.collect()]
+            assert got and all(pair == ("b", "a") for pair in got)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)

@@ -33,6 +33,13 @@ def main() -> None:
         f"({n_oracle} of {n_keys}) also carry",
         out,
     )
+    out, subs3 = re.subn(
+        r"\(the other \d+\nare genuinely non-SQL-expressible",
+        f"(the other {n_keys - n_oracle}\n"
+        "are genuinely non-SQL-expressible",
+        out,
+    )
+    subs2 += subs3
     (ROOT / "README.md").write_text(out)
     print(
         f"README counts -> {n_keys} keys / {n_oracle} oracle-checked "
