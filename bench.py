@@ -132,6 +132,8 @@ HEADLINE = [
     "q_kcore",
     "q_lm_score",
     "q_feature_hash",
+    "q_spatial_knn",
+    "q_seasonality",
 ]
 
 

@@ -1616,3 +1616,56 @@ def survival_risk_table(
         "n_events",
         "n_censored",
     )
+
+
+def seasonal_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    day_ns: int = 86_400 * 10**9,
+) -> DataFrame:
+    """Weekly seasonality heatmap: event count, exact value total,
+    and share of all traffic per (day-of-week, hour-of-day) cell —
+    the load-shape / staffing / anomaly-baseline readout every
+    event-log team keeps on a dashboard.
+
+    Integer epoch-ns bucketing end to end: dow = (epoch_days + 4) % 7
+    (1970-01-01 was a Thursday; 0 = Sunday) and hour from the
+    epoch-hour remainder — no timezone/calendar library in the plan,
+    so the bucket arithmetic is engine-exact. ONE groupBy over the
+    168-cell key space (partial aggregation collapses each partition
+    to ≤168 rows before the exchange); the share denominator is a
+    1-row broadcast fold of exact BIGINT counts, so share is a single
+    exact-integer division. Output: (dow, hour, n_events, sum_value,
+    share)."""
+    hour_ns = day_ns // 24
+    ts = F.col(ts_col).cast("bigint")
+    cells = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            ((F.expr(f"CAST({ts_col} AS BIGINT) div {day_ns}") + F.lit(4))
+             % F.lit(7)).cast("int").alias("dow"),
+            (F.expr(f"CAST({ts_col} AS BIGINT) div {hour_ns}")
+             % F.lit(24)).cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(19,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    total = events.where(F.col(ts_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_total")
+    )
+    _ = ts
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hour",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value",
+        (
+            F.col("n_events").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("share"),
+    )

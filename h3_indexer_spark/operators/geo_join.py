@@ -388,3 +388,46 @@ def point_in_polygon_join(
     return base.join(
         matched.select(f"pt_{pid}", f"pg_{gid}"), f"pt_{pid}", "left"
     )
+
+
+def h3_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    radius_km: float,
+    left_cols: tuple[str, str, str] = ("id", "lat", "lng"),
+    right_cols: tuple[str, str, str] = ("id", "lat", "lng"),
+    res: int | None = None,
+    ring_k: int = 1,
+) -> DataFrame:
+    """Bounded spatial k-nearest-neighbor join: for every left point,
+    its ``k`` nearest right points among those within ``radius_km``
+    — the "assign each customer to its 3 closest depots" primitive.
+    The radius bound is what makes the join distributable (a true
+    unbounded kNN can pair points across the planet; bounded kNN
+    reuses the radius join's certain-recall H3 bucketing and then
+    ranks candidates per left point). Output: (l_<id>, r_<id>,
+    dist_km) — ties on distance break by the right id, so the top-k
+    SET is deterministic; left points with no right point in range
+    emit nothing (compose with a left join on the ids to keep them).
+
+    Scale shape: the candidate set is the radius join's (local-
+    density-bounded), and the per-left-point rank is ONE window whose
+    rank filter pushes into WindowGroupLimit — per-group work stops
+    at k rows, so the shuffle after candidates carries at most
+    candidates and the sort never goes global."""
+    from pyspark.sql import Window
+
+    lid = left_cols[0]
+    rid = right_cols[0]
+    cand = h3_radius_join(
+        left, right, radius_km, left_cols, right_cols, res, ring_k
+    )
+    w = Window.partitionBy(f"l_{lid}").orderBy(
+        F.col("dist_km").asc(), F.col(f"r_{rid}").asc()
+    )
+    return (
+        cand.withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= int(k))
+        .drop("_rnk")
+    )

@@ -2891,6 +2891,71 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(pts, 5.0, 4)
 
 
+def _supplier_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic depot points from supplier keys — same hashed-
+    lattice recipe as the customer points, different multipliers."""
+    return load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        (
+            F.lit(40.0)
+            + ((F.col("s_suppkey") * F.lit(48271)) % F.lit(100000))
+            .cast("double")
+            / F.lit(50000.0)
+        ).alias("lat"),
+        (
+            F.lit(-100.0)
+            + ((F.col("s_suppkey") * F.lit(69621)) % F.lit(100000))
+            .cast("double")
+            / F.lit(50000.0)
+        ).alias("lng"),
+    )
+
+
+def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded spatial kNN join (operators/geo_join.py::h3_knn_join):
+    each customer's 3 nearest supplier depots within 30 km — radius-
+    join candidates (certain recall) ranked per customer with a
+    WindowGroupLimit-pushed row_number. Emits FLOOR(dist*1000)
+    meters (the radius-join trig rule); the rank boundary (3rd vs
+    4th nearest) margin is asserted far above ulp scale in
+    tests/test_round7_ops.py, and exact distance TIES break on the
+    supplier id identically in both engines."""
+    from h3_indexer_spark.operators.geo_join import h3_knn_join
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.lit(40.0)
+            + ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(100000))
+            .cast("double")
+            / F.lit(50000.0)
+        ).alias("lat"),
+        (
+            F.lit(-100.0)
+            + ((F.col("c_custkey") * F.lit(40503)) % F.lit(100000))
+            .cast("double")
+            / F.lit(50000.0)
+        ).alias("lng"),
+    )
+    out = h3_knn_join(cust, _supplier_points(spark, sf_dir), 3, 30.0)
+    return out.select(
+        "l_id",
+        "r_id",
+        F.floor(F.col("dist_km") * F.lit(1000.0)).alias("dist_m"),
+    )
+
+
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heatmap (operators/analytics.py::
+    seasonal_profile): per (day-of-week, hour-of-day) cell the event
+    count, exact-DECIMAL value total, and exact-integer-ratio share
+    of traffic — pure epoch-ns integer bucketing (no calendar
+    library), one 168-key aggregation plus a 1-row fold."""
+    from h3_indexer_spark.operators.analytics import seasonal_profile
+
+    return seasonal_profile(_load_events(spark, sf_dir))
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/relational.py::
     grouped_sum_state/update_grouped_sum): per-status order totals of
@@ -3205,6 +3270,7 @@ QUERIES: dict[str, Query] = {
     # reworked this round — must stay hash-green under the new plans
     "q_point_in_polygon": q_point_in_polygon,
     "q_h3_radius_join": q_h3_radius_join,
+    "q_spatial_knn": q_spatial_knn,
     # new round-7 operator keys (debut in the window; each added
     # as its implementation lands this round)
     "q_knn_ivfpq_rerank": q_knn_ivfpq_rerank,
@@ -3215,6 +3281,7 @@ QUERIES: dict[str, Query] = {
     "q_rfm": q_rfm,
     "q_hll_registers": q_hll_registers,
     "q_survival": q_survival,
+    "q_seasonality": q_seasonality,
     "q_skyline": q_skyline,
     "q_lm_score": q_lm_score,
     "q_feature_hash": q_feature_hash,
@@ -3244,10 +3311,13 @@ QUERIES: dict[str, Query] = {
     "q_media_dedup": q_media_dedup,
     "q_corpus_curation": q_corpus_curation,
     "q_contamination_frac": q_contamination_frac,
+    # -- beyond the window (q_clean_lines / q_frequent_items /
+    #    q_attribution moved out as q_lm_score / q_feature_hash /
+    #    q_attribution / q_rare_words moved out as new keys
+    #    debuted: q_lm_score / q_feature_hash / q_spatial_knn /
+    #    q_seasonality)
     "q_rare_words": q_rare_words,
     "q_attribution": q_attribution,
-    # -- beyond the window (q_clean_lines / q_frequent_items moved
-    #    out when q_lm_score / q_feature_hash debuted)
     "q_clean_lines": q_clean_lines,
     "q_frequent_items": q_frequent_items,
     # -- beyond the window: driver-green r4-r6; tests/test_oracle.py
@@ -6248,6 +6318,60 @@ ORACLES["q_h3_radius_join"] = f"""
     WHERE {_HAVERSINE_SQL} <= 5.0
 """
 
+
+ORACLES["q_spatial_knn"] = f"""
+    WITH a AS (
+        SELECT c_custkey AS id,
+               40.0 + CAST((c_custkey * 2654435761) % 100000 AS DOUBLE)
+                   / 50000.0 AS lat,
+               -100.0 + CAST((c_custkey * 40503) % 100000 AS DOUBLE)
+                   / 50000.0 AS lng
+        FROM customer
+    ),
+    b AS (
+        SELECT s_suppkey AS id,
+               40.0 + CAST((s_suppkey * 48271) % 100000 AS DOUBLE)
+                   / 50000.0 AS lat,
+               -100.0 + CAST((s_suppkey * 69621) % 100000 AS DOUBLE)
+                   / 50000.0 AS lng
+        FROM supplier
+    ),
+    cand AS (
+        SELECT a.id AS l_id, b.id AS r_id,
+               {_HAVERSINE_SQL} AS dist
+        FROM a, b
+        WHERE {_HAVERSINE_SQL} <= 30.0
+    ),
+    ranked AS (
+        SELECT l_id, r_id, dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_id ORDER BY dist ASC, r_id ASC
+               ) AS rn
+        FROM cand
+    )
+    SELECT l_id, r_id,
+           CAST(FLOOR(dist * 1000.0) AS BIGINT) AS dist_m
+    FROM ranked WHERE rn <= 3
+"""
+
+ORACLES["q_seasonality"] = """
+    WITH ev AS (
+        SELECT epoch_ns(ts) AS tsn, value FROM events
+        WHERE ts IS NOT NULL
+    ),
+    cells AS (
+        SELECT CAST((tsn // 86400000000000 + 4) % 7 AS INTEGER) AS dow,
+               CAST((tsn // 3600000000000) % 24 AS INTEGER) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(19,4))) AS DOUBLE)
+                   AS sum_value
+        FROM ev GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ev)
+    SELECT dow, hour, n_events, sum_value,
+           CAST(n_events AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM cells, tot
+"""
 
 ORACLES["q_incremental_agg"] = """
     WITH new_snap AS (

@@ -723,6 +723,78 @@ class TestFeatureHash:
             assert out[rid] == vec, (rid, out[rid], vec)
 
 
+class TestSpatialKnn:
+    @pytest.mark.parametrize(
+        "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
+    def test_rank_boundary_margins_and_brute_parity(self, spark, sf_dir):
+        """The kNN contract survives cross-engine trig ulp only when
+        (a) the k-th vs (k+1)-th candidate distances are either
+        EXACTLY equal (id tiebreak, same in both engines) or separated
+        far beyond ulp, and (b) the radius cut has the radius-join
+        margin. Recompute everything in numpy and assert both, plus
+        exact top-3 parity."""
+        from h3_indexer_spark.queries import (
+            _supplier_points,
+            load,
+            q_spatial_knn,
+        )
+
+        cust = {
+            r["c_custkey"]: (
+                40.0 + (r["c_custkey"] * 2654435761 % 100000) / 50000.0,
+                -100.0 + (r["c_custkey"] * 40503 % 100000) / 50000.0,
+            )
+            for r in load(spark, sf_dir, "customer")
+            .select("c_custkey").collect()
+        }
+        supp = {
+            r["id"]: (r["lat"], r["lng"])
+            for r in _supplier_points(spark, sf_dir).collect()
+        }
+        c = 0.017453292519943295
+
+        def hav(p, q):
+            import math
+
+            la1, lo1 = p
+            la2, lo2 = q
+            a = (
+                math.sin((la2 - la1) * c / 2.0) ** 2
+                + math.cos(la1 * c) * math.cos(la2 * c)
+                * math.sin((lo2 - lo1) * c / 2.0) ** 2
+            )
+            return 2 * 6371.0088 * math.asin(min(1.0, math.sqrt(a)))
+
+        want = {}
+        for cid, p in cust.items():
+            cand = sorted(
+                (hav(p, q), sid)
+                for sid, q in supp.items()
+                if hav(p, q) <= 30.0
+            )
+            # radius-cut margin (radius-join rule)
+            for d, _ in cand[-1:]:
+                assert abs(d - 30.0) > 1e-9
+            # rank boundary margin: 3rd vs 4th must be an exact tie
+            # (id break) or separated >> ulp
+            if len(cand) > 3:
+                gap = cand[3][0] - cand[2][0]
+                assert gap == 0.0 or gap > 1e-9, (cid, gap)
+            # floor-quantization margin for every kept distance;
+            # d == 0.0 (coincident points) is EXACT in both engines,
+            # so the boundary is safe there by construction
+            for d, sid in cand[:3]:
+                frac = abs(d * 1000.0 - round(d * 1000.0))
+                assert d == 0.0 or frac > 1e-7, (cid, sid, d)
+                want[(cid, sid)] = int(d * 1000.0)
+        got = {
+            (r["l_id"], r["r_id"]): r["dist_m"]
+            for r in q_spatial_knn(spark, sf_dir).collect()
+        }
+        assert got == want
+
+
 class TestPqTrainEmptyInput:
     def test_raises_clear_error(self, spark):
         from h3_indexer_spark.operators.pq import pq_train
