@@ -134,6 +134,8 @@ HEADLINE = [
     "q_feature_hash",
     "q_spatial_knn",
     "q_seasonality",
+    "q_hll_grouped",
+    "q_time_to_convert",
 ]
 
 

@@ -1669,3 +1669,44 @@ def seasonal_profile(
             / F.col("_total").cast("double")
         ).alias("share"),
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    convert_predicate: Column,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-conversion distribution: per converting entity the lag
+    from its FIRST event of any kind to its FIRST converting event,
+    summarized as exact interpolated percentiles — the activation-
+    latency readout next to the funnel. Entities that never convert
+    are excluded from the latency distribution but counted, so the
+    conversion rate rides along. Output: one row (n_entities,
+    n_converted, p50_s, p90_s, p99_s) with latencies in whole seconds
+    (integer division of epoch-ns lags — engine-exact; percentile()
+    == quantile_cont bit-for-bit on the integer inputs).
+
+    Scale: ONE entity-keyed aggregation (min ts, min converting ts
+    via conditional min) then a global percentile fold — no window,
+    no join, no event×event work."""
+    per = events.groupBy(F.col(id_col).alias("_id")).agg(
+        F.min(F.col(ts_col)).alias("_first"),
+        F.min(F.when(convert_predicate, F.col(ts_col))).alias("_conv"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.count(F.col("_conv")).cast("bigint").alias("n_converted"),
+        F.expr(
+            "percentile(CAST(_conv - _first AS BIGINT) div 1000000000,"
+            " 0.5)"
+        ).alias("p50_s"),
+        F.expr(
+            "percentile(CAST(_conv - _first AS BIGINT) div 1000000000,"
+            " 0.9)"
+        ).alias("p90_s"),
+        F.expr(
+            "percentile(CAST(_conv - _first AS BIGINT) div 1000000000,"
+            " 0.99)"
+        ).alias("p99_s"),
+    )

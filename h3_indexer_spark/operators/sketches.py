@@ -100,3 +100,41 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+def hll_registers_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog register tables — the sketch in its real
+    deployment shape: one ≤2^p-row register set per group key (per
+    day, per event type, per tenant), pre-aggregable into any coarser
+    rollup with a groupBy-max (sketch-of-union == merge-of-sketches,
+    the same algebra hll_merge locks globally). Output: (group, bucket,
+    rho) integer rows — hash-checkable like the global variant.
+
+    Scale: ONE groupBy over (group, bucket) with map-side partial max
+    — each partition contributes at most |groups|·2^p rows to the
+    exchange regardless of row count; the classic pre-aggregated
+    distinct-count cube feed."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    rem_bits = 60 - p
+    h = _md5_60bit(F.col(col))
+    bucket = (h % F.lit(1 << p)).cast("int")
+    rem = F.shiftright(h, p)
+    rho = F.when(
+        rem == 0, F.lit(rem_bits + 1)
+    ).otherwise(F.lit(rem_bits) - F.length(F.bin(rem)) + F.lit(1))
+    return (
+        df.where(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("group"),
+            bucket.alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("group", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -2956,6 +2956,36 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_profile(_load_events(spark, sf_dir))
 
 
+def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog registers (operators/sketches.py::
+    hll_registers_grouped): distinct-user sketch per event type —
+    the pre-aggregated distinct-count cube feed (register sets roll
+    up to any coarser grouping by groupBy-max, the mergeability the
+    sketch tests lock). Integer (group, bucket, rho) surface, fully
+    hash-checked like the global sketch."""
+    from h3_indexer_spark.operators.sketches import hll_registers_grouped
+
+    return hll_registers_grouped(
+        _load_events(spark, sf_dir), "event_type", "user_id", p=8
+    )
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation-latency readout (operators/analytics.py::
+    time_to_convert): per-user lag from first event to first
+    purchase, summarized as exact interpolated percentiles over
+    whole-second integer lags (percentile() == quantile_cont
+    bit-for-bit) with the conversion rate alongside — one
+    entity-keyed aggregation plus a 1-row fold, no window, no
+    join."""
+    from h3_indexer_spark.operators.analytics import time_to_convert
+
+    return time_to_convert(
+        _load_events(spark, sf_dir),
+        F.col("event_type") == "purchase",
+    )
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/relational.py::
     grouped_sum_state/update_grouped_sum): per-status order totals of
@@ -3282,6 +3312,8 @@ QUERIES: dict[str, Query] = {
     "q_hll_registers": q_hll_registers,
     "q_survival": q_survival,
     "q_seasonality": q_seasonality,
+    "q_hll_grouped": q_hll_grouped,
+    "q_time_to_convert": q_time_to_convert,
     "q_skyline": q_skyline,
     "q_lm_score": q_lm_score,
     "q_feature_hash": q_feature_hash,
@@ -3309,13 +3341,14 @@ QUERIES: dict[str, Query] = {
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_bloom": q_decontaminate_bloom,
     "q_media_dedup": q_media_dedup,
-    "q_corpus_curation": q_corpus_curation,
-    "q_contamination_frac": q_contamination_frac,
     # -- beyond the window (q_clean_lines / q_frequent_items /
     #    q_attribution moved out as q_lm_score / q_feature_hash /
-    #    q_attribution / q_rare_words moved out as new keys
+    #    q_attribution / q_rare_words / q_corpus_curation /
+    #    q_contamination_frac moved out as new keys
     #    debuted: q_lm_score / q_feature_hash / q_spatial_knn /
     #    q_seasonality)
+    "q_corpus_curation": q_corpus_curation,
+    "q_contamination_frac": q_contamination_frac,
     "q_rare_words": q_rare_words,
     "q_attribution": q_attribution,
     "q_clean_lines": q_clean_lines,
@@ -6371,6 +6404,38 @@ ORACLES["q_seasonality"] = """
     SELECT dow, hour, n_events, sum_value,
            CAST(n_events AS DOUBLE) / CAST(t AS DOUBLE) AS share
     FROM cells, tot
+"""
+
+ORACLES["q_hll_grouped"] = """
+    WITH h AS (
+        SELECT event_type AS grp,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                   18, 15) AS BIGINT) AS h
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT grp AS "group",
+           CAST(h % 256 AS INTEGER) AS bucket,
+           CAST(MAX(CASE WHEN h // 256 = 0 THEN 53
+                         ELSE 52 - length(bin(h // 256)) + 1
+                    END) AS INTEGER) AS rho
+    FROM h GROUP BY 1, 2
+"""
+
+ORACLES["q_time_to_convert"] = """
+    WITH per AS (
+        SELECT user_id,
+               MIN(epoch_ns(ts)) AS f,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_ns(ts) END) AS c
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(COUNT(c) AS BIGINT) AS n_converted,
+           quantile_cont((c - f) // 1000000000, 0.5) AS p50_s,
+           quantile_cont((c - f) // 1000000000, 0.9) AS p90_s,
+           quantile_cont((c - f) // 1000000000, 0.99) AS p99_s
+    FROM per
 """
 
 ORACLES["q_incremental_agg"] = """

@@ -45,7 +45,7 @@ PLANNED_R7 = {
     "q_knn_ivfpq_rerank", "q_bpe_pairs", "q_assoc_rules", "q_gini",
     "q_rfm", "q_hll_registers", "q_survival", "q_skyline", "q_bm25",
     "q_dbscan", "q_lm_score", "q_feature_hash", "q_spatial_knn",
-    "q_seasonality",
+    "q_seasonality", "q_hll_grouped", "q_time_to_convert",
 }
 # rows-only keys allowed in the round-7 window (no SQL mirror)
 ROWS_ONLY_R7 = {"q_kcore", "q_dbscan"}

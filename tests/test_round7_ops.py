@@ -807,3 +807,32 @@ class TestPqTrainEmptyInput:
                 df, m=2, nbits=2, sample=16,
                 vec_col="emb", id_col="id",
             )
+
+
+class TestHllGrouped:
+    def test_rollup_equals_resketch(self, spark):
+        """Rolling per-group registers up to the global grouping by
+        groupBy-max must equal sketching the whole column directly —
+        the pre-aggregation algebra the cube feed relies on."""
+        from pyspark.sql import functions as F
+
+        from h3_indexer_spark.operators.sketches import (
+            hll_registers,
+            hll_registers_grouped,
+        )
+
+        df = spark.range(0, 5000).selectExpr(
+            "id AS v", "CAST(id % 7 AS STRING) AS g"
+        )
+        rolled = {
+            (r["bucket"], r["rho"])
+            for r in hll_registers_grouped(df, "g", "v")
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+            .collect()
+        }
+        direct = {
+            (r["bucket"], r["rho"])
+            for r in hll_registers(df, "v").collect()
+        }
+        assert rolled == direct
