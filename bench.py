@@ -136,6 +136,7 @@ HEADLINE = [
     "q_seasonality",
     "q_hll_grouped",
     "q_time_to_convert",
+    "q_vocab_encode",
 ]
 
 

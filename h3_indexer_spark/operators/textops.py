@@ -726,3 +726,57 @@ def lm_score_stupid_backoff(
             F.sum(contrib).cast("bigint").alias("logprob_q"),
         )
     )
+
+
+def vocab_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Rank-based vocabulary encoding — the tokenizer-adjacent step
+    between raw text and model-ready integer sequences: the corpus's
+    ``vocab_size`` most frequent tokens get ids 1..N (rank by count
+    desc, token asc — fully deterministic), every document re-emits
+    as one row per token position with its id, OOV tokens encode 0.
+    Output: (id, pos, token_id) with pos 1-based.
+
+    Scale shape: ONE word-count aggregation (the |vocab| table), a
+    top-N rank over that aggregated table (WindowGroupLimit-style cut
+    at vocab_size rows), then a narrow position explode joined to the
+    vocabulary — broadcast by default (a 1000-row dimension; pass
+    ``broadcast_vocab=False`` for million-token vocabularies and the
+    attachment becomes a token-keyed hash join). No per-row Python
+    anywhere."""
+    from pyspark.sql import Window
+
+    toks = F.filter(_lower_tokens(text_col), lambda t: F.length(t) > 0)
+    counts = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    vocab = (
+        counts.withColumn("token_id", F.row_number().over(w))
+        .where(F.col("token_id") <= vocab_size)
+        .select("tok", "token_id")
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    positions = df.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("_pos0", "tok"),
+    ).select(
+        id_col,
+        (F.col("_pos0") + F.lit(1)).alias("pos"),
+        "tok",
+    )
+    return positions.join(vocab, "tok", "left").select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.coalesce(F.col("token_id"), F.lit(0)).cast("int").alias(
+            "token_id"
+        ),
+    )

@@ -2986,6 +2986,20 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (operators/textops.py::vocab_encode): the
+    corpus's top-500 tokens by frequency get ids 1..500 (count desc,
+    token asc — deterministic), every document re-emits as (doc_id,
+    pos, token_id) with OOV = 0 — the integer-sequence step a
+    tokenizer pipeline feeds to packing. One vocab aggregation + a
+    narrow position explode + broadcast join; all-integer output."""
+    from h3_indexer_spark.operators.textops import vocab_encode
+
+    return vocab_encode(
+        load(spark, sf_dir, "documents"), vocab_size=500
+    )
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/relational.py::
     grouped_sum_state/update_grouped_sum): per-status order totals of
@@ -3314,6 +3328,7 @@ QUERIES: dict[str, Query] = {
     "q_seasonality": q_seasonality,
     "q_hll_grouped": q_hll_grouped,
     "q_time_to_convert": q_time_to_convert,
+    "q_vocab_encode": q_vocab_encode,
     "q_skyline": q_skyline,
     "q_lm_score": q_lm_score,
     "q_feature_hash": q_feature_hash,
@@ -3340,13 +3355,13 @@ QUERIES: dict[str, Query] = {
     "q_fingerprint": q_fingerprint,
     "q_decontaminate": q_decontaminate,
     "q_decontaminate_bloom": q_decontaminate_bloom,
-    "q_media_dedup": q_media_dedup,
     # -- beyond the window (q_clean_lines / q_frequent_items /
     #    q_attribution moved out as q_lm_score / q_feature_hash /
     #    q_attribution / q_rare_words / q_corpus_curation /
-    #    q_contamination_frac moved out as new keys
+    #    q_contamination_frac / q_media_dedup moved out as new keys
     #    debuted: q_lm_score / q_feature_hash / q_spatial_knn /
     #    q_seasonality)
+    "q_media_dedup": q_media_dedup,
     "q_corpus_curation": q_corpus_curation,
     "q_contamination_frac": q_contamination_frac,
     "q_rare_words": q_rare_words,
@@ -6436,6 +6451,41 @@ ORACLES["q_time_to_convert"] = """
            quantile_cont((c - f) // 1000000000, 0.9) AS p90_s,
            quantile_cont((c - f) // 1000000000, 0.99) AS p99_s
     FROM per
+"""
+
+ORACLES["q_vocab_encode"] = """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(
+                       lower(regexp_replace(text, '[^\w\s]', ' ', 'g')),
+                       '\s+'),
+                   x -> len(x) > 0) AS toks
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok, COUNT(*) AS n FROM (
+            SELECT unnest(toks) AS tok FROM d
+        ) GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok,
+               ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS token_id
+        FROM counts
+        QUALIFY token_id <= 500
+    ),
+    pos AS (
+        SELECT doc_id, pr.pos AS pos, pr.tok AS tok FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, len(toks) + 1),
+                i -> {'pos': CAST(i AS INTEGER),
+                      'tok': toks[CAST(i AS INTEGER)]})) AS pr
+            FROM d
+        )
+    )
+    SELECT doc_id, pos,
+           CAST(COALESCE(v.token_id, 0) AS INTEGER) AS token_id
+    FROM pos LEFT JOIN vocab v USING (tok)
 """
 
 ORACLES["q_incremental_agg"] = """

@@ -46,6 +46,7 @@ PLANNED_R7 = {
     "q_rfm", "q_hll_registers", "q_survival", "q_skyline", "q_bm25",
     "q_dbscan", "q_lm_score", "q_feature_hash", "q_spatial_knn",
     "q_seasonality", "q_hll_grouped", "q_time_to_convert",
+    "q_vocab_encode",
 }
 # rows-only keys allowed in the round-7 window (no SQL mirror)
 ROWS_ONLY_R7 = {"q_kcore", "q_dbscan"}
