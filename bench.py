@@ -137,6 +137,11 @@ HEADLINE = [
     "q_hll_grouped",
     "q_time_to_convert",
     "q_vocab_encode",
+    "q_rrf_fusion",
+    "q_retrieval_eval",
+    "q_bfs_hops",
+    "q_collocations",
+    "q_benford",
 ]
 
 

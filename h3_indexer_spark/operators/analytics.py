@@ -1710,3 +1710,128 @@ def time_to_convert(
             " 0.99)"
         ).alias("p99_s"),
     )
+
+
+# Benford first-digit expectations log10(1 + 1/d), d = 1..9, fixed to
+# 12 decimal digits so the SAME literal text appears in the Spark plan
+# and any SQL oracle — the two engines then agree bit-for-bit without
+# either evaluating log10 at runtime.
+BENFORD_EXPECTED: tuple[str, ...] = (
+    "0.301029995664",
+    "0.176091259056",
+    "0.124938736608",
+    "0.096910013008",
+    "0.079181246048",
+    "0.066946789631",
+    "0.057991946978",
+    "0.051152522447",
+    "0.045757490561",
+)
+
+
+def benford_profile(
+    df: DataFrame, col: str, scale: int = 100
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric
+    column against Benford's law — the classic fabricated-/synthetic-
+    data screen for financial and telemetry feeds (naturally occurring
+    multiplicative data follows P(d) = log10(1+1/d); keyed-in or
+    template-generated values don't).
+
+    Digit extraction avoids runtime log10 entirely: the value is
+    scaled to an exact integer (``scale`` = 100 for 2-dp currency),
+    FLOOR'd IDENTICALLY in any IEEE engine (never a bare CAST — Spark
+    truncates doubles toward zero where DuckDB rounds half-even), and
+    the first character of its decimal rendering is the digit. Rows
+    with value < 1/scale are excluded (no leading significant digit).
+
+    Output, one row per digit 1-9 present: digit, n (exact BIGINT),
+    frac = n / total (single division), expected (the fixed
+    BENFORD_EXPECTED literal), abs_dev = |frac - expected|. Totals
+    ride a 9-row window — the whole readout is one scan + one
+    9-group aggregation, nothing wider than the digit key.
+    """
+    digit = F.substring(
+        F.floor(F.col(col) * F.lit(float(scale)))
+        .cast("bigint")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        df.where(F.col(col) * F.lit(float(scale)) >= F.lit(1.0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    # float(literal) — NOT F.expr(literal): Spark parses a bare decimal
+    # literal as DECIMAL, while the contract column is DOUBLE. The
+    # text→double conversion is correctly rounded in Python, Spark and
+    # DuckDB alike, so the same literal text yields the same bits.
+    expected = F.element_at(
+        F.array(*[F.lit(float(v)) for v in BENFORD_EXPECTED]),
+        F.col("digit"),
+    )
+    frac = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    return counts.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        frac.alias("frac"),
+        expected.alias("expected"),
+        F.abs(frac - expected).alias("abs_dev"),
+    ).orderBy("digit")
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-curve readout for a probabilistic score in [0, 1]
+    against a 0/1 outcome — the calibration diagnostic every
+    model-eval pipeline runs (a well-calibrated scorer has
+    pos_rate ≈ mean_score per bin; ECE is a client-side fold over
+    these rows).
+
+    bin = min(floor(score·n_bins), n_bins−1), so score 1.0 lands in
+    the top bin instead of a phantom n_bins-th one. Exactness recipe:
+    n and positives are BIGINT counts; mean_score sums the score
+    through DECIMAL(18,6) (the repo-wide deterministic-sum contract)
+    and divides once; pos_rate is one division of exact counts. One
+    scan + one n_bins-group aggregation — nothing wider than the bin
+    key ever shuffles.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    b = F.least(
+        F.floor(F.col(score_col) * F.lit(float(n_bins))).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    agg = (
+        df.where(F.col(score_col).isNotNull())
+        .select(
+            b.alias("bin"),
+            F.col(score_col).cast("decimal(18,6)").alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_s").alias("_sum_s"),
+            F.sum("_y").cast("bigint").alias("positives"),
+        )
+    )
+    return agg.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.col("_sum_s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("mean_score"),
+        "positives",
+        (
+            F.col("positives").cast("double") / F.col("n").cast("double")
+        ).alias("pos_rate"),
+    ).orderBy("bin")

@@ -987,3 +987,32 @@ def weighted_median(
     if groups:
         return qual.groupBy(*groups).agg(F.min("_v").alias("w_median"))
     return qual.agg(F.min("_v").alias("w_median"))
+
+
+def group_concat(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    sep: str = ",",
+) -> DataFrame:
+    """Ordered string aggregation per group — SQL's
+    ``string_agg(value, sep ORDER BY value)`` (the denormalized-list
+    export shape: tag lists, member rosters, path strings).
+
+    The ORDER BY inside the aggregate is the part engines get subtly
+    wrong at scale: a bare collect_list order is partition-arrival
+    nondeterministic, so the list is array_sort'ed (binary UTF8
+    ordering — the same default collation DuckDB/Postgres string_agg
+    applies) before joining. One groupBy shuffle; the sorted list is
+    per-group memory, which is the operator's inherent contract
+    (cap or bucket upstream when a group's membership is unbounded).
+
+    Emits the group keys, ``concat`` and ``n_items``.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return df.groupBy(*groups).agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col(value_col))), sep
+        ).alias("concat"),
+        F.count(F.col(value_col)).alias("n_items"),
+    )

@@ -780,3 +780,90 @@ def vocab_encode(
             "token_id"
         ),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Corpus-wide collocation census: adjacent word pairs ranked by
+    LIFT — observed bigram probability over the independence
+    expectation, lift = (c_xy / N_bi) / ((c_x / N_uni) · (c_y / N_uni))
+    — the exponentiated form of pointwise mutual information (PMI =
+    ln lift; Church & Hanks 1990). High-lift pairs are the multiword
+    expressions ("San Francisco", "machine learning") a tokenizer or
+    phrase-mining stage should treat as units; ranking by raw count
+    instead just surfaces stopword pairs.
+
+    Emitting LIFT rather than PMI keeps the contract engine-exact:
+    every count is an exact BIGINT, and the score is literal-order
+    double products folded left-to-right then ONE division — no ln()
+    (the one op math libraries disagree on at the ulp). PMI itself is
+    a client-side log away.
+
+    Scale shape: the bigram census and the unigram census are each
+    ONE explode + count shuffle (the same narrow adjacent-slice
+    zip_with as ngram_counts); totals fold to a 1-row broadcast; the
+    two unigram attachments join on the word key against the
+    min_count-filtered candidate set (already ≪ corpus). Top-k is
+    (lift desc, bigram asc) via TakeOrderedAndProject.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = F.filter(_lower_tokens(text_col), lambda t: F.length(t) > 0)
+    words = df.select(toks.alias("w"))
+    grams = F.zip_with(
+        F.slice(
+            F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))
+        ),
+        F.slice(
+            F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))
+        ),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bc = (
+        words.select(F.explode(grams).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    uc = (
+        words.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    totals = uc.agg(
+        F.sum("c_w").cast("bigint").alias("n_uni")
+    ).crossJoin(
+        bc.agg(F.sum("c_xy").cast("bigint").alias("n_bi"))
+    )
+    cand = bc.where(F.col("c_xy") >= min_count)
+    scored = (
+        cand.join(
+            uc.select(F.col("tok").alias("w1"), F.col("c_w").alias("c_w1")),
+            "w1",
+        )
+        .join(
+            uc.select(F.col("tok").alias("w2"), F.col("c_w").alias("c_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    num = (
+        F.col("c_xy").cast("double") * F.col("n_uni").cast("double")
+    ) * F.col("n_uni").cast("double")
+    den = (
+        F.col("n_bi").cast("double") * F.col("c_w1").cast("double")
+    ) * F.col("c_w2").cast("double")
+    out = scored.select(
+        F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("bigram"),
+        F.col("c_xy").cast("bigint").alias("c_xy"),
+        F.col("c_w1").cast("bigint").alias("c_w1"),
+        F.col("c_w2").cast("bigint").alias("c_w2"),
+        (num / den).alias("lift"),
+    )
+    return out.orderBy(
+        F.col("lift").desc(), F.col("bigram").asc()
+    ).limit(k)

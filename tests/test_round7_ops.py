@@ -836,3 +836,330 @@ class TestHllGrouped:
             for r in hll_registers(df, "v").collect()
         }
         assert rolled == direct
+
+
+class TestBfsHops:
+    """bfs_hops must equal a Python BFS reference (min hop per node,
+    capped), keep sources at hop 0 even when isolated, and stop at
+    max_hops."""
+
+    @staticmethod
+    def _reference(edges, sources, max_hops):
+        from collections import deque
+
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        dist = {s: 0 for s in set(sources)}
+        dq = deque(dist)
+        while dq:
+            v = dq.popleft()
+            if dist[v] >= max_hops:
+                continue
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    dq.append(u)
+        return dist
+
+    def test_matches_python_bfs(self, spark):
+        from h3_indexer_spark.operators.graph import bfs_hops
+
+        rng = np.random.RandomState(11)
+        edges = [
+            (int(rng.randint(0, 60)), int(rng.randint(0, 60)))
+            for _ in range(120)
+        ]
+        sources = [0, 7, 59]
+        for max_hops in (0, 1, 2, 4):
+            got = {
+                r["node"]: r["hops"]
+                for r in bfs_hops(
+                    spark.createDataFrame(edges, "src long, dst long"),
+                    spark.createDataFrame(
+                        [(s,) for s in sources], "node long"
+                    ),
+                    max_hops=max_hops,
+                ).collect()
+            }
+            assert got == self._reference(edges, sources, max_hops)
+
+    def test_isolated_source_and_chain_cap(self, spark):
+        from h3_indexer_spark.operators.graph import bfs_hops
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        sources = spark.createDataFrame([(1,), (99,)], "node long")
+        got = {
+            r["node"]: r["hops"]
+            for r in bfs_hops(edges, sources, max_hops=2).collect()
+        }
+        # 99 is not in the graph but is still a source at hop 0; the
+        # chain is cut at 2 hops (4 and 5 unreachable within the cap).
+        assert got == {1: 0, 99: 0, 2: 1, 3: 2}
+
+    def test_negative_max_hops_raises(self, spark):
+        from h3_indexer_spark.operators.graph import bfs_hops
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        s = spark.createDataFrame([(1,)], "node long")
+        with pytest.raises(ValueError):
+            bfs_hops(e, s, max_hops=-1)
+
+
+class TestRrfFuse:
+    def test_two_signal_scores_and_nulls(self, spark):
+        from h3_indexer_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(20, 1), (40, 2)], "doc_id long, rank long"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in rrf_fuse({"a": a, "b": b}, "doc_id").collect()
+        }
+        assert set(rows) == {10, 20, 30, 40}
+        # fixed name-sorted fold order: a's contribution first
+        assert rows[20]["rrf_score"] == 1.0 / 62.0 + 1.0 / 61.0
+        assert rows[10]["rrf_score"] == 1.0 / 61.0
+        assert rows[10]["rank_b"] is None
+        assert rows[40]["rank_a"] is None and rows[40]["rank_b"] == 2
+
+    def test_topk_cut_and_tiebreak(self, spark):
+        from h3_indexer_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(i, i) for i in range(1, 8)], "doc_id long, rank long"
+        )
+        out = rrf_fuse({"only": a}, "doc_id", topk=3).collect()
+        assert [r["doc_id"] for r in out] == [1, 2, 3]
+
+    def test_empty_signals_raise(self, spark):
+        from h3_indexer_spark.operators.retrieval import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse({}, "doc_id")
+
+
+class TestRetrievalEval:
+    def _fixture(self, spark):
+        # query 'x': relevant {1,2,3}; ranking returns 2 at rank 1,
+        # 9 at rank 2, 3 at rank 12 (outside k=10).
+        # query 'y': relevant {5}; ranking never returns it.
+        ranked = spark.createDataFrame(
+            [("x", 2, 1), ("x", 9, 2), ("x", 3, 12),
+             ("y", 2, 1), ("y", 9, 2)],
+            "term string, doc_id long, rank long",
+        )
+        qrels = spark.createDataFrame(
+            [("x", 1), ("x", 2), ("x", 3), ("y", 5)],
+            "term string, doc_id long",
+        )
+        return ranked, qrels
+
+    def test_metrics(self, spark):
+        from h3_indexer_spark.operators.retrieval import retrieval_eval
+
+        ranked, qrels = self._fixture(spark)
+        rows = {
+            r["term"]: r
+            for r in retrieval_eval(
+                ranked, qrels, query_col="term", k=10
+            ).collect()
+        }
+        x = rows["x"]
+        assert x["n_rel"] == 3 and x["hits_at_k"] == 1
+        assert x["precision_at_k"] == 0.1
+        assert x["recall_at_k"] == 1.0 / 3.0
+        assert x["first_rank"] == 1 and x["rr"] == 1.0
+        y = rows["y"]
+        assert y["n_rel"] == 1 and y["hits_at_k"] == 0
+        assert y["precision_at_k"] == 0.0 and y["recall_at_k"] == 0.0
+        assert y["first_rank"] is None and y["rr"] == 0.0
+
+    def test_first_rank_uses_full_list_not_k(self, spark):
+        """A relevant doc at rank 12 still sets first_rank/rr when the
+        top-10 has no relevant doc."""
+        from h3_indexer_spark.operators.retrieval import retrieval_eval
+
+        ranked = spark.createDataFrame(
+            [("x", 3, 12)], "term string, doc_id long, rank long"
+        )
+        qrels = spark.createDataFrame(
+            [("x", 3)], "term string, doc_id long"
+        )
+        r = retrieval_eval(ranked, qrels, query_col="term", k=10).collect()[0]
+        assert r["hits_at_k"] == 0 and r["first_rank"] == 12
+        assert r["rr"] == 1.0 / 12.0
+
+    def test_bad_k_raises(self, spark):
+        from h3_indexer_spark.operators.retrieval import retrieval_eval
+
+        ranked, qrels = self._fixture(spark)
+        with pytest.raises(ValueError):
+            retrieval_eval(ranked, qrels, query_col="term", k=0)
+
+
+class TestCollocations:
+    def test_lift_matches_python(self, spark):
+        from collections import Counter
+
+        from h3_indexer_spark.operators.textops import collocations
+
+        texts = [
+            "the big dog chased the big cat",
+            "a big dog and a big dog ran",
+            "the cat saw the big dog",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        rows = collocations(df, "text", min_count=2, k=10).collect()
+
+        toks = [t.split() for t in texts]
+        uni = Counter(w for ws in toks for w in ws)
+        bi = Counter(
+            (ws[i], ws[i + 1]) for ws in toks for i in range(len(ws) - 1)
+        )
+        n_uni = sum(uni.values())
+        n_bi = sum(bi.values())
+        assert rows, "expected at least one collocation"
+        for r in rows:
+            w1, w2 = r["bigram"].split(" ")
+            c_xy = bi[(w1, w2)]
+            assert r["c_xy"] == c_xy >= 2
+            assert r["c_w1"] == uni[w1] and r["c_w2"] == uni[w2]
+            expect = (
+                (float(c_xy) * float(n_uni)) * float(n_uni)
+            ) / ((float(n_bi) * float(uni[w1])) * float(uni[w2]))
+            assert r["lift"] == expect
+        # 'big dog' (3 of 17 bigrams) must outrank 'the big' (2)
+        lifts = {r["bigram"]: r["lift"] for r in rows}
+        assert lifts["big dog"] > lifts["the big"]
+
+    def test_min_count_filter(self, spark):
+        from h3_indexer_spark.operators.textops import collocations
+
+        df = spark.createDataFrame(
+            [("x y x y",), ("z w",)], "text string"
+        )
+        rows = collocations(df, "text", min_count=2, k=10).collect()
+        assert [r["bigram"] for r in rows] == ["x y"]
+
+    def test_bad_min_count_raises(self, spark):
+        from h3_indexer_spark.operators.textops import collocations
+
+        df = spark.createDataFrame([("a b",)], "text string")
+        with pytest.raises(ValueError):
+            collocations(df, min_count=0)
+
+
+class TestBenford:
+    def test_digit_extraction_and_fracs(self, spark):
+        import math
+
+        from h3_indexer_spark.operators.analytics import (
+            BENFORD_EXPECTED,
+            benford_profile,
+        )
+
+        vals = [1.00, 1.23, 19.99, 23.45, 234.5, 0.001, 900.0, 95.5]
+        # 0.001*100 = 0.1 < 1 → excluded; digits: 1,1,1,2,2,9,9
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        rows = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+        assert set(rows) == {1, 2, 9}
+        assert rows[1]["n"] == 3 and rows[2]["n"] == 2 and rows[9]["n"] == 2
+        assert rows[1]["frac"] == 3.0 / 7.0
+        for d, r in rows.items():
+            assert r["expected"] == float(BENFORD_EXPECTED[d - 1])
+            assert abs(r["expected"] - math.log10(1 + 1 / d)) < 1e-12
+            assert r["abs_dev"] == abs(r["frac"] - r["expected"])
+
+    def test_uniform_digits_deviate_and_sum_to_one(self, spark):
+        from h3_indexer_spark.operators.analytics import benford_profile
+
+        df = spark.createDataFrame(
+            [(float(d) * 10.0,) for d in range(1, 10)] * 5, "v double"
+        )
+        rows = benford_profile(df, "v").collect()
+        assert [r["digit"] for r in rows] == list(range(1, 10))
+        assert sum(r["n"] for r in rows) == 45
+        assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-12
+        # uniform digits over-represent 9 vs Benford
+        assert rows[-1]["frac"] > rows[-1]["expected"]
+
+
+class TestGroupConcat:
+    def test_sorted_join_and_count(self, spark):
+        from h3_indexer_spark.operators.relational import group_concat
+
+        df = spark.createDataFrame(
+            [(1, "b"), (1, "a"), (1, "c"), (2, "z")],
+            "g int, v string",
+        )
+        rows = {r["g"]: r for r in group_concat(df, "g", "v").collect()}
+        assert rows[1]["concat"] == "a,b,c" and rows[1]["n_items"] == 3
+        assert rows[2]["concat"] == "z" and rows[2]["n_items"] == 1
+
+    def test_order_is_value_not_arrival(self, spark):
+        """Reversed input order must not change the output — the whole
+        point vs a bare collect_list."""
+        from h3_indexer_spark.operators.relational import group_concat
+
+        fwd = [(1, f"v{i:02d}") for i in range(20)]
+        rev = list(reversed(fwd))
+        a = group_concat(
+            spark.createDataFrame(fwd, "g int, v string"), "g", "v"
+        ).collect()[0]["concat"]
+        b = group_concat(
+            spark.createDataFrame(rev, "g int, v string")
+            .repartition(7), "g", "v"
+        ).collect()[0]["concat"]
+        assert a == b == ",".join(f"v{i:02d}" for i in range(20))
+
+    def test_multi_group_keys(self, spark):
+        from h3_indexer_spark.operators.relational import group_concat
+
+        df = spark.createDataFrame(
+            [(1, "x", "b"), (1, "x", "a"), (1, "y", "c")],
+            "g int, h string, v string",
+        )
+        rows = {
+            (r["g"], r["h"]): r["concat"]
+            for r in group_concat(df, ["g", "h"], "v").collect()
+        }
+        assert rows == {(1, "x"): "a,b", (1, "y"): "c"}
+
+
+class TestCalibrationBins:
+    def test_bins_and_rates(self, spark):
+        from h3_indexer_spark.operators.analytics import calibration_bins
+
+        rows_in = [
+            (0.05, 0), (0.08, 1),           # bin 0
+            (0.55, 1), (0.58, 1), (0.52, 0),  # bin 5
+            (1.0, 1),                        # clamps to bin 9
+        ]
+        df = spark.createDataFrame(rows_in, "score double, label int")
+        rows = {r["bin"]: r for r in calibration_bins(df, "score", "label").collect()}
+        assert set(rows) == {0, 5, 9}
+        assert rows[0]["n"] == 2 and rows[0]["positives"] == 1
+        assert rows[0]["pos_rate"] == 0.5
+        assert rows[0]["mean_score"] == pytest.approx(0.065, abs=1e-9)
+        assert rows[5]["n"] == 3 and rows[5]["positives"] == 2
+        assert rows[9]["n"] == 1 and rows[9]["pos_rate"] == 1.0
+
+    def test_null_scores_excluded_and_bad_bins_raise(self, spark):
+        from h3_indexer_spark.operators.analytics import calibration_bins
+
+        df = spark.createDataFrame(
+            [(None, 1), (0.2, 0)], "score double, label int"
+        )
+        rows = calibration_bins(df, "score", "label").collect()
+        assert len(rows) == 1 and rows[0]["bin"] == 2
+        with pytest.raises(ValueError):
+            calibration_bins(df, "score", "label", n_bins=0)
