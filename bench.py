@@ -142,6 +142,10 @@ HEADLINE = [
     "q_bfs_hops",
     "q_collocations",
     "q_benford",
+    "q_label_vote",
+    "q_cohens_kappa",
+    "q_embed_normalize",
+    "q_ndcg",
 ]
 
 

@@ -13,6 +13,7 @@ throughput comparisons across factors are apples-to-apples.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -675,10 +676,120 @@ def round7_scale(max_factor: int = 50) -> None:
         d2.unpersist()
 
 
+def round7b_scale(max_factor: int = 50) -> None:
+    """Round-7 continuation curves: collocations, calibration,
+    Benford, BFS hops, and the hybrid RRF retrieval pipeline, over
+    disjoint-copy-scaled inputs.
+
+    Run: ``python examples/scale_check.py <max_factor> round7b``."""
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.analytics import (
+        benford_profile,
+        calibration_bins,
+    )
+    from h3_indexer_spark.operators.graph import bfs_hops
+    from h3_indexer_spark.operators.retrieval import rrf_fuse
+    from h3_indexer_spark.operators.textops import bm25_scores, collocations
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r7b", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    for factor in (1, 5, 20, max_factor):
+        d = scaled(docs, "doc_id", factor).localCheckpoint()
+        n = d.count()
+        timed(f"collocations x{factor}", collocations(d, "text", 5, 30), n)
+
+        o = scaled(orders, "o_orderkey", factor).localCheckpoint()
+        no = o.count()
+        timed(f"benford x{factor}", benford_profile(o, "o_totalprice"), no)
+
+        s = scaled(li.withColumn("_id", F.monotonically_increasing_id()),
+                   "_id", factor).select(
+            (F.col("l_discount") * F.lit(10.0)).alias("score"),
+            (F.col("l_returnflag") == F.lit("R")).cast("int").alias("y"),
+        ).localCheckpoint()
+        ns = s.count()
+        timed(f"calibration x{factor}",
+              calibration_bins(s, "score", "y", 10), ns)
+
+        # hybrid RRF: BM25 pool + cosine pool, fused; rows = docs scanned
+        sparse = bm25_scores(d, ["join", "query", "spark", "stream"],
+                             "text", "doc_id", k=50)
+        from pyspark.sql import Window as W
+        sr = sparse.select("doc_id", F.row_number().over(
+            W.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        ).alias("rank"))
+        e = scaled(emb, "vec_id", factor).localCheckpoint()
+        ne = e.count()
+        q = [((i * 37) % 128 - 64) / 64.0 for i in range(
+            len(e.select("embedding").first()[0]))]
+        dot = " + ".join(
+            f"CAST(embedding[{i}] AS DOUBLE) * ({v!r})"
+            for i, v in enumerate(q))
+        nrm = " + ".join(
+            f"CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)"
+            for i in range(len(q)))
+        import math
+        qn = math.sqrt(sum(v * v for v in q))
+        dr = e.select(F.col("vec_id").alias("doc_id"), F.expr(
+            f"({dot}) / (sqrt({nrm}) * ({qn!r}))").alias("sim")
+        ).orderBy(F.col("sim").desc(), F.col("doc_id").asc()).limit(50
+        ).select("doc_id", F.row_number().over(
+            W.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+        ).alias("rank"))
+        timed(f"rrf_hybrid x{factor}",
+              rrf_fuse({"dense": dr, "sparse": sr}, "doc_id", topk=20),
+              n + ne)
+
+        # BFS over the co-purchase graph: copies must shift BOTH keys
+        # (orderkey-only copies collapse under the pair distinct), and
+        # each copy carries its own seed set so the frontier scales.
+        base = li.select("l_orderkey", "l_partkey").distinct()
+        shift_o = base.agg(F.max("l_orderkey")).first()[0] + 1
+        shift_p = base.agg(F.max("l_partkey")).first()[0] + 10
+        lis = None
+        for i in range(factor):
+            c = base.select(
+                (F.col("l_orderkey") + F.lit(i * shift_o)).alias("o"),
+                (F.col("l_partkey") + F.lit(i * shift_p)).alias("p"),
+            )
+            lis = c if lis is None else lis.unionByName(c)
+        lis = lis.localCheckpoint()
+        a = lis.select(F.col("o").alias("_b"), F.col("p").alias("src"))
+        b = lis.select(F.col("o").alias("_b"), F.col("p").alias("dst"))
+        edges = (a.join(b, "_b").where(F.col("src") < F.col("dst"))
+                 .select("src", "dst").distinct().localCheckpoint())
+        nedge = edges.count()
+        srcs = lis.select(F.col("p").alias("node")).where(
+            (F.col("node") % F.lit(shift_p)) <= 20).distinct()
+        # bfs_hops materializes eagerly (per-round localCheckpoint),
+        # so the construction IS the work — time it directly.
+        t0 = time.perf_counter()
+        res = bfs_hops(edges, srcs, max_hops=3)
+        res.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(f"bfs_hops(3) x{factor} (edges)                 "
+              f"rows={nedge:>10,} wall={dt:7.2f}s "
+              f"throughput={nedge / dt:>12,.0f} rows/s", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[2] == "round6":
         round6_scale(int(sys.argv[1]))
     elif len(sys.argv) > 2 and sys.argv[2] == "round7":
         round7_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round7b":
+        round7b_scale(int(sys.argv[1]))
     else:
         main()

@@ -1,0 +1,131 @@
+"""Annotation / weak-supervision operators: label aggregation and
+inter-annotator agreement.
+
+Training-data pipelines rarely get one clean label per item: they get
+MANY noisy ones (crowd workers, labeling functions, model ensembles,
+LLM judges) and need (a) a deterministic aggregation into a single
+training label and (b) a quality readout on how much the annotators
+actually agree. Both are pure conditional-aggregation plans — one
+item-keyed shuffle for the vote, one label-keyed fold for agreement —
+nothing leaves the JVM.
+
+Beyond-reference surface (the reference engine has no labeling layer);
+part of the LLM-data-pipeline extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def majority_label(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Majority-vote label aggregation: one row per item with the
+    winning label, its vote count, the total votes, and the agreement
+    ratio (top_count / n_votes — the per-item confidence most
+    weak-supervision pipelines threshold on before training).
+
+    Ties break deterministically to the SMALLEST label (count desc,
+    label asc) — aggregation must not inherit the annotator arrival
+    order. NULL labels are abstentions and are dropped before voting
+    (items where everyone abstained disappear — by design: no vote,
+    no label).
+
+    Scale shape: one (item, label) count shuffle, then a per-item
+    WindowGroupLimit rank (k=1 pushed into the shuffle read); the
+    agreement ratio is one division of exact BIGINT counts.
+    """
+    votes = (
+        df.where(F.col(label_col).isNotNull())
+        .groupBy(item_col, label_col)
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy(item_col).orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    totals = F.sum("votes").over(Window.partitionBy(item_col))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_votes", totals.cast("bigint"))
+        .where(F.col("_rn") == 1)
+        .select(
+            item_col,
+            F.col(label_col).alias("top_label"),
+            F.col("votes").cast("bigint").alias("top_count"),
+            "n_votes",
+            (
+                F.col("votes").cast("double")
+                / F.col("n_votes").cast("double")
+            ).alias("agreement"),
+        )
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa between two raters over co-labeled items — the
+    standard chance-corrected inter-annotator agreement (Cohen 1960):
+    kappa = (p_o − p_e) / (1 − p_e), with p_o the observed agreement
+    rate and p_e the expected-by-chance rate from the raters'
+    marginal label distributions.
+
+    Exactness shape: rows where either label is NULL are dropped;
+    n_items and n_agree are exact BIGINTs; p_o is ONE division;
+    p_e = Σ_k n_a(k)·n_b(k) / n², where the numerator is an exact
+    BIGINT sum (products of counts — no per-label float division, so
+    no engine-owned float accumulation order) and the division
+    happens ONCE. kappa is then three IEEE ops on two deterministic
+    doubles. Returns a single readout row:
+    (n_items, n_agree, po, pe, kappa); kappa is NULL when p_e = 1
+    (both raters constant — chance correction undefined).
+
+    Scale shape: one conditional-sum scan for n/agree, one
+    label-keyed count per rater (full-outer aligned), and a 1-row
+    fold — nothing wider than the label key shuffles.
+    """
+    labeled = df.where(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    ).select(
+        F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b")
+    )
+    base = labeled.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.when(F.col("_a") == F.col("_b"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_agree"),
+    )
+    ca = labeled.groupBy(F.col("_a").alias("_k")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    cb = labeled.groupBy(F.col("_b").alias("_k")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    cross = (
+        ca.join(cb, "_k", "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("n_a"), F.lit(0))
+                * F.coalesce(F.col("n_b"), F.lit(0))
+            ).alias("_prod")
+        )
+        .agg(F.sum("_prod").cast("bigint").alias("sum_prod"))
+    )
+    n = F.col("n_items").cast("double")
+    po = F.col("n_agree").cast("double") / n
+    pe = F.col("sum_prod").cast("double") / (n * n)
+    return base.crossJoin(F.broadcast(cross)).select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("n_agree"),
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(pe < F.lit(1.0), (po - pe) / (F.lit(1.0) - pe)).alias(
+            "kappa"
+        ),
+    )

@@ -29,7 +29,7 @@ LLM-data-pipeline extension mandated by the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -150,4 +150,124 @@ def retrieval_eval(
         F.coalesce(
             F.lit(1.0) / F.col("first_rank").cast("double"), F.lit(0.0)
         ).alias("rr"),
+    )
+
+
+# 1/log2(i+1) for ranks i = 1..10, fixed to full repr precision so the
+# SAME literal text appears in the Spark plan and any SQL oracle —
+# neither engine evaluates log2 at runtime (the ulp-divergent op).
+NDCG_DISCOUNTS: tuple[str, ...] = (
+    "1.0",
+    "0.6309297535714575",
+    "0.5",
+    "0.43067655807339306",
+    "0.38685280723454163",
+    "0.3562071871080222",
+    "0.3333333333333333",
+    "0.31546487678572877",
+    "0.3010299956639812",
+    "0.2890648263178879",
+)
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query",
+    key_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per query — the graded-relevance ranking metric
+    (Järvelin & Kekäläinen 2002), with linear gain: DCG = Σ rel_i /
+    log2(i+1) over the top-k returned, IDCG the same sum over the
+    query's relevance grades sorted descending, NDCG = DCG / IDCG
+    (NULL when the query has no relevant documents).
+
+    Determinism shape (the bm25 recipe): the discounts are FIXED
+    literals (``NDCG_DISCOUNTS`` — no runtime log2), each rank's
+    gain pivots to ONE column via conditional aggregation, and both
+    weighted sums add their k terms in literal rank order — never a
+    float SUM whose accumulation order the engine owns. Every gain is
+    an exact integer, so DCG/IDCG are fixed IEEE sequences and the
+    final NDCG is one division.
+
+    ``k`` is capped at len(NDCG_DISCOUNTS) = 10 (extend the literal
+    table to raise it — deliberately explicit, since each extra rank
+    adds a pivot column). Scale shape: one (query, key) join, one
+    query-keyed conditional aggregation for DCG; IDCG ranks the
+    qrels per query (judgment sets are human-bounded, so this window
+    is small by construction).
+    """
+    if not 1 <= k <= len(NDCG_DISCOUNTS):
+        raise ValueError(
+            f"k must be in 1..{len(NDCG_DISCOUNTS)} "
+            "(extend NDCG_DISCOUNTS for larger cuts)"
+        )
+    w = [float(x) for x in NDCG_DISCOUNTS[:k]]
+
+    rel_ranked = ranked.join(
+        qrels.select(query_col, key_col, rel_col), on=[query_col, key_col]
+    )
+    dcg_rows = rel_ranked.groupBy(query_col).agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(rank_col) == i + 1,
+                    F.col(rel_col).cast("bigint"),
+                )
+            ).alias(f"g_{i}")
+            for i in range(k)
+        ]
+    )
+    dcg = None
+    for i in range(k):
+        term = F.coalesce(F.col(f"g_{i}").cast("double"), F.lit(0.0)) * F.lit(
+            w[i]
+        )
+        dcg = term if dcg is None else dcg + term
+
+    iw = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(key_col).asc()
+    )
+    ideal = (
+        qrels.where(F.col(rel_col) > 0)
+        .withColumn("_ir", F.row_number().over(iw))
+        .where(F.col("_ir") <= k)
+        .groupBy(query_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("_ir") == i + 1,
+                        F.col(rel_col).cast("bigint"),
+                    )
+                ).alias(f"ig_{i}")
+                for i in range(k)
+            ]
+        )
+    )
+    idcg = None
+    for i in range(k):
+        term = F.coalesce(
+            F.col(f"ig_{i}").cast("double"), F.lit(0.0)
+        ) * F.lit(w[i])
+        idcg = term if idcg is None else idcg + term
+
+    queries = qrels.select(query_col).distinct()
+    out = (
+        queries.join(dcg_rows.select(query_col, dcg.alias("dcg")),
+                     query_col, "left")
+        .join(ideal.select(query_col, idcg.alias("idcg")),
+              query_col, "left")
+    )
+    d = F.coalesce(F.col("dcg"), F.lit(0.0))
+    return out.select(
+        query_col,
+        d.alias("dcg"),
+        F.col("idcg"),
+        F.when(F.col("idcg") > F.lit(0.0), d / F.col("idcg")).alias(
+            "ndcg"
+        ),
     )

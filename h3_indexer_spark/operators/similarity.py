@@ -333,3 +333,39 @@ def ivf_assign(
         return pd.Series((m @ c_mat).argmax(axis=1).astype(np.int32))
 
     return df.withColumn("ivf_cell", assign(F.col(vec_col)))
+
+
+def normalize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "normalized",
+) -> DataFrame:
+    """L2-normalize an embedding column to unit length — the prep step
+    that turns every downstream cosine into a plain dot product (and
+    the one most ANN indexes require at build time). Output keeps the
+    input columns and appends ``out_col`` (array<double>) plus
+    ``l2_norm`` (the pre-normalization magnitude — the natural
+    zero-vector/NaN screen).
+
+    Pure narrow expressions: the squared-norm folds left-to-right in
+    declared element order via ``aggregate`` (deterministic IEEE
+    sequence, same recipe as the cosine oracles), transform divides
+    each component once. Zero vectors normalize to NULL rather than a
+    0/0 NaN array. No shuffle, no Python.
+    """
+    acc = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(acc)
+    return df.withColumn("l2_norm", norm).withColumn(
+        out_col,
+        F.when(
+            F.col("l2_norm") > F.lit(0.0),
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double") / F.col("l2_norm"),
+            ),
+        ),
+    )

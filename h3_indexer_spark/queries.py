@@ -6845,6 +6845,11 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h3_indexer_spark.operators.textops import bm25_scores
 
     docs = load(spark, sf_dir, "documents")
+    # rank derivation pattern: TakeOrderedAndProject cuts the corpus
+    # to the 50-row candidate pool FIRST (no single-partition window
+    # over the full table), then row_number runs over 50 rows — the
+    # global-window warning the naive formulation triggers is the
+    # exact anti-pattern this avoids at scale.
     sparse = bm25_scores(docs, _BM25_TERMS, "text", "doc_id", k=50).select(
         "doc_id",
         F.row_number()
@@ -6856,18 +6861,17 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = _norm_sql("embedding", one_based=False)
     qn = _q_norm_const()
     sim = F.expr(f"({dot}) / (sqrt({norm}) * ({qn!r}))").alias("cosine_sim")
-    dense = (
+    dense_pool = (
         load(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("doc_id"), sim)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(
-                W.orderBy(F.col("cosine_sim").desc(), F.col("doc_id").asc())
-            )
-            .alias("rank"),
-        )
-        .where(F.col("rank") <= 50)
+        .orderBy(F.col("cosine_sim").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    dense = dense_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cosine_sim").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
     )
     return rrf_fuse(
         {"dense": dense, "sparse": sparse}, "doc_id", k0=60, topk=20
@@ -6929,16 +6933,19 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = spark.createDataFrame(
         [(t,) for t in sorted(set(_BM25_TERMS))], "term string"
     )
-    ranked = (
-        docs.select(
-            "doc_id",
-            F.row_number()
-            .over(W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
-            .alias("rank"),
-        )
-        .where(F.col("rank") <= 20)
-        .crossJoin(F.broadcast(terms))
+    # top-20 pool via TakeOrderedAndProject, THEN rank the 20 rows —
+    # never a full-corpus single-partition window (q_rrf_fusion note)
+    pool = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(20)
     )
+    ranked = pool.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    ).crossJoin(F.broadcast(terms))
     toks = F.filter(
         F.split(
             F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]", " ")),
@@ -7282,3 +7289,299 @@ _WINDOW_ADDS = [
 _order = [k for k in QUERIES if k not in _WINDOW_ADDS]
 _order = _order[:43] + _WINDOW_ADDS + _order[43:]
 QUERIES = {k: QUERIES[k] for k in _order}
+
+
+def q_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label aggregation (operators/labeling.py::
+    majority_label): each user's dominant event type with vote counts
+    and the agreement ratio — the weak-supervision label-merge shape
+    (annotators → training label) on the events fixture. Ties break
+    (count desc, label asc); agreement is one exact division."""
+    from h3_indexer_spark.operators.labeling import majority_label
+
+    return majority_label(
+        load(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
+_LABEL_VOTE_ORACLE = """
+    WITH votes AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS votes
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    r AS (
+        SELECT user_id, event_type, votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY votes DESC, event_type ASC
+               ) AS rn,
+               CAST(SUM(votes) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_votes
+        FROM votes
+    )
+    SELECT user_id,
+           event_type AS top_label,
+           votes AS top_count,
+           n_votes,
+           CAST(votes AS DOUBLE) / CAST(n_votes AS DOUBLE) AS agreement
+    FROM r WHERE rn = 1
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (operators/labeling.py::
+    cohens_kappa) between the documents table's stored ``lang`` and
+    the engine's own language_id prediction — the chance-corrected
+    kappa readout an annotation-quality gate runs. One row; p_o and
+    p_e are single divisions of exact integer folds."""
+    from h3_indexer_spark.operators.labeling import cohens_kappa
+    from h3_indexer_spark.operators.textops import language_id
+
+    docs = language_id(load(spark, sf_dir, "documents"))
+    return cohens_kappa(docs, "lang", "lang_pred")
+
+
+def _cohens_kappa_oracle() -> str:
+    return f"""
+        WITH pred AS ({_lang_oracle()}),
+        lab AS (
+            SELECT d.lang AS a, p.lang_pred AS b
+            FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+            WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL
+        ),
+        base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM lab
+        ),
+        ca AS (SELECT a AS k, COUNT(*) AS n_a FROM lab GROUP BY a),
+        cb AS (SELECT b AS k, COUNT(*) AS n_b FROM lab GROUP BY b),
+        cross_sum AS (
+            SELECT CAST(SUM(COALESCE(n_a, 0) * COALESCE(n_b, 0))
+                        AS BIGINT) AS sum_prod
+            FROM ca FULL OUTER JOIN cb USING (k)
+        )
+        SELECT n_items, n_agree,
+               CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE) AS po,
+               CAST(sum_prod AS DOUBLE)
+                   / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE))
+                   AS pe,
+               CASE WHEN CAST(sum_prod AS DOUBLE)
+                         / (CAST(n_items AS DOUBLE)
+                            * CAST(n_items AS DOUBLE)) < 1.0
+                    THEN (CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE)
+                          - CAST(sum_prod AS DOUBLE)
+                            / (CAST(n_items AS DOUBLE)
+                               * CAST(n_items AS DOUBLE)))
+                         / (1.0 - CAST(sum_prod AS DOUBLE)
+                            / (CAST(n_items AS DOUBLE)
+                               * CAST(n_items AS DOUBLE)))
+               END AS kappa
+        FROM base, cross_sum
+    """
+
+
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (operators/similarity.py::
+    normalize_embeddings) with a scalar contract readout (the driver
+    comparator cannot hash array cells): per vector, the original
+    magnitude and the first normalized component. The norm fold and
+    the division are the identical IEEE sequence in both engines."""
+    from h3_indexer_spark.operators.similarity import normalize_embeddings
+
+    out = normalize_embeddings(load(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "l2_norm",
+        F.element_at(F.col("normalized"), 1).alias("c0"),
+    )
+
+
+def _embed_normalize_oracle() -> str:
+    norm = _norm_sql("embedding", one_based=True)
+    return f"""
+        SELECT vec_id,
+               sqrt({norm}) AS l2_norm,
+               CASE WHEN sqrt({norm}) > 0.0
+                    THEN CAST(embedding[1] AS DOUBLE) / sqrt({norm})
+               END AS c0
+        FROM embeddings
+    """
+
+
+QUERIES["q_label_vote"] = q_label_vote
+QUERIES["q_cohens_kappa"] = q_cohens_kappa
+QUERIES["q_embed_normalize"] = q_embed_normalize
+ORACLES["q_label_vote"] = _LABEL_VOTE_ORACLE
+ORACLES["q_cohens_kappa"] = _cohens_kappa_oracle()
+ORACLES["q_embed_normalize"] = _embed_normalize_oracle()
+
+# Final window order: ALL ten round-7-continuation keys at positions
+# 41-50 (one reorder — the two incremental splices above would
+# otherwise push each other past 50). The ten displaced keys
+# (dedup_spans_global, knn_brute/lsh, fuzzy/asof/interval/range join,
+# fingerprint, decontaminate×2) all hold green driver rows from
+# rounds 3-6; the coverage invariant is re-checked by
+# tests/test_entry.py::test_every_oracle_key_has_a_driver_row.
+_WINDOW_ADDS_B = _WINDOW_ADDS + [
+    "q_label_vote", "q_cohens_kappa", "q_embed_normalize",
+]
+_order_b = [k for k in QUERIES if k not in _WINDOW_ADDS_B]
+_order_b = _order_b[:40] + _WINDOW_ADDS_B + _order_b[40:]
+QUERIES = {k: QUERIES[k] for k in _order_b}
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking evaluation (operators/retrieval.py::ndcg_at_k):
+    the n_chars-prior baseline ranking scored against GRADED
+    term-frequency relevance (rel = min(tf, 3)) for the fixed 4-term
+    query set. Discounts are fixed 1/log2(i+1) literals and both
+    weighted sums add in literal rank order — engine-exact without
+    runtime logarithms."""
+    from pyspark.sql import Window as W
+
+    from h3_indexer_spark.operators.retrieval import ndcg_at_k
+
+    docs = load(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [(t,) for t in sorted(set(_BM25_TERMS))], "term string"
+    )
+    pool = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    ranked = pool.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    ).crossJoin(F.broadcast(terms))
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]", " ")),
+            r"\s+",
+        ),
+        lambda t: F.length(t) > 0,
+    )
+    tf = F.size(
+        F.filter(F.col("toks"), lambda t: t == F.col("term"))
+    ).cast("bigint")
+    qrels = (
+        docs.select("doc_id", toks.alias("toks"))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            "term",
+            "doc_id",
+            F.least(tf, F.lit(3).cast("bigint")).alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+    )
+    return ndcg_at_k(
+        ranked, qrels, query_col="term", key_col="doc_id",
+        rank_col="rank", rel_col="rel", k=10,
+    )
+
+
+def _ndcg_oracle() -> str:
+    from h3_indexer_spark.operators.retrieval import NDCG_DISCOUNTS
+
+    terms = ", ".join(f"('{t}')" for t in sorted(set(_BM25_TERMS)))
+    k = 10
+    g_cols = ",\n                   ".join(
+        f"MAX(CASE WHEN r.rank = {i + 1} THEN q.rel END) AS g_{i}"
+        for i in range(k)
+    )
+    ig_cols = ",\n                   ".join(
+        f"MAX(CASE WHEN ir = {i + 1} THEN rel END) AS ig_{i}"
+        for i in range(k)
+    )
+    dcg_expr = " + ".join(
+        f"COALESCE(CAST(g_{i} AS DOUBLE), 0.0)"
+        f" * CAST({NDCG_DISCOUNTS[i]} AS DOUBLE)"
+        for i in range(k)
+    )
+    idcg_expr = " + ".join(
+        f"COALESCE(CAST(ig_{i} AS DOUBLE), 0.0)"
+        f" * CAST({NDCG_DISCOUNTS[i]} AS DOUBLE)"
+        for i in range(k)
+    )
+    return rf"""
+        WITH terms(term) AS (VALUES {terms}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(
+                           lower(regexp_replace(text, '[^\w\s]', ' ', 'g')),
+                           '\s+'),
+                       x -> len(x) > 0) AS toks
+            FROM documents
+        ),
+        pool AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS BIGINT) AS rank
+            FROM documents
+            QUALIFY rank <= 20
+        ),
+        ranked AS (SELECT t.term, p.doc_id, p.rank FROM pool p, terms t),
+        qrels AS (
+            SELECT t.term, d.doc_id,
+                   LEAST(CAST(len(list_filter(d.toks, x -> x = t.term))
+                              AS BIGINT), CAST(3 AS BIGINT)) AS rel
+            FROM toks d, terms t
+            WHERE len(list_filter(d.toks, x -> x = t.term)) > 0
+        ),
+        g AS (
+            SELECT r.term,
+                   {g_cols}
+            FROM ranked r JOIN qrels q
+              ON r.term = q.term AND r.doc_id = q.doc_id
+            GROUP BY r.term
+        ),
+        g2 AS (SELECT term, {dcg_expr} AS dcg FROM g),
+        ideal AS (
+            SELECT term,
+                   {ig_cols}
+            FROM (
+                SELECT term, rel,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY term
+                           ORDER BY rel DESC, doc_id ASC
+                       ) AS ir
+                FROM qrels WHERE rel > 0
+            )
+            WHERE ir <= {k}
+            GROUP BY term
+        ),
+        i2 AS (SELECT term, {idcg_expr} AS idcg FROM ideal),
+        q AS (SELECT DISTINCT term FROM qrels)
+        SELECT q.term,
+               COALESCE(g2.dcg, 0.0) AS dcg,
+               i2.idcg,
+               CASE WHEN i2.idcg > 0.0
+                    THEN COALESCE(g2.dcg, 0.0) / i2.idcg
+               END AS ndcg
+        FROM q
+        LEFT JOIN g2 ON q.term = g2.term
+        LEFT JOIN i2 ON q.term = i2.term
+    """
+
+
+QUERIES["q_ndcg"] = q_ndcg
+ORACLES["q_ndcg"] = _ndcg_oracle()
+
+# Canonical final window order (supersedes the incremental splices
+# above): ALL eleven round-7-continuation keys pinned to positions
+# 40-50. Every displaced key holds green driver rows from rounds 3-6;
+# tests/test_entry.py::test_every_oracle_key_has_a_driver_row
+# re-checks the union-coverage invariant.
+_WINDOW_R7C = _WINDOW_ADDS_B + ["q_ndcg"]
+_order_c = [k for k in QUERIES if k not in _WINDOW_R7C]
+_order_c = _order_c[:39] + _WINDOW_R7C + _order_c[39:]
+QUERIES = {k: QUERIES[k] for k in _order_c}

@@ -302,3 +302,24 @@ def test_round7_plan_properties(spark):
     # (the only window input is the level aggregate) and no join
     plan = _plan(spark, "q_gini")
     assert "Join" not in plan, plan
+
+
+def test_round7b_plan_properties(spark):
+    """Round-7 continuation locks."""
+    # hybrid RRF: rank pools come from TakeOrderedAndProject (heap
+    # top-k per partition + merge), NEVER a single-partition window
+    # over the full corpus; the fuse itself is a small outer join.
+    plan = _plan(spark, "q_rrf_fusion")
+    assert "TakeOrderedAndProject" in plan, plan
+    # retrieval eval: same pool shape for the baseline ranking
+    plan = _plan(spark, "q_retrieval_eval")
+    assert "TakeOrderedAndProject" in plan, plan
+    # calibration: one scan into a bin-keyed partial aggregation —
+    # no join, no window
+    plan = _plan(spark, "q_calibration")
+    assert "partial" in plan.lower(), plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+    # benford: digit-keyed aggregation; the only window is the 9-row
+    # total fold (runs after the groupBy, over digits, not the corpus)
+    plan = _plan(spark, "q_benford")
+    assert "HashAggregate" in plan, plan

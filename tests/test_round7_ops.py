@@ -1163,3 +1163,142 @@ class TestCalibrationBins:
         assert len(rows) == 1 and rows[0]["bin"] == 2
         with pytest.raises(ValueError):
             calibration_bins(df, "score", "label", n_bins=0)
+
+
+class TestMajorityLabel:
+    def test_vote_tiebreak_and_abstentions(self, spark):
+        from h3_indexer_spark.operators.labeling import majority_label
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"),
+             (2, "b"), (2, "a"),            # tie → smallest label wins
+             (3, None), (3, "c"),
+             (4, None)],                     # all-abstain → dropped
+            "item int, label string",
+        )
+        rows = {r["item"]: r for r in majority_label(df, "item", "label").collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["top_label"] == "a" and rows[1]["top_count"] == 2
+        assert rows[1]["n_votes"] == 3
+        assert rows[1]["agreement"] == 2.0 / 3.0
+        assert rows[2]["top_label"] == "a" and rows[2]["agreement"] == 0.5
+        assert rows[3]["top_label"] == "c" and rows[3]["n_votes"] == 1
+
+
+class TestCohensKappa:
+    def test_known_kappa(self, spark):
+        from h3_indexer_spark.operators.labeling import cohens_kappa
+
+        # classic 2x2: a=20 agree-yes, d=15 agree-no, b=10, c=5 → n=50
+        rows_in = (
+            [("y", "y")] * 20 + [("n", "n")] * 15
+            + [("y", "n")] * 10 + [("n", "y")] * 5
+        )
+        df = spark.createDataFrame(rows_in, "a string, b string")
+        r = cohens_kappa(df, "a", "b").collect()[0]
+        assert r["n_items"] == 50 and r["n_agree"] == 35
+        assert r["po"] == 0.7
+        # marginals: a: y=30,n=20; b: y=25,n=25 → pe=(30*25+20*25)/2500=0.5
+        assert r["pe"] == 0.5
+        assert r["kappa"] == pytest.approx(0.4, abs=1e-12)
+
+    def test_constant_raters_null_kappa_and_null_drop(self, spark):
+        from h3_indexer_spark.operators.labeling import cohens_kappa
+
+        df = spark.createDataFrame(
+            [("x", "x"), ("x", "x"), ("x", None)], "a string, b string"
+        )
+        r = cohens_kappa(df, "a", "b").collect()[0]
+        assert r["n_items"] == 2 and r["po"] == 1.0 and r["pe"] == 1.0
+        assert r["kappa"] is None
+
+
+class TestNormalizeEmbeddings:
+    def test_unit_norm_and_zero_vector(self, spark):
+        import math
+
+        from h3_indexer_spark.operators.similarity import (
+            normalize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+            "vec_id int, embedding array<double>",
+        )
+        rows = {r["vec_id"]: r for r in normalize_embeddings(df).collect()}
+        assert rows[1]["l2_norm"] == 5.0
+        assert rows[1]["normalized"] == [0.6, 0.8]
+        assert rows[2]["normalized"] is None and rows[2]["l2_norm"] == 0.0
+        got = math.sqrt(sum(x * x for x in rows[1]["normalized"]))
+        assert got == pytest.approx(1.0, abs=1e-15)
+
+
+class TestNdcg:
+    @staticmethod
+    def _py_ndcg(ranked, qrels, k=10):
+        import math
+
+        rel = {(q, d): r for q, d, r in qrels}
+        out = {}
+        for q in {q for q, _, _ in qrels}:
+            dcg = sum(
+                rel.get((q, d), 0) / math.log2(rk + 1)
+                for qq, d, rk in ranked
+                if qq == q and rk <= k
+            )
+            ideal = sorted(
+                (r for qq, _, r in qrels if qq == q and r > 0),
+                reverse=True,
+            )[:k]
+            idcg = sum(
+                r / math.log2(i + 2) for i, r in enumerate(ideal)
+            )
+            out[q] = (dcg, idcg, dcg / idcg if idcg > 0 else None)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from h3_indexer_spark.operators.retrieval import ndcg_at_k
+
+        rng = np.random.RandomState(5)
+        queries = ["a", "b", "c"]
+        ranked = [
+            (q, int(d), rk + 1)
+            for q in queries
+            for rk, d in enumerate(rng.permutation(40)[:15])
+        ]
+        qrels = [
+            (q, d, int(rng.randint(1, 4)))
+            for q in queries
+            for d in range(0, 40, 3)
+        ]
+        got = {
+            r["term"]: (r["dcg"], r["idcg"], r["ndcg"])
+            for r in ndcg_at_k(
+                spark.createDataFrame(
+                    ranked, "term string, doc_id long, rank long"
+                ),
+                spark.createDataFrame(
+                    qrels, "term string, doc_id long, rel long"
+                ),
+                query_col="term", rel_col="rel", k=10,
+            ).collect()
+        }
+        ref = self._py_ndcg(ranked, qrels, k=10)
+        assert set(got) == set(ref)
+        for q in ref:
+            for a, b in zip(got[q], ref[q]):
+                assert a == pytest.approx(b, abs=1e-9)
+
+    def test_no_relevant_returned_and_bad_k(self, spark):
+        from h3_indexer_spark.operators.retrieval import ndcg_at_k
+
+        ranked = spark.createDataFrame(
+            [("a", 1, 1)], "term string, doc_id long, rank long"
+        )
+        qrels = spark.createDataFrame(
+            [("a", 9, 2)], "term string, doc_id long, rel long"
+        )
+        r = ndcg_at_k(ranked, qrels, query_col="term", rel_col="rel").collect()[0]
+        assert r["dcg"] == 0.0 and r["idcg"] == 2.0 and r["ndcg"] == 0.0
+        with pytest.raises(ValueError):
+            ndcg_at_k(ranked, qrels, query_col="term", rel_col="rel", k=11)
