@@ -142,6 +142,8 @@ HEADLINE = [
     "q_bfs_hops",
     "q_collocations",
     "q_benford",
+    "q_string_agg",
+    "q_calibration",
     "q_label_vote",
     "q_cohens_kappa",
     "q_embed_normalize",
