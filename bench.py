@@ -148,6 +148,8 @@ HEADLINE = [
     "q_cohens_kappa",
     "q_embed_normalize",
     "q_ndcg",
+    "q_auc",
+    "q_ks_test",
 ]
 
 

@@ -1835,3 +1835,138 @@ def calibration_bins(
             F.col("positives").cast("double") / F.col("n").cast("double")
         ).alias("pos_rate"),
     ).orderBy("bin")
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC AUC via the rank formulation (Mann-Whitney U with midrank
+    tie handling) — the threshold-free companion of calibration_bins:
+    AUC = P(score⁺ > score⁻) + ½P(score⁺ = score⁻).
+
+    Exactness shape: with midranks, 2·ΣR⁺ is an exact INTEGER
+    (Σ over score levels of n_pos·(2·first_rank + n_level − 1)), so
+    AUC = (2·ΣR⁺ − n_pos·(n_pos+1)) / (2·n_pos·n_neg) is ONE division
+    of exact BIGINTs — bit-deterministic in any engine, no float
+    accumulation anywhere.
+
+    Scale shape (the gini/skyline aggregated-levels pattern): the
+    corpus collapses to per-score-level counts FIRST, the rank window
+    runs over |distinct scores| rows — never the row count — and the
+    readout is a 1-row fold. Returns (n_pos, n_neg, sum_r2_pos, auc);
+    auc is NULL when either class is empty.
+    """
+    levels = (
+        df.where(F.col(score_col).isNotNull())
+        .select(
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_level"),
+            F.sum("_y").cast("bigint").alias("n_pos_level"),
+        )
+    )
+    w = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = levels.withColumn(
+        "first_rank",
+        (F.sum("n_level").over(w) - F.col("n_level") + F.lit(1)).cast(
+            "bigint"
+        ),
+    )
+    agg = cum.agg(
+        F.sum("n_pos_level").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n_level") - F.col("n_pos_level"))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(
+            F.col("n_pos_level")
+            * (
+                F.lit(2) * F.col("first_rank")
+                + F.col("n_level")
+                - F.lit(1)
+            )
+        ).cast("bigint").alias("sum_r2_pos"),
+    )
+    num = F.col("sum_r2_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "sum_r2_pos",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            num.cast("double") / den.cast("double"),
+        ).alias("auc"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic D = max |F_a − F_b| —
+    the distribution-drift test that catches shape changes PSI's
+    fixed bins smooth over (the pair belongs together: PSI for
+    monitored dashboards, KS for the sensitive gate).
+
+    Exactness shape: D is found as max over value levels of
+    |cum_a·n_b − cum_b·n_a| — an exact BIGINT — and divided ONCE by
+    n_a·n_b at the end; the readout row is bit-deterministic.
+
+    Scale shape: per-group level counts (one groupBy), a full-outer
+    align on the value level, running sums over |distinct values|
+    rows, and a 1-row max fold. Returns
+    (n_a, n_b, d_num, d_stat); NULL d_stat when either sample is
+    empty.
+    """
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin(group_a, group_b)
+    ).select(
+        F.col(value_col).alias("_v"),
+        F.when(F.col(group_col) == group_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_ia"),
+    )
+    levels = base.groupBy("_v").agg(
+        F.sum("_ia").cast("bigint").alias("c_a"),
+        F.sum(F.lit(1) - F.col("_ia")).cast("bigint").alias("c_b"),
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = levels.select(
+        F.sum("c_a").over(w).cast("bigint").alias("cum_a"),
+        F.sum("c_b").over(w).cast("bigint").alias("cum_b"),
+    )
+    totals = levels.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    dnum = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("n_b")
+                - F.col("cum_b") * F.col("n_a")
+            )
+        ).cast("bigint").alias("d_num")
+    )
+    return totals.crossJoin(F.broadcast(dnum)).select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+        ).alias("d_stat"),
+    )

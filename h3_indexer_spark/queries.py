@@ -7585,3 +7585,118 @@ _WINDOW_R7C = _WINDOW_ADDS_B + ["q_ndcg"]
 _order_c = [k for k in QUERIES if k not in _WINDOW_R7C]
 _order_c = _order_c[:39] + _WINDOW_R7C + _order_c[39:]
 QUERIES = {k: QUERIES[k] for k in _order_c}
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC (operators/analytics.py::roc_auc): discount as a
+    returned-flag predictor over lineitem — the rank-formulation
+    Mann-Whitney AUC with midrank ties, computed entirely in exact
+    BIGINTs over the 11 discount levels (aggregated-levels pattern);
+    one final division."""
+    from h3_indexer_spark.operators.analytics import roc_auc
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").alias("score"),
+        (F.col("l_returnflag") == F.lit("R")).cast("int").alias("label"),
+    )
+    return roc_auc(li, "score", "label")
+
+
+_AUC_ORACLE = """
+    WITH lv AS (
+        SELECT l_discount AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_level,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos_level
+        FROM lineitem
+        WHERE l_discount IS NOT NULL
+        GROUP BY l_discount
+    ),
+    c AS (
+        SELECT n_level, n_pos_level,
+               CAST(SUM(n_level) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_level + 1 AS BIGINT) AS first_rank
+        FROM lv
+    ),
+    a AS (
+        SELECT CAST(SUM(n_pos_level) AS BIGINT) AS n_pos,
+               CAST(SUM(n_level - n_pos_level) AS BIGINT) AS n_neg,
+               CAST(SUM(n_pos_level * (2 * first_rank + n_level - 1))
+                    AS BIGINT) AS sum_r2_pos
+        FROM c
+    )
+    SELECT n_pos, n_neg, sum_r2_pos,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(sum_r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                     / CAST(2 * n_pos * n_neg AS DOUBLE)
+           END AS auc
+    FROM a
+"""
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (operators/
+    analytics.py::ks_two_sample): click vs purchase event-value
+    distributions — D found as an exact-BIGINT cross-multiplied max
+    over value levels, divided once."""
+    from h3_indexer_spark.operators.analytics import ks_two_sample
+
+    return ks_two_sample(
+        load(spark, sf_dir, "events"), "value", "event_type",
+        "click", "purchase",
+    )
+
+
+_KS_ORACLE = """
+    WITH base AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    lv AS (
+        SELECT v,
+               CAST(SUM(ia) AS BIGINT) AS c_a,
+               CAST(SUM(1 - ia) AS BIGINT) AS c_b
+        FROM base GROUP BY v
+    ),
+    cum AS (
+        SELECT CAST(SUM(c_a) OVER w AS BIGINT) AS cum_a,
+               CAST(SUM(c_b) OVER w AS BIGINT) AS cum_b
+        FROM lv
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    t AS (
+        SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+               CAST(SUM(c_b) AS BIGINT) AS n_b
+        FROM lv
+    ),
+    d AS (
+        SELECT CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                   AS d_num
+        FROM cum, t
+    )
+    SELECT t.n_a, t.n_b, d.d_num,
+           CASE WHEN t.n_a > 0 AND t.n_b > 0
+                THEN CAST(d.d_num AS DOUBLE)
+                     / CAST(t.n_a * t.n_b AS DOUBLE)
+           END AS d_stat
+    FROM t, d
+"""
+
+
+QUERIES["q_auc"] = q_auc
+QUERIES["q_ks_test"] = q_ks_test
+ORACLES["q_auc"] = _AUC_ORACLE
+ORACLES["q_ks_test"] = _KS_ORACLE
+
+# Extend the canonical window rotation: thirteen continuation keys at
+# positions 38-50 (same displaced-keys-have-history invariant,
+# re-checked by test_entry).
+_WINDOW_R7D = _WINDOW_R7C + ["q_auc", "q_ks_test"]
+_order_d = [k for k in QUERIES if k not in _WINDOW_R7D]
+_order_d = _order_d[:37] + _WINDOW_R7D + _order_d[37:]
+QUERIES = {k: QUERIES[k] for k in _order_d}

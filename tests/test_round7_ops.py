@@ -1302,3 +1302,89 @@ class TestNdcg:
         assert r["dcg"] == 0.0 and r["idcg"] == 2.0 and r["ndcg"] == 0.0
         with pytest.raises(ValueError):
             ndcg_at_k(ranked, qrels, query_col="term", rel_col="rel", k=11)
+
+
+class TestRocAuc:
+    @staticmethod
+    def _py_auc(pairs):
+        # midrank Mann-Whitney reference
+        pos = sorted(s for s, y in pairs if y == 1)
+        neg = sorted(s for s, y in pairs if y == 0)
+        if not pos or not neg:
+            return None
+        wins = ties = 0
+        for p in pos:
+            import bisect
+
+            wins += bisect.bisect_left(neg, p)
+            ties += bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)
+        return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    def test_matches_reference_with_ties(self, spark):
+        from h3_indexer_spark.operators.analytics import roc_auc
+
+        rng = np.random.RandomState(9)
+        # heavy ties: scores quantized to 8 levels
+        pairs = [
+            (float(rng.randint(0, 8)) / 8.0, int(rng.rand() < 0.4))
+            for _ in range(600)
+        ]
+        df = spark.createDataFrame(pairs, "score double, label int")
+        r = roc_auc(df, "score", "label").collect()[0]
+        assert r["auc"] == pytest.approx(self._py_auc(pairs), abs=1e-12)
+        assert r["n_pos"] == sum(y for _, y in pairs)
+
+    def test_perfect_and_degenerate(self, spark):
+        from h3_indexer_spark.operators.analytics import roc_auc
+
+        df = spark.createDataFrame(
+            [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)],
+            "score double, label int",
+        )
+        assert roc_auc(df, "score", "label").collect()[0]["auc"] == 1.0
+        one_class = spark.createDataFrame(
+            [(0.5, 1), (0.7, 1)], "score double, label int"
+        )
+        assert roc_auc(one_class, "score", "label").collect()[0]["auc"] is None
+
+
+class TestKsTwoSample:
+    @staticmethod
+    def _py_ks(a, b):
+        vals = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        sa, sb = sorted(a), sorted(b)
+        import bisect
+
+        return max(
+            abs(bisect.bisect_right(sa, v) * nb - bisect.bisect_right(sb, v) * na)
+            for v in vals
+        ) / (na * nb)
+
+    def test_matches_reference(self, spark):
+        from h3_indexer_spark.operators.analytics import ks_two_sample
+
+        rng = np.random.RandomState(13)
+        a = [float(x) for x in np.round(rng.normal(0, 1, 300), 2)]
+        b = [float(x) for x in np.round(rng.normal(0.3, 1.2, 250), 2)]
+        rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+        df = spark.createDataFrame(rows, "value double, grp string")
+        r = ks_two_sample(df, "value", "grp", "a", "b").collect()[0]
+        assert r["n_a"] == 300 and r["n_b"] == 250
+        assert r["d_stat"] == pytest.approx(self._py_ks(a, b), abs=1e-15)
+
+    def test_identical_distributions_and_empty_group(self, spark):
+        from h3_indexer_spark.operators.analytics import ks_two_sample
+
+        same = [(float(i % 10), "a") for i in range(100)] + [
+            (float(i % 10), "b") for i in range(100)
+        ]
+        df = spark.createDataFrame(same, "value double, grp string")
+        assert ks_two_sample(df, "value", "grp", "a", "b").collect()[0][
+            "d_stat"
+        ] == 0.0
+        only_a = spark.createDataFrame(
+            [(1.0, "a")], "value double, grp string"
+        )
+        r = ks_two_sample(only_a, "value", "grp", "a", "b").collect()[0]
+        assert r["d_stat"] is None and r["n_b"] == 0
