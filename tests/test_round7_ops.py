@@ -1388,3 +1388,104 @@ class TestKsTwoSample:
         )
         r = ks_two_sample(only_a, "value", "grp", "a", "b").collect()[0]
         assert r["d_stat"] is None and r["n_b"] == 0
+
+
+class TestRound7ContinuationInvariants:
+    """Cross-cutting invariants for the continuation batch."""
+
+    def test_auc_invariant_under_monotone_transform(self, spark):
+        """AUC consumes only the rank order, so any strictly monotone
+        score transform must reproduce the statistic bit-for-bit."""
+        from h3_indexer_spark.operators.analytics import roc_auc
+
+        rng = np.random.RandomState(21)
+        pairs = [
+            (float(rng.randint(0, 50)) / 10.0, int(rng.rand() < 0.3))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(pairs, "score double, label int")
+        base = roc_auc(df, "score", "label").collect()[0]["auc"]
+        import math
+
+        warped = spark.createDataFrame(
+            [(math.exp(s) * 7.0 + 1.0, y) for s, y in pairs],
+            "score double, label int",
+        )
+        assert roc_auc(warped, "score", "label").collect()[0]["auc"] == base
+
+    def test_ks_symmetric_in_group_order(self, spark):
+        from h3_indexer_spark.operators.analytics import ks_two_sample
+
+        rng = np.random.RandomState(22)
+        rows = [
+            (float(np.round(rng.normal(i % 2, 1.0), 2)), "ab"[i % 2])
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "value double, grp string")
+        d1 = ks_two_sample(df, "value", "grp", "a", "b").collect()[0]
+        d2 = ks_two_sample(df, "value", "grp", "b", "a").collect()[0]
+        assert d1["d_stat"] == d2["d_stat"]
+        assert d1["n_a"] == d2["n_b"] and d1["n_b"] == d2["n_a"]
+
+    def test_rrf_two_signal_name_invariance(self, spark):
+        """IEEE addition of two terms is commutative, so renaming the
+        two signals must not change any fused score."""
+        from h3_indexer_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(i, (i * 7) % 13 + 1) for i in range(13)],
+            "doc_id long, rank long",
+        )
+        b = spark.createDataFrame(
+            [(i, (i * 5) % 11 + 1) for i in range(11)],
+            "doc_id long, rank long",
+        )
+        s1 = {
+            r["doc_id"]: r["rrf_score"]
+            for r in rrf_fuse({"aaa": a, "zzz": b}, "doc_id").collect()
+        }
+        s2 = {
+            r["doc_id"]: r["rrf_score"]
+            for r in rrf_fuse({"zzz": a, "aaa": b}, "doc_id").collect()
+        }
+        assert s1 == s2
+
+    def test_collocation_counts_conserve_totals(self, spark):
+        from h3_indexer_spark.operators.textops import collocations
+
+        texts = ["a b a b a b", "b a b a", "c c c"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        rows = collocations(df, "text", min_count=1, k=100).collect()
+        # every doc of n tokens contributes n-1 bigrams
+        expect_bi = sum(len(t.split()) - 1 for t in texts)
+        assert sum(r["c_xy"] for r in rows) == expect_bi
+
+    def test_benford_partition_of_filtered_rows(self, spark):
+        from h3_indexer_spark.operators.analytics import benford_profile
+
+        rng = np.random.RandomState(23)
+        vals = [float(v) for v in rng.uniform(0.001, 5000, 500)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        rows = benford_profile(df, "v").collect()
+        kept = sum(1 for v in vals if v * 100.0 >= 1.0)
+        assert sum(r["n"] for r in rows) == kept
+        assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-12
+
+    def test_bfs_monotone_in_hop_cap(self, spark):
+        """Raising max_hops only ADDS vertices; distances of already
+        reached vertices never change."""
+        from h3_indexer_spark.operators.graph import bfs_hops
+
+        rng = np.random.RandomState(24)
+        edges = spark.createDataFrame(
+            [(int(rng.randint(0, 40)), int(rng.randint(0, 40)))
+             for _ in range(70)],
+            "src long, dst long",
+        ).localCheckpoint()
+        srcs = spark.createDataFrame([(0,), (39,)], "node long")
+        d2 = {r["node"]: r["hops"]
+              for r in bfs_hops(edges, srcs, max_hops=2).collect()}
+        d4 = {r["node"]: r["hops"]
+              for r in bfs_hops(edges, srcs, max_hops=4).collect()}
+        assert set(d2) <= set(d4)
+        assert all(d4[n] == h for n, h in d2.items())
