@@ -150,6 +150,7 @@ HEADLINE = [
     "q_ndcg",
     "q_auc",
     "q_ks_test",
+    "q_forecast_wape",
 ]
 
 

@@ -1970,3 +1970,73 @@ def ks_two_sample(
             / (F.col("n_a") * F.col("n_b")).cast("double"),
         ).alias("d_stat"),
     )
+
+
+def seasonal_naive_wape(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    value_col: str,
+    season: int,
+) -> DataFrame:
+    """Forecast-accuracy readout for the seasonal-naive baseline (the
+    forecast every real model must beat): predict each bucket's value
+    with the value one full season earlier, then score per group with
+    WAPE = Σ|forecast − actual| / Σ|actual| — the scale-free error
+    retail/capacity forecasting standardizes on. Emitting WAPE rather
+    than MAPE/sMAPE is deliberate: WAPE is a ratio of two SUMS, so
+    the exact-DECIMAL recipe makes it bit-deterministic, where
+    per-row percentage means inherit the engine's float-sum order.
+
+    ``bucket_col`` must be an integer time bucket (epoch div period);
+    the season shift joins on bucket − season, which is GAP-SAFE — a
+    missing bucket simply yields no forecast pair, where a lag-window
+    formulation would silently mis-align across gaps.
+
+    Scale shape: one (group, bucket) rollup, ONE self-join keyed on
+    the same columns (co-partitioned — no extra exchange after the
+    rollup), and a group-keyed DECIMAL fold. Output per group:
+    (n_buckets, n_scored, sum_abs_err, sum_abs_actual, wape); wape is
+    NULL when the actual mass is zero.
+    """
+    if season < 1:
+        raise ValueError("season must be >= 1")
+    rolled = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, bucket_col)
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_v")
+        )
+    )
+    fc = rolled.select(
+        F.col(group_col),
+        (F.col(bucket_col) + F.lit(season)).alias(bucket_col),
+        F.col("_v").alias("_f"),
+    )
+    scored = rolled.join(fc, on=[group_col, bucket_col], how="left")
+    return (
+        scored.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.count("_f").cast("bigint").alias("n_scored"),
+            F.sum(
+                F.when(
+                    F.col("_f").isNotNull(), F.abs(F.col("_f") - F.col("_v"))
+                )
+            ).alias("_sae"),
+            F.sum(
+                F.when(F.col("_f").isNotNull(), F.abs(F.col("_v")))
+            ).alias("_saa"),
+        )
+        .select(
+            group_col,
+            "n_buckets",
+            "n_scored",
+            F.col("_sae").cast("double").alias("sum_abs_err"),
+            F.col("_saa").cast("double").alias("sum_abs_actual"),
+            F.when(
+                F.col("_saa") > 0,
+                F.col("_sae").cast("double") / F.col("_saa").cast("double"),
+            ).alias("wape"),
+        )
+    )

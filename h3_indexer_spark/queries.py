@@ -7700,3 +7700,63 @@ _WINDOW_R7D = _WINDOW_R7C + ["q_auc", "q_ks_test"]
 _order_d = [k for k in QUERIES if k not in _WINDOW_R7D]
 _order_d = _order_d[:37] + _WINDOW_R7D + _order_d[37:]
 QUERIES = {k: QUERIES[k] for k in _order_d}
+
+
+def q_forecast_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast accuracy (operators/analytics.py::
+    seasonal_naive_wape): hourly event-value totals per type predicted
+    by the same hour one day earlier, scored with DECIMAL-exact WAPE —
+    the baseline readout every forecasting pipeline gates on. The
+    season shift is a gap-safe equi-join on bucket − 24, not a lag
+    window."""
+    from h3_indexer_spark.operators.analytics import seasonal_naive_wape
+
+    ev = _load_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts div 3600000000000").alias("bucket"),
+        "value",
+    )
+    return seasonal_naive_wape(ev, "event_type", "bucket", "value", 24)
+
+
+_FORECAST_WAPE_ORACLE = """
+    WITH rolled AS (
+        SELECT event_type,
+               epoch_ns(ts) // 3600000000000 AS bucket,
+               SUM(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, epoch_ns(ts) // 3600000000000
+    ),
+    sc AS (
+        SELECT a.event_type, a.v, f.v AS fv
+        FROM rolled a
+        LEFT JOIN rolled f
+          ON f.event_type = a.event_type AND f.bucket = a.bucket - 24
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(fv) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN fv IS NOT NULL THEN ABS(fv - v) END)
+                AS DOUBLE) AS sum_abs_err,
+           CAST(SUM(CASE WHEN fv IS NOT NULL THEN ABS(v) END)
+                AS DOUBLE) AS sum_abs_actual,
+           CASE WHEN SUM(CASE WHEN fv IS NOT NULL THEN ABS(v) END) > 0
+                THEN CAST(SUM(CASE WHEN fv IS NOT NULL
+                               THEN ABS(fv - v) END) AS DOUBLE)
+                     / CAST(SUM(CASE WHEN fv IS NOT NULL
+                                THEN ABS(v) END) AS DOUBLE)
+           END AS wape
+    FROM sc
+    GROUP BY event_type
+"""
+
+
+QUERIES["q_forecast_wape"] = q_forecast_wape
+ORACLES["q_forecast_wape"] = _FORECAST_WAPE_ORACLE
+
+# Extend the canonical rotation: fourteen continuation keys at 37-50.
+_WINDOW_R7E = _WINDOW_R7D + ["q_forecast_wape"]
+_order_e = [k for k in QUERIES if k not in _WINDOW_R7E]
+_order_e = _order_e[:36] + _WINDOW_R7E + _order_e[36:]
+QUERIES = {k: QUERIES[k] for k in _order_e}

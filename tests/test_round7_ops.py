@@ -1489,3 +1489,58 @@ class TestRound7ContinuationInvariants:
               for r in bfs_hops(edges, srcs, max_hops=4).collect()}
         assert set(d2) <= set(d4)
         assert all(d4[n] == h for n, h in d2.items())
+
+
+class TestSeasonalNaiveWape:
+    def test_matches_python_reference_with_gaps(self, spark):
+        from collections import defaultdict
+
+        from h3_indexer_spark.operators.analytics import (
+            seasonal_naive_wape,
+        )
+
+        rng = np.random.RandomState(31)
+        rows = []
+        for g in ("a", "b"):
+            for b in range(60):
+                if b % 13 == 7:  # gaps: lag windows would mis-align here
+                    continue
+                for _ in range(rng.randint(1, 4)):
+                    rows.append(
+                        (g, b, float(np.round(rng.uniform(-5, 20), 4)))
+                    )
+        df = spark.createDataFrame(rows, "g string, bucket long, v double")
+        got = {
+            r["g"]: r
+            for r in seasonal_naive_wape(df, "g", "bucket", "v", 7).collect()
+        }
+
+        rolled = defaultdict(float)
+        for g, b, v in rows:
+            rolled[(g, b)] = round(rolled[(g, b)] + v, 6)
+        for g in ("a", "b"):
+            buckets = sorted(b for gg, b in rolled if gg == g)
+            sae = saa = 0.0
+            scored = 0
+            for b in buckets:
+                if (g, b - 7) in rolled:
+                    scored += 1
+                    sae += abs(rolled[(g, b - 7)] - rolled[(g, b)])
+                    saa += abs(rolled[(g, b)])
+            r = got[g]
+            assert r["n_buckets"] == len(buckets)
+            assert r["n_scored"] == scored
+            assert r["sum_abs_err"] == pytest.approx(sae, abs=1e-6)
+            assert r["wape"] == pytest.approx(sae / saa, abs=1e-9)
+
+    def test_perfect_seasonal_signal_has_zero_wape(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            seasonal_naive_wape,
+        )
+
+        rows = [("g", b, float(b % 5 + 1)) for b in range(40)]
+        df = spark.createDataFrame(rows, "g string, bucket long, v double")
+        r = seasonal_naive_wape(df, "g", "bucket", "v", 5).collect()[0]
+        assert r["wape"] == 0.0 and r["n_scored"] == 35
+        with pytest.raises(ValueError):
+            seasonal_naive_wape(df, "g", "bucket", "v", 0)
