@@ -151,6 +151,7 @@ HEADLINE = [
     "q_auc",
     "q_ks_test",
     "q_forecast_wape",
+    "q_readability",
 ]
 
 

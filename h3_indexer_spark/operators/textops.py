@@ -867,3 +867,55 @@ def collocations(
     return out.orderBy(
         F.col("lift").desc(), F.col("bigram").asc()
     ).limit(k)
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    screen a text-quality gate runs next to the heuristic quality
+    score (very low ease ≈ boilerplate/code/garbled; very high on
+    long docs ≈ word-salad).
+
+    Counting contract (documented, deliberately simple): words are
+    whitespace tokens; sentences are maximal [.!?]+ runs (clamped to
+    ≥1 so fragments still score); syllables are maximal vowel-group
+    runs [aeiouy]+ over the lowercased text — the standard cheap
+    approximation (no per-word ≥1 clamp; a DuckDB/SQL mirror then
+    reproduces every count with regexp primitives).
+
+    flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    words): exact-integer divisions and literal multiplies in fixed
+    order — bit-deterministic. Pure narrow expressions, no shuffle.
+    """
+    words = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    ).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    syllables = F.regexp_count(
+        F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")
+    ).cast("bigint")
+    w = F.col("n_words").cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / w)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+            syllables.alias("n_syllables"),
+        )
+        .where(F.col("n_words") > 0)
+        .withColumn("flesch", flesch)
+    )

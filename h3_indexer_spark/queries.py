@@ -7760,3 +7760,47 @@ _WINDOW_R7E = _WINDOW_R7D + ["q_forecast_wape"]
 _order_e = [k for k in QUERIES if k not in _WINDOW_R7E]
 _order_e = _order_e[:36] + _WINDOW_R7E + _order_e[36:]
 QUERIES = {k: QUERIES[k] for k in _order_e}
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease (operators/textops.py::readability_scores)
+    per document — exact word/sentence/vowel-group counts and a
+    fixed-order literal-constant score; zero-word docs are excluded
+    (no score is definable)."""
+    from h3_indexer_spark.operators.textops import readability_scores
+
+    return readability_scores(load(spark, sf_dir, "documents"))
+
+
+_READABILITY_ORACLE = r"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> len(x) > 0)) AS BIGINT)
+                   AS n_words,
+               GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                             AS BIGINT), CAST(1 AS BIGINT))
+                   AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835
+           - 1.015 * (CAST(n_words AS DOUBLE)
+                      / CAST(n_sentences AS DOUBLE))
+           - 84.6 * (CAST(n_syllables AS DOUBLE)
+                     / CAST(n_words AS DOUBLE)) AS flesch
+    FROM c
+    WHERE n_words > 0
+"""
+
+
+QUERIES["q_readability"] = q_readability
+ORACLES["q_readability"] = _READABILITY_ORACLE
+
+# Extend the canonical rotation: fifteen continuation keys at 36-50.
+_WINDOW_R7F = _WINDOW_R7E + ["q_readability"]
+_order_f = [k for k in QUERIES if k not in _WINDOW_R7F]
+_order_f = _order_f[:35] + _WINDOW_R7F + _order_f[35:]
+QUERIES = {k: QUERIES[k] for k in _order_f}

@@ -1544,3 +1544,25 @@ class TestSeasonalNaiveWape:
         assert r["wape"] == 0.0 and r["n_scored"] == 35
         with pytest.raises(ValueError):
             seasonal_naive_wape(df, "g", "bucket", "v", 0)
+
+
+class TestReadability:
+    def test_counts_and_score(self, spark):
+        from h3_indexer_spark.operators.textops import readability_scores
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat. The dog ran!"),
+             (2, "word"),
+             (3, "   ")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in readability_scores(df).collect()}
+        assert set(rows) == {1, 2}  # whitespace-only doc excluded
+        r1 = rows[1]
+        assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+        # vowel groups: e,a,a,e,o,a -> 6
+        assert r1["n_syllables"] == 6
+        expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+        assert r1["flesch"] == expect
+        # fragment: sentence count clamps to 1
+        assert rows[2]["n_sentences"] == 1
