@@ -451,3 +451,81 @@ def bfs_hops(
         dist = dist.unionAll(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every vertex starts as its own label; each round,
+    every vertex adopts the most frequent label among its neighbors
+    (ties break to the SMALLEST label). Where connected components
+    answers "what is reachable", LPA finds densely-knit groups inside
+    one component — the near-dup-family / interaction-clique splitter.
+
+    Determinism contract: SYNCHRONOUS rounds (all updates computed
+    from the previous round's labels) + the smallest-label tiebreak
+    make the result a pure function of (graph, max_rounds) — no seed,
+    no visit order. Classic LPA oscillates on bipartite structures
+    under synchronous updates, so ``max_rounds`` is a RESULT
+    parameter (the standard bounded-round variant), not a convergence
+    valve; an early fixpoint short-circuits.
+
+    Scale shape per round: one (vertex-keyed) join to fetch neighbor
+    labels, one (vertex, label) count, one per-vertex argmax via
+    max_by struct ordering — shuffles never carry more than the
+    vertex/label keys; localCheckpoint truncates the iterative
+    lineage as in connected_components/k_core. Returns
+    (vertex, label).
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    dirs = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        dirs.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr_counts = (
+            dirs.join(
+                labels.select(
+                    F.col("v").alias("b"), F.col("label")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # argmax with smallest-label tiebreak: max over (n, -label)
+        nxt = (
+            nbr_counts.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n"), (-F.col("label")).alias("neg")
+                    )
+                ).alias("_m")
+            )
+            .select("v", (-F.col("_m.neg")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            labels.join(nxt.withColumnRenamed("label", "_nl"), "v")
+            .where(F.col("label") != F.col("_nl"))
+            .take(1)
+        )
+        labels = nxt
+        if not changed:
+            break
+    return labels.select(F.col("v").alias("vertex"), "label")

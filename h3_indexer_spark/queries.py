@@ -7804,3 +7804,34 @@ _WINDOW_R7F = _WINDOW_R7E + ["q_readability"]
 _order_f = [k for k in QUERIES if k not in _WINDOW_R7F]
 _order_f = _order_f[:35] + _WINDOW_R7F + _order_f[35:]
 QUERIES = {k: QUERIES[k] for k in _order_f}
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (operators/graph.py::
+    label_propagation) over the exact-Jaccard near-dup pair graph —
+    splits a duplication component into its densely-knit families
+    (the refinement step between candidate pairs and dedup
+    decisions). Rows-only: bounded synchronous rounds have no SQL
+    mirror; exact parity with a Python reference is locked in
+    tests/test_round7_ops.py."""
+    from h3_indexer_spark.operators.dedup import ngram_jaccard_exact_pairs
+    from h3_indexer_spark.operators.graph import label_propagation
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_exact_pairs(docs, n=3, threshold=0.5, max_df=100)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return label_propagation(edges, max_rounds=5)
+
+
+QUERIES["q_label_prop"] = q_label_prop
+
+# Extend the canonical rotation once more: q_label_prop (rows-only —
+# bounded-round LPA has no SQL mirror) joins the window so its debut
+# gets a driver record, q_kcore-style. Sixteen continuation keys at
+# positions 35-50.
+_WINDOW_R7G = _WINDOW_R7F + ["q_label_prop"]
+_order_g = [k for k in QUERIES if k not in _WINDOW_R7G]
+_order_g = _order_g[:34] + _WINDOW_R7G + _order_g[34:]
+QUERIES = {k: QUERIES[k] for k in _order_g}

@@ -49,7 +49,7 @@ PLANNED_R7 = {
     "q_vocab_encode",
 }
 # rows-only keys allowed in the round-7 window (no SQL mirror)
-ROWS_ONLY_R7 = {"q_kcore", "q_dbscan"}
+ROWS_ONLY_R7 = {"q_kcore", "q_dbscan", "q_label_prop"}
 
 
 def test_round7_window_composition():

@@ -1566,3 +1566,71 @@ class TestReadability:
         assert r1["flesch"] == expect
         # fragment: sentence count clamps to 1
         assert rows[2]["n_sentences"] == 1
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _reference(edges, rounds):
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        labels = {v: v for v in adj}
+        for _ in range(rounds):
+            new = {}
+            for v in adj:
+                counts = Counter(labels[u] for u in adj[v])
+                top = max(counts.values())
+                new[v] = min(l for l, c in counts.items() if c == top)
+            if new == labels:
+                break
+            labels = new
+        return labels
+
+    @pytest.mark.parametrize("rounds", [0, 1, 3, 5])
+    def test_matches_python_reference(self, spark, rounds):
+        from h3_indexer_spark.operators.graph import label_propagation
+
+        rng = np.random.RandomState(41)
+        # two planted cliques + sparse noise edges
+        edges = (
+            [(a, b) for a in range(8) for b in range(a + 1, 8)]
+            + [(a, b) for a in range(20, 27) for b in range(a + 1, 27)]
+            + [(int(rng.randint(0, 30)), int(rng.randint(0, 30)))
+               for _ in range(15)]
+        )
+        got = {
+            r["vertex"]: r["label"]
+            for r in label_propagation(
+                spark.createDataFrame(edges, "src long, dst long"),
+                max_rounds=rounds,
+            ).collect()
+        }
+        assert got == self._reference(edges, rounds)
+
+    def test_two_cliques_separate(self, spark):
+        from h3_indexer_spark.operators.graph import label_propagation
+
+        edges = [(a, b) for a in range(5) for b in range(a + 1, 5)] + [
+            (a, b) for a in range(10, 15) for b in range(a + 1, 15)
+        ] + [(4, 10)]  # one bridge
+        got = {
+            r["vertex"]: r["label"]
+            for r in label_propagation(
+                spark.createDataFrame(edges, "src long, dst long"),
+                max_rounds=5,
+            ).collect()
+        }
+        labs_a = {got[v] for v in range(5)}
+        labs_b = {got[v] for v in range(10, 15)}
+        assert labs_a.isdisjoint(labs_b)
+
+    def test_bad_rounds_raise(self, spark):
+        from h3_indexer_spark.operators.graph import label_propagation
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            label_propagation(e, max_rounds=-1)
