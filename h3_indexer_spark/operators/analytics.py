@@ -2040,3 +2040,63 @@ def seasonal_naive_wape(
             ).alias("wape"),
         )
     )
+
+
+def mutual_information_cells(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-cell mutual-information decomposition of two categorical
+    columns — the feature-association profile (which metadata fields
+    carry the same signal) behind leakage screens and redundant-
+    feature pruning. Emits the CELL TABLE rather than the summed MI
+    scalar, the psi_drift convention: cells are the actionable
+    artifact (which pairs co-occur more than independence predicts),
+    and the scalar Σ mi_term is a trivial client fold over ≤|X|·|Y|
+    rows — deliberately NOT an engine float sum whose accumulation
+    order the engine owns.
+
+    Per cell: exact BIGINT counts (n_xy, marginals, total), the joint
+    share p_xy (one division), and
+    mi_term = ROUND(p_xy · ln(p_xy·n² / (n_x·n_y)), 9) — the ln's
+    1-ulp engine divergence absorbed by the established ROUND(·, 9)
+    recipe (psi_drift precedent); the ln argument is a ratio of exact
+    integer products converted once to double.
+
+    Scale shape: ONE (x, y) count shuffle; marginals and the total
+    ride window sums over the cell table itself (≤|X|·|Y| rows, never
+    the corpus). NULL categories are excluded (no information in an
+    unobserved label).
+    """
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    wx = Window.partitionBy(x_col)
+    wy = Window.partitionBy(y_col)
+    wall = Window.partitionBy()
+    with_margins = cells.select(
+        x_col,
+        y_col,
+        F.col("n_xy").cast("bigint").alias("n_xy"),
+        F.sum("n_xy").over(wx).cast("bigint").alias("n_x"),
+        F.sum("n_xy").over(wy).cast("bigint").alias("n_y"),
+        F.sum("n_xy").over(wall).cast("bigint").alias("n"),
+    )
+    p_xy = F.col("n_xy").cast("double") / F.col("n").cast("double")
+    ratio = (
+        (F.col("n_xy") * F.col("n")).cast("double")
+        / (F.col("n_x") * F.col("n_y")).cast("double")
+    )
+    return with_margins.select(
+        x_col,
+        y_col,
+        "n_xy",
+        "n_x",
+        "n_y",
+        "n",
+        p_xy.alias("p_xy"),
+        F.round(p_xy * F.log(ratio), 9).alias("mi_term"),
+    )

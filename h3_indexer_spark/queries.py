@@ -7835,3 +7835,52 @@ _WINDOW_R7G = _WINDOW_R7F + ["q_label_prop"]
 _order_g = [k for k in QUERIES if k not in _WINDOW_R7G]
 _order_g = _order_g[:34] + _WINDOW_R7G + _order_g[34:]
 QUERIES = {k: QUERIES[k] for k in _order_g}
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association profile (operators/analytics.py::
+    mutual_information_cells): documents.lang × documents.source MI
+    cell table — exact counts, one joint-share division, and the
+    ROUND(·,9)-absorbed ln term per cell (psi_drift recipe); the MI
+    scalar is the client-side fold over these ≤|X|·|Y| rows."""
+    from h3_indexer_spark.operators.analytics import (
+        mutual_information_cells,
+    )
+
+    return mutual_information_cells(
+        load(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+_MUTUAL_INFO_ORACLE = """
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY lang, source
+    ),
+    m AS (
+        SELECT lang, source, n_xy,
+               CAST(SUM(n_xy) OVER (PARTITION BY lang) AS BIGINT) AS n_x,
+               CAST(SUM(n_xy) OVER (PARTITION BY source) AS BIGINT)
+                   AS n_y,
+               CAST(SUM(n_xy) OVER () AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT lang, source, n_xy, n_x, n_y, n,
+           CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE) AS p_xy,
+           ROUND((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LN(CAST(n_xy * n AS DOUBLE)
+                      / CAST(n_x * n_y AS DOUBLE)), 9) AS mi_term
+    FROM m
+"""
+
+
+QUERIES["q_mutual_info"] = q_mutual_info
+ORACLES["q_mutual_info"] = _MUTUAL_INFO_ORACLE
+
+# Final rotation extension: seventeen continuation keys at 34-50.
+_WINDOW_R7H = _WINDOW_R7G + ["q_mutual_info"]
+_order_h = [k for k in QUERIES if k not in _WINDOW_R7H]
+_order_h = _order_h[:33] + _WINDOW_R7H + _order_h[33:]
+QUERIES = {k: QUERIES[k] for k in _order_h}

@@ -1634,3 +1634,59 @@ class TestLabelPropagation:
         e = spark.createDataFrame([(1, 2)], "src long, dst long")
         with pytest.raises(ValueError):
             label_propagation(e, max_rounds=-1)
+
+
+class TestMutualInformationCells:
+    def test_matches_python_reference_and_independence(self, spark):
+        import math
+        from collections import Counter
+
+        from h3_indexer_spark.operators.analytics import (
+            mutual_information_cells,
+        )
+
+        rng = np.random.RandomState(51)
+        # dependent pair: y tracks x 70% of the time
+        rows = []
+        for _ in range(400):
+            x = "abc"[rng.randint(0, 3)]
+            y = x.upper() if rng.rand() < 0.7 else "ABC"[rng.randint(0, 3)]
+            rows.append((x, y))
+        df = spark.createDataFrame(rows, "x string, y string")
+        got = {
+            (r["x"], r["y"]): r
+            for r in mutual_information_cells(df, "x", "y").collect()
+        }
+        cxy = Counter(rows)
+        cx = Counter(x for x, _ in rows)
+        cy = Counter(y for _, y in rows)
+        n = len(rows)
+        mi = 0.0
+        for (x, y), nxy in cxy.items():
+            r = got[(x, y)]
+            assert r["n_xy"] == nxy and r["n_x"] == cx[x] and r["n_y"] == cy[y]
+            term = (nxy / n) * math.log(nxy * n / (cx[x] * cy[y]))
+            assert r["mi_term"] == pytest.approx(term, abs=1e-9)
+            mi += term
+        assert mi > 0.1  # dependence detected
+        # independent uniform pair -> MI ~ 0
+        ind = spark.createDataFrame(
+            [("ab"[i % 2], "CD"[(i // 2) % 2]) for i in range(400)],
+            "x string, y string",
+        )
+        total = sum(
+            r["mi_term"]
+            for r in mutual_information_cells(ind, "x", "y").collect()
+        )
+        assert abs(total) < 1e-9
+
+    def test_null_categories_excluded(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            mutual_information_cells,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "B"), ("a", None), (None, "B")], "x string, y string"
+        )
+        rows = mutual_information_cells(df, "x", "y").collect()
+        assert len(rows) == 1 and rows[0]["n"] == 1
