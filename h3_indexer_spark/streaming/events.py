@@ -904,3 +904,78 @@ def streaming_minhash_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_majority_label(
+    events: DataFrame,
+    item_col: str = "user_id",
+    label_col: str = "event_type",
+):
+    """Streaming twin of operators/labeling.py::majority_label: the
+    running majority vote per item over an unbounded annotation
+    stream — the online label-merge a continuously-annotated corpus
+    maintains (each new judgment immediately refreshes the item's
+    training label).
+
+    State per item is its per-label vote counts (bounded by the label
+    vocabulary, which is small by construction for annotation
+    streams); each micro-batch tallies vectorized (one value_counts
+    per item group) and merges ONCE per distinct label. Emits the
+    CURRENT readout per item per batch (update-style) with exactly
+    the batch operator's columns and tie semantics (count desc, label
+    asc), so a full availableNow replay equals the batch result row
+    for row — asserted in tests/test_streaming.py. NULL labels are
+    abstentions, dropped before tallying (batch contract).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    item_type = events.schema[item_col].dataType.simpleString()
+    out_schema = (
+        f"{item_col} {item_type}, top_label string, top_count long, "
+        "n_votes long, agreement double"
+    )
+    state_schema = "labels array<string>, counts array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            labels, counts = state.get
+            table = dict(zip(labels, [int(c) for c in counts]))
+        else:
+            table = {}
+        for pdf in pdfs:
+            col = pdf[label_col].dropna()
+            if not len(col):
+                continue
+            for lab, c in col.astype(str).value_counts().items():
+                table[lab] = table.get(lab, 0) + int(c)
+        if not table:
+            return
+        state.update((list(table.keys()), list(table.values())))
+        top_label, top_count = min(
+            table.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        n_votes = sum(table.values())
+        yield pd.DataFrame(
+            [(
+                key[0],
+                top_label,
+                top_count,
+                n_votes,
+                float(top_count) / float(n_votes),
+            )],
+            columns=[
+                item_col, "top_label", "top_count", "n_votes", "agreement",
+            ],
+        )
+
+    return (
+        events.groupBy(item_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

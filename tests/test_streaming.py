@@ -1061,3 +1061,71 @@ class TestStreamingNearDup:
             assert got and all(pair == ("b", "a") for pair in got)
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamingMajorityLabel:
+    def test_full_replay_parity_with_batch(self, spark, events_dir):
+        """availableNow replay: each item's LAST update row must equal
+        the batch majority_label result row-for-row (same tiebreak,
+        same abstention handling)."""
+        from h3_indexer_spark.operators.labeling import majority_label
+        from h3_indexer_spark.streaming.events import (
+            streaming_majority_label,
+        )
+
+        stream = streaming_majority_label(
+            _read_stream(spark, events_dir),
+            item_col="user_id",
+            label_col="event_type",
+        )
+        got = _run_stream(spark, stream, output_mode="update")
+        # update mode re-emits per batch; the final row per item is the
+        # converged readout: take the max n_votes row (votes only grow)
+        final = {
+            r["user_id"]: r
+            for r in got.orderBy("n_votes").collect()
+        }
+        batch = {
+            r["user_id"]: r
+            for r in majority_label(
+                spark.read.parquet(events_dir), "user_id", "event_type"
+            ).collect()
+        }
+        assert set(final) == set(batch)
+        for uid, b in batch.items():
+            s = final[uid]
+            assert (
+                s["top_label"], s["top_count"], s["n_votes"]
+            ) == (b["top_label"], b["top_count"], b["n_votes"]), uid
+            assert s["agreement"] == b["agreement"]
+
+    def test_tie_breaks_to_smallest_label_across_batches(self, spark):
+        """A tie created across two micro-batches must resolve to the
+        smallest label, exactly as the batch operator does."""
+        import shutil
+        import tempfile
+
+        from h3_indexer_spark.streaming.events import (
+            streaming_majority_label,
+        )
+
+        d = tempfile.mkdtemp(prefix="h3idx_vote_")
+        try:
+            spark.createDataFrame(
+                [(1, "zzz"), (1, "aaa")], "user_id long, event_type string"
+            ).repartition(2).write.mode("overwrite").parquet(d)
+            schema = spark.read.parquet(d).schema
+            stream = streaming_majority_label(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d),
+                item_col="user_id",
+                label_col="event_type",
+            )
+            got = _run_stream(spark, stream, output_mode="update")
+            last = got.orderBy("n_votes").collect()[-1]
+            assert last["n_votes"] == 2
+            assert last["top_label"] == "aaa" and last["top_count"] == 1
+            assert last["agreement"] == 0.5
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
