@@ -2100,3 +2100,119 @@ def mutual_information_cells(
         p_xy.alias("p_xy"),
         F.round(p_xy * F.log(ratio), 9).alias("mi_term"),
     )
+
+
+def js_divergence_bins(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    breaks: list[float],
+) -> DataFrame:
+    """Jensen-Shannon divergence between two numeric distributions,
+    decomposed per bucket — psi_drift's symmetric, always-finite
+    sibling (JSD is defined even where one side's bucket is empty,
+    exactly the case that NULLs a PSI term; √JSD is a metric). Same
+    explicit ``breaks`` contract: len(breaks)+1 buckets.
+
+    Per bucket: exact counts n_a/n_b, shares p_a/p_b (single
+    divisions), and jsd_term = ½·p·ln(p/m) + ½·q·ln(q/m) with
+    m = (p+q)/2, each ln ROUND(·,9)-absorbed (the psi recipe) and the
+    0·ln0 := 0 convention handled explicitly. Σ jsd_term ∈ [0, ln 2]
+    is the client fold over ≤|buckets| rows.
+
+    Scale shape: one conditional-count aggregation per side, a
+    full-outer join of two bucket tables, window totals over those
+    same rows — nothing wider than the bucket key shuffles.
+    """
+    if not breaks or sorted(breaks) != list(breaks) or len(
+        set(breaks)
+    ) != len(breaks):
+        raise ValueError(
+            "breaks must be non-empty, strictly ascending bucket "
+            f"edges; got {breaks!r}"
+        )
+
+    def bucket(col: Column) -> Column:
+        x = F.lit(0)
+        for i, edge in enumerate(breaks):
+            x = F.when(col < F.lit(float(edge)), x).otherwise(F.lit(i + 1))
+        return x
+
+    def side(df: DataFrame, n_name: str) -> DataFrame:
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(bucket(F.col(value_col)).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    j = side(a, "n_a").join(side(b, "n_b"), "bucket", "full_outer")
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_a = F.coalesce("n_a", F.lit(0)).cast("long")
+    n_b = F.coalesce("n_b", F.lit(0)).cast("long")
+    p = n_a.cast("double") / F.sum(n_a).over(w).cast("double")
+    q = n_b.cast("double") / F.sum(n_b).over(w).cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return j.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        p.alias("p_a"),
+        q.alias("p_b"),
+        F.round(term, 9).alias("jsd_term"),
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Lorenz-curve decile readout — gini_coefficient's actionable
+    companion: entities sorted by value into NTILE(10) buckets (TOTAL
+    (value, id) order — the tiebreak pins bucket boundaries), each
+    decile's exact-DECIMAL value mass, its share of the total, and
+    the running cumulative share (the Lorenz curve points a
+    concentration dashboard plots; "top decile owns X%" reads off
+    row 10).
+
+    Exactness: sums are DECIMAL-exact; share and cum_share divide
+    decimal sums once each (the cumulative DECIMAL sum over the
+    10-row decile table is exact, so cum_share is also ONE division).
+    Scale shape: the NTILE window is the corpus-rank pass (swap in
+    pre-aggregated levels when ids exceed memory-of-rank comfort —
+    the gini notes apply); everything after runs on 10 rows.
+    """
+    w = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    tiled = df.where(F.col(value_col).isNotNull()).select(
+        F.ntile(10).over(w).alias("decile"),
+        F.col(value_col).cast("decimal(18,6)").alias("_v"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_v").alias("_sum"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("_sum").over(wt)
+    cum = F.sum("_sum").over(wc)
+    return per.select(
+        "decile",
+        "n",
+        F.col("_sum").cast("double").alias("sum_value"),
+        (F.col("_sum").cast("double") / total.cast("double")).alias(
+            "share"
+        ),
+        (cum.cast("double") / total.cast("double")).alias("cum_share"),
+    ).orderBy("decile")

@@ -7884,3 +7884,128 @@ _WINDOW_R7H = _WINDOW_R7G + ["q_mutual_info"]
 _order_h = [k for k in QUERIES if k not in _WINDOW_R7H]
 _order_h = _order_h[:33] + _WINDOW_R7H + _order_h[33:]
 QUERIES = {k: QUERIES[k] for k in _order_h}
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift decomposition (operators/analytics.py::
+    js_divergence_bins): click vs purchase event-value distributions
+    over fixed bucket edges — PSI's symmetric, always-finite sibling;
+    per-bucket ½p·ln(p/m)+½q·ln(q/m) terms, ln ROUND(9) per the psi
+    recipe."""
+    from h3_indexer_spark.operators.analytics import js_divergence_bins
+
+    ev = _load_events(spark, sf_dir).select("event_type", "value")
+    return js_divergence_bins(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "value",
+        [10.0, 25.0, 50.0, 100.0],
+    )
+
+
+_JS_DIVERGENCE_ORACLE = """
+    WITH a AS (
+        SELECT CASE WHEN value < 10.0 THEN 0
+                    WHEN value < 25.0 THEN 1
+                    WHEN value < 50.0 THEN 2
+                    WHEN value < 100.0 THEN 3
+                    ELSE 4 END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM events
+        WHERE event_type = 'click' AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT CASE WHEN value < 10.0 THEN 0
+                    WHEN value < 25.0 THEN 1
+                    WHEN value < 50.0 THEN 2
+                    WHEN value < 100.0 THEN 3
+                    ELSE 4 END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+               CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+               CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+        FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    ),
+    s AS (
+        SELECT bucket, n_a, n_b,
+               CAST(n_a AS DOUBLE) / CAST(SUM(n_a) OVER () AS DOUBLE)
+                   AS p_a,
+               CAST(n_b AS DOUBLE) / CAST(SUM(n_b) OVER () AS DOUBLE)
+                   AS p_b
+        FROM j
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, n_a, n_b, p_a, p_b,
+           ROUND(
+               CASE WHEN p_a > 0
+                    THEN 0.5 * p_a * LN(p_a / ((p_a + p_b) / 2.0))
+                    ELSE 0.0 END
+               + CASE WHEN p_b > 0
+                      THEN 0.5 * p_b * LN(p_b / ((p_a + p_b) / 2.0))
+                      ELSE 0.0 END, 9) AS jsd_term
+    FROM s
+"""
+
+
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles (operators/analytics.py::lorenz_deciles)
+    of customer account balance — exact-DECIMAL decile masses, share
+    and cumulative share each ONE division; the concentration curve
+    q_gini summarizes."""
+    from h3_indexer_spark.operators.analytics import lorenz_deciles
+
+    return lorenz_deciles(
+        load(spark, sf_dir, "customer"), "c_acctbal", "c_custkey"
+    )
+
+
+_LORENZ_ORACLE = """
+    WITH tiled AS (
+        SELECT NTILE(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
+                   AS decile,
+               CAST(c_acctbal AS DECIMAL(18,6)) AS v
+        FROM customer
+        WHERE c_acctbal IS NOT NULL
+    ),
+    per AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(v) AS s
+        FROM tiled GROUP BY decile
+    )
+    SELECT decile, n,
+           CAST(s AS DOUBLE) AS sum_value,
+           CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE) AS share,
+           CAST(SUM(s) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DOUBLE)
+               / CAST(SUM(s) OVER () AS DOUBLE) AS cum_share
+    FROM per
+    ORDER BY decile
+"""
+
+
+QUERIES["q_js_divergence"] = q_js_divergence
+QUERIES["q_lorenz"] = q_lorenz
+ORACLES["q_js_divergence"] = _JS_DIVERGENCE_ORACLE
+ORACLES["q_lorenz"] = _LORENZ_ORACLE
+
+# Final rotation. Window capacity is EXACTLY spent: 32 mandatory
+# keys (q_kcore + 12 round-3-stale + 2 reworked spatial + 17 round-7
+# debuts, tests/test_entry.py) + the 18 oracle-checked continuation
+# keys = 50. q_label_prop (rows-only — the one continuation key the
+# oracle-coverage invariant does NOT require in the window) yields
+# its slot and takes its first driver record next round, exactly the
+# q_kcore precedent; q_dbscan (mandatory debut) is pinned inside the
+# block so the reorder cannot push it past the edge.
+_WINDOW_R7I = [
+    k for k in _WINDOW_R7H if k != "q_label_prop"
+] + ["q_js_divergence", "q_lorenz", "q_dbscan"]
+_order_i = [k for k in QUERIES if k not in _WINDOW_R7I]
+_order_i = _order_i[:31] + _WINDOW_R7I + _order_i[31:]
+QUERIES = {k: QUERIES[k] for k in _order_i}

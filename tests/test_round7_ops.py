@@ -1690,3 +1690,85 @@ class TestMutualInformationCells:
         )
         rows = mutual_information_cells(df, "x", "y").collect()
         assert len(rows) == 1 and rows[0]["n"] == 1
+
+
+class TestJsDivergence:
+    def test_matches_python_and_bounds(self, spark):
+        import math
+
+        from h3_indexer_spark.operators.analytics import js_divergence_bins
+
+        rng = np.random.RandomState(61)
+        a = [(float(v),) for v in rng.uniform(0, 100, 400)]
+        b = [(float(v),) for v in rng.uniform(30, 130, 300)]
+        breaks = [20.0, 40.0, 60.0, 80.0]
+        da = spark.createDataFrame(a, "v double")
+        db = spark.createDataFrame(b, "v double")
+        rows = js_divergence_bins(da, db, "v", breaks).collect()
+
+        def binof(x):
+            for i, e in enumerate(breaks):
+                if x < e:
+                    return i
+            return len(breaks)
+
+        from collections import Counter
+
+        ca = Counter(binof(v) for (v,) in a)
+        cb = Counter(binof(v) for (v,) in b)
+        total = 0.0
+        for r in rows:
+            pa, pb = ca[r["bucket"]] / 400, cb[r["bucket"]] / 300
+            m = (pa + pb) / 2
+            want = (0.5 * pa * math.log(pa / m) if pa > 0 else 0.0) + (
+                0.5 * pb * math.log(pb / m) if pb > 0 else 0.0
+            )
+            assert r["jsd_term"] == pytest.approx(want, abs=1e-8)
+            total += r["jsd_term"]
+        assert 0.0 < total <= math.log(2) + 1e-9
+
+    def test_identical_inputs_zero_and_empty_bucket_finite(self, spark):
+        from h3_indexer_spark.operators.analytics import js_divergence_bins
+
+        d = spark.createDataFrame([(float(i % 50),) for i in range(200)], "v double")
+        rows = js_divergence_bins(d, d, "v", [25.0]).collect()
+        assert all(r["jsd_term"] == 0.0 for r in rows)
+        # disjoint supports: every term finite (PSI would NULL here)
+        lo = spark.createDataFrame([(1.0,)] * 50, "v double")
+        hi = spark.createDataFrame([(99.0,)] * 50, "v double")
+        rows = js_divergence_bins(lo, hi, "v", [50.0]).collect()
+        assert all(r["jsd_term"] is not None for r in rows)
+        import math
+
+        assert sum(r["jsd_term"] for r in rows) == pytest.approx(
+            math.log(2), abs=1e-9
+        )
+        with pytest.raises(ValueError):
+            js_divergence_bins(lo, hi, "v", [])
+
+
+class TestLorenzDeciles:
+    def test_shares_and_monotone_cumulative(self, spark):
+        from h3_indexer_spark.operators.analytics import lorenz_deciles
+
+        rng = np.random.RandomState(62)
+        rows_in = [
+            (i, float(np.round(rng.lognormal(3, 1), 2)))
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows_in, "id long, v double")
+        rows = lorenz_deciles(df, "v", "id").collect()
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        assert sum(r["n"] for r in rows) == 500
+        total = sum(v for _, v in rows_in)
+        assert sum(r["sum_value"] for r in rows) == pytest.approx(
+            total, abs=1e-6
+        )
+        assert rows[-1]["cum_share"] == pytest.approx(1.0, abs=1e-12)
+        # Lorenz curve is convex: shares non-decreasing by decile
+        shares = [r["share"] for r in rows]
+        assert all(
+            shares[i] <= shares[i + 1] + 1e-12 for i in range(9)
+        )
+        cums = [r["cum_share"] for r in rows]
+        assert all(cums[i] < cums[i + 1] for i in range(9))
