@@ -1480,14 +1480,23 @@ def gini_coefficient(
         "_c",
         F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_p"),
     )
-    # rank-run weight c·p + c·(c+1)/2 — integer-exact; DECIMAL(18,0)
-    # cast keeps the v·weight product inside DECIMAL(38,4) in every
-    # engine's decimal-multiplication rule
+    # rank-run weight c·p + c·(c+1)/2 — the multiplies run in
+    # DECIMAL(38,0) (c·p and c·(c+1) are O(n²): BIGINT products
+    # overflow 64-bit around n ≈ 4·10⁹ rows). The /2 stays exact
+    # without decimal division: one of c, c+1 is even, so halve THAT
+    # factor with integer DIV before the decimal multiply. Exact up
+    # to the 38-digit decimal capacity (n ≈ 10¹⁸).
     weight = (
-        F.col("_c") * F.col("_p")
-        + F.expr("_c * (_c + 1) div 2")  # integer div — `/` on longs
-        # is a DOUBLE in Spark and would lose exactness past 2^53
-    ).cast("decimal(18,0)")
+        F.col("_c").cast("decimal(38,0)")
+        * F.col("_p").cast("decimal(38,0)")
+        + F.expr(
+            "CASE WHEN _c % 2 = 0 "
+            "THEN CAST(_c DIV 2 AS DECIMAL(38,0)) "
+            "   * CAST(_c + 1 AS DECIMAL(38,0)) "
+            "ELSE CAST(_c AS DECIMAL(38,0)) "
+            "   * CAST((_c + 1) DIV 2 AS DECIMAL(38,0)) END"
+        )
+    ).cast("decimal(38,0)")
     agg = lv.agg(
         F.sum(F.col("_c")).cast("bigint").alias("n"),
         F.sum(F.col("_v") * F.col("_c").cast("decimal(18,0)"))

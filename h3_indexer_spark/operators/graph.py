@@ -25,7 +25,7 @@ point — no join-and-compare pass needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,9 +43,15 @@ def connected_components(
     ``component`` is the minimum vertex id in the component.
 
     Each iteration: one shuffle join (neighbor labels), one aggregate,
-    one self-join (pointer jump), one 1-row action (convergence
-    check). Iterations are O(log n); intermediate labels are persisted
-    and released round-by-round so state stays bounded.
+    one self-join (pointer jump). Iterations are O(log n);
+    intermediate labels are persisted and released round-by-round so
+    state stays bounded. Convergence probes (a 1-row sum collect) run
+    every TWO pointer-jump rounds, not every round — label sums are
+    monotone nonincreasing, so an unchanged sum across a 2-round
+    batch proves both rounds were no-ops; in local mode the probe's
+    fixed job-submission cost dominates toy-scale iteration time
+    (DBSCAN's CC stage), and at cluster scale it halves the
+    driver-roundtrip chatter.
     """
     dirs = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -66,28 +72,37 @@ def connected_components(
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
 
-    for _ in range(max_iter):
-        # neighbor minimum: for each edge (a, b), b receives a's label
-        nbr = dirs.join(labels, dirs.a == labels.v).select(
-            F.col("b").alias("v"), F.col("comp")
-        )
-        merged = (
-            labels.unionByName(nbr)
-            .groupBy("v")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # pointer jump: follow the label one hop (labels are vertex
-        # ids, so every comp value exists as a v on the left)
-        hop = merged.select(
-            F.col("v").alias("cv"), F.col("comp").alias("ccomp")
-        )
-        jumped = (
-            merged.join(hop, merged.comp == hop.cv)
-            .select("v", F.col("ccomp").alias("comp"))
-            .localCheckpoint()
-        )
-        new_sum = jumped.agg(F.sum("comp")).collect()[0][0] or 0
-        labels = jumped
+    rounds_per_probe = 2
+    it = 0
+    while it < max_iter:
+        for _ in range(min(rounds_per_probe, max_iter - it)):
+            # neighbor minimum: for each edge (a, b), b receives a's
+            # label
+            nbr = dirs.join(labels, dirs.a == labels.v).select(
+                F.col("b").alias("v"), F.col("comp")
+            )
+            merged = (
+                labels.unionByName(nbr)
+                .groupBy("v")
+                .agg(F.min("comp").alias("comp"))
+            )
+            # pointer jump: follow the label one hop (labels are
+            # vertex ids, so every comp value exists as a v on the
+            # left)
+            hop = merged.select(
+                F.col("v").alias("cv"), F.col("comp").alias("ccomp")
+            )
+            labels = (
+                merged.join(hop, merged.comp == hop.cv)
+                .select("v", F.col("ccomp").alias("comp"))
+            )
+            it += 1
+        # one checkpoint + one 1-row probe per 2-round batch: the
+        # checkpoint still truncates lineage (depth ≤ 2 rounds), and
+        # extra post-fixpoint rounds are idempotent, so batching can
+        # at worst run one no-op round
+        labels = labels.localCheckpoint()
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
@@ -475,10 +490,12 @@ def label_propagation(
     valve; an early fixpoint short-circuits.
 
     Scale shape per round: one (vertex-keyed) join to fetch neighbor
-    labels, one (vertex, label) count, one per-vertex argmax via
-    max_by struct ordering — shuffles never carry more than the
-    vertex/label keys; localCheckpoint truncates the iterative
-    lineage as in connected_components/k_core. Returns
+    labels, one (vertex, label) count, one per-vertex argmax via a
+    rank-1 window over (n desc, label asc) — type-agnostic, so
+    string vertex ids (first-class in majority_label and the dedup
+    kernels) break ties identically to numeric ones; shuffles never
+    carry more than the vertex/label keys; localCheckpoint truncates
+    the iterative lineage as in connected_components/k_core. Returns
     (vertex, label).
     """
     if max_rounds < 0:
@@ -507,17 +524,17 @@ def label_propagation(
             .groupBy(F.col("a").alias("v"), "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        # argmax with smallest-label tiebreak: max over (n, -label)
+        # argmax with smallest-label tiebreak: rank-1 window over
+        # (n desc, label asc). Type-agnostic — the previous
+        # struct-negation trick silently cast string labels to
+        # double-NULL and made the tiebreak nondeterministic.
+        wv = Window.partitionBy("v").orderBy(
+            F.col("n").desc(), F.col("label").asc()
+        )
         nxt = (
-            nbr_counts.groupBy("v")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("n"), (-F.col("label")).alias("neg")
-                    )
-                ).alias("_m")
-            )
-            .select("v", (-F.col("_m.neg")).alias("label"))
+            nbr_counts.withColumn("_r", F.row_number().over(wv))
+            .where(F.col("_r") == 1)
+            .select("v", "label")
             .localCheckpoint()
         )
         changed = (

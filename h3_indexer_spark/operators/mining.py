@@ -11,8 +11,12 @@ never the naive all-pairs/all-rows quadratic formulations.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def association_rules(
@@ -21,7 +25,7 @@ def association_rules(
     item_col: str,
     min_support: int = 2,
     k: int = 30,
-    max_basket_size: int | None = None,
+    max_basket_size: int | None = 10_000,
 ) -> DataFrame:
     """Pairwise association rules (Agrawal & Srikant's Apriori at the
     2-itemset level): for every ordered item pair (a → b) with joint
@@ -37,20 +41,38 @@ def association_rules(
     Scale shape: baskets collapse to DISTINCT (basket, item) first;
     the pair generation is ONE equi-self-join on the basket key, so
     work is Σ_b s_b² (bounded by basket size, never corpus²);
-    ``max_basket_size`` drops pathological mega-baskets (a basket
-    with 10⁵ items contributes 10¹⁰ pairs — cap-and-log is the
-    standard guard; capped baskets are EXCLUDED, not sampled, so
-    results stay deterministic). Item supports ride a second narrow
-    aggregation of the same distinct table; N is a 1-row broadcast
-    fold."""
+    ``max_basket_size`` (default 10⁴ — ``None`` is an EXPLICIT
+    opt-out) drops pathological mega-baskets (a basket with 10⁵
+    items contributes 10¹⁰ pairs — cap-and-log is the standard
+    guard; capped baskets are EXCLUDED, not sampled, so results stay
+    deterministic). The guard eagerly counts the excluded baskets
+    (one small aggregation job over the distinct table) and logs the
+    exclusion so a silent cap can never masquerade as full coverage.
+    Item supports ride a second narrow aggregation of the same
+    distinct table; N is a 1-row broadcast fold."""
     items = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
     if max_basket_size is not None:
         sizes = items.groupBy("_b").agg(
             F.count(F.lit(1)).alias("_sz")
-        ).where(F.col("_sz") <= max_basket_size).select("_b")
-        items = items.join(sizes, "_b", "left_semi")
+        )
+        n_excluded = sizes.where(
+            F.col("_sz") > max_basket_size
+        ).count()
+        if n_excluded:
+            _LOG.warning(
+                "association_rules: excluded %d mega-basket(s) with "
+                "more than %d items (pass max_basket_size=None to "
+                "opt out of the quadratic-pair guard)",
+                n_excluded,
+                max_basket_size,
+            )
+        items = items.join(
+            sizes.where(F.col("_sz") <= max_basket_size).select("_b"),
+            "_b",
+            "left_semi",
+        )
     # N over the SAME (post-cap) basket universe as the supports —
     # mixing a pre-cap N into lift would skew every ratio
     n_baskets = items.select("_b").distinct().agg(

@@ -885,8 +885,15 @@ def streaming_minhash_dedup(
                 out_ids.append(rid)
                 out_dups.append(first_id)
         state.update((first_id, first_ts))
+        # clamp the expiry to strictly-after the current watermark:
+        # when the watermark jumps past first_ts+delay AND a near-dup
+        # for the bucket lands in the same micro-batch, an unclamped
+        # setTimeoutTimestamp raises INVALID_TIMEOUT_TIMESTAMP — and
+        # checkpoint replay re-hits the same batch/watermark, turning
+        # one late dup into a deterministic crash loop
+        timeout_ms = first_ts // 1_000_000 + delay_ns // 1_000_000
         state.setTimeoutTimestamp(
-            first_ts // 1_000_000 + delay_ns // 1_000_000
+            max(timeout_ms, state.getCurrentWatermarkMs() + 1)
         )
         if out_ids:
             yield pd.DataFrame(

@@ -446,6 +446,24 @@ class TestGini:
             "gini"
         ] == pytest.approx(0.0, abs=1e-15)
 
+    def test_tie_runs_even_and_odd(self, spark):
+        """ADVICE r7: the rank-run weight now multiplies in
+        DECIMAL(38,0) with the exact /2 split on whichever of c, c+1
+        is even — lock both parities of the run length against the
+        numpy rank formula."""
+        from h3_indexer_spark.operators.analytics import gini_coefficient
+
+        # runs: 1.0 ×3 (odd c), 2.0 ×4 (even c), 7.5 ×1
+        vals = [1.0] * 3 + [2.0] * 4 + [7.5]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        r = gini_coefficient(df, "x").collect()[0]
+        xs = np.sort(np.array(vals))
+        n = len(xs)
+        g = 2.0 * (np.arange(1, n + 1) * xs).sum() / (
+            n * xs.sum()
+        ) - (n + 1.0) / n
+        assert r["gini"] == pytest.approx(g, abs=1e-14)
+
 
 class TestSkyline:
     def test_matches_brute_force(self, spark):
@@ -514,6 +532,39 @@ class TestAssociationRules:
         ).collect()
         pairs = {(r["antecedent"], r["consequent"]) for r in out}
         assert pairs == {("x", "y"), ("y", "x")}
+
+    def test_default_cap_is_on_and_logged(self, spark, caplog):
+        """VERDICT r7 #3: the quadratic-pair guard defaults ON
+        (10⁴-item cap) and a planted mega-basket is excluded WITH a
+        logged exclusion count; None stays the explicit opt-out."""
+        import inspect
+        import logging
+
+        from h3_indexer_spark.operators.mining import association_rules
+
+        sig = inspect.signature(association_rules)
+        assert sig.parameters["max_basket_size"].default == 10_000
+
+        rows = [(1, f"i{k}") for k in range(12)] + [
+            (2, "x"), (2, "y"), (3, "x"), (3, "y"),
+        ]
+        df = spark.createDataFrame(rows, "b long, i string")
+        with caplog.at_level(
+            logging.WARNING, logger="h3_indexer_spark.operators.mining"
+        ):
+            out = association_rules(
+                df, "b", "i", min_support=2, max_basket_size=8
+            ).collect()
+        pairs = {(r["antecedent"], r["consequent"]) for r in out}
+        assert pairs == {("x", "y"), ("y", "x")}
+        assert any(
+            "excluded 1 mega-basket" in r.message for r in caplog.records
+        )
+        # opt-out path: the mega-basket's pairs come back
+        out2 = association_rules(
+            df, "b", "i", min_support=1, k=200, max_basket_size=None
+        ).collect()
+        assert {(r["antecedent"], r["consequent"]) for r in out2} > pairs
 
 
 class TestSurvival:
@@ -1634,6 +1685,25 @@ class TestLabelPropagation:
         e = spark.createDataFrame([(1, 2)], "src long, dst long")
         with pytest.raises(ValueError):
             label_propagation(e, max_rounds=-1)
+
+    def test_string_vertex_ids_tiebreak_deterministically(self, spark):
+        """String ids are first-class (majority_label / dedup kernels
+        contract): the smallest-label tiebreak must be the LEXICAL
+        min, not a silent double-cast NULL. Star around 'm' with
+        leaves 'a','z': both neighbor labels tie at 1 vote, so 'm'
+        must adopt 'a'."""
+        from h3_indexer_spark.operators.graph import label_propagation
+
+        edges = [("m", "a"), ("m", "z")]
+        got = {
+            r["vertex"]: r["label"]
+            for r in label_propagation(
+                spark.createDataFrame(edges, "src string, dst string"),
+                max_rounds=1,
+            ).collect()
+        }
+        assert got["m"] == "a"
+        assert got["a"] == "m" and got["z"] == "m"
 
 
 class TestMutualInformationCells:

@@ -997,6 +997,46 @@ class TestStreamingNearDup:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    def test_minhash_dup_in_same_batch_as_watermark_jump(self, spark):
+        """ADVICE r7 (medium): when the watermark jumps PAST a
+        bucket's expiry and a near-dup for that bucket arrives in the
+        very next micro-batch (no burn batch for the timeout to fire
+        first), the state callback runs with data, sees
+        first_ts+delay behind the watermark, and an unclamped
+        setTimeoutTimestamp raises INVALID_TIMEOUT_TIMESTAMP — a
+        deterministic crash loop under checkpoint replay. The clamp
+        must keep the query alive; the retained claim still
+        suppresses the dup."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_minhash_dedup,
+        )
+
+        d = tempfile.mkdtemp(prefix="h3idx_smhc_")
+        try:
+            src = _write_doc_batches(
+                spark,
+                d,
+                [
+                    [(0, self.B + "10:00:00", self._DOCS[0])],
+                    # watermark after this batch: 14:00 - 1h = 13:00,
+                    # far past doc 0's 11:00 expiry
+                    [(3, self.B + "14:00:00", self._DOCS[3])],
+                    # near-dup of doc 0 IMMEDIATELY (no burn batch):
+                    # state still holds the expired-but-unevicted claim
+                    [(5, self.B + "13:30:00", self._DOCS[1])],
+                ],
+            )
+            out = _run_stream(
+                spark,
+                streaming_minhash_dedup(src),
+                output_mode="append",
+            )
+            got = {r["doc_id"] for r in out.collect()}
+            assert 5 in got  # suppressed by the retained claim
+            assert 0 not in got and 3 not in got
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     def test_minhash_out_of_order_keeps_event_time_claimant(self, spark):
         """A later micro-batch delivering an EARLIER-event-time near-dup
         must take the bucket claim: the deposed (later-ts) doc emits as
