@@ -2225,3 +2225,56 @@ def lorenz_deciles(
         ),
         (cum.cast("double") / total.cast("double")).alias("cum_share"),
     ).orderBy("decile")
+
+
+def diversity_index(
+    df: DataFrame,
+    category_col: str,
+) -> DataFrame:
+    """Concentration/diversity readout of a categorical mix — the
+    source-composition metric a training-data curator reads next to
+    entropy and the Gini/Lorenz family before rebalancing: Simpson's
+    index (probability two random rows share a category, drawn
+    WITHOUT replacement), the Herfindahl–Hirschman index (same, with
+    replacement), and the effective number of categories 1/HHI (how
+    many equally-sized sources this mix is worth — the number
+    rebalance_sources targets).
+
+    Exactness shape: NULL categories drop; per-category counts are
+    exact BIGINTs; the pair sums Σ nᵢ(nᵢ−1) and Σ nᵢ² multiply in
+    DECIMAL(38,0) (O(n²) terms — the 64-bit overflow rule at ~4·10⁹
+    rows), and each output float is ONE division chain of exact
+    numbers in a fixed op sequence. Returns a single row:
+    (n_categories, n_total, simpson, hhi, effective_categories);
+    simpson is NULL when n_total < 2.
+
+    Scale shape: one category-keyed count plus a 1-row fold — the
+    category table is small by construction."""
+    cats = (
+        df.where(F.col(category_col).isNotNull())
+        .groupBy(F.col(category_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    nd = F.col("_n").cast("decimal(38,0)")
+    agg = cats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.sum(nd * (F.col("_n") - F.lit(1)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_pairs"),
+        F.sum(nd * nd).cast("decimal(38,0)").alias("_sumsq"),
+    )
+    n = F.col("n_total").cast("double")
+    simpson = F.when(
+        F.col("n_total") >= 2,
+        F.col("_pairs").cast("double") / (n * (n - F.lit(1.0))),
+    )
+    hhi = F.col("_sumsq").cast("double") / (n * n)
+    eff = (n * n) / F.col("_sumsq").cast("double")
+    return agg.select(
+        "n_categories",
+        "n_total",
+        simpson.alias("simpson"),
+        hhi.alias("hhi"),
+        eff.alias("effective_categories"),
+    )

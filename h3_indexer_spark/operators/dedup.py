@@ -605,6 +605,64 @@ def ngram_jaccard_exact_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs (a, b) where at
+    least ``threshold`` of a's distinct word n-grams also occur in b —
+    containment C(a→b) = |A∩B| / |A| (Broder 1997's companion measure
+    to Jaccard). Jaccard misses subset duplication by construction (a
+    paragraph quoted inside a 100× longer page has tiny Jaccard but
+    containment ≈ 1), and sub-document duplication is exactly what
+    quote-farms / aggregator pages inject into a crawl corpus.
+
+    Same inverted-index shape as ngram_jaccard_exact_pairs: pairs are
+    generated ONLY through shared grams (never all-pairs), ``max_df``
+    drops boilerplate grams before the self-join to bound per-gram
+    fan-out, and the ordered-pair intersection falls out of the
+    (gram → doc) self-join as a count. Output: (id_a, id_b,
+    containment) — "a is substantially contained in b"; containment
+    is ONE exact division of BIGINT counts. Note the direction: both
+    (a,b) and (b,a) can emit, with different denominators.
+    """
+    grams = df.select(
+        id_col, F.explode(_word_ngram_strings(text_col, n)).alias("gram")
+    )
+    kept = (
+        grams.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("gram"))
+        )
+        .where(F.col("_df") <= max_df)
+        .select("gram", id_col)
+    )
+    sizes = kept.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    left = kept.select(F.col("gram"), F.col(id_col).alias("id_a"))
+    right = kept.select(F.col("gram"), F.col(id_col).alias("id_b"))
+    inter = (
+        left.join(right.hint("shuffle_hash"), "gram")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa"))
+    return (
+        inter.join(sa, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_inter") / F.col("_sa").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def _word_ngram_strings(text_col: str, n: int) -> F.Column:
     """DISTINCT word n-grams as plain strings (not hashes — the whole
     point is engine-portable exactness). Narrow. A document shorter

@@ -546,3 +546,53 @@ def label_propagation(
         if not changed:
             break
     return labels.select(F.col("v").alias("vertex"), "label")
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree histogram of the undirected simple graph given by
+    ``edges``: one row per observed degree with the number of
+    vertices at that degree and its share of all vertices — the
+    power-law census a web/link-graph pipeline reads before choosing
+    crawl priorities or skew mitigations (a heavy-tailed degree
+    column is exactly what makes the hub keys of a later join
+    explode).
+
+    Semantics: edges are undirected and deduplicated first
+    (self-loops dropped), so degree = |distinct neighbors|. Output:
+    (degree, n_vertices, share) ordered by degree — share is ONE
+    exact division of BIGINT counts. Scale shape: distinct →
+    per-vertex count → per-degree count; three key-bounded shuffles,
+    each narrower than the last (the second aggregation's input is
+    |V| rows, the third's |distinct degrees|). The share denominator
+    is an unpartitioned window over the HIST table — safe because
+    hist is |distinct degree values| rows (thousands at web scale),
+    and it keeps the plan to ONE pass (a separate total aggregate
+    re-derived the whole pipeline as a second subtree — measured in
+    .explain before this shape was chosen). No Python.
+    """
+    dirs = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = dirs.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices")
+    )
+    w_all = Window.partitionBy()
+    return (
+        hist.select(
+            F.col("degree").cast("bigint").alias("degree"),
+            "n_vertices",
+            (
+                F.col("n_vertices").cast("double")
+                / F.sum("n_vertices").over(w_all).cast("double")
+            ).alias("share"),
+        )
+        .orderBy("degree")
+    )

@@ -129,3 +129,93 @@ def cohens_kappa(
             "kappa"
         ),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    quant: int = 10**9,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for MANY raters per
+    item (Fleiss 1971), the multi-annotator generalization of
+    cohens_kappa and the standard QA readout for crowd-labeled
+    training data (each item judged by an arbitrary subset of the
+    annotator pool). Items with fewer than two non-NULL ratings carry
+    no agreement signal and are dropped; variable ratings-per-item
+    uses the natural per-item weighting
+    P_i = Σ_j n_ij(n_ij−1) / (n_i(n_i−1)).
+
+    Exactness shape: every count is an exact BIGINT. P_i is one
+    division of exact integers per item, FLOOR(·quant)-quantized and
+    integer-summed so P̄ is free of float accumulation order (the
+    established order-free-sum recipe; exact rationals land exactly
+    ON quantization boundaries, where both engines floor identically,
+    and irrational ratios sit far from them). p_e = Σ_j t_j² / N²
+    has an exact BIGINT numerator (DECIMAL(38,0) products — the n²
+    overflow rule) and divides ONCE. Returns one readout row:
+    (n_items, n_ratings, p_bar, p_e, kappa); kappa is NULL when
+    p_e = 1 (all ratings one label).
+
+    Scale shape: one (item, label) count, one item-keyed P_i
+    aggregation, one label-keyed marginal count, three 1-row folds —
+    nothing wider than (item, label) shuffles.
+    """
+    rated = df.where(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(item_col).alias("_i"), F.col(label_col).alias("_j"))
+    cell = rated.groupBy("_i", "_j").agg(
+        F.count(F.lit(1)).alias("_nij")
+    )
+    per_item = cell.groupBy("_i").agg(
+        F.sum("_nij").cast("bigint").alias("_ni"),
+        F.sum(
+            F.col("_nij").cast("decimal(38,0)")
+            * (F.col("_nij") - F.lit(1)).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("_sp"),
+    ).where(F.col("_ni") >= 2)
+    pi_q = F.floor(
+        F.col("_sp").cast("double")
+        / (
+            F.col("_ni").cast("double")
+            * (F.col("_ni") - F.lit(1)).cast("double")
+        )
+        * F.lit(float(quant))
+    )
+    item_agg = per_item.select(
+        "_i", "_ni", pi_q.alias("_piq")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("_ni").cast("bigint").alias("n_ratings"),
+        F.sum("_piq").cast("bigint").alias("_sum_piq"),
+    )
+    # label marginals over the SAME (>=2 ratings) item universe
+    kept = cell.join(per_item.select("_i"), "_i", "left_semi")
+    marg = kept.groupBy("_j").agg(
+        F.sum("_nij").cast("bigint").alias("_tj")
+    )
+    marg_agg = marg.agg(
+        F.sum(
+            F.col("_tj").cast("decimal(38,0)")
+            * F.col("_tj").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("_sum_tj2")
+    )
+    j = item_agg.crossJoin(F.broadcast(marg_agg))  # 1-row folds
+    p_bar = (
+        F.col("_sum_piq").cast("double")
+        / F.lit(float(quant))
+        / F.col("n_items").cast("double")
+    )
+    p_e = F.col("_sum_tj2").cast("double") / (
+        F.col("n_ratings").cast("double")
+        * F.col("n_ratings").cast("double")
+    )
+    return j.select(
+        "n_items",
+        "n_ratings",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        F.when(
+            p_e < 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e)
+        ).alias("kappa"),
+    )

@@ -138,3 +138,100 @@ def hll_registers_grouped(
         .groupBy("group", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant for m ≥ 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def rolling_active_users_hll(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    p: int = 8,
+) -> DataFrame:
+    """Sketch twin of analytics.rolling_active_users — the standard
+    100 TB swap for rolling COUNT DISTINCT: per-day HLL register sets
+    merge into each trailing window by a plain groupBy-max
+    (sketch-of-union == merge-of-sketches), then every window day
+    reads its estimate from ≤2^p merged registers. Where the exact
+    operator's shuffle is entities × days × window, the sketch's is
+    2^p × days × window — INDEPENDENT of cardinality, the property
+    that keeps a 10⁹-DAU rollup the same size as a 10³-DAU one.
+
+    Exactness recipe: with K = 60−p+1 (the max rho), the harmonic
+    denominator Σ 2^(−rho) rescales to the BIGINT
+    s_int = Σ 2^(K−rho) + n_zero·2^K (≤ 2^p·2^K = 2^61 at p=8 — no
+    overflow, no float summation order), so the raw estimate
+    α·m²·2^K / s_int is ONE division of exact numbers. The
+    small-range linear-counting branch (raw ≤ 2.5m with empty
+    buckets) is the only ln() — emitted FLOOR-quantized per the
+    trig/ln recipe, with the integer-boundary margin asserted in the
+    session tests. Output: (day, n_zero, s_int, est_distinct);
+    ``ts_col`` is epoch-nanos."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1: {window_days}")
+    day_ns = 86_400 * 10**9
+    m = 1 << p
+    k_max = (60 - p) + 1
+    per_day = hll_registers_grouped(
+        events.withColumn("_day", F.expr(f"{ts_col} div {day_ns}")),
+        "_day",
+        id_col,
+        p=p,
+    )
+    contrib = per_day.select(
+        F.explode(
+            F.sequence(
+                F.col("group"), F.col("group") + F.lit(window_days - 1)
+            )
+        ).alias("_wday"),
+        "bucket",
+        "rho",
+    )
+    merged = contrib.groupBy("_wday", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    per_window = merged.groupBy("_wday").agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k_max} - rho)"))
+        .cast("bigint")
+        .alias("_s_present"),
+    )
+    days = (
+        events.select(F.expr(f"{ts_col} div {day_ns}").alias("_wday"))
+        .distinct()
+    )
+    n_zero = (F.lit(m) - F.col("_present")).cast("bigint")
+    s_int = (
+        F.col("_s_present")
+        + n_zero * F.lit(1 << k_max).cast("bigint")
+    ).cast("bigint")
+    num = float(hll_alpha(m)) * float(m) * float(m) * float(2**k_max)
+    raw = F.lit(num) / F.col("s_int").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero") > 0),
+        F.floor(
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / F.col("n_zero").cast("double"))
+        ),
+    ).otherwise(F.floor(raw))
+    return (
+        per_window.join(days, "_wday")
+        .select(
+            F.col("_wday").alias("day"),
+            n_zero.alias("n_zero"),
+            s_int.alias("s_int"),
+        )
+        .select(
+            "day",
+            "n_zero",
+            "s_int",
+            est.cast("bigint").alias("est_distinct"),
+        )
+        .orderBy("day")
+    )

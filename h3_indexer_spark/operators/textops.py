@@ -782,6 +782,200 @@ def vocab_encode(
     )
 
 
+_BPE_SEP = "|"  # never appears in symbols: tokens are \w+ only
+
+
+def _bpe_apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Apply ONE BPE merge (a, b) → ab to a symbol-array column,
+    greedy left-to-right — the exact rewrite bpe_train's fold
+    performs, restated so the accumulator is a STRING (symbols joined
+    by ``_BPE_SEP``) instead of an array: a string accumulator is
+    what DuckDB's list_reduce can mirror (its accumulator must have
+    the element type), which is what makes the encoding
+    SQL-orackeable. Tail-symbol match = the accumulator either IS
+    ``a`` (first symbol, no separator yet) or ends with ``sep+a``;
+    the merge drops the trailing ``a`` and appends ``ab`` — chained
+    occurrences ([a,a,a,a] with (a,a) → [aa,aa]) reduce identically
+    to the trainer's look-behind fold."""
+    sep = _BPE_SEP
+    joined = F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.element_at(syms, 1),
+        lambda acc, s: F.when(
+            (s == F.lit(b))
+            & ((acc == F.lit(a)) | acc.endswith(F.lit(sep + a))),
+            F.concat(
+                F.substring(
+                    acc, F.lit(1), F.length(acc) - F.lit(len(a))
+                ),
+                F.lit(a + b),
+            ),
+        ).otherwise(F.concat(acc, F.lit(sep), s)),
+    )
+    return F.split(joined, r"\|")
+
+
+def bpe_encode_words(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge list to the corpus VOCABULARY — the
+    scale-right half of the train/apply tokenizer pair (bpe_train
+    learns the merges; this encodes with them). The corpus collapses
+    ONCE to distinct words with counts, then every merge applies in
+    rank order as a pure higher-order-function fold over each word's
+    symbol array — work is ∝ |vocab| · |merges|, never corpus size,
+    and per-document encodings attach by joining this table back
+    (bpe_encode_docs). Merge application is the classic sequential
+    semantics (merge r rewrites everywhere before merge r+1 — the
+    per-round rewrite bpe_train itself performs), so
+    bpe_encode_words(corpus, bpe_train(corpus)) reproduces the
+    trainer's final symbol table exactly (test-locked).
+
+    Output: (word, wn, n_symbols, encoded) — ``encoded`` joins the
+    final symbols with spaces; all scalar columns, hash-checkable."""
+    words = df.select(
+        F.explode(_lower_tokens(text_col)).alias("w")
+    ).where(F.length("w") >= 1)
+    sym = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select("w", "wn", F.expr("split(w, '')").alias("syms"))
+    )
+    col = F.col("syms")
+    for a, b in merges:
+        col = _bpe_apply_merge(col, a, b)
+    return sym.select(
+        F.col("w").alias("word"),
+        F.col("wn").cast("bigint").alias("wn"),
+        F.size(col).cast("int").alias("n_symbols"),
+        F.array_join(col, " ").alias("encoded"),
+    )
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document BPE encoding: tokenize, attach each word's
+    encoding from the vocabulary-level table (encode the vocab ONCE,
+    join back — never re-fold per occurrence), and reassemble the
+    document in token order. Output: (id, n_words, n_symbols,
+    encoded_text) with ``encoded_text`` the space-joined symbol
+    stream in document order (order restored by an explicit
+    position sort inside the aggregation — deterministic, no
+    collect_list luck). ``broadcast_vocab=False`` switches the
+    attachment to a word-keyed hash join for vocabularies too large
+    to broadcast."""
+    vocab = bpe_encode_words(df, merges, text_col).select(
+        F.col("word").alias("w"), "n_symbols", "encoded"
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    toks = F.filter(_lower_tokens(text_col), lambda t: F.length(t) > 0)
+    positions = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "w")
+    )
+    return (
+        positions.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_symbols").cast("bigint").alias("n_symbols"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "encoded"))
+                    ),
+                    lambda x: x["encoded"],
+                ),
+                " ",
+            ).alias("encoded_text"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    checkpoints: tuple[int, ...] = (100, 200, 300, 400, 500),
+) -> DataFrame:
+    """Vocabulary coverage curve — for each checkpoint k, the
+    fraction of ALL token occurrences covered by the k most frequent
+    tokens: THE readout that sizes a tokenizer vocabulary (the knee
+    of this curve is where adding vocab entries stops buying
+    compression; its complement is the OOV rate vocab_encode would
+    produce at that size). Ranking is (count desc, token asc) —
+    vocab_encode's exact rank order, so coverage@k here IS the
+    non-OOV token fraction of vocab_encode(vocab_size=k).
+
+    Output: (k, n_covered, n_total, coverage), one row per
+    checkpoint; n_covered/n_total are exact BIGINTs, coverage ONE
+    division. Scale shape: one token-count aggregation (the |vocab|
+    table), a TakeOrdered cut to max(checkpoints) rows — never a
+    global window over the full vocabulary — then K conditional sums
+    over that bounded pool plus a 1-row total fold."""
+    ks = sorted(set(int(k) for k in checkpoints))
+    if not ks or ks[0] < 1:
+        raise ValueError(f"checkpoints must be positive: {checkpoints}")
+    from pyspark.sql import Window
+
+    toks = F.filter(_lower_tokens(text_col), lambda t: F.length(t) > 0)
+    counts = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("n_total"))
+    pool = (
+        counts.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(ks[-1])
+    )
+    ranked = pool.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("tok").asc()))
+        .alias("_rank"),
+    )
+    covered = ranked.agg(
+        *[
+            F.sum(F.when(F.col("_rank") <= k, F.col("n")))
+            .cast("bigint")
+            .alias(f"_c{k}")
+            for k in ks
+        ]
+    )
+    rows = covered.crossJoin(F.broadcast(total)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("k"),
+                        F.coalesce(F.col(f"_c{k}"), F.lit(0))
+                        .cast("bigint")
+                        .alias("n_covered"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("_s"),
+        "n_total",
+    )
+    return rows.select(
+        F.col("_s.k").alias("k"),
+        F.col("_s.n_covered").alias("n_covered"),
+        "n_total",
+        (
+            F.col("_s.n_covered").cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("coverage"),
+    ).orderBy("k")
+
+
 def collocations(
     df: DataFrame,
     text_col: str = "text",
