@@ -152,6 +152,15 @@ HEADLINE = [
     "q_ks_test",
     "q_forecast_wape",
     "q_readability",
+    # round-8 additions
+    "q_bpe_encode",
+    "q_hybrid_retrieval",
+    "q_active_users_hll",
+    "q_degree_dist",
+    "q_containment",
+    "q_vocab_coverage",
+    "q_diversity",
+    "q_fleiss_kappa",
 ]
 
 

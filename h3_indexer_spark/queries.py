@@ -7269,26 +7269,6 @@ QUERIES["q_calibration"] = q_calibration
 ORACLES["q_string_agg"] = _STRING_AGG_ORACLE
 ORACLES["q_calibration"] = _CALIBRATION_ORACLE
 
-# Rotate the round-7 continuation keys INTO the 50-key driver window
-# (positions 44-50) so each gets a driver CORRECTNESS row this round —
-# the displaced keys (fuzzy/asof/interval/range join, fingerprint,
-# decontaminate×2) all hold green driver rows from rounds 4-6, so the
-# union-coverage invariant (tests/test_entry.py::
-# test_every_oracle_key_has_a_driver_row) stays intact. Positions 1-43
-# (q_kcore + the 12 round-3-stale keys + the round-7 batch) are
-# unchanged.
-_WINDOW_ADDS = [
-    "q_rrf_fusion",
-    "q_retrieval_eval",
-    "q_bfs_hops",
-    "q_collocations",
-    "q_benford",
-    "q_string_agg",
-    "q_calibration",
-]
-_order = [k for k in QUERIES if k not in _WINDOW_ADDS]
-_order = _order[:43] + _WINDOW_ADDS + _order[43:]
-QUERIES = {k: QUERIES[k] for k in _order}
 
 
 def q_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7420,19 +7400,6 @@ ORACLES["q_label_vote"] = _LABEL_VOTE_ORACLE
 ORACLES["q_cohens_kappa"] = _cohens_kappa_oracle()
 ORACLES["q_embed_normalize"] = _embed_normalize_oracle()
 
-# Final window order: ALL ten round-7-continuation keys at positions
-# 41-50 (one reorder — the two incremental splices above would
-# otherwise push each other past 50). The ten displaced keys
-# (dedup_spans_global, knn_brute/lsh, fuzzy/asof/interval/range join,
-# fingerprint, decontaminate×2) all hold green driver rows from
-# rounds 3-6; the coverage invariant is re-checked by
-# tests/test_entry.py::test_every_oracle_key_has_a_driver_row.
-_WINDOW_ADDS_B = _WINDOW_ADDS + [
-    "q_label_vote", "q_cohens_kappa", "q_embed_normalize",
-]
-_order_b = [k for k in QUERIES if k not in _WINDOW_ADDS_B]
-_order_b = _order_b[:40] + _WINDOW_ADDS_B + _order_b[40:]
-QUERIES = {k: QUERIES[k] for k in _order_b}
 
 
 def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7576,15 +7543,6 @@ def _ndcg_oracle() -> str:
 QUERIES["q_ndcg"] = q_ndcg
 ORACLES["q_ndcg"] = _ndcg_oracle()
 
-# Canonical final window order (supersedes the incremental splices
-# above): ALL eleven round-7-continuation keys pinned to positions
-# 40-50. Every displaced key holds green driver rows from rounds 3-6;
-# tests/test_entry.py::test_every_oracle_key_has_a_driver_row
-# re-checks the union-coverage invariant.
-_WINDOW_R7C = _WINDOW_ADDS_B + ["q_ndcg"]
-_order_c = [k for k in QUERIES if k not in _WINDOW_R7C]
-_order_c = _order_c[:39] + _WINDOW_R7C + _order_c[39:]
-QUERIES = {k: QUERIES[k] for k in _order_c}
 
 
 def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7693,13 +7651,6 @@ QUERIES["q_ks_test"] = q_ks_test
 ORACLES["q_auc"] = _AUC_ORACLE
 ORACLES["q_ks_test"] = _KS_ORACLE
 
-# Extend the canonical window rotation: thirteen continuation keys at
-# positions 38-50 (same displaced-keys-have-history invariant,
-# re-checked by test_entry).
-_WINDOW_R7D = _WINDOW_R7C + ["q_auc", "q_ks_test"]
-_order_d = [k for k in QUERIES if k not in _WINDOW_R7D]
-_order_d = _order_d[:37] + _WINDOW_R7D + _order_d[37:]
-QUERIES = {k: QUERIES[k] for k in _order_d}
 
 
 def q_forecast_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7755,11 +7706,6 @@ _FORECAST_WAPE_ORACLE = """
 QUERIES["q_forecast_wape"] = q_forecast_wape
 ORACLES["q_forecast_wape"] = _FORECAST_WAPE_ORACLE
 
-# Extend the canonical rotation: fourteen continuation keys at 37-50.
-_WINDOW_R7E = _WINDOW_R7D + ["q_forecast_wape"]
-_order_e = [k for k in QUERIES if k not in _WINDOW_R7E]
-_order_e = _order_e[:36] + _WINDOW_R7E + _order_e[36:]
-QUERIES = {k: QUERIES[k] for k in _order_e}
 
 
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7799,11 +7745,6 @@ _READABILITY_ORACLE = r"""
 QUERIES["q_readability"] = q_readability
 ORACLES["q_readability"] = _READABILITY_ORACLE
 
-# Extend the canonical rotation: fifteen continuation keys at 36-50.
-_WINDOW_R7F = _WINDOW_R7E + ["q_readability"]
-_order_f = [k for k in QUERIES if k not in _WINDOW_R7F]
-_order_f = _order_f[:35] + _WINDOW_R7F + _order_f[35:]
-QUERIES = {k: QUERIES[k] for k in _order_f}
 
 
 def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7827,14 +7768,6 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q_label_prop"] = q_label_prop
 
-# Extend the canonical rotation once more: q_label_prop (rows-only —
-# bounded-round LPA has no SQL mirror) joins the window so its debut
-# gets a driver record, q_kcore-style. Sixteen continuation keys at
-# positions 35-50.
-_WINDOW_R7G = _WINDOW_R7F + ["q_label_prop"]
-_order_g = [k for k in QUERIES if k not in _WINDOW_R7G]
-_order_g = _order_g[:34] + _WINDOW_R7G + _order_g[34:]
-QUERIES = {k: QUERIES[k] for k in _order_g}
 
 
 def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7879,11 +7812,6 @@ _MUTUAL_INFO_ORACLE = """
 QUERIES["q_mutual_info"] = q_mutual_info
 ORACLES["q_mutual_info"] = _MUTUAL_INFO_ORACLE
 
-# Final rotation extension: seventeen continuation keys at 34-50.
-_WINDOW_R7H = _WINDOW_R7G + ["q_mutual_info"]
-_order_h = [k for k in QUERIES if k not in _WINDOW_R7H]
-_order_h = _order_h[:33] + _WINDOW_R7H + _order_h[33:]
-QUERIES = {k: QUERIES[k] for k in _order_h}
 
 
 def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7995,17 +7923,601 @@ QUERIES["q_lorenz"] = q_lorenz
 ORACLES["q_js_divergence"] = _JS_DIVERGENCE_ORACLE
 ORACLES["q_lorenz"] = _LORENZ_ORACLE
 
-# Final rotation. Window capacity is EXACTLY spent: 32 mandatory
-# keys (q_kcore + 12 round-3-stale + 2 reworked spatial + 17 round-7
-# debuts, tests/test_entry.py) + the 18 oracle-checked continuation
-# keys = 50. q_label_prop (rows-only — the one continuation key the
-# oracle-coverage invariant does NOT require in the window) yields
-# its slot and takes its first driver record next round, exactly the
-# q_kcore precedent; q_dbscan (mandatory debut) is pinned inside the
-# block so the reorder cannot push it past the edge.
-_WINDOW_R7I = [
-    k for k in _WINDOW_R7H if k != "q_label_prop"
-] + ["q_js_divergence", "q_lorenz", "q_dbscan"]
-_order_i = [k for k in QUERIES if k not in _WINDOW_R7I]
-_order_i = _order_i[:31] + _WINDOW_R7I + _order_i[31:]
-QUERIES = {k: QUERIES[k] for k in _order_i}
+
+
+# ---------------------------------------------------------------- round 8
+
+
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram (operators/graph.py::degree_distribution) of
+    the co-purchase graph (parts linked when they share an order —
+    the q_kcore edge fixture): vertices per degree with exact-count
+    shares — the power-law census that flags join-key skew before it
+    bites. Three narrowing aggregations + a 1-row fold."""
+    from h3_indexer_spark.operators.graph import degree_distribution
+
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "_b")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return degree_distribution(edges)
+
+
+_DEGREE_DIST_ORACLE = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    dirs AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT dst AS a, src AS b FROM edges
+    ),
+    deg AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM dirs GROUP BY a
+    ),
+    hist AS (
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+        FROM deg GROUP BY degree
+    )
+    SELECT degree, n_vertices,
+           CAST(n_vertices AS DOUBLE)
+               / CAST((SELECT SUM(n_vertices) FROM hist) AS DOUBLE)
+               AS share
+    FROM hist
+    ORDER BY degree
+"""
+
+
+def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix concentration (operators/analytics.py::
+    diversity_index) of the documents corpus: Simpson (pair-collision
+    probability without replacement), HHI, and the effective number
+    of equal sources — exact DECIMAL(38,0) pair sums, each float ONE
+    fixed-order division chain."""
+    from h3_indexer_spark.operators.analytics import diversity_index
+
+    return diversity_index(load(spark, sf_dir, "documents"), "source")
+
+
+_DIVERSITY_ORACLE = """
+    WITH cats AS (
+        SELECT source AS c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents WHERE source IS NOT NULL GROUP BY source
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(CAST(n AS DECIMAL(38,0))
+                        * CAST(n - 1 AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS pairs,
+               CAST(SUM(CAST(n AS DECIMAL(38,0))
+                        * CAST(n AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sumsq
+        FROM cats
+    )
+    SELECT n_categories, n_total,
+           CASE WHEN n_total >= 2
+                THEN CAST(pairs AS DOUBLE)
+                     / (CAST(n_total AS DOUBLE)
+                        * (CAST(n_total AS DOUBLE) - 1.0))
+           END AS simpson,
+           CAST(sumsq AS DOUBLE)
+               / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))
+               AS hhi,
+           (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))
+               / CAST(sumsq AS DOUBLE) AS effective_categories
+    FROM agg
+"""
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (operators/labeling.py::fleiss_kappa): users as
+    items, their event types as repeated categorical ratings — the
+    multi-annotator agreement readout beside the two-rater
+    q_cohens_kappa. P̄ sums FLOOR(Pᵢ·10⁹) BIGINTs (order-free-sum
+    recipe — each Pᵢ is one exact-integer division); p_e has an exact
+    DECIMAL(38,0) numerator and divides once."""
+    from h3_indexer_spark.operators.labeling import fleiss_kappa
+
+    return fleiss_kappa(_load_events(spark, sf_dir), "user_id", "event_type")
+
+
+_FLEISS_ORACLE = """
+    WITH rated AS (
+        SELECT user_id AS i, event_type AS j FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    cell AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM rated GROUP BY i, j
+    ),
+    per_item AS (
+        SELECT i, CAST(SUM(nij) AS BIGINT) AS ni,
+               CAST(SUM(CAST(nij AS DECIMAL(38,0))
+                        * CAST(nij - 1 AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sp
+        FROM cell GROUP BY i
+        HAVING CAST(SUM(nij) AS BIGINT) >= 2
+    ),
+    item_agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(ni) AS BIGINT) AS n_ratings,
+               CAST(SUM(CAST(FLOOR(
+                   CAST(sp AS DOUBLE)
+                   / (CAST(ni AS DOUBLE) * CAST(ni - 1 AS DOUBLE))
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_piq
+        FROM per_item
+    ),
+    kept AS (
+        SELECT * FROM cell WHERE i IN (SELECT i FROM per_item)
+    ),
+    marg AS (
+        SELECT j, CAST(SUM(nij) AS BIGINT) AS tj
+        FROM kept GROUP BY j
+    ),
+    marg_agg AS (
+        SELECT CAST(SUM(CAST(tj AS DECIMAL(38,0))
+                        * CAST(tj AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sum_tj2
+        FROM marg
+    )
+    SELECT n_items, n_ratings,
+           CAST(sum_piq AS DOUBLE) / 1000000000.0
+               / CAST(n_items AS DOUBLE) AS p_bar,
+           CAST(sum_tj2 AS DOUBLE)
+               / (CAST(n_ratings AS DOUBLE)
+                  * CAST(n_ratings AS DOUBLE)) AS p_e,
+           CASE WHEN CAST(sum_tj2 AS DOUBLE)
+                     / (CAST(n_ratings AS DOUBLE)
+                        * CAST(n_ratings AS DOUBLE)) < 1.0
+                THEN (CAST(sum_piq AS DOUBLE) / 1000000000.0
+                          / CAST(n_items AS DOUBLE)
+                      - CAST(sum_tj2 AS DOUBLE)
+                            / (CAST(n_ratings AS DOUBLE)
+                               * CAST(n_ratings AS DOUBLE)))
+                     / (1.0 - CAST(sum_tj2 AS DOUBLE)
+                                  / (CAST(n_ratings AS DOUBLE)
+                                     * CAST(n_ratings AS DOUBLE)))
+           END AS kappa
+    FROM item_agg, marg_agg
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer coverage curve (operators/textops.py::
+    vocab_coverage): token-occurrence fraction covered by the top-k
+    vocabulary at k ∈ {100..500} — the non-OOV rate q_vocab_encode
+    would produce at each size (same (count desc, token asc) rank).
+    TakeOrdered pool cut, never a full-vocab window; exact BIGINT
+    numerators, one division per checkpoint."""
+    from h3_indexer_spark.operators.textops import vocab_coverage
+
+    return vocab_coverage(
+        load(spark, sf_dir, "documents"),
+        checkpoints=(100, 200, 300, 400, 500),
+    )
+
+
+_VOCAB_COVERAGE_ORACLE = r"""
+    WITH d AS (
+        SELECT list_filter(
+                   string_split_regex(
+                       lower(regexp_replace(text, '[^\w\s]', ' ', 'g')),
+                       '\s+'),
+                   x -> len(x) > 0) AS toks
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(toks) AS tok FROM d
+        ) GROUP BY tok
+    ),
+    pool AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS r
+        FROM (SELECT * FROM counts ORDER BY n DESC, tok ASC LIMIT 500)
+    ),
+    ks AS (SELECT unnest([100, 200, 300, 400, 500]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COALESCE((SELECT SUM(n) FROM pool WHERE r <= k), 0)
+                AS BIGINT) AS n_covered,
+           CAST((SELECT SUM(n) FROM counts) AS BIGINT) AS n_total,
+           CAST(COALESCE((SELECT SUM(n) FROM pool WHERE r <= k), 0)
+                AS DOUBLE)
+               / CAST((SELECT SUM(n) FROM counts) AS DOUBLE)
+               AS coverage
+    FROM ks
+    ORDER BY k
+"""
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (operators/dedup.py::
+    containment_pairs): ordered (a, b) where ≥ half of a's distinct
+    word 3-grams occur in b — the subset-duplication detector Jaccard
+    misses by construction (quoted paragraphs inside longer pages).
+    Same inverted-index + max_df stop-shingle shape as
+    q_dedup_ngram_jaccard; containment is one exact division."""
+    from h3_indexer_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, max_df=100
+    )
+
+
+_CONTAINMENT_ORACLE = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            s -> array_to_string(ws[s:s+2], ' ')))) AS gram
+        FROM w
+    ),
+    kept AS (
+        SELECT doc_id, gram FROM (
+            SELECT doc_id, gram,
+                   COUNT(*) OVER (PARTITION BY gram) AS dfc
+            FROM g)
+        WHERE dfc <= 100
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM kept a
+        JOIN kept b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, containment FROM (
+        SELECT id_a, id_b,
+               CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment
+        FROM inter JOIN sz sa ON sa.doc_id = id_a)
+    WHERE containment >= 0.5
+"""
+
+
+QUERIES["q_degree_dist"] = q_degree_dist
+QUERIES["q_diversity"] = q_diversity
+QUERIES["q_fleiss_kappa"] = q_fleiss_kappa
+QUERIES["q_vocab_coverage"] = q_vocab_coverage
+QUERIES["q_containment"] = q_containment
+ORACLES["q_degree_dist"] = _DEGREE_DIST_ORACLE
+ORACLES["q_diversity"] = _DIVERSITY_ORACLE
+ORACLES["q_fleiss_kappa"] = _FLEISS_ORACLE
+ORACLES["q_vocab_coverage"] = _VOCAB_COVERAGE_ORACLE
+ORACLES["q_containment"] = _CONTAINMENT_ORACLE
+
+
+# Static production-shaped merge table for the ENCODE contract: a
+# tokenizer is trained once and applied to the whole corpus, so the
+# apply path's contract takes the merge list as configuration (the
+# train→apply round trip itself is locked in tests/test_round8_ops.py
+# — oracle_sql() returns static strings, so a train-at-query-time
+# merge list could not be mirrored).
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("in", "g"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (operators/textops.py::bpe_encode_words):
+    the corpus vocabulary encoded with a fixed 8-merge table, top-40
+    words by frequency — the missing half of the train/apply pair
+    (q_bpe_pairs censuses, bpe_train learns, this encodes). Work is
+    ∝ |vocab|·|merges| via a pure aggregate() fold per word; the
+    string-accumulator restatement of the trainer's look-behind fold
+    is what DuckDB's list_reduce mirrors exactly."""
+    from pyspark.sql import Window as W
+
+    from h3_indexer_spark.operators.textops import bpe_encode_words
+
+    enc = bpe_encode_words(load(spark, sf_dir, "documents"), _BPE_MERGES)
+    return enc.orderBy(
+        F.col("wn").desc(), F.col("word").asc()
+    ).limit(40)
+
+
+def _bpe_encode_oracle() -> str:
+    """Mirror of q_bpe_encode: chars via string_split(w, ''), then one
+    list_reduce string-fold per merge in rank order — the accumulator
+    is the '|'-joined symbol string, split back between merges (the
+    exact _bpe_apply_merge recipe; '|' never occurs in \\w symbols)."""
+    expr = "string_split(w, '')"
+    for a, b in _BPE_MERGES:
+        fold = (
+            f"list_reduce({expr}, (acc, s) -> "
+            f"CASE WHEN s = '{b}' AND (acc = '{a}' "
+            f"OR ends_with(acc, '|{a}')) "
+            f"THEN substr(acc, 1, length(acc) - {len(a)}) || '{a + b}' "
+            f"ELSE acc || '|' || s END)"
+        )
+        expr = f"string_split({fold}, '|')"
+    return rf"""
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS wn FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(
+                        lower(regexp_replace(text, '[^\w\s]', ' ', 'g')),
+                        '\s+'),
+                    x -> len(x) >= 1)) AS w
+                FROM documents
+            ) GROUP BY w
+        ),
+        enc AS (
+            SELECT w, wn, {expr} AS syms FROM words
+        )
+        SELECT w AS word, wn,
+               CAST(len(syms) AS INTEGER) AS n_symbols,
+               array_to_string(syms, ' ') AS encoded
+        FROM enc
+        ORDER BY wn DESC, word ASC
+        LIMIT 40
+    """
+
+
+def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives from merged HLL registers
+    (operators/sketches.py::rolling_active_users_hll) — the sketch
+    twin of q_active_users and the standard 100 TB swap for rolling
+    COUNT DISTINCT: per-day register sets union into each window by
+    groupBy-max, the harmonic denominator rescales to an exact BIGINT
+    (powers of two — no float sum order), and the estimate is one
+    division; the linear-counting branch is the lone ln(), emitted
+    FLOOR-quantized. Error vs the exact operator is bound-tested in
+    tests/test_round8_ops.py."""
+    from h3_indexer_spark.operators.sketches import rolling_active_users_hll
+
+    return rolling_active_users_hll(_load_events(spark, sf_dir))
+
+
+def _active_hll_oracle() -> str:
+    from h3_indexer_spark.operators.sketches import hll_alpha
+
+    day_ns = 86_400 * 10**9
+    k_max = 53
+    two_k = 1 << k_max
+    num = float(hll_alpha(256)) * 256.0 * 256.0 * float(2**k_max)
+    return f"""
+        WITH h AS (
+            SELECT epoch_ns(ts) // {day_ns} AS grp,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       18, 15) AS BIGINT) AS h
+            FROM events
+            WHERE user_id IS NOT NULL
+        ),
+        regs AS (
+            SELECT grp,
+                   CAST(h % 256 AS INTEGER) AS bucket,
+                   CAST(MAX(CASE WHEN h // 256 = 0 THEN 53
+                                 ELSE 52 - length(bin(h // 256)) + 1
+                            END) AS INTEGER) AS rho
+            FROM h GROUP BY 1, 2
+        ),
+        contrib AS (
+            SELECT unnest(range(grp, grp + 7)) AS wday, bucket, rho
+            FROM regs
+        ),
+        merged AS (
+            SELECT wday, bucket, MAX(rho) AS rho
+            FROM contrib GROUP BY wday, bucket
+        ),
+        per_window AS (
+            SELECT wday,
+                   CAST(COUNT(*) AS BIGINT) AS present,
+                   CAST(SUM((CAST(1 AS BIGINT) << ({k_max} - rho)))
+                        AS BIGINT) AS s_present
+            FROM merged GROUP BY wday
+        ),
+        days AS (
+            SELECT DISTINCT epoch_ns(ts) // {day_ns} AS wday FROM events
+        ),
+        readout AS (
+            SELECT p.wday AS day,
+                   CAST(256 - present AS BIGINT) AS n_zero,
+                   CAST(s_present
+                        + (256 - present) * CAST({two_k} AS BIGINT)
+                        AS BIGINT) AS s_int
+            FROM per_window p JOIN days d ON p.wday = d.wday
+        )
+        SELECT day, n_zero, s_int,
+               CAST(CASE WHEN ({num!r} / CAST(s_int AS DOUBLE)) <= 640.0
+                              AND n_zero > 0
+                         THEN FLOOR(256.0 * ln(256.0
+                                    / CAST(n_zero AS DOUBLE)))
+                         ELSE FLOOR({num!r} / CAST(s_int AS DOUBLE))
+                    END AS BIGINT) AS est_distinct
+        FROM readout
+        ORDER BY day
+    """
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hybrid retrieval (the examples/retrieval_pipeline.py
+    flow as ONE oracle-checked composite): the BM25 sparse leg
+    (textops.bm25_scores, top-50 pool) fused with the IVFADC+R dense
+    leg (pq.ivfpq_topk_rerank — ADC cut at 250, exact re-rank to
+    top-20) through reciprocal-rank fusion (retrieval.rrf_fuse).
+    Valid oracle because BOTH legs are individually exact-mirrorable:
+    BM25 by the FLOOR(score·1000) recipe, and the re-ranked dense leg
+    equals brute-force exact-L2 whenever the true top-20 survives the
+    ADC-250 cut (recall margin asserted at both SFs — measured worst
+    ADC position of the true top-20 is 96 at sf0.01, a 2.6× margin —
+    in
+    tests/test_round8_ops.py — the q_knn_ivfpq_rerank precedent,
+    widened). Plan shape: one shuffle per signal, 50-row rank pools
+    via TakeOrderedAndProject, a bounded full-outer fuse join."""
+    from pyspark.sql import Window as W
+
+    from h3_indexer_spark.operators.pq import ivfpq_topk_rerank, pq_train
+    from h3_indexer_spark.operators.retrieval import rrf_fuse
+    from h3_indexer_spark.operators.similarity import sampled_centroids
+    from h3_indexer_spark.operators.textops import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    sparse = bm25_scores(
+        docs, _BM25_TERMS, "text", "doc_id", k=50
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score_q").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, n_cells=16)
+    books = pq_train(emb, m=16, nbits=6, sample=500)
+    dense_pool = ivfpq_topk_rerank(
+        emb, _query_vector(), cents, books,
+        n_probe=16, k=20, n_refine=250,
+    )
+    dense = dense_pool.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("l2_dist").asc(), F.col("vec_id").asc()))
+        .alias("rank"),
+    )
+    return rrf_fuse(
+        {"dense": dense, "sparse": sparse}, "doc_id", k0=60, topk=20
+    )
+
+
+def _hybrid_retrieval_oracle() -> str:
+    terms = " + ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) - ({v!r})) * "
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) - ({v!r}))"
+        for i, v in enumerate(_query_vector())
+    )
+    return f"""
+        WITH sparse AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY score_q DESC, doc_id ASC
+                   ) AS BIGINT) AS rank
+            FROM ({_bm25_oracle(k=50)})
+        ),
+        dense AS (
+            SELECT vec_id AS doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY l2_dist ASC, vec_id ASC
+                   ) AS BIGINT) AS rank
+            FROM (
+                SELECT vec_id, 0.0 + {terms} AS l2_dist
+                FROM embeddings
+                ORDER BY l2_dist ASC, vec_id ASC
+                LIMIT 20
+            )
+        )
+        SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+               d.rank AS rank_dense,
+               s.rank AS rank_sparse,
+               COALESCE(1.0 / (60.0 + CAST(d.rank AS DOUBLE)), 0.0)
+                   + COALESCE(1.0 / (60.0 + CAST(s.rank AS DOUBLE)), 0.0)
+                   AS rrf_score
+        FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT 20
+    """
+
+
+QUERIES["q_bpe_encode"] = q_bpe_encode
+QUERIES["q_active_users_hll"] = q_active_users_hll
+QUERIES["q_hybrid_retrieval"] = q_hybrid_retrieval
+ORACLES["q_bpe_encode"] = _bpe_encode_oracle()
+ORACLES["q_active_users_hll"] = _active_hll_oracle()
+ORACLES["q_hybrid_retrieval"] = _hybrid_retrieval_oracle()
+
+
+# ---------------------------------------------------------------------
+# Round-8 driver window — ONE canonical declaration (ADVICE r7: the
+# eight round-7 incremental splices are collapsed; this list IS the
+# window, no positional arithmetic to re-derive). The driver
+# hash-checks the FIRST 50 QUERIES entries in dict order. Capacity is
+# EXACTLY spent: the 41 keys whose latest driver row is round 4
+# (testdata has regenerated three times since — VERDICT r7 item #1),
+# q_label_prop (the one key with no driver record, yielding its slot
+# last round by the documented q_kcore precedent), and the 8 round-8
+# debuts. Every displaced key holds a green round-5..7 driver row;
+# tests/test_entry.py::test_every_oracle_key_has_a_driver_row
+# re-checks the union-coverage invariant, and the round-8 composition
+# is locked by tests/test_entry.py::test_round8_window_composition.
+_WINDOW_R8 = [
+    # never driver-recorded (rows-only; the q_kcore playbook)
+    "q_label_prop",
+    # round-8 debuts
+    "q_bpe_encode",
+    "q_hybrid_retrieval",
+    "q_active_users_hll",
+    "q_degree_dist",
+    "q_containment",
+    "q_vocab_coverage",
+    "q_diversity",
+    "q_fleiss_kappa",
+    # the 41 round-4-stale keys (latest driver row = round 4)
+    "q_asof_join",
+    "q_attribution",
+    "q_clean_lines",
+    "q_contamination_frac",
+    "q_corpus_curation",
+    "q_corr",
+    "q_decontaminate",
+    "q_decontaminate_bloom",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
+    "q_dedup_keep_best",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_resolve",
+    "q_dedup_simhash",
+    "q_dedup_spans_global",
+    "q_explode",
+    "q_fingerprint",
+    "q_frequent_items",
+    "q_fuzzy_join",
+    "q_gap_fill",
+    "q_interval_join",
+    "q_join_full_outer",
+    "q_join_left_small",
+    "q_join_skew_salted",
+    "q_knn_brute",
+    "q_knn_lsh",
+    "q_media_dedup",
+    "q_range_join",
+    "q_rare_words",
+    "q_region_revenue",
+    "q_retention_cohorts",
+    "q_robust_scale",
+    "q_rolling_features",
+    "q_scan_where",
+    "q_sessionize",
+    "q_tfidf",
+    "q_top_orders",
+    "q_window_tumbling",
+    "q_zscore",
+]
+assert len(_WINDOW_R8) == 50, len(_WINDOW_R8)
+assert len(set(_WINDOW_R8)) == 50
+_missing = [k for k in _WINDOW_R8 if k not in QUERIES]
+assert not _missing, f"window names unknown keys: {_missing}"
+QUERIES = {
+    **{k: QUERIES[k] for k in _WINDOW_R8},
+    **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R8},
+}

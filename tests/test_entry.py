@@ -26,52 +26,58 @@ def test_queries_and_oracles_consistent():
     assert len(q) >= 20
 
 
-# Round-7 window composition (VERDICT r6 items #1/#2/#4): the driver
-# hash-checks the FIRST 50 QUERIES entries in dict order; no-oracle keys
-# get a weaker rows+schema record. This round's window: q_kcore (the
-# only key with no driver record in any round), the 12 keys whose last
-# driver window was round 3, the two reworked spatial joins, the new
-# round-7 operators as they land, and the stalest round-4 keys.
-NEVER_RECORDED_R7 = {"q_kcore"}
-STALE_R3 = {
-    "q_project", "q_lit_cols", "q_mul_ratio", "q_filter_notnull",
-    "q_first", "q_count", "q_distinct", "q_union", "q_intersect",
-    "q_except", "q_token_count", "q_quality_score",
+# Round-8 window composition (VERDICT r7 item #1): the driver
+# hash-checks the FIRST 50 QUERIES entries in dict order; no-oracle
+# keys get a weaker rows+schema record. This round's window is ONE
+# canonical list (queries.py::_WINDOW_R8 — ADVICE r7 collapsed the
+# incremental splices): q_label_prop (the only key with no driver
+# record), the 41 keys whose latest driver row is round 4, and the 8
+# round-8 debuts.
+NEVER_RECORDED_R8 = {"q_label_prop"}
+STALE_R4 = {
+    "q_asof_join", "q_attribution", "q_clean_lines",
+    "q_contamination_frac", "q_corpus_curation", "q_corr",
+    "q_decontaminate", "q_decontaminate_bloom", "q_dedup_clusters",
+    "q_dedup_embedding", "q_dedup_embedding_lsh", "q_dedup_keep_best",
+    "q_dedup_minhash", "q_dedup_ngram_jaccard", "q_dedup_resolve",
+    "q_dedup_simhash", "q_dedup_spans_global", "q_explode",
+    "q_fingerprint", "q_frequent_items", "q_fuzzy_join", "q_gap_fill",
+    "q_interval_join", "q_join_full_outer", "q_join_left_small",
+    "q_join_skew_salted", "q_knn_brute", "q_knn_lsh", "q_media_dedup",
+    "q_range_join", "q_rare_words", "q_region_revenue",
+    "q_retention_cohorts", "q_robust_scale", "q_rolling_features",
+    "q_scan_where", "q_sessionize", "q_tfidf", "q_top_orders",
+    "q_window_tumbling", "q_zscore",
 }
-REWORKED_R7 = {"q_point_in_polygon", "q_h3_radius_join"}
-# planned round-7 debuts — asserted in the window once implemented
-# (intersected with the live key set so the lock tracks the build)
-PLANNED_R7 = {
-    "q_knn_ivfpq_rerank", "q_bpe_pairs", "q_assoc_rules", "q_gini",
-    "q_rfm", "q_hll_registers", "q_survival", "q_skyline", "q_bm25",
-    "q_dbscan", "q_lm_score", "q_feature_hash", "q_spatial_knn",
-    "q_seasonality", "q_hll_grouped", "q_time_to_convert",
-    "q_vocab_encode",
+# round-8 debuts — every NEW key takes its first driver record in the
+# window (intersected with the live key set so the lock tracks the
+# build)
+PLANNED_R8 = {
+    "q_bpe_encode", "q_hybrid_retrieval", "q_active_users_hll",
+    "q_degree_dist", "q_containment", "q_vocab_coverage",
+    "q_diversity", "q_fleiss_kappa",
 }
-# rows-only keys allowed in the round-7 window (no SQL mirror)
-ROWS_ONLY_R7 = {"q_kcore", "q_dbscan", "q_label_prop"}
+# rows-only keys allowed in the round-8 window (no SQL mirror)
+ROWS_ONLY_R8 = {"q_label_prop"}
 
 
-def test_round7_window_composition():
-    """Every key whose latest driver record is round 3 or older (or
-    missing entirely) sits inside the 50-key window, together with the
-    reworked spatial joins and each implemented round-7 debut."""
+def test_round8_window_composition():
+    """q_label_prop (never recorded), all 41 round-4-stale keys, and
+    each implemented round-8 debut sit inside the 50-key window —
+    and only deliberate rows-only keys occupy no-oracle slots."""
     import __spark_entry__ as e
 
     q = list(e.queries())
     o = e.oracle_sql()
     window = set(q[:50])
     must_rotate = (
-        NEVER_RECORDED_R7 | STALE_R3 | REWORKED_R7
-        | (PLANNED_R7 & set(q))
+        NEVER_RECORDED_R8 | STALE_R4 | (PLANNED_R8 & set(q))
     )
     missing = must_rotate - window
     assert not missing, f"stale keys fell out of the window: {missing}"
-    # Only deliberate rows-only keys may occupy no-oracle slots —
-    # any other non-oracle key in the window wastes a hash-check slot.
     no_oracle = {k for k in q[:50] if k not in o}
-    assert no_oracle <= ROWS_ONLY_R7, (
-        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R7}"
+    assert no_oracle <= ROWS_ONLY_R8, (
+        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R8}"
     )
 
 
