@@ -161,6 +161,13 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_diversity",
     "q_fleiss_kappa",
+    "q_cms_estimate",
+    "q_kmv_distinct",
+    "q_adamic_adar",
+    "q_mann_whitney",
+    "q_scd2",
+    "q_corr_matrix",
+    "q_embed_quantize",
 ]
 
 
@@ -359,6 +366,40 @@ def _normalize_layout(spark, sf_dir: str, cores: int) -> str:
     return scratch
 
 
+def _noise_ratio(steady: dict[str, float]) -> float | None:
+    """Host-noise sanity gate (VERDICT r7 item #2): the ratio of this
+    run's suite-median steady time to the per-key HISTORICAL median
+    (BENCH_local_history.jsonl), over the keys both sides know. A run
+    on a quiet host sits near 1.0; the round-7 closing artifact that
+    drifted ~1.5x across unrelated keys would have flagged here.
+    Callers (and the committer) must REJECT a closing artifact whose
+    ratio exceeds 1.3 and re-run on a quiet host — the plans didn't
+    change, the host did."""
+    import statistics
+
+    hist_path = Path(__file__).resolve().parent / "BENCH_local_history.jsonl"
+    per_key: dict[str, list[float]] = {}
+    try:
+        with open(hist_path) as fh:
+            for raw in fh:
+                try:
+                    rec = json.loads(raw)
+                except json.JSONDecodeError:
+                    continue
+                for k, v in (rec.get("queries_steady") or {}).items():
+                    per_key.setdefault(k, []).append(float(v))
+    except OSError:
+        return None
+    ratios = [
+        steady[k] / statistics.median(v)
+        for k, v in per_key.items()
+        if k in steady and statistics.median(v) > 0
+    ]
+    if not ratios:
+        return None
+    return round(statistics.median(ratios), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -523,6 +564,7 @@ def main() -> None:
             "layout_normalized": sf_dir != raw_sf_dir,
             "n_headline": len(HEADLINE),
             "steady_reps": steady_reps,
+            "noise_ratio_vs_history": _noise_ratio(steady),
         }
     )
     print(line)
@@ -533,7 +575,7 @@ def main() -> None:
     # override the name via SPARK_GRAFT_BENCH_OUT).
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).resolve().parent / "BENCH_local_r7.json"),
+        str(Path(__file__).resolve().parent / "BENCH_local_r8.json"),
     )
     try:
         with open(out_path, "w") as fh:

@@ -784,6 +784,102 @@ def round7b_scale(max_factor: int = 50) -> None:
     spark.stop()
 
 
+def round8_scale(max_factor: int = 50) -> None:
+    """Round-8 curves: containment pairs, BPE document encoding,
+    rolling HLL actives, degree histogram, Fleiss' kappa — over
+    disjoint-copy-scaled inputs (text copies get disjoint
+    vocabularies so inverted-index pair counts stay linear; event
+    copies get disjoint user universes so the sketch sees real
+    cardinality growth).
+
+    Run: ``python examples/scale_check.py <max_factor> round8``."""
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.dedup import containment_pairs
+    from h3_indexer_spark.operators.graph import degree_distribution
+    from h3_indexer_spark.operators.labeling import fleiss_kappa
+    from h3_indexer_spark.operators.sketches import (
+        rolling_active_users_hll,
+    )
+    from h3_indexer_spark.operators.textops import bpe_encode_docs
+    from h3_indexer_spark.queries import _BPE_MERGES
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r8", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    ev_raw = spark.read.parquet(f"{sf}/events.parquet")
+    ev = ev_raw.select(
+        "user_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("_s"),
+    ).select(
+        "user_id", "event_type", (F.col("_s") * F.lit(10**9)).alias("ts")
+    )
+
+    for factor in (1, 5, 20, max_factor):
+        d = scaled(docs, "doc_id", factor, text_col="text").localCheckpoint()
+        n = d.count()
+        timed(
+            f"containment_pairs x{factor}",
+            containment_pairs(d, threshold=0.5, max_df=100),
+            n,
+        )
+        timed(
+            f"bpe_encode_docs x{factor}",
+            bpe_encode_docs(d, _BPE_MERGES),
+            n,
+        )
+
+        e = scaled(ev.withColumn("_id", F.col("user_id")), "_id", factor)
+        e = e.select(
+            F.col("_id").alias("user_id"), "event_type", "ts"
+        ).localCheckpoint()
+        ne = e.count()
+        timed(
+            f"rolling_hll_actives x{factor}",
+            rolling_active_users_hll(e),
+            ne,
+        )
+        timed(
+            f"fleiss_kappa x{factor}",
+            fleiss_kappa(e, "user_id", "event_type"),
+            ne,
+        )
+
+        l2 = scaled(
+            li.select("l_orderkey", "l_partkey").withColumn(
+                "_id", F.col("l_orderkey")
+            ),
+            "_id",
+            factor,
+        ).select(F.col("_id").alias("l_orderkey"), "l_partkey")
+        items = l2.distinct().localCheckpoint()
+        a = items.select(
+            F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
+        )
+        b = items.select(
+            F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
+        )
+        edges = (
+            a.join(b, "_b")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        nl = items.count()
+        timed(
+            f"degree_distribution x{factor}",
+            degree_distribution(edges),
+            nl,
+        )
+
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[2] == "round6":
         round6_scale(int(sys.argv[1]))
@@ -791,5 +887,7 @@ if __name__ == "__main__":
         round7_scale(int(sys.argv[1]))
     elif len(sys.argv) > 2 and sys.argv[2] == "round7b":
         round7b_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round8":
+        round8_scale(int(sys.argv[1]))
     else:
         main()

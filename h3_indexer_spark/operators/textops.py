@@ -796,21 +796,33 @@ def _bpe_apply_merge(syms: Column, a: str, b: str) -> Column:
     ``a`` (first symbol, no separator yet) or ends with ``sep+a``;
     the merge drops the trailing ``a`` and appends ``ab`` — chained
     occurrences ([a,a,a,a] with (a,a) → [aa,aa]) reduce identically
-    to the trainer's look-behind fold."""
+    to the trainer's look-behind fold.
+
+    Expression-tree discipline: the fold references ``syms`` exactly
+    ONCE, with an empty-string sentinel accumulator standing in for
+    "no symbol emitted yet" (symbols are never empty — they are \\w
+    characters and their concatenations). The first cut seeded the
+    accumulator with element_at(syms, 1) and folded slice(syms, 2, …),
+    which references the previous merge level THREE times — the tree
+    then grows 3^|merges| and an 8-merge chain spent ~20 s in Catalyst
+    analysis/codegen alone (measured at sf0.1); this form grows
+    linearly."""
     sep = _BPE_SEP
     joined = F.aggregate(
-        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-        F.element_at(syms, 1),
-        lambda acc, s: F.when(
-            (s == F.lit(b))
-            & ((acc == F.lit(a)) | acc.endswith(F.lit(sep + a))),
-            F.concat(
-                F.substring(
-                    acc, F.lit(1), F.length(acc) - F.lit(len(a))
+        syms,
+        F.lit(""),
+        lambda acc, s: F.when(acc == F.lit(""), s).otherwise(
+            F.when(
+                (s == F.lit(b))
+                & ((acc == F.lit(a)) | acc.endswith(F.lit(sep + a))),
+                F.concat(
+                    F.substring(
+                        acc, F.lit(1), F.length(acc) - F.lit(len(a))
+                    ),
+                    F.lit(a + b),
                 ),
-                F.lit(a + b),
-            ),
-        ).otherwise(F.concat(acc, F.lit(sep), s)),
+            ).otherwise(F.concat(acc, F.lit(sep), s))
+        ),
     )
     return F.split(joined, r"\|")
 

@@ -986,3 +986,126 @@ def streaming_majority_label(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_active_users_hll(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    p: int = 8,
+):
+    """Streaming twin of operators/sketches.py::
+    rolling_active_users_hll — the live DAU/WAU sketch: each event's
+    HLL (bucket, rho) contribution is computed JVM-side with the
+    EXACT batch expressions (md5-60-bit hash, same rho rule), fanned
+    to the ``window_days`` window positions it is visible from (the
+    batch operator's explode trick, applied to the stream), and the
+    per-window-day register set lives in ``applyInPandasWithState``
+    as a 2^p int array merged by numpy maximum — state per day is a
+    fixed ≤2^p vector regardless of cardinality, the whole point of
+    the sketch.
+
+    Emits the batch operator's exact readout columns per updated day
+    per micro-batch (update-style): (day, n_zero, s_int,
+    est_distinct), with the same integer-exact harmonic sum and the
+    same FLOOR-quantized linear-counting branch, so an availableNow
+    full replay matches the batch operator row for row
+    (test-locked). Days are only reported once they have their OWN
+    data (batch contract: window positions past the last active day
+    are phantom) — tracked with a per-state flag fed by a
+    JVM-computed ``is_own_day`` column. State never expires here;
+    a production deployment bounds it by dropping days older than
+    the reporting horizon (the streaming_minhash_dedup timeout
+    pattern applies directly).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1: {window_days}")
+    m = 1 << p
+    k_max = (60 - p) + 1
+    alpha_num = (
+        0.7213 / (1.0 + 1.079 / m) * float(m) * float(m) * float(2**k_max)
+    )
+    from h3_indexer_spark.operators.curation import md5_band60
+
+    h = md5_band60("", F.col(id_col).cast("string"))
+    rem_bits = 60 - p
+    bucket = (h % F.lit(1 << p)).cast("int")
+    rem = F.shiftright(h, p)
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits) - F.length(F.bin(rem)) + F.lit(1)
+    )
+    contrib = (
+        events.where(F.col(id_col).isNotNull())
+        .withColumn(
+            "_day", F.expr(f"unix_timestamp({ts_col}) div 86400")
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("_day"), F.col("_day") + F.lit(window_days - 1)
+                )
+            ).alias("_wday"),
+            F.col("_day"),
+            bucket.alias("_bucket"),
+            rho.cast("int").alias("_rho"),
+        )
+        .withColumn("_is_own_day", (F.col("_wday") == F.col("_day")))
+        .drop("_day")
+    )
+
+    out_schema = "day long, n_zero long, s_int long, est_distinct long"
+    state_schema = "rhos array<int>, has_data boolean"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            rhos_list, has_data = state.get
+            rhos = np.asarray(rhos_list, dtype=np.int64)
+        else:
+            rhos = np.zeros(m, dtype=np.int64)
+            has_data = False
+        saw = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            saw = True
+            np.maximum.at(
+                rhos,
+                pdf["_bucket"].to_numpy(dtype=np.int64),
+                pdf["_rho"].to_numpy(dtype=np.int64),
+            )
+            has_data = has_data or bool(pdf["_is_own_day"].any())
+        if not saw:
+            return
+        state.update(([int(r) for r in rhos], bool(has_data)))
+        if not has_data:
+            return
+        n_zero = int((rhos == 0).sum())
+        s_int = int(
+            (np.int64(1) << (k_max - rhos[rhos > 0])).sum()
+        ) + n_zero * (1 << k_max)
+        raw = alpha_num / float(s_int)
+        if raw <= 2.5 * m and n_zero > 0:
+            est = math.floor(m * math.log(m / float(n_zero)))
+        else:
+            est = math.floor(raw)
+        yield pd.DataFrame(
+            [(int(key[0]), n_zero, s_int, int(est))],
+            columns=["day", "n_zero", "s_int", "est_distinct"],
+        )
+
+    return contrib.groupBy("_wday").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

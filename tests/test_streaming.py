@@ -1169,3 +1169,74 @@ class TestStreamingMajorityLabel:
             assert last["agreement"] == 0.5
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamingActiveUsersHll:
+    def test_full_replay_matches_batch(self, spark, events_dir):
+        """availableNow replay over the whole events table must equal
+        the batch sketch row for row (same registers, same integer
+        harmonic sum, same estimate) — take each day's LAST emission
+        (update-mode stream)."""
+        from h3_indexer_spark.operators.sketches import (
+            rolling_active_users_hll,
+        )
+        from h3_indexer_spark.streaming.events import (
+            streaming_active_users_hll,
+        )
+
+        src = _read_stream(spark, events_dir)
+        out = _run_stream(
+            spark,
+            streaming_active_users_hll(src),
+            output_mode="update",
+        )
+        # update mode emits once per updated day per batch: the last
+        # emission per day is the final state readout
+        got = {}
+        for r in out.collect():
+            got[r["day"]] = (r["n_zero"], r["s_int"], r["est_distinct"])
+
+        batch = spark.read.parquet(events_dir).select(
+            "user_id",
+            F.expr("unix_timestamp(ts) * 1000000000").alias("ts"),
+        )
+        want = {
+            r["day"]: (r["n_zero"], r["s_int"], r["est_distinct"])
+            for r in rolling_active_users_hll(batch).collect()
+        }
+        assert got == want
+
+    def test_window_day_without_own_data_not_reported(self, spark):
+        """A window position past the last active day accumulates
+        register state but must NOT emit (batch phantom-day
+        contract)."""
+        import pandas as pd
+
+        from h3_indexer_spark.streaming.events import (
+            streaming_active_users_hll,
+        )
+
+        d = tempfile.mkdtemp(prefix="h3idx_shll_")
+        try:
+            rows = pd.DataFrame(
+                {
+                    "user_id": [1, 2, 3],
+                    "ts": pd.to_datetime(
+                        ["2024-01-01 10:00", "2024-01-01 11:00",
+                         "2024-01-02 09:00"]
+                    ),
+                }
+            )
+            spark.createDataFrame(rows).write.mode("overwrite").parquet(d)
+            schema = spark.read.parquet(d).schema
+            src = spark.readStream.schema(schema).parquet(d)
+            out = _run_stream(
+                spark,
+                streaming_active_users_hll(src),
+                output_mode="update",
+            )
+            days = {r["day"] for r in out.collect()}
+            active_days = {19723, 19724}  # 2024-01-01, 2024-01-02
+            assert days == active_days
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
