@@ -880,6 +880,125 @@ def round8_scale(max_factor: int = 50) -> None:
 
 
 
+
+
+def round8b_scale(max_factor: int = 50) -> None:
+    """Round-8 continuation curves: CMS frequency estimation, KMV
+    distinct, Adamic-Adar link prediction, Mann-Whitney U, SCD2
+    build, one-pass corr matrix, int8 quantization.
+
+    Run: ``python examples/scale_check.py <max_factor> round8b``."""
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.analytics import mann_whitney_u
+    from h3_indexer_spark.operators.features import (
+        embedding_quantize_int8,
+    )
+    from h3_indexer_spark.operators.graph import adamic_adar
+    from h3_indexer_spark.operators.relational import (
+        corr_matrix,
+        scd2_build,
+    )
+    from h3_indexer_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_registers,
+        kmv_distinct,
+    )
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r8b", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    ev_raw = spark.read.parquet(f"{sf}/events.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ev = ev_raw.select(
+        "user_id", "event_type",
+        (F.unix_timestamp("ts").cast("long") * F.lit(10**9)).alias("ts"),
+        F.col("event_id"),
+    )
+
+    for factor in (1, 5, 20, max_factor):
+        # events: disjoint user universes per copy
+        e = scaled(
+            ev.withColumn("_id", F.col("user_id")), "_id", factor
+        ).select(
+            F.col("_id").alias("user_id"), "event_type", "ts", "event_id"
+        ).localCheckpoint()
+        ne = e.count()
+        regs = count_min_registers(e, "event_type", depth=4, width=64)
+        timed(
+            f"cms_estimate x{factor}",
+            count_min_estimate(
+                regs, e.select("event_type").distinct(), "event_type",
+                depth=4, width=64,
+            ),
+            ne,
+        )
+        timed(f"kmv_distinct x{factor}", kmv_distinct(e, "user_id"), ne)
+        timed(
+            f"scd2_build x{factor}",
+            scd2_build(e, "user_id", ["event_type"], "ts"),
+            ne,
+        )
+
+        l = scaled(
+            li.withColumn("_id", F.col("l_orderkey")), "_id", factor
+        ).localCheckpoint()
+        nl = l.count()
+        timed(
+            f"mann_whitney x{factor}",
+            mann_whitney_u(l, "l_returnflag", "l_extendedprice",
+                           "R", "A"),
+            nl,
+        )
+        timed(
+            f"corr_matrix x{factor}",
+            corr_matrix(
+                l,
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            ),
+            nl,
+        )
+
+        items = (
+            l.select(F.col("_id").alias("l_orderkey"), "l_partkey")
+            .distinct()
+            .localCheckpoint()
+        )
+        a = items.select(
+            F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
+        )
+        b = items.select(
+            F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
+        )
+        edges = (
+            a.join(b, "_b")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        ni = items.count()
+        timed(
+            f"adamic_adar x{factor}",
+            adamic_adar(edges, min_common=2),
+            ni,
+        )
+
+        em = scaled(
+            emb.withColumn("_id", F.col("vec_id")), "_id", factor
+        ).select(F.col("_id").alias("vec_id"), "embedding")
+        nv = em.count()
+        timed(
+            f"embed_quantize_int8 x{factor}",
+            embedding_quantize_int8(em),
+            nv,
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[2] == "round6":
         round6_scale(int(sys.argv[1]))
@@ -889,5 +1008,7 @@ if __name__ == "__main__":
         round7b_scale(int(sys.argv[1]))
     elif len(sys.argv) > 2 and sys.argv[2] == "round8":
         round8_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round8b":
+        round8b_scale(int(sys.argv[1]))
     else:
         main()

@@ -2278,3 +2278,87 @@ def diversity_index(
         hhi.alias("hhi"),
         eff.alias("effective_categories"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two groups —
+    the nonparametric A/B readout when the metric is heavy-tailed or
+    ordinal and a t-test's mean is the wrong summary (the standard
+    pairing with ks_test in an experimentation stack).
+
+    Exactness: ranks are midranks over ties; to stay in integers the
+    DOUBLED rank-sum is computed — for each distinct value with
+    c_total occurrences and c_before smaller ones, the doubled
+    midrank is 2·c_before + c_total + 1, so
+    2·R_a = Σ c_a·(2·c_before + c_total + 1) is an exact BIGINT and
+    2·U_a = 2·R_a − n_a·(n_a+1) follows exactly; U_b comes from
+    U_a + U_b = n_a·n_b. The normal z-score divides the exact
+    integers in a fixed IEEE op order (the CUPED raw-compound
+    precedent): z = (2U_a − n_a·n_b) / (2·σ) with
+    σ = √(n_a·n_b·(n+1)/12) — no tie correction, matching the
+    textbook large-sample form; its n³-sized product runs in
+    DECIMAL(38,0) (the gini overflow rule), so z is exact-input at
+    any n. The BIGINT u2 surface itself bounds each group at
+    ~2·10⁹ rows (2·U ≤ 2·n_a·n_b < 2⁶³) — past that, read z.
+    Output one row: (n_a, n_b, u2_a, u2_b, z).
+
+    Scale: groupBy(value) collapses the input to |distinct values|
+    rows before the ranking window — the window is unpartitioned but
+    runs over that collapsed table (the degree_distribution
+    rationale), so the full input never sorts globally."""
+    ga, gb = F.lit(group_a), F.lit(group_b)
+    vals = (
+        df.where(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_ct"),
+            F.sum(
+                F.when(F.col(group_col) == ga, 1).otherwise(0)
+            ).cast("bigint").alias("_ca"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vals.select(
+        "_ct",
+        "_ca",
+        F.coalesce(F.sum("_ct").over(w), F.lit(0).cast("bigint"))
+        .alias("_before"),
+    )
+    agg = ranked.agg(
+        F.sum("_ca").cast("bigint").alias("n_a"),
+        F.sum(F.col("_ct") - F.col("_ca")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("_ca")
+            * (F.lit(2) * F.col("_before") + F.col("_ct") + F.lit(1))
+        ).cast("bigint").alias("_r2a"),
+    )
+    u2a = (
+        F.col("_r2a") - F.col("n_a") * (F.col("n_a") + F.lit(1))
+    ).cast("bigint")
+    out = agg.select("n_a", "n_b", u2a.alias("u2_a"))
+    u2b = (
+        F.lit(2) * F.col("n_a") * F.col("n_b") - F.col("u2_a")
+    ).cast("bigint")
+    sigma = F.sqrt(
+        (F.col("n_a").cast("decimal(38,0)") * F.col("n_b")
+         * (F.col("n_a") + F.col("n_b") + F.lit(1))).cast("double")
+        / F.lit(12.0)
+    )
+    z = F.when(
+        sigma > 0,
+        (F.col("u2_a") - F.col("n_a") * F.col("n_b")).cast("double")
+        / (F.lit(2.0) * sigma),
+    )
+    return out.select("n_a", "n_b", "u2_a", u2b.alias("u2_b"),
+                      z.alias("z"))

@@ -741,3 +741,36 @@ def feature_hash(
             ).otherwise(F.lit(0))
         outs.append(acc.cast("int").alias(f"{prefix}{b}"))
     return hashed.select(*[F.col(c) for c in keep], *outs)
+
+
+def embedding_quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of a float embedding
+    column — the standard 4× shrink for ANN index storage and
+    transfer (FAISS SQ8 / scalar quantization): scale = max|x|/127,
+    q_i = floor(x_i / scale) ∈ [−128, 127]. Appends ``out_col``
+    (array<int>) and ``scale_col`` (double); the dequantized value is
+    q_i·scale with ≤ scale/2-ish absolute error, preserving cosine
+    neighborhoods for re-rankable recall.
+
+    floor (not round-half-even) per the cross-engine truncation
+    recipe: CAST of a negative half rounds differently across
+    engines, FLOOR is identical everywhere. All-zero vectors keep
+    ``scale`` = 0 and quantize to zeros (guarded division). A pure
+    narrow map — elements widen float→double before any arithmetic
+    so the scale division is the same IEEE op in any engine; no
+    shuffle, no Python."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias(scale_col)
+    q = F.when(
+        amax > 0,
+        F.transform(
+            v, lambda x: F.floor(x / (amax / F.lit(127.0))).cast("int")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)

@@ -1016,3 +1016,139 @@ def group_concat(
         ).alias("concat"),
         F.count(F.col(value_col)).alias("n_items"),
     )
+
+
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from an append-only
+    observation log: consecutive observations of a key whose tracked
+    attributes are unchanged collapse into one validity interval;
+    every change opens a new row. The warehouse-standard history
+    table (Kimball SCD Type 2) — effective_from/effective_to
+    half-open intervals, effective_to NULL on the current row.
+
+    Semantics: observations order by (ts, attrs) per key — the attr
+    tiebreak makes equal-timestamp runs deterministic; attribute
+    comparisons are null-safe (NULL → NULL is "no change"). A value
+    that changes A → B → A yields three intervals (full history, not
+    dedup). Output: (key, attrs..., effective_from, effective_to,
+    is_current, n_observations).
+
+    Scale: two key-partitioned windows (change flag + run id, then
+    the effective_to lead) and one (key, run) aggregation — all
+    shuffles are on the dimension key, no global sort. At 100 TB the
+    observation log is the big side and this is exactly the shape
+    merge-into SCD jobs run nightly."""
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty")
+    w = Window.partitionBy(key_col).orderBy(
+        ts_col, *[F.col(c) for c in attr_cols]
+    )
+    changed = F.when(
+        F.row_number().over(w) == 1, F.lit(1)
+    ).otherwise(
+        F.when(
+            ~reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+                    for c in attr_cols
+                ],
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    runs = df.select(
+        key_col, ts_col, *attr_cols, changed.alias("_chg")
+    ).select(
+        key_col,
+        ts_col,
+        *attr_cols,
+        F.sum("_chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_run"),
+    )
+    grouped = runs.groupBy(key_col, "_run", *attr_cols).agg(
+        F.min(ts_col).alias("effective_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_observations"),
+    )
+    # two runs can share effective_from (equal-timestamp ties split
+    # by the attr tiebreak) — the run id breaks the interval order
+    # deterministically
+    w2 = Window.partitionBy(key_col).orderBy("effective_from", "_run")
+    return grouped.select(
+        key_col,
+        *attr_cols,
+        "effective_from",
+        F.lead("effective_from").over(w2).alias("effective_to"),
+        F.lead("effective_from").over(w2).isNull().alias("is_current"),
+        "n_observations",
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE
+    partial-aggregated pass — the profiling stage's feature
+    redundancy census, k(k−1)/2 coefficients from a single scan
+    instead of running grouped_corr per pair (which would re-read
+    the fact table O(k²) times).
+
+    Exactness is grouped_corr's: per-column DECIMAL(18,6) sums and
+    pairwise cross-sums accumulate exactly inside DECIMAL(38,12);
+    each coefficient combines its five sums in the same fixed IEEE
+    order and rounds to 12 decimals to absorb FMA contraction.
+    Rows with a null in ANY listed column are excluded (listwise,
+    so every pair shares one n — the standard matrix semantics).
+    Output: (feat_x, feat_y, n_rows, corr) for x < y by list order.
+
+    Scale: the aggregate is a single reduce of k + k + k(k−1)/2
+    decimal sums — one shuffle carrying ONE row per partition; the
+    per-pair combination then runs on a 1-row frame."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    mask = reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
+    )
+    d = {c: F.col(c).cast("decimal(18,6)") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).alias(f"_ss_{c}"))
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        aggs.append(F.sum(d[x] * d[y]).alias(f"_sxy_{x}_{y}"))
+    agg = df.where(mask).agg(*aggs)
+    nd = F.col("n_rows").cast("double")
+    rows = []
+    for x, y in pairs:
+        sx = F.col(f"_s_{x}").cast("double")
+        sy = F.col(f"_s_{y}").cast("double")
+        sxx = F.col(f"_ss_{x}").cast("double")
+        syy = F.col(f"_ss_{y}").cast("double")
+        sxy = F.col(f"_sxy_{x}_{y}").cast("double")
+        den = F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+        rows.append(
+            F.struct(
+                F.lit(x).alias("feat_x"),
+                F.lit(y).alias("feat_y"),
+                F.round(
+                    F.when(den > 0, (nd * sxy - sx * sy) / den), 12
+                ).alias("corr"),
+            )
+        )
+    return agg.select(
+        F.explode(F.array(*rows)).alias("_p"), "n_rows"
+    ).select(
+        F.col("_p.feat_x").alias("feat_x"),
+        F.col("_p.feat_y").alias("feat_y"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("_p.corr").alias("corr"),
+    )

@@ -235,3 +235,200 @@ def rolling_active_users_hll(
         )
         .orderBy("day")
     )
+
+
+def count_min_registers(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch register table (Cormode & Muthukrishnan 2005)
+    for the frequency of ``col`` values: ``depth`` independent hash
+    rows × ``width`` buckets; register (j, b) holds the exact BIGINT
+    sum of weights of every value whose row-j hash lands in bucket b.
+    Output: (depth, bucket, cnt) — only occupied registers appear
+    (absent register ≡ 0). Row-j independence comes from salting the
+    shared md5-60 hash with a per-row prefix, so any engine with md5
+    reproduces the registers bit-for-bit.
+
+    Unlike HLL's max-merge, CMS is a LINEAR sketch: registers from
+    different slices merge by groupBy-SUM (``cms_merge``), and point
+    queries read min over depth rows — a one-sided (over-)estimate
+    with ε ≈ e/width overcount mass and failure prob e^-depth.
+
+    Scale shape: each input row expands to ``depth`` register
+    increments inline (no join), then ONE groupBy over at most
+    depth·width keys with map-side partial sums — the exchange
+    carries ≤ depth·width rows per partition regardless of input
+    size. The classic pre-aggregable frequency structure for
+    heavy-hitter estimation at 100 TB, where exact per-key counts
+    would shuffle the full key universe."""
+    if depth < 1 or depth > 16:
+        raise ValueError(f"depth must be in [1,16], got {depth}")
+    if width < 8:
+        raise ValueError(f"width must be >= 8, got {width}")
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    from h3_indexer_spark.operators.curation import md5_band60
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                (md5_band60(f"cms{j}|", F.col(col).cast("string"))
+                 % F.lit(width)).cast("int").alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(rows).alias("_r"), w.alias("_w"))
+        .groupBy(
+            F.col("_r.depth").alias("depth"),
+            F.col("_r.bucket").alias("bucket"),
+        )
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge CMS register tables (sketch of the concatenated
+    streams): groupBy-SUM over the unioned rows — the linearity that
+    lets per-partition / per-day sketches pre-aggregate into any
+    coarser rollup."""
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(
+    registers: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the CMS: for each key, recompute its ``depth``
+    (row, bucket) coordinates with the same salted hashes, fetch the
+    registers (missing ⇒ 0), and take the min — the canonical
+    one-sided estimate (est ≥ true count always; the guarantee the
+    tests lock). Output: (key, est_count), exact BIGINTs.
+
+    Scale: keys explode to depth coordinate rows and join the
+    ≤ depth·width register table — broadcast-sized by construction,
+    so the fact side never shuffles."""
+    from h3_indexer_spark.operators.curation import md5_band60
+
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                (md5_band60(f"cms{j}|", F.col(key_col).cast("string"))
+                 % F.lit(width)).cast("int").alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    keyed = keys.select(
+        F.col(key_col).alias("key"), F.explode(coords).alias("_r")
+    ).select("key", F.col("_r.depth").alias("depth"),
+             F.col("_r.bucket").alias("bucket"))
+    return (
+        keyed.join(F.broadcast(registers), ["depth", "bucket"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
+            .alias("est_count")
+        )
+    )
+
+
+def kmv_bottom_k(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002): the k
+    smallest DISTINCT 60-bit md5 hashes of ``col``. Output:
+    (rank, hash_val) — exact integers, hash-checkable cross-engine.
+
+    Mergeability: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    bottom-k(B)) (``kmv_merge``), so per-slice sketches union into
+    any rollup. Scale: distinct-by-hash collapses map-side, then
+    orderBy(k).limit is a TakeOrderedAndProject — every partition
+    forwards at most k rows, no global sort materializes."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(_md5_60bit(F.col(col)).alias("hash_val"))
+        .distinct()
+        .orderBy("hash_val")
+        .limit(k)
+    )
+    from pyspark.sql import Window as W
+
+    return hashes.select(
+        F.row_number().over(W.orderBy("hash_val")).alias("rank"),
+        "hash_val",
+    )
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Union bottom-k sketches into the bottom-k of the union —
+    re-rank the distinct hash union and keep the k smallest."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0].select("hash_val")
+    for t in sketches[1:]:
+        out = out.unionByName(t.select("hash_val"))
+    from pyspark.sql import Window as W
+
+    return (
+        out.distinct()
+        .orderBy("hash_val")
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy("hash_val")).alias("rank"),
+            "hash_val",
+        )
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """One-row distinct-count readout from the bottom-k sketch:
+    with the k-th smallest of n uniform hashes at h_k, the density
+    estimate is (k−1)·2^60 / h_k (unbiased; RSE ≈ 1/√(k−2)). When
+    fewer than k distinct hashes exist the sketch IS the exact
+    distinct set, so the estimate is the exact count. Output one row
+    (n_kept, kth_hash, est_distinct).
+
+    Determinism: (k−1)·2^60 is exactly representable in a double for
+    any practical k (k−1 < 2^53), so the estimate is ONE IEEE
+    multiply + divide + floor — identical in any engine; the floor
+    boundary sits ~6 orders above the division ulp for uniform
+    hashes (asserted in the session tests)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    sk = kmv_bottom_k(df, col, k=k)
+    agg = sk.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("hash_val").alias("kth_hash"),
+    )
+    num = float((k - 1) * (1 << 60))
+    est = F.when(
+        F.col("n_kept") < F.lit(k), F.col("n_kept").cast("bigint")
+    ).otherwise(
+        F.floor(F.lit(num) / F.col("kth_hash").cast("double"))
+        .cast("bigint")
+    )
+    return agg.select(
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "kth_hash",
+        est.alias("est_distinct"),
+    )

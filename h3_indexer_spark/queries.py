@@ -8458,10 +8458,433 @@ ORACLES["q_hybrid_retrieval"] = _hybrid_retrieval_oracle()
 # tests/test_entry.py::test_every_oracle_key_has_a_driver_row
 # re-checks the union-coverage invariant, and the round-8 composition
 # is locked by tests/test_entry.py::test_round8_window_composition.
+# ---------------------------------------------------------------- #
+# Round-8 continuation: sketch/point-query, link prediction,        #
+# nonparametric testing, SCD2 warehousing, one-pass corr matrix,    #
+# int8 embedding quantization.                                      #
+# ---------------------------------------------------------------- #
+
+
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketches.py::
+    count_min_registers / count_min_estimate): 4×64 registers over
+    the event-type stream, point-queried for every distinct type
+    beside the exact count — the one-sided (est ≥ exact) guarantee is
+    visible in the output and test-locked. All-integer surface on the
+    shared md5-60 hash, salted per depth row; the register exchange
+    carries ≤ 4·64 rows per partition whatever the stream size."""
+    from h3_indexer_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_registers,
+    )
+
+    ev = _load_events(spark, sf_dir).where(
+        F.col("event_type").isNotNull()
+    )
+    regs = count_min_registers(ev, "event_type", depth=4, width=64)
+    keys = ev.select("event_type").distinct()
+    est = count_min_estimate(regs, keys, "event_type", depth=4, width=64)
+    exact = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    return est.join(exact, "key").select("key", "est_count", "exact_count")
+
+
+_CMS_ESTIMATE_ORACLE = """
+    WITH ev AS (
+        SELECT event_type FROM events WHERE event_type IS NOT NULL
+    ),
+    d AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
+    regs AS (
+        SELECT j AS depth,
+               CAST(CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR)
+                        || '|' || event_type), 18, 15) AS BIGINT) % 64
+                    AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev CROSS JOIN d
+        GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT event_type AS key FROM ev),
+    coords AS (
+        SELECT key, j AS depth,
+               CAST(CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR)
+                        || '|' || key), 18, 15) AS BIGINT) % 64
+                    AS INTEGER) AS bucket
+        FROM keys CROSS JOIN d
+    ),
+    est AS (
+        SELECT key,
+               CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+        FROM coords LEFT JOIN regs USING (depth, bucket)
+        GROUP BY key
+    ),
+    exact AS (
+        SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM ev GROUP BY 1
+    )
+    SELECT key, est_count, exact_count FROM est JOIN exact USING (key)
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-64 distinct sketch (operators/sketches.py::
+    kmv_distinct) of the ordering customers: one-row
+    (n_kept, kth_hash, est_distinct) readout — the k-th smallest
+    md5-60 hash is the whole estimator state, and the estimate is one
+    exact-literal IEEE multiply/divide/floor. TakeOrderedAndProject
+    keeps every partition's contribution to k rows."""
+    from h3_indexer_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(load(spark, sf_dir, "orders"), "o_custkey", k=64)
+
+
+_KMV_DISTINCT_ORACLE = """
+    WITH h AS (
+        SELECT DISTINCT
+               CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                   18, 15) AS BIGINT) AS hash_val
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    bot AS (SELECT hash_val FROM h ORDER BY hash_val LIMIT 64),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+               MAX(hash_val) AS kth_hash
+        FROM bot
+    )
+    SELECT n_kept, kth_hash,
+           CASE WHEN n_kept < 64 THEN n_kept
+                ELSE CAST(FLOOR(7.263406953210392e+19
+                                / CAST(kth_hash AS DOUBLE)) AS BIGINT)
+           END AS est_distinct
+    FROM agg
+"""
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (operators/graph.py::
+    adamic_adar) on the co-purchase graph: the 30 strongest
+    NON-adjacent part pairs by Adamic-Adar affinity (integer-
+    quantized 1/ln(deg) witness terms, order-free BIGINT sum), with
+    ties broken by the pair key — every ordering column is an exact
+    integer, so the top-30 cut is engine-stable."""
+    from h3_indexer_spark.operators.graph import adamic_adar
+
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "_b")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        adamic_adar(edges, min_common=2)
+        .orderBy(F.col("aa_q").desc(), "u", "v")
+        .limit(30)
+    )
+
+
+_ADAMIC_ADAR_ORACLE = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    dirs AS (
+        SELECT src AS z, dst AS n FROM edges
+        UNION
+        SELECT dst AS z, src AS n FROM edges
+    ),
+    deg AS (SELECT z, COUNT(*) AS deg FROM dirs GROUP BY z),
+    adj AS (
+        SELECT d.z, d.n,
+               CAST(FLOOR(1000000000.0
+                          / LN(CAST(g.deg AS DOUBLE))) AS BIGINT) AS t
+        FROM dirs d JOIN deg g ON d.z = g.z AND g.deg >= 2
+    ),
+    pairs AS (
+        SELECT a.n AS u, b.n AS v,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(a.t) AS BIGINT) AS aa_q
+        FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT p.u, p.v, p.common_neighbors, p.aa_q
+    FROM pairs p
+    LEFT JOIN edges e ON p.u = e.src AND p.v = e.dst
+    WHERE e.src IS NULL
+    ORDER BY p.aa_q DESC, p.u, p.v
+    LIMIT 30
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (operators/analytics.py::mann_whitney_u)
+    between returned ('R') and accepted ('A') line items on extended
+    price — doubled midranks keep the tie-corrected rank sums exact
+    BIGINTs; the z-score divides exact integers in one fixed IEEE op
+    order (raw-compound precedent, no rounding)."""
+    from h3_indexer_spark.operators.analytics import mann_whitney_u
+
+    return mann_whitney_u(
+        load(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        "R",
+        "A",
+    )
+
+
+_MANN_WHITNEY_ORACLE = """
+    WITH vals AS (
+        SELECT l_extendedprice AS v,
+               CAST(COUNT(*) AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca
+        FROM lineitem
+        WHERE l_returnflag IN ('R', 'A')
+          AND l_extendedprice IS NOT NULL
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT ct, ca,
+               COALESCE(SUM(ct) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS bef
+        FROM vals
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(ct - ca) AS BIGINT) AS n_b,
+               CAST(SUM(ca * (2 * bef + ct + 1)) AS BIGINT) AS r2a
+        FROM ranked
+    ),
+    u AS (
+        SELECT n_a, n_b,
+               CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a
+        FROM agg
+    )
+    SELECT n_a, n_b, u2_a,
+           CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b,
+           CASE WHEN sqrt(CAST(CAST(n_a AS DECIMAL(38,0)) * n_b
+                               * (n_a + n_b + 1) AS DOUBLE)
+                          / 12.0) > 0
+                THEN CAST(u2_a - n_a * n_b AS DOUBLE)
+                     / (2.0 * sqrt(CAST(CAST(n_a AS DECIMAL(38,0)) * n_b
+                                        * (n_a + n_b + 1) AS DOUBLE)
+                                   / 12.0))
+           END AS z
+    FROM u
+"""
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build (operators/
+    relational.py::scd2_build) over the event log: per user, runs of
+    an unchanged event_type collapse to half-open validity intervals
+    with a NULL-terminated current row — the Kimball history table,
+    shuffled only on the dimension key. Timestamps are the
+    epoch-nano longs of _load_events."""
+    ev = _load_events(spark, sf_dir).where(
+        F.col("event_type").isNotNull()
+    )
+    return R.scd2_build(ev, "user_id", ["event_type"], "ts")
+
+
+_SCD2_ORACLE = """
+    WITH obs AS (
+        SELECT user_id, epoch_ns(ts) AS ts, event_type
+        FROM events WHERE event_type IS NOT NULL
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN ROW_NUMBER() OVER
+                        (PARTITION BY user_id
+                         ORDER BY ts, event_type) = 1 THEN 1
+                    WHEN event_type IS DISTINCT FROM LAG(event_type)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_type) THEN 1
+                    ELSE 0 END AS chg
+        FROM obs
+    ),
+    runs AS (
+        SELECT user_id, ts, event_type,
+               SUM(chg) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_type
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM flagged
+    ),
+    grouped AS (
+        SELECT user_id, run, event_type,
+               MIN(ts) AS effective_from,
+               CAST(COUNT(*) AS BIGINT) AS n_observations
+        FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, effective_from,
+           LEAD(effective_from) OVER
+               (PARTITION BY user_id ORDER BY effective_from, run)
+               AS effective_to,
+           LEAD(effective_from) OVER
+               (PARTITION BY user_id ORDER BY effective_from, run)
+               IS NULL AS is_current,
+           n_observations
+    FROM grouped
+"""
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix (operators/relational.py::
+    corr_matrix) over four lineitem measures in ONE aggregation pass
+    — 6 coefficients from a single scan (vs 6 grouped_corr re-reads),
+    each combined from exact DECIMAL sums in grouped_corr's fixed
+    IEEE order, rounded 12 for the FMA-contraction ulp."""
+    return R.corr_matrix(
+        load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _corr_matrix_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    sums = ["COUNT(*) AS n_rows"]
+    for c in cols:
+        sums.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(19,4))) AS DOUBLE) AS s_{c}"
+        )
+        sums.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(19,4))"
+            f" * CAST({c} AS DECIMAL(19,4))) AS DOUBLE) AS ss_{c}"
+        )
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        sums.append(
+            f"CAST(SUM(CAST({x} AS DECIMAL(19,4))"
+            f" * CAST({y} AS DECIMAL(19,4))) AS DOUBLE) AS sxy_{x}_{y}"
+        )
+    mask = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    selects = []
+    for x, y in pairs:
+        den = (
+            f"sqrt(CAST(n_rows AS DOUBLE) * ss_{x} - s_{x} * s_{x})"
+            f" * sqrt(CAST(n_rows AS DOUBLE) * ss_{y} - s_{y} * s_{y})"
+        )
+        selects.append(
+            f"SELECT '{x}' AS feat_x, '{y}' AS feat_y,"
+            f" CAST(n_rows AS BIGINT) AS n_rows,"
+            f" ROUND(CASE WHEN {den} > 0 THEN"
+            f" (CAST(n_rows AS DOUBLE) * sxy_{x}_{y} - s_{x} * s_{y})"
+            f" / ({den}) END, 12) AS corr FROM a"
+        )
+    body = "\n    UNION ALL\n    ".join(selects)
+    return (
+        "WITH a AS (SELECT " + ", ".join(sums)
+        + f" FROM lineitem WHERE {mask})\n    " + body
+    )
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators/features.py::
+    embedding_quantize_int8): per-vector scale = max|x|/127 and
+    floor-quantized codes — surfaced as the scale, the first four
+    code values, and the exact BIGINT code sum (the comparator-safe
+    scalar projection of the array). Pure narrow map."""
+    from h3_indexer_spark.operators.features import (
+        embedding_quantize_int8,
+    )
+
+    q = embedding_quantize_int8(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    )
+    return q.select(
+        "vec_id",
+        F.col("scale"),
+        F.element_at("q", 1).alias("q1"),
+        F.element_at("q", 2).alias("q2"),
+        F.element_at("q", 3).alias("q3"),
+        F.element_at("q", 4).alias("q4"),
+        F.aggregate(
+            "q",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        ).alias("q_sum"),
+    )
+
+
+_EMBED_QUANTIZE_ORACLE = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) AS amax
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id,
+               amax / 127.0 AS scale,
+               CASE WHEN amax > 0
+                    THEN list_transform(vec,
+                         x -> CAST(FLOOR(x / (amax / 127.0))
+                                   AS INTEGER))
+                    ELSE list_transform(vec, x -> 0) END AS codes
+        FROM s
+    )
+    SELECT vec_id, scale,
+           codes[1] AS q1, codes[2] AS q2,
+           codes[3] AS q3, codes[4] AS q4,
+           CAST(list_sum(list_transform(codes,
+                x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum
+    FROM q
+"""
+
+
+QUERIES["q_cms_estimate"] = q_cms_estimate
+QUERIES["q_kmv_distinct"] = q_kmv_distinct
+QUERIES["q_adamic_adar"] = q_adamic_adar
+QUERIES["q_mann_whitney"] = q_mann_whitney
+QUERIES["q_scd2"] = q_scd2
+QUERIES["q_corr_matrix"] = q_corr_matrix
+QUERIES["q_embed_quantize"] = q_embed_quantize
+ORACLES["q_cms_estimate"] = _CMS_ESTIMATE_ORACLE
+ORACLES["q_kmv_distinct"] = _KMV_DISTINCT_ORACLE
+ORACLES["q_adamic_adar"] = _ADAMIC_ADAR_ORACLE
+ORACLES["q_mann_whitney"] = _MANN_WHITNEY_ORACLE
+ORACLES["q_scd2"] = _SCD2_ORACLE
+ORACLES["q_corr_matrix"] = _corr_matrix_oracle()
+ORACLES["q_embed_quantize"] = _EMBED_QUANTIZE_ORACLE
+
+
 _WINDOW_R8 = [
     # never driver-recorded (rows-only; the q_kcore playbook)
     "q_label_prop",
     # round-8 debuts
+    "q_cms_estimate",
+    "q_kmv_distinct",
+    "q_adamic_adar",
+    "q_mann_whitney",
+    "q_scd2",
+    "q_corr_matrix",
+    "q_embed_quantize",
     "q_bpe_encode",
     "q_hybrid_retrieval",
     "q_active_users_hll",
@@ -8470,10 +8893,13 @@ _WINDOW_R8 = [
     "q_vocab_coverage",
     "q_diversity",
     "q_fleiss_kappa",
-    # the 41 round-4-stale keys (latest driver row = round 4)
+    # 34 of the 41 round-4-stale keys (7 trivial ones — zscore,
+    # clean_lines, scan_where, top_orders, window_tumbling,
+    # gap_fill, rare_words — yield their slots to the 7 new
+    # debuts above and rotate in round 9; the local mirror
+    # re-verifies them every session)
     "q_asof_join",
     "q_attribution",
-    "q_clean_lines",
     "q_contamination_frac",
     "q_corpus_curation",
     "q_corr",
@@ -8492,7 +8918,6 @@ _WINDOW_R8 = [
     "q_fingerprint",
     "q_frequent_items",
     "q_fuzzy_join",
-    "q_gap_fill",
     "q_interval_join",
     "q_join_full_outer",
     "q_join_left_small",
@@ -8501,17 +8926,12 @@ _WINDOW_R8 = [
     "q_knn_lsh",
     "q_media_dedup",
     "q_range_join",
-    "q_rare_words",
     "q_region_revenue",
     "q_retention_cohorts",
     "q_robust_scale",
     "q_rolling_features",
-    "q_scan_where",
     "q_sessionize",
     "q_tfidf",
-    "q_top_orders",
-    "q_window_tumbling",
-    "q_zscore",
 ]
 assert len(_WINDOW_R8) == 50, len(_WINDOW_R8)
 assert len(set(_WINDOW_R8)) == 50

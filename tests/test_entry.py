@@ -35,19 +35,25 @@ def test_queries_and_oracles_consistent():
 # round-8 debuts.
 NEVER_RECORDED_R8 = {"q_label_prop"}
 STALE_R4 = {
-    "q_asof_join", "q_attribution", "q_clean_lines",
+    "q_asof_join", "q_attribution",
     "q_contamination_frac", "q_corpus_curation", "q_corr",
     "q_decontaminate", "q_decontaminate_bloom", "q_dedup_clusters",
     "q_dedup_embedding", "q_dedup_embedding_lsh", "q_dedup_keep_best",
     "q_dedup_minhash", "q_dedup_ngram_jaccard", "q_dedup_resolve",
     "q_dedup_simhash", "q_dedup_spans_global", "q_explode",
-    "q_fingerprint", "q_frequent_items", "q_fuzzy_join", "q_gap_fill",
+    "q_fingerprint", "q_frequent_items", "q_fuzzy_join",
     "q_interval_join", "q_join_full_outer", "q_join_left_small",
     "q_join_skew_salted", "q_knn_brute", "q_knn_lsh", "q_media_dedup",
-    "q_range_join", "q_rare_words", "q_region_revenue",
+    "q_range_join", "q_region_revenue",
     "q_retention_cohorts", "q_robust_scale", "q_rolling_features",
-    "q_scan_where", "q_sessionize", "q_tfidf", "q_top_orders",
-    "q_window_tumbling", "q_zscore",
+    "q_sessionize", "q_tfidf",
+}
+# 7 trivial r4-stale keys displaced by the 7 continuation debuts —
+# they keep their round-4 history rows, the local mirror re-verifies
+# them every session, and they lead the round-9 rotation list
+DEFERRED_TO_R9 = {
+    "q_clean_lines", "q_gap_fill", "q_rare_words", "q_scan_where",
+    "q_top_orders", "q_window_tumbling", "q_zscore",
 }
 # round-8 debuts — every NEW key takes its first driver record in the
 # window (intersected with the live key set so the lock tracks the
@@ -56,6 +62,9 @@ PLANNED_R8 = {
     "q_bpe_encode", "q_hybrid_retrieval", "q_active_users_hll",
     "q_degree_dist", "q_containment", "q_vocab_coverage",
     "q_diversity", "q_fleiss_kappa",
+    # continuation debuts
+    "q_cms_estimate", "q_kmv_distinct", "q_adamic_adar",
+    "q_mann_whitney", "q_scd2", "q_corr_matrix", "q_embed_quantize",
 }
 # rows-only keys allowed in the round-8 window (no SQL mirror)
 ROWS_ONLY_R8 = {"q_label_prop"}
