@@ -1109,3 +1109,126 @@ def streaming_active_users_hll(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_scd2(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Streaming twin of operators/relational.py::scd2_build — the
+    CDC current-state tracker behind a live Type-2 dimension: per
+    key, ``applyInPandasWithState`` holds exactly ONE open run
+    (attr, effective_from, n_observations); an observation with a
+    different attribute CLOSES the run — emitting the finished
+    interval with effective_to = the new observation's timestamp —
+    and opens the next one, and every touched key re-emits its open
+    row (effective_to NULL, is_current true). Update-mode semantics:
+    the latest emission per (key, effective_from) is current truth,
+    so a downstream merge-upsert keyed on (key, effective_from)
+    maintains the dimension table incrementally.
+
+    Contract: the stream must be per-key ordered by event time (the
+    CDC log guarantee — a change log that delivers a key's updates
+    out of order cannot define intervals at all); rows WITHIN a
+    micro-batch are sorted by (ts, attr), the batch operator's
+    equal-timestamp tiebreak, so an availableNow replay over an
+    in-order log matches scd2_build row for row (test-locked).
+    ``ts_col`` must be an integral epoch timestamp (the engine's
+    epoch-nano convention) — intervals ride exact integers, never
+    float-coerced. State per key is ONE open run regardless of
+    history length; no timeout is set because a dimension key's
+    current row never expires (bound retention by dropping keys
+    cold past the reporting horizon — the minhash-dedup timeout
+    pattern applies directly)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    in_fields = {f.name: f for f in events.schema.fields}
+    for c in (key_col, attr_col, ts_col):
+        if c not in in_fields:
+            raise ValueError(f"column {c!r} not in stream schema")
+    ts_t = in_fields[ts_col].dataType.simpleString()
+    if ts_t not in ("bigint", "int", "long"):
+        raise ValueError(
+            f"{ts_col} must be an integral epoch timestamp, got {ts_t}"
+        )
+    key_f = in_fields[key_col]
+    attr_f = in_fields[attr_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_f.dataType),
+            StructField(attr_col, attr_f.dataType),
+            StructField("effective_from", LongType()),
+            StructField("effective_to", LongType()),
+            StructField("is_current", BooleanType()),
+            StructField("n_observations", LongType()),
+        ]
+    )
+    state_schema = (
+        f"attr {attr_f.dataType.simpleString()},"
+        " eff_from long, n_obs long"
+    )
+    cols = [
+        key_col, attr_col, "effective_from", "effective_to",
+        "is_current", "n_observations",
+    ]
+
+    def fn(key, pdfs, state: GroupState):
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = (
+            pd.concat(frames)
+            .sort_values([ts_col, attr_col], kind="mergesort")
+        )
+        if state.exists:
+            cur_attr, cur_from, cur_n = state.get
+        else:
+            cur_attr, cur_from, cur_n = None, None, 0
+        closed = []
+        for ts_v, attr_v in zip(
+            pdf[ts_col].tolist(), pdf[attr_col].tolist()
+        ):
+            if cur_from is None:
+                cur_attr, cur_from, cur_n = attr_v, int(ts_v), 1
+            elif attr_v == cur_attr:
+                cur_n += 1
+            else:
+                closed.append(
+                    (key[0], cur_attr, cur_from, int(ts_v), False,
+                     cur_n)
+                )
+                cur_attr, cur_from, cur_n = attr_v, int(ts_v), 1
+        state.update((cur_attr, cur_from, cur_n))
+        rows = closed + [
+            (key[0], cur_attr, cur_from, None, True, cur_n)
+        ]
+        out = pd.DataFrame(rows, columns=cols)
+        # exact integers for the interval bounds — None must not
+        # float-coerce epoch nanos
+        out["effective_from"] = pd.array(
+            out["effective_from"], dtype="Int64"
+        )
+        out["effective_to"] = pd.array(
+            out["effective_to"], dtype="Int64"
+        )
+        yield out
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1240,3 +1240,112 @@ class TestStreamingActiveUsersHll:
             assert days == active_days
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamingScd2:
+    def test_full_replay_matches_batch(self, spark, events_dir):
+        """availableNow replay over the (single-batch, hence
+        in-order) events table equals scd2_build row for row — take
+        the LAST emission per (key, effective_from) (update-mode
+        stream)."""
+        from h3_indexer_spark.operators.relational import scd2_build
+        from h3_indexer_spark.streaming.events import streaming_scd2
+
+        src = _read_stream(spark, events_dir).select(
+            "user_id",
+            "event_type",
+            F.expr("unix_timestamp(ts) * 1000000000")
+            .cast("long")
+            .alias("ts"),
+        ).where(F.col("event_type").isNotNull())
+        out = _run_stream(
+            spark, streaming_scd2(src), output_mode="update"
+        )
+        got = {}
+        for r in out.collect():  # arrival order: later emission wins
+            got[(r["user_id"], r["effective_from"])] = (
+                r["event_type"],
+                r["effective_to"],
+                r["is_current"],
+                r["n_observations"],
+            )
+        batch_in = (
+            spark.read.parquet(events_dir)
+            .where(F.col("event_type").isNotNull())
+            .select(
+                "user_id",
+                "event_type",
+                F.expr("unix_timestamp(ts) * 1000000000")
+                .cast("long")
+                .alias("ts"),
+            )
+        )
+        want = {
+            (r["user_id"], r["effective_from"]): (
+                r["event_type"],
+                r["effective_to"],
+                r["is_current"],
+                r["n_observations"],
+            )
+            for r in scd2_build(
+                batch_in, "user_id", ["event_type"], "ts"
+            ).collect()
+        }
+        assert got == want
+
+    def test_interval_closes_across_batches(self, spark):
+        """A run opened in batch 1 closes when batch 2 delivers the
+        change — state carries the open run across micro-batches."""
+        import shutil
+        import tempfile
+
+        from h3_indexer_spark.streaming.events import streaming_scd2
+
+        d = tempfile.mkdtemp(prefix="h3idx_sscd2_")
+        try:
+            src = _write_event_batches(
+                spark,
+                d,
+                [
+                    [
+                        (1, "2024-01-01 10:00:00", "A", 0.0, 7),
+                        (2, "2024-01-01 11:00:00", "A", 0.0, 7),
+                    ],
+                    [
+                        (3, "2024-01-02 09:00:00", "B", 0.0, 7),
+                    ],
+                ],
+            ).select(
+                "user_id",
+                "event_type",
+                F.expr("unix_timestamp(ts) * 1000000000")
+                .cast("long")
+                .alias("ts"),
+            )
+            out = _run_stream(
+                spark, streaming_scd2(src), output_mode="update"
+            )
+            rows = {}
+            for r in out.collect():
+                rows[(r["user_id"], r["effective_from"])] = (
+                    r["event_type"],
+                    r["effective_to"],
+                    r["is_current"],
+                    r["n_observations"],
+                )
+            ns = 10**9
+            t1 = 1704103200 * ns  # 2024-01-01 10:00 UTC
+            t3 = 1704186000 * ns  # 2024-01-02 09:00 UTC
+            assert rows == {
+                (7, t1): ("A", t3, False, 2),
+                (7, t3): ("B", None, True, 1),
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_rejects_non_integral_ts(self, spark, events_dir):
+        from h3_indexer_spark.streaming.events import streaming_scd2
+
+        src = _read_stream(spark, events_dir)
+        with pytest.raises(ValueError):
+            streaming_scd2(src)  # raw timestamp column
