@@ -639,6 +639,16 @@ def adamic_adar(
     )
     deg = dirs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
+        # the hub census below runs a job anyway, so pin the deduped
+        # adjacency first: dirs feeds FOUR downstream branches (both
+        # self-join sides, the degree table, the existing-edge
+        # anti-join) and without the checkpoint Catalyst re-derives
+        # the caller's edge construction once per branch (measured in
+        # .explain — 4 full scans of the co-purchase join). With
+        # max_degree=None the operator stays fully lazy, re-derivation
+        # documented.
+        dirs = dirs.localCheckpoint()
+        deg = dirs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
         n_hubs = deg.where(F.col("deg") > max_degree).count()
         if n_hubs:
             import logging
@@ -671,8 +681,11 @@ def adamic_adar(
         )
         .where(F.col("common_neighbors") >= min_common)
     )
-    existing = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("u"),
-        F.greatest(F.col(src), F.col(dst)).alias("v"),
-    ).distinct()
+    # dirs already holds the deduped undirected pair set in both
+    # directions, so its canonical half IS the existing-edge set —
+    # reading it (not the raw edges) keeps the anti-join on the
+    # checkpointed table
+    existing = dirs.where(F.col("z") < F.col("n")).select(
+        F.col("z").alias("u"), F.col("n").alias("v")
+    )
     return pairs.join(existing, ["u", "v"], "left_anti")
