@@ -965,7 +965,8 @@ def round8b_scale(max_factor: int = 50) -> None:
         )
 
         items = (
-            l.select(F.col("_id").alias("l_orderkey"), "l_partkey")
+            l.where(F.expr("_id % 4 = 0"))
+            .select(F.col("_id").alias("l_orderkey"), "l_partkey")
             .distinct()
             .localCheckpoint()
         )
