@@ -637,7 +637,6 @@ def adamic_adar(
         .where(F.col("z") != F.col("n"))
         .distinct()
     )
-    deg = dirs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
         # the hub census below runs a job anyway, so pin the deduped
         # adjacency first: dirs feeds FOUR downstream branches (both
@@ -648,7 +647,8 @@ def adamic_adar(
         # max_degree=None the operator stays fully lazy, re-derivation
         # documented.
         dirs = dirs.localCheckpoint()
-        deg = dirs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    deg = dirs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is not None:
         n_hubs = deg.where(F.col("deg") > max_degree).count()
         if n_hubs:
             import logging

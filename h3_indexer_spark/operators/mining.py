@@ -54,6 +54,11 @@ def association_rules(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
     if max_basket_size is not None:
+        # the census below runs a job anyway, so pin the distinct
+        # table first — otherwise the count and the returned plan
+        # each re-derive it (the adamic_adar hub-census rule); with
+        # max_basket_size=None the operator stays fully lazy
+        items = items.localCheckpoint()
         sizes = items.groupBy("_b").agg(
             F.count(F.lit(1)).alias("_sz")
         )

@@ -8226,8 +8226,6 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∝ |vocab|·|merges| via a pure aggregate() fold per word; the
     string-accumulator restatement of the trainer's look-behind fold
     is what DuckDB's list_reduce mirrors exactly."""
-    from pyspark.sql import Window as W
-
     from h3_indexer_spark.operators.textops import bpe_encode_words
 
     enc = bpe_encode_words(load(spark, sf_dir, "documents"), _BPE_MERGES)
@@ -8538,7 +8536,12 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(load(spark, sf_dir, "orders"), "o_custkey", k=64)
 
 
-_KMV_DISTINCT_ORACLE = """
+# the SAME double the operator folds (F.lit(float((k-1)*2^60)) at
+# k=64) — derived, not transcribed: a hand-copied mantissa was wrong
+# by 2e-7 relative and would have flipped est_distinct by 1 whenever
+# the quotient landed near an integer boundary (code-review catch)
+_KMV_NUM_64 = repr(float(63 * (1 << 60)))
+_KMV_DISTINCT_ORACLE = f"""
     WITH h AS (
         SELECT DISTINCT
                CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
@@ -8553,7 +8556,7 @@ _KMV_DISTINCT_ORACLE = """
     )
     SELECT n_kept, kth_hash,
            CASE WHEN n_kept < 64 THEN n_kept
-                ELSE CAST(FLOOR(7.263406953210392e+19
+                ELSE CAST(FLOOR({_KMV_NUM_64}
                                 / CAST(kth_hash AS DOUBLE)) AS BIGINT)
            END AS est_distinct
     FROM agg

@@ -1031,8 +1031,10 @@ def streaming_active_users_hll(
         raise ValueError(f"window_days must be >= 1: {window_days}")
     m = 1 << p
     k_max = (60 - p) + 1
+    from h3_indexer_spark.operators.sketches import hll_alpha
+
     alpha_num = (
-        0.7213 / (1.0 + 1.079 / m) * float(m) * float(m) * float(2**k_max)
+        hll_alpha(m) * float(m) * float(m) * float(2**k_max)
     )
     from h3_indexer_spark.operators.curation import md5_band60
 
