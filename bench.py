@@ -161,6 +161,8 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_diversity",
     "q_fleiss_kappa",
+    "q_eventually_follows",
+    "q_ohlc_bars",
     "q_cms_estimate",
     "q_kmv_distinct",
     "q_adamic_adar",

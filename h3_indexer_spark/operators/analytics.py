@@ -2362,3 +2362,127 @@ def mann_whitney_u(
     )
     return out.select("n_a", "n_b", "u2_a", u2b.alias("u2_b"),
                       z.alias("z"))
+
+
+def eventually_follows(
+    df: DataFrame,
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Eventually-follows census — the process-mining primitive (the
+    input to alpha-miner-style discovery): for every ordered pair of
+    event types (a, b), the number of entities whose FIRST a strictly
+    precedes their FIRST b, beside the number of entities exhibiting
+    a at all — support = one exact integer division. Unlike
+    event_transitions (adjacent steps), this sees across arbitrary
+    gaps, which is what distinguishes "checkout eventually follows
+    signup" from "checkout immediately follows signup".
+
+    Semantics: first occurrences only (the standard EF relation);
+    entities whose first a and first b tie on the timestamp count in
+    NEITHER direction (strict <) — deterministic without inventing
+    an order. Output: (antecedent, consequent, n_follow,
+    n_antecedent, support), antecedent != consequent.
+
+    Scale: the event log collapses to (entity, type, first_ts) —
+    |entities|·|types| rows — before the entity-keyed pair self-join
+    (≤ |types|² rows per entity), then one tiny type×type aggregate.
+    Both shuffles are entity/pair-key-bounded; the raw log is
+    touched once."""
+    firsts = (
+        df.where(
+            F.col(type_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(
+            F.col(id_col).alias("_e"), F.col(type_col).alias("_t")
+        )
+        .agg(F.min(ts_col).alias("_ts"))
+    )
+    a = firsts.select(
+        "_e", F.col("_t").alias("antecedent"), F.col("_ts").alias("_ta")
+    )
+    b = firsts.select(
+        "_e", F.col("_t").alias("consequent"), F.col("_ts").alias("_tb")
+    )
+    follows = (
+        a.join(b, "_e")
+        .where(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("_ta") < F.col("_tb"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_follow"))
+    )
+    n_ant = firsts.groupBy(F.col("_t").alias("antecedent")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_antecedent")
+    )
+    return follows.join(F.broadcast(n_ant), "antecedent").select(
+        "antecedent",
+        "consequent",
+        "n_follow",
+        "n_antecedent",
+        (
+            F.col("n_follow").cast("double")
+            / F.col("n_antecedent").cast("double")
+        ).alias("support"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_ns: int = 3_600 * 10**9,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Open-high-low-close resampling — the canonical numeric
+    time-series downsample (price bars, sensor rollups): per time
+    bucket (and optional group), the first/max/min/last value plus
+    volume (row count) and an exact-DECIMAL value sum.
+
+    Determinism: open/close ride lexicographic struct min/max over
+    (ts, value) — equal-timestamp ties resolve to the smallest value
+    at the earliest instant and the largest at the latest, the same
+    total order any engine's struct comparison yields (no
+    first()/arg_min tie luck). ``ts_col`` is epoch-nanos; buckets are
+    integer floor-division starts.
+
+    Scale: ONE groupBy with map-side partial min/max/sum — the
+    classic pre-aggregable rollup; bars merge across slices by the
+    same min/max/sum algebra."""
+    if bucket_ns < 1:
+        raise ValueError(f"bucket_ns must be >= 1: {bucket_ns}")
+    gcols = list(group_cols or [])
+    bucket = (
+        (F.col(ts_col).cast("bigint") - (F.col(ts_col).cast("bigint")
+                                         % F.lit(bucket_ns)))
+    ).alias("bucket_start")
+    pair = F.struct(
+        F.col(ts_col).cast("bigint").alias("ts"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return (
+        df.where(
+            F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(*gcols, bucket)
+        .agg(
+            F.min(pair).getField("v").alias("open"),
+            F.max(F.col(value_col).cast("double")).alias("high"),
+            F.min(F.col(value_col).cast("double")).alias("low"),
+            F.max(pair).getField("v").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+            F.sum(F.col(value_col).cast("decimal(19,4)")).alias("_s"),
+        )
+        .select(
+            *gcols,
+            "bucket_start",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            F.col("_s").cast("double").alias("value_sum"),
+        )
+    )

@@ -8883,10 +8883,87 @@ ORACLES["q_corr_matrix"] = _corr_matrix_oracle()
 ORACLES["q_embed_quantize"] = _EMBED_QUANTIZE_ORACLE
 
 
+def q_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eventually-follows census (operators/analytics.py::
+    eventually_follows): per ordered event-type pair, the entities
+    whose FIRST antecedent strictly precedes their FIRST consequent —
+    the process-discovery relation event_transitions (adjacent-only)
+    cannot see. Exact integer counts; support is one division."""
+    from h3_indexer_spark.operators.analytics import eventually_follows
+
+    return eventually_follows(_load_events(spark, sf_dir))
+
+
+_EVENTUALLY_FOLLOWS_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id AS e, event_type AS t,
+               MIN(epoch_ns(ts)) AS ts
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    fol AS (
+        SELECT a.t AS antecedent, b.t AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS n_follow
+        FROM firsts a JOIN firsts b
+          ON a.e = b.e AND a.t <> b.t AND a.ts < b.ts
+        GROUP BY 1, 2
+    ),
+    ant AS (
+        SELECT t AS antecedent,
+               CAST(COUNT(*) AS BIGINT) AS n_antecedent
+        FROM firsts GROUP BY 1
+    )
+    SELECT antecedent, consequent, n_follow, n_antecedent,
+           CAST(n_follow AS DOUBLE) / CAST(n_antecedent AS DOUBLE)
+               AS support
+    FROM fol JOIN ant USING (antecedent)
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (operators/analytics.py::
+    ohlc_bars): open/close ride lexicographic struct min/max over
+    (ts, value) so equal-timestamp ties resolve identically in any
+    engine; volume exact, value_sum through DECIMAL(19,4)."""
+    from h3_indexer_spark.operators.analytics import ohlc_bars
+
+    return ohlc_bars(
+        _load_events(spark, sf_dir), group_cols=["event_type"]
+    )
+
+
+_OHLC_BARS_ORACLE = """
+    WITH ev AS (
+        SELECT event_type, epoch_ns(ts) AS t, value AS v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT event_type,
+           t - (t % 3600000000000) AS bucket_start,
+           (min(struct_pack(ts := t, v := v))).v AS open,
+           max(v) AS high,
+           min(v) AS low,
+           (max(struct_pack(ts := t, v := v))).v AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(19,4))) AS DECIMAL(19,4))
+                AS DOUBLE) AS value_sum
+    FROM ev
+    GROUP BY 1, 2
+"""
+
+
+QUERIES["q_eventually_follows"] = q_eventually_follows
+QUERIES["q_ohlc_bars"] = q_ohlc_bars
+ORACLES["q_eventually_follows"] = _EVENTUALLY_FOLLOWS_ORACLE
+ORACLES["q_ohlc_bars"] = _OHLC_BARS_ORACLE
+
+
 _WINDOW_R8 = [
     # never driver-recorded (rows-only; the q_kcore playbook)
     "q_label_prop",
     # round-8 debuts
+    "q_eventually_follows",
+    "q_ohlc_bars",
     "q_cms_estimate",
     "q_kmv_distinct",
     "q_adamic_adar",
@@ -8902,11 +8979,11 @@ _WINDOW_R8 = [
     "q_vocab_coverage",
     "q_diversity",
     "q_fleiss_kappa",
-    # 34 of the 41 round-4-stale keys (7 trivial ones — zscore,
+    # 32 of the 41 round-4-stale keys (9 trivial ones — zscore,
     # clean_lines, scan_where, top_orders, window_tumbling,
-    # gap_fill, rare_words — yield their slots to the 7 new
-    # debuts above and rotate in round 9; the local mirror
-    # re-verifies them every session)
+    # gap_fill, rare_words, explode, region_revenue — yield their
+    # slots to the 9 continuation debuts above and rotate in round
+    # 9; the local mirror re-verifies them every session)
     "q_asof_join",
     "q_attribution",
     "q_contamination_frac",
@@ -8923,7 +9000,6 @@ _WINDOW_R8 = [
     "q_dedup_resolve",
     "q_dedup_simhash",
     "q_dedup_spans_global",
-    "q_explode",
     "q_fingerprint",
     "q_frequent_items",
     "q_fuzzy_join",
@@ -8935,7 +9011,6 @@ _WINDOW_R8 = [
     "q_knn_lsh",
     "q_media_dedup",
     "q_range_join",
-    "q_region_revenue",
     "q_retention_cohorts",
     "q_robust_scale",
     "q_rolling_features",

@@ -510,3 +510,100 @@ class TestEmbeddingQuantizeInt8:
         r = embedding_quantize_int8(df).collect()[0]
         assert r["scale"] == 0.0
         assert list(r["q"]) == [0, 0, 0]
+
+
+class TestEventuallyFollows:
+    # entity 1: A@10, B@20, A@30 (repeat ignored), C@20 (C ties B: no
+    # B->C nor C->B); entity 2: B@5, A@8; entity 3: A@1 only
+    _ROWS = [
+        (1, 10, "A"), (1, 20, "B"), (1, 30, "A"), (1, 20, "C"),
+        (2, 5, "B"), (2, 8, "A"),
+        (3, 1, "A"),
+    ]
+
+    def test_relation(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            eventually_follows,
+        )
+
+        df = spark.createDataFrame(
+            self._ROWS, "user_id long, ts long, event_type string"
+        )
+        got = {
+            (r["antecedent"], r["consequent"]): (
+                r["n_follow"],
+                r["n_antecedent"],
+                r["support"],
+            )
+            for r in eventually_follows(df).collect()
+        }
+        # entity 1's B@20/C@20 tie counts in NEITHER direction, and
+        # zero-count pairs never materialize a row
+        assert got == {
+            ("A", "B"): (1, 3, 1 / 3),   # entity 1 only
+            ("A", "C"): (1, 3, 1 / 3),   # entity 1 (10 < 20)
+            ("B", "A"): (1, 2, 1 / 2),   # entity 2
+        }
+
+    def test_first_occurrence_only(self, spark):
+        """Entity 1's second A (after B) must NOT create B->A."""
+        from h3_indexer_spark.operators.analytics import (
+            eventually_follows,
+        )
+
+        df = spark.createDataFrame(
+            self._ROWS, "user_id long, ts long, event_type string"
+        )
+        got = {
+            (r["antecedent"], r["consequent"]): r["n_follow"]
+            for r in eventually_follows(df).collect()
+        }
+        assert got.get(("B", "A")) == 1  # entity 2, not entity 1
+
+
+class TestOhlcBars:
+    def test_bars_with_ties(self, spark):
+        from h3_indexer_spark.operators.analytics import ohlc_bars
+
+        ns = 10**9
+        rows = [
+            # one bucket [0, 3600s): tie at t=100 -> open = smaller v
+            (100 * ns, 5.0), (100 * ns, 4.0), (200 * ns, 9.0),
+            (3599 * ns, 2.0), (3599 * ns, 8.0),  # close = larger v
+            # next bucket
+            (3600 * ns, 7.0),
+        ]
+        df = spark.createDataFrame(rows, "ts long, value double")
+        got = {
+            r["bucket_start"]: (
+                r["open"], r["high"], r["low"], r["close"],
+                r["volume"], r["value_sum"],
+            )
+            for r in ohlc_bars(df).collect()
+        }
+        assert got == {
+            0: (4.0, 9.0, 2.0, 8.0, 5, 28.0),
+            3600 * ns: (7.0, 7.0, 7.0, 7.0, 1, 7.0),
+        }
+
+    def test_grouped(self, spark):
+        from h3_indexer_spark.operators.analytics import ohlc_bars
+
+        rows = [(1, "x", 1.0), (2, "x", 3.0), (1, "y", 9.0)]
+        df = spark.createDataFrame(
+            rows, "ts long, g string, value double"
+        )
+        out = ohlc_bars(
+            df, bucket_ns=10, group_cols=["g"]
+        ).collect()
+        by_g = {r["g"]: (r["open"], r["close"], r["volume"]) for r in out}
+        assert by_g == {"x": (1.0, 3.0, 2), "y": (9.0, 9.0, 1)}
+
+    def test_bucket_validation(self, spark):
+        from h3_indexer_spark.operators.analytics import ohlc_bars
+
+        df = spark.createDataFrame([(1, 1.0)], "ts long, value double")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ohlc_bars(df, bucket_ns=0)
