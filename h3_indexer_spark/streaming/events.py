@@ -1234,3 +1234,52 @@ def streaming_scd2(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ohlc_bars(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/analytics.py::ohlc_bars — live
+    price/sensor bars as a plain watermarked windowed aggregation
+    (no custom state): open/close ride the SAME lexicographic struct
+    min/max over (event-time, value) as the batch operator, so
+    equal-timestamp ties resolve identically and a full availableNow
+    replay matches the batch bars row for row on the shared columns
+    (test-locked). min/max/sum/count are all order-insensitive, which
+    is exactly why OHLC streams safely: late rows inside the
+    watermark fold into the bar with no reprocessing."""
+    gcols = list(group_cols or [])
+    pair = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *gcols)
+        .agg(
+            F.min(pair).getField("v").alias("open"),
+            F.max(F.col(value_col).cast("double")).alias("high"),
+            F.min(F.col(value_col).cast("double")).alias("low"),
+            F.max(pair).getField("v").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+            F.sum(F.col(value_col).cast("decimal(19,4)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *gcols,
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "value_sum",
+        )
+    )

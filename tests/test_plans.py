@@ -323,3 +323,51 @@ def test_round7b_plan_properties(spark):
     # total fold (runs after the groupBy, over digits, not the corpus)
     plan = _plan(spark, "q_benford")
     assert "HashAggregate" in plan, plan
+
+
+def test_round8b_plan_properties(spark):
+    """Round-8 continuation locks — the scale properties of the new
+    operators, asserted against the physical plan."""
+    # KMV: the k-limit must be a TakeOrderedAndProject (each partition
+    # forwards at most k rows) and Catalyst must have PRUNED the rank
+    # window from kmv_bottom_k (the readout only needs hash values)
+    plan = _plan(spark, "q_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # CMS: register tables and exact counts join BROADCAST — the
+    # point-query side never shuffles a fact table
+    plan = _plan(spark, "q_cms_estimate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # corr matrix: ONE aggregation pass — a single scan, no join, and
+    # the only exchange is the one-row-per-partition partial/final
+    # aggregate pair
+    plan = _plan(spark, "q_corr_matrix")
+    # formatted mode prints each physical scan twice (tree + detail)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Join" not in plan, plan
+    # scd2: one scan; both run-id windows and the interval-closing
+    # window ride the dimension-key partitioning (no unpartitioned
+    # window over the fact table)
+    plan = _plan(spark, "q_scd2")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    # mann-whitney: the ranking window runs over the value-collapsed
+    # aggregate (a HashAggregate BELOW the Window in the plan tree),
+    # never the raw fact table
+    plan = _plan(spark, "q_mann_whitney")
+    assert "Window" in plan and "HashAggregate" in plan, plan
+    # embed quantize: pure narrow map — zero exchanges beyond the
+    # adaptive scan rebalance, no aggregation of the fact table
+    plan = _plan(spark, "q_embed_quantize")
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+    # OHLC: one scan into a bucket-keyed partial aggregation
+    plan = _plan(spark, "q_ohlc_bars")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "partial" in plan.lower(), plan
+    assert "Join" not in plan, plan
+    # eventually-follows: the pair join runs on the FIRST-OCCURRENCE
+    # table (HashAggregate feeds the join), and the antecedent
+    # marginals broadcast back
+    plan = _plan(spark, "q_eventually_follows")
+    assert "BroadcastHashJoin" in plan, plan

@@ -1349,3 +1349,82 @@ class TestStreamingScd2:
         src = _read_stream(spark, events_dir)
         with pytest.raises(ValueError):
             streaming_scd2(src)  # raw timestamp column
+
+
+class TestStreamingOhlcBars:
+    def test_full_replay_matches_batch(self, spark, events_dir):
+        """availableNow replay equals the batch ohlc_bars on the
+        shared columns — struct min/max ties resolve identically."""
+        from h3_indexer_spark.operators.analytics import ohlc_bars
+        from h3_indexer_spark.streaming.events import (
+            streaming_ohlc_bars,
+        )
+
+        out = _run_stream(
+            spark,
+            streaming_ohlc_bars(
+                _read_stream(spark, events_dir),
+                group_cols=["event_type"],
+            ),
+            output_mode="complete",
+        )
+        got = {
+            (int(r["window_start"].timestamp()), r["event_type"]): (
+                r["open"], r["high"], r["low"], r["close"],
+                r["volume"], r["value_sum"],
+            )
+            for r in out.collect()
+        }
+        batch_in = spark.read.parquet(events_dir).select(
+            "event_type",
+            F.expr("unix_timestamp(ts) * 1000000000")
+            .cast("long")
+            .alias("ts"),
+            "value",
+        )
+        want = {
+            (r["bucket_start"] // 10**9, r["event_type"]): (
+                r["open"], r["high"], r["low"], r["close"],
+                r["volume"], r["value_sum"],
+            )
+            for r in ohlc_bars(
+                batch_in, group_cols=["event_type"]
+            ).collect()
+        }
+        assert got == want
+
+    def test_late_row_within_watermark_folds_in(self, spark):
+        import shutil
+        import tempfile
+
+        from h3_indexer_spark.streaming.events import (
+            streaming_ohlc_bars,
+        )
+
+        d = tempfile.mkdtemp(prefix="h3idx_sohlc_")
+        try:
+            src = _write_event_batches(
+                spark,
+                d,
+                [
+                    [(1, "2024-01-01 10:05:00", "A", 5.0, 1),
+                     (2, "2024-01-01 10:50:00", "A", 9.0, 1)],
+                    # late but inside the 2h watermark: folds into the
+                    # 10:00 bar as the new low AND the new open
+                    [(3, "2024-01-01 10:01:00", "A", 1.0, 1)],
+                ],
+            )
+            out = _run_stream(
+                spark, streaming_ohlc_bars(src), output_mode="complete"
+            )
+            rows = {
+                int(r["window_start"].timestamp()): (
+                    r["open"], r["high"], r["low"], r["close"],
+                    r["volume"],
+                )
+                for r in out.collect()
+            }
+            t10 = 1704103200  # 2024-01-01 10:00 UTC
+            assert rows == {t10: (1.0, 9.0, 1.0, 9.0, 3)}
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
