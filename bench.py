@@ -161,6 +161,8 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_diversity",
     "q_fleiss_kappa",
+    "q_market_share",
+    "q_charset_stats",
     "q_eventually_follows",
     "q_ohlc_bars",
     "q_cms_estimate",

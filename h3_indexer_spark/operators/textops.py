@@ -1125,3 +1125,55 @@ def readability_scores(
         .where(F.col("n_words") > 0)
         .withColumn("flesch", flesch)
     )
+
+
+def charset_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-class census — the curation signal
+    behind mojibake / mixed-script / binary-spill detection in an
+    LLM data pipeline: exact counts of ASCII letters, digits,
+    whitespace, other printable ASCII, and everything else (the
+    non-ASCII bucket that flags encoding damage), plus the letter
+    ratio as one division. Appended columns: n_chars, n_letters,
+    n_digits, n_spaces, n_ascii_other, n_non_ascii, letter_ratio.
+
+    Counting is the length-difference trick over EXPLICIT literal
+    character ranges ([A-Za-z], [0-9], [ \\t\\n\\r], [ -~]) — the
+    ranges mean the same thing in Java regex and RE2, so the counts
+    are engine-exact (no \\p{...} class, whose definitions differ by
+    regex engine and Unicode version). A pure narrow map — zero
+    shuffles, zero Python."""
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def _drop(pat: str):
+        return n - F.length(F.regexp_replace(t, pat, ""))
+
+    letters = _drop("[A-Za-z]")
+    digits = _drop("[0-9]")
+    spaces = _drop("[ \\t\\n\\r]")
+    ascii_printable = _drop("[ -~]")
+    non_ascii = (n - ascii_printable - _drop("[\\t\\n\\r]")).alias(
+        "n_non_ascii"
+    )
+    ascii_other = (
+        ascii_printable - letters - digits - _drop("[ ]")
+    ).alias("n_ascii_other")
+    return (
+        df.withColumn("n_chars", n.cast("bigint"))
+        .withColumn("n_letters", letters.cast("bigint"))
+        .withColumn("n_digits", digits.cast("bigint"))
+        .withColumn("n_spaces", spaces.cast("bigint"))
+        .withColumn("n_ascii_other", ascii_other.cast("bigint"))
+        .withColumn("n_non_ascii", non_ascii.cast("bigint"))
+        .withColumn(
+            "letter_ratio",
+            F.when(
+                F.col("n_chars") > 0,
+                F.col("n_letters").cast("double")
+                / F.col("n_chars").cast("double"),
+            ),
+        )
+    )

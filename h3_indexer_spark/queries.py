@@ -8958,10 +8958,146 @@ ORACLES["q_eventually_follows"] = _EVENTUALLY_FOLLOWS_ORACLE
 ORACLES["q_ohlc_bars"] = _OHLC_BARS_ORACLE
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-flavored national market share: within the ECONOMY
+    part market, NATION_0 suppliers' revenue share per order year —
+    a five-way star join (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈
+    orders) where every dimension broadcasts and the fact table
+    shuffles ONCE for the year aggregation. Revenue sums are exact
+    DECIMAL(19,4); the share is one division of two exact sums."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    vol = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(19,4)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_year",
+            vol.alias("_vol"),
+            F.when(F.col("n_name") == "NATION_0", vol)
+            .otherwise(F.lit(0).cast("decimal(19,4)"))
+            .alias("_nvol"),
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum("_vol").cast("decimal(19,4)").alias("_tot"),
+        F.sum("_nvol").cast("decimal(19,4)").alias("_nat"),
+    )
+    return agg.select(
+        "o_year",
+        F.col("_tot").cast("double").alias("total_volume"),
+        F.col("_nat").cast("double").alias("nation_volume"),
+        (
+            F.col("_nat").cast("double") / F.col("_tot").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+_MARKET_SHARE_ORACLE = """
+    WITH joined AS (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(19,4)) AS vol,
+               n_name
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+    ),
+    agg AS (
+        SELECT o_year,
+               CAST(SUM(vol) AS DECIMAL(19,4)) AS tot,
+               CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN vol
+                             ELSE CAST(0 AS DECIMAL(19,4)) END)
+                    AS DECIMAL(19,4)) AS nat
+        FROM joined GROUP BY o_year
+    )
+    SELECT o_year,
+           CAST(tot AS DOUBLE) AS total_volume,
+           CAST(nat AS DOUBLE) AS nation_volume,
+           CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE) AS mkt_share
+    FROM agg
+"""
+
+
+def q_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census (operators/textops.py::charset_stats)
+    over the documents corpus — exact per-class counts from
+    length-difference over literal ASCII ranges (engine-identical;
+    no \\p{...} classes), the mojibake / binary-spill detector of a
+    curation stage."""
+    from h3_indexer_spark.operators.textops import charset_stats
+
+    return charset_stats(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars", "n_letters", "n_digits", "n_spaces",
+        "n_ascii_other", "n_non_ascii", "letter_ratio",
+    )
+
+
+_CHARSET_STATS_ORACLE = """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS BIGINT) AS n_letters,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS BIGINT) AS n_digits,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))
+                    AS BIGINT) AS n_spaces,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[ -~]', '', 'g'))
+                    AS BIGINT) AS printable,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[\\t\\n\\r]', '', 'g'))
+                    AS BIGINT) AS n_tnr,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[ ]', '', 'g'))
+                    AS BIGINT) AS n_sp
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_letters, n_digits, n_spaces,
+           CAST(printable - n_letters - n_digits - n_sp
+                AS BIGINT) AS n_ascii_other,
+           CAST((n_chars - printable) - n_tnr AS BIGINT) AS n_non_ascii,
+           CASE WHEN n_chars > 0
+                THEN CAST(n_letters AS DOUBLE)
+                     / CAST(n_chars AS DOUBLE)
+           END AS letter_ratio
+    FROM c
+"""
+
+
+QUERIES["q_market_share"] = q_market_share
+QUERIES["q_charset_stats"] = q_charset_stats
+ORACLES["q_market_share"] = _MARKET_SHARE_ORACLE
+ORACLES["q_charset_stats"] = _CHARSET_STATS_ORACLE
+
+
 _WINDOW_R8 = [
     # never driver-recorded (rows-only; the q_kcore playbook)
     "q_label_prop",
     # round-8 debuts
+    "q_market_share",
+    "q_charset_stats",
     "q_eventually_follows",
     "q_ohlc_bars",
     "q_cms_estimate",
@@ -8979,11 +9115,12 @@ _WINDOW_R8 = [
     "q_vocab_coverage",
     "q_diversity",
     "q_fleiss_kappa",
-    # 32 of the 41 round-4-stale keys (9 trivial ones — zscore,
-    # clean_lines, scan_where, top_orders, window_tumbling,
-    # gap_fill, rare_words, explode, region_revenue — yield their
-    # slots to the 9 continuation debuts above and rotate in round
-    # 9; the local mirror re-verifies them every session)
+    # 30 of the 41 round-4-stale keys (11 — zscore, clean_lines,
+    # scan_where, top_orders, window_tumbling, gap_fill, rare_words,
+    # explode, region_revenue, fingerprint, interval_join — yield
+    # their slots to the 11 continuation debuts above and lead the
+    # round-9 rotation; the local mirror re-verifies every ORACLES
+    # key each session regardless)
     "q_asof_join",
     "q_attribution",
     "q_contamination_frac",
@@ -9000,10 +9137,8 @@ _WINDOW_R8 = [
     "q_dedup_resolve",
     "q_dedup_simhash",
     "q_dedup_spans_global",
-    "q_fingerprint",
     "q_frequent_items",
     "q_fuzzy_join",
-    "q_interval_join",
     "q_join_full_outer",
     "q_join_left_small",
     "q_join_skew_salted",

@@ -41,8 +41,8 @@ STALE_R4 = {
     "q_dedup_embedding", "q_dedup_embedding_lsh", "q_dedup_keep_best",
     "q_dedup_minhash", "q_dedup_ngram_jaccard", "q_dedup_resolve",
     "q_dedup_simhash", "q_dedup_spans_global",
-    "q_fingerprint", "q_frequent_items", "q_fuzzy_join",
-    "q_interval_join", "q_join_full_outer", "q_join_left_small",
+    "q_frequent_items", "q_fuzzy_join",
+    "q_join_full_outer", "q_join_left_small",
     "q_join_skew_salted", "q_knn_brute", "q_knn_lsh", "q_media_dedup",
     "q_range_join",
     "q_retention_cohorts", "q_robust_scale", "q_rolling_features",
@@ -52,9 +52,9 @@ STALE_R4 = {
 # they keep their round-4 history rows, the local mirror re-verifies
 # them every session, and they lead the round-9 rotation list
 DEFERRED_TO_R9 = {
-    "q_clean_lines", "q_explode", "q_gap_fill", "q_rare_words",
-    "q_region_revenue", "q_scan_where", "q_top_orders",
-    "q_window_tumbling", "q_zscore",
+    "q_clean_lines", "q_explode", "q_fingerprint", "q_gap_fill",
+    "q_interval_join", "q_rare_words", "q_region_revenue",
+    "q_scan_where", "q_top_orders", "q_window_tumbling", "q_zscore",
 }
 # round-8 debuts — every NEW key takes its first driver record in the
 # window (intersected with the live key set so the lock tracks the
@@ -66,7 +66,8 @@ PLANNED_R8 = {
     # continuation debuts
     "q_cms_estimate", "q_kmv_distinct", "q_adamic_adar",
     "q_mann_whitney", "q_scd2", "q_corr_matrix", "q_embed_quantize",
-    "q_eventually_follows", "q_ohlc_bars",
+    "q_eventually_follows", "q_ohlc_bars", "q_market_share",
+    "q_charset_stats",
 }
 # rows-only keys allowed in the round-8 window (no SQL mirror)
 ROWS_ONLY_R8 = {"q_label_prop"}

@@ -607,3 +607,69 @@ class TestOhlcBars:
 
         with _pytest.raises(ValueError):
             ohlc_bars(df, bucket_ns=0)
+
+
+class TestCharsetStats:
+    def test_class_counts(self, spark):
+        from h3_indexer_spark.operators.textops import charset_stats
+
+        rows = [
+            (0, "Abc 12!\tx"),          # 4 letters 2 digits 2 ws 1 punct
+            (1, "héllo wörld"),          # 2 non-ascii letters
+            (2, ""),                     # empty
+            (3, "é中文"),   # all non-ascii
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_chars"], r["n_letters"], r["n_digits"],
+                r["n_spaces"], r["n_ascii_other"], r["n_non_ascii"],
+            )
+            for r in charset_stats(df).collect()
+        }
+        assert got[0] == (9, 4, 2, 2, 1, 0)
+        assert got[1] == (11, 8, 0, 1, 0, 2)
+        assert got[2] == (0, 0, 0, 0, 0, 0)
+        assert got[3] == (3, 0, 0, 0, 0, 3)
+
+    def test_classes_partition_the_text(self, spark):
+        """letters+digits+spaces+ascii_other+non_ascii == n_chars for
+        pure-ASCII-printable+ws text (control chars excluded by
+        construction in the fixture)."""
+        from h3_indexer_spark.operators.textops import charset_stats
+
+        df = spark.createDataFrame(
+            [(0, "The 99 bottles, on a wall! #tag")],
+            "doc_id long, text string",
+        )
+        r = charset_stats(df).collect()[0]
+        total = (
+            r["n_letters"] + r["n_digits"] + r["n_spaces"]
+            + r["n_ascii_other"] + r["n_non_ascii"]
+        )
+        assert total == r["n_chars"]
+
+    def test_letter_ratio_null_on_empty(self, spark):
+        from h3_indexer_spark.operators.textops import charset_stats
+
+        df = spark.createDataFrame(
+            [(0, "")], "doc_id long, text string"
+        )
+        assert charset_stats(df).collect()[0]["letter_ratio"] is None
+
+
+class TestMarketShare:
+    def test_share_identity(self, spark):
+        """nation_volume <= total_volume and the share IS their
+        ratio, on the real fixture."""
+        from h3_indexer_spark.queries import QUERIES
+
+        rows = QUERIES["q_market_share"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["nation_volume"] <= r["total_volume"]
+            assert r["mkt_share"] == pytest.approx(
+                r["nation_volume"] / r["total_volume"]
+            )
