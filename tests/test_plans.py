@@ -371,3 +371,15 @@ def test_round8b_plan_properties(spark):
     # marginals broadcast back
     plan = _plan(spark, "q_eventually_follows")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_round8c_plan_properties(spark):
+    """Final continuation locks: the star join broadcasts every
+    dimension (the fact table shuffles only for the year aggregate),
+    and the charset census is a pure narrow map."""
+    plan = _plan(spark, "q_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    plan = _plan(spark, "q_charset_stats")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "HashAggregate" not in plan, plan
