@@ -1283,3 +1283,60 @@ def streaming_ohlc_bars(
             "value_sum",
         )
     )
+
+
+def streaming_cms_registers(
+    events: DataFrame,
+    col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Streaming twin of operators/sketches.py::count_min_registers —
+    per-event-time-window CMS register tables as a plain watermarked
+    windowed aggregation: each event expands to its ``depth`` salted
+    (row, bucket) coordinates JVM-side with the exact batch hash
+    expressions, and registers are plain SUMs, so the stream inherits
+    the sketch's linearity twice over — late rows inside the
+    watermark fold in with no reprocessing, and downstream rollups
+    merge window tables by groupBy-SUM (cms_merge). A full
+    availableNow replay matches the batch registers per window
+    (test-locked). State per window is ≤ depth·width rows whatever
+    the traffic — the live heavy-hitter feed at any scale.
+
+    Output: (window_start, depth, bucket, cnt)."""
+    if depth < 1 or depth > 16:
+        raise ValueError(f"depth must be in [1,16], got {depth}")
+    if width < 8:
+        raise ValueError(f"width must be >= 8, got {width}")
+    from h3_indexer_spark.operators.curation import md5_band60
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                (md5_band60(f"cms{j}|", F.col(col).cast("string"))
+                 % F.lit(width)).cast("int").alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        events.where(F.col(col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(ts_col, F.explode(rows).alias("_r"))
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            F.col("_r.depth").alias("depth"),
+            F.col("_r.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "depth",
+            "bucket",
+            "cnt",
+        )
+    )

@@ -1428,3 +1428,75 @@ class TestStreamingOhlcBars:
             assert rows == {t10: (1.0, 9.0, 1.0, 9.0, 3)}
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamingCmsRegisters:
+    def test_full_replay_matches_batch_per_window(
+        self, spark, events_dir
+    ):
+        from h3_indexer_spark.operators.sketches import (
+            count_min_registers,
+        )
+        from h3_indexer_spark.streaming.events import (
+            streaming_cms_registers,
+        )
+
+        out = _run_stream(
+            spark,
+            streaming_cms_registers(
+                _read_stream(spark, events_dir),
+                "event_type",
+                depth=3,
+                width=32,
+            ),
+            output_mode="complete",
+        )
+        got = {
+            (int(r["window_start"].timestamp()), r["depth"],
+             r["bucket"]): r["cnt"]
+            for r in out.collect()
+        }
+        batch = spark.read.parquet(events_dir)
+        hours = [
+            r["h"]
+            for r in batch.select(
+                F.expr("unix_timestamp(ts) - unix_timestamp(ts) % 3600")
+                .alias("h")
+            ).distinct().collect()
+        ]
+        want = {}
+        for h in hours:
+            sl = batch.where(
+                F.expr(
+                    f"unix_timestamp(ts) - unix_timestamp(ts) % 3600"
+                    f" = {h}"
+                )
+            )
+            for r in count_min_registers(
+                sl, "event_type", depth=3, width=32
+            ).collect():
+                want[(h, r["depth"], r["bucket"])] = r["cnt"]
+        assert got == want
+
+    def test_register_state_is_bounded(self, spark, events_dir):
+        """No window's register table exceeds depth x width rows."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_cms_registers,
+        )
+
+        out = _run_stream(
+            spark,
+            streaming_cms_registers(
+                _read_stream(spark, events_dir),
+                "event_type",
+                depth=2,
+                width=8,
+            ),
+            output_mode="complete",
+        )
+        import collections
+
+        per_window = collections.Counter(
+            r["window_start"] for r in out.collect()
+        )
+        assert per_window and max(per_window.values()) <= 2 * 8
