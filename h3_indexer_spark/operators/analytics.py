@@ -2454,10 +2454,13 @@ def ohlc_bars(
     if bucket_ns < 1:
         raise ValueError(f"bucket_ns must be >= 1: {bucket_ns}")
     gcols = list(group_cols or [])
-    bucket = (
-        (F.col(ts_col).cast("bigint") - (F.col(ts_col).cast("bigint")
-                                         % F.lit(bucket_ns)))
-    ).alias("bucket_start")
+    # TRUE floor alignment: % follows the dividend's sign in Spark
+    # (and DuckDB), so t - t % b would CEIL pre-epoch timestamps and
+    # diverge from streaming_ohlc_bars' F.window floor semantics; the
+    # double-mod ((t % b) + b) % b is the sign-safe remainder
+    t = F.col(ts_col).cast("bigint")
+    b = F.lit(bucket_ns)
+    bucket = (t - ((t % b) + b) % b).alias("bucket_start")
     pair = F.struct(
         F.col(ts_col).cast("bigint").alias("ts"),
         F.col(value_col).cast("double").alias("v"),

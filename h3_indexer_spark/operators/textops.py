@@ -1134,10 +1134,14 @@ def charset_stats(
     """Per-document character-class census — the curation signal
     behind mojibake / mixed-script / binary-spill detection in an
     LLM data pipeline: exact counts of ASCII letters, digits,
-    whitespace, other printable ASCII, and everything else (the
-    non-ASCII bucket that flags encoding damage), plus the letter
-    ratio as one division. Appended columns: n_chars, n_letters,
-    n_digits, n_spaces, n_ascii_other, n_non_ascii, letter_ratio.
+    whitespace, other printable ASCII, ASCII control characters
+    other than tab/LF/CR (the binary-spill signal: NUL, ESC,
+    DEL, ...), and true non-ASCII (the mojibake signal), plus the
+    letter ratio as one division. The six classes PARTITION every
+    string exactly: letters + digits + spaces + ascii_other +
+    control + non_ascii == n_chars (test-locked). Appended columns:
+    n_chars, n_letters, n_digits, n_spaces, n_ascii_other,
+    n_control, n_non_ascii, letter_ratio.
 
     Counting is the length-difference trick over EXPLICIT literal
     character ranges ([A-Za-z], [0-9], [ \\t\\n\\r], [ -~]) — the
@@ -1154,12 +1158,17 @@ def charset_stats(
     letters = _drop("[A-Za-z]")
     digits = _drop("[0-9]")
     spaces = _drop("[ \\t\\n\\r]")
-    ascii_printable = _drop("[ -~]")
-    non_ascii = (n - ascii_printable - _drop("[\\t\\n\\r]")).alias(
-        "n_non_ascii"
-    )
+    printable = _drop("[ -~]")
+    tnr = _drop("[\\t\\n\\r]")
+    ascii_all = _drop("[\\x00-\\x7F]")
+    # bare spaces derive from the two whitespace passes (no extra
+    # regex scan); control = ASCII that is neither printable nor
+    # tab/LF/CR — the binary-spill signal (NUL/ESC/DEL...) kept
+    # SEPARATE from true non-ASCII so neither column lies
+    non_ascii = (n - ascii_all).alias("n_non_ascii")
+    control = (ascii_all - printable - tnr).alias("n_control")
     ascii_other = (
-        ascii_printable - letters - digits - _drop("[ ]")
+        printable - letters - digits - (spaces - tnr)
     ).alias("n_ascii_other")
     return (
         df.withColumn("n_chars", n.cast("bigint"))
@@ -1167,6 +1176,7 @@ def charset_stats(
         .withColumn("n_digits", digits.cast("bigint"))
         .withColumn("n_spaces", spaces.cast("bigint"))
         .withColumn("n_ascii_other", ascii_other.cast("bigint"))
+        .withColumn("n_control", control.cast("bigint"))
         .withColumn("n_non_ascii", non_ascii.cast("bigint"))
         .withColumn(
             "letter_ratio",

@@ -8939,7 +8939,8 @@ _OHLC_BARS_ORACLE = """
         FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     )
     SELECT event_type,
-           t - (t % 3600000000000) AS bucket_start,
+           t - (((t % 3600000000000) + 3600000000000)
+                % 3600000000000) AS bucket_start,
            (min(struct_pack(ts := t, v := v))).v AS open,
            max(v) AS high,
            min(v) AS low,
@@ -8962,9 +8963,17 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-flavored national market share: within the ECONOMY
     part market, NATION_0 suppliers' revenue share per order year —
     a five-way star join (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈
-    orders) where every dimension broadcasts and the fact table
-    shuffles ONCE for the year aggregation. Revenue sums are exact
-    DECIMAL(19,4); the share is one division of two exact sums."""
+    orders). The three true dimensions broadcast by hint; the orders
+    leg broadcasts at fixture size but is a key-partitioned shuffle
+    join at production scale (orders is fact-sized — hinting it
+    broadcast would be wrong at 100 TB), after which the fact side
+    shuffles once more for the year aggregation. Revenue sums are
+    exact DECIMAL(19,4); the share is one division of two exact
+    sums. The session TZ pins to UTC before year() touches
+    o_orderdate (the q_top_orders rule: a plain foreign session in a
+    west-of-UTC zone shifts midnight-aligned Jan-1 orders into the
+    prior year while DuckDB's naive year() does not)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").where(
         F.col("p_type") == "ECONOMY"
@@ -9046,7 +9055,7 @@ def q_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return charset_stats(load(spark, sf_dir, "documents")).select(
         "doc_id", "n_chars", "n_letters", "n_digits", "n_spaces",
-        "n_ascii_other", "n_non_ascii", "letter_ratio",
+        "n_ascii_other", "n_control", "n_non_ascii", "letter_ratio",
     )
 
 
@@ -9070,14 +9079,15 @@ _CHARSET_STATS_ORACLE = """
                     - length(regexp_replace(text, '[\\t\\n\\r]', '', 'g'))
                     AS BIGINT) AS n_tnr,
                CAST(length(text)
-                    - length(regexp_replace(text, '[ ]', '', 'g'))
-                    AS BIGINT) AS n_sp
+                    - length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+                    AS BIGINT) AS ascii_all
         FROM documents
     )
     SELECT doc_id, n_chars, n_letters, n_digits, n_spaces,
-           CAST(printable - n_letters - n_digits - n_sp
+           CAST(printable - n_letters - n_digits - (n_spaces - n_tnr)
                 AS BIGINT) AS n_ascii_other,
-           CAST((n_chars - printable) - n_tnr AS BIGINT) AS n_non_ascii,
+           CAST(ascii_all - printable - n_tnr AS BIGINT) AS n_control,
+           CAST(n_chars - ascii_all AS BIGINT) AS n_non_ascii,
            CASE WHEN n_chars > 0
                 THEN CAST(n_letters AS DOUBLE)
                      / CAST(n_chars AS DOUBLE)

@@ -374,9 +374,13 @@ def test_round8b_plan_properties(spark):
 
 
 def test_round8c_plan_properties(spark):
-    """Final continuation locks: the star join broadcasts every
-    dimension (the fact table shuffles only for the year aggregate),
-    and the charset census is a pure narrow map."""
+    """Final continuation locks: the star join broadcasts its three
+    TRUE dimensions by hint, and the charset census is a pure narrow
+    map. The no-SortMergeJoin assertion is a FIXTURE-size property:
+    the orders leg is deliberately un-hinted (fact-sized at
+    production scale, where it becomes a key-partitioned shuffle
+    join by design — see the operator docstring); at oracle-fixture
+    size it auto-broadcasts, which is what this locks."""
     plan = _plan(spark, "q_market_share")
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan

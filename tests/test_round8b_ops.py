@@ -618,36 +618,41 @@ class TestCharsetStats:
             (1, "héllo wörld"),          # 2 non-ascii letters
             (2, ""),                     # empty
             (3, "é中文"),   # all non-ascii
+            (4, "a\x00b\x1b"),           # NUL + ESC: control, NOT non-ascii
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {
             r["doc_id"]: (
                 r["n_chars"], r["n_letters"], r["n_digits"],
-                r["n_spaces"], r["n_ascii_other"], r["n_non_ascii"],
+                r["n_spaces"], r["n_ascii_other"], r["n_control"],
+                r["n_non_ascii"],
             )
             for r in charset_stats(df).collect()
         }
-        assert got[0] == (9, 4, 2, 2, 1, 0)
-        assert got[1] == (11, 8, 0, 1, 0, 2)
-        assert got[2] == (0, 0, 0, 0, 0, 0)
-        assert got[3] == (3, 0, 0, 0, 0, 3)
+        assert got[0] == (9, 4, 2, 2, 1, 0, 0)
+        assert got[1] == (11, 8, 0, 1, 0, 0, 2)
+        assert got[2] == (0, 0, 0, 0, 0, 0, 0)
+        assert got[3] == (3, 0, 0, 0, 0, 0, 3)
+        assert got[4] == (4, 2, 0, 0, 0, 2, 0)
 
     def test_classes_partition_the_text(self, spark):
-        """letters+digits+spaces+ascii_other+non_ascii == n_chars for
-        pure-ASCII-printable+ws text (control chars excluded by
-        construction in the fixture)."""
+        """The six classes partition EVERY string exactly — incl.
+        control chars and non-ASCII."""
         from h3_indexer_spark.operators.textops import charset_stats
 
         df = spark.createDataFrame(
-            [(0, "The 99 bottles, on a wall! #tag")],
+            [(0, "The 99 bottles, on a wall! #tag"),
+             (1, "mixed\x00 é bag\t\x7fdone 中")],
             "doc_id long, text string",
         )
-        r = charset_stats(df).collect()[0]
-        total = (
-            r["n_letters"] + r["n_digits"] + r["n_spaces"]
-            + r["n_ascii_other"] + r["n_non_ascii"]
-        )
-        assert total == r["n_chars"]
+        for r in charset_stats(df).collect():
+            total = (
+                r["n_letters"] + r["n_digits"] + r["n_spaces"]
+                + r["n_ascii_other"] + r["n_control"]
+                + r["n_non_ascii"]
+            )
+            assert total == r["n_chars"], r
+
 
     def test_letter_ratio_null_on_empty(self, spark):
         from h3_indexer_spark.operators.textops import charset_stats
@@ -664,9 +669,9 @@ class TestMarketShare:
         ratio, on the real fixture."""
         from h3_indexer_spark.queries import QUERIES
 
-        rows = QUERIES["q_market_share"](
-            spark, "/root/testdata/sf0.001"
-        ).collect()
+        from tests.conftest import SF_SMALL
+
+        rows = QUERIES["q_market_share"](spark, SF_SMALL).collect()
         assert rows
         for r in rows:
             assert 0.0 <= r["nation_volume"] <= r["total_volume"]

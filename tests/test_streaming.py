@@ -1375,11 +1375,14 @@ class TestStreamingOhlcBars:
             )
             for r in out.collect()
         }
+        # FULL-precision epoch nanos (unix_micros*1000, the
+        # _load_events idiom): a seconds-truncated batch side would
+        # see ties the micros-precision stream does not, silently
+        # changing the struct-min/max open/close tiebreak this test
+        # exists to lock
         batch_in = spark.read.parquet(events_dir).select(
             "event_type",
-            F.expr("unix_timestamp(ts) * 1000000000")
-            .cast("long")
-            .alias("ts"),
+            (F.unix_micros("ts") * F.lit(1000)).alias("ts"),
             "value",
         )
         want = {
