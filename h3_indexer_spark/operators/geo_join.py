@@ -171,6 +171,7 @@ def h3_radius_join(
     right_cols: tuple[str, str, str] = ("id", "lat", "lng"),
     res: int | None = None,
     k: int = 1,
+    keep_cell: bool = False,
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_km`` great-circle km.
     Output: (l_<id>, r_<id>, dist_km). ``res`` defaults to
@@ -179,7 +180,11 @@ def h3_radius_join(
     guarantee (rejected). ``k`` widens the expansion to ring-k
     (1+3k(k+1) cells per right point) — lets a coarse-grid join use a
     finer resolution (recall certain while radius <= k x 0.7 x edge),
-    and is the only way to cover radii beyond 0.7 x the res-0 edge."""
+    and is the only way to cover radii beyond 0.7 x the res-0 edge.
+    ``keep_cell=True`` additionally emits ``_cell`` — the LEFT point's
+    res-``res`` cell id (long) — already computed for the join key, so
+    downstream spatial grouping (DBSCAN's local contraction) gets a
+    locality key for free instead of re-running the lat/lng kernel."""
     auto = pick_res_for_radius(radius_km, k)
     if res is None:
         res = auto
@@ -210,10 +215,13 @@ def h3_radius_join(
         F.col("_l_lat"), F.col("_l_lng"),
         F.col("_r_lat"), F.col("_r_lng"),
     )
+    out_cols = [f"l_{lid}", f"r_{rid}", dist.alias("dist_km")]
+    if keep_cell:
+        out_cols.append(F.col("_cell"))
     return (
         lt.join(rt, "_cell")
         .where(dist <= F.lit(float(radius_km)))
-        .select(f"l_{lid}", f"r_{rid}", dist.alias("dist_km"))
+        .select(*out_cols)
     )
 
 

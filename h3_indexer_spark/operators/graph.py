@@ -36,6 +36,7 @@ def connected_components(
     dst: str = "dst",
     id_col: str = "id",
     max_iter: int = 50,
+    loop_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components of the undirected graph given by ``edges``
     over the vertex set ``vertices`` (isolated vertices become
@@ -52,6 +53,20 @@ def connected_components(
     fixed job-submission cost dominates toy-scale iteration time
     (DBSCAN's CC stage), and at cluster scale it halves the
     driver-roundtrip chatter.
+
+    ``loop_shuffle_partitions`` scopes ``spark.sql.shuffle.partitions``
+    to the iteration loop (saved/restored around it): the labels table
+    is two integer columns — one row per vertex — so a session width
+    sized for fact-table scans (32 locally, hundreds on a cluster)
+    fans every round's three shuffles out over mostly-empty tasks, and
+    the per-task submission overhead times O(log n) rounds dominates
+    toy-to-medium component wall time. Default ``None`` keeps the
+    session width — the scale-safe choice when the vertex set itself
+    is huge (the label table at 100 TB dedup scale is per-document, so
+    it must be sized like any other per-document shuffle); callers
+    whose vertex set is structurally bounded (DBSCAN's core points
+    after spatial contraction, convergence-capped fixtures) pass a
+    small explicit width.
     """
     dirs = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -67,48 +82,159 @@ def connected_components(
     # leaf. (On a cluster with an unreliable-executor concern, set a
     # checkpoint dir and swap for reliable checkpoint(); semantics are
     # identical.)
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("comp")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
-
+    # seed = one neighbor-min fold (min of self and all neighbors),
+    # fused into the seed materialization: for an input that is
+    # already a flat star forest (contract_edges output) the seed IS
+    # the fixpoint, so the loop's first batch is the convergence
+    # confirmation and the whole CC costs one batch; for a general
+    # graph it's round 1 for free (no per-round checkpoint/probe tax)
+    spark = edges.sparkSession
+    saved_width = spark.conf.get("spark.sql.shuffle.partitions")
+    if loop_shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(loop_shuffle_partitions)
+        )
     rounds_per_probe = 2
     it = 0
-    while it < max_iter:
-        for _ in range(min(rounds_per_probe, max_iter - it)):
-            # neighbor minimum: for each edge (a, b), b receives a's
-            # label
-            nbr = dirs.join(labels, dirs.a == labels.v).select(
-                F.col("b").alias("v"), F.col("comp")
+    try:
+        # lazy checkpoint: the 1-row probe right after is the action
+        # that materializes it, so seed + probe are ONE job (same for
+        # every batch below) — halves the per-batch job count, which
+        # is the dominant cost at small-to-medium vertex counts
+        labels = (
+            vertices.select(
+                F.col(id_col).alias("v"), F.col(id_col).alias("comp")
             )
-            merged = (
-                labels.unionByName(nbr)
-                .groupBy("v")
-                .agg(F.min("comp").alias("comp"))
+            .unionByName(
+                dirs.select(F.col("a").alias("v"), F.col("b").alias("comp"))
             )
-            # pointer jump: follow the label one hop (labels are
-            # vertex ids, so every comp value exists as a v on the
-            # left)
-            hop = merged.select(
-                F.col("v").alias("cv"), F.col("comp").alias("ccomp")
-            )
-            labels = (
-                merged.join(hop, merged.comp == hop.cv)
-                .select("v", F.col("ccomp").alias("comp"))
-            )
-            it += 1
-        # one checkpoint + one 1-row probe per 2-round batch: the
-        # checkpoint still truncates lineage (depth ≤ 2 rounds), and
-        # extra post-fixpoint rounds are idempotent, so batching can
-        # at worst run one no-op round
-        labels = labels.localCheckpoint()
-        new_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+            .groupBy("v")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+        prev_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
+        while it < max_iter:
+            for _ in range(min(rounds_per_probe, max_iter - it)):
+                # neighbor minimum: for each edge (a, b), b receives
+                # a's label
+                nbr = dirs.join(labels, dirs.a == labels.v).select(
+                    F.col("b").alias("v"), F.col("comp")
+                )
+                merged = (
+                    labels.unionByName(nbr)
+                    .groupBy("v")
+                    .agg(F.min("comp").alias("comp"))
+                )
+                # pointer jump: follow the label one hop (labels are
+                # vertex ids, so every comp value exists as a v on the
+                # left)
+                hop = merged.select(
+                    F.col("v").alias("cv"), F.col("comp").alias("ccomp")
+                )
+                labels = (
+                    merged.join(hop, merged.comp == hop.cv)
+                    .select("v", F.col("ccomp").alias("comp"))
+                )
+                it += 1
+            # one lazy checkpoint + one 1-row probe per 2-round batch
+            # (one job: the probe materializes the checkpoint): the
+            # checkpoint still truncates lineage (depth ≤ 2 rounds),
+            # and extra post-fixpoint rounds are idempotent, so
+            # batching can at worst run one no-op round
+            labels = labels.localCheckpoint(eager=False)
+            new_sum = labels.agg(F.sum("comp")).collect()[0][0] or 0
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_width)
     dirs.unpersist()
     return labels.select(
         F.col("v").alias(id_col), F.col("comp").alias("component")
+    )
+
+
+def contract_edges(
+    edges: DataFrame,
+    key_col: str,
+    src: str = "src",
+    dst: str = "dst",
+    emit_key: bool = False,
+) -> DataFrame:
+    """Locality-keyed local contraction: union-find within each
+    ``key_col`` group, emitting star edges (src=vertex, dst=group-local
+    min root). Connectivity-preserving — every input edge is unioned in
+    exactly ONE group, and the stars reproduce exactly those unions —
+    so ``connected_components(contract_edges(e, k), V)`` equals
+    ``connected_components(e, V)`` while the star graph's depth inside
+    each group is 1.
+
+    Why: pointer-jumping CC pays O(log diameter) shuffle rounds, and
+    the diameter of a similarity/adjacency graph can grow with data
+    density (a percolating DBSCAN chain, a templated near-dup run).
+    When the caller can supply a LOCALITY key whose groups are
+    memory-bounded and contain whole chain segments — a coarse H3 cell
+    for spatial graphs, an LSH band or domain for near-dup graphs —
+    one ``applyInPandas`` pass collapses every within-group chain to
+    depth 1, leaving the iterative loop only the between-group graph
+    (diameter = #groups a component spans, geometry-bounded rather
+    than density-bounded).
+
+    Contract: groups must fit one task's memory (choose the key so
+    |edges per group| is bounded — cell area × density for spatial
+    keys). A RANDOM key is useless here: chains fragment into
+    expected-length-~1 runs and nothing contracts; the key must be
+    locality-coherent. One shuffle (the groupBy); output size ≤ one
+    star edge per distinct vertex per group it appears in.
+
+    ``emit_key=True`` adds the group key (cast to long) as a third
+    column ``key`` — lets a second, coarser-keyed contraction pass run
+    on the star graph without re-joining a vertex→key map (pass 2 keys
+    by a parent of pass 1's key, the staggered-grid trick that
+    collapses chains zigzagging along pass-1 group boundaries).
+    """
+    import pandas as pd
+
+    out_schema = (
+        "src long, dst long, key long" if emit_key else "src long, dst long"
+    )
+
+    def _contract(keys, pdf):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            # path compression
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["_ca"].values, pdf["_cb"].values):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by min id → the root IS the group-local min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        verts = set(map(int, pdf["_ca"].values))
+        verts.update(map(int, pdf["_cb"].values))
+        vs = sorted(verts)
+        out = {"src": vs, "dst": [find(v) for v in vs]}
+        if emit_key:
+            out["key"] = [int(keys[0])] * len(vs)
+        return pd.DataFrame(out)
+
+    return (
+        edges.select(
+            F.col(key_col).cast("long").alias("_k"),
+            F.col(src).cast("long").alias("_ca"),
+            F.col(dst).cast("long").alias("_cb"),
+        )
+        .groupBy("_k")
+        .applyInPandas(_contract, out_schema)
+        .where(F.col("src") != F.col("dst"))
     )
 
 
@@ -605,6 +731,7 @@ def adamic_adar(
     max_degree: int | None = 10_000,
     min_common: int = 1,
     quant: float = 1e9,
+    log_exclusions: bool = True,
 ) -> DataFrame:
     """Common-neighbor link prediction (Adamic & Adar 2003) over an
     undirected simple graph: for every NON-adjacent vertex pair
@@ -626,9 +753,13 @@ def adamic_adar(
     caps the quadratic hub term by EXCLUDING higher-degree vertices
     as witnesses (their 1/ln(deg) terms are the smallest, and a
     celebrity node's co-followers are not meaningful link evidence —
-    the standard production cut; excluded-witness count is logged).
-    Existing edges are removed with a broadcast-free anti-join on the
-    canonical (min, max) pair key."""
+    the standard production cut; excluded-witness count is logged
+    under ``log_exclusions``, the default; ``log_exclusions=False``
+    keeps the IDENTICAL cap semantics but stays fully lazy — zero
+    jobs at construction, the adjacency persist()-pinned instead of
+    checkpointed so the four branches still share one computation at
+    action time). Existing edges are removed with a broadcast-free
+    anti-join on the canonical (min, max) pair key."""
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1: {min_common}")
     dirs = (
@@ -638,26 +769,31 @@ def adamic_adar(
         .distinct()
     )
     if max_degree is not None:
-        # the hub census below runs a job anyway, so pin the deduped
-        # adjacency first: dirs feeds FOUR downstream branches (both
-        # self-join sides, the degree table, the existing-edge
-        # anti-join) and without the checkpoint Catalyst re-derives
-        # the caller's edge construction once per branch (measured in
-        # .explain — 4 full scans of the co-purchase join). With
-        # max_degree=None the operator stays fully lazy, re-derivation
-        # documented.
-        dirs = dirs.localCheckpoint()
+        if log_exclusions:
+            # the hub census below runs a job anyway, so pin the
+            # deduped adjacency first: dirs feeds FOUR downstream
+            # branches (both self-join sides, the degree table, the
+            # existing-edge anti-join) and without the checkpoint
+            # Catalyst re-derives the caller's edge construction once
+            # per branch (measured in .explain — 4 full scans of the
+            # co-purchase join). With max_degree=None the operator
+            # stays fully lazy, re-derivation documented.
+            dirs = dirs.localCheckpoint()
+        else:
+            dirs = dirs.persist()
     deg = dirs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
-        n_hubs = deg.where(F.col("deg") > max_degree).count()
-        if n_hubs:
-            import logging
+        if log_exclusions:
+            n_hubs = deg.where(F.col("deg") > max_degree).count()
+            if n_hubs:
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "adamic_adar: excluding %d hub witnesses with degree > %d",
-                n_hubs,
-                max_degree,
-            )
+                logging.getLogger(__name__).warning(
+                    "adamic_adar: excluding %d hub witnesses with "
+                    "degree > %d",
+                    n_hubs,
+                    max_degree,
+                )
         deg = deg.where(F.col("deg") <= max_degree)
     term = F.floor(
         F.lit(float(quant)) / F.log(F.col("deg").cast("double"))

@@ -26,6 +26,7 @@ def association_rules(
     min_support: int = 2,
     k: int = 30,
     max_basket_size: int | None = 10_000,
+    log_exclusions: bool = True,
 ) -> DataFrame:
     """Pairwise association rules (Agrawal & Srikant's Apriori at the
     2-itemset level): for every ordered item pair (a → b) with joint
@@ -45,34 +46,44 @@ def association_rules(
     opt-out) drops pathological mega-baskets (a basket with 10⁵
     items contributes 10¹⁰ pairs — cap-and-log is the standard
     guard; capped baskets are EXCLUDED, not sampled, so results stay
-    deterministic). The guard eagerly counts the excluded baskets
-    (one small aggregation job over the distinct table) and logs the
-    exclusion so a silent cap can never masquerade as full coverage.
-    Item supports ride a second narrow aggregation of the same
-    distinct table; N is a 1-row broadcast fold."""
+    deterministic). With ``log_exclusions`` (default) the guard
+    eagerly counts the excluded baskets (one small aggregation job
+    over the distinct table) and logs the exclusion so a silent cap
+    can never masquerade as full coverage; ``log_exclusions=False``
+    keeps the IDENTICAL cap semantics but folds it into the lazy plan
+    (zero jobs at construction — the composition-friendly fast path;
+    the distinct table is persist()-pinned instead of checkpointed so
+    the branches still share one computation at action time). Item
+    supports ride a second narrow aggregation of the same distinct
+    table; N is a 1-row broadcast fold."""
     items = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).distinct()
     if max_basket_size is not None:
-        # the census below runs a job anyway, so pin the distinct
-        # table first — otherwise the count and the returned plan
-        # each re-derive it (the adamic_adar hub-census rule); with
-        # max_basket_size=None the operator stays fully lazy
-        items = items.localCheckpoint()
+        if log_exclusions:
+            # the census below runs a job anyway, so pin the distinct
+            # table first — otherwise the count and the returned plan
+            # each re-derive it (the adamic_adar hub-census rule)
+            items = items.localCheckpoint()
+        else:
+            # lazy pin: first action materializes once, all branches
+            # (sizes, supports, both self-join sides, N) reuse it
+            items = items.persist()
         sizes = items.groupBy("_b").agg(
             F.count(F.lit(1)).alias("_sz")
         )
-        n_excluded = sizes.where(
-            F.col("_sz") > max_basket_size
-        ).count()
-        if n_excluded:
-            _LOG.warning(
-                "association_rules: excluded %d mega-basket(s) with "
-                "more than %d items (pass max_basket_size=None to "
-                "opt out of the quadratic-pair guard)",
-                n_excluded,
-                max_basket_size,
-            )
+        if log_exclusions:
+            n_excluded = sizes.where(
+                F.col("_sz") > max_basket_size
+            ).count()
+            if n_excluded:
+                _LOG.warning(
+                    "association_rules: excluded %d mega-basket(s) with "
+                    "more than %d items (pass max_basket_size=None to "
+                    "opt out of the quadratic-pair guard)",
+                    n_excluded,
+                    max_basket_size,
+                )
         items = items.join(
             sizes.where(F.col("_sz") <= max_basket_size).select("_b"),
             "_b",

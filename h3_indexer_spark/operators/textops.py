@@ -248,16 +248,26 @@ def tfidf_topk(
     dfreq = tf.groupBy("term").agg(
         F.count("*").alias("df")
     )  # rows of tf are distinct (doc, term) pairs already
-    n_docs = df.select(id_col).distinct().count()
+    # N as a LAZY 1-row broadcast fold (the q_benford pattern), not an
+    # eager .count() — the eager form ran a second full corpus scan at
+    # plan-construction time (two scans at 100 TB) and broke operator
+    # composition by launching a job before the caller's action
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n_docs")
+    )
     dfreq_side = F.broadcast(dfreq) if broadcast_vocab else dfreq
-    scored = tf.join(dfreq_side, "term").select(
-        id_col,
-        "term",
-        (
-            F.col("tf").cast("double")
-            * F.lit(float(n_docs))
-            / F.col("df").cast("double")
-        ).alias("score"),
+    scored = (
+        tf.join(dfreq_side, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.col("_n_docs")
+                / F.col("df").cast("double")
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("term").asc()
