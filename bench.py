@@ -175,11 +175,18 @@ HEADLINE = [
 ]
 
 
-def _geo_pipeline_bench(spark, sf: float) -> dict[str, float]:
+def _geo_pipeline_bench(
+    spark, sf: float, steady_reps: int = 1
+) -> tuple[dict[str, float], dict[str, float]]:
     """Index-stage throughput on deterministic synthetic geo data
     (the engine's core capability): POINT/WITHIN at res 7 and
     LINE/PCT_LENGTH at res 4, sized by scale factor. Data is generated
-    once per sf and cached as parquet under /tmp."""
+    once per sf and cached as parquet under /tmp.
+
+    Returns (cold, steady): each timed job runs once cold, then
+    ``steady_reps`` more times with the median recorded — the same
+    cold/steady discipline as the q_* keys, so a geo cold-number drift
+    can be separated from host noise the way every other key's can."""
     from pyspark.sql import functions as F
 
     from h3_indexer_spark.config.vector import AllocationMethod, GeometryType
@@ -238,6 +245,7 @@ def _geo_pipeline_bench(spark, sf: float) -> dict[str, float]:
             .write.mode("overwrite")
             .parquet(pts_path)
         )
+    jobs: list[tuple[str, object, object, str]] = []
     pts = spark.read.parquet(pts_path)
     fn = make_index_map_fn(
         "uid", GeometryType.POINT, AllocationMethod.WITHIN, 7, "total_count"
@@ -246,11 +254,7 @@ def _geo_pipeline_bench(spark, sf: float) -> dict[str, float]:
         "uid bigint, h3_index string, ratio double, total_count double, "
         "h3_area_km2 double"
     )
-    t0 = time.perf_counter()
-    pts.mapInPandas(fn, schema=schema).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    out["geo_index_points"] = round(time.perf_counter() - t0, 4)
+    jobs.append(("geo_index_points", pts, fn, schema))
 
     lines_path = f"/tmp/h3idx_bench_lines_{n_lines}.parquet"
     if not os.path.isdir(lines_path):
@@ -283,11 +287,7 @@ def _geo_pipeline_bench(spark, sf: float) -> dict[str, float]:
         "uid bigint, h3_index string, ratio double, total_length_km double, "
         "h3_area_km2 double"
     )
-    t0 = time.perf_counter()
-    lines.mapInPandas(fn, schema=schema).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    out["geo_index_lines"] = round(time.perf_counter() - t0, 4)
+    jobs.append(("geo_index_lines", lines, fn, schema))
 
     # polygons (PCT_AREA, res 6) — the reference's heaviest kernel;
     # sized to its demonstrated 3,235-county run at sf0.1
@@ -319,12 +319,26 @@ def _geo_pipeline_bench(spark, sf: float) -> dict[str, float]:
         "uid bigint, h3_index string, ratio double, total_area_km2 double, "
         "h3_area_km2 double"
     )
-    t0 = time.perf_counter()
-    polys.mapInPandas(fn, schema=schema).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    out["geo_index_polygons"] = round(time.perf_counter() - t0, 4)
-    return out
+    jobs.append(("geo_index_polygons", polys, fn, schema))
+
+    steady: dict[str, float] = {}
+    for key, df, map_fn, out_schema in jobs:
+        t0 = time.perf_counter()
+        df.mapInPandas(map_fn, schema=out_schema).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[key] = round(time.perf_counter() - t0, 4)
+    for key, df, map_fn, out_schema in jobs:
+        reps = []
+        for _ in range(max(steady_reps, 1)):
+            t0 = time.perf_counter()
+            df.mapInPandas(map_fn, schema=out_schema).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        steady[key] = round(reps[len(reps) // 2], 4)
+    return out, steady
 
 
 TABLES = (
@@ -520,8 +534,11 @@ def main() -> None:
         reps.sort()
         steady[key] = round(reps[len(reps) // 2], 4)
 
-    for key, secs in _geo_pipeline_bench(spark, sf).items():
-        timings[key] = secs
+    geo_cold, geo_steady = _geo_pipeline_bench(
+        spark, sf, steady_reps=steady_reps
+    )
+    timings.update(geo_cold)
+    steady.update(geo_steady)
 
     total = round(sum(timings.values()), 4)
     # surface the input-layout context the totals depend on: a table
