@@ -172,6 +172,10 @@ HEADLINE = [
     "q_scd2",
     "q_corr_matrix",
     "q_embed_quantize",
+    # round-9 additions
+    "q_seq_patterns",
+    "q_quantile_sketch",
+    "q_kmv_intersect",
 ]
 
 
@@ -391,8 +395,11 @@ def _noise_ratio(steady: dict[str, float]) -> float | None:
     on a quiet host sits near 1.0; the round-7 closing artifact that
     drifted ~1.5x across unrelated keys would have flagged here.
     Callers (and the committer) must REJECT a closing artifact whose
-    ratio exceeds 1.3 and re-run on a quiet host — the plans didn't
-    change, the host did."""
+    ratio exceeds 1.2 and re-run on a quiet host — the plans didn't
+    change, the host did. (Tightened from 1.3 per VERDICT r8 item #8:
+    the gate worked — two rejected r8 runs are logged in history —
+    and the round-8 closing artifact's 1.26 would now be rejected
+    too, which is the point.)"""
     import statistics
 
     hist_path = Path(__file__).resolve().parent / "BENCH_local_history.jsonl"

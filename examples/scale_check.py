@@ -1000,6 +1000,99 @@ def round8b_scale(max_factor: int = 50) -> None:
         )
 
 
+
+
+def round9_scale(max_factor: int = 50) -> None:
+    """Round-9 curves: sequential pattern mining, bottom-k quantile
+    sketch, and DBSCAN end-to-end (spatially-contracted components).
+
+    Run: ``python examples/scale_check.py <max_factor> round9``."""
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.clustering import dbscan
+    from h3_indexer_spark.operators.mining import sequential_patterns
+    from h3_indexer_spark.operators.sketches import quantile_sketch
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r9", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    ev_raw = spark.read.parquet(f"{sf}/events.parquet")
+    ev = ev_raw.select(
+        "user_id", "event_type",
+        (F.unix_timestamp("ts").cast("long") * F.lit(10**9)).alias("ts"),
+        F.col("event_id"),
+    )
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+
+    for factor in (1, 5, 20, max_factor):
+        # seq patterns: disjoint user universes per copy (pattern
+        # supports grow linearly; the candidate fan-out is per-event)
+        e = scaled(
+            ev.withColumn("_id", F.col("user_id")), "_id", factor
+        ).select(
+            F.col("_id").alias("user_id"), "event_type", "ts", "event_id"
+        ).localCheckpoint()
+        ne = e.count()
+        timed(
+            f"seq_patterns x{factor}",
+            sequential_patterns(e),
+            ne,
+        )
+
+        l = scaled(
+            li.withColumn("_id", F.col("l_orderkey")), "_id", factor
+        ).localCheckpoint()
+        nl = l.count()
+        timed(
+            f"quantile_sketch x{factor}",
+            quantile_sketch(
+                l,
+                "l_extendedprice",
+                F.concat_ws(
+                    "|",
+                    F.col("_id").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                k=256,
+            ),
+            nl,
+        )
+
+        # dbscan: each copy gets its own 3-degree-shifted longitude
+        # band, so cluster structure is copy-local and total work is
+        # linear in copies (the honest scale axis: more REGIONS, not
+        # more density — density growth percolates by geometry,
+        # q_dbscan docstring)
+        pts = None
+        for i in range(factor):
+            c = cust.where(F.col("c_custkey") <= 2000).select(
+                (F.col("c_custkey") + F.lit(i * 100_000)).alias("id"),
+                (
+                    F.lit(40.0)
+                    + ((F.col("c_custkey") * F.lit(2654435761))
+                       % F.lit(100000)).cast("double") / F.lit(50000.0)
+                ).alias("lat"),
+                (
+                    F.lit(-100.0) + F.lit(3.0 * i)
+                    + ((F.col("c_custkey") * F.lit(40503))
+                       % F.lit(100000)).cast("double") / F.lit(50000.0)
+                ).alias("lng"),
+            )
+            pts = c if pts is None else pts.unionByName(c)
+        pts = pts.localCheckpoint()
+        np_ = pts.count()
+        timed(
+            f"dbscan x{factor}",
+            dbscan(pts, 5.0, 4),
+            np_,
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[2] == "round6":
         round6_scale(int(sys.argv[1]))
@@ -1011,5 +1104,7 @@ if __name__ == "__main__":
         round8_scale(int(sys.argv[1]))
     elif len(sys.argv) > 2 and sys.argv[2] == "round8b":
         round8b_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round9":
+        round9_scale(int(sys.argv[1]))
     else:
         main()

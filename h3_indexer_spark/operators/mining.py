@@ -182,3 +182,115 @@ def skyline_2d(
         | (F.col("_prev_max") < F.col(maximize_col))
     )
     return out.where(keep).drop("_lvl", "_lvl_max", "_prev_max")
+
+
+def sequential_patterns(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    max_gap: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Sequential pattern mining, PrefixSpan-lite (Pei et al. 2001,
+    bounded to length ≤ 3): the top-``k`` event-type sequences by
+    entity support, where a pattern <t1, t2, t3> matches an entity's
+    time-ordered stream when consecutive pattern elements occur at
+    most ``max_gap`` events apart (gap tolerance — ``max_gap=1`` is
+    strict adjacency, the q_top_paths n-gram census; larger gaps
+    tolerate interleaved noise events, the point of sequence mining
+    over plain n-grams). Support counts DISTINCT entities exhibiting
+    the pattern at least once, the standard sequence-support
+    definition.
+
+    Scale shape: ONE window shuffle on the entity id computes
+    ``2·max_gap`` lead expressions over the same frame (no extra
+    exchange); each event emits its ≤ 1 + g + g² candidate
+    (pattern, length) pairs through one explode (a bounded fan-out,
+    never a self-join), a per-entity DISTINCT collapses repeats
+    map-side, and support is a key-partitioned count. The final
+    rank is a TakeOrderedAndProject over the tiny pattern table —
+    no global sort materializes. Full PrefixSpan recursion is
+    deliberately out of scope: length ≤ 3 with bounded gaps covers
+    the funnel/journey questions the rest of this family
+    (q_transitions, q_top_paths, q_eventually_follows) answers, and
+    keeps the candidate space linear in events.
+
+    Output: (pattern, length, support, rnk), pattern arrow-joined,
+    ranked by (support desc, pattern asc) — a total order, so the
+    top-k cut is deterministic."""
+    if max_gap < 1:
+        raise ValueError(f"max_gap must be >= 1, got {max_gap}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    # window expressions cannot sit inside the explode's projection —
+    # materialize the lead columns in their own select first
+    led = events.select(
+        F.col(id_col).alias("_e"),
+        F.col(type_col).alias("_t0"),
+        *[
+            F.lead(type_col, i).over(w).alias(f"_l{i}")
+            for i in range(1, 2 * max_gap + 1)
+        ],
+    )
+    t0 = F.col("_t0")
+    leads = {i: F.col(f"_l{i}") for i in range(1, 2 * max_gap + 1)}
+    cands = [
+        F.struct(t0.alias("pattern"), F.lit(1).alias("length"))
+    ]
+    sep = " -> "
+    for a in range(1, max_gap + 1):
+        # lead(a) non-null guards the whole pair (a shorter stream
+        # nulls every later lead too)
+        cands.append(
+            F.struct(
+                F.when(
+                    leads[a].isNotNull(),
+                    F.concat(t0, F.lit(sep), leads[a]),
+                ).alias("pattern"),
+                F.lit(2).alias("length"),
+            )
+        )
+        for b in range(1, max_gap + 1):
+            cands.append(
+                F.struct(
+                    F.when(
+                        leads[a + b].isNotNull() & leads[a].isNotNull(),
+                        F.concat(
+                            t0, F.lit(sep), leads[a],
+                            F.lit(sep), leads[a + b],
+                        ),
+                    ).alias("pattern"),
+                    F.lit(3).alias("length"),
+                )
+            )
+    per_entity = (
+        led.select(
+            "_e",
+            F.explode(F.array(*cands)).alias("_c"),
+        )
+        .select(
+            "_e",
+            F.col("_c.pattern").alias("pattern"),
+            F.col("_c.length").alias("length"),
+        )
+        .where(F.col("pattern").isNotNull())
+        .distinct()
+    )
+    support = per_entity.groupBy("pattern", "length").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+    top = support.orderBy(
+        F.col("support").desc(), F.col("pattern").asc()
+    ).limit(k)
+    rk = Window.orderBy(F.col("support").desc(), F.col("pattern").asc())
+    return top.select(
+        "pattern",
+        F.col("length").cast("bigint").alias("length"),
+        "support",
+        F.row_number().over(rk).cast("bigint").alias("rnk"),
+    )

@@ -333,6 +333,16 @@ def count_min_estimate(
     one-sided estimate (est ≥ true count always; the guarantee the
     tests lock). Output: (key, est_count), exact BIGINTs.
 
+    Depth-mismatch guard: a ``depth`` LARGER than the registers were
+    built with would left-join every key's extra coordinate rows to
+    0 and silently return 0 — violating the one-sided guarantee
+    instead of erring. The plan therefore joins a depth census of the
+    register table (lazy, ≤ depth·width rows) and ``raise_error``s at
+    execution on the first coordinate row whose depth has NO register
+    rows at all (a smaller ``depth`` than built is harmless — still
+    one-sided; a missing (depth, bucket) row at a PRESENT depth
+    means a true zero and still reads as 0).
+
     Scale: keys explode to depth coordinate rows and join the
     ≤ depth·width register table — broadcast-sized by construction,
     so the fact side never shuffles."""
@@ -352,13 +362,30 @@ def count_min_estimate(
         F.col(key_col).alias("key"), F.explode(coords).alias("_r")
     ).select("key", F.col("_r.depth").alias("depth"),
              F.col("_r.bucket").alias("bucket"))
+    depth_census = registers.select("depth").distinct().withColumn(
+        "_depth_present", F.lit(1)
+    )
+    guarded_cnt = F.when(
+        F.col("_depth_present").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "count_min_estimate: no register rows at depth "
+                ),
+                F.col("depth").cast("string"),
+                F.lit(
+                    " — the registers were built with a smaller depth "
+                    "than queried (a phantom depth row would silently "
+                    "return 0 and break the est >= true guarantee)"
+                ),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
     return (
         keyed.join(F.broadcast(registers), ["depth", "bucket"], "left")
+        .join(F.broadcast(depth_census), ["depth"], "left")
         .groupBy("key")
-        .agg(
-            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
-            .alias("est_count")
-        )
+        .agg(F.min(guarded_cnt).alias("est_count"))
     )
 
 
@@ -441,4 +468,207 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         F.col("n_kept").cast("bigint").alias("n_kept"),
         "kth_hash",
         est.alias("est_distinct"),
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    row_key: Column,
+    k: int = 256,
+) -> DataFrame:
+    """Fixed-size mergeable quantile register table — the fourth leg
+    of the sketch family (HLL = distinct, CMS = frequency, KMV =
+    distinct-alt, this = percentiles): the ``k`` rows whose 60-bit
+    md5 hash of ``row_key`` is smallest, each carrying the row's
+    VALUE. Bottom-k-by-hash over row identity is order sampling
+    (Rosén 1997 / priority sampling, Duffield et al. 2007, with
+    uniform priorities): the kept rows are a uniform pseudorandom
+    sample of the population, so the register table's empirical
+    quantiles estimate the population's with the DKW bound
+    sup|F̂−F| ≤ ε at confidence 1−2e^{−2kε²} — fixed error from
+    fixed k, whatever the data volume. The repo's exact interpolated
+    percentiles sort the full value column (a global sort-shuffle at
+    100 TB); this register table is the bounded-size alternative.
+
+    ``row_key`` must identify ROWS, not values (hash duplicates of a
+    value independently, or the sample is biased toward the distinct-
+    value distribution — the reason the KMV distinct sketch cannot
+    double as a quantile sketch). Determinism: the hash IS the
+    priority, so the register table is a pure function of the data —
+    no RNG state, hash-checkable cross-engine (the md5-60 recipe:
+    DuckDB ``CAST('0x' || substr(md5(key), 18, 15) AS BIGINT)``).
+
+    Mergeability (the rollup law, same shape as KMV):
+    sketch(A ∪ B) = merge(sketch(A), sketch(B)) for disjoint slices —
+    per-partition/per-day registers union into any coarser rollup
+    without touching raw data (``quantile_sketch_merge``).
+
+    Scale: bottom-k rides orderBy(k).limit — TakeOrderedAndProject,
+    every partition forwards at most k rows, no global sort. Output:
+    (rank, hash_val, value), rank 1..k by (hash_val, value)."""
+    from pyspark.sql import Window as W
+
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+    from h3_indexer_spark.operators.curation import md5_band60
+
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        md5_band60("", row_key.cast("string")).alias("hash_val"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return (
+        rows.orderBy("hash_val", "value")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(W.orderBy("hash_val", "value"))
+            .cast("bigint")
+            .alias("rank"),
+            "hash_val",
+            "value",
+        )
+    )
+
+
+def quantile_sketch_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Merge quantile register tables of DISJOINT slices: union and
+    re-take the k hash-smallest rows — bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)), the KMV law with values
+    along for the ride."""
+    from pyspark.sql import Window as W
+
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0].select("hash_val", "value")
+    for s in sketches[1:]:
+        out = out.unionByName(s.select("hash_val", "value"))
+    return (
+        out.orderBy("hash_val", "value")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(W.orderBy("hash_val", "value"))
+            .cast("bigint")
+            .alias("rank"),
+            "hash_val",
+            "value",
+        )
+    )
+
+
+def quantile_sketch_estimate(
+    registers: DataFrame, probs: list[float]
+) -> DataFrame:
+    """Percentile readout from the register table: exact interpolated
+    percentiles OF THE SAMPLE (k rows — a driver-sized aggregation,
+    identical to DuckDB quantile_cont on the same registers). Output:
+    one row per prob (prob, est_value)."""
+    if not probs:
+        raise ValueError("need at least one probability")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob out of [0,1]: {p}")
+    ests = registers.agg(
+        *[
+            F.expr(f"percentile(value, {float(p)!r})").alias(f"_p{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("prob"),
+                F.col(f"_p{i}").alias("est_value"),
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return ests.select(F.explode(pairs).alias("_r")).select(
+        F.col("_r.prob").alias("prob"),
+        F.col("_r.est_value").alias("est_value"),
+    )
+
+
+def kmv_set_ops(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+) -> DataFrame:
+    """Set-operation estimates from two bottom-k sketches (the theta-
+    sketch workload, via the KMV estimators of Beyer et al., SIGMOD
+    2007): distinct-union, Jaccard, and distinct-intersection — the
+    audience-overlap / corpus-overlap readout that never rescans raw
+    data (sketch once per slice, compare any pair later).
+
+    Estimators, all from the k smallest hashes of the UNION: the
+    union cardinality is the KMV density estimate (k−1)·2^60 / h_k
+    (exact count when fewer than k hashes exist); Jaccard is the
+    fraction of those union-bottom-k hashes present in BOTH input
+    sketches (each union-bottom-k hash is ≤ both inputs' k-th minima,
+    so membership in either input's DISTINCT SET is decided by its
+    sketch — the property that makes this unbiased); intersection =
+    Jaccard × union, one fixed-order multiply/divide chain of exact
+    integers (hash-checkable: n_common and the FLOOR-ed estimates are
+    BIGINTs).
+
+    Output (one row): (n_union_kept, kth_union_hash, n_common,
+    est_union, est_intersection). Scale: both inputs are already ≤ k
+    rows — everything here is driver-sized; the expensive part
+    (sketching the slices) happened once upstream."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    a = sketch_a.select(F.col("hash_val").alias("_ha"))
+    b = sketch_b.select(F.col("hash_val").alias("_hb"))
+    union_k = (
+        a.select(F.col("_ha").alias("hash_val"))
+        .unionByName(b.select(F.col("_hb").alias("hash_val")))
+        .distinct()
+        .orderBy("hash_val")
+        .limit(k)
+    )
+    flagged = (
+        union_k.join(
+            a.withColumnRenamed("_ha", "hash_val").withColumn(
+                "_in_a", F.lit(1)
+            ),
+            "hash_val",
+            "left",
+        )
+        .join(
+            b.withColumnRenamed("_hb", "hash_val").withColumn(
+                "_in_b", F.lit(1)
+            ),
+            "hash_val",
+            "left",
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_kept"),
+        F.max("hash_val").alias("kth_union_hash"),
+        F.sum(
+            (
+                F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull()
+            ).cast("bigint")
+        ).alias("n_common"),
+    )
+    num = float((k - 1) * (1 << 60))
+    est_union = F.when(
+        F.col("n_union_kept") < F.lit(k), F.col("n_union_kept")
+    ).otherwise(
+        F.floor(F.lit(num) / F.col("kth_union_hash").cast("double"))
+        .cast("bigint")
+    )
+    return agg.select(
+        "n_union_kept",
+        "kth_union_hash",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        est_union.alias("est_union"),
+        # jaccard × union in ONE fixed op order: n_common * est_union
+        # / n_union_kept (exact integers into two IEEE ops + floor)
+        F.floor(
+            F.col("n_common").cast("double")
+            * est_union.cast("double")
+            / F.col("n_union_kept").cast("double")
+        )
+        .cast("bigint")
+        .alias("est_intersection"),
     )

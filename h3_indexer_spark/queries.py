@@ -8618,10 +8618,14 @@ _ADAMIC_ADAR_ORACLE = """
     ),
     deg AS (SELECT z, COUNT(*) AS deg FROM dirs GROUP BY z),
     adj AS (
+        -- deg <= 10000 mirrors the engine's default max_degree hub
+        -- cap: both sides must drop the same witnesses even if a
+        -- future testdata regen grows a >10k-degree hub (ADVICE r8)
         SELECT d.z, d.n,
                CAST(FLOOR(1000000000.0
                           / LN(CAST(g.deg AS DOUBLE))) AS BIGINT) AS t
-        FROM dirs d JOIN deg g ON d.z = g.z AND g.deg >= 2
+        FROM dirs d JOIN deg g
+          ON d.z = g.z AND g.deg >= 2 AND g.deg <= 10000
     ),
     pairs AS (
         SELECT a.n AS u, b.n AS v,
@@ -9102,71 +9106,261 @@ ORACLES["q_market_share"] = _MARKET_SHARE_ORACLE
 ORACLES["q_charset_stats"] = _CHARSET_STATS_ORACLE
 
 
-_WINDOW_R8 = [
-    # never driver-recorded (rows-only; the q_kcore playbook)
-    "q_label_prop",
-    # round-8 debuts
-    "q_market_share",
-    "q_charset_stats",
-    "q_eventually_follows",
-    "q_ohlc_bars",
-    "q_cms_estimate",
-    "q_kmv_distinct",
-    "q_adamic_adar",
-    "q_mann_whitney",
-    "q_scd2",
-    "q_corr_matrix",
-    "q_embed_quantize",
-    "q_bpe_encode",
-    "q_hybrid_retrieval",
-    "q_active_users_hll",
-    "q_degree_dist",
-    "q_containment",
-    "q_vocab_coverage",
-    "q_diversity",
-    "q_fleiss_kappa",
-    # 30 of the 41 round-4-stale keys (11 — zscore, clean_lines,
-    # scan_where, top_orders, window_tumbling, gap_fill, rare_words,
-    # explode, region_revenue, fingerprint, interval_join — yield
-    # their slots to the 11 continuation debuts above and lead the
-    # round-9 rotation; the local mirror re-verifies every ORACLES
-    # key each session regardless)
-    "q_asof_join",
-    "q_attribution",
-    "q_contamination_frac",
-    "q_corpus_curation",
-    "q_corr",
-    "q_decontaminate",
-    "q_decontaminate_bloom",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_embedding_lsh",
-    "q_dedup_keep_best",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_resolve",
-    "q_dedup_simhash",
-    "q_dedup_spans_global",
-    "q_frequent_items",
-    "q_fuzzy_join",
-    "q_join_full_outer",
-    "q_join_left_small",
-    "q_join_skew_salted",
-    "q_knn_brute",
-    "q_knn_lsh",
-    "q_media_dedup",
-    "q_range_join",
-    "q_retention_cohorts",
-    "q_robust_scale",
-    "q_rolling_features",
-    "q_sessionize",
-    "q_tfidf",
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (operators/mining.py::
+    sequential_patterns, PrefixSpan-lite): top-20 event-type
+    sequences of length ≤ 3 by DISTINCT-entity support, with gap
+    tolerance 2 (consecutive pattern elements at most 2 events
+    apart) — the sequence-mining step past q_transitions /
+    q_top_paths whose supports count entities, not occurrences.
+    Ranked by (support desc, pattern asc) — a total order, so the
+    top-k cut is deterministic."""
+    from h3_indexer_spark.operators.mining import sequential_patterns
+
+    return sequential_patterns(_load_events(spark, sf_dir))
+
+
+_SEQ_PATTERNS_ORACLE = """
+    WITH s AS (
+        SELECT user_id, event_type AS t0,
+               lead(event_type, 1) OVER w AS l1,
+               lead(event_type, 2) OVER w AS l2,
+               lead(event_type, 3) OVER w AS l3,
+               lead(event_type, 4) OVER w AS l4
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_ns(ts), event_id)
+    ),
+    cand AS (
+        SELECT user_id, t0 AS pattern, 1 AS length FROM s
+        UNION ALL SELECT user_id, t0 || ' -> ' || l1, 2
+          FROM s WHERE l1 IS NOT NULL
+        UNION ALL SELECT user_id, t0 || ' -> ' || l2, 2
+          FROM s WHERE l2 IS NOT NULL
+        UNION ALL SELECT user_id, t0 || ' -> ' || l1 || ' -> ' || l2, 3
+          FROM s WHERE l2 IS NOT NULL
+        UNION ALL SELECT user_id, t0 || ' -> ' || l1 || ' -> ' || l3, 3
+          FROM s WHERE l3 IS NOT NULL
+        UNION ALL SELECT user_id, t0 || ' -> ' || l2 || ' -> ' || l3, 3
+          FROM s WHERE l3 IS NOT NULL
+        UNION ALL SELECT user_id, t0 || ' -> ' || l2 || ' -> ' || l4, 3
+          FROM s WHERE l4 IS NOT NULL
+    ),
+    d AS (SELECT DISTINCT user_id, pattern, length FROM cand),
+    p AS (
+        SELECT pattern, CAST(length AS BIGINT) AS length,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM d GROUP BY 1, 2
+    )
+    SELECT pattern, length, support, rnk FROM (
+        SELECT pattern, length, support,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY support DESC, pattern ASC) AS BIGINT) AS rnk
+        FROM p)
+    WHERE rnk <= 20
+"""
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k-by-hash quantile register table
+    (operators/sketches.py::quantile_sketch, k=256) over lineitem
+    extended prices, row identity (l_orderkey, l_linenumber) — the
+    percentile leg of the sketch family: fixed-size, mergeable
+    (KMV law), DKW-error-bounded, and hash-checkable because the
+    hash IS the sampling priority (md5-60 recipe). The register
+    surface is the contract; the percentile readout
+    (quantile_sketch_estimate) is a driver-sized aggregation whose
+    error bound the session tests lock."""
+    from h3_indexer_spark.operators.sketches import quantile_sketch
+
+    li = load(spark, sf_dir, "lineitem")
+    return quantile_sketch(
+        li,
+        "l_extendedprice",
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        k=256,
+    )
+
+
+_QUANTILE_SKETCH_ORACLE = """
+    WITH h AS (
+        SELECT CAST('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR)), 18, 15)
+               AS BIGINT) AS hash_val,
+               CAST(l_extendedprice AS DOUBLE) AS value
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    k AS (SELECT hash_val, value FROM h
+          ORDER BY hash_val, value LIMIT 256)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY hash_val, value)
+           AS BIGINT) AS rank,
+           hash_val, value
+    FROM k
+"""
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-level set operations (operators/sketches.py::
+    kmv_set_ops, Beyer et al. 2007): distinct-union / intersection
+    estimates for the parts returned ('R') vs accepted ('A') —
+    the audience-overlap readout computed entirely from two bottom-k
+    sketches, never a rescan of raw data. All output columns exact
+    BIGINTs (union-bottom-k membership counts + FLOOR-ed estimates
+    in one fixed IEEE op order — the kmv_distinct recipe)."""
+    from h3_indexer_spark.operators.sketches import (
+        kmv_bottom_k,
+        kmv_set_ops,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    a = kmv_bottom_k(
+        li.where(F.col("l_returnflag") == "R"), "l_partkey", k=128
+    )
+    b = kmv_bottom_k(
+        li.where(F.col("l_returnflag") == "A"), "l_partkey", k=128
+    )
+    return kmv_set_ops(a, b, k=128)
+
+
+_KMV_INTERSECT_ORACLE = """
+    WITH ha AS (
+        SELECT DISTINCT CAST('0x' || substr(md5(
+                   CAST(l_partkey AS VARCHAR)), 18, 15) AS BIGINT)
+               AS hash_val
+        FROM lineitem WHERE l_returnflag = 'R'
+        ORDER BY 1 LIMIT 128
+    ),
+    hb AS (
+        SELECT DISTINCT CAST('0x' || substr(md5(
+                   CAST(l_partkey AS VARCHAR)), 18, 15) AS BIGINT)
+               AS hash_val
+        FROM lineitem WHERE l_returnflag = 'A'
+        ORDER BY 1 LIMIT 128
+    ),
+    u AS (
+        SELECT DISTINCT hash_val FROM (
+            SELECT hash_val FROM ha UNION ALL SELECT hash_val FROM hb)
+        ORDER BY 1 LIMIT 128
+    ),
+    f AS (
+        SELECT u.hash_val,
+               CASE WHEN a.hash_val IS NOT NULL
+                     AND b.hash_val IS NOT NULL
+                    THEN 1 ELSE 0 END AS common
+        FROM u
+        LEFT JOIN ha a ON u.hash_val = a.hash_val
+        LEFT JOIN hb b ON u.hash_val = b.hash_val
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_union_kept,
+               MAX(hash_val) AS kth_union_hash,
+               CAST(SUM(common) AS BIGINT) AS n_common
+        FROM f
+    ),
+    est AS (
+        SELECT n_union_kept, kth_union_hash, n_common,
+               CASE WHEN n_union_kept < 128 THEN n_union_kept
+                    -- repr(float(127 * 2**60)) — DERIVED, never
+                    -- transcribed (the round-8 KMV-constant lesson)
+                    ELSE CAST(FLOOR(1.4642103108506957e+20
+                              / CAST(kth_union_hash AS DOUBLE))
+                         AS BIGINT)
+               END AS est_union
+        FROM agg
+    )
+    SELECT n_union_kept, kth_union_hash, n_common, est_union,
+           CAST(FLOOR(CAST(n_common AS DOUBLE)
+                      * CAST(est_union AS DOUBLE)
+                      / CAST(n_union_kept AS DOUBLE)) AS BIGINT)
+           AS est_intersection
+    FROM est
+"""
+
+
+QUERIES["q_seq_patterns"] = q_seq_patterns
+QUERIES["q_quantile_sketch"] = q_quantile_sketch
+QUERIES["q_kmv_intersect"] = q_kmv_intersect
+ORACLES["q_seq_patterns"] = _SEQ_PATTERNS_ORACLE
+ORACLES["q_quantile_sketch"] = _QUANTILE_SKETCH_ORACLE
+ORACLES["q_kmv_intersect"] = _KMV_INTERSECT_ORACLE
+
+
+# Round-9 driver window (ONE canonical list — the driver hash-checks
+# the FIRST 50 QUERIES entries in dict order): the 11 keys whose
+# latest driver row is still round 4 (deferred from the round-8
+# rotation — this finally meets the "no oracle key's latest row
+# predates round 5" bar), the 3 round-9 debuts, and the
+# alphabetically-first 36 of the 48 keys whose latest row is round 5
+# (the remaining 12 round-5 keys — q_scan_parquet, q_semantic_dedup, q_seq_pack,
+# q_snapshot_diff, q_time_rollup, q_top_paths, q_transitions,
+# q_triangles, q_twap, q_unpivot, q_url_normalize, q_weighted_sample
+# — lead the round-10 rotation; the local mirror re-verifies every
+# ORACLES key each session regardless).
+_WINDOW_R9 = [
+    # the 11 round-4-stale keys (rotation debt from round 8)
+    "q_clean_lines",
+    "q_explode",
+    "q_fingerprint",
+    "q_gap_fill",
+    "q_interval_join",
+    "q_rare_words",
+    "q_region_revenue",
+    "q_scan_where",
+    "q_top_orders",
+    "q_window_tumbling",
+    "q_zscore",
+    # round-9 debuts (first driver record)
+    "q_seq_patterns",
+    "q_quantile_sketch",
+    "q_kmv_intersect",
+    # alphabetically-first 36 round-5-stale keys
+    "q_active_users",
+    "q_analytics_pipeline",
+    "q_anomalies",
+    "q_autocorr",
+    "q_boilerplate",
+    "q_boilerplate_clean",
+    "q_chi_square",
+    "q_chunk_docs",
+    "q_clustering_coeff",
+    "q_co_occurrence",
+    "q_data_split",
+    "q_dedup_exact",
+    "q_domain_cap",
+    "q_dup_spans",
+    "q_dwell_times",
+    "q_event_gaps",
+    "q_expectations",
+    "q_frequent_items_scalable",
+    "q_funnel",
+    "q_groupby_sum",
+    "q_growth_accounting",
+    "q_histogram",
+    "q_impute",
+    "q_json_extract",
+    "q_knn_ivf",
+    "q_mad",
+    "q_minmax_scale",
+    "q_mode",
+    "q_moments",
+    "q_ntile_bins",
+    "q_one_hot",
+    "q_pii_scrub",
+    "q_profile",
+    "q_rebalance_sources",
+    "q_regression",
+    "q_repetition",
 ]
-assert len(_WINDOW_R8) == 50, len(_WINDOW_R8)
-assert len(set(_WINDOW_R8)) == 50
-_missing = [k for k in _WINDOW_R8 if k not in QUERIES]
+assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
+assert len(set(_WINDOW_R9)) == 50
+_missing = [k for k in _WINDOW_R9 if k not in QUERIES]
 assert not _missing, f"window names unknown keys: {_missing}"
 QUERIES = {
-    **{k: QUERIES[k] for k in _WINDOW_R8},
-    **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R8},
+    **{k: QUERIES[k] for k in _WINDOW_R9},
+    **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R9},
 }

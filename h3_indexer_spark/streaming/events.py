@@ -621,6 +621,19 @@ def stream_merge_upsert(
     format. At 100 TB, keep the maintained table bucketed on the key
     (write_bucketed_table) so each merge joins without an Exchange;
     the swap step is metadata-only either way.
+
+    Production boundary (documented, deliberate): the rename swap
+    serializes WRITERS and gives readers a consistent directory only
+    between batches — a reader that starts mid-swap can see the old
+    path vanish. With CONCURRENT readers at warehouse scale the
+    production answer is a manifest-based table format (Delta /
+    Iceberg): swap this sink's publish step for a MERGE INTO and the
+    rest of the pipeline (latest-per-key collapse, seq-conditional
+    merge semantics) carries over unchanged — the merge plan here IS
+    the MERGE INTO plan. Those packages aren't available offline in
+    this environment, so the rename swap is the self-contained
+    equivalent with the same exactly-once contract for single-writer
+    / between-batch readers.
     Returns the started StreamingQuery."""
     from pyspark.sql import Window
 

@@ -165,3 +165,271 @@ class TestContractEdges:
         )
         rows = contract_edges(edges, "k").collect()
         assert {(r["src"], r["dst"]) for r in rows} == {(7, 4), (9, 4)}
+
+
+class TestCmsDepthGuard:
+    def test_matching_depth_still_exact(self, spark):
+        from h3_indexer_spark.operators.sketches import (
+            count_min_estimate,
+            count_min_registers,
+        )
+
+        df = spark.createDataFrame(
+            [(x,) for x in ["a"] * 5 + ["b"] * 3 + ["c"]], "k string"
+        )
+        regs = count_min_registers(df, "k", depth=3, width=64)
+        keys = spark.createDataFrame([("a",), ("b",), ("z",)], "k string")
+        got = {
+            r["key"]: r["est_count"]
+            for r in count_min_estimate(
+                regs, keys, "k", depth=3, width=64
+            ).collect()
+        }
+        assert got["a"] >= 5 and got["b"] >= 3 and got["z"] >= 0
+
+    def test_larger_query_depth_fails_fast(self, spark):
+        """Querying depth 5 against depth-3 registers must ERROR, not
+        silently return 0 (the one-sided est >= true guarantee)."""
+        from h3_indexer_spark.operators.sketches import (
+            count_min_estimate,
+            count_min_registers,
+        )
+
+        df = spark.createDataFrame([("a",), ("b",)], "k string")
+        regs = count_min_registers(df, "k", depth=3, width=64)
+        keys = spark.createDataFrame([("a",)], "k string")
+        with pytest.raises(Exception, match="smaller depth"):
+            count_min_estimate(regs, keys, "k", depth=5, width=64).collect()
+
+    def test_smaller_query_depth_stays_one_sided(self, spark):
+        from h3_indexer_spark.operators.sketches import (
+            count_min_estimate,
+            count_min_registers,
+        )
+
+        df = spark.createDataFrame([(f"k{i}",) for i in range(40)], "k string")
+        regs = count_min_registers(df, "k", depth=4, width=16)
+        keys = spark.createDataFrame([("k0",), ("k1",)], "k string")
+        got = {
+            r["key"]: r["est_count"]
+            for r in count_min_estimate(
+                regs, keys, "k", depth=2, width=16
+            ).collect()
+        }
+        assert all(v >= 1 for v in got.values())
+
+
+class TestSequentialPatterns:
+    def _ev(self, spark, rows):
+        # rows: (user, ts, type, event_id)
+        return spark.createDataFrame(
+            rows, "user_id long, ts long, event_type string, event_id long"
+        )
+
+    def test_gap_tolerance(self, spark):
+        """A -> C holds with one noise event between (gap 2) but NOT
+        when two events intervene."""
+        from h3_indexer_spark.operators.mining import sequential_patterns
+
+        ev = self._ev(spark, [
+            (1, 1, "A", 1), (1, 2, "X", 2), (1, 3, "C", 3),   # A..C gap 2
+            (2, 1, "A", 1), (2, 2, "X", 2), (2, 3, "Y", 3), (2, 4, "C", 4),
+        ])
+        got = {
+            r["pattern"]: r["support"]
+            for r in sequential_patterns(ev, max_gap=2, k=100).collect()
+        }
+        assert got.get("A -> C") == 1  # user 1 only; user 2's gap is 3
+        assert got.get("A") == 2
+
+    def test_support_counts_entities_not_occurrences(self, spark):
+        from h3_indexer_spark.operators.mining import sequential_patterns
+
+        ev = self._ev(spark, [
+            (1, 1, "A", 1), (1, 2, "B", 2),
+            (1, 3, "A", 3), (1, 4, "B", 4),   # same user, twice
+            (2, 1, "A", 1), (2, 2, "B", 2),
+        ])
+        got = {
+            r["pattern"]: r["support"]
+            for r in sequential_patterns(ev, max_gap=1, k=100).collect()
+        }
+        assert got["A -> B"] == 2
+
+    def test_strict_adjacency_at_gap_one(self, spark):
+        from h3_indexer_spark.operators.mining import sequential_patterns
+
+        ev = self._ev(spark, [
+            (1, 1, "A", 1), (1, 2, "X", 2), (1, 3, "B", 3),
+        ])
+        got = {
+            r["pattern"]
+            for r in sequential_patterns(ev, max_gap=1, k=100).collect()
+        }
+        assert "A -> B" not in got and "A -> X" in got
+
+    def test_triple_with_gaps(self, spark):
+        from h3_indexer_spark.operators.mining import sequential_patterns
+
+        ev = self._ev(spark, [
+            (1, 1, "A", 1), (1, 2, "X", 2), (1, 3, "B", 3),
+            (1, 4, "Y", 4), (1, 5, "C", 5),
+        ])
+        got = {
+            r["pattern"]
+            for r in sequential_patterns(ev, max_gap=2, k=200).collect()
+        }
+        assert "A -> B -> C" in got
+
+    def test_rank_is_total_order(self, spark):
+        from h3_indexer_spark.operators.mining import sequential_patterns
+
+        ev = self._ev(spark, [
+            (u, t, typ, t)
+            for u in range(4)
+            for t, typ in enumerate(["A", "B", "A"], start=1)
+        ])
+        rows = sequential_patterns(ev, max_gap=2, k=5).collect()
+        ranks = [r["rnk"] for r in rows]
+        assert ranks == sorted(ranks) == list(range(1, len(rows) + 1))
+        sups = [r["support"] for r in rows]
+        assert sups == sorted(sups, reverse=True)
+
+
+class TestQuantileSketch:
+    def test_merge_law_disjoint_slices(self, spark):
+        from h3_indexer_spark.operators.sketches import (
+            quantile_sketch,
+            quantile_sketch_merge,
+        )
+
+        df = spark.range(2000).select(
+            F.col("id"), (F.col("id") * 7 % 1000).cast("double").alias("v")
+        )
+        a = df.where(F.col("id") < 1000)
+        b = df.where(F.col("id") >= 1000)
+        whole = quantile_sketch(df, "v", F.col("id"), k=64).collect()
+        merged = quantile_sketch_merge(
+            64,
+            quantile_sketch(a, "v", F.col("id"), k=64),
+            quantile_sketch(b, "v", F.col("id"), k=64),
+        ).collect()
+        key = lambda rows: [(r["rank"], r["hash_val"], r["value"]) for r in rows]
+        assert key(whole) == key(merged)
+
+    def test_dkw_error_bound_on_fixture(self, spark):
+        """The sketch's p50 must sit within the DKW band of the exact
+        CDF: with k=256, eps at 99.9%% confidence is
+        sqrt(ln(2/0.001)/(2*256)) ~= 0.122 — assert the exact CDF
+        position of the estimated median is within 0.5 +- 0.13.
+        Deterministic: the hash fixes the sample."""
+        from h3_indexer_spark.operators.sketches import (
+            quantile_sketch,
+            quantile_sketch_estimate,
+        )
+
+        from tests.conftest import SF_SMALL
+
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        sk = quantile_sketch(
+            li,
+            "l_extendedprice",
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            k=256,
+        )
+        est = {
+            r["prob"]: r["est_value"]
+            for r in quantile_sketch_estimate(sk, [0.5]).collect()
+        }
+        n = li.count()
+        below = li.where(F.col("l_extendedprice") <= est[0.5]).count()
+        assert abs(below / n - 0.5) <= 0.13
+
+    def test_fixed_size_whatever_the_data(self, spark):
+        from h3_indexer_spark.operators.sketches import quantile_sketch
+
+        df = spark.range(50_000).select(
+            F.col("id"), F.col("id").cast("double").alias("v")
+        )
+        assert quantile_sketch(df, "v", F.col("id"), k=32).count() == 32
+
+    def test_duplicates_keep_weight(self, spark):
+        """Row-identity hashing must sample duplicate VALUES in
+        proportion — a constant column's every quantile is that
+        constant."""
+        from h3_indexer_spark.operators.sketches import (
+            quantile_sketch,
+            quantile_sketch_estimate,
+        )
+
+        df = spark.range(5000).select(
+            F.col("id"), F.lit(42.0).alias("v")
+        )
+        sk = quantile_sketch(df, "v", F.col("id"), k=64)
+        est = quantile_sketch_estimate(sk, [0.1, 0.9]).collect()
+        assert all(r["est_value"] == 42.0 for r in est)
+
+
+class TestKmvSetOps:
+    def test_exact_below_k(self, spark):
+        """With both sets smaller than k the sketches ARE the sets:
+        union/intersection estimates must be exact."""
+        from h3_indexer_spark.operators.sketches import (
+            kmv_bottom_k,
+            kmv_set_ops,
+        )
+
+        a = spark.createDataFrame([(x,) for x in range(50)], "v long")
+        b = spark.createDataFrame([(x,) for x in range(30, 80)], "v long")
+        row = kmv_set_ops(
+            kmv_bottom_k(a, "v", k=256),
+            kmv_bottom_k(b, "v", k=256),
+            k=256,
+        ).collect()[0]
+        assert row["est_union"] == 80
+        assert row["n_common"] == 20
+        assert row["est_intersection"] == 20
+
+    def test_estimates_within_rse_band(self, spark):
+        """Planted overlap at sketch scale: |A|=|B|=4000, |A∩B|=2000,
+        union 6000. KMV RSE at k=256 is ~1/sqrt(254) ~= 6.3%; assert
+        union within 4 RSE and intersection within a generous 25%
+        (jaccard adds binomial noise on n_common). Deterministic —
+        the hash fixes everything."""
+        from h3_indexer_spark.operators.sketches import (
+            kmv_bottom_k,
+            kmv_set_ops,
+        )
+
+        a = spark.createDataFrame([(x,) for x in range(4000)], "v long")
+        b = spark.createDataFrame(
+            [(x,) for x in range(2000, 6000)], "v long"
+        )
+        row = kmv_set_ops(
+            kmv_bottom_k(a, "v", k=256),
+            kmv_bottom_k(b, "v", k=256),
+            k=256,
+        ).collect()[0]
+        assert abs(row["est_union"] - 6000) <= 6000 * 0.25
+        assert abs(row["est_intersection"] - 2000) <= 2000 * 0.25
+
+    def test_disjoint_sets(self, spark):
+        from h3_indexer_spark.operators.sketches import (
+            kmv_bottom_k,
+            kmv_set_ops,
+        )
+
+        a = spark.createDataFrame([(x,) for x in range(500)], "v long")
+        b = spark.createDataFrame(
+            [(x,) for x in range(10_000, 10_500)], "v long"
+        )
+        row = kmv_set_ops(
+            kmv_bottom_k(a, "v", k=64),
+            kmv_bottom_k(b, "v", k=64),
+            k=64,
+        ).collect()[0]
+        assert row["n_common"] == 0 and row["est_intersection"] == 0
