@@ -1086,10 +1086,19 @@ def round9_scale(max_factor: int = 50) -> None:
             pts = c if pts is None else pts.unionByName(c)
         pts = pts.localCheckpoint()
         np_ = pts.count()
-        timed(
-            f"dbscan x{factor}",
-            dbscan(pts, 5.0, 4),
-            np_,
+        # dbscan's components loop runs jobs at CONSTRUCTION (the
+        # convergence probes), so time construction + materialization
+        # together — timed(dbscan(...)) would start the clock after
+        # most of the work already ran
+        t0 = time.perf_counter()
+        dbscan(pts, 5.0, 4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        print(
+            f"{'dbscan x' + str(factor):42s} rows={np_:>10,} "
+            f"wall={dt:7.2f}s throughput={np_ / dt:>12,.0f} rows/s",
+            flush=True,
         )
 
 
