@@ -176,6 +176,8 @@ HEADLINE = [
     "q_seq_patterns",
     "q_quantile_sketch",
     "q_kmv_intersect",
+    "q_edit_join",
+    "q_quantile_sketch_grouped",
 ]
 
 

@@ -1012,6 +1012,7 @@ def round9_scale(max_factor: int = 50) -> None:
     from h3_indexer_spark.operators.clustering import dbscan
     from h3_indexer_spark.operators.mining import sequential_patterns
     from h3_indexer_spark.operators.sketches import quantile_sketch
+    from h3_indexer_spark.operators.textops import edit_distance_join
     from h3_indexer_spark.session import get_spark_session
 
     spark = get_spark_session(
@@ -1084,6 +1085,31 @@ def round9_scale(max_factor: int = 50) -> None:
                 ).alias("lng"),
             )
             pts = c if pts is None else pts.unionByName(c)
+        sup = spark.read.parquet(f"{sf}/supplier.parquet")
+        # copy prefixes are doubled ("q3q3q") so CROSS-copy name pairs
+        # sit at edit distance >= 2 — the output and block sizes stay
+        # linear in the factor (a single-char prefix would make every
+        # cross-copy base-name pair an ed-1 match: quadratic truth)
+        s_scaled = None
+        nsup = sup.count()
+        for i in range(factor):
+            c = sup.select(
+                (F.col("s_suppkey") + F.lit(i * 10 * nsup)).alias(
+                    "s_suppkey"
+                ),
+                F.concat(
+                    F.lit(f"q{i}q{i}q" if i else ""), F.col("s_name")
+                ).alias("s_name"),
+            )
+            s_scaled = c if s_scaled is None else s_scaled.unionByName(c)
+        s_scaled = s_scaled.localCheckpoint()
+        ns = s_scaled.count()
+        timed(
+            f"edit_distance_join x{factor}",
+            edit_distance_join(s_scaled, "s_suppkey", "s_name"),
+            ns,
+        )
+
         pts = pts.localCheckpoint()
         np_ = pts.count()
         # dbscan's components loop runs jobs at CONSTRUCTION (the

@@ -672,3 +672,48 @@ def kmv_set_ops(
         .cast("bigint")
         .alias("est_intersection"),
     )
+
+
+def quantile_sketch_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    row_key: Column,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group bottom-k-by-hash quantile registers — the sketch in
+    its deployment shape (per day / per source / per tenant), same
+    algebra as the global ``quantile_sketch``: each group's register
+    table is its k hash-smallest rows, mergeable into any coarser
+    rollup by re-taking bottom-k within the merged group (the KMV
+    law). Output: (group, rank, hash_val, value).
+
+    Scale: ONE window shuffle on the group key; the rank filter is a
+    running top-k per group (WindowGroupLimit pushes k into the sort,
+    so each partition forwards ≤ k rows per group — never a global
+    sort). The register cube is |groups|·k rows whatever the data
+    volume."""
+    from pyspark.sql import Window as W
+
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+    from h3_indexer_spark.operators.curation import md5_band60
+
+    rows = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        md5_band60("", row_key.cast("string")).alias("hash_val"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    w = W.partitionBy("group").orderBy("hash_val", "value")
+    return (
+        rows.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "group",
+            F.col("rank").cast("bigint").alias("rank"),
+            "hash_val",
+            "value",
+        )
+    )

@@ -1197,3 +1197,162 @@ def charset_stats(
             ),
         )
     )
+
+
+def edit_distance_join(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+) -> "DataFrame":
+    """Certain-recall edit-distance self-join for distance ≤ 1
+    (Pass-Join segment blocking, Li et al. VLDB 2011, at the d=1
+    pigeonhole): every unordered pair with Levenshtein ≤ 1 is found —
+    unlike ``fuzzy_pairs``' prefix blocking, which misses pairs
+    differing inside the prefix and documents the trade. The d=1
+    pigeonhole: split each indexed string of length L at h = ⌊L/2⌋
+    into a START-ANCHORED prefix segment and an END-ANCHORED suffix
+    segment; one edit falls inside exactly one of them, so the other
+    matches the partner EXACTLY (the prefix at offset 0, the suffix
+    at the end — end-anchoring absorbs the ±1 length shift). Probes
+    therefore emit, for each partner length L_b ∈ {L−1, L, L+1},
+    their first h(L_b) chars keyed (segment 0, L_b) and their last
+    L_b − h(L_b) chars keyed (segment 1, L_b) — a fixed ≤6-row
+    fan-out per string, joined EQUI on (segment text, segment index,
+    indexed length), then verified with JVM levenshtein.
+
+    Scale shape: the all-pairs n² never materializes — work is
+    Σ|block|² over (segment, length) blocks, the candidate-then-
+    verify shape every near-dup path here uses, with AQE skew-split
+    on hot blocks. Candidates are canonicalized (least, greatest)
+    BEFORE the distinct — the probe/index roles are asymmetric, so a
+    pair can surface in only one direction. Strings of length ≤ 1
+    (where the d=1 pigeonhole has no two non-empty segments: a
+    single edit can destroy the only segment) share one dedicated
+    short block — alphabet-bounded after the upstream distinct, and
+    every candidate still passes exact verification.
+    Output: (id_a, id_b, text_a, text_b, edit_dist), id_a < id_b,
+    each qualifying pair exactly once."""
+    L = F.length(F.col(text_col))
+    idx = df.select(
+        F.col(id_col).alias("_iid"),
+        F.col(text_col).alias("_itext"),
+        L.alias("_ilen"),
+    )
+    # index side: 2 segments per string, keyed by (text, seg, L)
+    half = (F.col("_ilen") / 2).cast("int")
+    seg0 = F.substring(F.col("_itext"), 1, half)
+    seg1 = F.expr(
+        "substring(_itext, cast(_ilen / 2 as int) + 1)"
+    )
+    # short strings (len <= 1) enter a dedicated block where the
+    # pigeonhole cannot apply; its key is constant so all shorts meet
+    short_struct = F.struct(
+        F.lit("").alias("_seg"), F.lit(9).alias("_sidx")
+    )
+    segs = idx.select(
+        "_iid",
+        "_itext",
+        "_ilen",
+        F.explode(
+            F.when(
+                F.col("_ilen") <= 1, F.array(short_struct)
+            ).otherwise(
+                F.array(
+                    F.struct(seg0.alias("_seg"), F.lit(0).alias("_sidx")),
+                    F.struct(seg1.alias("_seg"), F.lit(1).alias("_sidx")),
+                )
+            )
+        ).alias("_s"),
+    ).select(
+        "_iid",
+        "_itext",
+        # the short block's length key is normalized to 0 so len-0 and
+        # len-1 strings meet in ONE block
+        F.when(F.col("_s._sidx") == 9, F.lit(0))
+        .otherwise(F.col("_ilen"))
+        .alias("_ilen"),
+        F.col("_s._seg").alias("_seg"),
+        F.col("_s._sidx").alias("_sidx"),
+    ).where((F.length("_seg") > 0) | (F.col("_sidx") == 9))
+    # probe side: for each partner length lb in {len-1, len, len+1},
+    # the first floor(lb/2) chars (segment 0) and the last
+    # lb - floor(lb/2) chars (segment 1)
+    probe_rows = []
+    for dl in (-1, 0, 1):
+        lb = (F.length(F.col(text_col)) + F.lit(dl)).alias("_lb")
+        probe_rows.append(
+            F.struct(
+                F.lit(0).alias("_sidx"),
+                (F.length(F.col(text_col)) + F.lit(dl)).alias("_lb"),
+                F.substring(
+                    F.col(text_col),
+                    1,
+                    ((F.length(F.col(text_col)) + F.lit(dl)) / 2).cast(
+                        "int"
+                    ),
+                ).alias("_seg"),
+            )
+        )
+        probe_rows.append(
+            F.struct(
+                F.lit(1).alias("_sidx"),
+                (F.length(F.col(text_col)) + F.lit(dl)).alias("_lb"),
+                F.expr(
+                    f"substring({text_col}, length({text_col}) - "
+                    f"(length({text_col}) + ({dl}) - "
+                    f"cast((length({text_col}) + ({dl})) / 2 as int)) "
+                    f"+ 1)"
+                ).alias("_seg"),
+            )
+        )
+    # probes from short strings additionally enter the short block
+    probe_rows.append(
+        F.struct(
+            F.lit(9).alias("_sidx"),
+            F.lit(0).alias("_lb"),
+            F.when(
+                F.length(F.col(text_col)) <= 1, F.lit("")
+            ).alias("_seg"),  # NULL (filtered) for longer strings
+        )
+    )
+    probes = df.select(
+        F.col(id_col).alias("_pid"),
+        F.col(text_col).alias("_ptext"),
+        F.explode(F.array(*probe_rows)).alias("_p"),
+    ).select(
+        "_pid",
+        "_ptext",
+        F.col("_p._seg").alias("_seg"),
+        F.col("_p._sidx").alias("_sidx"),
+        F.col("_p._lb").alias("_ilen"),
+    ).where(
+        F.col("_seg").isNotNull()
+        & (
+            ((F.col("_ilen") >= 1) & (F.length("_seg") > 0))
+            | (F.col("_sidx") == 9)
+        )
+    )
+    # canonicalize BEFORE distinct: probe/index roles are asymmetric,
+    # so a qualifying pair can surface in only one direction
+    cand = (
+        probes.join(segs, ["_seg", "_sidx", "_ilen"])
+        .where(F.col("_pid") != F.col("_iid"))
+        .select(
+            F.least(F.col("_pid"), F.col("_iid")).alias("id_a"),
+            F.greatest(F.col("_pid"), F.col("_iid")).alias("id_b"),
+            F.when(F.col("_pid") < F.col("_iid"), F.col("_ptext"))
+            .otherwise(F.col("_itext"))
+            .alias("text_a"),
+            F.when(F.col("_pid") < F.col("_iid"), F.col("_itext"))
+            .otherwise(F.col("_ptext"))
+            .alias("text_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("text_a"), F.col("text_b")).cast("int"),
+        )
+        .where(F.col("edit_dist") <= 1)
+    )

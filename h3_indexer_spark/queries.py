@@ -9282,21 +9282,110 @@ _KMV_INTERSECT_ORACLE = """
 """
 
 
+def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certain-recall edit-distance self-join (operators/textops.py::
+    edit_distance_join — Pass-Join d=1 pigeonhole segment blocking):
+    every unordered supplier-name pair within Levenshtein 1, found
+    without an all-pairs scan. Supplier names differ in their digit
+    tail, so single-digit-substitution neighbors are the planted
+    truth; the DuckDB oracle IS the all-pairs formulation — recall
+    certainty is exactly what the hash check proves."""
+    from h3_indexer_spark.operators.textops import edit_distance_join
+
+    sup = load(spark, sf_dir, "supplier")
+    return edit_distance_join(sup, "s_suppkey", "s_name").select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "text_a",
+        "text_b",
+        F.col("edit_dist").cast("bigint").alias("edit_dist"),
+    )
+
+
+_EDIT_JOIN_ORACLE = """
+    SELECT CAST(a.s_suppkey AS BIGINT) AS id_a,
+           CAST(b.s_suppkey AS BIGINT) AS id_b,
+           a.s_name AS text_a,
+           b.s_name AS text_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT)
+           AS edit_dist
+    FROM supplier a
+    JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND abs(length(a.s_name) - length(b.s_name)) <= 1
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+def q_quantile_sketch_grouped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group quantile registers (operators/sketches.py::
+    quantile_sketch_grouped, k=64) — the sketch cube: one bottom-k
+    register set per return flag, |groups|·k rows whatever the data
+    volume, rank filter pushed as a per-group running top-k
+    (WindowGroupLimit)."""
+    from h3_indexer_spark.operators.sketches import (
+        quantile_sketch_grouped,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return quantile_sketch_grouped(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        k=64,
+    )
+
+
+_QUANTILE_SKETCH_GROUPED_ORACLE = """
+    WITH h AS (
+        SELECT l_returnflag AS "group",
+               CAST('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR)), 18, 15)
+               AS BIGINT) AS hash_val,
+               CAST(l_extendedprice AS DOUBLE) AS value
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    r AS (
+        SELECT "group",
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY "group"
+                   ORDER BY hash_val, value) AS BIGINT) AS rank,
+               hash_val, value
+        FROM h
+    )
+    SELECT "group", rank, hash_val, value FROM r WHERE rank <= 64
+"""
+
+
 QUERIES["q_seq_patterns"] = q_seq_patterns
 QUERIES["q_quantile_sketch"] = q_quantile_sketch
 QUERIES["q_kmv_intersect"] = q_kmv_intersect
+QUERIES["q_edit_join"] = q_edit_join
+QUERIES["q_quantile_sketch_grouped"] = q_quantile_sketch_grouped
 ORACLES["q_seq_patterns"] = _SEQ_PATTERNS_ORACLE
 ORACLES["q_quantile_sketch"] = _QUANTILE_SKETCH_ORACLE
 ORACLES["q_kmv_intersect"] = _KMV_INTERSECT_ORACLE
+ORACLES["q_edit_join"] = _EDIT_JOIN_ORACLE
+ORACLES["q_quantile_sketch_grouped"] = _QUANTILE_SKETCH_GROUPED_ORACLE
 
 
 # Round-9 driver window (ONE canonical list — the driver hash-checks
 # the FIRST 50 QUERIES entries in dict order): the 11 keys whose
 # latest driver row is still round 4 (deferred from the round-8
 # rotation — this finally meets the "no oracle key's latest row
-# predates round 5" bar), the 3 round-9 debuts, and the
-# alphabetically-first 36 of the 48 keys whose latest row is round 5
-# (the remaining 12 round-5 keys — q_scan_parquet, q_semantic_dedup, q_seq_pack,
+# predates round 5" bar), the 5 round-9 debuts, and the
+# alphabetically-first 34 of the 48 keys whose latest row is round 5
+# (the remaining 14 round-5 keys — q_regression, q_repetition,
+# q_scan_parquet, q_semantic_dedup, q_seq_pack,
 # q_snapshot_diff, q_time_rollup, q_top_paths, q_transitions,
 # q_triangles, q_twap, q_unpivot, q_url_normalize, q_weighted_sample
 # — lead the round-10 rotation; the local mirror re-verifies every
@@ -9318,7 +9407,9 @@ _WINDOW_R9 = [
     "q_seq_patterns",
     "q_quantile_sketch",
     "q_kmv_intersect",
-    # alphabetically-first 36 round-5-stale keys
+    "q_edit_join",
+    "q_quantile_sketch_grouped",
+    # alphabetically-first 34 round-5-stale keys
     "q_active_users",
     "q_analytics_pipeline",
     "q_anomalies",
@@ -9353,8 +9444,6 @@ _WINDOW_R9 = [
     "q_pii_scrub",
     "q_profile",
     "q_rebalance_sources",
-    "q_regression",
-    "q_repetition",
 ]
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 assert len(set(_WINDOW_R9)) == 50

@@ -1353,3 +1353,98 @@ def streaming_cms_registers(
             "cnt",
         )
     )
+
+
+def streaming_quantile_sketch(
+    events: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    k: int = 64,
+):
+    """Streaming twin of operators/sketches.py::quantile_sketch — a
+    live per-event-time-window quantile register table: each event's
+    60-bit md5 priority is computed JVM-side with the EXACT batch
+    hash over ``key_cols`` (the row identity), and every window's k
+    hash-smallest (hash, value) rows live in
+    ``applyInPandasWithState`` — state per window is ≤ k pairs
+    whatever the traffic, the same structural bound as the CMS/HLL
+    twins (locked in tests/test_streaming.py's state-bound suite).
+
+    Emits the window's FULL register table per updating micro-batch
+    (update-style: latest emission per (window_start, rank) is
+    current truth): (window_start, rank, hash_val, value) — exactly
+    the batch operator's columns keyed by window, so an availableNow
+    replay matches per-window batch sketches row for row
+    (test-locked). Late rows inside the retained state simply merge;
+    bottom-k is insensitive to arrival order (the KMV law is the
+    idempotence proof). State never expires here; a production
+    deployment drops windows older than the reporting horizon (the
+    streaming_minhash_dedup timeout pattern applies directly)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+    if not key_cols:
+        raise ValueError("need at least one row-identity column")
+    from h3_indexer_spark.operators.curation import md5_band60
+
+    row_key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in key_cols]
+    )
+    win_s = F.window(F.col(ts_col), window).getField("start")
+    contrib = events.where(F.col(value_col).isNotNull()).select(
+        win_s.cast("long").alias("_w"),
+        md5_band60("", row_key.cast("string")).alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+
+    out_schema = (
+        "window_start long, rank long, hash_val long, value double"
+    )
+    state_schema = "hashes array<long>, vals array<double>"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            hs, vs = state.get
+            pairs = list(zip(hs, vs))
+        else:
+            pairs = []
+        saw = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            saw = True
+            pairs.extend(
+                zip(
+                    (int(x) for x in pdf["_h"].to_numpy()),
+                    (float(x) for x in pdf["_v"].to_numpy()),
+                )
+            )
+        if not saw:
+            return
+        # dedup identical (hash, value) rows — re-delivered rows and
+        # the state's own prior contents merge idempotently
+        pairs = sorted(set(pairs))[:k]
+        state.update(
+            ([int(h) for h, _ in pairs], [float(v) for _, v in pairs])
+        )
+        w = int(key[0])
+        yield pd.DataFrame(
+            {
+                "window_start": [w] * len(pairs),
+                "rank": list(range(1, len(pairs) + 1)),
+                "hash_val": [h for h, _ in pairs],
+                "value": [v for _, v in pairs],
+            }
+        )
+
+    return contrib.groupBy("_w").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -433,3 +433,130 @@ class TestKmvSetOps:
             k=64,
         ).collect()[0]
         assert row["n_common"] == 0 and row["est_intersection"] == 0
+
+
+class TestEditDistanceJoin:
+    def _brute(self, names):
+        import itertools
+
+        def lev(a, b):
+            m, n = len(a), len(b)
+            if abs(m - n) > 1:
+                return 2
+            dp = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, n + 1):
+                    cur = dp[j]
+                    dp[j] = min(
+                        dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]),
+                    )
+                    prev = cur
+            return dp[n]
+
+        return {
+            (ia, ib)
+            for (ia, a), (ib, b) in itertools.combinations(names, 2)
+            if lev(a, b) <= 1
+        }
+
+    def test_certain_recall_planted_edits(self, spark):
+        """Every Levenshtein<=1 pair must be found — including edits
+        INSIDE the prefix (the case fuzzy_pairs' prefix blocking
+        documents as missed) and the short-string degenerate cases."""
+        import random
+        import string
+
+        from h3_indexer_spark.operators.textops import edit_distance_join
+
+        names = [
+            (1, "chocolate"), (2, "xhocolate"), (3, "chocolatx"),
+            (4, "chocolat"), (5, "hocolate"), (6, "chocolates"),
+            (7, "schocolate"), (8, "vanilla"), (9, "banilla"),
+            (10, "completely_different"),
+            (11, "ab"), (12, "b"), (13, "a"), (14, "ba"), (15, ""),
+        ]
+        rng = random.Random(7)
+        for i in range(60):
+            s = "".join(
+                rng.choice(string.ascii_lowercase)
+                for _ in range(rng.randint(1, 15))
+            )
+            names.append((100 + 2 * i, s))
+            op = rng.choice(["sub", "ins", "del"])
+            p = rng.randint(0, max(len(s) - 1, 0))
+            if op == "sub" and s:
+                t = s[:p] + rng.choice(string.ascii_lowercase) + s[p + 1:]
+            elif op == "ins":
+                t = s[:p] + rng.choice(string.ascii_lowercase) + s[p:]
+            else:
+                t = s[:p] + s[p + 1:] if s else "x"
+            names.append((101 + 2 * i, t))
+        df = spark.createDataFrame(names, "id long, name string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in edit_distance_join(df, "id", "name").collect()
+        }
+        assert got == self._brute(names)
+
+    def test_pair_emitted_exactly_once(self, spark):
+        from h3_indexer_spark.operators.textops import edit_distance_join
+
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "samex")], "id long, name string"
+        )
+        rows = edit_distance_join(df, "id", "name").collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in rows]
+        assert sorted(pairs) == [(1, 2), (1, 3), (2, 3)]
+        assert len(pairs) == len(set(pairs))
+
+
+class TestQuantileSketchGrouped:
+    def test_matches_per_group_global_sketch(self, spark):
+        """Each group's register table equals the global sketch run on
+        that group's slice alone."""
+        from h3_indexer_spark.operators.sketches import (
+            quantile_sketch,
+            quantile_sketch_grouped,
+        )
+
+        df = spark.range(3000).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 13 % 997).cast("double").alias("v"),
+        )
+        got = {}
+        for r in quantile_sketch_grouped(
+            df, "g", "v", F.col("id"), k=32
+        ).collect():
+            got.setdefault(r["group"], []).append(
+                (r["rank"], r["hash_val"], r["value"])
+            )
+        for g in ("0", "1", "2"):
+            want = [
+                (r["rank"], r["hash_val"], r["value"])
+                for r in quantile_sketch(
+                    df.where(F.col("g") == g), "v", F.col("id"), k=32
+                ).collect()
+            ]
+            assert sorted(got[g]) == sorted(want)
+
+    def test_fixed_rows_per_group(self, spark):
+        from h3_indexer_spark.operators.sketches import (
+            quantile_sketch_grouped,
+        )
+
+        df = spark.range(10_000).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.col("id").cast("double").alias("v"),
+        )
+        out = quantile_sketch_grouped(df, "g", "v", F.col("id"), k=16)
+        counts = {
+            r["group"]: r["n"]
+            for r in out.groupBy("group")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert counts == {"0": 16, "1": 16}

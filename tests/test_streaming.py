@@ -1654,3 +1654,90 @@ class TestStreamingStateBounds:
         # grouped state holds at most (active days + window_days - 1)
         # register-set rows — one fixed-size vector per window day
         assert 0 < max_state <= n_days + window_days - 1
+
+
+class TestStreamingQuantileSketch:
+    def test_full_replay_matches_batch_per_window(self, spark, events_dir):
+        """availableNow replay (one file per micro-batch) must end at
+        the SAME per-window register tables as the batch sketch over
+        each window's slice — take the last emission per
+        (window_start, rank)."""
+        from h3_indexer_spark.operators.sketches import quantile_sketch
+        from h3_indexer_spark.streaming.events import (
+            streaming_quantile_sketch,
+        )
+
+        schema = spark.read.parquet(events_dir).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        out = _run_stream(
+            spark,
+            streaming_quantile_sketch(
+                src, "value", ["event_id"], k=16
+            ),
+            output_mode="update",
+        )
+        got = {}
+        for r in out.collect():  # arrival order: later emission wins
+            got[(r["window_start"], r["rank"])] = (
+                r["hash_val"],
+                r["value"],
+            )
+        batch = spark.read.parquet(events_dir).where(
+            F.col("value").isNotNull()
+        )
+        hours = [
+            r["h"]
+            for r in batch.select(
+                F.expr(
+                    "unix_timestamp(ts) - unix_timestamp(ts) % 3600"
+                ).alias("h")
+            )
+            .distinct()
+            .collect()
+        ]
+        want = {}
+        for h in hours:
+            sl = batch.where(
+                F.expr(
+                    f"unix_timestamp(ts) - unix_timestamp(ts) % 3600"
+                    f" = {h}"
+                )
+            )
+            for r in quantile_sketch(
+                sl, "value", F.col("event_id"), k=16
+            ).collect():
+                want[(h, r["rank"])] = (r["hash_val"], r["value"])
+        assert got == want
+
+    def test_state_bounded_by_windows_x_k(self, spark, events_dir):
+        """numRowsTotal <= number of event-time windows — ONE state
+        row per window, each holding a <= k-pair register array."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_quantile_sketch,
+        )
+
+        schema = spark.read.parquet(events_dir).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        _, max_state = _run_stream_max_state_rows(
+            spark,
+            streaming_quantile_sketch(src, "value", ["event_id"], k=16),
+            output_mode="update",
+        )
+        n_windows = (
+            spark.read.parquet(events_dir)
+            .where(F.col("value").isNotNull())
+            .select(
+                F.expr("unix_timestamp(ts) - unix_timestamp(ts) % 3600")
+            )
+            .distinct()
+            .count()
+        )
+        assert 0 < max_state <= n_windows
