@@ -63,10 +63,13 @@ def connected_components(
     toy-to-medium component wall time. Default ``None`` keeps the
     session width — the scale-safe choice when the vertex set itself
     is huge (the label table at 100 TB dedup scale is per-document, so
-    it must be sized like any other per-document shuffle); callers
-    whose vertex set is structurally bounded (DBSCAN's core points
-    after spatial contraction, convergence-capped fixtures) pass a
-    small explicit width.
+    it must be sized like any other per-document shuffle); only
+    callers whose vertex set is STRUCTURALLY bounded should pass a
+    small explicit width. CAVEAT: a non-None width is applied via a
+    session-wide conf set/restore around the loop (Spark has no
+    per-query shuffle width), so it briefly narrows any CONCURRENT
+    query on the same session — use only from single-threaded
+    drivers.
     """
     dirs = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

@@ -511,10 +511,8 @@ def quantile_sketch(
 
     if k < 8:
         raise ValueError(f"k must be >= 8, got {k}")
-    from h3_indexer_spark.operators.curation import md5_band60
-
     rows = df.where(F.col(value_col).isNotNull()).select(
-        md5_band60("", row_key.cast("string")).alias("hash_val"),
+        _md5_60bit(row_key).alias("hash_val"),
         F.col(value_col).cast("double").alias("value"),
     )
     return (
@@ -697,13 +695,11 @@ def quantile_sketch_grouped(
 
     if k < 8:
         raise ValueError(f"k must be >= 8, got {k}")
-    from h3_indexer_spark.operators.curation import md5_band60
-
     rows = df.where(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(
         F.col(group_col).alias("group"),
-        md5_band60("", row_key.cast("string")).alias("hash_val"),
+        _md5_60bit(row_key).alias("hash_val"),
         F.col(value_col).cast("double").alias("value"),
     )
     w = W.partitionBy("group").orderBy("hash_val", "value")

@@ -1279,7 +1279,6 @@ def edit_distance_join(
     # lb - floor(lb/2) chars (segment 1)
     probe_rows = []
     for dl in (-1, 0, 1):
-        lb = (F.length(F.col(text_col)) + F.lit(dl)).alias("_lb")
         probe_rows.append(
             F.struct(
                 F.lit(0).alias("_sidx"),

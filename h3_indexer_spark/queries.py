@@ -9132,19 +9132,30 @@ _SEQ_PATTERNS_ORACLE = """
                      ORDER BY epoch_ns(ts), event_id)
     ),
     cand AS (
+        -- every referenced element carries its own NOT NULL guard:
+        -- the engine drops any candidate whose concat sees a NULL
+        -- event type, so a NULL t0 (or a NULL mid-element with a
+        -- non-null later lead) must not surface as a NULL-pattern
+        -- support row here either (regen-proofing: current testdata
+        -- has no NULL event_type, future testdata may)
         SELECT user_id, t0 AS pattern, 1 AS length FROM s
+          WHERE t0 IS NOT NULL
         UNION ALL SELECT user_id, t0 || ' -> ' || l1, 2
-          FROM s WHERE l1 IS NOT NULL
+          FROM s WHERE t0 IS NOT NULL AND l1 IS NOT NULL
         UNION ALL SELECT user_id, t0 || ' -> ' || l2, 2
-          FROM s WHERE l2 IS NOT NULL
+          FROM s WHERE t0 IS NOT NULL AND l2 IS NOT NULL
         UNION ALL SELECT user_id, t0 || ' -> ' || l1 || ' -> ' || l2, 3
-          FROM s WHERE l2 IS NOT NULL
+          FROM s WHERE t0 IS NOT NULL AND l1 IS NOT NULL
+                   AND l2 IS NOT NULL
         UNION ALL SELECT user_id, t0 || ' -> ' || l1 || ' -> ' || l3, 3
-          FROM s WHERE l3 IS NOT NULL
+          FROM s WHERE t0 IS NOT NULL AND l1 IS NOT NULL
+                   AND l3 IS NOT NULL
         UNION ALL SELECT user_id, t0 || ' -> ' || l2 || ' -> ' || l3, 3
-          FROM s WHERE l3 IS NOT NULL
+          FROM s WHERE t0 IS NOT NULL AND l2 IS NOT NULL
+                   AND l3 IS NOT NULL
         UNION ALL SELECT user_id, t0 || ' -> ' || l2 || ' -> ' || l4, 3
-          FROM s WHERE l4 IS NOT NULL
+          FROM s WHERE t0 IS NOT NULL AND l2 IS NOT NULL
+                   AND l4 IS NOT NULL
     ),
     d AS (SELECT DISTINCT user_id, pattern, length FROM cand),
     p AS (

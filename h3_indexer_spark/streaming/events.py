@@ -1389,7 +1389,7 @@ def streaming_quantile_sketch(
         raise ValueError(f"k must be >= 8, got {k}")
     if not key_cols:
         raise ValueError("need at least one row-identity column")
-    from h3_indexer_spark.operators.curation import md5_band60
+    from h3_indexer_spark.operators.sketches import _md5_60bit
 
     row_key = F.concat_ws(
         "|", *[F.col(c).cast("string") for c in key_cols]
@@ -1397,7 +1397,7 @@ def streaming_quantile_sketch(
     win_s = F.window(F.col(ts_col), window).getField("start")
     contrib = events.where(F.col(value_col).isNotNull()).select(
         win_s.cast("long").alias("_w"),
-        md5_band60("", row_key.cast("string")).alias("_h"),
+        _md5_60bit(row_key).alias("_h"),
         F.col(value_col).cast("double").alias("_v"),
     )
 
