@@ -178,6 +178,8 @@ HEADLINE = [
     "q_kmv_intersect",
     "q_edit_join",
     "q_quantile_sketch_grouped",
+    "q_keywords",
+    "q_h3_compact",
 ]
 
 

@@ -1012,7 +1012,10 @@ def round9_scale(max_factor: int = 50) -> None:
     from h3_indexer_spark.operators.clustering import dbscan
     from h3_indexer_spark.operators.mining import sequential_patterns
     from h3_indexer_spark.operators.sketches import quantile_sketch
-    from h3_indexer_spark.operators.textops import edit_distance_join
+    from h3_indexer_spark.operators.textops import (
+        edit_distance_join,
+        rake_keywords,
+    )
     from h3_indexer_spark.session import get_spark_session
 
     spark = get_spark_session(
@@ -1085,6 +1088,13 @@ def round9_scale(max_factor: int = 50) -> None:
                 ).alias("lng"),
             )
             pts = c if pts is None else pts.unionByName(c)
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        d = scaled(docs, "doc_id", factor, text_col="text").localCheckpoint()
+        nd = d.count()
+        timed(f"rake_keywords x{factor}", rake_keywords(d), nd)
+
         sup = spark.read.parquet(f"{sf}/supplier.parquet")
         # copy prefixes are doubled ("q3q3q") so CROSS-copy name pairs
         # sit at edit distance >= 2 — the output and block sizes stay

@@ -1355,3 +1355,108 @@ def edit_distance_join(
         )
         .where(F.col("edit_dist") <= 1)
     )
+
+
+def rake_keywords(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    quant: float = 1e9,
+    broadcast_vocab: bool = True,
+) -> "DataFrame":
+    """Corpus-level keyword extraction, RAKE-lite (Rose et al. 2010):
+    candidate phrases are maximal runs of non-stopword tokens, each
+    word is scored deg(w)/freq(w) over all phrase occurrences
+    (deg = Σ length of phrases containing w — favors words that
+    co-occur in long informative phrases; freq alone favors common
+    words), and a phrase scores the sum of its words' scores. Output:
+    the top-``k`` distinct phrases by score with occurrence counts —
+    the cheap unsupervised keyword/topic surfacer.
+
+    Simplifications (hence -lite): the stopword lexicon is the tiny
+    shared English profile (the operator shape is the point, swap in
+    a real lexicon via the same column), and punctuation is treated
+    as whitespace rather than as an extra phrase boundary.
+
+    Determinism: per-word scores are FLOOR(quant·deg/freq) BIGINTs
+    (one division each), phrase scores integer-SUM them — no float
+    summation order anywhere (the LM-scoring recipe); clients divide
+    by ``quant``. Phrase text reconstruction sorts by token position
+    (array_sort of (pos, word) structs), never collect order.
+
+    Scale shape: one per-document window (the run-id cumulative sum),
+    one (doc, run) aggregation, one word-keyed aggregation over the
+    phrase-word table, a map-side join back (broadcast when the
+    vocabulary is bounded — ``broadcast_vocab``, same trade as
+    tfidf_topk), and a TakeOrderedAndProject for the top-k. Nothing
+    quadratic, nothing collected."""
+    from pyspark.sql import Window
+
+    stops = [F.lit(w) for w in _LANG_PROFILES["en"]]
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(_lower_tokens(text_col)).alias("_pos", "_w"),
+    ).where(F.col("_w") != "")
+    toks = toks.withColumn("_is_stop", F.col("_w").isin(*stops))
+    wrun = Window.partitionBy("_d").orderBy("_pos")
+    toks = toks.withColumn(
+        "_run", F.sum(F.col("_is_stop").cast("int")).over(wrun)
+    ).where(~F.col("_is_stop"))
+    phrases = (
+        toks.groupBy("_d", "_run")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_w"))
+            ).alias("_ws")
+        )
+        .select(
+            "_d",
+            "_run",
+            F.concat_ws(
+                " ", F.transform(F.col("_ws"), lambda s: s["_w"])
+            ).alias("phrase"),
+            F.transform(F.col("_ws"), lambda s: s["_w"]).alias("_words"),
+            F.size("_ws").alias("_plen"),
+        )
+    )
+    # one row per (phrase OCCURRENCE, word) — the occurrence key
+    # (_d, _run) stays attached so identical phrase texts don't merge
+    # before their per-occurrence score is computed
+    pw = phrases.select(
+        "_d", "_run", "phrase", "_plen", F.explode("_words").alias("_w")
+    )
+    word_scores = pw.groupBy("_w").agg(
+        F.floor(
+            F.lit(float(quant))
+            * F.sum("_plen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("_wscore_q")
+    )
+    ws_side = F.broadcast(word_scores) if broadcast_vocab else word_scores
+    occ_scores = (
+        pw.join(ws_side, "_w")
+        .groupBy("_d", "_run", "phrase")
+        .agg(F.sum("_wscore_q").alias("_score_q"))
+    )
+    # identical phrase text ⇒ identical word multiset ⇒ identical
+    # score (word scores are corpus-level), so MIN is exact, not a
+    # tiebreak
+    per_phrase = occ_scores.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.min("_score_q").alias("score_q"),
+    )
+    from pyspark.sql import Window as W
+
+    top = per_phrase.orderBy(
+        F.col("score_q").desc(), F.col("phrase").asc()
+    ).limit(k)
+    rk = W.orderBy(F.col("score_q").desc(), F.col("phrase").asc())
+    return top.select(
+        "phrase",
+        "n_occurrences",
+        "score_q",
+        F.row_number().over(rk).cast("bigint").alias("rnk"),
+    )

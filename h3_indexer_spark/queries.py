@@ -9377,11 +9377,178 @@ _QUANTILE_SKETCH_GROUPED_ORACLE = """
 """
 
 
+def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-lite corpus keywords (operators/textops.py::
+    rake_keywords): top-10 stopword-delimited phrases by the
+    deg/freq word-score sum — per-word scores FLOOR-quantized
+    BIGINTs so phrase scores integer-sum order-free (the LM-scoring
+    recipe); phrase text reconstructed by token position, never
+    collect order."""
+    from h3_indexer_spark.operators.textops import rake_keywords
+
+    return rake_keywords(load(spark, sf_dir, "documents"))
+
+
+_KEYWORDS_ORACLE = """
+    WITH toks0 AS (
+        SELECT doc_id,
+               string_split_regex(
+                   lower(regexp_replace(text, '[^\\w\\s]', ' ', 'g')),
+                   '\\s+') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, p.pos AS pos, p.w AS w
+        FROM toks0,
+             unnest(list_transform(
+                 range(1, len(ws) + 1),
+                 i -> {'pos': i, 'w': ws[i]})) AS t(p)
+        WHERE p.w <> ''
+    ),
+    flagged AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN w IN ('the','and','of','to','a','in','is',
+                               'that','it','for')
+                    THEN 1 ELSE 0 END AS is_stop
+        FROM toks
+    ),
+    runs AS (
+        SELECT doc_id, pos, w,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run
+        FROM flagged
+        QUALIFY is_stop = 0
+    ),
+    p AS (
+        SELECT doc_id, run,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               COUNT(*) AS plen
+        FROM runs GROUP BY doc_id, run
+    ),
+    pw AS (
+        SELECT r.doc_id, r.run, p.phrase, p.plen, r.w
+        FROM runs r JOIN p ON r.doc_id = p.doc_id AND r.run = p.run
+    ),
+    wscore AS (
+        SELECT w,
+               CAST(FLOOR(1000000000.0
+                          * CAST(SUM(plen) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS wscore_q
+        FROM pw GROUP BY w
+    ),
+    occ AS (
+        SELECT pw.doc_id, pw.run, pw.phrase,
+               CAST(SUM(s.wscore_q) AS BIGINT) AS score_q
+        FROM pw JOIN wscore s ON pw.w = s.w
+        GROUP BY pw.doc_id, pw.run, pw.phrase
+    ),
+    agg AS (
+        SELECT phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               MIN(score_q) AS score_q
+        FROM occ GROUP BY phrase
+    ),
+    top AS (
+        SELECT phrase, n_occurrences, score_q FROM agg
+        ORDER BY score_q DESC, phrase ASC LIMIT 10
+    )
+    SELECT phrase, n_occurrences, score_q,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY score_q DESC, phrase ASC) AS BIGINT) AS rnk
+    FROM top
+"""
+
+
 QUERIES["q_seq_patterns"] = q_seq_patterns
 QUERIES["q_quantile_sketch"] = q_quantile_sketch
 QUERIES["q_kmv_intersect"] = q_kmv_intersect
 QUERIES["q_edit_join"] = q_edit_join
 QUERIES["q_quantile_sketch_grouped"] = q_quantile_sketch_grouped
+def q_h3_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 cell-set compaction (operators/hexops.py::compact_cells_df
+    — native bit-op parents, pentagon-aware family counts, one
+    shrinking groupBy per resolution level). The input set is 150
+    res-5 descendants of one res-2 hexagon (586138653651107839, the
+    cell over 40N 100W), digits driven by customer keys — pure bit
+    arithmetic, so the DuckDB oracle can synthesize the SAME cells
+    and replay the SAME family-of-7 promotion with integer ops: the
+    planted set compacts 150 → 18 cells across three resolutions
+    (10 res-5 + 6 res-4 + 2 res-3), exercising two promotion levels.
+    The base is a hexagon, so every descendant is a hexagon and the
+    oracle's family size is exactly 7; res-3 cells present are ≤ 3
+    siblings, so deeper levels are provably no-ops and the oracle
+    stops where promotion stops."""
+    from h3_indexer_spark.functions.h3.sql import h3_long_to_string
+    from h3_indexer_spark.operators.hexops import compact_cells_df
+
+    k = F.col("c_custkey")
+    cell = (
+        F.lit(599648903851147263)  # base50: res nibble 5, digits 3-5 = 0
+        + F.expr("c_custkey div 49 % 7") * F.lit(68719476736)
+        + F.expr("c_custkey div 7 % 7") * F.lit(8589934592)
+        + (k % 7) * F.lit(1073741824)
+    )
+    cells = (
+        load(spark, sf_dir, "customer")
+        .where(k <= 150)
+        .select(h3_long_to_string(cell).alias("h3_index"))
+    )
+    return compact_cells_df(cells)
+
+
+_H3_COMPACT_ORACLE = """
+    WITH cells AS (
+        SELECT DISTINCT
+               599648903851147263
+               + (c_custkey // 49 % 7) * 68719476736
+               + (c_custkey // 7 % 7) * 8589934592
+               + (c_custkey % 7) * 1073741824 AS c
+        FROM customer WHERE c_custkey <= 150
+    ),
+    -- level res5 -> res4: parent = clear res nibble, set res=4,
+    -- fill digit 5 with 7; promote families of exactly 7
+    p5 AS (
+        SELECT c,
+               ((c & -67553994410557441) | 18014398509481984
+                | 7516192768) AS p
+        FROM cells
+    ),
+    full4 AS (
+        SELECT p FROM p5 GROUP BY p HAVING COUNT(*) = 7
+    ),
+    keep5 AS (
+        SELECT c FROM p5 WHERE p NOT IN (SELECT p FROM full4)
+    ),
+    -- level res4 -> res3 over the promoted res-4 cells
+    p4 AS (
+        SELECT p AS c,
+               ((p & -67553994410557441) | 13510798882111488
+                | 60129542144) AS p3
+        FROM full4
+    ),
+    full3 AS (
+        SELECT p3 FROM p4 GROUP BY p3 HAVING COUNT(*) = 7
+    ),
+    keep4 AS (
+        SELECT c FROM p4 WHERE p3 NOT IN (SELECT p3 FROM full3)
+    ),
+    -- res-3 survivors can be at most 3 siblings (digit-3 values are
+    -- c_custkey // 49 % 7 for custkey <= 150 -> {0,1,2,3} minus
+    -- non-promoted), so res3 -> res2 can never promote: stop here
+    allout AS (
+        SELECT c FROM keep5
+        UNION ALL SELECT c FROM keep4
+        UNION ALL SELECT p3 AS c FROM full3
+    )
+    SELECT lower(format('{:x}', c)) AS h3_index FROM allout
+"""
+
+
+QUERIES["q_keywords"] = q_keywords
+QUERIES["q_h3_compact"] = q_h3_compact
+ORACLES["q_keywords"] = _KEYWORDS_ORACLE
+ORACLES["q_h3_compact"] = _H3_COMPACT_ORACLE
 ORACLES["q_seq_patterns"] = _SEQ_PATTERNS_ORACLE
 ORACLES["q_quantile_sketch"] = _QUANTILE_SKETCH_ORACLE
 ORACLES["q_kmv_intersect"] = _KMV_INTERSECT_ORACLE
@@ -9393,9 +9560,10 @@ ORACLES["q_quantile_sketch_grouped"] = _QUANTILE_SKETCH_GROUPED_ORACLE
 # the FIRST 50 QUERIES entries in dict order): the 11 keys whose
 # latest driver row is still round 4 (deferred from the round-8
 # rotation — this finally meets the "no oracle key's latest row
-# predates round 5" bar), the 5 round-9 debuts, and the
-# alphabetically-first 34 of the 48 keys whose latest row is round 5
-# (the remaining 14 round-5 keys — q_regression, q_repetition,
+# predates round 5" bar), the 7 round-9 debuts, and the
+# alphabetically-first 32 of the 48 keys whose latest row is round 5
+# (the remaining 16 round-5 keys — q_profile, q_rebalance_sources,
+# q_regression, q_repetition,
 # q_scan_parquet, q_semantic_dedup, q_seq_pack,
 # q_snapshot_diff, q_time_rollup, q_top_paths, q_transitions,
 # q_triangles, q_twap, q_unpivot, q_url_normalize, q_weighted_sample
@@ -9420,7 +9588,9 @@ _WINDOW_R9 = [
     "q_kmv_intersect",
     "q_edit_join",
     "q_quantile_sketch_grouped",
-    # alphabetically-first 34 round-5-stale keys
+    "q_keywords",
+    "q_h3_compact",
+    # alphabetically-first 32 round-5-stale keys
     "q_active_users",
     "q_analytics_pipeline",
     "q_anomalies",
@@ -9453,8 +9623,6 @@ _WINDOW_R9 = [
     "q_ntile_bins",
     "q_one_hot",
     "q_pii_scrub",
-    "q_profile",
-    "q_rebalance_sources",
 ]
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 assert len(set(_WINDOW_R9)) == 50

@@ -560,3 +560,48 @@ class TestQuantileSketchGrouped:
             .collect()
         }
         assert counts == {"0": 16, "1": 16}
+
+
+class TestRakeKeywords:
+    def test_phrase_split_and_scores(self, spark):
+        """'deep learning' beats single words: deg/freq rewards
+        co-occurrence in longer phrases; runs split at stopwords."""
+        from h3_indexer_spark.operators.textops import rake_keywords
+
+        df = spark.createDataFrame(
+            [
+                (0, "deep learning for the win"),
+                (1, "deep learning and deep nets"),
+                (2, "the win"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = rake_keywords(df, k=20).collect()
+        got = {r["phrase"]: (r["n_occurrences"], r["score_q"]) for r in rows}
+        # runs: 'deep learning' x2, 'win' x2, 'deep nets' x1
+        assert got["deep learning"][0] == 2
+        assert got["win"][0] == 2
+        assert "deep nets" in got
+        # 'the'/'and'/'for' never appear as phrase words
+        assert all(
+            w not in ("the", "and", "for")
+            for p in got
+            for w in p.split(" ")
+        )
+        # deg/freq: 'deep' appears in 3 phrases (len 2,2,2) ->
+        # score 2e9; 'learning' 2e9; phrase 'deep learning' = 4e9,
+        # strictly above any single-word phrase
+        assert got["deep learning"][1] > got["win"][1]
+
+    def test_identical_phrases_share_one_row(self, spark):
+        from h3_indexer_spark.operators.textops import rake_keywords
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta") for i in range(5)],
+            "doc_id long, text string",
+        )
+        rows = rake_keywords(df, k=10).collect()
+        assert len(rows) == 1
+        assert rows[0]["phrase"] == "alpha beta"
+        assert rows[0]["n_occurrences"] == 5
+        assert rows[0]["rnk"] == 1
