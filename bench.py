@@ -180,6 +180,7 @@ HEADLINE = [
     "q_quantile_sketch_grouped",
     "q_keywords",
     "q_h3_compact",
+    "q_theil_sen",
 ]
 
 

@@ -2489,3 +2489,84 @@ def ohlc_bars(
             F.col("_s").cast("double").alias("value_sum"),
         )
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_key: Column,
+    k: int = 256,
+) -> DataFrame:
+    """Theil-Sen robust regression (Theil 1950/Sen 1968): slope =
+    median of pairwise slopes, intercept = median of (y − slope·x) —
+    the 29%-breakdown-point line fit that shrugs off outliers OLS
+    chases. Exact Theil-Sen is O(n²) pairs; this is the standard
+    bounded variant: a DETERMINISTIC hash sample (the k smallest
+    md5-60 priorities of ``id_key`` — the quantile-sketch/KMV order-
+    sampling primitive, no RNG state) supplies the pair population,
+    so pair work is k²/2 whatever the data volume, while the
+    intercept's median runs over the FULL data with the fitted slope.
+
+    Output: one row (slope, intercept, n_sample, n_pairs). Both
+    medians are exact interpolated percentiles (the cross-engine
+    bit-parity primitive); equal-x pairs are excluded (undefined
+    slope). Scale: bottom-k is a TakeOrderedAndProject; the pair
+    self-join is broadcast-sized by construction; the intercept
+    median is the one full-data pass."""
+    from h3_indexer_spark.operators.sketches import _md5_60bit
+
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+    pts = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            _md5_60bit(id_key).alias("_h"),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        )
+        .orderBy("_h", "_x", "_y")
+        .limit(k)
+    )
+    a = pts.select(
+        F.col("_h").alias("_ha"), F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+    )
+    b = pts.select(
+        F.col("_h").alias("_hb"), F.col("_x").alias("_xb"),
+        F.col("_y").alias("_yb"),
+    )
+    slopes = (
+        a.crossJoin(F.broadcast(b))
+        .where((F.col("_ha") < F.col("_hb")) & (F.col("_xa") != F.col("_xb")))
+        .select(
+            (
+                (F.col("_yb") - F.col("_ya"))
+                / (F.col("_xb") - F.col("_xa"))
+            ).alias("_s")
+        )
+    )
+    fit = slopes.agg(
+        F.expr("percentile(_s, 0.5)").alias("slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    ).crossJoin(
+        F.broadcast(pts.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample")))
+    )
+    full = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    return (
+        full.crossJoin(F.broadcast(fit))
+        .select(
+            "slope",
+            "n_pairs",
+            "n_sample",
+            (F.col("_y") - F.col("slope") * F.col("_x")).alias("_r"),
+        )
+        .groupBy("slope", "n_pairs", "n_sample")
+        .agg(F.expr("percentile(_r, 0.5)").alias("intercept"))
+        .select("slope", "intercept", "n_sample", "n_pairs")
+    )

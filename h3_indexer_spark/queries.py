@@ -9545,10 +9545,69 @@ _H3_COMPACT_ORACLE = """
 """
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust line fit (operators/analytics.py::theil_sen)
+    of extended price on quantity: slope = median pairwise slope over
+    a deterministic 256-row hash sample (bounded k²/2 pair work),
+    intercept = full-data median residual — both exact interpolated
+    percentiles (the cross-engine bit-parity primitive); equal-x
+    pairs excluded."""
+    from h3_indexer_spark.operators.analytics import theil_sen
+
+    li = load(spark, sf_dir, "lineitem")
+    return theil_sen(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        k=256,
+    )
+
+
+_THEIL_SEN_ORACLE = """
+    WITH pts AS (
+        SELECT CAST('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR)), 18, 15)
+               AS BIGINT) AS h,
+               CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ORDER BY 1, 2, 3 LIMIT 256
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.x - a.x) AS s
+        FROM pts a JOIN pts b ON a.h < b.h AND a.x <> b.x
+    ),
+    fit AS (
+        SELECT quantile_cont(s, 0.5) AS slope,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM slopes
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample FROM pts)
+    SELECT f.slope,
+           quantile_cont(CAST(l.l_extendedprice AS DOUBLE)
+                         - f.slope * CAST(l.l_quantity AS DOUBLE),
+                         0.5) AS intercept,
+           ns.n_sample,
+           f.n_pairs
+    FROM lineitem l CROSS JOIN fit f CROSS JOIN ns
+    WHERE l.l_quantity IS NOT NULL AND l.l_extendedprice IS NOT NULL
+    GROUP BY f.slope, ns.n_sample, f.n_pairs
+"""
+
+
 QUERIES["q_keywords"] = q_keywords
 QUERIES["q_h3_compact"] = q_h3_compact
+QUERIES["q_theil_sen"] = q_theil_sen
 ORACLES["q_keywords"] = _KEYWORDS_ORACLE
 ORACLES["q_h3_compact"] = _H3_COMPACT_ORACLE
+ORACLES["q_theil_sen"] = _THEIL_SEN_ORACLE
 ORACLES["q_seq_patterns"] = _SEQ_PATTERNS_ORACLE
 ORACLES["q_quantile_sketch"] = _QUANTILE_SKETCH_ORACLE
 ORACLES["q_kmv_intersect"] = _KMV_INTERSECT_ORACLE
@@ -9560,9 +9619,9 @@ ORACLES["q_quantile_sketch_grouped"] = _QUANTILE_SKETCH_GROUPED_ORACLE
 # the FIRST 50 QUERIES entries in dict order): the 11 keys whose
 # latest driver row is still round 4 (deferred from the round-8
 # rotation — this finally meets the "no oracle key's latest row
-# predates round 5" bar), the 7 round-9 debuts, and the
-# alphabetically-first 32 of the 48 keys whose latest row is round 5
-# (the remaining 16 round-5 keys — q_profile, q_rebalance_sources,
+# predates round 5" bar), the 8 round-9 debuts, and the
+# alphabetically-first 31 of the 48 keys whose latest row is round 5
+# (the remaining 17 round-5 keys — q_pii_scrub, q_profile, q_rebalance_sources,
 # q_regression, q_repetition,
 # q_scan_parquet, q_semantic_dedup, q_seq_pack,
 # q_snapshot_diff, q_time_rollup, q_top_paths, q_transitions,
@@ -9590,7 +9649,8 @@ _WINDOW_R9 = [
     "q_quantile_sketch_grouped",
     "q_keywords",
     "q_h3_compact",
-    # alphabetically-first 32 round-5-stale keys
+    "q_theil_sen",
+    # alphabetically-first 31 round-5-stale keys
     "q_active_users",
     "q_analytics_pipeline",
     "q_anomalies",
@@ -9622,7 +9682,6 @@ _WINDOW_R9 = [
     "q_moments",
     "q_ntile_bins",
     "q_one_hot",
-    "q_pii_scrub",
 ]
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 assert len(set(_WINDOW_R9)) == 50

@@ -32,7 +32,7 @@ def test_queries_and_oracles_consistent():
 # (queries.py::_WINDOW_R9): the 11 keys whose latest driver row is
 # round 4 (deferred from round 8's rotation — this finally meets the
 # "no oracle key's latest row predates round 5" bar), every round-9
-# debut, and the alphabetically-first 32 of the 48 round-5-stale
+# debut, and the alphabetically-first 31 of the 48 round-5-stale
 # keys.
 STALE_R4 = {
     "q_clean_lines", "q_explode", "q_fingerprint", "q_gap_fill",
@@ -50,11 +50,12 @@ PLANNED_R9 = {
     "q_quantile_sketch_grouped",
     "q_keywords",
     "q_h3_compact",
+    "q_theil_sen",
 }
-# the 16 round-5 keys the 50-slot budget defers to round 10 (the
+# the 17 round-5 keys the 50-slot budget defers to round 10 (the
 # local mirror re-verifies them every session regardless)
 DEFERRED_TO_R10 = {
-    "q_profile", "q_rebalance_sources",
+    "q_pii_scrub", "q_profile", "q_rebalance_sources",
     "q_regression", "q_repetition",
     "q_scan_parquet", "q_semantic_dedup", "q_seq_pack", "q_snapshot_diff",
     "q_time_rollup", "q_top_paths", "q_transitions", "q_triangles",

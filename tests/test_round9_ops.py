@@ -605,3 +605,37 @@ class TestRakeKeywords:
         assert rows[0]["phrase"] == "alpha beta"
         assert rows[0]["n_occurrences"] == 5
         assert rows[0]["rnk"] == 1
+
+
+class TestTheilSen:
+    def test_robust_to_outliers(self, spark):
+        """A planted y=3x+5 line with 10%% wild outliers: Theil-Sen
+        recovers slope~3 and intercept~5 where OLS would be dragged."""
+        rows = []
+        for i in range(1, 401):
+            y = 3.0 * i + 5.0
+            if i % 10 == 0:
+                y += 100_000.0  # outlier
+            rows.append((i, float(i), y))
+        from h3_indexer_spark.operators.analytics import theil_sen
+
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        r = theil_sen(df, "x", "y", F.col("id"), k=128).collect()[0]
+        assert abs(r["slope"] - 3.0) < 0.2
+        assert abs(r["intercept"] - 5.0) < 60.0
+        assert r["n_sample"] == 128
+        assert r["n_pairs"] > 0
+
+    def test_deterministic(self, spark):
+        from h3_indexer_spark.operators.analytics import theil_sen
+
+        df = spark.range(500).select(
+            F.col("id"),
+            (F.col("id") % 37).cast("double").alias("x"),
+            (F.col("id") % 91).cast("double").alias("y"),
+        )
+        a = theil_sen(df, "x", "y", F.col("id"), k=64).collect()[0]
+        b = theil_sen(
+            df.repartition(13), "x", "y", F.col("id"), k=64
+        ).collect()[0]
+        assert tuple(a) == tuple(b)
