@@ -181,6 +181,14 @@ HEADLINE = [
     "q_keywords",
     "q_h3_compact",
     "q_theil_sen",
+    "q_anova",
+    "q_bootstrap_ci",
+    "q_graph_jaccard",
+    "q_log_odds",
+    "q_mutual_best",
+    "q_cramers_v",
+    "q_did",
+    "q_psm_match",
 ]
 
 

@@ -1138,6 +1138,152 @@ def round9_scale(max_factor: int = 50) -> None:
         )
 
 
+def round9b_scale(max_factor: int = 50) -> None:
+    """Round-9 continuation curves: one-way ANOVA, Poisson bootstrap
+    CI, Jaccard link prediction, fightin'-words log-odds, reciprocal
+    best match.
+
+    Run: ``python examples/scale_check.py <max_factor> round9b``."""
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.analytics import (
+        bootstrap_mean_ci,
+        one_way_anova,
+    )
+    from h3_indexer_spark.operators.graph import jaccard_link_prediction
+    from h3_indexer_spark.operators.textops import (
+        log_odds_terms,
+        reciprocal_best_match,
+    )
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r9b", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+
+    for factor in (1, 5, 20, max_factor):
+        l = scaled(
+            li.withColumn("_id", F.col("l_orderkey")), "_id", factor
+        ).localCheckpoint()
+        nl = l.count()
+        timed(
+            f"one_way_anova x{factor}",
+            one_way_anova(l, "l_returnflag", "l_extendedprice"),
+            nl,
+        )
+
+        o = scaled(orders, "o_orderkey", factor).localCheckpoint()
+        no = o.count()
+        timed(
+            f"bootstrap_ci(B=100) x{factor}",
+            bootstrap_mean_ci(o, "o_orderkey", "o_totalprice", b=100),
+            no,
+        )
+
+        # log-odds: vocabulary held CONSTANT across factors (text
+        # copies unprefixed) — token volume grows linearly while the
+        # vocab shuffle stays Zipf-bounded, the 100 TB regime
+        d = scaled(docs, "doc_id", factor).localCheckpoint()
+        nd = d.count()
+        timed(
+            f"log_odds_terms x{factor}",
+            log_odds_terms(d, "lang", "en", min_count=50),
+            nd,
+        )
+
+        # mutual best: doubled copy prefixes keep cross-copy pairs at
+        # distance >= 2 (the edit_distance_join fixture rule), so
+        # block sizes and output stay linear in the factor
+        nsup = sup.count()
+        s_scaled = None
+        for i in range(factor):
+            c = sup.select(
+                (F.col("s_suppkey") + F.lit(i * 10 * nsup)).alias(
+                    "s_suppkey"
+                ),
+                F.concat(
+                    F.lit(f"q{i}q{i}q" if i else ""), F.col("s_name")
+                ).alias("s_name"),
+            )
+            s_scaled = c if s_scaled is None else s_scaled.unionByName(c)
+        s_scaled = s_scaled.localCheckpoint()
+        ns = s_scaled.count()
+        timed(
+            f"reciprocal_best_match x{factor}",
+            reciprocal_best_match(
+                s_scaled, "s_suppkey", "s_name", max_dist=2, prefix_len=12
+            ),
+            ns,
+        )
+
+        # jaccard link prediction over the sampled co-purchase graph
+        # (the adamic_adar fixture: copies shift the order key so pair
+        # volume is copy-local)
+        items = (
+            l.where(F.expr("_id % 4 = 0"))
+            .select(F.col("_id").alias("l_orderkey"), "l_partkey")
+            .distinct()
+            .localCheckpoint()
+        )
+        a = items.select(
+            F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
+        )
+        b = items.select(
+            F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
+        )
+        edges = (
+            a.join(b, "_b")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        ni = items.count()
+        timed(
+            f"jaccard_link_pred x{factor}",
+            jaccard_link_prediction(edges, min_common=2),
+            ni,
+        )
+
+        # causal pair: PSM banding over grown customers (disjoint key
+        # copies keep per-band density constant so candidate volume is
+        # linear), DiD's 1-row fold over grown orders
+        from h3_indexer_spark.operators.analytics import (
+            diff_in_diff,
+            psm_match,
+        )
+
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        cu = scaled(cust, "c_custkey", factor).select(
+            "c_custkey", "c_acctbal",
+            (F.col("c_custkey") % 2 == 0).alias("treated"),
+        ).localCheckpoint()
+        nc = cu.count()
+        timed(
+            f"psm_match x{factor}",
+            psm_match(cu, "c_custkey", "treated", "c_acctbal", 5.0),
+            nc,
+        )
+        o2 = o.select(
+            "o_totalprice",
+            (F.col("o_custkey") % 2 == 0).alias("treated"),
+            (F.col("o_orderdate")
+             >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+             ).alias("post"),
+        )
+        timed(
+            f"diff_in_diff x{factor}",
+            diff_in_diff(o2, "treated", "post", "o_totalprice"),
+            no,
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[2] == "round6":
         round6_scale(int(sys.argv[1]))
@@ -1151,5 +1297,7 @@ if __name__ == "__main__":
         round8b_scale(int(sys.argv[1]))
     elif len(sys.argv) > 2 and sys.argv[2] == "round9":
         round9_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round9b":
+        round9b_scale(int(sys.argv[1]))
     else:
         main()

@@ -2570,3 +2570,414 @@ def theil_sen(
         .agg(F.expr("percentile(_r, 0.5)").alias("intercept"))
         .select("slope", "intercept", "n_sample", "n_pairs")
     )
+
+
+def one_way_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA over ``value_col`` across the levels of
+    ``group_col``: the F statistic for "do the group means differ"
+    plus the eta-squared effect size — the k-sample generalization of
+    the two-arm readout (ab_test_zscore) every experiment platform
+    ships.
+
+    Determinism (the k-group hazard): SSB = Σ_g S_g²/n_g − S²/N needs
+    a SUM over the k group terms, and a float SUM's addend order is
+    engine-scheduled. Each group's term is therefore quantized to the
+    exact DECIMAL(38,6) CAST of the double (S_g·S_g)/n_g and
+    DECIMAL-summed, so the fold is order-free (the LM-score
+    quantization recipe, in decimal because a FLOOR-to-BIGINT
+    overflows 2^63 once Σv reaches ~1e10 — Spark's floor(double)
+    returns LONG). The input double is bit-identical in any IEEE
+    engine because S_g and n_g are exact: DECIMAL(18,4) sums — 18
+    digits keeps the v·v product at precision 37 ≤ 38 so Σv² stays
+    EXACT in both engines, unlike (19,4) whose product overflows
+    Spark's decimal cap and silently rounds scale 8 → 7 — and a
+    rounded double→decimal cast of the SAME binary double cannot
+    straddle a tie (no binary64 value sits exactly on a 1e-6
+    boundary), so the tie-breaking mode never fires. The final
+    compound F is fixed IEEE op order, ROUND 9.
+
+    Scale: ONE groupBy(group) with map-side partial sums, then a
+    k-row fold — nothing else touches the data. k (distinct groups)
+    is assumed report-sized (it is the number of experiment arms /
+    categories), so the second aggregation is a single-partition
+    no-op at any corpus size.
+
+    Output: one row (k_groups, n_total, f_stat, eta_sq); f_stat is
+    NULL when k < 2 or N ≤ k (no within-group degrees of freedom).
+    """
+    v = F.col(value_col).cast("decimal(18,4)")
+    g = (
+        df.where(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_q"),
+        )
+    )
+    sd = F.col("_s").cast("double")
+    nd = F.col("_n").cast("double")
+    term_q = ((sd * sd) / nd).cast("decimal(38,6)")
+    fold = g.select("_n", "_s", "_q", term_q.alias("_tq")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.sum(F.col("_s").cast("decimal(38,4)")).alias("_ss"),
+        F.sum(F.col("_q").cast("decimal(38,8)")).alias("_qq"),
+        F.sum("_tq").alias("_t"),
+    )
+    k = F.col("k_groups").cast("double")
+    n = F.col("n_total").cast("double")
+    t = F.col("_t").cast("double")
+    grand = (F.col("_ss").cast("double") * F.col("_ss").cast("double")) / n
+    ssb = t - grand
+    ssw = F.col("_qq").cast("double") - t
+    f_ok = (F.col("k_groups") >= 2) & (
+        F.col("n_total") > F.col("k_groups")
+    )
+    return fold.select(
+        "k_groups",
+        "n_total",
+        F.round(
+            F.when(f_ok, (ssb / (k - F.lit(1.0))) / (ssw / (n - k))), 9
+        ).alias("f_stat"),
+        F.round(F.when(f_ok, ssb / (ssb + ssw)), 9).alias("eta_sq"),
+    )
+
+
+# Poisson(1) CDF thresholds on the shared 60-bit uniform scale:
+# a draw u ∈ [0, 2^60) maps to the bootstrap weight
+# w = |{k : u ≥ _POISSON1_Q60[k]}| ∈ [0, 8] — truncated-Poisson(1)
+# resampling counts (P(w > 8) < 1e-9; E[w] = 1 to the truncation).
+# The thresholds are INTEGER literals computed once here and embedded
+# verbatim in the SQL oracle, so no transcendental is evaluated at
+# query time in either engine.
+def _poisson1_q60() -> list[int]:
+    import math
+
+    cdf, out = 0.0, []
+    for kk in range(8):
+        cdf += math.exp(-1.0) / math.factorial(kk)
+        out.append(math.floor(cdf * 2**60))
+    return out
+
+
+_POISSON1_Q60 = _poisson1_q60()
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    b: int = 100,
+    alpha: float = 0.025,
+    seed_prefix: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean of
+    ``value_col`` — the scale-out resampling scheme (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", and the
+    standard trick behind distributed CIs): instead of materializing
+    B resamples, every row draws an independent Poisson(1) resampling
+    WEIGHT per replicate, so one scan computes all B replicate means.
+
+    Determinism: the weight for (row, rep) comes from the shared
+    60-bit md5 band (curation.md5_band60 — the cross-operator
+    determinism contract) compared against precomputed integer CDF
+    thresholds (_POISSON1_Q60); replicate means are exact
+    DECIMAL sums divided once in double. The CI bounds are ORDER
+    STATISTICS of the B replicate means (ceil(alpha·B)-th /
+    (B+1−that)-th of the sorted means, rep-id tiebreak) — no float
+    interpolation to disagree on.
+
+    Scale: the explode fans each row to B rows, but map-side partial
+    aggregation collapses them to ≤ B accumulator rows per partition
+    before the shuffle — the exchange carries B rows/partition
+    regardless of input size, and the rank window runs over exactly
+    B rows. Cost is B hashes per input row, the honest price of a
+    bootstrap; B is the knob.
+
+    Output: one row (n_rows, point_mean, b_reps, ci_lo, ci_hi).
+    """
+    from h3_indexer_spark.operators.curation import md5_band60
+
+    if not 1 <= b <= 10_000:
+        raise ValueError(f"b must be in [1, 10000]: {b}")
+    import math
+
+    lo_rank = max(1, math.ceil(alpha * b))
+    hi_rank = b + 1 - lo_rank
+    v = F.col(value_col).cast("decimal(18,4)")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("_k"), v.alias("_v")
+    )
+    u = md5_band60(
+        F.lit(seed_prefix),
+        F.concat(F.col("_k"), F.lit(":"), F.col("rep").cast("string")),
+    )
+    w = None
+    for t in _POISSON1_Q60:
+        c = (F.col("_u") >= F.lit(t)).cast("int")
+        w = c if w is None else w + c
+    means = (
+        base.select(
+            "_k",
+            "_v",
+            F.explode(F.expr(f"sequence(1, {b})")).alias("rep"),
+        )
+        .select("rep", "_v", u.alias("_u"))
+        .select("rep", "_v", w.alias("_w"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).alias("_sw"),
+            F.sum("_w").cast("bigint").alias("_nw"),
+        )
+        .select(
+            "rep",
+            F.when(
+                F.col("_nw") > 0,
+                F.col("_sw").cast("double") / F.col("_nw").cast("double"),
+            ).alias("_mean"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("_mean").asc(), F.col("rep").asc())
+    )
+    ci = (
+        means.select("_mean", rn.alias("_rn"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("b_reps"),
+            F.min(F.when(F.col("_rn") == lo_rank, F.col("_mean"))).alias(
+                "ci_lo"
+            ),
+            F.min(F.when(F.col("_rn") == hi_rank, F.col("_mean"))).alias(
+                "ci_hi"
+            ),
+        )
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum("_v").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("point_mean"),
+    )
+    return point.crossJoin(F.broadcast(ci))
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cramér's V effect size for two categorical columns — the
+    bounded [0, 1] strength readout on top of
+    chi_square_independence's per-cell table (chi-square says
+    "dependent?", V says "how much" and is comparable across tables
+    of different size and shape).
+
+    The cross-cell χ² fold is the k-group hazard again (float SUM
+    order): each cell's contribution — a deterministic double over
+    exact integer counts — is quantized to DECIMAL(38,12) and
+    DECIMAL-summed (the one_way_anova recipe), then
+    V = sqrt((χ²/n) / (min(r,c) − 1)) in fixed IEEE op order,
+    ROUND 9. Scale: chi_square_independence's ONE two-key groupBy
+    dominates; this adds a cell-cardinality fold.
+
+    Output: one row (n_obs, r_levels, c_levels, chi2, cramers_v);
+    V is NULL for a degenerate 1×c / r×1 table.
+    """
+    cells = chi_square_independence(df, col_a, col_b)
+    fold = cells.agg(
+        F.sum("observed").cast("bigint").alias("n_obs"),
+        F.count_distinct(F.col(col_a)).cast("bigint").alias("r_levels"),
+        F.count_distinct(F.col(col_b)).cast("bigint").alias("c_levels"),
+        F.sum(F.col("contribution").cast("decimal(38,12)")).alias("_chi2"),
+    )
+    chi2 = F.col("_chi2").cast("double")
+    n = F.col("n_obs").cast("double")
+    mindim = F.least(F.col("r_levels"), F.col("c_levels")).cast("double")
+    ok = (F.col("r_levels") >= 2) & (F.col("c_levels") >= 2) & (
+        F.col("n_obs") > 0
+    )
+    return fold.select(
+        "n_obs",
+        "r_levels",
+        "c_levels",
+        F.round(chi2, 9).alias("chi2"),
+        F.round(
+            F.when(ok, F.sqrt((chi2 / n) / (mindim - F.lit(1.0)))), 9
+        ).alias("cramers_v"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences readout: the 2×2
+    (treated, pre/post) mean table and the DiD estimate
+    (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) — the workhorse
+    causal contrast for launches and natural experiments, under the
+    parallel-trends assumption (which is the analyst's to defend; the
+    engine's job is the exact readout). ``treat_col`` / ``post_col``
+    are boolean columns.
+
+    ONE conditional aggregation (the ab_test_zscore shape): four
+    exact DECIMAL(18,4) sums and four counts folded map-side to a
+    single row — no shuffle beyond the 1-row fold, and every mean is
+    exact-decimal ÷ exact-count in one IEEE op; the DiD compound is
+    fixed op order, ROUND 12. A missing cell (n=0) yields NULL means
+    and a NULL estimate rather than zero rows.
+
+    Output: one row (n_t_pre, n_t_post, n_c_pre, n_c_post,
+    mean_t_pre, mean_t_post, mean_c_pre, mean_c_post, did).
+    """
+    v = F.col(value_col).cast("decimal(18,4)")
+    t, p = F.col(treat_col), F.col(post_col)
+    cells = {
+        "t_post": t & p,
+        "t_pre": t & ~p,
+        "c_post": ~t & p,
+        "c_pre": ~t & ~p,
+    }
+    aggs = []
+    for name, cond in cells.items():
+        aggs.append(
+            F.count(F.when(cond, F.lit(1))).alias(f"n_{name}")
+        )
+        aggs.append(F.sum(F.when(cond, v)).alias(f"_s_{name}"))
+    j = df.where(
+        F.col(value_col).isNotNull()
+        & t.isNotNull()
+        & p.isNotNull()
+    ).agg(*aggs)
+    means = {
+        name: F.col(f"_s_{name}").cast("double")
+        / F.col(f"n_{name}").cast("double")
+        for name in cells
+    }
+    have_all = None
+    for name in cells:
+        c = F.col(f"n_{name}") > 0
+        have_all = c if have_all is None else (have_all & c)
+    did = (means["t_post"] - means["t_pre"]) - (
+        means["c_post"] - means["c_pre"]
+    )
+    return j.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        means["t_pre"].alias("mean_t_pre"),
+        means["t_post"].alias("mean_t_post"),
+        means["c_pre"].alias("mean_c_pre"),
+        means["c_post"].alias("mean_c_post"),
+        F.round(F.when(have_all, did), 12).alias("did"),
+    )
+
+
+def psm_match(
+    df: DataFrame,
+    id_col: str,
+    treat_col: str,
+    score_col: str,
+    caliper: float,
+) -> DataFrame:
+    """Propensity-score matching, nearest-control-with-replacement:
+    for every treated unit, the control whose score is closest within
+    ``caliper`` — the matching step of an observational causal
+    analysis (the score itself comes from whatever model the analyst
+    trained; this operator owns the DISTRIBUTED matching, which is
+    the part that breaks at scale). With-replacement matching is the
+    parallelizable standard; greedy without-replacement is inherently
+    sequential and deliberately out of scope.
+
+    Determinism: scores are quantized to BIGINT microunits
+    (ROUND(score·1e6) — identical on any engine for identical input
+    doubles), so the match distance and the (diff, control_id)
+    tie-break are pure integer ordering.
+
+    Scale: controls bucket by ``caliper``-width score bands; each
+    treated unit probes its own band ±1 (a 3-row explode, every
+    in-caliper control is within one band), equi-joins on the band,
+    and keeps rank 1 per treated unit (WindowGroupLimit). Work is
+    Σ band-pair volume — never treated × controls — and AQE's skew
+    split handles a pile-up band. No float, no crossJoin, no
+    broadcast of a growing side.
+
+    Output: (treated_id, control_id, score_q_treated,
+    score_q_control, diff_q) — one row per treated unit that found a
+    match; score_q_* are microunit BIGINTs.
+    """
+    if caliper <= 0:
+        raise ValueError(f"caliper must be positive: {caliper}")
+    q = 10**6
+    cq = int(round(caliper * q))
+    if cq == 0:
+        raise ValueError(f"caliper {caliper} rounds to 0 microunits")
+    s_q = F.round(F.col(score_col).cast("double") * F.lit(float(q))).cast(
+        "bigint"
+    )
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(treat_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(treat_col).cast("boolean").alias("_t"),
+        s_q.alias("_sq"),
+    )
+    # floor-division banding must be sign-safe: BIGINT div truncates
+    # toward zero, so use (sq - pmod) / cq which floors for any sign
+    band = ((F.col("_sq") - F.pmod(F.col("_sq"), F.lit(cq))) / cq).cast(
+        "bigint"
+    )
+    controls = base.where(~F.col("_t")).select(
+        F.col("_id").alias("control_id"),
+        F.col("_sq").alias("score_q_control"),
+        band.alias("_band"),
+    )
+    treated = (
+        base.where(F.col("_t"))
+        .select(
+            F.col("_id").alias("treated_id"),
+            F.col("_sq").alias("score_q_treated"),
+            band.alias("_b0"),
+        )
+        .select(
+            "treated_id",
+            "score_q_treated",
+            F.explode(
+                F.array(
+                    F.col("_b0") - F.lit(1), F.col("_b0"),
+                    F.col("_b0") + F.lit(1),
+                )
+            ).alias("_band"),
+        )
+    )
+    cand = (
+        treated.join(controls, "_band")
+        .withColumn(
+            "diff_q",
+            F.abs(F.col("score_q_treated") - F.col("score_q_control")),
+        )
+        .where(F.col("diff_q") <= cq)
+    )
+    w = Window.partitionBy("treated_id").orderBy(
+        F.col("diff_q").asc(), F.col("control_id").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "treated_id",
+            "control_id",
+            "score_q_treated",
+            "score_q_control",
+            "diff_q",
+        )
+    )

@@ -1460,3 +1460,136 @@ def rake_keywords(
         "score_q",
         F.row_number().over(rk).cast("bigint").alias("rnk"),
     )
+
+
+def log_odds_terms(
+    df: DataFrame,
+    group_col: str,
+    focus: str,
+    text_col: str = "text",
+    min_count: int = 50,
+    alpha0: float = 500.0,
+) -> DataFrame:
+    """Distinguishing-term detection between two document groups via
+    log-odds ratio with an informative Dirichlet prior (Monroe,
+    Colaresi & Quinn 2008, "Fightin' Words") — the standard "which
+    words characterize THIS slice of the corpus" readout (focus group
+    = rows where ``group_col == focus``, background = everything
+    else). The overall corpus frequencies act as the prior (α_w =
+    alpha0 · y_w / n), shrinking rare-term noise that raw log-odds or
+    PMI would amplify.
+
+    Per term w: δ = ln((y1+α_w)/(n1+α0−y1−α_w)) −
+    ln((y2+α_w)/(n2+α0−y2−α_w)), z = δ/√(1/(y1+α_w) + 1/(y2+α_w)).
+    All counts are exact BIGINTs and the compound is one fixed IEEE
+    op order, so the only cross-engine surface is the ln/sqrt library
+    ulp — absorbed by ROUND(z, 6) (the compound-expression
+    precedent); no top-k cut, so there is no ordering to destabilize.
+
+    Scale: explode → ONE groupBy(term) with conditional counts
+    (map-side partials), corpus totals folded from the VOCAB table
+    (already aggregated — no second corpus scan, the lazy 1-row
+    crossJoin pattern) and broadcast. Vocabulary is Zipf-bounded;
+    ``min_count`` trims the tail.
+
+    Output: (term, y_focus, y_rest, z_logodds), one row per term with
+    total count ≥ min_count.
+    """
+    toks = _lower_tokens(text_col)
+    is_f = F.col(group_col) == focus
+    vocab = (
+        df.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(is_f.alias("_f"), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count(F.when(F.col("_f"), F.lit(1)))
+            .cast("bigint")
+            .alias("y_focus"),
+            F.count(F.when(~F.col("_f"), F.lit(1)))
+            .cast("bigint")
+            .alias("y_rest"),
+        )
+    )
+    totals = vocab.agg(
+        F.sum("y_focus").cast("double").alias("_n1"),
+        F.sum("y_rest").cast("double").alias("_n2"),
+    )
+    y1 = F.col("y_focus").cast("double")
+    y2 = F.col("y_rest").cast("double")
+    n1, n2 = F.col("_n1"), F.col("_n2")
+    a0 = F.lit(float(alpha0))
+    aw = a0 * ((y1 + y2) / (n1 + n2))
+    d1 = F.log((y1 + aw) / ((n1 + a0) - (y1 + aw)))
+    d2 = F.log((y2 + aw) / ((n2 + a0) - (y2 + aw)))
+    z = (d1 - d2) / F.sqrt(
+        F.lit(1.0) / (y1 + aw) + F.lit(1.0) / (y2 + aw)
+    )
+    return (
+        vocab.where(F.col("y_focus") + F.col("y_rest") >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .select("term", "y_focus", "y_rest", F.round(z, 6).alias("z_logodds"))
+    )
+
+
+def reciprocal_best_match(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    prefix_len: int = 8,
+) -> DataFrame:
+    """Reciprocal-best-hit entity resolution: among fuzzy_pairs
+    candidates (shared prefix block, Levenshtein ≤ ``max_dist``),
+    keep only the pairs where each record is the OTHER's single best
+    match — the mutual-nearest-neighbor rule that turns a noisy
+    candidate set into high-precision merge decisions (the same
+    criterion bioinformatics uses for ortholog calls and record
+    linkage uses before clerical review).
+
+    Best is (edit_dist ASC, partner id ASC) — all-integer ordering,
+    so rank 1 is engine-stable. Scale: candidates are Σ|block|² via
+    the blocking join (never n²); the per-record rank-1 windows run
+    on the candidate table, partitioned by record id, and
+    WindowGroupLimit stops each group at row 1.
+
+    Output: (id_a, id_b, name_a, name_b, edit_dist) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    cand = fuzzy_pairs(
+        df, id_col, text_col, max_dist=max_dist, prefix_len=prefix_len
+    )
+    directed = cand.select(
+        F.col("id_a").alias("me"),
+        F.col("id_b").alias("other"),
+        F.col("name_a").alias("my_name"),
+        F.col("name_b").alias("other_name"),
+        "edit_dist",
+    ).union(
+        cand.select(
+            F.col("id_b").alias("me"),
+            F.col("id_a").alias("other"),
+            F.col("name_b").alias("my_name"),
+            F.col("name_a").alias("other_name"),
+            "edit_dist",
+        )
+    )
+    w = Window.partitionBy("me").orderBy(
+        F.col("edit_dist").asc(), F.col("other").asc()
+    )
+    best = directed.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    fwd = best.where(F.col("me") < F.col("other")).select(
+        F.col("me").alias("id_a"),
+        F.col("other").alias("id_b"),
+        F.col("my_name").alias("name_a"),
+        F.col("other_name").alias("name_b"),
+        "edit_dist",
+    )
+    rev = best.where(F.col("me") > F.col("other")).select(
+        F.col("other").alias("id_a"),
+        F.col("me").alias("id_b"),
+    )
+    return fwd.join(rev, ["id_a", "id_b"])

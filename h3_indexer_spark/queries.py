@@ -9615,14 +9615,557 @@ ORACLES["q_edit_join"] = _EDIT_JOIN_ORACLE
 ORACLES["q_quantile_sketch_grouped"] = _QUANTILE_SKETCH_GROUPED_ORACLE
 
 
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (operators/analytics.py::one_way_anova) of
+    extended price across the three return-flag populations — the
+    k-sample experiment readout generalizing q_ab_test. Exact
+    DECIMAL(18,4) group sums; the k-group between-term fold is
+    order-free via DECIMAL(38,6)-quantized per-group terms; the
+    compound F mirrors the oracle op-for-op (ROUND 9)."""
+    from h3_indexer_spark.operators.analytics import one_way_anova
+
+    return one_way_anova(
+        load(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+_ANOVA_ORACLE = """
+    WITH g AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s,
+               -- (19,4) casts ONLY for the product: DuckDB multiplies
+               -- DECIMAL(18) on the INT64 path and overflows, while
+               -- width 19 forces INT128 and an exact (38,8) product;
+               -- Spark keeps (18,4) so ITS product stays exact at
+               -- (37,8) under the 38-cap. Both sides exact -> equal.
+               SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                   * CAST(l_extendedprice AS DECIMAL(19,4))) AS q
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        GROUP BY l_returnflag
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               SUM(CAST(s AS DECIMAL(38,4))) AS ss,
+               SUM(CAST(q AS DECIMAL(38,8))) AS qq,
+               SUM(CAST((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS DECIMAL(38,6))) AS tq
+        FROM g
+    )
+    SELECT k_groups,
+           n_total,
+           ROUND(CASE WHEN k_groups >= 2 AND n_total > k_groups THEN
+               ((CAST(tq AS DOUBLE)
+                 - (CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                   / CAST(n_total AS DOUBLE))
+                / (CAST(k_groups AS DOUBLE) - 1.0))
+               / ((CAST(qq AS DOUBLE) - CAST(tq AS DOUBLE))
+                  / (CAST(n_total AS DOUBLE)
+                     - CAST(k_groups AS DOUBLE)))
+           END, 9) AS f_stat,
+           ROUND(CASE WHEN k_groups >= 2 AND n_total > k_groups THEN
+               (CAST(tq AS DOUBLE)
+                - (CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                  / CAST(n_total AS DOUBLE))
+               / ((CAST(tq AS DOUBLE)
+                   - (CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                     / CAST(n_total AS DOUBLE))
+                  + (CAST(qq AS DOUBLE) - CAST(tq AS DOUBLE)))
+           END, 9) AS eta_sq
+    FROM t
+"""
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean order value
+    (operators/analytics.py::bootstrap_mean_ci): 100 replicates, each
+    row drawing a deterministic Poisson(1) resampling weight from the
+    shared md5 band against precomputed integer CDF thresholds; CI
+    bounds are ORDER STATISTICS (3rd / 98th sorted replicate mean) —
+    the distributed-uncertainty primitive (one scan computes all
+    replicates; the exchange carries B rows per partition)."""
+    from h3_indexer_spark.operators.analytics import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        load(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice", b=100
+    )
+
+
+def _bootstrap_ci_oracle() -> str:
+    from h3_indexer_spark.operators.analytics import _POISSON1_Q60
+
+    w_terms = "\n                + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POISSON1_Q60
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    reps AS (
+        SELECT k, v, r.rep
+        FROM base CROSS JOIN (SELECT UNNEST(range(1, 101)) AS rep) r
+    ),
+    h AS (
+        SELECT rep, v,
+               CAST('0x' || substr(
+                   md5('boot' || k || ':' || CAST(rep AS VARCHAR)),
+                   18, 15) AS BIGINT) AS u
+        FROM reps
+    ),
+    wtab AS (
+        SELECT rep, v,
+               ({w_terms}) AS w
+        FROM h
+    ),
+    m AS (
+        SELECT rep,
+               CASE WHEN SUM(w) > 0
+                    THEN CAST(SUM(w * v) AS DOUBLE)
+                         / CAST(SUM(w) AS DOUBLE)
+               END AS mean
+        FROM wtab GROUP BY rep
+    ),
+    ranked AS (
+        SELECT mean,
+               row_number() OVER (ORDER BY mean ASC, rep ASC) AS rn
+        FROM m
+    ),
+    ci AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS b_reps,
+               MIN(CASE WHEN rn = 3 THEN mean END) AS ci_lo,
+               MIN(CASE WHEN rn = 98 THEN mean END) AS ci_hi
+        FROM ranked
+    ),
+    pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS point_mean
+        FROM base
+    )
+    SELECT n_rows, point_mean, b_reps, ci_lo, ci_hi
+    FROM pt CROSS JOIN ci
+    """
+
+
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction (operators/graph.py::
+    jaccard_link_prediction) on the same deterministic 25%-sample
+    co-purchase graph as q_adamic_adar: the 30 strongest NON-adjacent
+    part pairs by neighbor-set overlap. jac_q is pure BIGINT
+    arithmetic ((1e9·common) div union) — no float anywhere, so the
+    top-30 cut is engine-stable by construction."""
+    from h3_indexer_spark.operators.graph import jaccard_link_prediction
+
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.expr("l_orderkey % 4 = 0"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "_b")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        jaccard_link_prediction(edges, min_common=2)
+        .orderBy(F.col("jac_q").desc(), "u", "v")
+        .limit(30)
+    )
+
+
+_GRAPH_JACCARD_ORACLE = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 4 = 0
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    dirs AS (
+        SELECT src AS z, dst AS n FROM edges
+        UNION
+        SELECT dst AS z, src AS n FROM edges
+    ),
+    deg AS (SELECT z, COUNT(*) AS deg FROM dirs GROUP BY z),
+    adjw AS (
+        -- deg <= 10000 mirrors the engine's default max_degree
+        -- WITNESS cap (the q_adamic_adar rule); endpoint degrees in
+        -- the denominator below stay UNCAPPED, as in the engine
+        SELECT d.z, d.n
+        FROM dirs d JOIN deg g
+          ON d.z = g.z AND g.deg >= 2 AND g.deg <= 10000
+    ),
+    pairs AS (
+        SELECT a.n AS u, b.n AS v,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM adjw a JOIN adjw b ON a.z = b.z AND a.n < b.n
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    non_adj AS (
+        SELECT p.u, p.v, p.common_neighbors
+        FROM pairs p
+        LEFT JOIN edges e ON p.u = e.src AND p.v = e.dst
+        WHERE e.src IS NULL
+    )
+    SELECT n.u, n.v, n.common_neighbors,
+           CAST(gu.deg AS BIGINT) AS deg_u,
+           CAST(gv.deg AS BIGINT) AS deg_v,
+           CAST((1000000000 * n.common_neighbors)
+                // (gu.deg + gv.deg - n.common_neighbors) AS BIGINT)
+               AS jac_q
+    FROM non_adj n
+    JOIN deg gu ON n.u = gu.z
+    JOIN deg gv ON n.v = gv.z
+    ORDER BY jac_q DESC, n.u, n.v
+    LIMIT 30
+"""
+
+
+def q_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin'-words distinguishing terms (operators/textops.py::
+    log_odds_terms): which tokens characterize English documents vs
+    the rest of the corpus, scored by log-odds ratio with the
+    informative Dirichlet prior (Monroe et al. 2008). Exact BIGINT
+    counts; the z compound is one fixed IEEE op order with ROUND 6
+    absorbing the ln/sqrt library ulp; no top-k cut to destabilize."""
+    from h3_indexer_spark.operators.textops import log_odds_terms
+
+    return log_odds_terms(
+        load(spark, sf_dir, "documents"), "lang", "en", min_count=50
+    )
+
+
+_LOG_ODDS_ORACLE = r"""
+    WITH vocab AS (
+        SELECT term,
+               CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+                   AS y_focus,
+               CAST(COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS BIGINT)
+                   AS y_rest
+        FROM (
+            SELECT lang,
+                   unnest(string_split_regex(
+                       lower(regexp_replace(text, '[^\w\s]', ' ', 'g')),
+                       '\s+')) AS term
+            FROM documents
+            WHERE text IS NOT NULL AND lang IS NOT NULL
+        ) t
+        WHERE term <> ''
+        GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(SUM(y_focus) AS DOUBLE) AS n1,
+               CAST(SUM(y_rest) AS DOUBLE) AS n2
+        FROM vocab
+    ),
+    e AS (
+        SELECT term, y_focus, y_rest,
+               CAST(y_focus AS DOUBLE) AS y1,
+               CAST(y_rest AS DOUBLE) AS y2,
+               n1, n2,
+               500.0 * ((CAST(y_focus AS DOUBLE)
+                         + CAST(y_rest AS DOUBLE)) / (n1 + n2)) AS aw
+        FROM vocab CROSS JOIN tot
+        WHERE y_focus + y_rest >= 50
+    )
+    SELECT term, y_focus, y_rest,
+           ROUND((LN((y1 + aw) / ((n1 + 500.0) - (y1 + aw)))
+                  - LN((y2 + aw) / ((n2 + 500.0) - (y2 + aw))))
+                 / SQRT(1.0 / (y1 + aw) + 1.0 / (y2 + aw)),
+                 6) AS z_logodds
+    FROM e
+"""
+
+
+def q_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best-hit entity resolution (operators/textops.py::
+    reciprocal_best_match): supplier-name pairs (prefix-blocked,
+    Levenshtein ≤ 2) where each record is the other's single best
+    match — the high-precision merge rule on top of q_fuzzy_join's
+    candidate generator. All-integer (edit_dist, id) ranking keeps
+    rank 1 engine-stable."""
+    from h3_indexer_spark.operators.textops import reciprocal_best_match
+
+    return reciprocal_best_match(
+        load(spark, sf_dir, "supplier"),
+        id_col="s_suppkey",
+        text_col="s_name",
+        max_dist=2,
+        prefix_len=12,
+    )
+
+
+_MUTUAL_BEST_ORACLE = """
+    WITH cand AS (
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+               a.s_name AS name_a, b.s_name AS name_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS INTEGER)
+                   AS edit_dist
+        FROM supplier a JOIN supplier b
+          ON substring(a.s_name, 1, 12) = substring(b.s_name, 1, 12)
+         AND a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 2
+    ),
+    directed AS (
+        SELECT id_a AS me, id_b AS other,
+               name_a AS my_name, name_b AS other_name, edit_dist
+        FROM cand
+        UNION ALL
+        SELECT id_b, id_a, name_b, name_a, edit_dist FROM cand
+    ),
+    best AS (
+        SELECT me, other, my_name, other_name, edit_dist,
+               row_number() OVER (
+                   PARTITION BY me
+                   ORDER BY edit_dist ASC, other ASC) AS rn
+        FROM directed
+    ),
+    b1 AS (
+        SELECT me, other, my_name, other_name, edit_dist
+        FROM best WHERE rn = 1
+    )
+    SELECT f.me AS id_a, f.other AS id_b,
+           f.my_name AS name_a, f.other_name AS name_b, f.edit_dist
+    FROM b1 f JOIN b1 r ON f.me = r.other AND f.other = r.me
+    WHERE f.me < f.other
+"""
+
+
+QUERIES["q_anova"] = q_anova
+QUERIES["q_bootstrap_ci"] = q_bootstrap_ci
+QUERIES["q_graph_jaccard"] = q_graph_jaccard
+QUERIES["q_log_odds"] = q_log_odds
+QUERIES["q_mutual_best"] = q_mutual_best
+ORACLES["q_anova"] = _ANOVA_ORACLE
+ORACLES["q_bootstrap_ci"] = _bootstrap_ci_oracle()
+ORACLES["q_graph_jaccard"] = _GRAPH_JACCARD_ORACLE
+ORACLES["q_log_odds"] = _LOG_ODDS_ORACLE
+ORACLES["q_mutual_best"] = _MUTUAL_BEST_ORACLE
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength (operators/analytics.py::
+    cramers_v) between document language and source — "is the corpus
+    mix skewed by provenance, and by how much": χ² folded order-free
+    via DECIMAL(38,12)-quantized cell contributions (the q_anova
+    recipe) over the zero-including 5×20 category grid, V in fixed
+    IEEE op order, ROUND 9."""
+    from h3_indexer_spark.operators.analytics import cramers_v
+
+    return cramers_v(load(spark, sf_dir, "documents"), "lang", "source")
+
+
+_CRAMERS_V_ORACLE = """
+    WITH src AS (
+        SELECT lang, source FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    observed AS (
+        SELECT lang, source, COUNT(*) AS obs
+        FROM src GROUP BY lang, source
+    ),
+    grid AS (
+        SELECT a.lang, b.source
+        FROM (SELECT DISTINCT lang FROM observed) a
+        CROSS JOIN (SELECT DISTINCT source FROM observed) b
+    ),
+    cells AS (
+        SELECT g.lang, g.source, COALESCE(o.obs, 0) AS observed
+        FROM grid g LEFT JOIN observed o
+          ON g.lang = o.lang AND g.source = o.source
+    ),
+    ra AS (SELECT lang, SUM(observed) AS ra FROM cells GROUP BY lang),
+    rb AS (SELECT source, SUM(observed) AS rb FROM cells GROUP BY source),
+    tot AS (SELECT SUM(observed) AS n FROM cells),
+    contrib AS (
+        SELECT c.observed,
+               c.lang, c.source,
+               CAST((CAST(c.observed AS DOUBLE)
+                     - CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE)
+                       / CAST(tot.n AS DOUBLE))
+                    * (CAST(c.observed AS DOUBLE)
+                       - CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE)
+                         / CAST(tot.n AS DOUBLE))
+                    / (CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE)
+                       / CAST(tot.n AS DOUBLE))
+                    AS DECIMAL(38,12)) AS contrib_q
+        FROM cells c
+        JOIN ra ON c.lang = ra.lang
+        JOIN rb ON c.source = rb.source
+        CROSS JOIN tot
+    ),
+    fold AS (
+        SELECT CAST(SUM(observed) AS BIGINT) AS n_obs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS r_levels,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS c_levels,
+               SUM(contrib_q) AS chi2_q
+        FROM contrib
+    )
+    SELECT n_obs, r_levels, c_levels,
+           ROUND(CAST(chi2_q AS DOUBLE), 9) AS chi2,
+           ROUND(CASE WHEN r_levels >= 2 AND c_levels >= 2
+                       AND n_obs > 0 THEN
+               SQRT((CAST(chi2_q AS DOUBLE) / CAST(n_obs AS DOUBLE))
+                    / (CAST(LEAST(r_levels, c_levels) AS DOUBLE) - 1.0))
+           END, 9) AS cramers_v
+    FROM fold
+"""
+
+
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (operators/analytics.py::
+    diff_in_diff): even-custkey orders as the treated group, the
+    1998-01-01 boundary as the pre/post split, order value as the
+    outcome — the 2×2 exact-DECIMAL mean table and the DiD contrast
+    in one conditional aggregation (the q_ab_test shape), ROUND 12."""
+    from h3_indexer_spark.operators.analytics import diff_in_diff
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        (F.col("o_custkey") % 2 == 0).alias("treated"),
+        (
+            F.col("o_orderdate")
+            >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+        ).alias("post"),
+    )
+    return diff_in_diff(o, "treated", "post", "o_totalprice")
+
+
+_DID_ORACLE = """
+    WITH src AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+               (o_custkey % 2 = 0) AS t,
+               (o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') AS p
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+    ),
+    agg AS (
+        SELECT
+            COUNT(CASE WHEN t AND p THEN 1 END) AS n_t_post,
+            SUM(CASE WHEN t AND p THEN v END) AS s_t_post,
+            COUNT(CASE WHEN t AND NOT p THEN 1 END) AS n_t_pre,
+            SUM(CASE WHEN t AND NOT p THEN v END) AS s_t_pre,
+            COUNT(CASE WHEN NOT t AND p THEN 1 END) AS n_c_post,
+            SUM(CASE WHEN NOT t AND p THEN v END) AS s_c_post,
+            COUNT(CASE WHEN NOT t AND NOT p THEN 1 END) AS n_c_pre,
+            SUM(CASE WHEN NOT t AND NOT p THEN v END) AS s_c_pre
+        FROM src
+    )
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE)
+               AS mean_t_pre,
+           CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+               AS mean_t_post,
+           CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)
+               AS mean_c_pre,
+           CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+               AS mean_c_post,
+           ROUND(CASE WHEN n_t_pre > 0 AND n_t_post > 0
+                       AND n_c_pre > 0 AND n_c_post > 0 THEN
+               (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+                - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+               - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+                  - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+           END, 12) AS did
+    FROM agg
+"""
+
+
+def q_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching (operators/analytics.py::psm_match):
+    even-custkey customers (treated) matched to their nearest
+    odd-custkey control by account balance within a 5.00 caliper,
+    with replacement — caliper-band equi-join, never treated ×
+    controls; microunit-BIGINT scores make distance and tie-break
+    pure integer ordering."""
+    from h3_indexer_spark.operators.analytics import psm_match
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_custkey") % 2 == 0).alias("treated"),
+    )
+    return psm_match(c, "c_custkey", "treated", "c_acctbal", caliper=5.0)
+
+
+_PSM_MATCH_ORACLE = """
+    WITH base AS (
+        SELECT c_custkey AS id,
+               (c_custkey % 2 = 0) AS t,
+               CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS sq
+        FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    -- sign-safe floor band: (sq - pmod(sq, cq)) / cq, cq = 5e6
+    ctrl AS (
+        SELECT id AS control_id, sq AS score_q_control,
+               (sq - (((sq % 5000000) + 5000000) % 5000000))
+                   // 5000000 AS band
+        FROM base WHERE NOT t
+    ),
+    tr AS (
+        SELECT id AS treated_id, sq AS score_q_treated,
+               (sq - (((sq % 5000000) + 5000000) % 5000000))
+                   // 5000000 AS b0
+        FROM base WHERE t
+    ),
+    probes AS (
+        SELECT treated_id, score_q_treated, b0 + d.d AS band
+        FROM tr CROSS JOIN (VALUES (-1), (0), (1)) d(d)
+    ),
+    cand AS (
+        SELECT p.treated_id, c.control_id,
+               p.score_q_treated, c.score_q_control,
+               ABS(p.score_q_treated - c.score_q_control) AS diff_q
+        FROM probes p JOIN ctrl c ON p.band = c.band
+        WHERE ABS(p.score_q_treated - c.score_q_control) <= 5000000
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY treated_id
+            ORDER BY diff_q ASC, control_id ASC) AS rn
+        FROM cand
+    )
+    SELECT treated_id, control_id, score_q_treated, score_q_control,
+           diff_q
+    FROM ranked WHERE rn = 1
+"""
+
+
+QUERIES["q_cramers_v"] = q_cramers_v
+QUERIES["q_did"] = q_did
+QUERIES["q_psm_match"] = q_psm_match
+ORACLES["q_cramers_v"] = _CRAMERS_V_ORACLE
+ORACLES["q_did"] = _DID_ORACLE
+ORACLES["q_psm_match"] = _PSM_MATCH_ORACLE
+
+
 # Round-9 driver window (ONE canonical list — the driver hash-checks
 # the FIRST 50 QUERIES entries in dict order): the 11 keys whose
 # latest driver row is still round 4 (deferred from the round-8
 # rotation — this finally meets the "no oracle key's latest row
-# predates round 5" bar), the 8 round-9 debuts, and the
-# alphabetically-first 31 of the 48 keys whose latest row is round 5
-# (the remaining 17 round-5 keys — q_pii_scrub, q_profile, q_rebalance_sources,
-# q_regression, q_repetition,
+# predates round 5" bar), the 16 round-9 debuts, and the
+# alphabetically-first 23 of the 48 keys whose latest row is round 5
+# (the remaining 25 round-5 keys — q_json_extract, q_knn_ivf, q_mad,
+# q_minmax_scale, q_mode, q_moments,
+# q_ntile_bins, q_one_hot, q_pii_scrub, q_profile,
+# q_rebalance_sources, q_regression, q_repetition,
 # q_scan_parquet, q_semantic_dedup, q_seq_pack,
 # q_snapshot_diff, q_time_rollup, q_top_paths, q_transitions,
 # q_triangles, q_twap, q_unpivot, q_url_normalize, q_weighted_sample
@@ -9650,7 +10193,15 @@ _WINDOW_R9 = [
     "q_keywords",
     "q_h3_compact",
     "q_theil_sen",
-    # alphabetically-first 31 round-5-stale keys
+    "q_anova",
+    "q_bootstrap_ci",
+    "q_graph_jaccard",
+    "q_log_odds",
+    "q_mutual_best",
+    "q_cramers_v",
+    "q_did",
+    "q_psm_match",
+    # alphabetically-first 23 round-5-stale keys
     "q_active_users",
     "q_analytics_pipeline",
     "q_anomalies",
@@ -9674,14 +10225,6 @@ _WINDOW_R9 = [
     "q_growth_accounting",
     "q_histogram",
     "q_impute",
-    "q_json_extract",
-    "q_knn_ivf",
-    "q_mad",
-    "q_minmax_scale",
-    "q_mode",
-    "q_moments",
-    "q_ntile_bins",
-    "q_one_hot",
 ]
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 assert len(set(_WINDOW_R9)) == 50

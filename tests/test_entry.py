@@ -32,7 +32,7 @@ def test_queries_and_oracles_consistent():
 # (queries.py::_WINDOW_R9): the 11 keys whose latest driver row is
 # round 4 (deferred from round 8's rotation — this finally meets the
 # "no oracle key's latest row predates round 5" bar), every round-9
-# debut, and the alphabetically-first 31 of the 48 round-5-stale
+# debut, and the alphabetically-first 23 of the 48 round-5-stale
 # keys.
 STALE_R4 = {
     "q_clean_lines", "q_explode", "q_fingerprint", "q_gap_fill",
@@ -51,10 +51,21 @@ PLANNED_R9 = {
     "q_keywords",
     "q_h3_compact",
     "q_theil_sen",
+    "q_anova",
+    "q_bootstrap_ci",
+    "q_graph_jaccard",
+    "q_log_odds",
+    "q_mutual_best",
+    "q_cramers_v",
+    "q_did",
+    "q_psm_match",
 }
-# the 17 round-5 keys the 50-slot budget defers to round 10 (the
+# the 25 round-5 keys the 50-slot budget defers to round 10 (the
 # local mirror re-verifies them every session regardless)
 DEFERRED_TO_R10 = {
+    "q_json_extract", "q_knn_ivf", "q_mad",
+    "q_minmax_scale", "q_mode", "q_moments", "q_ntile_bins",
+    "q_one_hot",
     "q_pii_scrub", "q_profile", "q_rebalance_sources",
     "q_regression", "q_repetition",
     "q_scan_parquet", "q_semantic_dedup", "q_seq_pack", "q_snapshot_diff",

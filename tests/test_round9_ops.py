@@ -639,3 +639,349 @@ class TestTheilSen:
             df.repartition(13), "x", "y", F.col("id"), k=64
         ).collect()[0]
         assert tuple(a) == tuple(b)
+
+
+class TestOneWayAnova:
+    def _py_anova(self, groups):
+        """Textbook reference F over a dict {group: [values]}."""
+        k = len(groups)
+        all_v = [v for vs in groups.values() for v in vs]
+        n = len(all_v)
+        grand = sum(all_v) / n
+        ssb = sum(
+            len(vs) * (sum(vs) / len(vs) - grand) ** 2
+            for vs in groups.values()
+        )
+        ssw = sum(
+            (v - sum(vs) / len(vs)) ** 2
+            for vs in groups.values()
+            for v in vs
+        )
+        return (ssb / (k - 1)) / (ssw / (n - k)), ssb / (ssb + ssw)
+
+    def test_matches_python_reference(self, spark):
+        from h3_indexer_spark.operators.analytics import one_way_anova
+
+        groups = {
+            "a": [1.0, 2.0, 3.0, 2.5, 1.5],
+            "b": [4.0, 5.0, 6.0, 5.5, 4.5],
+            "c": [2.0, 3.0, 2.5, 3.5, 2.75],
+        }
+        df = spark.createDataFrame(
+            [(g, v) for g, vs in groups.items() for v in vs],
+            "grp string, val double",
+        )
+        row = one_way_anova(df, "grp", "val").collect()[0]
+        f_ref, eta_ref = self._py_anova(groups)
+        assert row["k_groups"] == 3 and row["n_total"] == 15
+        assert row["f_stat"] == pytest.approx(f_ref, rel=1e-6)
+        assert row["eta_sq"] == pytest.approx(eta_ref, rel=1e-6)
+
+    def test_degenerate_single_group_null_f(self, spark):
+        from h3_indexer_spark.operators.analytics import one_way_anova
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "grp string, val double"
+        )
+        row = one_way_anova(df, "grp", "val").collect()[0]
+        assert row["k_groups"] == 1 and row["f_stat"] is None
+
+    def test_identical_means_f_near_zero(self, spark):
+        from h3_indexer_spark.operators.analytics import one_way_anova
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 3.0), ("b", 1.0)],
+            "grp string, val double",
+        )
+        row = one_way_anova(df, "grp", "val").collect()[0]
+        assert abs(row["f_stat"]) < 1e-6
+
+
+class TestBootstrapCi:
+    def test_ci_brackets_mean_and_is_deterministic(self, spark):
+        from h3_indexer_spark.operators.analytics import bootstrap_mean_ci
+
+        df = spark.createDataFrame(
+            [(i, float(100 + (i * 37) % 50)) for i in range(400)],
+            "k long, v double",
+        )
+        r1 = bootstrap_mean_ci(df, "k", "v", b=100).collect()[0]
+        r2 = bootstrap_mean_ci(df, "k", "v", b=100).collect()[0]
+        assert r1 == r2, "bootstrap must be seedlessly deterministic"
+        assert r1["b_reps"] == 100 and r1["n_rows"] == 400
+        assert r1["ci_lo"] < r1["point_mean"] < r1["ci_hi"]
+        # the interval is a few standard errors wide, not degenerate
+        # and not silly: se ~ sd/sqrt(n) ~ 14.4/20 ~ 0.72
+        width = r1["ci_hi"] - r1["ci_lo"]
+        assert 0.5 < width < 10.0
+
+    def test_weights_are_poisson1_ish(self, spark):
+        """Mean replicate size ~ n (Poisson(1) weights sum to ~n)."""
+        from h3_indexer_spark.operators.analytics import (
+            _POISSON1_Q60,
+            bootstrap_mean_ci,
+        )
+
+        assert len(_POISSON1_Q60) == 8
+        assert _POISSON1_Q60 == sorted(_POISSON1_Q60)
+        assert _POISSON1_Q60[0] == pytest.approx(
+            0.36787944117144233 * 2**60, rel=1e-12
+        )
+
+    def test_b_bounds(self, spark):
+        from h3_indexer_spark.operators.analytics import bootstrap_mean_ci
+
+        df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+        with pytest.raises(ValueError):
+            bootstrap_mean_ci(df, "k", "v", b=0)
+
+
+class TestJaccardLinkPrediction:
+    def test_hand_graph(self, spark):
+        from h3_indexer_spark.operators.graph import jaccard_link_prediction
+
+        # path-ish graph: 1-2, 2-3, 3-4, 1-3  => non-adjacent pairs
+        # sharing neighbors: (1,4) share {3}; (2,4) share {3}
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long"
+        )
+        out = {
+            (r["u"], r["v"]): r
+            for r in jaccard_link_prediction(edges).collect()
+        }
+        assert set(out) == {(1, 4), (2, 4)}
+        r = out[(1, 4)]
+        # N(1)={2,3}, N(4)={3}: common=1, union=2 -> 0.5
+        assert r["common_neighbors"] == 1
+        assert (r["deg_u"], r["deg_v"]) == (2, 1)
+        assert r["jac_q"] == 500_000_000
+        r = out[(2, 4)]
+        # N(2)={1,3}, N(4)={3}: common=1, union=2 -> 0.5
+        assert r["jac_q"] == 500_000_000
+
+    def test_existing_edges_removed_and_min_common(self, spark):
+        from h3_indexer_spark.operators.graph import jaccard_link_prediction
+
+        # K4 minus edge (1,4): every pair shares 2 neighbors
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)],
+            "src long, dst long",
+        )
+        rows = jaccard_link_prediction(edges, min_common=2).collect()
+        assert {(r["u"], r["v"]) for r in rows} == {(1, 4)}
+        r = rows[0]
+        # N(1)={2,3}, N(4)={2,3}: common=2, union=2 -> 1.0
+        assert r["common_neighbors"] == 2
+        assert r["jac_q"] == 1_000_000_000
+
+    def test_lazy_fast_path(self, spark):
+        from h3_indexer_spark.operators.graph import jaccard_link_prediction
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+        )
+        plan, jobs = _jobs_during(
+            spark,
+            lambda: jaccard_link_prediction(edges, log_exclusions=False),
+        )
+        assert jobs == [], f"construction launched jobs: {jobs}"
+        lazy = {(r["u"], r["v"]): r["jac_q"] for r in plan.collect()}
+        eager = {
+            (r["u"], r["v"]): r["jac_q"]
+            for r in jaccard_link_prediction(edges).collect()
+        }
+        assert lazy == eager and lazy
+
+
+class TestLogOddsTerms:
+    def test_planted_slant(self, spark):
+        from h3_indexer_spark.operators.textops import log_odds_terms
+
+        rows = []
+        for i in range(30):
+            rows.append((i, "en", "alpha alpha shared shared"))
+            rows.append((i + 100, "de", "beta beta shared shared"))
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = {
+            r["term"]: r
+            for r in log_odds_terms(
+                df, "lang", "en", min_count=10
+            ).collect()
+        }
+        assert set(out) == {"alpha", "beta", "shared"}
+        assert out["alpha"]["y_focus"] == 60 and out["alpha"]["y_rest"] == 0
+        assert out["alpha"]["z_logodds"] > 2.0
+        assert out["beta"]["z_logodds"] < -2.0
+        assert abs(out["shared"]["z_logodds"]) < 0.5
+        # antisymmetry of the planted design
+        assert out["alpha"]["z_logodds"] == pytest.approx(
+            -out["beta"]["z_logodds"], abs=1e-5
+        )
+
+    def test_min_count_trims(self, spark):
+        from h3_indexer_spark.operators.textops import log_odds_terms
+
+        df = spark.createDataFrame(
+            [(1, "en", "rare common common"), (2, "de", "common common")],
+            "doc_id long, lang string, text string",
+        )
+        out = log_odds_terms(df, "lang", "en", min_count=3).collect()
+        assert {r["term"] for r in out} == {"common"}
+
+
+class TestReciprocalBestMatch:
+    def test_mutual_pairs_only(self, spark):
+        from h3_indexer_spark.operators.textops import reciprocal_best_match
+
+        # abcd1<->abcd2 at dist 1 (mutual best); abcd4 is distance 1
+        # from abcd2 as well, but abcd2's best is abcd1 (tie on dist,
+        # lower id wins) so (2,4)... careful: ids order the tiebreak.
+        df = spark.createDataFrame(
+            [(1, "abcd1"), (2, "abcd2"), (7, "abcd4"), (9, "zzzz")],
+            "id long, name string",
+        )
+        out = reciprocal_best_match(
+            df, "id", "name", max_dist=1, prefix_len=4
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in out}
+        # best(1)=2, best(2)=1 (dist 1, id tiebreak), best(7)=1 — so
+        # only (1,2) is mutual; zzzz has no candidates at all
+        assert got == {(1, 2)}
+        r = out[0]
+        assert (r["name_a"], r["name_b"]) == ("abcd1", "abcd2")
+        assert r["edit_dist"] == 1
+
+    def test_symmetric_clique_pairs_up(self, spark):
+        from h3_indexer_spark.operators.textops import reciprocal_best_match
+
+        df = spark.createDataFrame(
+            [(1, "pref_aa"), (2, "pref_ab"), (3, "pref_ba"), (4, "pref_bb")],
+            "id long, name string",
+        )
+        out = reciprocal_best_match(
+            df, "id", "name", max_dist=1, prefix_len=5
+        ).collect()
+        # dist-1 graph: 1-2, 1-3(? pref_aa vs pref_ba: 1 sub), 2-4,
+        # 3-4; best(1)=2? 1's candidates: 2 (dist1), 3 (dist1) -> id
+        # tiebreak picks 2; best(2): 1 (dist1), 4 (dist1) -> picks 1;
+        # mutual (1,2). best(3): 1 (dist1), 4 (dist1) -> picks 1, not
+        # mutual; best(4): 2,3 -> picks 2, not mutual.
+        got = {(r["id_a"], r["id_b"]) for r in out}
+        assert got == {(1, 2)}
+
+
+class TestCramersV:
+    def test_perfect_association_v1(self, spark):
+        from h3_indexer_spark.operators.analytics import cramers_v
+
+        # lang determines source exactly -> V = 1
+        rows = [("en", "a")] * 10 + [("de", "b")] * 10 + [("fr", "c")] * 10
+        df = spark.createDataFrame(rows, "lang string, src string")
+        r = cramers_v(df, "lang", "src").collect()[0]
+        assert r["n_obs"] == 30
+        assert (r["r_levels"], r["c_levels"]) == (3, 3)
+        assert r["cramers_v"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_independence_v0(self, spark):
+        from h3_indexer_spark.operators.analytics import cramers_v
+
+        # perfectly balanced table -> chi2 = 0 -> V = 0
+        rows = [
+            (a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(5)
+        ]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = cramers_v(df, "a", "b").collect()[0]
+        assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+        assert r["cramers_v"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_degenerate_single_level(self, spark):
+        from h3_indexer_spark.operators.analytics import cramers_v
+
+        df = spark.createDataFrame(
+            [("x", "p"), ("x", "q")], "a string, b string"
+        )
+        r = cramers_v(df, "a", "b").collect()[0]
+        assert r["cramers_v"] is None
+
+
+class TestDiffInDiff:
+    def test_textbook_2x2(self, spark):
+        from h3_indexer_spark.operators.analytics import diff_in_diff
+
+        # control: 10 -> 12 (+2 trend); treated: 20 -> 27 (+7)
+        # DiD = 7 - 2 = 5
+        rows = (
+            [(False, False, 10.0)] * 4
+            + [(False, True, 12.0)] * 4
+            + [(True, False, 20.0)] * 4
+            + [(True, True, 27.0)] * 4
+        )
+        df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
+        r = diff_in_diff(df, "t", "p", "v").collect()[0]
+        assert r["n_t_pre"] == 4 and r["n_c_post"] == 4
+        assert r["mean_t_post"] == pytest.approx(27.0)
+        assert r["did"] == pytest.approx(5.0, abs=1e-9)
+
+    def test_missing_cell_null_did(self, spark):
+        from h3_indexer_spark.operators.analytics import diff_in_diff
+
+        rows = [(False, False, 1.0), (True, True, 2.0)]
+        df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
+        r = diff_in_diff(df, "t", "p", "v").collect()[0]
+        assert r["did"] is None and r["n_t_pre"] == 0
+
+
+class TestPsmMatch:
+    def test_nearest_within_caliper(self, spark):
+        from h3_indexer_spark.operators.analytics import psm_match
+
+        # treated 1 (score 10.0): controls at 10.3 (id 11) and 9.6
+        # (id 12) -> nearest is 12? |10-10.3|=0.3 < |10-9.6|=0.4 ->
+        # control 11. treated 2 (score 50): no control within 1.0.
+        df = spark.createDataFrame(
+            [
+                (1, True, 10.0),
+                (2, True, 50.0),
+                (11, False, 10.3),
+                (12, False, 9.6),
+                (13, False, 48.0),
+            ],
+            "id long, t boolean, score double",
+        )
+        out = {
+            r["treated_id"]: r
+            for r in psm_match(df, "id", "t", "score", 1.0).collect()
+        }
+        assert set(out) == {1}
+        assert out[1]["control_id"] == 11
+        assert out[1]["diff_q"] == 300_000
+
+    def test_tie_breaks_on_control_id(self, spark):
+        from h3_indexer_spark.operators.analytics import psm_match
+
+        df = spark.createDataFrame(
+            [(1, True, 5.0), (21, False, 5.5), (9, False, 4.5)],
+            "id long, t boolean, score double",
+        )
+        out = psm_match(df, "id", "t", "score", 2.0).collect()
+        assert len(out) == 1 and out[0]["control_id"] == 9
+
+    def test_band_edges_and_negative_scores(self, spark):
+        from h3_indexer_spark.operators.analytics import psm_match
+
+        # scores straddling 0 land in bands -1 and 0; the +/-1 probe
+        # must still find the cross-band nearest neighbor
+        df = spark.createDataFrame(
+            [(1, True, 0.2), (2, False, -0.3)],
+            "id long, t boolean, score double",
+        )
+        out = psm_match(df, "id", "t", "score", 1.0).collect()
+        assert len(out) == 1
+        assert out[0]["control_id"] == 2 and out[0]["diff_q"] == 500_000
+
+    def test_caliper_validation(self, spark):
+        from h3_indexer_spark.operators.analytics import psm_match
+
+        df = spark.createDataFrame([(1, True, 1.0)], "id long, t boolean, s double")
+        with pytest.raises(ValueError):
+            psm_match(df, "id", "t", "s", 0.0)
