@@ -189,6 +189,17 @@ HEADLINE = [
     "q_cramers_v",
     "q_did",
     "q_psm_match",
+    "q_spearman",
+    "q_levene",
+    "q_cronbach_alpha",
+    "q_simpsons",
+    "q_mde",
+    "q_partial_corr",
+    "q_reciprocity",
+    "q_skew_report",
+    "q_kendall",
+    "q_assortativity",
+    "q_hhi",
 ]
 
 

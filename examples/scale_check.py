@@ -1284,6 +1284,154 @@ def round9b_scale(max_factor: int = 50) -> None:
         )
 
 
+def round9c_scale(max_factor: int = 50) -> None:
+    """Round-9 second-continuation curves: Spearman rho,
+    Brown-Forsythe W, Cronbach alpha, Simpson check, MDE sizing,
+    partial correlation, transition reciprocity, key-skew census.
+
+    Run: ``python examples/scale_check.py <max_factor> round9c``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.analytics import (
+        brown_forsythe,
+        cronbach_alpha,
+        hhi_concentration,
+        kendall_tau,
+        mde_readout,
+        partial_corr,
+        simpsons_check,
+        spearman_corr,
+    )
+    from h3_indexer_spark.operators.expectations import key_skew_census
+    from h3_indexer_spark.operators.graph import reciprocity
+    from h3_indexer_spark.queries import _load_events
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r9c", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    ev0 = _load_events(spark, sf)
+
+    for factor in (1, 5, 20, max_factor):
+        l = scaled(
+            li.withColumn("_id", F.col("l_orderkey")), "_id", factor
+        ).localCheckpoint()
+        nl = l.count()
+        # distinct-value cardinality is FIXED as rows grow (50
+        # quantities x 11 discounts) — the bounded-histogram regime
+        # spearman/levene are designed for
+        timed(
+            f"spearman x{factor}",
+            spearman_corr(l, "l_quantity", "l_discount"),
+            nl,
+        )
+        timed(
+            f"brown_forsythe x{factor}",
+            brown_forsythe(l, "l_returnflag", "l_quantity"),
+            nl,
+        )
+        timed(
+            f"partial_corr x{factor}",
+            partial_corr(
+                l, "l_quantity", "l_extendedprice", "l_discount"
+            ),
+            nl,
+        )
+        timed(
+            f"key_skew_census x{factor}",
+            key_skew_census(l, "l_partkey", "lineitem.l_partkey"),
+            nl,
+        )
+
+        o = scaled(orders, "o_orderkey", factor).localCheckpoint()
+        no = o.count()
+        o2 = o.select(
+            "o_totalprice",
+            (F.col("o_custkey") % 2 == 0).alias("treated"),
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .alias("high_prio"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        timed(
+            f"mde_readout x{factor}",
+            mde_readout(o2, "treated", "o_totalprice"),
+            no,
+        )
+        timed(
+            f"simpsons_check x{factor}",
+            simpsons_check(o2, "treated", "high_prio", "order_year"),
+            no,
+        )
+        timed(
+            f"kendall_tau x{factor}",
+            kendall_tau(l, "l_quantity", "l_discount"),
+            nl,
+        )
+        timed(
+            f"hhi_concentration x{factor}",
+            hhi_concentration(o, "o_custkey", "o_totalprice"),
+            no,
+        )
+
+        # events copies shift user ids: MORE users, per-user history
+        # constant — transition edges and cells grow with the type
+        # space (fixed), not the volume
+        e = scaled(ev0, "user_id", factor).localCheckpoint()
+        ne = e.count()
+        timed(
+            f"cronbach_alpha x{factor}",
+            cronbach_alpha(e, "user_id", "event_type", "value"),
+            ne,
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").asc(), F.col("event_id").asc()
+        )
+        edges = e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        ).where(F.col("dst").isNotNull())
+        timed(f"reciprocity x{factor}", reciprocity(edges), ne)
+
+        # assortativity over the sampled co-purchase graph (the
+        # round9b jaccard fixture: copies shift the order key so pair
+        # volume is copy-local, never cross-copy)
+        from h3_indexer_spark.operators.graph import degree_assortativity
+
+        items = (
+            l.where(F.expr("_id % 4 = 0"))
+            .select(F.col("_id").alias("l_orderkey"), "l_partkey")
+            .distinct()
+            .localCheckpoint()
+        )
+        ia = items.select(
+            F.col("l_orderkey").alias("_b"),
+            F.col("l_partkey").alias("src"),
+        )
+        ib = items.select(
+            F.col("l_orderkey").alias("_b"),
+            F.col("l_partkey").alias("dst"),
+        )
+        g_edges = (
+            ia.join(ib, "_b")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        ni = items.count()
+        timed(
+            f"degree_assortativity x{factor}",
+            degree_assortativity(g_edges),
+            ni,
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[2] == "round6":
         round6_scale(int(sys.argv[1]))
@@ -1299,5 +1447,7 @@ if __name__ == "__main__":
         round9_scale(int(sys.argv[1]))
     elif len(sys.argv) > 2 and sys.argv[2] == "round9b":
         round9b_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round9c":
+        round9c_scale(int(sys.argv[1]))
     else:
         main()

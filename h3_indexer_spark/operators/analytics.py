@@ -2591,14 +2591,16 @@ def one_way_anova(
     quantization recipe, in decimal because a FLOOR-to-BIGINT
     overflows 2^63 once Σv reaches ~1e10 — Spark's floor(double)
     returns LONG). The input double is bit-identical in any IEEE
-    engine because S_g and n_g are exact: DECIMAL(18,4) sums — 18
-    digits keeps the v·v product at precision 37 ≤ 38 so Σv² stays
-    EXACT in both engines, unlike (19,4) whose product overflows
-    Spark's decimal cap and silently rounds scale 8 → 7 — and a
-    rounded double→decimal cast of the SAME binary double cannot
-    straddle a tie (no binary64 value sits exactly on a 1e-6
-    boundary), so the tie-breaking mode never fires. The final
-    compound F is fixed IEEE op order, ROUND 9.
+    engine because every sufficient statistic is a SCALE-0 integer
+    (the grouped_moments recipe): values scale exactly to 1e-4-unit
+    BIGINT quanta, Σc and Σc² fold as scale-0 DECIMALs whose double
+    casts are a SINGLE correctly-rounded int→double conversion in
+    both engines — a scaled decimal's cast (int128 ÷ 10^scale in
+    float) double-rounds and drifts one ulp between engines at 1e16+
+    magnitudes, which a live driver mismatch on the sibling
+    cronbach/mde shapes demonstrated. F and eta² are unit-invariant,
+    so no quanta ever divide back out; the final compound is fixed
+    IEEE op order, ROUND 9.
 
     Scale: ONE groupBy(group) with map-side partial sums, then a
     k-row fold — nothing else touches the data. k (distinct groups)
@@ -2609,7 +2611,9 @@ def one_way_anova(
     Output: one row (k_groups, n_total, f_stat, eta_sq); f_stat is
     NULL when k < 2 or N ≤ k (no within-group degrees of freedom).
     """
-    v = F.col(value_col).cast("decimal(18,4)")
+    v = F.round(F.col(value_col).cast("double") * F.lit(10000.0), 0).cast(
+        "long"
+    ).cast("decimal(19,0)")
     g = (
         df.where(
             F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
@@ -2627,8 +2631,8 @@ def one_way_anova(
     fold = g.select("_n", "_s", "_q", term_q.alias("_tq")).agg(
         F.count(F.lit(1)).cast("bigint").alias("k_groups"),
         F.sum("_n").cast("bigint").alias("n_total"),
-        F.sum(F.col("_s").cast("decimal(38,4)")).alias("_ss"),
-        F.sum(F.col("_q").cast("decimal(38,8)")).alias("_qq"),
+        F.sum(F.col("_s").cast("decimal(38,0)")).alias("_ss"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_qq"),
         F.sum("_tq").alias("_t"),
     )
     k = F.col("k_groups").cast("double")
@@ -2637,8 +2641,12 @@ def one_way_anova(
     grand = (F.col("_ss").cast("double") * F.col("_ss").cast("double")) / n
     ssb = t - grand
     ssw = F.col("_qq").cast("double") - t
-    f_ok = (F.col("k_groups") >= 2) & (
-        F.col("n_total") > F.col("k_groups")
+    # ssw = 0 (all values equal within every group) has no defined F;
+    # guard it or ANSI mode raises DIVIDE_BY_ZERO instead of NULL
+    f_ok = (
+        (F.col("k_groups") >= 2)
+        & (F.col("n_total") > F.col("k_groups"))
+        & (ssw > 0)
     )
     return fold.select(
         "k_groups",
@@ -2980,4 +2988,671 @@ def psm_match(
             "score_q_control",
             "diff_q",
         )
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotone-association readout that is robust to outliers and
+    nonlinearity (Pearson on average ranks, with the standard
+    mid-rank treatment of ties).
+
+    All-integer rank surface: each column is collapsed to its
+    DISTINCT values with counts, a cumulative window over the
+    |distinct|-row histogram yields the DOUBLED mid-rank
+    rank2 = 2·cum − cnt + 1 (an exact BIGINT — mid-ranks are
+    half-integers, so doubling keeps the whole surface integral and
+    hash-checkable), and the rank tables broadcast back onto the
+    fact. Σrank2, Σrank2² and the cross product fold as
+    DECIMAL(38,0) — exact integer sums in both engines — and the
+    final rho is the Pearson compound over their doubles in fixed
+    IEEE op order (rho is invariant to the ×2 rank scaling), ROUND 9.
+
+    Scale: the rank histograms are |distinct|-row tables (the
+    Mann-Whitney collapse — the global window orders distinct values,
+    never rows), the joins back are broadcasts, and the final fold is
+    ONE map-side-partial aggregation. For near-unique columns
+    (|distinct| → n) the histogram window degenerates to a global
+    sort — use bounded-cardinality features or pre-binned values at
+    corpus scale, which is the documented contract here.
+
+    Output: one row (n_pairs, rho); rho NULL when either column is
+    constant (zero rank variance) or n < 2.
+    """
+    src = df.where(
+        F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    ).select(F.col(col_x).alias("_x"), F.col(col_y).alias("_y"))
+
+    def _rank2(col: str) -> DataFrame:
+        hist = src.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cnt")
+        )
+        w = (
+            Window.orderBy(F.col(col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum("_cnt").over(w)
+        return hist.select(
+            col,
+            (F.lit(2) * cum - F.col("_cnt") + F.lit(1))
+            .cast("bigint")
+            .alias(f"{col}r2"),
+        )
+
+    ranked = src.join(F.broadcast(_rank2("_x")), "_x").join(
+        F.broadcast(_rank2("_y")), "_y"
+    )
+    rx = F.col("_xr2").cast("decimal(38,0)")
+    ry = F.col("_yr2").cast("decimal(38,0)")
+    fold = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(rx).alias("_sx"),
+        F.sum(ry).alias("_sy"),
+        F.sum(rx * rx).alias("_qx"),
+        F.sum(ry * ry).alias("_qy"),
+        F.sum(rx * ry).alias("_sp"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    qx, qy = F.col("_qx").cast("double"), F.col("_qy").cast("double")
+    sp = F.col("_sp").cast("double")
+    varx = n * qx - sx * sx
+    vary = n * qy - sy * sy
+    ok = (F.col("n_pairs") >= 2) & (varx > 0) & (vary > 0)
+    return fold.select(
+        "n_pairs",
+        F.round(
+            F.when(ok, (n * sp - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))),
+            9,
+        ).alias("rho"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe (median-based Levene) test for equal variances
+    across the levels of ``group_col`` — the homoscedasticity check
+    that guards one_way_anova's pooled-variance assumption: an ANOVA
+    F over the absolute deviations from each GROUP MEDIAN (medians,
+    not means, keep the test robust under skew — the recommended
+    variant).
+
+    Exact medians at scale: values quantize to DECIMAL(18,4) and
+    collapse to a per-group value HISTOGRAM; a per-group cumulative
+    window over the |distinct|-row histogram finds the two middle
+    order statistics, and the DOUBLED median median2 = v_lo + v_hi
+    stays an exact DECIMAL (never a lossy /2). The deviation surface
+    is likewise doubled — z2 = |2v − median2|, exact DECIMAL — and
+    the W statistic is computed by one_way_anova on z2 (F is
+    invariant under linear scaling, so the ×2 cancels; same
+    DECIMAL(38,6)-quantized order-free fold, ROUND 9).
+
+    Scale: ONE groupBy(group, value) histogram with map-side
+    partials, one window over distinct values per group, a k-row
+    broadcast of medians back, then the anova fold — the fact is
+    never globally sorted.
+
+    Output: one row (k_groups, n_total, w_stat); NULL when k < 2 or
+    N ≤ k.
+    """
+    v = F.col(value_col).cast("decimal(18,4)")
+    src = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
+    hist = src.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("_g")
+    cum = F.sum("_cnt").over(w)
+    ng = F.sum("_cnt").over(wg)
+    cdf = hist.select(
+        "_g",
+        "_v",
+        cum.alias("_cum"),
+        ng.alias("_ng"),
+    )
+    # floor((n+1)/2) and floor(n/2)+1 via exact integer shifts (no
+    # float division anywhere near an order-statistic index)
+    lo_t = F.shiftright(F.col("_ng") + F.lit(1), 1)
+    hi_t = F.shiftright(F.col("_ng"), 1) + F.lit(1)
+    medians = cdf.groupBy("_g").agg(
+        F.min(F.when(F.col("_cum") >= lo_t, F.col("_v"))).alias("_mlo"),
+        F.min(F.when(F.col("_cum") >= hi_t, F.col("_v"))).alias("_mhi"),
+    )
+    m2 = (F.col("_mlo") + F.col("_mhi")).alias("_m2")
+    z = src.join(F.broadcast(medians.select("_g", m2)), "_g").select(
+        "_g",
+        F.abs(F.col("_v") + F.col("_v") - F.col("_m2"))
+        .cast("decimal(18,4)")
+        .alias("_z2"),
+    )
+    res = one_way_anova(z, "_g", "_z2")
+    return res.select(
+        "k_groups",
+        "n_total",
+        F.col("f_stat").alias("w_stat"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over a long
+    (subject, item, value) table — the reliability readout for
+    multi-item scores (label batteries, per-dimension quality
+    scores): alpha = k/(k−1) · (1 − Σ var_item / var_total), where
+    var_total is the variance of per-subject TOTAL scores. Completes
+    the agreement family (cohens_kappa / fleiss_kappa are
+    categorical; alpha is the numeric-scale sibling). Absent
+    (subject, item) cells score 0 — the dense-matrix convention, so
+    every subject with any scored item enters every item's variance.
+
+    Determinism (the grouped_moments integer recipe): values scale
+    exactly to 1e-4-unit BIGINTs (caps declared scale at 4 decimals;
+    |cell| < ~9e14 in quanta), so cell scores, per-item Σc/Σc² and
+    per-subject-total Σt/Σt² are EXACT scale-0 DECIMAL integer sums
+    whose double casts are a SINGLE correctly-rounded int→double
+    conversion in both engines — no decimal-scale division to
+    double-round (the (38,8)→double path drifts one ulp between
+    engines at 1e16+ magnitudes). Each item's population variance
+    (in quanta²) is quantized to DECIMAL(38,6) and DECIMAL-summed so
+    the k-item fold is order-free (the one_way_anova recipe); alpha
+    is unit-invariant and the two variance readouts divide by 1e8
+    once at the end, fixed IEEE op order, ROUND 9.
+
+    Scale: one groupBy(subject, item), one groupBy(item) and one
+    groupBy(subject) over the cell table — all map-side-partial —
+    plus two 1-row broadcast folds. Nothing holds the k×N matrix.
+
+    Output: one row (k_items, n_subjects, sum_item_var, total_var,
+    alpha); alpha NULL when k < 2 or var_total = 0.
+    """
+    c = F.round(F.col(value_col).cast("double") * F.lit(10000.0), 0).cast(
+        "long"
+    )
+    cells = (
+        df.where(
+            F.col(subject_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(subject_col).alias("_s"), F.col(item_col).alias("_i")
+        )
+        .agg(F.sum(c).cast("bigint").alias("_c"))
+    )
+    cd = F.col("_c").cast("decimal(19,0)")
+    totals = cells.groupBy("_s").agg(
+        F.sum("_c").cast("bigint").alias("_t")
+    )
+    td = F.col("_t").cast("decimal(19,0)")
+    tot_fold = totals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum(td).alias("_st"),
+        F.sum(td * td).alias("_qt"),
+    )
+    items = cells.groupBy("_i").agg(
+        F.sum(cd).alias("_sc"),
+        F.sum(cd * cd).alias("_qc"),
+    )
+    nd = F.col("n_subjects").cast("double")
+    var_i = (
+        (
+            F.col("_qc").cast("double")
+            - F.col("_sc").cast("double") * F.col("_sc").cast("double") / nd
+        )
+        / nd
+    ).cast("decimal(38,6)")
+    item_fold = (
+        items.crossJoin(F.broadcast(tot_fold.select("n_subjects")))
+        .select(var_i.alias("_vq"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_items"),
+            F.sum("_vq").alias("_sumvar"),
+        )
+    )
+    joined = tot_fold.crossJoin(F.broadcast(item_fold))
+    n = F.col("n_subjects").cast("double")
+    k = F.col("k_items").cast("double")
+    var_t = (
+        F.col("_qt").cast("double")
+        - F.col("_st").cast("double") * F.col("_st").cast("double") / n
+    ) / n
+    sum_var = F.col("_sumvar").cast("double")
+    ok = (F.col("k_items") >= 2) & (var_t > 0)
+    unit = F.lit(100000000.0)  # (1e4 quanta)² back to value units
+    return joined.select(
+        "k_items",
+        "n_subjects",
+        F.round(sum_var / unit, 9).alias("sum_item_var"),
+        F.round(var_t / unit, 9).alias("total_var"),
+        F.round(
+            F.when(ok, (k / (k - F.lit(1.0))) * (F.lit(1.0) - sum_var / var_t)),
+            9,
+        ).alias("alpha"),
+    )
+
+
+def simpsons_check(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Simpson's-paradox diagnostic: the treated-vs-control outcome
+    rate difference per STRATUM beside the AGGREGATE difference, with
+    a flip flag wherever the stratum-level sign contradicts the
+    pooled sign — the standard confounding check before reading any
+    pooled A/B or observational contrast (the stratified companion
+    to ab_test / diff_in_diff). ``treat_col`` / ``outcome_col`` are
+    boolean columns.
+
+    Exact-integer surface: per-stratum cells are four conditional
+    COUNTs, the pooled cells are their BIGINT sums re-folded from the
+    same stratum rows (never a second scan), rates are one
+    exact-int ÷ exact-int IEEE op each and the differences fixed op
+    order, ROUND 9. The flip flag is NULL (not false) when either
+    side of the comparison is undefined (an empty arm).
+
+    Scale: ONE groupBy(stratum) with map-side partials + a 1-row
+    broadcast of the pooled fold back onto the stratum rows.
+
+    Output: one row per stratum (stratum, n_t, conv_t, n_c, conv_c,
+    rate_t, rate_c, diff, agg_diff, flipped).
+    """
+    t, o = F.col(treat_col), F.col(outcome_col)
+    cells = (
+        df.where(t.isNotNull() & o.isNotNull() & F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.when(t, F.lit(1))).cast("bigint").alias("n_t"),
+            F.count(F.when(t & o, F.lit(1))).cast("bigint").alias("conv_t"),
+            F.count(F.when(~t, F.lit(1))).cast("bigint").alias("n_c"),
+            F.count(F.when(~t & o, F.lit(1))).cast("bigint").alias("conv_c"),
+        )
+    )
+    pooled = cells.agg(
+        F.sum("n_t").cast("bigint").alias("_pn_t"),
+        F.sum("conv_t").cast("bigint").alias("_pc_t"),
+        F.sum("n_c").cast("bigint").alias("_pn_c"),
+        F.sum("conv_c").cast("bigint").alias("_pc_c"),
+    )
+
+    def _rate(c: str, n: str):
+        return F.when(
+            F.col(n) > 0,
+            F.col(c).cast("double") / F.col(n).cast("double"),
+        )
+
+    agg_diff = F.when(
+        (F.col("_pn_t") > 0) & (F.col("_pn_c") > 0),
+        F.col("_pc_t").cast("double") / F.col("_pn_t").cast("double")
+        - F.col("_pc_c").cast("double") / F.col("_pn_c").cast("double"),
+    )
+    diff = _rate("conv_t", "n_t") - _rate("conv_c", "n_c")
+    out = cells.crossJoin(F.broadcast(pooled)).select(
+        "stratum",
+        "n_t",
+        "conv_t",
+        "n_c",
+        "conv_c",
+        F.round(_rate("conv_t", "n_t"), 9).alias("rate_t"),
+        F.round(_rate("conv_c", "n_c"), 9).alias("rate_c"),
+        F.round(diff, 9).alias("diff"),
+        F.round(agg_diff, 9).alias("agg_diff"),
+        (
+            ((diff > 0) & (agg_diff < 0)) | ((diff < 0) & (agg_diff > 0))
+        ).alias("flipped"),
+    )
+    return out
+
+
+# Two-sided 97.5% and 80% standard-normal quantiles — the classic
+# alpha=0.05 / power=0.80 MDE constants, embedded as literals here
+# and verbatim in the SQL oracle so no inverse-CDF is evaluated at
+# query time in either engine.
+_Z_975 = 1.959963984540054
+_Z_80 = 0.8416212335729143
+
+
+def mde_readout(
+    df: DataFrame,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Minimum-detectable-effect readout for a two-arm experiment at
+    alpha = 0.05 (two-sided) / power = 0.80: from each arm's observed
+    count and sample variance, MDE_abs = (z_{0.975} + z_{0.80}) ·
+    sqrt(s²_t/n_t + s²_c/n_c) and MDE_rel = MDE_abs / mean_c — the
+    "how small an effect could this experiment even see" companion to
+    ab_test_zscore (which answers "did it move"), sized from the SAME
+    one-pass sums. ``treat_col`` is a boolean arm flag.
+
+    Determinism (the grouped_moments integer recipe): values scale
+    exactly to 1e-4-unit BIGINTs, so ONE conditional aggregation
+    (the diff_in_diff shape) produces exact scale-0 DECIMAL integer
+    sums and sums-of-squares per arm whose double casts are a single
+    correctly-rounded int→double conversion in both engines (the
+    decimal-scale→double path double-rounds and drifts one ulp at
+    1e16+ magnitudes); variances, the pooled SE and both MDEs then
+    divide the quanta out once each in fixed IEEE op order, ROUND 9.
+    The z constants are literal doubles shared with the oracle.
+
+    Scale: one map-side-partial scan to a single row; nothing else.
+
+    Output: one row (n_t, n_c, mean_t, mean_c, var_t, var_c, se,
+    mde_abs, mde_rel); NULL readouts when either arm has n < 2 (no
+    sample variance) or mean_c = 0 (relative MDE only).
+    """
+    c = F.round(F.col(value_col).cast("double") * F.lit(10000.0), 0).cast(
+        "long"
+    )
+    cd = c.cast("decimal(19,0)")
+    t = F.col(treat_col)
+    fold = df.where(t.isNotNull() & F.col(value_col).isNotNull()).agg(
+        F.count(F.when(t, F.lit(1))).cast("bigint").alias("n_t"),
+        F.sum(F.when(t, cd)).alias("_s_t"),
+        F.sum(F.when(t, cd * cd)).alias("_q_t"),
+        F.count(F.when(~t, F.lit(1))).cast("bigint").alias("n_c"),
+        F.sum(F.when(~t, cd)).alias("_s_c"),
+        F.sum(F.when(~t, cd * cd)).alias("_q_c"),
+    )
+    _QUANT = F.lit(10000.0)
+    _QUANT2 = F.lit(100000000.0)
+
+    def _mean(s: str, n: str):
+        return F.col(s).cast("double") / F.col(n).cast("double") / _QUANT
+
+    def _var(q: str, s: str, n: str):
+        nd = F.col(n).cast("double")
+        return (
+            F.col(q).cast("double")
+            - F.col(s).cast("double") * F.col(s).cast("double") / nd
+        ) / (nd - F.lit(1.0)) / _QUANT2
+
+    ok = (F.col("n_t") >= 2) & (F.col("n_c") >= 2)
+    se = F.sqrt(
+        _var("_q_t", "_s_t", "n_t") / F.col("n_t").cast("double")
+        + _var("_q_c", "_s_c", "n_c") / F.col("n_c").cast("double")
+    )
+    mde_abs = F.lit(_Z_975 + _Z_80) * se
+    mean_c = _mean("_s_c", "n_c")
+    return fold.select(
+        "n_t",
+        "n_c",
+        F.round(F.when(F.col("n_t") > 0, _mean("_s_t", "n_t")), 9).alias(
+            "mean_t"
+        ),
+        F.round(F.when(F.col("n_c") > 0, mean_c), 9).alias("mean_c"),
+        F.round(F.when(ok, _var("_q_t", "_s_t", "n_t")), 9).alias("var_t"),
+        F.round(F.when(ok, _var("_q_c", "_s_c", "n_c")), 9).alias("var_c"),
+        F.round(F.when(ok, se), 9).alias("se"),
+        F.round(F.when(ok, mde_abs), 9).alias("mde_abs"),
+        F.round(
+            F.when(ok & (mean_c != 0), mde_abs / mean_c), 9
+        ).alias("mde_rel"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    col_z: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — the x↔y association
+    with the confounder z linearly controlled for:
+    (r_xy − r_xz·r_yz) / sqrt((1 − r_xz²)(1 − r_yz²)). The one-line
+    answer to "is this correlation just both sides tracking z" —
+    complementing corr_matrix (which reports the raw pairwise grid).
+
+    ONE aggregation computes all ten sufficient statistics (n, three
+    exact DECIMAL(18,4) sums, three (37,8) sum-of-squares, three
+    (37,8) cross-products — every product under Spark's 38-digit cap
+    and forced onto DuckDB's INT128 path by the oracle's (19,4)
+    cast); each pairwise r and the final compound are fixed IEEE op
+    order over the folded doubles, ROUND 9.
+
+    Scale: one map-side-partial scan to a single row.
+
+    Output: one row (n, r_xy, r_xz, r_yz, r_xy_given_z); the partial
+    r is NULL when any marginal is degenerate or |r_xz| = 1 / |r_yz|
+    = 1 (zero residual variance).
+    """
+    cx = F.col(col_x).cast("decimal(18,4)")
+    cy = F.col(col_y).cast("decimal(18,4)")
+    cz = F.col(col_z).cast("decimal(18,4)")
+    fold = df.where(
+        F.col(col_x).isNotNull()
+        & F.col(col_y).isNotNull()
+        & F.col(col_z).isNotNull()
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cx).alias("_sx"),
+        F.sum(cy).alias("_sy"),
+        F.sum(cz).alias("_sz"),
+        F.sum(cx * cx).alias("_qx"),
+        F.sum(cy * cy).alias("_qy"),
+        F.sum(cz * cz).alias("_qz"),
+        F.sum(cx * cy).alias("_pxy"),
+        F.sum(cx * cz).alias("_pxz"),
+        F.sum(cy * cz).alias("_pyz"),
+    )
+    n = F.col("n").cast("double")
+
+    def _r(p: str, sa: str, sb: str, qa: str, qb: str):
+        num = n * F.col(p).cast("double") - F.col(sa).cast("double") * F.col(
+            sb
+        ).cast("double")
+        va = n * F.col(qa).cast("double") - F.col(sa).cast("double") * F.col(
+            sa
+        ).cast("double")
+        vb = n * F.col(qb).cast("double") - F.col(sb).cast("double") * F.col(
+            sb
+        ).cast("double")
+        return F.when(
+            (va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb))
+        )
+
+    r_xy = _r("_pxy", "_sx", "_sy", "_qx", "_qy")
+    r_xz = _r("_pxz", "_sx", "_sz", "_qx", "_qz")
+    r_yz = _r("_pyz", "_sy", "_sz", "_qy", "_qz")
+    den = F.sqrt(
+        (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    )
+    return fold.select(
+        "n",
+        F.round(r_xy, 9).alias("r_xy"),
+        F.round(r_xz, 9).alias("r_xz"),
+        F.round(r_yz, 9).alias("r_yz"),
+        F.round(
+            F.when(den > 0, (r_xy - r_xz * r_yz) / den), 9
+        ).alias("r_xy_given_z"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Kendall tau-b rank correlation — concordant-vs-discordant pair
+    agreement with the standard tie correction, the
+    outlier-immune sibling of spearman_corr (tau weighs pair ORDER
+    agreements; rho weighs rank distances).
+
+    The naive definition is O(n²) pairs; this computes it EXACTLY
+    from the JOINT value histogram: collapse to |distinct x × y|
+    cells with counts, self-join cells on x1 < x2 (a bounded
+    nested-loop over the report-sized histogram, never the rows),
+    and fold concordant/discordant products C = Σ n1·n2 [y1<y2],
+    D = Σ n1·n2 [y1>y2] plus the tie terms from the marginal and
+    joint histograms — all exact DECIMAL(38,0) integers; tau-b =
+    (C − D)/(√(n0−t_x)·√(n0−t_y)) converts each exact integer to
+    double ONCE and compounds in fixed IEEE op order, ROUND 9.
+
+    Scale: one groupBy(x, y) histogram with map-side partials; the
+    cell self-join is |cells|² with |cells| bounded by the distinct
+    grid (the spearman_corr bounded-cardinality contract — pre-bin
+    near-unique columns). Pair counts n0 = n(n−1)/2 use DECIMAL
+    arithmetic so nothing overflows BIGINT at 100 TB row counts.
+
+    Output: one row (n_pairs, concordant, discordant, tau_b); NULL
+    tau when either marginal is constant. The two count readouts are
+    BIGINT (fine through ~10^18 pair agreements; the internal fold
+    stays DECIMAL so tau itself never overflows).
+    """
+    src = df.where(
+        F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    ).select(F.col(col_x).alias("_x"), F.col(col_y).alias("_y"))
+    cells = src.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    c1 = cells.select(
+        F.col("_x").alias("_x1"),
+        F.col("_y").alias("_y1"),
+        F.col("_n").alias("_n1"),
+    )
+    c2 = cells.select(
+        F.col("_x").alias("_x2"),
+        F.col("_y").alias("_y2"),
+        F.col("_n").alias("_n2"),
+    )
+    prod = (
+        F.col("_n1").cast("decimal(19,0)")
+        * F.col("_n2").cast("decimal(19,0)")
+    )
+    cd = (
+        c1.join(F.broadcast(c2), F.col("_x1") < F.col("_x2"))
+        .agg(
+            F.sum(
+                F.when(F.col("_y1") < F.col("_y2"), prod)
+            ).alias("_c"),
+            F.sum(
+                F.when(F.col("_y1") > F.col("_y2"), prod)
+            ).alias("_d"),
+        )
+    )
+    nd19 = F.col("_n").cast("decimal(19,0)")
+    pairs2 = nd19 * (nd19 - F.lit(1))  # 2x the tie pairs, exact
+    tx = (
+        cells.groupBy("_x")
+        .agg(F.sum("_n").cast("decimal(19,0)").alias("_nx"))
+        .agg(
+            F.sum(
+                F.col("_nx") * (F.col("_nx") - F.lit(1))
+            ).alias("_tx2")
+        )
+    )
+    ty = (
+        cells.groupBy("_y")
+        .agg(F.sum("_n").cast("decimal(19,0)").alias("_ny"))
+        .agg(
+            F.sum(
+                F.col("_ny") * (F.col("_ny") - F.lit(1))
+            ).alias("_ty2")
+        )
+    )
+    tot = src.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    j = (
+        tot.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n = F.col("n_pairs").cast("decimal(19,0)")
+    n02 = n * (n - F.lit(1))  # 2x total pairs, exact decimal
+    c_d = F.coalesce(F.col("_c"), F.lit(0).cast("decimal(38,0)"))
+    d_d = F.coalesce(F.col("_d"), F.lit(0).cast("decimal(38,0)"))
+    # work on the DOUBLED pair scale throughout (n02 = 2·n0, t_2 =
+    # 2·ties): each denominator factor halves, so the two halvings
+    # cancel against a doubled numerator — no /2 ever computed
+    num = (c_d.cast("double") - d_d.cast("double")) * F.lit(2.0)
+    fx = n02.cast("double") - F.col("_tx2").cast("double")
+    fy = n02.cast("double") - F.col("_ty2").cast("double")
+    ok = (fx > 0) & (fy > 0)
+    return j.select(
+        "n_pairs",
+        c_d.cast("bigint").alias("concordant"),
+        d_d.cast("bigint").alias("discordant"),
+        F.round(
+            F.when(ok, num / (F.sqrt(fx) * F.sqrt(fy))), 9
+        ).alias("tau_b"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index over ``value_col``
+    totals per entity: HHI = Σ share_i² ∈ (0, 1], plus the
+    size-normalized variant (HHI − 1/k)/(1 − 1/k) — the antitrust /
+    vendor-concentration readout complementing diversity_index
+    (entropy says "how spread out", HHI says "how captured").
+
+    Determinism: entity totals are exact 1e-4-quanta BIGINT sums
+    (the grouped_moments recipe); each share² — one fixed-order
+    double over exact ints — is quantized to DECIMAL(38,18) and
+    DECIMAL-summed so the k-entity fold is order-free (shares are
+    ≤ 1, so scale 18 carries them at full double precision band);
+    the final compound is fixed IEEE op order, ROUND 9.
+
+    Scale: ONE groupBy(entity) with map-side partials + a 1-row
+    total broadcast back over the k entity rows, then a k-row fold.
+
+    Output: one row (n_entities, hhi, hhi_normalized);
+    hhi_normalized NULL when k < 2.
+    """
+    c = F.round(F.col(value_col).cast("double") * F.lit(10000.0), 0).cast(
+        "long"
+    )
+    ent = (
+        df.where(
+            F.col(entity_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(entity_col).alias("_e"))
+        .agg(F.sum(c).cast("decimal(38,0)").alias("_s"))
+    )
+    tot = ent.agg(
+        F.sum("_s").alias("_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+    )
+    share = F.col("_s").cast("double") / F.col("_tot").cast("double")
+    fold = (
+        ent.crossJoin(F.broadcast(tot))
+        .select(
+            "n_entities",
+            (share * share).cast("decimal(38,18)").alias("_sq"),
+        )
+        .groupBy("n_entities")
+        .agg(F.sum("_sq").alias("_hhi"))
+    )
+    k = F.col("n_entities").cast("double")
+    hhi = F.col("_hhi").cast("double")
+    return fold.select(
+        "n_entities",
+        F.round(hhi, 9).alias("hhi"),
+        F.round(
+            F.when(
+                F.col("n_entities") >= 2,
+                (hhi - F.lit(1.0) / k) / (F.lit(1.0) - F.lit(1.0) / k),
+            ),
+            9,
+        ).alias("hhi_normalized"),
     )

@@ -154,3 +154,84 @@ def check_expectations(
         "n_rows",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def key_skew_census(
+    df: DataFrame,
+    key_col: str,
+    key_name: str | None = None,
+) -> DataFrame:
+    """Join-key skew census — the pre-join advisor every 100 TB
+    pipeline should run before shuffling on a key: group-size
+    distribution statistics (max, p99, mean, top-key share, and the
+    max/mean skew ratio) that tell you whether this key needs
+    salting, AQE skew handling, or a broadcast instead. High
+    top_share ⇒ one reducer owns the key space; skew_ratio near 1 ⇒
+    uniform, shuffle freely.
+
+    Two-level collapse, never a sort of the data: groupBy(key) →
+    per-key sizes (map-side partials), then groupBy(size) → the SIZE
+    HISTOGRAM, which is tiny (distinct group sizes, not distinct
+    keys), so the p99 order statistic is a cumulative window over a
+    report-sized table even when the key space has billions of
+    entries. p99 is the smallest size with cumulative key count ≥
+    ceil(0.99·n_keys), computed in exact integer arithmetic
+    (cum·100 ≥ 99·n_keys — no float index); the three ratio readouts
+    are fixed IEEE op order, ROUND 9.
+
+    Output: one row (key_name, n_rows, n_keys, max_size, p99_size,
+    avg_size, top_share, skew_ratio).
+    """
+    from pyspark.sql import Window
+
+    name = key_name if key_name is not None else key_col
+    sizes = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_sz"))
+    )
+    hist = sizes.groupBy("_sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nk")
+    )
+    tot = hist.agg(
+        F.sum("_nk").cast("bigint").alias("n_keys"),
+        F.sum(F.col("_sz") * F.col("_nk")).cast("bigint").alias("n_rows"),
+        F.max("_sz").cast("bigint").alias("max_size"),
+    )
+    w = Window.orderBy(F.col("_sz").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = hist.select("_sz", F.sum("_nk").over(w).alias("_cum"))
+    fold = (
+        cdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("_cum") * F.lit(100)
+                    >= F.lit(99) * F.col("n_keys"),
+                    F.col("_sz"),
+                )
+            )
+            .cast("bigint")
+            .alias("p99_size"),
+            F.max("n_keys").alias("n_keys"),
+            F.max("n_rows").alias("n_rows"),
+            F.max("max_size").alias("max_size"),
+        )
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return fold.select(
+        F.lit(name).alias("key_name"),
+        "n_rows",
+        "n_keys",
+        "max_size",
+        "p99_size",
+        F.round(avg, 9).alias("avg_size"),
+        F.round(
+            F.col("max_size").cast("double") / F.col("n_rows").cast("double"),
+            9,
+        ).alias("top_share"),
+        F.round(F.col("max_size").cast("double") / avg, 9).alias(
+            "skew_ratio"
+        ),
+    )

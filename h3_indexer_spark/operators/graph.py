@@ -926,3 +926,161 @@ def jaccard_link_prediction(
             ).alias("jac_q"),
         )
     )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of directed edges
+    whose reverse edge also exists, plus the weighted variant
+    W↔/W = Σ min(w_uv, w_vu) / Σ w_uv (Squartini et al.'s mutuality
+    measure) with multi-edge counts as weights — the directionality
+    readout for follow/transition/message graphs (a transition graph
+    with high reciprocity is oscillatory; a citation graph sits near
+    zero). Self-loops are excluded; multi-edges collapse to one
+    weighted directed edge.
+
+    Exact-integer surface: edge weights are BIGINT counts, the
+    reverse lookup is ONE key-partitioned self-join on the flipped
+    key (never a cartesian), and both ratios are a single
+    exact-int ÷ exact-int IEEE op, ROUND 9.
+
+    Scale: groupBy(src, dst) with map-side partials bounds the join
+    input at the distinct-edge count; the self-join hash-partitions
+    on the (src, dst) key both sides. Two 1-row folds crossJoin at
+    the end.
+
+    Output: one row (n_edges, n_reciprocated, reciprocity, w_total,
+    w_reciprocated, weighted_reciprocity); ratios NULL on an empty
+    edge set.
+    """
+    e = (
+        edges.where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .groupBy(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("_w").cast("bigint").alias("w_total"),
+    )
+    rev = e.select(
+        F.col("_v").alias("_u"),
+        F.col("_u").alias("_v"),
+        F.col("_w").alias("_wr"),
+    )
+    rec = (
+        e.join(rev, ["_u", "_v"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reciprocated"),
+            F.sum(F.least(F.col("_w"), F.col("_wr")))
+            .cast("bigint")
+            .alias("w_reciprocated"),
+        )
+    )
+    j = tot.crossJoin(F.broadcast(rec))
+    return j.select(
+        "n_edges",
+        "n_reciprocated",
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("n_reciprocated").cast("double")
+                / F.col("n_edges").cast("double"),
+            ),
+            9,
+        ).alias("reciprocity"),
+        "w_total",
+        "w_reciprocated",
+        F.round(
+            F.when(
+                F.col("w_total") > 0,
+                F.col("w_reciprocated").cast("double")
+                / F.col("w_total").cast("double"),
+            ),
+            9,
+        ).alias("weighted_reciprocity"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman degree assortativity r: the Pearson correlation of the
+    degrees at either end of every edge — positive r means hubs wire
+    to hubs (social graphs), negative means hubs wire to leaves
+    (co-purchase, infrastructure). The one-number "is this graph
+    hub-to-hub" readout completing the degree family
+    (degree_distribution says what degrees exist; assortativity says
+    how they connect).
+
+    Undirected convention: each edge contributes BOTH ordered
+    endpoint pairs (the standard symmetrized estimator), self-loops
+    excluded, multi-edges collapsed. Degrees join onto the edge list
+    via two key-partitioned joins (the degree table is one row per
+    vertex — not assumed broadcastable); the final fold is ONE
+    aggregation over exact DECIMAL(38,0) integer degree sums, each
+    converted to double once, r compounded in fixed IEEE op order,
+    ROUND 9.
+
+    Scale: groupBy(src,dst) distinct + one groupBy(vertex) degree
+    count + two hash joins keyed on the vertex id + a 1-row fold —
+    every stage map-side-partial or key-partitioned; nothing
+    quadratic, nothing collected.
+
+    Output: one row (n_edges, r_assortativity); r NULL when degree
+    variance is zero on either end (e.g. a perfect matching or
+    cycle).
+    """
+    und = (
+        edges.where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    ).distinct()
+    deg = sym.groupBy(F.col("_u").alias("_w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_deg")
+    )
+    paired = (
+        sym.join(deg.select(F.col("_w").alias("_u"),
+                            F.col("_deg").alias("_du")), "_u")
+        .join(deg.select(F.col("_w").alias("_v"),
+                         F.col("_deg").alias("_dv")), "_v")
+    )
+    du = F.col("_du").cast("decimal(19,0)")
+    dv = F.col("_dv").cast("decimal(19,0)")
+    fold = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m2"),
+        F.sum(du).alias("_su"),
+        F.sum(dv).alias("_sv"),
+        F.sum(du * du).alias("_qu"),
+        F.sum(dv * dv).alias("_qv"),
+        F.sum(du * dv).alias("_p"),
+    )
+    m = F.col("_m2").cast("double")
+    su, sv = F.col("_su").cast("double"), F.col("_sv").cast("double")
+    qu, qv = F.col("_qu").cast("double"), F.col("_qv").cast("double")
+    p = F.col("_p").cast("double")
+    vu = m * qu - su * su
+    vv = m * qv - sv * sv
+    ok = (vu > 0) & (vv > 0)
+    return fold.select(
+        # each undirected edge appears twice in the symmetrized list
+        F.shiftright(F.col("_m2"), 1).alias("n_edges"),
+        F.round(
+            F.when(ok, (m * p - su * sv) / (F.sqrt(vu) * F.sqrt(vv))),
+            9,
+        ).alias("r_assortativity"),
+    )

@@ -9619,9 +9619,12 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA (operators/analytics.py::one_way_anova) of
     extended price across the three return-flag populations — the
     k-sample experiment readout generalizing q_ab_test. Exact
-    DECIMAL(18,4) group sums; the k-group between-term fold is
-    order-free via DECIMAL(38,6)-quantized per-group terms; the
-    compound F mirrors the oracle op-for-op (ROUND 9)."""
+    1e-4-quanta BIGINT group sums (scale-0 decimals: ONE
+    correctly-rounded int→double cast per statistic — the scaled
+    decimal→double path drifts one ulp between engines at 1e16+);
+    the k-group between-term fold is order-free via
+    DECIMAL(38,6)-quantized per-group terms; the compound F mirrors
+    the oracle op-for-op (ROUND 9)."""
     from h3_indexer_spark.operators.analytics import one_way_anova
 
     return one_way_anova(
@@ -9630,33 +9633,38 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANOVA_ORACLE = """
-    WITH g AS (
+    WITH cc AS (
         SELECT l_returnflag,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s,
-               -- (19,4) casts ONLY for the product: DuckDB multiplies
-               -- DECIMAL(18) on the INT64 path and overflows, while
-               -- width 19 forces INT128 and an exact (38,8) product;
-               -- Spark keeps (18,4) so ITS product stays exact at
-               -- (37,8) under the 38-cap. Both sides exact -> equal.
-               SUM(CAST(l_extendedprice AS DECIMAL(19,4))
-                   * CAST(l_extendedprice AS DECIMAL(19,4))) AS q
+               CAST(round(CAST(l_extendedprice AS DOUBLE) * 10000.0)
+                    AS BIGINT) AS cq
         FROM lineitem
         WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
-        GROUP BY l_returnflag
+    ),
+    g AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               -- scale-0 integer sums: the double cast is ONE
+               -- correctly-rounded int->double conversion in both
+               -- engines (a scaled decimal's cast double-rounds and
+               -- drifts one ulp at 1e16+ magnitudes)
+               SUM(CAST(cq AS HUGEINT)) AS s,
+               SUM(CAST(cq AS HUGEINT) * CAST(cq AS HUGEINT)) AS q
+        FROM cc GROUP BY l_returnflag
     ),
     t AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
                CAST(SUM(n) AS BIGINT) AS n_total,
-               SUM(CAST(s AS DECIMAL(38,4))) AS ss,
-               SUM(CAST(q AS DECIMAL(38,8))) AS qq,
+               SUM(s) AS ss,
+               SUM(q) AS qq,
                SUM(CAST((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                         / CAST(n AS DOUBLE) AS DECIMAL(38,6))) AS tq
         FROM g
     )
     SELECT k_groups,
            n_total,
-           ROUND(CASE WHEN k_groups >= 2 AND n_total > k_groups THEN
+           ROUND(CASE WHEN k_groups >= 2 AND n_total > k_groups
+                       AND (CAST(qq AS DOUBLE)
+                            - CAST(tq AS DOUBLE)) > 0 THEN
                ((CAST(tq AS DOUBLE)
                  - (CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
                    / CAST(n_total AS DOUBLE))
@@ -9665,7 +9673,9 @@ _ANOVA_ORACLE = """
                   / (CAST(n_total AS DOUBLE)
                      - CAST(k_groups AS DOUBLE)))
            END, 9) AS f_stat,
-           ROUND(CASE WHEN k_groups >= 2 AND n_total > k_groups THEN
+           ROUND(CASE WHEN k_groups >= 2 AND n_total > k_groups
+                       AND (CAST(qq AS DOUBLE)
+                            - CAST(tq AS DOUBLE)) > 0 THEN
                (CAST(tq AS DOUBLE)
                 - (CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
                   / CAST(n_total AS DOUBLE))
@@ -10156,21 +10166,862 @@ ORACLES["q_did"] = _DID_ORACLE
 ORACLES["q_psm_match"] = _PSM_MATCH_ORACLE
 
 
+
+
+# ---------------------------------------------------------------- #
+# Round-9 continuation: rank/partial correlation, variance          #
+# homogeneity, reliability, confounding diagnostics, experiment     #
+# sizing, graph mutuality, and the join-key skew advisor.           #
+# ---------------------------------------------------------------- #
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/analytics.py::
+    spearman_corr) between line-item quantity and discount — the
+    monotone-association readout on an all-integer doubled-mid-rank
+    surface: distinct-value histograms (the Mann-Whitney collapse)
+    yield exact BIGINT rank2 = 2·cum − cnt + 1, broadcast back, and
+    rho is Pearson over DECIMAL(38,0)-exact rank sums in fixed IEEE
+    op order, ROUND 9."""
+    from h3_indexer_spark.operators.analytics import spearman_corr
+
+    return spearman_corr(
+        load(spark, sf_dir, "lineitem"), "l_quantity", "l_discount"
+    )
+
+
+_SPEARMAN_ORACLE = """
+    WITH src AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_discount AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    hx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM src GROUP BY x),
+    rx AS (
+        SELECT x,
+               CAST(2 * SUM(cnt) OVER (ORDER BY x ASC
+                        ROWS UNBOUNDED PRECEDING)
+                    - cnt + 1 AS BIGINT) AS xr2
+        FROM hx
+    ),
+    hy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM src GROUP BY y),
+    ry AS (
+        SELECT y,
+               CAST(2 * SUM(cnt) OVER (ORDER BY y ASC
+                        ROWS UNBOUNDED PRECEDING)
+                    - cnt + 1 AS BIGINT) AS yr2
+        FROM hy
+    ),
+    ranked AS (
+        SELECT xr2, yr2 FROM src
+        JOIN rx USING (x) JOIN ry USING (y)
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(xr2 AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(yr2 AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(xr2 AS HUGEINT)
+                        * CAST(xr2 AS HUGEINT)) AS DOUBLE) AS qx,
+               CAST(SUM(CAST(yr2 AS HUGEINT)
+                        * CAST(yr2 AS HUGEINT)) AS DOUBLE) AS qy,
+               CAST(SUM(CAST(xr2 AS HUGEINT)
+                        * CAST(yr2 AS HUGEINT)) AS DOUBLE) AS sp
+        FROM ranked
+    )
+    SELECT n_pairs,
+           ROUND(CASE WHEN n_pairs >= 2
+                       AND (CAST(n_pairs AS DOUBLE) * qx - sx * sx) > 0
+                       AND (CAST(n_pairs AS DOUBLE) * qy - sy * sy) > 0
+                 THEN (CAST(n_pairs AS DOUBLE) * sp - sx * sy)
+                      / (SQRT(CAST(n_pairs AS DOUBLE) * qx - sx * sx)
+                         * SQRT(CAST(n_pairs AS DOUBLE) * qy - sy * sy))
+                 END, 9) AS rho
+    FROM fold
+"""
+
+
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe equal-variance test (operators/analytics.py::
+    brown_forsythe) of quantity across the three return-flag
+    populations — the homoscedasticity companion to q_anova: exact
+    per-group medians from a DECIMAL value histogram (doubled median
+    m2 = v_lo + v_hi, never a lossy /2), deviations z2 = |2v − m2|
+    exact, then the same order-free DECIMAL-quantized ANOVA fold on
+    z2 (W is invariant to the ×2 scaling), ROUND 9."""
+    from h3_indexer_spark.operators.analytics import brown_forsythe
+
+    return brown_forsythe(
+        load(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity"
+    )
+
+
+_LEVENE_ORACLE = """
+    WITH src AS (
+        SELECT l_returnflag AS g,
+               CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(18,4)) AS v
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    hist AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM src GROUP BY g, v
+    ),
+    cdf AS (
+        SELECT g, v,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY v ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY g) AS ng
+        FROM hist
+    ),
+    med AS (
+        SELECT g,
+               MIN(CASE WHEN cum >= (ng + 1) // 2 THEN v END)
+             + MIN(CASE WHEN cum >= ng // 2 + 1 THEN v END) AS m2
+        FROM cdf GROUP BY g
+    ),
+    z AS (
+        -- z2 = |2v - m2| is an exact scale-4 decimal; x 1e4 makes it
+        -- the exact BIGINT quanta one_way_anova folds (round no-ops)
+        SELECT src.g,
+               CAST(round(CAST(ABS(src.v + src.v - med.m2) AS DOUBLE)
+                          * 10000.0) AS BIGINT) AS cq
+        FROM src JOIN med ON src.g = med.g
+    ),
+    gf AS (
+        SELECT g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(cq AS HUGEINT)) AS s,
+               SUM(CAST(cq AS HUGEINT) * CAST(cq AS HUGEINT)) AS q
+        FROM z GROUP BY g
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               SUM(s) AS ss,
+               SUM(q) AS qq,
+               SUM(CAST((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS DECIMAL(38,6))) AS tq
+        FROM gf
+    )
+    SELECT k_groups,
+           n_total,
+           ROUND(CASE WHEN k_groups >= 2 AND n_total > k_groups
+                       AND (CAST(qq AS DOUBLE)
+                            - CAST(tq AS DOUBLE)) > 0 THEN
+               ((CAST(tq AS DOUBLE)
+                 - (CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                   / CAST(n_total AS DOUBLE))
+                / (CAST(k_groups AS DOUBLE) - 1.0))
+               / ((CAST(qq AS DOUBLE) - CAST(tq AS DOUBLE))
+                  / (CAST(n_total AS DOUBLE)
+                     - CAST(k_groups AS DOUBLE)))
+           END, 9) AS w_stat
+    FROM t
+"""
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (operators/analytics.py::cronbach_alpha) over
+    the (user, event_type, value) long table — "do a user's
+    per-event-type value totals move together": exact DECIMAL cell
+    and total sums, per-item population variances quantized to
+    DECIMAL(38,12) for an order-free k-item fold, alpha in fixed
+    IEEE op order, ROUND 9. The numeric-scale sibling of
+    q_cohens_kappa / q_fleiss_kappa."""
+    from h3_indexer_spark.operators.analytics import cronbach_alpha
+
+    return cronbach_alpha(
+        _load_events(spark, sf_dir), "user_id", "event_type", "value"
+    )
+
+
+_CRONBACH_ORACLE = """
+    WITH src AS (
+        SELECT user_id AS s, event_type AS i,
+               CAST(round(CAST(value AS DOUBLE) * 10000.0) AS BIGINT)
+                   AS cq
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL
+    ),
+    cells AS (
+        SELECT s, i, CAST(SUM(cq) AS BIGINT) AS c
+        FROM src GROUP BY s, i
+    ),
+    totals AS (
+        SELECT s, CAST(SUM(c) AS BIGINT) AS t
+        FROM cells GROUP BY s
+    ),
+    tf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+               SUM(CAST(t AS HUGEINT)) AS st,
+               SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS qt
+        FROM totals
+    ),
+    items AS (
+        SELECT i,
+               SUM(CAST(c AS HUGEINT)) AS sc,
+               SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS qc
+        FROM cells GROUP BY i
+    ),
+    itf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_items,
+               SUM(CAST(
+                   (CAST(qc AS DOUBLE)
+                    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                      / CAST(n_subjects AS DOUBLE))
+                   / CAST(n_subjects AS DOUBLE)
+                   AS DECIMAL(38,6))) AS sumvar
+        FROM items CROSS JOIN tf
+    )
+    SELECT k_items,
+           n_subjects,
+           ROUND(CAST(sumvar AS DOUBLE) / 100000000.0, 9)
+               AS sum_item_var,
+           ROUND(((CAST(qt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                     / CAST(n_subjects AS DOUBLE))
+                  / CAST(n_subjects AS DOUBLE)) / 100000000.0, 9)
+               AS total_var,
+           ROUND(CASE WHEN k_items >= 2
+                       AND ((CAST(qt AS DOUBLE)
+                             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                               / CAST(n_subjects AS DOUBLE))
+                            / CAST(n_subjects AS DOUBLE)) > 0
+                 THEN (CAST(k_items AS DOUBLE)
+                       / (CAST(k_items AS DOUBLE) - 1.0))
+                      * (1.0 - CAST(sumvar AS DOUBLE)
+                         / ((CAST(qt AS DOUBLE)
+                             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                               / CAST(n_subjects AS DOUBLE))
+                            / CAST(n_subjects AS DOUBLE)))
+                 END, 9) AS alpha
+    FROM tf CROSS JOIN itf
+"""
+
+
+def q_simpsons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox diagnostic (operators/analytics.py::
+    simpsons_check): even-custkey orders as the treated group,
+    high-priority placement as the outcome, order YEAR as the
+    stratum — per-year treated-vs-control rate differences beside
+    the pooled difference, flip-flagged. Exact-integer cells from
+    ONE groupBy(year); rates and differences fixed IEEE op order,
+    ROUND 9."""
+    from h3_indexer_spark.operators.analytics import simpsons_check
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 2 == 0).alias("treated"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .alias("high_prio"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    return simpsons_check(o, "treated", "high_prio", "order_year")
+
+
+_SIMPSONS_ORACLE = """
+    WITH src AS (
+        SELECT (o_custkey % 2 = 0) AS t,
+               (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS o,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
+                   AS stratum
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+          AND o_orderdate IS NOT NULL
+    ),
+    cells AS (
+        SELECT stratum,
+               CAST(COUNT(CASE WHEN t THEN 1 END) AS BIGINT) AS n_t,
+               CAST(COUNT(CASE WHEN t AND o THEN 1 END) AS BIGINT)
+                   AS conv_t,
+               CAST(COUNT(CASE WHEN NOT t THEN 1 END) AS BIGINT)
+                   AS n_c,
+               CAST(COUNT(CASE WHEN NOT t AND o THEN 1 END) AS BIGINT)
+                   AS conv_c
+        FROM src GROUP BY stratum
+    ),
+    pooled AS (
+        SELECT CAST(SUM(n_t) AS BIGINT) AS pn_t,
+               CAST(SUM(conv_t) AS BIGINT) AS pc_t,
+               CAST(SUM(n_c) AS BIGINT) AS pn_c,
+               CAST(SUM(conv_c) AS BIGINT) AS pc_c
+        FROM cells
+    ),
+    calc AS (
+        SELECT c.stratum, c.n_t, c.conv_t, c.n_c, c.conv_c,
+               CASE WHEN c.n_t > 0 THEN
+                   CAST(c.conv_t AS DOUBLE) / CAST(c.n_t AS DOUBLE)
+               END AS rate_t,
+               CASE WHEN c.n_c > 0 THEN
+                   CAST(c.conv_c AS DOUBLE) / CAST(c.n_c AS DOUBLE)
+               END AS rate_c,
+               CASE WHEN p.pn_t > 0 AND p.pn_c > 0 THEN
+                   CAST(p.pc_t AS DOUBLE) / CAST(p.pn_t AS DOUBLE)
+                   - CAST(p.pc_c AS DOUBLE) / CAST(p.pn_c AS DOUBLE)
+               END AS agg_diff
+        FROM cells c CROSS JOIN pooled p
+    )
+    SELECT stratum, n_t, conv_t, n_c, conv_c,
+           ROUND(rate_t, 9) AS rate_t,
+           ROUND(rate_c, 9) AS rate_c,
+           ROUND(rate_t - rate_c, 9) AS diff,
+           ROUND(agg_diff, 9) AS agg_diff,
+           (((rate_t - rate_c) > 0 AND agg_diff < 0)
+            OR ((rate_t - rate_c) < 0 AND agg_diff > 0)) AS flipped
+    FROM calc
+"""
+
+
+def q_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect sizing (operators/analytics.py::
+    mde_readout) for the even/odd-custkey split on order value at
+    alpha = 0.05 / power = 0.80 — "how small a lift could this
+    experiment even see": one conditional-sum scan (the q_did
+    shape), exact DECIMAL arm sums, z constants embedded as shared
+    literals, fixed IEEE op order, ROUND 9."""
+    from h3_indexer_spark.operators.analytics import mde_readout
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        (F.col("o_custkey") % 2 == 0).alias("treated"),
+    )
+    return mde_readout(o, "treated", "o_totalprice")
+
+
+def _mde_oracle() -> str:
+    from h3_indexer_spark.operators.analytics import _Z_80, _Z_975
+
+    zsum = repr(_Z_975 + _Z_80)
+    return f"""
+    WITH src AS (
+        SELECT (o_custkey % 2 = 0) AS t,
+               CAST(round(CAST(o_totalprice AS DOUBLE) * 10000.0)
+                    AS BIGINT) AS cq
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    fold AS (
+        SELECT
+            CAST(COUNT(CASE WHEN t THEN 1 END) AS BIGINT) AS n_t,
+            SUM(CASE WHEN t THEN CAST(cq AS HUGEINT) END) AS s_t,
+            SUM(CASE WHEN t THEN CAST(cq AS HUGEINT)
+                     * CAST(cq AS HUGEINT) END) AS q_t,
+            CAST(COUNT(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS n_c,
+            SUM(CASE WHEN NOT t THEN CAST(cq AS HUGEINT) END) AS s_c,
+            SUM(CASE WHEN NOT t THEN CAST(cq AS HUGEINT)
+                     * CAST(cq AS HUGEINT) END) AS q_c
+        FROM src
+    ),
+    calc AS (
+        SELECT n_t, n_c,
+               CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 10000.0
+                   AS mean_t,
+               CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 10000.0
+                   AS mean_c,
+               (CAST(q_t AS DOUBLE)
+                - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+                  / CAST(n_t AS DOUBLE))
+               / (CAST(n_t AS DOUBLE) - 1.0) / 100000000.0 AS var_t,
+               (CAST(q_c AS DOUBLE)
+                - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+                  / CAST(n_c AS DOUBLE))
+               / (CAST(n_c AS DOUBLE) - 1.0) / 100000000.0 AS var_c
+        FROM fold
+    ),
+    se AS (
+        SELECT *,
+               SQRT(var_t / CAST(n_t AS DOUBLE)
+                    + var_c / CAST(n_c AS DOUBLE)) AS se_v
+        FROM calc
+    )
+    SELECT n_t, n_c,
+           ROUND(CASE WHEN n_t > 0 THEN mean_t END, 9) AS mean_t,
+           ROUND(CASE WHEN n_c > 0 THEN mean_c END, 9) AS mean_c,
+           ROUND(CASE WHEN n_t >= 2 AND n_c >= 2 THEN var_t END, 9)
+               AS var_t,
+           ROUND(CASE WHEN n_t >= 2 AND n_c >= 2 THEN var_c END, 9)
+               AS var_c,
+           ROUND(CASE WHEN n_t >= 2 AND n_c >= 2 THEN se_v END, 9)
+               AS se,
+           ROUND(CASE WHEN n_t >= 2 AND n_c >= 2 THEN
+               {zsum} * se_v END, 9) AS mde_abs,
+           ROUND(CASE WHEN n_t >= 2 AND n_c >= 2 AND mean_c <> 0 THEN
+               ({zsum} * se_v) / mean_c END, 9) AS mde_rel
+    FROM se
+    """
+
+
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation (operators/analytics.py::
+    partial_corr) of quantity↔extended-price controlling for
+    discount — "is the association just both sides tracking the
+    confounder": ten exact DECIMAL sufficient statistics in ONE
+    aggregation, each pairwise r and the compound in fixed IEEE op
+    order, ROUND 9. The causal-hygiene companion to q_corr_matrix."""
+    from h3_indexer_spark.operators.analytics import partial_corr
+
+    return partial_corr(
+        load(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+
+
+_PARTIAL_CORR_ORACLE = """
+    WITH src AS (
+        SELECT CAST(l_quantity AS DECIMAL(18,4)) AS x,
+               CAST(l_extendedprice AS DECIMAL(18,4)) AS y,
+               CAST(l_discount AS DECIMAL(18,4)) AS z
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(z AS DECIMAL(38,4))) AS DOUBLE) AS sz,
+               CAST(SUM(CAST(x AS DECIMAL(19,4))
+                        * CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS qx,
+               CAST(SUM(CAST(y AS DECIMAL(19,4))
+                        * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS qy,
+               CAST(SUM(CAST(z AS DECIMAL(19,4))
+                        * CAST(z AS DECIMAL(19,4))) AS DOUBLE) AS qz,
+               CAST(SUM(CAST(x AS DECIMAL(19,4))
+                        * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS pxy,
+               CAST(SUM(CAST(x AS DECIMAL(19,4))
+                        * CAST(z AS DECIMAL(19,4))) AS DOUBLE) AS pxz,
+               CAST(SUM(CAST(y AS DECIMAL(19,4))
+                        * CAST(z AS DECIMAL(19,4))) AS DOUBLE) AS pyz
+        FROM src
+    ),
+    rs AS (
+        SELECT n,
+               CASE WHEN (CAST(n AS DOUBLE) * qx - sx * sx) > 0
+                     AND (CAST(n AS DOUBLE) * qy - sy * sy) > 0
+               THEN (CAST(n AS DOUBLE) * pxy - sx * sy)
+                    / (SQRT(CAST(n AS DOUBLE) * qx - sx * sx)
+                       * SQRT(CAST(n AS DOUBLE) * qy - sy * sy))
+               END AS r_xy,
+               CASE WHEN (CAST(n AS DOUBLE) * qx - sx * sx) > 0
+                     AND (CAST(n AS DOUBLE) * qz - sz * sz) > 0
+               THEN (CAST(n AS DOUBLE) * pxz - sx * sz)
+                    / (SQRT(CAST(n AS DOUBLE) * qx - sx * sx)
+                       * SQRT(CAST(n AS DOUBLE) * qz - sz * sz))
+               END AS r_xz,
+               CASE WHEN (CAST(n AS DOUBLE) * qy - sy * sy) > 0
+                     AND (CAST(n AS DOUBLE) * qz - sz * sz) > 0
+               THEN (CAST(n AS DOUBLE) * pyz - sy * sz)
+                    / (SQRT(CAST(n AS DOUBLE) * qy - sy * sy)
+                       * SQRT(CAST(n AS DOUBLE) * qz - sz * sz))
+               END AS r_yz
+        FROM fold
+    )
+    SELECT n,
+           ROUND(r_xy, 9) AS r_xy,
+           ROUND(r_xz, 9) AS r_xz,
+           ROUND(r_yz, 9) AS r_yz,
+           ROUND(CASE WHEN
+               SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) > 0
+           THEN (r_xy - r_xz * r_yz)
+                / SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+           END, 9) AS r_xy_given_z
+    FROM rs
+"""
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed transition-graph reciprocity (operators/graph.py::
+    reciprocity): consecutive event-type transitions per user (the
+    q_transitions lead shape) as weighted directed edges, then the
+    edge and weighted mutuality ratios — "do users bounce back and
+    forth between these states or flow one way". Exact-integer
+    weights, ONE flipped-key self-join, ROUND 9."""
+    from h3_indexer_spark.operators.graph import reciprocity
+
+    ev = _load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    edges = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return reciprocity(edges)
+
+
+_RECIPROCITY_ORACLE = """
+    WITH s AS (
+        SELECT event_type AS u,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts), event_id) AS v
+        FROM events
+    ),
+    e AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w
+        FROM s
+        WHERE v IS NOT NULL AND u IS NOT NULL AND u <> v
+        GROUP BY u, v
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(w) AS BIGINT) AS w_total
+        FROM e
+    ),
+    rec AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocated,
+               CAST(SUM(LEAST(a.w, b.w)) AS BIGINT) AS w_reciprocated
+        FROM e a JOIN e b ON a.u = b.v AND a.v = b.u
+    )
+    SELECT n_edges, n_reciprocated,
+           ROUND(CASE WHEN n_edges > 0 THEN
+               CAST(n_reciprocated AS DOUBLE)
+               / CAST(n_edges AS DOUBLE) END, 9) AS reciprocity,
+           w_total, w_reciprocated,
+           ROUND(CASE WHEN w_total > 0 THEN
+               CAST(w_reciprocated AS DOUBLE)
+               / CAST(w_total AS DOUBLE) END, 9)
+               AS weighted_reciprocity
+    FROM tot CROSS JOIN rec
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew advisor (operators/expectations.py::
+    key_skew_census) over the pipeline's four hottest shuffle keys —
+    group-size max / p99 / mean, top-key share and the max/mean skew
+    ratio per key, the "salt or broadcast?" pre-join readout. Each
+    census is a two-level collapse (keys → size histogram), so the
+    p99 order statistic windows over a report-sized table at any
+    corpus size; exact-integer surface, ratio readouts ROUND 9."""
+    from h3_indexer_spark.operators.expectations import key_skew_census
+
+    parts = [
+        key_skew_census(
+            _load_events(spark, sf_dir), "user_id", "events.user_id"
+        ),
+        key_skew_census(
+            load(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "lineitem.l_orderkey",
+        ),
+        key_skew_census(
+            load(spark, sf_dir, "lineitem"),
+            "l_partkey",
+            "lineitem.l_partkey",
+        ),
+        key_skew_census(
+            load(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _skew_report_oracle() -> str:
+    def block(table: str, col: str, name: str, p: str) -> str:
+        return f"""
+    SELECT '{name}' AS key_name, n_rows, n_keys, max_size, p99_size,
+           ROUND(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 9)
+               AS avg_size,
+           ROUND(CAST(max_size AS DOUBLE) / CAST(n_rows AS DOUBLE), 9)
+               AS top_share,
+           ROUND(CAST(max_size AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)),
+                 9) AS skew_ratio
+    FROM (
+        SELECT CAST(MIN(CASE WHEN cum * 100 >= 99 * n_keys
+                        THEN sz END) AS BIGINT) AS p99_size,
+               MAX(n_keys) AS n_keys, MAX(n_rows) AS n_rows,
+               MAX(max_size) AS max_size
+        FROM (
+            SELECT sz, SUM(nk) OVER (ORDER BY sz ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (SELECT sz, CAST(COUNT(*) AS BIGINT) AS nk
+                  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS sz
+                        FROM {table} WHERE {col} IS NOT NULL
+                        GROUP BY {col})
+                  GROUP BY sz)
+        ) c CROSS JOIN (
+            SELECT CAST(SUM(nk) AS BIGINT) AS n_keys,
+                   CAST(SUM(sz * nk) AS BIGINT) AS n_rows,
+                   CAST(MAX(sz) AS BIGINT) AS max_size
+            FROM (SELECT sz, CAST(COUNT(*) AS BIGINT) AS nk
+                  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS sz
+                        FROM {table} WHERE {col} IS NOT NULL
+                        GROUP BY {col})
+                  GROUP BY sz)
+        ) t
+    )
+    """
+
+    blocks = [
+        block("events", "user_id", "events.user_id", "a"),
+        block("lineitem", "l_orderkey", "lineitem.l_orderkey", "b"),
+        block("lineitem", "l_partkey", "lineitem.l_partkey", "c"),
+        block("orders", "o_custkey", "orders.o_custkey", "d"),
+    ]
+    return "\nUNION ALL\n".join(blocks)
+
+
+QUERIES["q_spearman"] = q_spearman
+QUERIES["q_levene"] = q_levene
+QUERIES["q_cronbach_alpha"] = q_cronbach_alpha
+QUERIES["q_simpsons"] = q_simpsons
+QUERIES["q_mde"] = q_mde
+QUERIES["q_partial_corr"] = q_partial_corr
+QUERIES["q_reciprocity"] = q_reciprocity
+QUERIES["q_skew_report"] = q_skew_report
+ORACLES["q_spearman"] = _SPEARMAN_ORACLE
+ORACLES["q_levene"] = _LEVENE_ORACLE
+ORACLES["q_cronbach_alpha"] = _CRONBACH_ORACLE
+ORACLES["q_simpsons"] = _SIMPSONS_ORACLE
+ORACLES["q_mde"] = _mde_oracle()
+ORACLES["q_partial_corr"] = _PARTIAL_CORR_ORACLE
+ORACLES["q_reciprocity"] = _RECIPROCITY_ORACLE
+ORACLES["q_skew_report"] = _skew_report_oracle()
+
+
+
+
+def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (operators/analytics.py::
+    kendall_tau) between quantity and discount — the pair-agreement
+    sibling of q_spearman on the same columns: exact
+    concordant/discordant/tie counts from the JOINT value histogram
+    (a bounded 50×11 cell self-join, never the n² rows), tau-b on
+    the doubled pair scale so no /2 is ever computed, ROUND 9."""
+    from h3_indexer_spark.operators.analytics import kendall_tau
+
+    return kendall_tau(
+        load(spark, sf_dir, "lineitem"), "l_quantity", "l_discount"
+    )
+
+
+_KENDALL_ORACLE = """
+    WITH src AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_discount AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    cells AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+        FROM src GROUP BY x, y
+    ),
+    cd AS (
+        SELECT SUM(CASE WHEN a.y < b.y THEN
+                       CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)
+                   END) AS c,
+               SUM(CASE WHEN a.y > b.y THEN
+                       CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)
+                   END) AS d
+        FROM cells a JOIN cells b ON a.x < b.x
+    ),
+    tx AS (
+        SELECT SUM(CAST(nx AS HUGEINT) * (CAST(nx AS HUGEINT) - 1))
+                   AS tx2
+        FROM (SELECT CAST(SUM(n) AS BIGINT) AS nx
+              FROM cells GROUP BY x)
+    ),
+    ty AS (
+        SELECT SUM(CAST(ny AS HUGEINT) * (CAST(ny AS HUGEINT) - 1))
+                   AS ty2
+        FROM (SELECT CAST(SUM(n) AS BIGINT) AS ny
+              FROM cells GROUP BY y)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM src)
+    SELECT n_pairs,
+           CAST(COALESCE(c, 0) AS BIGINT) AS concordant,
+           CAST(COALESCE(d, 0) AS BIGINT) AS discordant,
+           ROUND(CASE WHEN
+               (CAST(CAST(n_pairs AS HUGEINT)
+                     * (CAST(n_pairs AS HUGEINT) - 1) AS DOUBLE)
+                - CAST(tx2 AS DOUBLE)) > 0
+               AND (CAST(CAST(n_pairs AS HUGEINT)
+                         * (CAST(n_pairs AS HUGEINT) - 1) AS DOUBLE)
+                    - CAST(ty2 AS DOUBLE)) > 0
+           THEN ((CAST(COALESCE(c, 0) AS DOUBLE)
+                  - CAST(COALESCE(d, 0) AS DOUBLE)) * 2.0)
+                / (SQRT(CAST(CAST(n_pairs AS HUGEINT)
+                             * (CAST(n_pairs AS HUGEINT) - 1) AS DOUBLE)
+                        - CAST(tx2 AS DOUBLE))
+                   * SQRT(CAST(CAST(n_pairs AS HUGEINT)
+                               * (CAST(n_pairs AS HUGEINT) - 1)
+                               AS DOUBLE)
+                          - CAST(ty2 AS DOUBLE)))
+           END, 9) AS tau_b
+    FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity (operators/graph.py::
+    degree_assortativity) of the sampled co-purchase graph (the
+    q_adamic_adar 25% fixture): do heavily co-purchased parts wire
+    to other hubs or to one-off parts — the one-number topology
+    readout completing the degree family. Exact DECIMAL integer
+    degree sums over the symmetrized edge list, r in fixed IEEE op
+    order, ROUND 9."""
+    from h3_indexer_spark.operators.graph import degree_assortativity
+
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.expr("l_orderkey % 4 = 0"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "_b")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
+_ASSORTATIVITY_ORACLE = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 4 = 0
+    ),
+    und AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT v AS u, u AS v FROM und
+    ),
+    deg AS (
+        SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY u
+    ),
+    paired AS (
+        SELECT du.deg AS d_u, dv.deg AS d_v
+        FROM sym
+        JOIN deg du ON sym.u = du.w
+        JOIN deg dv ON sym.v = dv.w
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+               SUM(CAST(d_u AS HUGEINT)) AS su,
+               SUM(CAST(d_v AS HUGEINT)) AS sv,
+               SUM(CAST(d_u AS HUGEINT) * CAST(d_u AS HUGEINT)) AS qu,
+               SUM(CAST(d_v AS HUGEINT) * CAST(d_v AS HUGEINT)) AS qv,
+               SUM(CAST(d_u AS HUGEINT) * CAST(d_v AS HUGEINT)) AS p
+        FROM paired
+    )
+    SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+           ROUND(CASE WHEN
+               (CAST(m2 AS DOUBLE) * CAST(qu AS DOUBLE)
+                - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) > 0
+               AND (CAST(m2 AS DOUBLE) * CAST(qv AS DOUBLE)
+                    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) > 0
+           THEN (CAST(m2 AS DOUBLE) * CAST(p AS DOUBLE)
+                 - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+                / (SQRT(CAST(m2 AS DOUBLE) * CAST(qu AS DOUBLE)
+                        - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                   * SQRT(CAST(m2 AS DOUBLE) * CAST(qv AS DOUBLE)
+                          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+           END, 9) AS r_assortativity
+    FROM fold
+"""
+
+
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue concentration
+    (operators/analytics.py::hhi_concentration) across customers —
+    "is order revenue captured by a few accounts": exact
+    1e-4-quanta BIGINT entity totals, share² terms
+    DECIMAL(38,18)-quantized for an order-free k-entity fold,
+    ROUND 9. The capture-side complement of q_diversity's entropy."""
+    from h3_indexer_spark.operators.analytics import hhi_concentration
+
+    return hhi_concentration(
+        load(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+_HHI_ORACLE = """
+    WITH src AS (
+        SELECT o_custkey AS e,
+               CAST(round(CAST(o_totalprice AS DOUBLE) * 10000.0)
+                    AS BIGINT) AS cq
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    ent AS (
+        SELECT e, SUM(CAST(cq AS HUGEINT)) AS s
+        FROM src GROUP BY e
+    ),
+    tot AS (
+        SELECT SUM(s) AS t, CAST(COUNT(*) AS BIGINT) AS n_entities
+        FROM ent
+    ),
+    fold AS (
+        SELECT n_entities,
+               SUM(CAST(
+                   (CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+                   AS DECIMAL(38,18))) AS hhi_q
+        FROM ent CROSS JOIN tot
+        GROUP BY n_entities
+    )
+    SELECT n_entities,
+           ROUND(CAST(hhi_q AS DOUBLE), 9) AS hhi,
+           ROUND(CASE WHEN n_entities >= 2 THEN
+               (CAST(hhi_q AS DOUBLE)
+                - 1.0 / CAST(n_entities AS DOUBLE))
+               / (1.0 - 1.0 / CAST(n_entities AS DOUBLE))
+           END, 9) AS hhi_normalized
+    FROM fold
+"""
+
+
+QUERIES["q_kendall"] = q_kendall
+QUERIES["q_assortativity"] = q_assortativity
+QUERIES["q_hhi"] = q_hhi
+ORACLES["q_kendall"] = _KENDALL_ORACLE
+ORACLES["q_assortativity"] = _ASSORTATIVITY_ORACLE
+ORACLES["q_hhi"] = _HHI_ORACLE
+
+
 # Round-9 driver window (ONE canonical list — the driver hash-checks
 # the FIRST 50 QUERIES entries in dict order): the 11 keys whose
 # latest driver row is still round 4 (deferred from the round-8
 # rotation — this finally meets the "no oracle key's latest row
-# predates round 5" bar), the 16 round-9 debuts, and the
-# alphabetically-first 23 of the 48 keys whose latest row is round 5
-# (the remaining 25 round-5 keys — q_json_extract, q_knn_ivf, q_mad,
-# q_minmax_scale, q_mode, q_moments,
-# q_ntile_bins, q_one_hot, q_pii_scrub, q_profile,
-# q_rebalance_sources, q_regression, q_repetition,
-# q_scan_parquet, q_semantic_dedup, q_seq_pack,
-# q_snapshot_diff, q_time_rollup, q_top_paths, q_transitions,
-# q_triangles, q_twap, q_unpivot, q_url_normalize, q_weighted_sample
-# — lead the round-10 rotation; the local mirror re-verifies every
-# ORACLES key each session regardless).
+# predates round 5" bar), the 27 round-9 debuts (every NEW key takes
+# its first driver record), and the alphabetically-first 12 of the 48
+# keys whose latest row is round 5 (the remaining 36 round-5 keys —
+# q_domain_cap, q_dup_spans, q_dwell_times,
+# q_event_gaps, q_expectations,
+# q_frequent_items_scalable, q_funnel, q_groupby_sum,
+# q_growth_accounting, q_histogram, q_impute, q_json_extract,
+# q_knn_ivf, q_mad, q_minmax_scale, q_mode, q_moments, q_ntile_bins,
+# q_one_hot, q_pii_scrub, q_profile, q_rebalance_sources,
+# q_regression, q_repetition, q_scan_parquet, q_semantic_dedup,
+# q_seq_pack, q_snapshot_diff, q_time_rollup, q_top_paths,
+# q_transitions, q_triangles, q_twap, q_unpivot, q_url_normalize,
+# q_weighted_sample — lead the round-10 rotation; the local mirror
+# re-verifies every ORACLES key each session regardless).
 _WINDOW_R9 = [
     # the 11 round-4-stale keys (rotation debt from round 8)
     "q_clean_lines",
@@ -10201,7 +11052,18 @@ _WINDOW_R9 = [
     "q_cramers_v",
     "q_did",
     "q_psm_match",
-    # alphabetically-first 23 round-5-stale keys
+    "q_spearman",
+    "q_levene",
+    "q_cronbach_alpha",
+    "q_simpsons",
+    "q_mde",
+    "q_partial_corr",
+    "q_reciprocity",
+    "q_skew_report",
+    "q_kendall",
+    "q_assortativity",
+    "q_hhi",
+    # alphabetically-first 12 round-5-stale keys
     "q_active_users",
     "q_analytics_pipeline",
     "q_anomalies",
@@ -10214,17 +11076,6 @@ _WINDOW_R9 = [
     "q_co_occurrence",
     "q_data_split",
     "q_dedup_exact",
-    "q_domain_cap",
-    "q_dup_spans",
-    "q_dwell_times",
-    "q_event_gaps",
-    "q_expectations",
-    "q_frequent_items_scalable",
-    "q_funnel",
-    "q_groupby_sum",
-    "q_growth_accounting",
-    "q_histogram",
-    "q_impute",
 ]
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 assert len(set(_WINDOW_R9)) == 50

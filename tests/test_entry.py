@@ -59,10 +59,25 @@ PLANNED_R9 = {
     "q_cramers_v",
     "q_did",
     "q_psm_match",
+    "q_spearman",
+    "q_levene",
+    "q_cronbach_alpha",
+    "q_simpsons",
+    "q_mde",
+    "q_partial_corr",
+    "q_reciprocity",
+    "q_skew_report",
+    "q_kendall",
+    "q_assortativity",
+    "q_hhi",
 }
-# the 25 round-5 keys the 50-slot budget defers to round 10 (the
+# the 36 round-5 keys the 50-slot budget defers to round 10 (the
 # local mirror re-verifies them every session regardless)
 DEFERRED_TO_R10 = {
+    "q_domain_cap", "q_dup_spans", "q_dwell_times",
+    "q_event_gaps", "q_expectations", "q_frequent_items_scalable",
+    "q_funnel", "q_groupby_sum", "q_growth_accounting",
+    "q_histogram", "q_impute",
     "q_json_extract", "q_knn_ivf", "q_mad",
     "q_minmax_scale", "q_mode", "q_moments", "q_ntile_bins",
     "q_one_hot",

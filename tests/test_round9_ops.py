@@ -985,3 +985,500 @@ class TestPsmMatch:
         df = spark.createDataFrame([(1, True, 1.0)], "id long, t boolean, s double")
         with pytest.raises(ValueError):
             psm_match(df, "id", "t", "s", 0.0)
+
+
+class TestSpearman:
+    def _py_spearman(self, xs, ys):
+        def ranks(vals):
+            s = sorted(vals)
+            return [
+                (s.index(v) + 1 + s.index(v) + s.count(v)) / 2.0
+                for v in vals
+            ]
+        import math
+
+        rx, ry = ranks(xs), ranks(ys)
+        n = len(xs)
+        mx, my = sum(rx) / n, sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = math.sqrt(
+            sum((a - mx) ** 2 for a in rx)
+            * sum((b - my) ** 2 for b in ry)
+        )
+        return num / den
+
+    def test_matches_python_reference_with_ties(self, spark):
+        from h3_indexer_spark.operators.analytics import spearman_corr
+
+        xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0]
+        ys = [2.0, 1.0, 3.0, 3.0, 4.0, 6.0, 5.0, 7.0]
+        df = spark.createDataFrame(
+            list(zip(xs, ys)), "x double, y double"
+        )
+        row = spearman_corr(df, "x", "y").collect()[0]
+        assert row["n_pairs"] == 8
+        assert row["rho"] == pytest.approx(
+            self._py_spearman(xs, ys), rel=1e-9
+        )
+
+    def test_perfect_monotone_is_one(self, spark):
+        from h3_indexer_spark.operators.analytics import spearman_corr
+
+        df = spark.createDataFrame(
+            [(float(i), float(i * i)) for i in range(1, 11)],
+            "x double, y double",
+        )
+        row = spearman_corr(df, "x", "y").collect()[0]
+        assert row["rho"] == pytest.approx(1.0)
+
+    def test_constant_column_null(self, spark):
+        from h3_indexer_spark.operators.analytics import spearman_corr
+
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+        )
+        assert spearman_corr(df, "x", "y").collect()[0]["rho"] is None
+
+
+class TestBrownForsythe:
+    def _py_bf(self, groups):
+        import statistics
+
+        zs = {
+            g: [abs(v - statistics.median(vs)) for v in vs]
+            for g, vs in groups.items()
+        }
+        k = len(zs)
+        all_z = [z for vs in zs.values() for z in vs]
+        n = len(all_z)
+        grand = sum(all_z) / n
+        ssb = sum(
+            len(vs) * (sum(vs) / len(vs) - grand) ** 2
+            for vs in zs.values()
+        )
+        ssw = sum(
+            (z - sum(vs) / len(vs)) ** 2
+            for vs in zs.values()
+            for z in vs
+        )
+        return (ssb / (k - 1)) / (ssw / (n - k))
+
+    def test_matches_python_reference(self, spark):
+        from h3_indexer_spark.operators.analytics import brown_forsythe
+
+        groups = {
+            "a": [1.0, 2.0, 3.0, 4.0, 10.0],   # wide
+            "b": [5.0, 5.25, 5.5, 5.75, 6.0],  # narrow
+            "c": [2.0, 4.0, 6.0, 8.0],         # even n: interpolated med
+        }
+        df = spark.createDataFrame(
+            [(g, v) for g, vs in groups.items() for v in vs],
+            "grp string, val double",
+        )
+        row = brown_forsythe(df, "grp", "val").collect()[0]
+        assert row["k_groups"] == 3 and row["n_total"] == 14
+        assert row["w_stat"] == pytest.approx(
+            self._py_bf(groups), rel=1e-6
+        )
+
+    def test_equal_spreads_w_near_zero(self, spark):
+        from h3_indexer_spark.operators.analytics import brown_forsythe
+
+        # identical deviation profiles in both groups: ssb = 0, W = 0
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0),
+             ("b", 11.0), ("b", 12.0), ("b", 13.0)],
+            "grp string, val double",
+        )
+        row = brown_forsythe(df, "grp", "val").collect()[0]
+        assert abs(row["w_stat"]) < 1e-9
+
+    def test_zero_within_deviation_null_w(self, spark):
+        from h3_indexer_spark.operators.analytics import brown_forsythe
+
+        # every |v - median| identical within each group -> ssw = 0,
+        # the W statistic is undefined and must be NULL, not an
+        # ANSI-mode divide-by-zero
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0)],
+            "grp string, val double",
+        )
+        row = brown_forsythe(df, "grp", "val").collect()[0]
+        assert row["w_stat"] is None
+
+
+class TestCronbachAlpha:
+    def _py_alpha(self, matrix):
+        """Dense subjects x items matrix, population variances."""
+        n = len(matrix)
+        k = len(matrix[0])
+
+        def pvar(vals):
+            m = sum(vals) / len(vals)
+            return sum((v - m) ** 2 for v in vals) / len(vals)
+
+        item_vars = [pvar([row[j] for row in matrix]) for j in range(k)]
+        tot_var = pvar([sum(row) for row in matrix])
+        return (k / (k - 1)) * (1 - sum(item_vars) / tot_var)
+
+    def test_matches_python_reference(self, spark):
+        from h3_indexer_spark.operators.analytics import cronbach_alpha
+
+        matrix = [
+            [3.0, 4.0, 3.5],
+            [2.0, 2.5, 2.0],
+            [5.0, 4.5, 5.0],
+            [1.0, 1.5, 1.0],
+            [4.0, 4.0, 4.5],
+        ]
+        rows = [
+            (s, f"item{j}", matrix[s][j])
+            for s in range(5)
+            for j in range(3)
+        ]
+        df = spark.createDataFrame(
+            rows, "subj long, item string, val double"
+        )
+        row = cronbach_alpha(df, "subj", "item", "val").collect()[0]
+        assert row["k_items"] == 3 and row["n_subjects"] == 5
+        assert row["alpha"] == pytest.approx(
+            self._py_alpha(matrix), rel=1e-6
+        )
+
+    def test_absent_cells_score_zero(self, spark):
+        from h3_indexer_spark.operators.analytics import cronbach_alpha
+
+        # subject 2 never scores item b -> dense convention fills 0
+        rows = [
+            (1, "a", 2.0), (1, "b", 3.0),
+            (2, "a", 4.0),
+            (3, "a", 1.0), (3, "b", 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "subj long, item string, val double"
+        )
+        matrix = [[2.0, 3.0], [4.0, 0.0], [1.0, 2.0]]
+        row = cronbach_alpha(df, "subj", "item", "val").collect()[0]
+        assert row["alpha"] == pytest.approx(
+            self._py_alpha(matrix), rel=1e-6
+        )
+
+
+class TestSimpsonsCheck:
+    def test_planted_paradox_flips(self, spark):
+        from h3_indexer_spark.operators.analytics import simpsons_check
+
+        # classic: treated wins inside BOTH strata but loses pooled
+        # because treatment concentrates in the hard stratum.
+        rows = []
+        rows += [(True, True, "easy")] * 9 + [(True, False, "easy")] * 1
+        rows += [(False, True, "easy")] * 80 + [(False, False, "easy")] * 20
+        rows += [(True, True, "hard")] * 30 + [(True, False, "hard")] * 70
+        rows += [(False, True, "hard")] * 2 + [(False, False, "hard")] * 8
+        df = spark.createDataFrame(
+            rows, "t boolean, o boolean, s string"
+        )
+        out = {
+            r["stratum"]: r
+            for r in simpsons_check(df, "t", "o", "s").collect()
+        }
+        assert out["easy"]["diff"] > 0 and out["hard"]["diff"] > 0
+        assert out["easy"]["agg_diff"] < 0
+        assert out["easy"]["flipped"] and out["hard"]["flipped"]
+
+    def test_consistent_direction_no_flip(self, spark):
+        from h3_indexer_spark.operators.analytics import simpsons_check
+
+        rows = (
+            [(True, True, "x")] * 8 + [(True, False, "x")] * 2
+            + [(False, True, "x")] * 2 + [(False, False, "x")] * 8
+        )
+        df = spark.createDataFrame(rows, "t boolean, o boolean, s string")
+        r = simpsons_check(df, "t", "o", "s").collect()[0]
+        assert r["flipped"] is False
+        assert r["diff"] == pytest.approx(r["agg_diff"])
+
+
+class TestMdeReadout:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from h3_indexer_spark.operators.analytics import (
+            _Z_80,
+            _Z_975,
+            mde_readout,
+        )
+
+        t_vals = [10.0, 12.0, 11.0, 13.0, 9.0]
+        c_vals = [10.5, 11.5, 10.0, 12.5]
+        rows = [(True, v) for v in t_vals] + [(False, v) for v in c_vals]
+        df = spark.createDataFrame(rows, "t boolean, v double")
+        row = mde_readout(df, "t", "v").collect()[0]
+
+        def svar(vs):
+            m = sum(vs) / len(vs)
+            return sum((v - m) ** 2 for v in vs) / (len(vs) - 1)
+
+        se = math.sqrt(
+            svar(t_vals) / len(t_vals) + svar(c_vals) / len(c_vals)
+        )
+        assert row["n_t"] == 5 and row["n_c"] == 4
+        assert row["se"] == pytest.approx(se, rel=1e-9)
+        assert row["mde_abs"] == pytest.approx(
+            (_Z_975 + _Z_80) * se, rel=1e-9
+        )
+        # outputs are ROUND(..., 9): compare at that granularity
+        assert row["mde_rel"] == pytest.approx(
+            (_Z_975 + _Z_80) * se / (sum(c_vals) / len(c_vals)),
+            abs=1e-9,
+        )
+
+    def test_tiny_arm_nulls(self, spark):
+        from h3_indexer_spark.operators.analytics import mde_readout
+
+        df = spark.createDataFrame(
+            [(True, 1.0), (False, 2.0), (False, 3.0)],
+            "t boolean, v double",
+        )
+        row = mde_readout(df, "t", "v").collect()[0]
+        assert row["se"] is None and row["mde_abs"] is None
+
+
+class TestPartialCorr:
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from h3_indexer_spark.operators.analytics import partial_corr
+
+        rng = np.random.RandomState(7)
+        z = rng.rand(40) * 10
+        x = 2.0 * z + rng.rand(40)
+        y = -1.5 * z + rng.rand(40)
+        x = np.round(x, 3)
+        y = np.round(y, 3)
+        z = np.round(z, 3)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+            "x double, y double, z double",
+        )
+        row = partial_corr(df, "x", "y", "z").collect()[0]
+        r_xy = np.corrcoef(x, y)[0, 1]
+        r_xz = np.corrcoef(x, z)[0, 1]
+        r_yz = np.corrcoef(y, z)[0, 1]
+        ref = (r_xy - r_xz * r_yz) / np.sqrt(
+            (1 - r_xz**2) * (1 - r_yz**2)
+        )
+        assert row["r_xy"] == pytest.approx(r_xy, abs=1e-6)
+        # raw r_xy is strongly negative (both track z), partial near 0
+        assert row["r_xy"] < -0.9
+        assert abs(row["r_xy_given_z"]) < 0.5
+        assert row["r_xy_given_z"] == pytest.approx(ref, abs=1e-6)
+
+
+class TestReciprocity:
+    def test_hand_graph(self, spark):
+        from h3_indexer_spark.operators.graph import reciprocity
+
+        # a->b x3, b->a x1 (reciprocated, min weight 1 both ways),
+        # a->c x2 (one-way), c->c (self loop, dropped)
+        edges = (
+            [("a", "b")] * 3
+            + [("b", "a")]
+            + [("a", "c")] * 2
+            + [("c", "c")]
+        )
+        df = spark.createDataFrame(edges, "src string, dst string")
+        row = reciprocity(df).collect()[0]
+        assert row["n_edges"] == 3
+        assert row["n_reciprocated"] == 2
+        assert row["reciprocity"] == pytest.approx(2 / 3)
+        assert row["w_total"] == 6
+        assert row["w_reciprocated"] == 2  # min(3,1) + min(1,3)
+        assert row["weighted_reciprocity"] == pytest.approx(2 / 6)
+
+    def test_empty_graph_nulls(self, spark):
+        from h3_indexer_spark.operators.graph import reciprocity
+
+        df = spark.createDataFrame(
+            [("a", "a")], "src string, dst string"
+        )
+        row = reciprocity(df).collect()[0]
+        assert row["n_edges"] == 0 and row["reciprocity"] is None
+
+
+class TestKeySkewCensus:
+    def test_planted_skew(self, spark):
+        from h3_indexer_spark.operators.expectations import (
+            key_skew_census,
+        )
+
+        # 99 singleton keys + one hot key with 100 rows
+        rows = [(f"k{i}",) for i in range(99)] + [("hot",)] * 100
+        df = spark.createDataFrame(rows, "k string")
+        row = key_skew_census(df, "k", "events.k").collect()[0]
+        assert row["key_name"] == "events.k"
+        assert row["n_rows"] == 199 and row["n_keys"] == 100
+        assert row["max_size"] == 100
+        # ceil(0.99 * 100) = 99 -> 99th key by size is still size 1
+        assert row["p99_size"] == 1
+        assert row["avg_size"] == pytest.approx(1.99)
+        assert row["top_share"] == pytest.approx(100 / 199)
+        assert row["skew_ratio"] == pytest.approx(100 / 1.99)
+
+    def test_uniform_keys_ratio_one(self, spark):
+        from h3_indexer_spark.operators.expectations import (
+            key_skew_census,
+        )
+
+        rows = [(f"k{i % 10}",) for i in range(50)]
+        df = spark.createDataFrame(rows, "k string")
+        row = key_skew_census(df, "k").collect()[0]
+        assert row["key_name"] == "k"
+        assert row["skew_ratio"] == pytest.approx(1.0)
+        assert row["p99_size"] == 5 and row["max_size"] == 5
+
+
+class TestKendallTau:
+    def _py_tau_b(self, xs, ys):
+        import math
+
+        n = len(xs)
+        c = d = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = (xs[i] > xs[j]) - (xs[i] < xs[j])
+                sy = (ys[i] > ys[j]) - (ys[i] < ys[j])
+                if sx * sy > 0:
+                    c += 1
+                elif sx * sy < 0:
+                    d += 1
+        n0 = n * (n - 1) / 2
+
+        def ties(vals):
+            from collections import Counter
+
+            return sum(
+                m * (m - 1) / 2 for m in Counter(vals).values()
+            )
+
+        return (c - d) / math.sqrt(
+            (n0 - ties(xs)) * (n0 - ties(ys))
+        ), c, d
+
+    def test_matches_python_reference_with_ties(self, spark):
+        from h3_indexer_spark.operators.analytics import kendall_tau
+
+        xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 4.0, 8.0, 1.0]
+        ys = [2.0, 1.0, 3.0, 3.0, 4.0, 6.0, 5.0, 7.0, 2.0]
+        df = spark.createDataFrame(
+            list(zip(xs, ys)), "x double, y double"
+        )
+        row = kendall_tau(df, "x", "y").collect()[0]
+        ref, c, d = self._py_tau_b(xs, ys)
+        assert row["n_pairs"] == 9
+        assert row["concordant"] == c and row["discordant"] == d
+        assert row["tau_b"] == pytest.approx(ref, rel=1e-9)
+
+    def test_perfect_reversal_minus_one(self, spark):
+        from h3_indexer_spark.operators.analytics import kendall_tau
+
+        df = spark.createDataFrame(
+            [(float(i), float(10 - i)) for i in range(1, 8)],
+            "x double, y double",
+        )
+        row = kendall_tau(df, "x", "y").collect()[0]
+        assert row["tau_b"] == pytest.approx(-1.0)
+        assert row["concordant"] == 0
+
+    def test_constant_marginal_null(self, spark):
+        from h3_indexer_spark.operators.analytics import kendall_tau
+
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+        )
+        assert kendall_tau(df, "x", "y").collect()[0]["tau_b"] is None
+
+
+class TestDegreeAssortativity:
+    def _py_assort(self, und_edges):
+        import math
+        from collections import Counter
+
+        sym = set()
+        for u, v in und_edges:
+            if u != v:
+                sym.add((u, v))
+                sym.add((v, u))
+        deg = Counter(u for u, _ in sym)
+        pairs = [(deg[u], deg[v]) for u, v in sym]
+        m = len(pairs)
+        su = sum(a for a, _ in pairs)
+        sv = sum(b for _, b in pairs)
+        qu = sum(a * a for a, _ in pairs)
+        qv = sum(b * b for _, b in pairs)
+        p = sum(a * b for a, b in pairs)
+        num = m * p - su * sv
+        den = math.sqrt(m * qu - su * su) * math.sqrt(m * qv - sv * sv)
+        return num / den
+
+    def test_star_graph_disassortative(self, spark):
+        from h3_indexer_spark.operators.graph import degree_assortativity
+
+        # star + a pendant triangle: hubs wire to leaves -> r < 0
+        edges = [(0, i) for i in range(1, 6)] + [(1, 2), (6, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        row = degree_assortativity(df).collect()[0]
+        assert row["n_edges"] == 7
+        assert row["r_assortativity"] == pytest.approx(
+            self._py_assort(edges), rel=1e-9
+        )
+        assert row["r_assortativity"] < 0
+
+    def test_cycle_zero_variance_null(self, spark):
+        from h3_indexer_spark.operators.graph import degree_assortativity
+
+        # 4-cycle: every degree 2 -> zero variance -> NULL r
+        df = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+        )
+        row = degree_assortativity(df).collect()[0]
+        assert row["n_edges"] == 4 and row["r_assortativity"] is None
+
+
+class TestHhiConcentration:
+    def test_matches_python_reference(self, spark):
+        from h3_indexer_spark.operators.analytics import hhi_concentration
+
+        totals = {"a": 50.0, "b": 30.0, "c": 15.0, "d": 5.0}
+        rows = [(e, v / 2) for e, v in totals.items() for _ in range(2)]
+        df = spark.createDataFrame(rows, "e string, v double")
+        row = hhi_concentration(df, "e", "v").collect()[0]
+        t = sum(totals.values())
+        hhi = sum((v / t) ** 2 for v in totals.values())
+        k = len(totals)
+        assert row["n_entities"] == 4
+        assert row["hhi"] == pytest.approx(hhi, rel=1e-9)
+        # output is ROUND(..., 9): compare at that granularity
+        assert row["hhi_normalized"] == pytest.approx(
+            (hhi - 1 / k) / (1 - 1 / k), abs=1e-9
+        )
+
+    def test_monopoly_is_one(self, spark):
+        from h3_indexer_spark.operators.analytics import hhi_concentration
+
+        df = spark.createDataFrame(
+            [("only", 10.0), ("only", 5.0)], "e string, v double"
+        )
+        row = hhi_concentration(df, "e", "v").collect()[0]
+        assert row["hhi"] == pytest.approx(1.0)
+        assert row["hhi_normalized"] is None
+
+    def test_uniform_normalized_zero(self, spark):
+        from h3_indexer_spark.operators.analytics import hhi_concentration
+
+        df = spark.createDataFrame(
+            [(f"e{i}", 10.0) for i in range(5)], "e string, v double"
+        )
+        row = hhi_concentration(df, "e", "v").collect()[0]
+        assert row["hhi"] == pytest.approx(0.2)
+        assert row["hhi_normalized"] == pytest.approx(0.0, abs=1e-9)
