@@ -200,6 +200,9 @@ HEADLINE = [
     "q_kendall",
     "q_assortativity",
     "q_hhi",
+    "q_wilcoxon",
+    "q_tukey_hsd",
+    "q_price_index",
 ]
 
 

@@ -1298,11 +1298,19 @@ def round9c_scale(max_factor: int = 50) -> None:
         cronbach_alpha,
         hhi_concentration,
         kendall_tau,
+        laspeyres_index,
         mde_readout,
         partial_corr,
         simpsons_check,
         spearman_corr,
+        tukey_contrasts,
+        wilcoxon_signed_rank,
     )
+
+    def li_years(df):
+        return df.withColumn(
+            "ship_year", F.year("l_shipdate").cast("int")
+        )
     from h3_indexer_spark.operators.expectations import key_skew_census
     from h3_indexer_spark.operators.graph import reciprocity
     from h3_indexer_spark.queries import _load_events
@@ -1377,6 +1385,42 @@ def round9c_scale(max_factor: int = 50) -> None:
         timed(
             f"hhi_concentration x{factor}",
             hhi_concentration(o, "o_custkey", "o_totalprice"),
+            no,
+        )
+        timed(
+            f"tukey_contrasts x{factor}",
+            tukey_contrasts(l, "l_returnflag", "l_extendedprice"),
+            nl,
+        )
+        timed(
+            f"laspeyres_index x{factor}",
+            laspeyres_index(
+                li_years(l), "l_partkey", "ship_year",
+                "l_extendedprice", "l_quantity",
+            ),
+            nl,
+        )
+        # wilcoxon over paired per-customer before/after means: copies
+        # shift the customer key, so pair count grows linearly
+        pairs = (
+            o.where(
+                F.col("o_totalprice").isNotNull()
+                & F.col("o_orderdate").isNotNull()
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.avg(F.when(F.col("o_orderdate")
+                             < F.lit("1997-07-01").cast("timestamp"),
+                             F.col("o_totalprice"))).alias("b"),
+                F.avg(F.when(F.col("o_orderdate")
+                             >= F.lit("1997-07-01").cast("timestamp"),
+                             F.col("o_totalprice"))).alias("a"),
+            )
+            .where(F.col("b").isNotNull() & F.col("a").isNotNull())
+        )
+        timed(
+            f"wilcoxon_signed_rank x{factor}",
+            wilcoxon_signed_rank(pairs, "b", "a"),
             no,
         )
 

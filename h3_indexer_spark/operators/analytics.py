@@ -3656,3 +3656,292 @@ def hhi_concentration(
             9,
         ).alias("hhi_normalized"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over paired (before, after)
+    observations — the paired sibling of mann_whitney_u (which
+    handles independent samples): rank the nonzero absolute
+    differences, sum the ranks of positive differences, and read the
+    tie-corrected normal approximation z. The
+    did-my-users-change-after-the-launch readout that needs no
+    normality assumption.
+
+    All-integer surface on the DOUBLED rank scale: differences
+    quantize to 1e-4-unit BIGINTs (zeros drop, the standard
+    convention), |d| collapses to its distinct-value histogram whose
+    cumulative window yields exact BIGINT rank2 = 2·cum − cnt + 1
+    (the spearman_corr mid-rank trick), W⁺/W⁻ fold as exact
+    DECIMAL(38,0) halves of the doubled sums, and the tie term
+    Σ(t³ − t) folds in staged DECIMAL widths (the grouped_moments
+    cube recipe). Every statistic converts to double once; z is
+    fixed IEEE op order, ROUND 9:
+    z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+
+    Scale: one groupBy(|d|) histogram with map-side partials, a
+    |distinct|-row window, one broadcast join back, one fold.
+
+    Output: one row (n_nonzero, w_plus, w_minus, z_stat); z NULL
+    when n = 0 or the variance term is 0 (all differences tied at
+    one magnitude... which still leaves a defined W but no normal
+    approximation).
+    """
+    d_q = F.round(
+        (F.col(after_col).cast("double") - F.col(before_col).cast("double"))
+        * F.lit(10000.0),
+        0,
+    ).cast("long")
+    src = (
+        df.where(
+            F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
+        )
+        .select(d_q.alias("_d"))
+        .where(F.col("_d") != 0)
+        .select(F.abs(F.col("_d")).alias("_a"), (F.col("_d") > 0).alias("_pos"))
+    )
+    hist = src.groupBy("_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    w = Window.orderBy(F.col("_a").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("_cnt").over(w)
+    t16 = F.col("_cnt").cast("decimal(16,0)")
+    ranks = hist.select(
+        "_a",
+        (F.lit(2) * cum - F.col("_cnt") + F.lit(1))
+        .cast("bigint")
+        .alias("_r2"),
+        # t^3 - t in staged decimals: (t*t as dec16) * (t as dec10)
+        (
+            (t16 * t16).cast("decimal(16,0)")
+            * F.col("_cnt").cast("decimal(10,0)")
+            - F.col("_cnt").cast("decimal(26,0)")
+        ).alias("_t3t"),
+    )
+    tie_fold = ranks.agg(
+        F.sum(F.col("_t3t").cast("decimal(38,0)")).alias("_ties")
+    )
+    joined = src.join(F.broadcast(ranks.select("_a", "_r2")), "_a")
+    fold = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nonzero"),
+        F.sum(
+            F.when(F.col("_pos"), F.col("_r2").cast("decimal(38,0)"))
+        ).alias("_wp2"),
+        F.sum(
+            F.when(~F.col("_pos"), F.col("_r2").cast("decimal(38,0)"))
+        ).alias("_wm2"),
+    )
+    j = fold.crossJoin(F.broadcast(tie_fold))
+    n = F.col("n_nonzero").cast("double")
+    wp2 = F.coalesce(F.col("_wp2"), F.lit(0).cast("decimal(38,0)")).cast(
+        "double"
+    )
+    wm2 = F.coalesce(F.col("_wm2"), F.lit(0).cast("decimal(38,0)")).cast(
+        "double"
+    )
+    ties = F.coalesce(F.col("_ties"), F.lit(0).cast("decimal(38,0)")).cast(
+        "double"
+    )
+    # doubled scale: W+ = wp2/2; mean = n(n+1)/4; var = n(n+1)(2n+1)/24
+    # - ties/48. Work in true units (one /2 on the exact integer wp2
+    # is exact in double for wp2 < 2^54 and mirrored literally).
+    w_plus = wp2 / F.lit(2.0)
+    w_minus = wm2 / F.lit(2.0)
+    mean_w = n * (n + F.lit(1.0)) / F.lit(4.0)
+    var_w = (
+        n * (n + F.lit(1.0)) * (F.lit(2.0) * n + F.lit(1.0)) / F.lit(24.0)
+        - ties / F.lit(48.0)
+    )
+    ok = (F.col("n_nonzero") > 0) & (var_w > 0)
+    return j.select(
+        "n_nonzero",
+        F.round(w_plus, 9).alias("w_plus"),
+        F.round(w_minus, 9).alias("w_minus"),
+        F.round(
+            F.when(ok, (w_plus - mean_w) / F.sqrt(var_w)), 9
+        ).alias("z_stat"),
+    )
+
+
+def tukey_contrasts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Tukey-style pairwise contrasts after one_way_anova: for every
+    group pair, the mean difference, its standard error from the
+    POOLED within-group variance, and the studentized-range q
+    statistic |diff| / sqrt(MS_w/2 · (1/n_i + 1/n_j)) — the post-hoc
+    "which arms actually differ" table (the F test only says "some
+    do"; critical q values are the analyst's lookup, the engine's
+    job is the exact statistics).
+
+    Shares one_way_anova's determinism recipe end-to-end: 1e-4-quanta
+    BIGINT group sums (scale-0 decimals, single int→double casts),
+    MS_w from the same DECIMAL(38,6)-quantized between-term fold, and
+    a k×k/2 self-join over the k-row group table (report-sized by
+    construction). q is unit-invariant so it's computed on quanta;
+    mean_diff and se divide the quanta out once each, fixed IEEE op
+    order, ROUND 9.
+
+    Output: one row per unordered pair (group_a < group_b by name):
+    (group_a, group_b, n_a, n_b, mean_diff, se, q_stat); NULL q/se
+    when MS_w ≤ 0 or N ≤ k.
+    """
+    v = F.round(F.col(value_col).cast("double") * F.lit(10000.0), 0).cast(
+        "long"
+    ).cast("decimal(19,0)")
+    g = (
+        df.where(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_q"),
+        )
+    )
+    sd = F.col("_s").cast("double")
+    nd = F.col("_n").cast("double")
+    term_q = ((sd * sd) / nd).cast("decimal(38,6)")
+    fold = g.select("_n", "_q", term_q.alias("_tq")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        F.sum("_n").cast("bigint").alias("_ntot"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_qq"),
+        F.sum("_tq").alias("_t"),
+    )
+    msw = (F.col("_qq").cast("double") - F.col("_t").cast("double")) / (
+        F.col("_ntot").cast("double") - F.col("_k").cast("double")
+    )
+    a = g.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_s").alias("_sa"),
+    )
+    b = g.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_s").alias("_sb"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("group_a") < F.col("group_b")
+    ).crossJoin(
+        F.broadcast(
+            fold.select(
+                msw.alias("_msw"),
+                (F.col("_ntot") > F.col("_k")).alias("_df_ok"),
+            )
+        )
+    )
+    mean_a = F.col("_sa").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("_sb").cast("double") / F.col("n_b").cast("double")
+    diff_q = mean_a - mean_b  # quanta units
+    se_q = F.sqrt(
+        F.col("_msw")
+        / F.lit(2.0)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    ok = F.col("_df_ok") & (F.col("_msw") > 0)
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(diff_q / F.lit(10000.0), 9).alias("mean_diff"),
+        F.round(
+            F.when(ok, se_q / F.lit(10000.0)), 9
+        ).alias("se"),
+        F.round(
+            F.when(ok, F.abs(diff_q) / se_q), 9
+        ).alias("q_stat"),
+    )
+
+
+def laspeyres_index(
+    df: DataFrame,
+    item_col: str,
+    period_col: str,
+    revenue_col: str,
+    quantity_col: str,
+) -> DataFrame:
+    """Laspeyres fixed-basket price index per period: with the
+    earliest period as base, index_t = 100 · Σ p_t(i)·q_0(i) /
+    Σ p_0(i)·q_0(i) over items present in BOTH the base and period t
+    — "how much would the base-period basket cost today", the
+    standard BI/economics inflation readout (base-quantity weights,
+    so mix shifts don't masquerade as price moves).
+
+    Determinism: per-(item, period) revenue and quantity are exact
+    1e-4-quanta BIGINT sums; p_t = rev_t/qty_t is ONE double op over
+    exact ints, each basket term p_t·q_0 is quantized to
+    DECIMAL(38,6) and DECIMAL-summed per period (order-free), and
+    the denominator Σ p_0·q_0 = Σ rev_0 is an EXACT integer (price ×
+    its own quantity cancels) — the quanta factors cancel in the
+    ratio. Fixed IEEE op order, ROUND 9.
+
+    Scale: one groupBy(item, period) with map-side partials, a
+    broadcast of the 1-row base period, one item-keyed join of
+    period rows onto base rows, one groupBy(period) fold. Items
+    absent from the base period drop (the fixed-basket definition).
+
+    Output: one row per period (period, n_items, laspeyres_index);
+    the base period reads exactly 100.
+    """
+    rq = F.round(
+        F.col(revenue_col).cast("double") * F.lit(10000.0), 0
+    ).cast("long")
+    qq = F.round(
+        F.col(quantity_col).cast("double") * F.lit(10000.0), 0
+    ).cast("long")
+    pp = (
+        df.where(
+            F.col(item_col).isNotNull()
+            & F.col(period_col).isNotNull()
+            & F.col(revenue_col).isNotNull()
+            & F.col(quantity_col).isNotNull()
+        )
+        .groupBy(
+            F.col(item_col).alias("_i"), F.col(period_col).alias("_p")
+        )
+        .agg(
+            F.sum(rq).cast("decimal(38,0)").alias("_rev"),
+            F.sum(qq).cast("decimal(38,0)").alias("_qty"),
+        )
+        .where(F.col("_qty") > 0)
+    )
+    base = pp.groupBy().agg(F.min("_p").alias("_p0"))
+    b = (
+        pp.join(F.broadcast(base), pp["_p"] == F.col("_p0"))
+        .select(
+            "_i",
+            F.col("_rev").alias("_rev0"),
+            F.col("_qty").alias("_qty0"),
+        )
+    )
+    joined = pp.join(b, "_i")
+    price_t = F.col("_rev").cast("double") / F.col("_qty").cast("double")
+    term = (price_t * F.col("_qty0").cast("double")).cast("decimal(38,6)")
+    fold = joined.groupBy(F.col("_p").alias("period")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(term).alias("_num"),
+        F.sum(F.col("_rev0")).alias("_den"),
+    )
+    return fold.select(
+        "period",
+        "n_items",
+        F.round(
+            F.lit(100.0)
+            * F.col("_num").cast("double")
+            / F.col("_den").cast("double"),
+            9,
+        ).alias("laspeyres_index"),
+    )

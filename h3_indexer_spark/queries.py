@@ -11004,13 +11004,280 @@ ORACLES["q_assortativity"] = _ASSORTATIVITY_ORACLE
 ORACLES["q_hhi"] = _HHI_ORACLE
 
 
+
+
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (operators/analytics.py::
+    wilcoxon_signed_rank) on paired per-customer mean order values
+    before/after 1997-07-01 — "did my customers change after the
+    cutover", no normality assumed. Pairs come from exact quanta
+    sums (one int→double cast each); the test ranks quantized
+    differences over a distinct-|d| histogram (the q_spearman
+    doubled-mid-rank trick), tie-corrected z, ROUND 9. Completes the
+    nonparametric family beside q_mann_whitney (independent
+    samples)."""
+    from h3_indexer_spark.operators.analytics import (
+        wilcoxon_signed_rank,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cut = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    cq = F.round(
+        F.col("o_totalprice").cast("double") * F.lit(10000.0), 0
+    ).cast("long")
+    pre = F.col("o_orderdate") < cut
+    pairs = (
+        load(spark, sf_dir, "orders")
+        .where(
+            F.col("o_totalprice").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(pre, cq)).cast("bigint").alias("_sp"),
+            F.count(F.when(pre, F.lit(1))).cast("bigint").alias("_np"),
+            F.sum(F.when(~pre, cq)).cast("bigint").alias("_sa"),
+            F.count(F.when(~pre, F.lit(1))).cast("bigint").alias("_na"),
+        )
+        .where((F.col("_np") > 0) & (F.col("_na") > 0))
+        .select(
+            (
+                F.col("_sp").cast("double")
+                / F.col("_np").cast("double")
+                / F.lit(10000.0)
+            ).alias("before_v"),
+            (
+                F.col("_sa").cast("double")
+                / F.col("_na").cast("double")
+                / F.lit(10000.0)
+            ).alias("after_v"),
+        )
+    )
+    return wilcoxon_signed_rank(pairs, "before_v", "after_v")
+
+
+_WILCOXON_ORACLE = """
+    WITH g AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN o_orderdate
+                             < TIMESTAMP '1997-07-01 00:00:00'
+                   THEN CAST(round(CAST(o_totalprice AS DOUBLE)
+                                   * 10000.0) AS BIGINT) END) AS sp,
+               COUNT(CASE WHEN o_orderdate
+                               < TIMESTAMP '1997-07-01 00:00:00'
+                     THEN 1 END) AS np,
+               SUM(CASE WHEN o_orderdate
+                             >= TIMESTAMP '1997-07-01 00:00:00'
+                   THEN CAST(round(CAST(o_totalprice AS DOUBLE)
+                                   * 10000.0) AS BIGINT) END) AS sa,
+               COUNT(CASE WHEN o_orderdate
+                               >= TIMESTAMP '1997-07-01 00:00:00'
+                     THEN 1 END) AS na
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    pa AS (
+        SELECT CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) / 10000.0
+                   AS before_v,
+               CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 10000.0
+                   AS after_v
+        FROM g WHERE np > 0 AND na > 0
+    ),
+    d AS (
+        SELECT CAST(round((after_v - before_v) * 10000.0) AS BIGINT)
+                   AS dq
+        FROM pa
+    ),
+    nz AS (
+        SELECT ABS(dq) AS a, (dq > 0) AS pos FROM d WHERE dq <> 0
+    ),
+    hist AS (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS cnt FROM nz GROUP BY a
+    ),
+    ranks AS (
+        SELECT a,
+               CAST(2 * SUM(cnt) OVER (ORDER BY a ASC
+                        ROWS UNBOUNDED PRECEDING)
+                    - cnt + 1 AS BIGINT) AS r2,
+               CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+                   * CAST(cnt AS HUGEINT)
+                   - CAST(cnt AS HUGEINT) AS t3t
+        FROM hist
+    ),
+    tie AS (SELECT SUM(t3t) AS ties FROM ranks),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+               SUM(CASE WHEN pos THEN CAST(r2 AS HUGEINT) END) AS wp2,
+               SUM(CASE WHEN NOT pos THEN CAST(r2 AS HUGEINT) END)
+                   AS wm2
+        FROM nz JOIN ranks USING (a)
+    )
+    SELECT n_nonzero,
+           ROUND(CAST(COALESCE(wp2, 0) AS DOUBLE) / 2.0, 9) AS w_plus,
+           ROUND(CAST(COALESCE(wm2, 0) AS DOUBLE) / 2.0, 9) AS w_minus,
+           ROUND(CASE WHEN n_nonzero > 0 AND
+               (CAST(n_nonzero AS DOUBLE)
+                * (CAST(n_nonzero AS DOUBLE) + 1.0)
+                * (2.0 * CAST(n_nonzero AS DOUBLE) + 1.0) / 24.0
+                - CAST(COALESCE(ties, 0) AS DOUBLE) / 48.0) > 0
+           THEN (CAST(COALESCE(wp2, 0) AS DOUBLE) / 2.0
+                 - CAST(n_nonzero AS DOUBLE)
+                   * (CAST(n_nonzero AS DOUBLE) + 1.0) / 4.0)
+                / SQRT(CAST(n_nonzero AS DOUBLE)
+                       * (CAST(n_nonzero AS DOUBLE) + 1.0)
+                       * (2.0 * CAST(n_nonzero AS DOUBLE) + 1.0) / 24.0
+                       - CAST(COALESCE(ties, 0) AS DOUBLE) / 48.0)
+           END, 9) AS z_stat
+    FROM fold CROSS JOIN tie
+"""
+
+
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey pairwise contrasts (operators/analytics.py::
+    tukey_contrasts) over the q_anova fixture — WHICH return-flag
+    populations differ, not just whether some do: per-pair mean
+    difference, pooled-MS_w standard error, and the
+    studentized-range q statistic, all from the same quanta-exact
+    group sums as q_anova (q is unit-invariant; mean_diff/se divide
+    the quanta out once), ROUND 9."""
+    from h3_indexer_spark.operators.analytics import tukey_contrasts
+
+    return tukey_contrasts(
+        load(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+_TUKEY_ORACLE = """
+    WITH cc AS (
+        SELECT l_returnflag AS g,
+               CAST(round(CAST(l_extendedprice AS DOUBLE) * 10000.0)
+                    AS BIGINT) AS cq
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    gr AS (
+        SELECT g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(cq AS HUGEINT)) AS s,
+               SUM(CAST(cq AS HUGEINT) * CAST(cq AS HUGEINT)) AS q
+        FROM cc GROUP BY g
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               SUM(q) AS qq,
+               SUM(CAST((CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS DECIMAL(38,6))) AS tq
+        FROM gr
+    ),
+    m AS (
+        SELECT (CAST(qq AS DOUBLE) - CAST(tq AS DOUBLE))
+               / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE))
+                   AS msw,
+               (n_total > k_groups) AS df_ok
+        FROM t
+    )
+    SELECT a.g AS group_a, b.g AS group_b,
+           a.n AS n_a, b.n AS n_b,
+           ROUND((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                  - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+                 / 10000.0, 9) AS mean_diff,
+           ROUND(CASE WHEN m.df_ok AND m.msw > 0 THEN
+               SQRT(m.msw / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+                                   + 1.0 / CAST(b.n AS DOUBLE)))
+               / 10000.0 END, 9) AS se,
+           ROUND(CASE WHEN m.df_ok AND m.msw > 0 THEN
+               ABS(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                   - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+               / SQRT(m.msw / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+                                     + 1.0 / CAST(b.n AS DOUBLE)))
+               END, 9) AS q_stat
+    FROM gr a JOIN gr b ON a.g < b.g CROSS JOIN m
+"""
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres fixed-basket price index (operators/analytics.py::
+    laspeyres_index) of part unit prices by ship year — "how much
+    would the first year's basket cost each later year": exact
+    quanta (item, period) revenue/quantity sums, basket terms
+    DECIMAL(38,6)-quantized per period, denominator exactly the
+    base revenue (p₀·q₀ cancels), ROUND 9."""
+    from h3_indexer_spark.operators.analytics import laspeyres_index
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return laspeyres_index(
+        li, "l_partkey", "ship_year", "l_extendedprice", "l_quantity"
+    )
+
+
+_PRICE_INDEX_ORACLE = """
+    WITH src AS (
+        SELECT l_partkey AS i,
+               CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS p,
+               CAST(round(CAST(l_extendedprice AS DOUBLE) * 10000.0)
+                    AS BIGINT) AS rq,
+               CAST(round(CAST(l_quantity AS DOUBLE) * 10000.0)
+                    AS BIGINT) AS qq
+        FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+          AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    pp AS (
+        SELECT i, p,
+               SUM(CAST(rq AS HUGEINT)) AS rev,
+               SUM(CAST(qq AS HUGEINT)) AS qty
+        FROM src GROUP BY i, p
+        HAVING SUM(CAST(qq AS HUGEINT)) > 0
+    ),
+    base AS (SELECT MIN(p) AS p0 FROM pp),
+    b AS (
+        SELECT i, rev AS rev0, qty AS qty0
+        FROM pp, base WHERE pp.p = base.p0
+    ),
+    joined AS (
+        SELECT pp.p, pp.rev, pp.qty, b.rev0, b.qty0
+        FROM pp JOIN b ON pp.i = b.i
+    ),
+    fold AS (
+        SELECT p AS period,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(CAST((CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE))
+                        * CAST(qty0 AS DOUBLE)
+                        AS DECIMAL(38,6))) AS num,
+               SUM(rev0) AS den
+        FROM joined GROUP BY p
+    )
+    SELECT period, n_items,
+           ROUND(100.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9)
+               AS laspeyres_index
+    FROM fold
+"""
+
+
+QUERIES["q_wilcoxon"] = q_wilcoxon
+QUERIES["q_tukey_hsd"] = q_tukey_hsd
+QUERIES["q_price_index"] = q_price_index
+ORACLES["q_wilcoxon"] = _WILCOXON_ORACLE
+ORACLES["q_tukey_hsd"] = _TUKEY_ORACLE
+ORACLES["q_price_index"] = _PRICE_INDEX_ORACLE
+
+
 # Round-9 driver window (ONE canonical list — the driver hash-checks
 # the FIRST 50 QUERIES entries in dict order): the 11 keys whose
 # latest driver row is still round 4 (deferred from the round-8
 # rotation — this finally meets the "no oracle key's latest row
-# predates round 5" bar), the 27 round-9 debuts (every NEW key takes
-# its first driver record), and the alphabetically-first 12 of the 48
-# keys whose latest row is round 5 (the remaining 36 round-5 keys —
+# predates round 5" bar), the 30 round-9 debuts (every NEW key takes
+# its first driver record), and the alphabetically-first 9 of the 48
+# keys whose latest row is round 5 (the remaining 39 round-5 keys —
+# q_co_occurrence, q_data_split, q_dedup_exact,
 # q_domain_cap, q_dup_spans, q_dwell_times,
 # q_event_gaps, q_expectations,
 # q_frequent_items_scalable, q_funnel, q_groupby_sum,
@@ -11063,7 +11330,10 @@ _WINDOW_R9 = [
     "q_kendall",
     "q_assortativity",
     "q_hhi",
-    # alphabetically-first 12 round-5-stale keys
+    "q_wilcoxon",
+    "q_tukey_hsd",
+    "q_price_index",
+    # alphabetically-first 9 round-5-stale keys
     "q_active_users",
     "q_analytics_pipeline",
     "q_anomalies",
@@ -11073,9 +11343,6 @@ _WINDOW_R9 = [
     "q_chi_square",
     "q_chunk_docs",
     "q_clustering_coeff",
-    "q_co_occurrence",
-    "q_data_split",
-    "q_dedup_exact",
 ]
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 assert len(set(_WINDOW_R9)) == 50

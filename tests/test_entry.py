@@ -70,10 +70,14 @@ PLANNED_R9 = {
     "q_kendall",
     "q_assortativity",
     "q_hhi",
+    "q_wilcoxon",
+    "q_tukey_hsd",
+    "q_price_index",
 }
-# the 36 round-5 keys the 50-slot budget defers to round 10 (the
+# the 39 round-5 keys the 50-slot budget defers to round 10 (the
 # local mirror re-verifies them every session regardless)
 DEFERRED_TO_R10 = {
+    "q_co_occurrence", "q_data_split", "q_dedup_exact",
     "q_domain_cap", "q_dup_spans", "q_dwell_times",
     "q_event_gaps", "q_expectations", "q_frequent_items_scalable",
     "q_funnel", "q_groupby_sum", "q_growth_accounting",

@@ -1482,3 +1482,171 @@ class TestHhiConcentration:
         row = hhi_concentration(df, "e", "v").collect()[0]
         assert row["hhi"] == pytest.approx(0.2)
         assert row["hhi_normalized"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestWilcoxonSignedRank:
+    def _py_wilcoxon(self, before, after):
+        import math
+        from collections import Counter
+
+        d = [round((a - b) * 10000) for b, a in zip(before, after)]
+        d = [x for x in d if x != 0]
+        n = len(d)
+        mags = sorted(abs(x) for x in d)
+
+        def avg_rank(m):
+            lo = mags.index(m) + 1
+            return lo + (mags.count(m) - 1) / 2.0
+
+        w_plus = sum(avg_rank(abs(x)) for x in d if x > 0)
+        ties = sum(
+            t**3 - t for t in Counter(mags).values()
+        )
+        mean_w = n * (n + 1) / 4.0
+        var_w = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+        return n, w_plus, (w_plus - mean_w) / math.sqrt(var_w)
+
+    def test_matches_python_reference_with_ties(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            wilcoxon_signed_rank,
+        )
+
+        before = [10.0, 12.0, 9.0, 15.0, 20.0, 7.0, 11.0, 13.0]
+        after = [12.0, 11.0, 13.0, 15.0, 24.0, 9.0, 9.0, 15.0]
+        # diffs: +2, -1, +4, 0(drops), +4, +2, -2, +2 -> heavy ties
+        df = spark.createDataFrame(
+            list(zip(before, after)), "b double, a double"
+        )
+        row = wilcoxon_signed_rank(df, "b", "a").collect()[0]
+        n, wp, z = self._py_wilcoxon(before, after)
+        assert row["n_nonzero"] == n == 7
+        assert row["w_plus"] == pytest.approx(wp, rel=1e-9)
+        assert row["z_stat"] == pytest.approx(z, abs=1e-9)
+        assert row["w_plus"] + row["w_minus"] == pytest.approx(
+            n * (n + 1) / 2.0
+        )
+
+    def test_all_positive_shifts(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            wilcoxon_signed_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i), float(i) + 1.0 + i * 0.1) for i in range(6)],
+            "b double, a double",
+        )
+        row = wilcoxon_signed_rank(df, "b", "a").collect()[0]
+        assert row["w_minus"] == 0.0
+        assert row["z_stat"] > 0
+
+    def test_zero_diffs_drop(self, spark):
+        from h3_indexer_spark.operators.analytics import (
+            wilcoxon_signed_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 2.0), (3.0, 4.0)], "b double, a double"
+        )
+        row = wilcoxon_signed_rank(df, "b", "a").collect()[0]
+        assert row["n_nonzero"] == 1
+
+
+class TestTukeyContrasts:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from h3_indexer_spark.operators.analytics import tukey_contrasts
+
+        groups = {
+            "a": [1.0, 2.0, 3.0, 2.5],
+            "b": [4.0, 5.0, 6.0],
+            "c": [2.0, 3.0, 2.5, 3.5, 2.75],
+        }
+        df = spark.createDataFrame(
+            [(g, v) for g, vs in groups.items() for v in vs],
+            "grp string, val double",
+        )
+        rows = {
+            (r["group_a"], r["group_b"]): r
+            for r in tukey_contrasts(df, "grp", "val").collect()
+        }
+        assert len(rows) == 3
+        n = sum(len(vs) for vs in groups.values())
+        k = len(groups)
+        ssw = sum(
+            (v - sum(vs) / len(vs)) ** 2
+            for vs in groups.values()
+            for v in vs
+        )
+        msw = ssw / (n - k)
+        for (ga, gb), r in rows.items():
+            va, vb = groups[ga], groups[gb]
+            diff = sum(va) / len(va) - sum(vb) / len(vb)
+            se = math.sqrt(msw / 2 * (1 / len(va) + 1 / len(vb)))
+            assert r["mean_diff"] == pytest.approx(diff, abs=1e-8)
+            assert r["se"] == pytest.approx(se, abs=1e-8)
+            assert r["q_stat"] == pytest.approx(
+                abs(diff) / se, rel=1e-6
+            )
+
+    def test_pair_count_is_k_choose_2(self, spark):
+        from h3_indexer_spark.operators.analytics import tukey_contrasts
+
+        df = spark.createDataFrame(
+            [(f"g{i}", float(i * j)) for i in range(5) for j in range(4)],
+            "grp string, val double",
+        )
+        assert tukey_contrasts(df, "grp", "val").count() == 10
+
+
+class TestLaspeyresIndex:
+    def test_matches_python_reference(self, spark):
+        from h3_indexer_spark.operators.analytics import laspeyres_index
+
+        # item -> {year: (price, qty)}; revenue = price * qty
+        data = {
+            "x": {2020: (2.0, 10.0), 2021: (3.0, 8.0)},
+            "y": {2020: (5.0, 4.0), 2021: (5.5, 6.0)},
+            "z": {2021: (9.0, 1.0)},  # absent from base -> drops
+        }
+        rows = [
+            (i, y, p * q, q)
+            for i, ys in data.items()
+            for y, (p, q) in ys.items()
+        ]
+        df = spark.createDataFrame(
+            rows, "item string, yr int, rev double, qty double"
+        )
+        out = {
+            r["period"]: r
+            for r in laspeyres_index(
+                df, "item", "yr", "rev", "qty"
+            ).collect()
+        }
+        assert out[2020]["laspeyres_index"] == pytest.approx(100.0)
+        assert out[2020]["n_items"] == 2
+        # 2021 basket: p21_x*q20_x + p21_y*q20_y over base revenue
+        num = 3.0 * 10.0 + 5.5 * 4.0
+        den = 2.0 * 10.0 + 5.0 * 4.0
+        assert out[2021]["laspeyres_index"] == pytest.approx(
+            100.0 * num / den, rel=1e-9
+        )
+        assert out[2021]["n_items"] == 2
+
+    def test_price_doubling_reads_200(self, spark):
+        from h3_indexer_spark.operators.analytics import laspeyres_index
+
+        rows = [
+            ("a", 1, 10.0, 5.0), ("a", 2, 20.0, 5.0),
+            ("b", 1, 8.0, 2.0), ("b", 2, 16.0, 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "item string, yr int, rev double, qty double"
+        )
+        out = {
+            r["period"]: r["laspeyres_index"]
+            for r in laspeyres_index(
+                df, "item", "yr", "rev", "qty"
+            ).collect()
+        }
+        assert out[2] == pytest.approx(200.0)
