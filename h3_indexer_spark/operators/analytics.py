@@ -3264,7 +3264,10 @@ def simpsons_check(
 
     Exact-integer surface: per-stratum cells are four conditional
     COUNTs, the pooled cells are their BIGINT sums re-folded from the
-    same stratum rows (never a second scan), rates are one
+    same stratum-aggregation LINEAGE — the static plan prints two
+    branches, but the branches share their first exchange and AQE's
+    exchange reuse collapses them, so the fact is scanned and
+    shuffled once (plan-locked in tests/test_plans.py). Rates are one
     exact-int ÷ exact-int IEEE op each and the differences fixed op
     order, ROUND 9. The flip flag is NULL (not false) when either
     side of the comparison is undefined (an empty arm).

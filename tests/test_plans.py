@@ -387,3 +387,59 @@ def test_round8c_plan_properties(spark):
     plan = _plan(spark, "q_charset_stats")
     assert "Join" not in plan and "Window" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_round9c_plan_properties(spark):
+    """Round-9 continuation locks. spearman/kendall: the fact is
+    never globally sorted or windowed — the only windows run over
+    the distinct-value histograms, and the rank tables come back by
+    broadcast. The kendall cell self-join is a
+    BroadcastNestedLoopJoin over the BOUNDED histogram (the
+    documented cells² trade), never over rows."""
+    plan = _plan(spark, "q_spearman")
+    # rank tables broadcast back onto the fact: two broadcast joins,
+    # no sort-merge join of the fact against anything
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    plan = _plan(spark, "q_kendall")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_skew_report_reads_only_key_columns(spark):
+    """The skew census must prune every scan to its single key column
+    — a profiler that reads the whole table at 100 TB is wrong."""
+    plan = _plan(spark, "q_skew_report")
+    assert "ReadSchema: struct<user_id:bigint>" in plan, plan
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan, plan
+    assert "ReadSchema: struct<l_partkey:bigint>" in plan, plan
+
+
+def test_single_fold_readouts_have_no_join_of_the_fact(spark):
+    """mde / partial_corr are ONE conditional-sum scan: no join or
+    window may touch the fact table."""
+    for key in ("q_mde", "q_partial_corr"):
+        plan = _plan(spark, key)
+        assert "SortMergeJoin" not in plan, (key, plan)
+        assert "Window" not in plan, (key, plan)
+
+
+def test_simpsons_pooled_fold_reuses_the_fact_exchange(spark):
+    """simpsons_check derives the pooled cells from the SAME stratum
+    aggregation lineage as the per-stratum rows; the static plan
+    prints two scan branches, but AQE's exchange reuse must collapse
+    them so the fact is scanned and shuffled ONCE — lock the runtime
+    property, not the static print."""
+    from h3_indexer_spark.queries import QUERIES
+
+    df = QUERIES["q_simpsons"](spark, SF_ORACLE)
+    df.collect()
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("ReusedExchange") >= 1, plan
