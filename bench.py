@@ -203,6 +203,15 @@ HEADLINE = [
     "q_wilcoxon",
     "q_tukey_hsd",
     "q_price_index",
+    "q_kruskal",
+    "q_jarque_bera",
+    "q_xcorr",
+    "q_item_cf",
+    "q_woe_iv",
+    "q_drawdown",
+    "q_pr_auc",
+    "q_file_compaction",
+    "q_zipf_fit",
 ]
 
 

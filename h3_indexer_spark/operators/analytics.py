@@ -3948,3 +3948,444 @@ def laspeyres_index(
             9,
         ).alias("laspeyres_index"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    decimal_scale: int = 4,
+) -> DataFrame:
+    """Kruskal-Wallis H test across k independent groups — "does ANY
+    group's distribution differ", the nonparametric one-way ANOVA
+    (rank-based, no normality assumption; the k-sample extension of
+    q_mann_whitney and the robust sibling of q_anova).
+
+    Exactness: values quantize to ``decimal_scale`` quanta BIGINTs;
+    ranks are midranks over ties computed on the distinct-value
+    histogram with the DOUBLED-rank trick (r2 = 2·before + ct + 1, an
+    exact integer), so each group's doubled rank-sum
+    2·R_j = Σ c_jv·r2_v is exact in DECIMAL(38,0) (Σ c·r2 ≤ N·(2N+1)
+    overflows BIGINT past ~2·10⁹ rows — the gini width rule). With
+    R_j = r2_j/2, Σ R_j²/n_j = Σ r2_j²/(4·n_j); each group's term is
+    quantized to DECIMAL(38,6) so the k-group fold is order-free,
+    then H = 12/(N(N+1))·ΣR_j²/n_j − 3(N+1) and the tie correction
+    C = 1 − Σ(t³−t)/(N³−N) (t³ sums in DECIMAL(38,0)) are fixed
+    double expressions. Output ONE row: (k_groups, n_total, h_stat,
+    h_stat_tied), ROUND 9; h_stat_tied is NULL when C ≤ 0 (all
+    values identical).
+
+    Scale: groupBy(value, group) collapses the input before anything
+    else; the ranking window runs over the |distinct values|
+    histogram (the mann_whitney_u rationale), per-group sums are a
+    k-row aggregate, and the final fold is one row — the corpus never
+    sorts globally."""
+    mult = 10 ** decimal_scale
+    q = F.round(
+        F.col(value_col).cast("double") * F.lit(float(mult)), 0
+    ).cast("long")
+    gv = (
+        df.where(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            q.alias("_v"), F.col(group_col).alias("_g")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    vals = gv.groupBy("_v").agg(
+        F.sum("_c").cast("bigint").alias("_ct")
+    )
+    w = Window.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vals.select(
+        "_v",
+        "_ct",
+        (
+            F.lit(2)
+            * F.coalesce(F.sum("_ct").over(w), F.lit(0).cast("bigint"))
+            + F.col("_ct")
+            + F.lit(1)
+        ).cast("bigint").alias("_r2"),
+    )
+    per_group = (
+        gv.join(ranked.select("_v", "_r2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("bigint").alias("_n_j"),
+            F.sum(
+                F.col("_c").cast("decimal(38,0)") * F.col("_r2")
+            ).alias("_r2_j"),
+        )
+    )
+    term = (
+        F.col("_r2_j").cast("double")
+        * F.col("_r2_j").cast("double")
+        / F.lit(4.0)
+        / F.col("_n_j").cast("double")
+    ).cast("decimal(38,6)")
+    fold = per_group.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n_j").cast("bigint").alias("n_total"),
+        F.sum(term).alias("_s"),
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("_ct").cast("decimal(38,0)")
+            * F.col("_ct")
+            * F.col("_ct")
+            - F.col("_ct")
+        ).alias("_t3t")
+    )
+    out = fold.crossJoin(F.broadcast(ties))
+    n = F.col("n_total").cast("double")
+    h = (
+        F.lit(12.0) / (n * (n + F.lit(1.0)))
+        * F.col("_s").cast("double")
+        - F.lit(3.0) * (n + F.lit(1.0))
+    )
+    c = F.lit(1.0) - F.col("_t3t").cast("double") / (
+        n * n * n - n
+    )
+    return out.select(
+        "k_groups",
+        "n_total",
+        F.round(h, 9).alias("h_stat"),
+        F.round(F.when(c > 0, h / c), 9).alias("h_stat_tied"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    decimal_scale: int = 2,
+) -> DataFrame:
+    """Jarque-Bera normality test per group — "is this metric even
+    normal enough for the t-test family", the standard gate before
+    parametric readouts (complements q_ks_test's two-sample shape
+    check with a one-sample moment check). JB = n/6·(g1² + g2²/4)
+    with population skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2² − 3; asymptotically χ²(2), so JB ≳ 5.99 rejects
+    normality at 5%.
+
+    Exactness: the grouped_moments staging (relational.py) — values
+    scale exactly to ``decimal_scale`` integers whose power sums run
+    in staged DECIMAL widths that never exceed 38 digits (c³ =
+    dec(16)·dec(10), c⁴ = dec(16)·dec(16)); every statistic is then a
+    fixed double expression over exact order-free sums, ROUND 9.
+    g1/g2/jb are NULL below n=2 or at zero variance.
+
+    Scale: ONE partial-aggregated groupBy — the normality verdict on
+    100 TB costs one scan."""
+    mult = 10 ** decimal_scale
+    c = F.round(
+        F.col(value_col).cast("double") * F.lit(mult), 0
+    ).cast("long")
+    c2 = (c * c).cast("long")
+    c2d = c2.cast("decimal(16,0)")
+    c3 = c2d * c.cast("decimal(10,0)")
+    c4 = c2d * c2d
+    keys = [F.col(g) for g in (group_cols or [])]
+    agg = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(c.cast("decimal(18,0)")).alias("_s1"),
+            F.sum(c2.cast("decimal(20,0)")).alias("_s2"),
+            F.sum(c3).alias("_s3"),
+            F.sum(c4).alias("_s4"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    s1 = F.col("_s1").cast("double") / F.lit(float(mult))
+    s2 = F.col("_s2").cast("double") / F.lit(float(mult) ** 2)
+    s3 = F.col("_s3").cast("double") / F.lit(float(mult) ** 3)
+    s4 = F.col("_s4").cast("double") / F.lit(float(mult) ** 4)
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = (
+        s3 / n
+        - F.lit(3.0) * mean * (s2 / n)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (
+        g1 * g1 + g2 * g2 / F.lit(4.0)
+    )
+    ok = (F.col("n_rows") >= 2) & (m2 > 0.0)
+    return agg.select(
+        *(group_cols or []),
+        "n_rows",
+        F.round(F.when(ok, g1), 9).alias("skew_g1"),
+        F.round(F.when(ok, g2), 9).alias("kurt_g2"),
+        F.round(F.when(ok, jb), 9).alias("jb_stat"),
+    )
+
+
+def cross_correlation(
+    series: DataFrame,
+    date_col: str,
+    a_col: str,
+    b_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lagged cross-correlation of two aligned series — "does A lead
+    B": Pearson r between a(d) and b(d + lag) for every lag in
+    [−max_lag, +max_lag], the lead/lag discovery readout that
+    complements q_autocorr (self) and q_corr (contemporaneous).
+    Positive lag correlates today's A with B ``lag`` days LATER, so
+    a peak at lag>0 reads "A leads B".
+
+    Input contract: ``series`` is the ALREADY-COLLAPSED per-date
+    frame (one row per date) with a/b as exact BIGINT quanta — the
+    caller owns quantization so the correlation inputs are
+    order-free integers. Only dates present on BOTH sides of a lag
+    pair contribute (inner join per lag).
+
+    Determinism: per-lag Pearson folds exact integer sums (Σa, Σb,
+    Σab, Σa², Σb², n — products in DECIMAL(38,0), Σab ≤ n·a·b must
+    fit 38 digits: at 1e15-quanta daily revenue and 10⁴ days that is
+    ~1e34, safe); r is a fixed double expression over them, ROUND 9
+    (the q_assortativity op-order rule).
+
+    Scale: the lag fan-out is a broadcast crossJoin with the tiny
+    (2·max_lag+1)-row lag table; the shifted self-join keys on the
+    date — a |dates|-sized shuffle (days, not rows: the corpus
+    collapsed BEFORE this operator). Output: (lag, n_days, r), one
+    row per lag."""
+    spark = series.sparkSession
+    lags = spark.range(2 * max_lag + 1).select(
+        (F.col("id") - F.lit(max_lag)).cast("int").alias("lag")
+    )
+    left = series.select(
+        F.col(date_col).alias("_d"), F.col(a_col).alias("_a")
+    ).crossJoin(F.broadcast(lags))
+    right = series.select(
+        F.col(date_col).alias("_d2"), F.col(b_col).alias("_b")
+    )
+    pairs = left.join(
+        right,
+        F.date_add(F.col("_d"), F.col("lag")) == F.col("_d2"),
+    )
+    d38 = "decimal(38,0)"
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("_a").cast(d38)).alias("_sa"),
+        F.sum(F.col("_b").cast(d38)).alias("_sb"),
+        F.sum(F.col("_a").cast(d38) * F.col("_b")).alias("_sab"),
+        F.sum(F.col("_a").cast(d38) * F.col("_a")).alias("_saa"),
+        F.sum(F.col("_b").cast(d38) * F.col("_b")).alias("_sbb"),
+    )
+    n = F.col("n_days").cast("double")
+    sa = F.col("_sa").cast("double")
+    sb = F.col("_sb").cast("double")
+    num = n * F.col("_sab").cast("double") - sa * sb
+    da = n * F.col("_saa").cast("double") - sa * sa
+    db = n * F.col("_sbb").cast("double") - sb * sb
+    r = F.when(
+        (da > 0) & (db > 0), num / (F.sqrt(da) * F.sqrt(db))
+    )
+    return agg.select(
+        "lag", "n_days", F.round(r, 9).alias("r")
+    ).orderBy("lag")
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-Evidence / Information Value per feature bin — the
+    credit-scoring-standard predictive-power readout for a
+    categorical feature against a binary label (the feature-selection
+    sibling of q_mutual_info; IV < 0.02 reads "useless", > 0.5
+    "suspiciously strong"). WoE_bin = ln((pos_bin/P)/(neg_bin/N));
+    IV = Σ_bins (pos_bin/P − neg_bin/N)·WoE_bin.
+
+    Determinism: per-bin pos/neg are exact BIGINT conditional counts;
+    P/N ride a 1-row broadcast fold (lazy — no construction-time
+    job); WoE is one ln over an exact-integer ratio, ROUND 9. Bins
+    with a zero cell get NULL WoE and are EXCLUDED from IV (reported,
+    not smoothed — deterministic and visible, where additive
+    smoothing would silently bias every other bin's share). Each
+    bin's IV term quantizes to DECIMAL(38,12) so the total is an
+    order-free sum broadcast back onto every row.
+
+    Scale: ONE groupBy(feature) with map-side partials + two
+    broadcast folds — a single scan at any corpus size. Output one
+    row per bin: (bin, n_pos, n_neg, woe, iv_term, iv_total)."""
+    lab = F.col(label_col).cast("boolean")
+    bins = (
+        df.where(
+            F.col(feature_col).isNotNull() & lab.isNotNull()
+        )
+        .groupBy(F.col(feature_col).alias("bin"))
+        .agg(
+            F.sum(F.when(lab, 1).otherwise(0))
+            .cast("bigint").alias("n_pos"),
+            F.sum(F.when(lab, 0).otherwise(1))
+            .cast("bigint").alias("n_neg"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n_pos").cast("bigint").alias("_p"),
+        F.sum("n_neg").cast("bigint").alias("_n"),
+    )
+    joined = bins.crossJoin(F.broadcast(tot))
+    ps = F.col("n_pos").cast("double") / F.col("_p").cast("double")
+    ns = F.col("n_neg").cast("double") / F.col("_n").cast("double")
+    defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    woe = F.when(defined, F.log(ps / ns))
+    terms = joined.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        woe.alias("_woe"),
+        F.when(defined, (ps - ns) * woe)
+        .cast("decimal(38,12)").alias("_iv_term"),
+    )
+    iv = terms.agg(F.sum("_iv_term").alias("_iv_total"))
+    return terms.crossJoin(F.broadcast(iv)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.round(F.col("_woe"), 9).alias("woe"),
+        F.round(F.col("_iv_term").cast("double"), 9).alias("iv_term"),
+        F.round(F.col("_iv_total").cast("double"), 9).alias("iv_total"),
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    period_col: str,
+    flow_col: str,
+    decimal_scale: int = 4,
+) -> DataFrame:
+    """Maximum drawdown of the cumulative net-flow (equity) curve —
+    "what is the worst peak-to-trough slide", the risk readout every
+    balance/inventory/revenue-minus-returns series needs (completes
+    the financial family beside q_ohlc_bars/q_twap).
+
+    The equity curve is the running total of per-period net flow
+    (signed; the caller encodes inflow/outflow signs). Per period:
+    equity_t = Σ_{s≤t} flow_s, peak_t = max_{s≤t} equity_s,
+    dd_t = peak_t − equity_t. Reported: max absolute drawdown, the
+    max FRACTIONAL drawdown over periods with peak_t > 0 (each a
+    per-row double; max is order-free), and the global equity peak.
+
+    Exactness: flows quantize to ``decimal_scale`` quanta BIGINTs;
+    per-period sums, the running cumulative, and the running max all
+    stay in DECIMAL(38,0) — exact at any length; the fraction is one
+    double division per period, ROUND 9.
+
+    Scale: the input collapses to one row per period FIRST (the
+    mann_whitney histogram rule), so the ordered cumulative window
+    runs over |periods| rows (days/hours — thousands, not the
+    corpus). Output ONE row: (n_periods, peak_equity, max_drawdown,
+    max_drawdown_frac)."""
+    mult = 10 ** decimal_scale
+    q = F.round(
+        F.col(flow_col).cast("double") * F.lit(float(mult)), 0
+    ).cast("long")
+    daily = (
+        df.where(
+            F.col(period_col).isNotNull() & F.col(flow_col).isNotNull()
+        )
+        .groupBy(F.col(period_col).alias("_p"))
+        .agg(F.sum(q.cast("decimal(38,0)")).alias("_flow"))
+    )
+    w = Window.orderBy(F.col("_p").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = daily.select(
+        "_p",
+        F.sum("_flow").over(w).alias("_eq"),
+    ).select(
+        "_p",
+        "_eq",
+        F.max("_eq").over(w).alias("_peak"),
+    )
+    dd = F.col("_peak") - F.col("_eq")
+    frac = F.when(
+        F.col("_peak") > 0,
+        dd.cast("double") / F.col("_peak").cast("double"),
+    )
+    m = F.lit(float(mult))
+    return curve.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+        (F.max("_peak").cast("double") / m).alias("peak_equity"),
+        (F.max(dd).cast("double") / m).alias("max_drawdown"),
+        F.round(F.max(frac), 9).alias("max_drawdown_frac"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Average precision (the area under the precision-recall curve
+    in its standard step form) over a scored candidate set —
+    AP = (1/P)·Σ_{positives} precision@rank. The imbalanced-label
+    ranking readout that completes the eval family: q_auc ranks
+    pairs (ROC), q_ndcg grades positions, AP grades the positive
+    class's precision profile — THE metric when positives are rare
+    (retrieval, anomaly triage, dedup-candidate ranking).
+
+    Determinism: rank order is the total order (score desc, id asc)
+    — ties broken by id, so precision@k is exactly reproducible
+    cross-engine (the q_ndcg tiebreak rule). Each positive's
+    precision term cum_pos(k)/k quantizes to DECIMAL(38,18) (the
+    q_hhi pattern) so the fold is order-free; AP is one double
+    division, ROUND 9.
+
+    Scale: ONE global window over the scored set — correct for eval
+    tables (a retrieval run's candidate pool: 10³–10⁷ rows), which is
+    what AP is for; this is NOT a corpus operator (at corpus scale,
+    rank on the score histogram like q_auc, trading exact per-id
+    tiebreaks for distinct-score blocks). Output ONE row:
+    (n, n_pos, avg_precision)."""
+    lab = F.col(label_col).cast("boolean")
+    scored = df.where(
+        lab.isNotNull()
+        & F.col(score_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        lab.cast("int").alias("_y"),
+        F.col(score_col).alias("_s"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.orderBy(F.col("_s").desc(), F.col("_id").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = scored.select(
+        "_y",
+        F.row_number().over(w).cast("bigint").alias("_k"),
+        F.sum("_y").over(wcum).cast("bigint").alias("_cp"),
+    )
+    term = F.when(
+        F.col("_y") == 1,
+        F.col("_cp").cast("double") / F.col("_k").cast("double"),
+    ).cast("decimal(38,18)")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum(term).alias("_ap_sum"),
+    )
+    ap = F.when(
+        F.col("n_pos") > 0,
+        F.col("_ap_sum").cast("double") / F.col("n_pos").cast("double"),
+    )
+    return agg.select(
+        "n", "n_pos", F.round(ap, 9).alias("avg_precision")
+    )

@@ -294,3 +294,103 @@ def sequential_patterns(
         "support",
         F.row_number().over(rk).cast("bigint").alias("rnk"),
     )
+
+
+def item_cf_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_joint: int = 2,
+    k: int = 30,
+    max_basket_size: int | None = 10_000,
+    log_exclusions: bool = True,
+) -> DataFrame:
+    """Item-item collaborative filtering by co-occurrence cosine
+    (Sarwar et al. 2001, the "users who bought X also bought Y"
+    primitive): for every UNORDERED item pair co-occurring in
+    ≥ ``min_joint`` baskets, cosine = c_ij / √(c_i·c_j) over binary
+    basket-incidence vectors — association_rules' directional
+    confidence/lift readout replaced by the symmetric normalized
+    similarity a recommender's neighbor table wants.
+
+    Output: (item_a, item_b, n_joint, n_a, n_b, cos_sim) with
+    item_a < item_b, top ``k`` by (cos_sim desc, item_a asc,
+    item_b asc) — cosine is ONE double expression over exact BIGINT
+    counts (÷, √ in fixed order), ROUND 9, so the cut is a total
+    order.
+
+    Scale shape: identical to association_rules — DISTINCT
+    (basket, item) first, ONE equi-self-join on the basket key
+    bounded by Σ_b s_b² (the ``max_basket_size`` mega-basket guard,
+    eager census under ``log_exclusions`` else folded lazily), item
+    supports broadcast back, and the final rank is a
+    TakeOrderedAndProject — no global sort. The i<j predicate halves
+    the pair volume relative to the rules miner."""
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_basket_size is not None:
+        if log_exclusions:
+            items = items.localCheckpoint()
+        else:
+            items = items.persist()
+        sizes = items.groupBy("_b").agg(
+            F.count(F.lit(1)).alias("_sz")
+        )
+        if log_exclusions:
+            n_excluded = sizes.where(
+                F.col("_sz") > max_basket_size
+            ).count()
+            if n_excluded:
+                _LOG.warning(
+                    "item_cf_similarity: excluded %d mega-basket(s) "
+                    "with more than %d items (pass "
+                    "max_basket_size=None to opt out)",
+                    n_excluded,
+                    max_basket_size,
+                )
+        items = items.join(
+            sizes.where(F.col("_sz") <= max_basket_size).select("_b"),
+            "_b",
+            "left_semi",
+        )
+    support = items.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_item")
+    )
+    a = items.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = items.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_joint"))
+        .where(F.col("n_joint") >= min_joint)
+    )
+    sup_a = support.select(
+        F.col("_i").alias("item_a"), F.col("_n_item").alias("n_a")
+    )
+    sup_b = support.select(
+        F.col("_i").alias("item_b"), F.col("_n_item").alias("n_b")
+    )
+    joined = pairs.join(F.broadcast(sup_a), "item_a").join(
+        F.broadcast(sup_b), "item_b"
+    )
+    cos = F.col("n_joint").cast("double") / F.sqrt(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        joined.select(
+            "item_a",
+            "item_b",
+            "n_joint",
+            "n_a",
+            "n_b",
+            F.round(cos, 9).alias("cos_sim"),
+        )
+        .orderBy(
+            F.col("cos_sim").desc(),
+            F.col("item_a").asc(),
+            F.col("item_b").asc(),
+        )
+        .limit(k)
+    )

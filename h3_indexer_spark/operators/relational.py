@@ -1152,3 +1152,61 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("_p.corr").alias("corr"),
     )
+
+
+def compaction_plan(
+    df: DataFrame,
+    part_col: str,
+    id_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction PLANNER — the oracle-checkable sibling of
+    sources/writers.py::compact_parquet (which rewrites): given a file
+    inventory (partition, file id, byte size), assign files to output
+    bins by next-fit bin packing so each rewrite task reads ~
+    ``target_bytes``. This is the maintenance-advisor table a
+    100 TB lakehouse runs nightly over its file listing: small files
+    hurt twice (per-file open/footer cost in every query, and driver
+    metadata for millions of entries), and the PLAN must be
+    deterministic so reruns and audits agree.
+
+    Packing rule: within each partition, files in ``id_col`` order
+    accumulate a running byte total; a file lands in bin
+    floor((cum − size) / target) — where its FIRST byte falls. Bins
+    therefore hold ≥ target bytes except the partition's last, and
+    overshoot by at most one file — the classic next-fit guarantee
+    (≤ 2× optimal bin count), chosen over first-fit-decreasing
+    because it needs ONE ordered pass, no mutable bin state. All
+    arithmetic is exact BIGINT.
+
+    Scale: one window shuffle keyed on the partition column (file
+    inventories are per-partition thousands of rows) + one groupBy
+    fold on (partition, bin). Output per bin: (partition, bin,
+    n_files, total_bytes, first_id, last_id, undersized)."""
+    if target_bytes <= 0:
+        raise ValueError(
+            f"target_bytes must be positive, got {target_bytes}"
+        )
+    w = Window.partitionBy(part_col).orderBy(F.col(id_col).asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sz = F.col(size_col).cast("bigint")
+    assigned = df.where(
+        F.col(part_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & sz.isNotNull()
+    ).select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("_id"),
+        sz.alias("_sz"),
+        F.floor(
+            (F.sum(sz).over(wc) - sz) / F.lit(target_bytes)
+        ).cast("bigint").alias("bin"),
+    )
+    return assigned.groupBy("part", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("_sz").cast("bigint").alias("total_bytes"),
+        F.min("_id").alias("first_id"),
+        F.max("_id").alias("last_id"),
+        (F.sum("_sz") < F.lit(target_bytes)).alias("undersized"),
+    )

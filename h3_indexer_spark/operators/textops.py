@@ -1593,3 +1593,71 @@ def reciprocal_best_match(
         F.col("me").alias("id_b"),
     )
     return fwd.join(rev, ["id_a", "id_b"])
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve — the
+    one-number corpus health check: natural language sits near slope
+    −1 on the log-log rank-frequency line; templated/boilerplate
+    corpora flatten it, code/ID-heavy corpora steepen it (the
+    corpus-level twin of the per-doc q_repetition / q_quality_score
+    signals).
+
+    Method: whitespace token frequencies (the corpus's flat
+    space-separated convention, the q_vocab_coverage split), ranked
+    by (freq desc, token asc) — a TOTAL order so the head cut is
+    deterministic — then OLS of ln(freq) on ln(rank) over the top
+    ``top_n`` ranks (the head is where Zipf holds; the tail bends by
+    finite-size effects). slope/intercept/r² are fixed double
+    expressions over per-rank terms quantized to DECIMAL(38,18)
+    (order-free sums, the q_hhi rule), ROUND 9.
+
+    Scale: ONE groupBy(token) with map-side partials collapses the
+    corpus to its vocabulary; the head cut is a
+    TakeOrderedAndProject (top_n rows — no global sort
+    materializes); the OLS window and fold run on top_n rows in one
+    task. Output ONE row: (n_ranks, slope, intercept, r2)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+    ).where(F.col("_tok") != "")
+    freq = toks.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_f")
+    )
+    head = freq.orderBy(
+        F.col("_f").desc(), F.col("_tok").asc()
+    ).limit(top_n)
+    w = Window.orderBy(F.col("_f").desc(), F.col("_tok").asc())
+    xy = head.select(
+        F.log(F.row_number().over(w).cast("double")).alias("_x"),
+        F.log(F.col("_f").cast("double")).alias("_y"),
+    )
+    d = "decimal(38,18)"
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.sum(F.col("_x").cast(d)).alias("_sx"),
+        F.sum(F.col("_y").cast(d)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d)).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(d)).alias("_syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    num = n * F.col("_sxy").cast("double") - sx * sy
+    dx = n * F.col("_sxx").cast("double") - sx * sx
+    dy = n * F.col("_syy").cast("double") - sy * sy
+    slope = F.when(dx > 0, num / dx)
+    intercept = F.when(dx > 0, (sy - slope * sx) / n)
+    r2 = F.when((dx > 0) & (dy > 0), num * num / (dx * dy))
+    return agg.select(
+        "n_ranks",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    )

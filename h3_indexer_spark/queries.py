@@ -11270,13 +11270,666 @@ ORACLES["q_tukey_hsd"] = _TUKEY_ORACLE
 ORACLES["q_price_index"] = _PRICE_INDEX_ORACLE
 
 
+def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across order priorities (operators/
+    analytics.py::kruskal_wallis) on o_totalprice — "does ANY
+    priority class price differently", the k-sample nonparametric
+    ANOVA completing the rank-test family (q_mann_whitney two-sample,
+    q_wilcoxon paired, q_anova parametric). Doubled midranks over the
+    distinct-value histogram, DECIMAL(38,0) rank sums, DECIMAL(38,6)
+    per-group fold terms, tie-corrected variant, ROUND 9."""
+    from h3_indexer_spark.operators.analytics import kruskal_wallis
+
+    return kruskal_wallis(
+        load(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+_KRUSKAL_ORACLE = """
+    WITH src AS (
+        SELECT o_orderpriority AS g,
+               CAST(round(CAST(o_totalprice AS DOUBLE) * 10000.0)
+                    AS BIGINT) AS v
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    gv AS (
+        SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM src GROUP BY v, g
+    ),
+    vals AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS ct FROM gv GROUP BY v
+    ),
+    ranked AS (
+        SELECT v,
+               ct,
+               CAST(2 * COALESCE(SUM(ct) OVER (ORDER BY v ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)
+                    + ct + 1 AS BIGINT) AS r2
+        FROM vals
+    ),
+    pg AS (
+        SELECT g,
+               CAST(SUM(c) AS BIGINT) AS n_j,
+               SUM(CAST(c AS HUGEINT) * r2) AS r2_j
+        FROM gv JOIN ranked USING (v)
+        GROUP BY g
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(n_j) AS BIGINT) AS n_total,
+               SUM(CAST(
+                   CAST(r2_j AS DOUBLE) * CAST(r2_j AS DOUBLE)
+                   / 4.0 / CAST(n_j AS DOUBLE)
+                   AS DECIMAL(38,6))) AS s
+        FROM pg
+    ),
+    tie AS (
+        SELECT SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS t3t
+        FROM vals
+    )
+    SELECT k_groups,
+           n_total,
+           ROUND(12.0 / (CAST(n_total AS DOUBLE)
+                         * (CAST(n_total AS DOUBLE) + 1.0))
+                 * CAST(s AS DOUBLE)
+                 - 3.0 * (CAST(n_total AS DOUBLE) + 1.0),
+                 9) AS h_stat,
+           ROUND(CASE WHEN 1.0 - CAST(t3t AS DOUBLE)
+                          / (CAST(n_total AS DOUBLE)
+                             * CAST(n_total AS DOUBLE)
+                             * CAST(n_total AS DOUBLE)
+                             - CAST(n_total AS DOUBLE)) > 0
+                 THEN (12.0 / (CAST(n_total AS DOUBLE)
+                               * (CAST(n_total AS DOUBLE) + 1.0))
+                       * CAST(s AS DOUBLE)
+                       - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+                      / (1.0 - CAST(t3t AS DOUBLE)
+                         / (CAST(n_total AS DOUBLE)
+                            * CAST(n_total AS DOUBLE)
+                            * CAST(n_total AS DOUBLE)
+                            - CAST(n_total AS DOUBLE)))
+                 END, 9) AS h_stat_tied
+    FROM fold CROSS JOIN tie
+"""
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality verdict per returnflag (operators/
+    analytics.py::jarque_bera) on l_extendedprice — "may the t-test
+    family even run here": population skew/kurtosis from the
+    grouped_moments staged-DECIMAL power sums (exact at any scale),
+    JB = n/6·(g1² + g2²/4), ROUND 9. One partial-aggregated scan."""
+    from h3_indexer_spark.operators.analytics import jarque_bera
+
+    return jarque_bera(
+        load(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        group_cols=["l_returnflag"],
+        decimal_scale=2,
+    )
+
+
+_JARQUE_BERA_ORACLE = """
+    WITH src AS (
+        SELECT l_returnflag,
+               CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                    AS BIGINT) AS c
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ),
+    agg AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(CAST(c AS HUGEINT)) AS s1,
+               SUM(CAST(c AS HUGEINT) * c) AS s2,
+               SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+               SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+        FROM src GROUP BY l_returnflag
+    ),
+    stats AS (
+        SELECT l_returnflag,
+               n_rows,
+               CAST(n_rows AS DOUBLE) AS n,
+               CAST(s1 AS DOUBLE) / 100.0 AS d1,
+               CAST(s2 AS DOUBLE) / 10000.0 AS d2,
+               CAST(s3 AS DOUBLE) / 1000000.0 AS d3,
+               CAST(s4 AS DOUBLE) / 100000000.0 AS d4
+        FROM agg
+    ),
+    m AS (
+        SELECT l_returnflag, n_rows, n,
+               d1 / n AS mean,
+               d2 / n - (d1 / n) * (d1 / n) AS m2,
+               d3 / n - 3.0 * (d1 / n) * (d2 / n)
+                   + 2.0 * (d1 / n) * (d1 / n) * (d1 / n) AS m3,
+               d4 / n - 4.0 * (d1 / n) * (d3 / n)
+                   + 6.0 * (d1 / n) * (d1 / n) * (d2 / n)
+                   - 3.0 * (d1 / n) * (d1 / n) * (d1 / n) * (d1 / n)
+                   AS m4
+        FROM stats
+    )
+    SELECT l_returnflag,
+           n_rows,
+           ROUND(CASE WHEN n_rows >= 2 AND m2 > 0.0
+                 THEN m3 / sqrt(m2 * m2 * m2) END, 9) AS skew_g1,
+           ROUND(CASE WHEN n_rows >= 2 AND m2 > 0.0
+                 THEN m4 / (m2 * m2) - 3.0 END, 9) AS kurt_g2,
+           ROUND(CASE WHEN n_rows >= 2 AND m2 > 0.0
+                 THEN n / 6.0 * ((m3 / sqrt(m2 * m2 * m2))
+                                 * (m3 / sqrt(m2 * m2 * m2))
+                                 + (m4 / (m2 * m2) - 3.0)
+                                   * (m4 / (m2 * m2) - 3.0) / 4.0)
+                 END, 9) AS jb_stat
+    FROM m
+"""
+
+
+def q_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation (operators/analytics.py::
+    cross_correlation) between daily URGENT and daily LOW order
+    revenue at lags −7..+7 — "does urgent demand lead or lag the
+    budget tail". Series are exact daily cent sums (zero-filled on
+    order-bearing days); the lag fan-out broadcasts a 15-row lag
+    table against the |dates|-sized collapsed series; per-lag Pearson
+    folds HUGEINT-exact sums, ROUND 9."""
+    from h3_indexer_spark.operators.analytics import cross_correlation
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    cents = F.round(
+        F.col("o_totalprice").cast("double") * F.lit(100.0), 0
+    ).cast("long")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", cents)
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("a"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "5-LOW", cents)
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("b"),
+    )
+    return cross_correlation(daily, "d", "a", "b", max_lag=7)
+
+
+_XCORR_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN CAST(round(CAST(o_totalprice AS DOUBLE)
+                                        * 100.0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN CAST(round(CAST(o_totalprice AS DOUBLE)
+                                        * 100.0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS b
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(-7, 8)),
+    pairs AS (
+        SELECT lags.lag, l.a, r.b
+        FROM daily l CROSS JOIN lags
+        JOIN daily r ON r.d = l.d + lags.lag
+    ),
+    agg AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               SUM(CAST(a AS HUGEINT)) AS sa,
+               SUM(CAST(b AS HUGEINT)) AS sb,
+               SUM(CAST(a AS HUGEINT) * b) AS sab,
+               SUM(CAST(a AS HUGEINT) * a) AS saa,
+               SUM(CAST(b AS HUGEINT) * b) AS sbb
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag,
+           n_days,
+           ROUND(CASE WHEN
+                     CAST(n_days AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+                     AND CAST(n_days AS DOUBLE) * CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+                 THEN (CAST(n_days AS DOUBLE) * CAST(sab AS DOUBLE)
+                       - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                      / (sqrt(CAST(n_days AS DOUBLE)
+                              * CAST(saa AS DOUBLE)
+                              - CAST(sa AS DOUBLE)
+                                * CAST(sa AS DOUBLE))
+                         * sqrt(CAST(n_days AS DOUBLE)
+                                * CAST(sbb AS DOUBLE)
+                                - CAST(sb AS DOUBLE)
+                                  * CAST(sb AS DOUBLE)))
+                 END, 9) AS r
+    FROM agg
+"""
+
+
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (operators/mining.py::
+    item_cf_similarity): top-30 part pairs by co-purchase cosine over
+    order baskets — the "also bought" neighbor table, the symmetric
+    recommender complement of q_assoc_rules' directional lift. One
+    basket-keyed self-join bounded by basket size (≤13 here; the
+    mega-basket cap guards pathological baskets, folded lazily —
+    zero jobs at construction), supports broadcast back, total-order
+    top-k."""
+    from h3_indexer_spark.operators.mining import item_cf_similarity
+
+    return item_cf_similarity(
+        load(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_joint=2,
+        k=30,
+        log_exclusions=False,
+    )
+
+
+_ITEM_CF_ORACLE = """
+    WITH it AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    sup AS (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM it GROUP BY i
+    ),
+    pairs AS (
+        SELECT a.i AS ia, b.i AS ib, CAST(COUNT(*) AS BIGINT) AS nj
+        FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT ia AS item_a,
+           ib AS item_b,
+           nj AS n_joint,
+           sa.n AS n_a,
+           sb.n AS n_b,
+           ROUND(CAST(nj AS DOUBLE)
+                 / sqrt(CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)),
+                 9) AS cos_sim
+    FROM pairs
+    JOIN sup sa ON sa.i = ia
+    JOIN sup sb ON sb.i = ib
+    ORDER BY cos_sim DESC, item_a ASC, item_b ASC
+    LIMIT 30
+"""
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value (operators/
+    analytics.py::woe_iv) of order priority against the fulfilled
+    flag — "how predictive is priority of fulfillment", the
+    credit-scoring feature-power readout beside q_mutual_info. Exact
+    conditional counts, lazy 1-row total folds, DECIMAL(38,12)
+    order-free IV sum, ROUND 9."""
+    from h3_indexer_spark.operators.analytics import woe_iv
+
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isNotNull()
+    )
+    return woe_iv(
+        o.select(
+            "o_orderpriority",
+            (F.col("o_orderstatus") == F.lit("F")).alias("is_f"),
+        ),
+        "o_orderpriority",
+        "is_f",
+    )
+
+
+_WOE_IV_ORACLE = """
+    WITH bins AS (
+        SELECT o_orderpriority AS bin,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0
+                        ELSE 1 END) AS BIGINT) AS n_neg
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL
+              AND o_orderpriority IS NOT NULL
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+               CAST(SUM(n_neg) AS BIGINT) AS n
+        FROM bins
+    ),
+    terms AS (
+        SELECT bin,
+               n_pos,
+               n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+               THEN ln((CAST(n_pos AS DOUBLE) / CAST(p AS DOUBLE))
+                       / (CAST(n_neg AS DOUBLE) / CAST(n AS DOUBLE)))
+               END AS woe_raw,
+               CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN (CAST(n_pos AS DOUBLE) / CAST(p AS DOUBLE)
+                          - CAST(n_neg AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln((CAST(n_pos AS DOUBLE)
+                               / CAST(p AS DOUBLE))
+                              / (CAST(n_neg AS DOUBLE)
+                                 / CAST(n AS DOUBLE)))
+                    END AS DECIMAL(38,12)) AS iv_term_q
+        FROM bins CROSS JOIN tot
+    ),
+    iv AS (SELECT SUM(iv_term_q) AS iv_total_q FROM terms)
+    SELECT bin,
+           n_pos,
+           n_neg,
+           ROUND(woe_raw, 9) AS woe,
+           ROUND(CAST(iv_term_q AS DOUBLE), 9) AS iv_term,
+           ROUND(CAST(iv_total_q AS DOUBLE), 9) AS iv_total
+    FROM terms CROSS JOIN iv
+"""
+
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown (operators/analytics.py::max_drawdown) of the
+    cumulative net-revenue curve — shipped revenue counts positive,
+    returned lines ('R') negative — "the worst peak-to-trough slide
+    the revenue balance ever took". Daily collapse first, then the
+    ordered cumulative/running-max windows run over |days| rows;
+    DECIMAL(38,0)-exact equity and drawdown, fraction ROUND 9."""
+    from h3_indexer_spark.operators.analytics import max_drawdown
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    flows = li.select(
+        F.to_date("l_shipdate").alias("d"),
+        F.when(
+            F.col("l_returnflag") == F.lit("R"),
+            -F.col("l_extendedprice"),
+        )
+        .otherwise(F.col("l_extendedprice"))
+        .cast("double")
+        .alias("flow"),
+    )
+    return max_drawdown(flows, "d", "flow", decimal_scale=4)
+
+
+_DRAWDOWN_ORACLE = """
+    WITH flows AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(round(CAST(CASE WHEN l_returnflag = 'R'
+                                THEN -l_extendedprice
+                                ELSE l_extendedprice END AS DOUBLE)
+                          * 10000.0) AS BIGINT) AS fq
+        FROM lineitem
+        WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    daily AS (
+        SELECT d, SUM(CAST(fq AS HUGEINT)) AS flow
+        FROM flows GROUP BY d
+    ),
+    curve AS (
+        SELECT d,
+               SUM(flow) OVER (ORDER BY d ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS eq
+        FROM daily
+    ),
+    peaks AS (
+        SELECT d,
+               eq,
+               MAX(eq) OVER (ORDER BY d ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS peak
+        FROM curve
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_periods,
+           CAST(MAX(peak) AS DOUBLE) / 10000.0 AS peak_equity,
+           CAST(MAX(peak - eq) AS DOUBLE) / 10000.0 AS max_drawdown,
+           ROUND(MAX(CASE WHEN peak > 0
+                     THEN CAST(peak - eq AS DOUBLE)
+                          / CAST(peak AS DOUBLE) END),
+                 9) AS max_drawdown_frac
+    FROM peaks
+"""
+
+
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (operators/analytics.py::average_precision)
+    of o_totalprice as a ranker for 1995's fulfilled orders — the
+    precision-recall readout that completes the eval family (q_auc
+    ranks pairs, q_ndcg grades positions; AP is THE rare-positive
+    metric). Total-order ranking (score desc, id asc),
+    DECIMAL(38,18) order-free precision fold, ROUND 9; bounded to an
+    eval-sized candidate set by the year filter (the operator's
+    documented contract — AP is an eval-table metric, not a corpus
+    one)."""
+    from h3_indexer_spark.operators.analytics import average_precision
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return average_precision(
+        o.select(
+            (F.col("o_orderstatus") == F.lit("F")).alias("is_f"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        "is_f",
+        "o_totalprice",
+        "o_orderkey",
+    )
+
+
+_PR_AUC_ORACLE = """
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               o_totalprice AS s,
+               o_orderkey AS id
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderstatus IS NOT NULL
+              AND o_totalprice IS NOT NULL
+              AND o_orderkey IS NOT NULL
+    ),
+    ranked AS (
+        SELECT y,
+               CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id ASC)
+                    AS BIGINT) AS k,
+               CAST(SUM(y) OVER (ORDER BY s DESC, id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cp
+        FROM scored
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               SUM(CAST(CASE WHEN y = 1
+                        THEN CAST(cp AS DOUBLE) / CAST(k AS DOUBLE)
+                        END AS DECIMAL(38,18))) AS ap_sum
+        FROM ranked
+    )
+    SELECT n,
+           n_pos,
+           ROUND(CASE WHEN n_pos > 0
+                 THEN CAST(ap_sum AS DOUBLE) / CAST(n_pos AS DOUBLE)
+                 END, 9) AS avg_precision
+    FROM agg
+"""
+
+
+def q_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (operators/relational.py::
+    compaction_plan) over the documents inventory (source =
+    partition, n_chars = bytes, 2 KiB target) — the nightly
+    maintenance-advisor table the partitioned sink family
+    (sources/writers.py::compact_parquet executes what this plans).
+    Next-fit bin packing via ONE partition-keyed cumulative window;
+    exact BIGINT arithmetic, deterministic by id order."""
+    from h3_indexer_spark.operators.relational import compaction_plan
+
+    return compaction_plan(
+        load(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        "n_chars",
+        target_bytes=2048,
+    )
+
+
+_FILE_COMPACTION_ORACLE = """
+    WITH assigned AS (
+        SELECT source AS part,
+               doc_id AS id,
+               CAST(n_chars AS BIGINT) AS sz,
+               CAST(floor(
+                   (SUM(CAST(n_chars AS BIGINT)) OVER (
+                        PARTITION BY source ORDER BY doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+                    - CAST(n_chars AS BIGINT)) / 2048.0)
+                   AS BIGINT) AS bin
+        FROM documents
+        WHERE source IS NOT NULL AND doc_id IS NOT NULL
+              AND n_chars IS NOT NULL
+    )
+    SELECT part,
+           bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(sz) AS BIGINT) AS total_bytes,
+           MIN(id) AS first_id,
+           MAX(id) AS last_id,
+           SUM(sz) < 2048 AS undersized
+    FROM assigned
+    GROUP BY part, bin
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (operators/textops.py::zipf_fit) over
+    the documents corpus head — "is this corpus shaped like natural
+    language" (slope ≈ −1) in one number; the corpus-level twin of
+    the per-doc quality signals. Vocabulary collapse + top-200
+    TakeOrdered head + a one-task OLS on (ln rank, ln freq) with
+    DECIMAL(38,18) order-free sums, ROUND 9."""
+    from h3_indexer_spark.operators.textops import zipf_fit
+
+    return zipf_fit(load(spark, sf_dir, "documents"), "text", top_n=200)
+
+
+_ZIPF_FIT_ORACLE = """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+        FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    head AS (
+        SELECT tok, f FROM freq
+        ORDER BY f DESC, tok ASC LIMIT 200
+    ),
+    xy AS (
+        SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC)
+                       AS DOUBLE)) AS x,
+               ln(CAST(f AS DOUBLE)) AS y
+        FROM head
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+               SUM(CAST(x AS DECIMAL(38,18))) AS sx,
+               SUM(CAST(y AS DECIMAL(38,18))) AS sy,
+               SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+               SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx,
+               SUM(CAST(y * y AS DECIMAL(38,18))) AS syy
+        FROM xy
+    )
+    SELECT n_ranks,
+           ROUND(CASE WHEN CAST(n_ranks AS DOUBLE)
+                           * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           > 0
+                 THEN (CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 END, 9) AS slope,
+           ROUND(CASE WHEN CAST(n_ranks AS DOUBLE)
+                           * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           > 0
+                 THEN (CAST(sy AS DOUBLE)
+                       - (CAST(n_ranks AS DOUBLE)
+                          * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n_ranks AS DOUBLE)
+                            * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n_ranks AS DOUBLE)
+                 END, 9) AS intercept,
+           ROUND(CASE WHEN CAST(n_ranks AS DOUBLE)
+                           * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           > 0
+                      AND CAST(n_ranks AS DOUBLE)
+                          * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                          > 0
+                 THEN (CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n_ranks AS DOUBLE)
+                         * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / ((CAST(n_ranks AS DOUBLE)
+                          * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n_ranks AS DOUBLE)
+                            * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, 9) AS r2
+    FROM agg
+"""
+
+
+QUERIES["q_kruskal"] = q_kruskal
+QUERIES["q_jarque_bera"] = q_jarque_bera
+QUERIES["q_xcorr"] = q_xcorr
+QUERIES["q_item_cf"] = q_item_cf
+QUERIES["q_woe_iv"] = q_woe_iv
+QUERIES["q_drawdown"] = q_drawdown
+QUERIES["q_pr_auc"] = q_pr_auc
+QUERIES["q_file_compaction"] = q_file_compaction
+QUERIES["q_zipf_fit"] = q_zipf_fit
+ORACLES["q_kruskal"] = _KRUSKAL_ORACLE
+ORACLES["q_jarque_bera"] = _JARQUE_BERA_ORACLE
+ORACLES["q_xcorr"] = _XCORR_ORACLE
+ORACLES["q_item_cf"] = _ITEM_CF_ORACLE
+ORACLES["q_woe_iv"] = _WOE_IV_ORACLE
+ORACLES["q_drawdown"] = _DRAWDOWN_ORACLE
+ORACLES["q_pr_auc"] = _PR_AUC_ORACLE
+ORACLES["q_file_compaction"] = _FILE_COMPACTION_ORACLE
+ORACLES["q_zipf_fit"] = _ZIPF_FIT_ORACLE
+
+
+
 # Round-9 driver window (ONE canonical list — the driver hash-checks
 # the FIRST 50 QUERIES entries in dict order): the 11 keys whose
 # latest driver row is still round 4 (deferred from the round-8
 # rotation — this finally meets the "no oracle key's latest row
-# predates round 5" bar), the 30 round-9 debuts (every NEW key takes
-# its first driver record), and the alphabetically-first 9 of the 48
-# keys whose latest row is round 5 (the remaining 39 round-5 keys —
+# predates round 5" bar) and the 39 round-9 debuts (every NEW key
+# takes its first driver record in the window — a key with NO driver
+# row is strictly worse than a round-5-stale one, so debuts outrank
+# rotations). All 48 keys whose latest row is round 5 defer to the
+# round-10 rotation (the local mirror re-verifies every ORACLES key
+# each session regardless): q_active_users, q_analytics_pipeline,
+# q_anomalies, q_autocorr, q_boilerplate, q_boilerplate_clean,
+# q_chi_square, q_chunk_docs, q_clustering_coeff,
 # q_co_occurrence, q_data_split, q_dedup_exact,
 # q_domain_cap, q_dup_spans, q_dwell_times,
 # q_event_gaps, q_expectations,
@@ -11287,8 +11940,7 @@ ORACLES["q_price_index"] = _PRICE_INDEX_ORACLE
 # q_regression, q_repetition, q_scan_parquet, q_semantic_dedup,
 # q_seq_pack, q_snapshot_diff, q_time_rollup, q_top_paths,
 # q_transitions, q_triangles, q_twap, q_unpivot, q_url_normalize,
-# q_weighted_sample — lead the round-10 rotation; the local mirror
-# re-verifies every ORACLES key each session regardless).
+# q_weighted_sample.
 _WINDOW_R9 = [
     # the 11 round-4-stale keys (rotation debt from round 8)
     "q_clean_lines",
@@ -11333,16 +11985,19 @@ _WINDOW_R9 = [
     "q_wilcoxon",
     "q_tukey_hsd",
     "q_price_index",
-    # alphabetically-first 9 round-5-stale keys
-    "q_active_users",
-    "q_analytics_pipeline",
-    "q_anomalies",
-    "q_autocorr",
-    "q_boilerplate",
-    "q_boilerplate_clean",
-    "q_chi_square",
-    "q_chunk_docs",
-    "q_clustering_coeff",
+    # round-9 continuation debuts (this session's batch — debuts
+    # outrank round-5-stale rotations for the 9 remaining slots
+    # because a key with NO driver row is strictly worse than one
+    # whose latest row is round 5, the freshness bar's floor)
+    "q_kruskal",
+    "q_jarque_bera",
+    "q_xcorr",
+    "q_item_cf",
+    "q_woe_iv",
+    "q_drawdown",
+    "q_pr_auc",
+    "q_file_compaction",
+    "q_zipf_fit",
 ]
 assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
 assert len(set(_WINDOW_R9)) == 50

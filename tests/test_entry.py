@@ -31,9 +31,9 @@ def test_queries_and_oracles_consistent():
 # rows+schema record. This round's window is ONE canonical list
 # (queries.py::_WINDOW_R9): the 11 keys whose latest driver row is
 # round 4 (deferred from round 8's rotation — this finally meets the
-# "no oracle key's latest row predates round 5" bar), every round-9
-# debut, and the alphabetically-first 23 of the 48 round-5-stale
-# keys.
+# "no oracle key's latest row predates round 5" bar) and every
+# round-9 debut (39 of them — debuts outrank round-5-stale
+# rotations for the remaining slots).
 STALE_R4 = {
     "q_clean_lines", "q_explode", "q_fingerprint", "q_gap_fill",
     "q_interval_join", "q_rare_words", "q_region_revenue",
@@ -73,10 +73,25 @@ PLANNED_R9 = {
     "q_wilcoxon",
     "q_tukey_hsd",
     "q_price_index",
+    # continuation-session debuts — these outrank round-5-stale
+    # rotations for the last 9 slots (a key with NO driver row is
+    # strictly worse than one whose latest row is round 5)
+    "q_kruskal",
+    "q_jarque_bera",
+    "q_xcorr",
+    "q_item_cf",
+    "q_woe_iv",
+    "q_drawdown",
+    "q_pr_auc",
+    "q_file_compaction",
+    "q_zipf_fit",
 }
-# the 39 round-5 keys the 50-slot budget defers to round 10 (the
+# the 48 round-5 keys the 50-slot budget defers to round 10 (the
 # local mirror re-verifies them every session regardless)
 DEFERRED_TO_R10 = {
+    "q_active_users", "q_analytics_pipeline", "q_anomalies",
+    "q_autocorr", "q_boilerplate", "q_boilerplate_clean",
+    "q_chi_square", "q_chunk_docs", "q_clustering_coeff",
     "q_co_occurrence", "q_data_split", "q_dedup_exact",
     "q_domain_cap", "q_dup_spans", "q_dwell_times",
     "q_event_gaps", "q_expectations", "q_frequent_items_scalable",
