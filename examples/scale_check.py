@@ -1284,6 +1284,143 @@ def round9b_scale(max_factor: int = 50) -> None:
         )
 
 
+def round9d_scale(max_factor: int = 50) -> None:
+    """Round-9 third-continuation curves: Kruskal-Wallis, Jarque-Bera,
+    cross-correlation, item-CF cosine, WoE/IV, max drawdown, average
+    precision, compaction planning, Zipf fit.
+
+    Run: ``python examples/scale_check.py <max_factor> round9d``."""
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.analytics import (
+        average_precision,
+        cross_correlation,
+        jarque_bera,
+        kruskal_wallis,
+        max_drawdown,
+        woe_iv,
+    )
+    from h3_indexer_spark.operators.mining import item_cf_similarity
+    from h3_indexer_spark.operators.relational import compaction_plan
+    from h3_indexer_spark.operators.textops import zipf_fit
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r9d", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    for factor in (1, 5, 20, max_factor):
+        o = scaled(orders, "o_orderkey", factor).localCheckpoint()
+        no = o.count()
+        # value histogram is FIXED as rows grow — the ranking window
+        # never sees volume (the mann_whitney/spearman regime)
+        timed(
+            f"kruskal_wallis x{factor}",
+            kruskal_wallis(o, "o_orderpriority", "o_totalprice"),
+            no,
+        )
+        timed(
+            f"woe_iv x{factor}",
+            woe_iv(
+                o.select(
+                    "o_orderpriority",
+                    (F.col("o_orderstatus") == "F").alias("y"),
+                ),
+                "o_orderpriority",
+                "y",
+            ),
+            no,
+        )
+        # daily collapse: |dates| constant as copies multiply volume
+        cents = F.round(
+            F.col("o_totalprice").cast("double") * 100.0, 0
+        ).cast("long")
+        daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT",
+                         cents).otherwise(F.lit(0)))
+            .cast("bigint").alias("a"),
+            F.sum(F.when(F.col("o_orderpriority") == "5-LOW",
+                         cents).otherwise(F.lit(0)))
+            .cast("bigint").alias("b"),
+        )
+        timed(
+            f"cross_correlation x{factor}",
+            cross_correlation(daily, "d", "a", "b", max_lag=7),
+            no,
+        )
+        # AP stays an eval-table metric: rank ONE year's orders per
+        # copy scale (the documented bounded-candidate contract)
+        timed(
+            f"average_precision x{factor}",
+            average_precision(
+                o.where(
+                    (F.col("o_orderdate")
+                     >= F.lit("1995-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate")
+                       < F.lit("1996-01-01").cast("timestamp"))
+                ).select(
+                    (F.col("o_orderstatus") == "F").alias("y"),
+                    "o_totalprice",
+                    "o_orderkey",
+                ),
+                "y", "o_totalprice", "o_orderkey",
+            ),
+            no,
+        )
+
+        l = scaled(
+            li.withColumn("_id", F.col("l_orderkey")), "_id", factor
+        ).localCheckpoint()
+        nl = l.count()
+        timed(
+            f"jarque_bera x{factor}",
+            jarque_bera(l, "l_extendedprice",
+                        group_cols=["l_returnflag"]),
+            nl,
+        )
+        timed(
+            f"max_drawdown x{factor}",
+            max_drawdown(
+                l.select(
+                    F.to_date("l_shipdate").alias("d"),
+                    F.when(F.col("l_returnflag") == "R",
+                           -F.col("l_extendedprice"))
+                    .otherwise(F.col("l_extendedprice"))
+                    .cast("double").alias("flow"),
+                ),
+                "d", "flow",
+            ),
+            nl,
+        )
+        # copies shift the order key -> disjoint baskets: pair volume
+        # grows linearly with the copy count (never quadratically)
+        timed(
+            f"item_cf x{factor}",
+            item_cf_similarity(
+                l, "_id", "l_partkey", min_joint=2, k=30,
+                log_exclusions=False,
+            ),
+            nl,
+        )
+
+        d = scaled(docs, "doc_id", factor).localCheckpoint()
+        nd = d.count()
+        timed(
+            f"compaction_plan x{factor}",
+            compaction_plan(d, "source", "doc_id", "n_chars", 65536),
+            nd,
+        )
+        # identical copies multiply head frequencies; the vocabulary
+        # (and so the collapse + head cut) is constant
+        timed(f"zipf_fit x{factor}", zipf_fit(d, "text"), nd)
+
 def round9c_scale(max_factor: int = 50) -> None:
     """Round-9 second-continuation curves: Spearman rho,
     Brown-Forsythe W, Cronbach alpha, Simpson check, MDE sizing,
@@ -1493,5 +1630,7 @@ if __name__ == "__main__":
         round9b_scale(int(sys.argv[1]))
     elif len(sys.argv) > 2 and sys.argv[2] == "round9c":
         round9c_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round9d":
+        round9d_scale(int(sys.argv[1]))
     else:
         main()

@@ -1448,3 +1448,164 @@ def streaming_quantile_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_drawdown(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    decimal_scale: int = 4,
+):
+    """Streaming twin of operators/analytics.py::max_drawdown — the
+    live worst-peak-to-trough readout over the cumulative net-flow
+    curve, per event-time window period. A drawdown is inherently a
+    SEQUENTIAL fold (equity → running peak → gap), which streams
+    cannot re-order — so the state splits the curve at the
+    watermark: periods whose window has CLOSED (end ≤ watermark)
+    fold permanently into four finalized accumulators (cum / peak /
+    max-dd quanta + frac-max), while still-open periods keep only
+    their per-window flow SUM. Every micro-batch emits the
+    provisional readout with the open tail folded on top — exactly
+    what a live risk dashboard wants — and after a full availableNow
+    replay the emission matches the batch operator row for row
+    (test-locked).
+
+    State is ONE row (single global fold group) holding four scalars
+    plus the pending (window, sum) pairs — structurally bounded by
+    the watermark/window ratio (a 2-hour watermark over 1-hour bars
+    retains ≲ a handful of open windows), the CMS/HLL bounded-state
+    rule. Rows later than the watermark are dropped by the engine
+    before the operator; a pending window at or before the finalized
+    boundary (possible only on a watermark regression, which Spark
+    does not produce) is ignored rather than corrupting the fold
+    order. Flow quanta use the batch operator's exact
+    ``decimal_scale`` rounding, so finalized integers are
+    bit-identical to batch; the fraction is the same one double
+    division per period.
+
+    Output per micro-batch (update mode): (n_periods, n_finalized,
+    peak_equity, max_drawdown, max_drawdown_frac)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    mult = 10 ** decimal_scale
+    q = F.round(
+        F.col(value_col).cast("double") * F.lit(float(mult)), 0
+    ).cast("long")
+    win = F.window(F.col(ts_col), window)
+    contrib = (
+        events.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.lit(0).alias("_bucket"),
+            F.col(ts_col).alias(ts_col),
+            win.getField("start").cast("long").alias("_w"),
+            # window length rides along so the closed-window check
+            # needs no duration parser (end − start is constant)
+            (win.getField("end").cast("long")
+             - win.getField("start").cast("long")).alias("_wsec"),
+            q.alias("_fq"),
+        )
+    )
+    out_schema = (
+        "n_periods long, n_finalized long, peak_equity double, "
+        "max_drawdown double, max_drawdown_frac double"
+    )
+    state_schema = (
+        "fin_cum long, fin_peak long, fin_maxdd long, "
+        "fin_fracmax double, n_fin long, fin_last_w long, "
+        "wins array<long>, sums array<long>"
+    )
+    _NO_PEAK = -(1 << 62)
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            (cum, peak, maxdd, fracmax, n_fin, last_w,
+             wins, sums) = state.get
+            pending = dict(zip(wins, sums))
+        else:
+            cum, peak, maxdd, fracmax = 0, _NO_PEAK, 0, None
+            n_fin, last_w = 0, _NO_PEAK
+            pending = {}
+        saw = False
+        window_sec = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            saw = True
+            window_sec = int(pdf["_wsec"].iloc[0])
+            for w, fq in zip(
+                pdf["_w"].to_numpy(), pdf["_fq"].to_numpy()
+            ):
+                w, fq = int(w), int(fq)
+                if w <= last_w:
+                    continue  # watermark-regression guard (see doc)
+                pending[w] = pending.get(w, 0) + fq
+        if not saw:
+            return
+
+        def fold(c, p, dd, fm, flows):
+            for _, fq in flows:
+                c += fq
+                if c > p:
+                    p = c
+                if p - c > dd:
+                    dd = p - c
+                if p > 0:
+                    fr = float(p - c) / float(p)
+                    if fm is None or fr > fm:
+                        fm = fr
+            return c, p, dd, fm
+
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = sorted(
+            (w, s) for w, s in pending.items()
+            if (w + window_sec) * 1000 <= wm_ms
+        )
+        if closed:
+            cum, peak, maxdd, fracmax = fold(
+                cum, peak, maxdd, fracmax, closed
+            )
+            n_fin += len(closed)
+            last_w = closed[-1][0]
+            for w, _ in closed:
+                del pending[w]
+        state.update((
+            int(cum), int(peak), int(maxdd),
+            None if fracmax is None else float(fracmax),
+            int(n_fin), int(last_w),
+            [int(w) for w in sorted(pending)],
+            [int(pending[w]) for w in sorted(pending)],
+        ))
+        open_tail = sorted(pending.items())
+        pc, pp, pdd, pfm = fold(cum, peak, maxdd, fracmax, open_tail)
+        n_tot = n_fin + len(open_tail)
+        yield pd.DataFrame(
+            {
+                "n_periods": [n_tot],
+                "n_finalized": [n_fin],
+                "peak_equity": [
+                    None if pp == _NO_PEAK else pp / float(mult)
+                ],
+                "max_drawdown": [pdd / float(mult)],
+                "max_drawdown_frac": [
+                    None if pfm is None else round(pfm, 9)
+                ],
+            }
+        )
+
+    return contrib.groupBy("_bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ).select(
+        "n_periods",
+        "n_finalized",
+        "peak_equity",
+        "max_drawdown",
+        "max_drawdown_frac",
+    )

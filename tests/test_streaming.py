@@ -1741,3 +1741,130 @@ class TestStreamingQuantileSketch:
             .count()
         )
         assert 0 < max_state <= n_windows
+
+
+@pytest.fixture(scope="module")
+def events_dir_timeordered(spark, events_dir):
+    """The events fixture re-sliced into four CONTIGUOUS time ranges,
+    written oldest-first (file sources order micro-batches by
+    modification time) — the arrival pattern a watermark-driven
+    operator is designed for. The shared round-robin fixture puts the
+    whole 30-day span in EVERY file, so batch 1 advances the
+    watermark to day 30 and drops batches 2-4 wholesale."""
+    from pyspark.sql import Window
+
+    d = tempfile.mkdtemp(prefix="h3idx_stream_ord_")
+    src = spark.read.parquet(events_dir)
+    w = F.ntile(4).over(
+        Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+    sliced = src.select("*", w.alias("_slice"))
+    for i in range(1, 5):
+        sliced.where(F.col("_slice") == i).drop("_slice").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamingDrawdown:
+    """streaming_drawdown: the sequential-fold twin — finalized
+    prefix at the watermark, provisional open tail folded per
+    emission, ONE state row total."""
+
+    def _flows(self, df):
+        # center flows so the equity curve actually dips
+        return df.withColumn(
+            "flow", (F.col("value") - F.lit(50.0)).cast("double")
+        )
+
+    @staticmethod
+    def _final(rows):
+        # the last batch maximizes both monotone counters
+        return max(
+            rows, key=lambda r: (r["n_finalized"], r["n_periods"])
+        )
+
+    def test_full_replay_matches_batch(self, spark, events_dir_timeordered):
+        from h3_indexer_spark.operators.analytics import max_drawdown
+        from h3_indexer_spark.streaming.events import streaming_drawdown
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = self._flows(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        out = _run_stream(
+            spark,
+            streaming_drawdown(src, value_col="flow"),
+            output_mode="update",
+        )
+        rows = out.collect()  # arrival order: later emission wins
+        assert rows, "stream produced no emissions"
+        final = self._final(rows)
+
+        batch = self._flows(
+            spark.read.parquet(events_dir_timeordered)
+        ).select(
+            F.window("ts", "1 hour").getField("start")
+            .cast("long").alias("d"),
+            "flow",
+        )
+        want = max_drawdown(batch, "d", "flow").collect()[0]
+        assert final["n_periods"] == want["n_periods"]
+        assert final["peak_equity"] == pytest.approx(
+            want["peak_equity"], abs=1e-9
+        )
+        assert final["max_drawdown"] == pytest.approx(
+            want["max_drawdown"], abs=1e-9
+        )
+        assert final["max_drawdown_frac"] == pytest.approx(
+            want["max_drawdown_frac"], abs=1e-8
+        )
+
+    def test_finalized_prefix_advances_and_periods_monotone(
+        self, spark, events_dir_timeordered
+    ):
+        from h3_indexer_spark.streaming.events import streaming_drawdown
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = self._flows(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        out = _run_stream(
+            spark,
+            streaming_drawdown(src, value_col="flow"),
+            output_mode="update",
+        )
+        rows = out.collect()
+        assert len(rows) >= 2, "expected one emission per micro-batch"
+        periods = [r["n_periods"] for r in rows]
+        assert periods == sorted(periods), (
+            "n_periods must be monotone across emissions"
+        )
+        # the 30-day fixture with a 2h watermark must finalize most
+        # of the curve by the last batch — the split actually splits
+        fin = self._final(rows)
+        assert fin["n_finalized"] > 0
+        assert fin["n_finalized"] <= fin["n_periods"]
+
+    def test_state_is_one_row(self, spark, events_dir_timeordered):
+        """The whole fold lives in ONE state row (finalized scalars +
+        the bounded open tail) — numRowsTotal == 1 at every batch."""
+        from h3_indexer_spark.streaming.events import streaming_drawdown
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = self._flows(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        _, max_state = _run_stream_max_state_rows(
+            spark,
+            streaming_drawdown(src, value_col="flow"),
+            output_mode="update",
+        )
+        assert max_state == 1, max_state
