@@ -443,3 +443,56 @@ def test_simpsons_pooled_fold_reuses_the_fact_exchange(spark):
     )
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("ReusedExchange") >= 1, plan
+
+
+def test_round9d_plan_properties(spark):
+    """Continuation-batch locks. jarque_bera is ONE aggregation: no
+    join, no window, scan pruned to (value, group). kruskal windows
+    only the distinct-value histogram — the fact is never
+    sort-merge-joined or globally sorted. woe_iv's total folds are
+    1-row broadcast loops, never a shuffle join. item_cf's top-k is
+    heap-based and its scan reads exactly (basket, item). pr_auc's
+    year bounds reach the orders scan as pushed filters. zipf's head
+    cut is a TakeOrderedAndProject, never a global sort of the
+    vocabulary."""
+    plan = _plan(spark, "q_jarque_bera")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert (
+        "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>"
+        in plan
+    ), plan
+
+    plan = _plan(spark, "q_kruskal")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "ReadSchema: struct<o_totalprice:double,o_orderpriority:string>"
+        in plan
+    ), plan
+
+    plan = _plan(spark, "q_woe_iv")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+    plan = _plan(spark, "q_xcorr")
+    # the 15-row lag table must broadcast; nothing may cartesian
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = _plan(spark, "q_item_cf")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+    ), plan
+
+    plan = _plan(spark, "q_pr_auc")
+    assert "PushedFilters: [IsNotNull(o_orderdate), " in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+    plan = _plan(spark, "q_zipf_fit")
+    assert "TakeOrderedAndProject" in plan, plan
+
+    for key in ("q_drawdown", "q_file_compaction"):
+        plan = _plan(spark, key)
+        assert "Join" not in plan, (key, plan)
