@@ -4070,53 +4070,27 @@ def jarque_bera(
     g2 = m4/m2² − 3; asymptotically χ²(2), so JB ≳ 5.99 rejects
     normality at 5%.
 
-    Exactness: the grouped_moments staging (relational.py) — values
-    scale exactly to ``decimal_scale`` integers whose power sums run
-    in staged DECIMAL widths that never exceed 38 digits (c³ =
-    dec(16)·dec(10), c⁴ = dec(16)·dec(16)); every statistic is then a
-    fixed double expression over exact order-free sums, ROUND 9.
+    Exactness: the staging shared with grouped_moments
+    (relational.py::staged_power_sums / descaled_moment_exprs — one
+    op order for every moment-derived statistic) — values scale
+    exactly to ``decimal_scale`` integers whose power sums run in
+    staged DECIMAL widths that never exceed 38 digits; every
+    statistic is then a fixed double expression over exact
+    order-free sums, ROUND 9.
     g1/g2/jb are NULL below n=2 or at zero variance.
 
     Scale: ONE partial-aggregated groupBy — the normality verdict on
     100 TB costs one scan."""
-    mult = 10 ** decimal_scale
-    c = F.round(
-        F.col(value_col).cast("double") * F.lit(mult), 0
-    ).cast("long")
-    c2 = (c * c).cast("long")
-    c2d = c2.cast("decimal(16,0)")
-    c3 = c2d * c.cast("decimal(10,0)")
-    c4 = c2d * c2d
-    keys = [F.col(g) for g in (group_cols or [])]
-    agg = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(c.cast("decimal(18,0)")).alias("_s1"),
-            F.sum(c2.cast("decimal(20,0)")).alias("_s2"),
-            F.sum(c3).alias("_s3"),
-            F.sum(c4).alias("_s4"),
-        )
+    from h3_indexer_spark.operators.relational import (
+        descaled_moment_exprs,
+        staged_power_sums,
     )
-    n = F.col("n_rows").cast("double")
-    s1 = F.col("_s1").cast("double") / F.lit(float(mult))
-    s2 = F.col("_s2").cast("double") / F.lit(float(mult) ** 2)
-    s3 = F.col("_s3").cast("double") / F.lit(float(mult) ** 3)
-    s4 = F.col("_s4").cast("double") / F.lit(float(mult) ** 4)
-    mean = s1 / n
-    m2 = s2 / n - mean * mean
-    m3 = (
-        s3 / n
-        - F.lit(3.0) * mean * (s2 / n)
-        + F.lit(2.0) * mean * mean * mean
-    )
-    m4 = (
-        s4 / n
-        - F.lit(4.0) * mean * (s3 / n)
-        + F.lit(6.0) * mean * mean * (s2 / n)
-        - F.lit(3.0) * mean * mean * mean * mean
-    )
+
+    agg = staged_power_sums(
+        df, value_col, list(group_cols or []), decimal_scale
+    ).withColumn("n_rows", F.col("n_rows").cast("bigint"))
+    e = descaled_moment_exprs(decimal_scale)
+    n, m2, m3, m4 = e["n"], e["m2"], e["m3"], e["m4"]
     g1 = m3 / F.sqrt(m2 * m2 * m2)
     g2 = m4 / (m2 * m2) - F.lit(3.0)
     jb = n / F.lit(6.0) * (
@@ -4185,6 +4159,16 @@ def cross_correlation(
         F.sum(F.col("_a").cast(d38) * F.col("_b")).alias("_sab"),
         F.sum(F.col("_a").cast(d38) * F.col("_a")).alias("_saa"),
         F.sum(F.col("_b").cast(d38) * F.col("_b")).alias("_sbb"),
+    )
+    # the contract is one row PER LAG: a lag with zero overlapping
+    # dates (short or gappy series) reports (n_days=0, r=NULL)
+    # instead of silently vanishing from the correlogram
+    agg = (
+        lags.join(agg, "lag", "left")
+        .withColumn(
+            "n_days",
+            F.coalesce(F.col("n_days"), F.lit(0).cast("bigint")),
+        )
     )
     n = F.col("n_days").cast("double")
     sa = F.col("_sa").cast("double")

@@ -19,6 +19,52 @@ from pyspark.sql import functions as F
 _LOG = logging.getLogger(__name__)
 
 
+def _capped_distinct_items(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None,
+    log_exclusions: bool,
+    op_name: str,
+) -> DataFrame:
+    """Shared pair-miner front end (association_rules,
+    item_cf_similarity): collapse to DISTINCT (basket, item), then
+    apply the mega-basket guard — capped baskets are EXCLUDED, not
+    sampled, so results stay deterministic. With ``log_exclusions``
+    the guard eagerly counts exclusions (one small job, the table
+    pinned by localCheckpoint so the count and the returned plan
+    share one computation); without it the identical cap folds into
+    the lazy plan (zero jobs at construction, persist()-pinned)."""
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_basket_size is None:
+        return items
+    if log_exclusions:
+        items = items.localCheckpoint()
+    else:
+        items = items.persist()
+    sizes = items.groupBy("_b").agg(F.count(F.lit(1)).alias("_sz"))
+    if log_exclusions:
+        n_excluded = sizes.where(
+            F.col("_sz") > max_basket_size
+        ).count()
+        if n_excluded:
+            _LOG.warning(
+                "%s: excluded %d mega-basket(s) with more than %d "
+                "items (pass max_basket_size=None to opt out of the "
+                "quadratic-pair guard)",
+                op_name,
+                n_excluded,
+                max_basket_size,
+            )
+    return items.join(
+        sizes.where(F.col("_sz") <= max_basket_size).select("_b"),
+        "_b",
+        "left_semi",
+    )
+
+
 def association_rules(
     df: DataFrame,
     basket_col: str,
@@ -56,39 +102,10 @@ def association_rules(
     the branches still share one computation at action time). Item
     supports ride a second narrow aggregation of the same distinct
     table; N is a 1-row broadcast fold."""
-    items = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
-    if max_basket_size is not None:
-        if log_exclusions:
-            # the census below runs a job anyway, so pin the distinct
-            # table first — otherwise the count and the returned plan
-            # each re-derive it (the adamic_adar hub-census rule)
-            items = items.localCheckpoint()
-        else:
-            # lazy pin: first action materializes once, all branches
-            # (sizes, supports, both self-join sides, N) reuse it
-            items = items.persist()
-        sizes = items.groupBy("_b").agg(
-            F.count(F.lit(1)).alias("_sz")
-        )
-        if log_exclusions:
-            n_excluded = sizes.where(
-                F.col("_sz") > max_basket_size
-            ).count()
-            if n_excluded:
-                _LOG.warning(
-                    "association_rules: excluded %d mega-basket(s) with "
-                    "more than %d items (pass max_basket_size=None to "
-                    "opt out of the quadratic-pair guard)",
-                    n_excluded,
-                    max_basket_size,
-                )
-        items = items.join(
-            sizes.where(F.col("_sz") <= max_basket_size).select("_b"),
-            "_b",
-            "left_semi",
-        )
+    items = _capped_distinct_items(
+        df, basket_col, item_col, max_basket_size, log_exclusions,
+        "association_rules",
+    )
     # N over the SAME (post-cap) basket universe as the supports —
     # mixing a pre-cap N into lift would skew every ratio
     n_baskets = items.select("_b").distinct().agg(
@@ -326,34 +343,10 @@ def item_cf_similarity(
     supports broadcast back, and the final rank is a
     TakeOrderedAndProject — no global sort. The i<j predicate halves
     the pair volume relative to the rules miner."""
-    items = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
-    if max_basket_size is not None:
-        if log_exclusions:
-            items = items.localCheckpoint()
-        else:
-            items = items.persist()
-        sizes = items.groupBy("_b").agg(
-            F.count(F.lit(1)).alias("_sz")
-        )
-        if log_exclusions:
-            n_excluded = sizes.where(
-                F.col("_sz") > max_basket_size
-            ).count()
-            if n_excluded:
-                _LOG.warning(
-                    "item_cf_similarity: excluded %d mega-basket(s) "
-                    "with more than %d items (pass "
-                    "max_basket_size=None to opt out)",
-                    n_excluded,
-                    max_basket_size,
-                )
-        items = items.join(
-            sizes.where(F.col("_sz") <= max_basket_size).select("_b"),
-            "_b",
-            "left_semi",
-        )
+    items = _capped_distinct_items(
+        df, basket_col, item_col, max_basket_size, log_exclusions,
+        "item_cf_similarity",
+    )
     support = items.groupBy("_i").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_item")
     )

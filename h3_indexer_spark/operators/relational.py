@@ -468,6 +468,71 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     )
 
 
+def staged_power_sums(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    decimal_scale: int,
+) -> DataFrame:
+    """The exact-moment staging shared by grouped_moments (here) and
+    analytics.jarque_bera: values scale exactly to ``decimal_scale``
+    integers whose powers sum in staged DECIMAL widths that never
+    exceed 38 digits — (c² as long) ⇒ c³ = dec(16)·dec(10),
+    c⁴ = dec(16)·dec(16). Returns the per-group frame
+    (*group_cols, n_rows, _s1.._s4); feed it to
+    ``descaled_moment_exprs`` for the central moments."""
+    mult = 10 ** decimal_scale
+    c = F.round(F.col(value_col).cast("double") * F.lit(mult), 0).cast(
+        "long"
+    )
+    c2 = (c * c).cast("long")
+    c2d = c2.cast("decimal(16,0)")
+    c3 = c2d * c.cast("decimal(10,0)")
+    c4 = c2d * c2d
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(c.cast("decimal(18,0)")).alias("_s1"),
+            F.sum(c2.cast("decimal(20,0)")).alias("_s2"),
+            F.sum(c3).alias("_s3"),
+            F.sum(c4).alias("_s4"),
+        )
+    )
+
+
+def descaled_moment_exprs(decimal_scale: int) -> dict[str, Column]:
+    """Fixed double expressions over staged_power_sums' exact columns:
+    n, descaled raw sums s1/s2, mean, and population central moments
+    m2/m3/m4 — ONE shared op order, so every moment-derived statistic
+    (variance, skew, kurtosis, Jarque-Bera) is bit-identical across
+    the operators that compose these."""
+    mult = 10 ** decimal_scale
+    n = F.col("n_rows").cast("double")
+    s1 = F.col("_s1").cast("double") / F.lit(float(mult))
+    s2 = F.col("_s2").cast("double") / F.lit(float(mult) ** 2)
+    s3 = F.col("_s3").cast("double") / F.lit(float(mult) ** 3)
+    s4 = F.col("_s4").cast("double") / F.lit(float(mult) ** 4)
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = (
+        s3 / n
+        - F.lit(3.0) * mean * (s2 / n)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return {
+        "n": n, "s1": s1, "s2": s2, "mean": mean,
+        "m2": m2, "m3": m3, "m4": m4,
+    }
+
+
 def grouped_moments(
     df: DataFrame,
     value_col: str,
@@ -493,43 +558,10 @@ def grouped_moments(
     Higher moments report null where undefined (n below the formula's
     denominator or zero variance). One partial-aggregated groupBy —
     the moments of 100 TB cost one scan."""
-    mult = 10 ** decimal_scale
-    c = F.round(F.col(value_col).cast("double") * F.lit(mult), 0).cast(
-        "long"
-    )
-    c2 = (c * c).cast("long")
-    c2d = c2.cast("decimal(16,0)")
-    c3 = c2d * c.cast("decimal(10,0)")
-    c4 = c2d * c2d
-    agg = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(*group_cols)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(c.cast("decimal(18,0)")).alias("_s1"),
-            F.sum(c2.cast("decimal(20,0)")).alias("_s2"),
-            F.sum(c3).alias("_s3"),
-            F.sum(c4).alias("_s4"),
-        )
-    )
-    n = F.col("n_rows").cast("double")
-    s1 = F.col("_s1").cast("double") / F.lit(float(mult))
-    s2 = F.col("_s2").cast("double") / F.lit(float(mult) ** 2)
-    s3 = F.col("_s3").cast("double") / F.lit(float(mult) ** 3)
-    s4 = F.col("_s4").cast("double") / F.lit(float(mult) ** 4)
-    mean = s1 / n
-    m2 = s2 / n - mean * mean
-    m3 = (
-        s3 / n
-        - F.lit(3.0) * mean * (s2 / n)
-        + F.lit(2.0) * mean * mean * mean
-    )
-    m4 = (
-        s4 / n
-        - F.lit(4.0) * mean * (s3 / n)
-        + F.lit(6.0) * mean * mean * (s2 / n)
-        - F.lit(3.0) * mean * mean * mean * mean
-    )
+    agg = staged_power_sums(df, value_col, group_cols, decimal_scale)
+    e = descaled_moment_exprs(decimal_scale)
+    n, s1, s2 = e["n"], e["s1"], e["s2"]
+    mean, m2, m3, m4 = e["mean"], e["m2"], e["m3"], e["m4"]
     var_samp = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
     skew = (
         m3
@@ -1191,17 +1223,28 @@ def compaction_plan(
     w = Window.partitionBy(part_col).orderBy(F.col(id_col).asc())
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sz = F.col(size_col).cast("bigint")
-    assigned = df.where(
-        F.col(part_col).isNotNull()
-        & F.col(id_col).isNotNull()
-        & sz.isNotNull()
-    ).select(
-        F.col(part_col).alias("part"),
-        F.col(id_col).alias("_id"),
-        sz.alias("_sz"),
-        F.floor(
-            (F.sum(sz).over(wc) - sz) / F.lit(target_bytes)
-        ).cast("bigint").alias("bin"),
+    assigned = (
+        df.where(
+            F.col(part_col).isNotNull()
+            & F.col(id_col).isNotNull()
+            & sz.isNotNull()
+        )
+        .select(
+            F.col(part_col).alias("part"),
+            F.col(id_col).alias("_id"),
+            sz.alias("_sz"),
+            (F.sum(sz).over(wc) - sz).alias("_off"),
+        )
+        # integer `div`, not `/`: bigint / int is a DOUBLE in Spark,
+        # which loses byte exactness past 2^53 cumulative bytes and
+        # can round a boundary file into the wrong bin — offsets are
+        # non-negative so floor division == div
+        .withColumn(
+            "bin",
+            F.expr(f"_off div CAST({target_bytes} AS BIGINT)")
+            .cast("bigint"),
+        )
+        .drop("_off")
     )
     return assigned.groupBy("part", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_files"),

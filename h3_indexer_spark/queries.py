@@ -11478,7 +11478,7 @@ _XCORR_ORACLE = """
         FROM daily l CROSS JOIN lags
         JOIN daily r ON r.d = l.d + lags.lag
     ),
-    agg AS (
+    agg0 AS (
         SELECT lag,
                CAST(COUNT(*) AS BIGINT) AS n_days,
                SUM(CAST(a AS HUGEINT)) AS sa,
@@ -11487,6 +11487,13 @@ _XCORR_ORACLE = """
                SUM(CAST(a AS HUGEINT) * a) AS saa,
                SUM(CAST(b AS HUGEINT) * b) AS sbb
         FROM pairs GROUP BY lag
+    ),
+    agg AS (
+        -- one row PER LAG, zero-overlap lags report (0, NULL)
+        SELECT lags.lag,
+               COALESCE(n_days, CAST(0 AS BIGINT)) AS n_days,
+               sa, sb, sab, saa, sbb
+        FROM lags LEFT JOIN agg0 USING (lag)
     )
     SELECT lag,
            n_days,
@@ -11786,12 +11793,13 @@ _FILE_COMPACTION_ORACLE = """
         SELECT source AS part,
                doc_id AS id,
                CAST(n_chars AS BIGINT) AS sz,
-               CAST(floor(
+               -- integer //, mirroring the engine's exact BIGINT div
+               CAST(
                    (SUM(CAST(n_chars AS BIGINT)) OVER (
                         PARTITION BY source ORDER BY doc_id ASC
                         ROWS BETWEEN UNBOUNDED PRECEDING
                         AND CURRENT ROW)
-                    - CAST(n_chars AS BIGINT)) / 2048.0)
+                    - CAST(n_chars AS BIGINT)) // 2048
                    AS BIGINT) AS bin
         FROM documents
         WHERE source IS NOT NULL AND doc_id IS NOT NULL

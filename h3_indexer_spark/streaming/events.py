@@ -1490,6 +1490,18 @@ def streaming_drawdown(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    def _round_half_up9(x: float) -> float:
+        # Python round() is banker's; the batch twin uses F.round,
+        # which is BigDecimal(shortest-repr).setScale(9, HALF_UP) —
+        # mirror it exactly or 9th-decimal ties break batch parity
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
+        )
+
     mult = 10 ** decimal_scale
     q = F.round(
         F.col(value_col).cast("double") * F.lit(float(mult)), 0
@@ -1591,7 +1603,7 @@ def streaming_drawdown(
                 ],
                 "max_drawdown": [pdd / float(mult)],
                 "max_drawdown_frac": [
-                    None if pfm is None else round(pfm, 9)
+                    None if pfm is None else _round_half_up9(pfm)
                 ],
             }
         )

@@ -134,6 +134,32 @@ def test_xcorr_detects_planted_shift(spark):
             assert r < 0.999
 
 
+def test_xcorr_emits_every_lag_even_with_no_overlap(spark):
+    """A 3-day series at max_lag=5: lags beyond the span have zero
+    overlapping dates and must still report (n_days=0, r=NULL) —
+    the correlogram contract is one row per lag, never a silent
+    omission."""
+    import datetime
+
+    from h3_indexer_spark.operators.analytics import cross_correlation
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), 10 + i, 20 - i)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "d date, a long, b long")
+    out = {
+        r["lag"]: (r["n_days"], r["r"])
+        for r in cross_correlation(df, "d", "a", "b", max_lag=5)
+            .collect()
+    }
+    assert set(out) == set(range(-5, 6))
+    for lag in (-5, -4, -3, 3, 4, 5):
+        assert out[lag] == (0, None), (lag, out[lag])
+    assert out[0][0] == 3
+
+
 def test_xcorr_lag_zero_matches_pearson(spark):
     import numpy as np
 
