@@ -1621,3 +1621,92 @@ def streaming_drawdown(
         "max_drawdown",
         "max_drawdown_frac",
     )
+
+
+def streaming_bar_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bar_window: str = "1 hour",
+    rollup_window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CHAINED stateful aggregation — per-``bar_window`` OHLC bars
+    rolled up into per-``rollup_window`` summary bars (daily
+    high/low/open/close over the hourly bars), both levels streaming
+    in ONE query. This exercises Spark's multiple-stateful-operator
+    support (3.5+): the first windowed aggregation emits a bar when
+    the watermark passes its end, and the watermark PROPAGATES so the
+    second aggregation can window over the first's ``window_start``
+    event-time column — the hierarchical-rollup shape every metrics
+    pipeline wants (1m → 1h → 1d) without re-reading the source or
+    running N queries.
+
+    Semantics per rollup bar: open = first bar's open, close = last
+    bar's close (lexicographic struct min/max over (bar_start, v) —
+    the batch ohlc_bars tie rule applied at the bar level), high/low
+    = extrema over bars, volume/value_sum = exact sums (counts
+    BIGINT; values DECIMAL-cast before the double readout, the
+    order-free rule). An availableNow replay matches the batch
+    two-level composition row for row (test-locked).
+
+    State: level 1 holds one row per open bar (the streaming_ohlc
+    bound), level 2 one row per open rollup window — both
+    watermark-expired, never traffic-proportional. Append output
+    mode end to end (chained aggregations require it: a bar must be
+    FINAL before it can fold upward). The mechanics that make the
+    chain legal: level 1 KEEPS its window struct (flattening w.start
+    into a plain column strips the event-time attribute and Spark
+    rejects the second aggregation), and level 2 windows over
+    ``window_time(w)`` — the struct's event-time marker (w.end − 1µs,
+    so an hourly bar lands in the day it belongs to)."""
+    vpair = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    bars = (
+        events.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, bar_window).alias("w"))
+        .agg(
+            F.min(vpair).getField("v").alias("open"),
+            F.max(F.col(value_col).cast("double")).alias("high"),
+            F.min(F.col(value_col).cast("double")).alias("low"),
+            F.max(vpair).getField("v").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+            F.sum(F.col(value_col).cast("decimal(19,4)"))
+            .alias("_vsum"),
+        )
+    )
+    opair = F.struct(
+        F.col("w.start").alias("ts"), F.col("open").alias("v")
+    )
+    cpair = F.struct(
+        F.col("w.start").alias("ts"), F.col("close").alias("v")
+    )
+    return (
+        bars.groupBy(
+            F.window(F.window_time("w"), rollup_window).alias("rw")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+            F.min(opair).getField("v").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max(cpair).getField("v").alias("close"),
+            F.sum("volume").cast("bigint").alias("volume"),
+            F.sum(F.col("_vsum").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("rw.start").alias("rollup_start"),
+            "n_bars",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "value_sum",
+        )
+    )

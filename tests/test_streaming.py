@@ -1868,3 +1868,105 @@ class TestStreamingDrawdown:
             output_mode="update",
         )
         assert max_state == 1, max_state
+
+
+class TestStreamingBarRollup:
+    """streaming_bar_rollup: CHAINED stateful aggregation (hourly OHLC
+    bars -> daily rollup bars in one query) — watermark propagation
+    through two windowed aggregations, append mode end to end."""
+
+    def test_closed_prefix_matches_batch_exactly(
+        self, spark, events_dir_timeordered
+    ):
+        """Append mode emits a daily rollup only once the propagated
+        watermark closes it, so the stream produces a PREFIX of the
+        batch result — every emitted row must equal its batch twin
+        bit for bit, the prefix must be contiguous from the first
+        day, and most of the 30-day fixture must have closed."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_bar_rollup,
+        )
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        out = _run_stream(
+            spark,
+            streaming_bar_rollup(src),
+            output_mode="append",
+        )
+        got = {r["rollup_start"]: r for r in out.collect()}
+        assert got, "no rollup closed — watermark never propagated"
+
+        # the builders run identically on a batch frame (watermark is
+        # a no-op): the batch composition is the oracle
+        want = {
+            r["rollup_start"]: r
+            for r in streaming_bar_rollup(
+                spark.read.parquet(events_dir_timeordered)
+            ).collect()
+        }
+        days = sorted(want)
+        # contiguous prefix from the first day
+        assert sorted(got) == days[: len(got)]
+        # the 2h watermark over a 30-day span closes all but the tail
+        assert len(got) >= len(days) - 2
+        for d, r in got.items():
+            w = want[d]
+            assert (
+                r["n_bars"], r["open"], r["high"], r["low"],
+                r["close"], r["volume"],
+            ) == (
+                w["n_bars"], w["open"], w["high"], w["low"],
+                w["close"], w["volume"],
+            ), d
+            assert r["value_sum"] == pytest.approx(
+                w["value_sum"], abs=1e-9
+            )
+
+    def test_state_bounded_by_structural_windows(
+        self, spark, events_dir_timeordered
+    ):
+        """Both levels' state must track window counts (bars + rollup
+        days), never traffic — the loose structural lock that catches
+        a per-event state leak."""
+        from h3_indexer_spark.streaming.events import (
+            streaming_bar_rollup,
+        )
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        _, max_state = _run_stream_max_state_rows(
+            spark,
+            streaming_bar_rollup(src),
+            output_mode="append",
+        )
+        batch = spark.read.parquet(events_dir_timeordered).where(
+            F.col("value").isNotNull()
+        )
+        n_hours = (
+            batch.select(
+                F.expr("unix_timestamp(ts) - unix_timestamp(ts) % 3600")
+            )
+            .distinct()
+            .count()
+        )
+        n_days = (
+            batch.select(
+                F.expr("unix_timestamp(ts) - unix_timestamp(ts) % 86400")
+            )
+            .distinct()
+            .count()
+        )
+        n_events = batch.count()
+        assert max_state <= n_hours + n_days, (
+            max_state, n_hours, n_days
+        )
+        assert max_state < n_events
