@@ -117,6 +117,31 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         n_files=4,
     )
     counts["written"] = spark.read.parquet(out_dir).count()
+
+    # corpus-shape report: where does the final corpus sit on the
+    # Zipf rank-frequency line? Natural language reads near slope −1;
+    # this synthetic fixture's flat vocabulary reads near 0 — the
+    # report SURFACES that instead of gating on it (a pipeline
+    # operator, not a fixture assumption)
+    from h3_indexer_spark.operators.textops import zipf_fit
+
+    z = zipf_fit(out.select("text"), top_n=100).collect()[0]
+    print(
+        f"    zipf shape: slope={z['slope']} r2={z['r2']} "
+        f"over {z['n_ranks']} head ranks"
+    )
+    counts["zipf_head_ranks"] = int(z["n_ranks"])
+
+    # lakehouse maintenance advisory: how would tonight's compaction
+    # job bin the written corpus (per split, 64 KiB targets)?
+    from h3_indexer_spark.operators.relational import compaction_plan
+
+    inv = out.select(
+        "split", "doc_id", F.length("text").alias("bytes")
+    )
+    counts["compaction_bins"] = compaction_plan(
+        inv, "split", "doc_id", "bytes", 65536
+    ).count()
     return counts
 
 

@@ -579,3 +579,7 @@ class TestTrainingDataPipeline:
         assert counts["packed"] == counts["sampled"]
         assert counts["written"] == counts["packed"]
         assert counts["n_packs"] >= 1
+        # the shape report and the maintenance advisory both ran over
+        # the written corpus
+        assert counts["zipf_head_ranks"] >= 1
+        assert counts["compaction_bins"] >= 1
