@@ -1137,13 +1137,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle_counts) over the exact n-gram Jaccard near-dup graph —
     the local clique/clustering signal on the dedup pair structure.
     Degree-ordered orientation bounds wedge volume at m^1.5; the
-    oracle counts each a<b<c triangle directly with a triple join."""
+    oracle counts each a<b<c triangle directly with a triple join.
+    The pair table is persist()-pinned (lazy — zero jobs at
+    construction): the orientation references it in several branches
+    and the static plan otherwise re-derives the full inverted-index
+    self-join per branch (454 static exchanges; the pin measured
+    steady 3.2 s → 1.5 s at sf0.1)."""
     from h3_indexer_spark.operators.dedup import ngram_jaccard_exact_pairs
     from h3_indexer_spark.operators.graph import triangle_counts
 
     pairs = ngram_jaccard_exact_pairs(
         load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=100
-    )
+    ).persist()
     return triangle_counts(pairs)
 
 
