@@ -4225,6 +4225,10 @@ def woe_iv(
         F.sum("n_pos").cast("bigint").alias("_p"),
         F.sum("n_neg").cast("bigint").alias("_n"),
     )
+    # when EVERY bin has a zero cell the feature separates the
+    # classes perfectly: all terms are excluded and the all-NULL sum
+    # reports iv_total = NULL — undefined (conceptually infinite),
+    # never 0.0, which would read "useless" for a perfect separator
     joined = bins.crossJoin(F.broadcast(tot))
     ps = F.col("n_pos").cast("double") / F.col("_p").cast("double")
     ns = F.col("n_neg").cast("double") / F.col("_n").cast("double")

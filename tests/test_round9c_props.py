@@ -288,11 +288,11 @@ def test_woe_iv_matches_reference(spark, rows):
     for f, y in rows:
         p, n = bins.get(f, (0, 0))
         bins[f] = (p + int(y), n + int(not y))
-    iv = 0.0
+    iv = None
     for f, (p, n) in bins.items():
         if p > 0 and n > 0:
             w = math.log((p / n_pos) / (n / n_neg))
-            iv += (p / n_pos - n / n_neg) * w
+            iv = (iv or 0.0) + (p / n_pos - n / n_neg) * w
     for f, (p, n) in bins.items():
         assert got[f]["n_pos"] == p
         assert got[f]["n_neg"] == n
@@ -302,4 +302,10 @@ def test_woe_iv_matches_reference(spark, rows):
             )
         else:
             assert got[f]["woe"] is None
-        assert got[f]["iv_total"] == pytest.approx(iv, abs=1e-8)
+        if iv is None:
+            # every bin one-sided: the feature separates the classes
+            # perfectly and IV is undefined (conceptually infinite) —
+            # NULL, never 0.0 ("useless"), is the contract
+            assert got[f]["iv_total"] is None
+        else:
+            assert got[f]["iv_total"] == pytest.approx(iv, abs=1e-8)
