@@ -1970,3 +1970,96 @@ class TestStreamingBarRollup:
             max_state, n_hours, n_days
         )
         assert max_state < n_events
+
+
+class TestRocksDBStateStore:
+    """Production state-store posture: the in-memory HDFS-backed
+    provider OOMs once state outgrows executor heaps; RocksDB is the
+    100 TB answer. Lock that the engine's stateful operators run —
+    and agree with the default provider — under RocksDB, both for a
+    built-in windowed aggregation and for a custom
+    applyInPandasWithState twin."""
+
+    ROCKS = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def test_windowed_agg_matches_default_provider(
+        self, spark, events_dir
+    ):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        default_rows = {
+            (r["window_start"], r["event_type"]): (
+                r["sum_value"], r["n_events"]
+            )
+            for r in _run_stream(
+                spark,
+                windowed_event_agg(_read_stream(spark, events_dir)),
+                "complete",
+            ).collect()
+        }
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, self.ROCKS)
+        try:
+            rocks_rows = {
+                (r["window_start"], r["event_type"]): (
+                    r["sum_value"], r["n_events"]
+                )
+                for r in _run_stream(
+                    spark,
+                    windowed_event_agg(
+                        _read_stream(spark, events_dir)
+                    ),
+                    "complete",
+                ).collect()
+            }
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        assert rocks_rows == default_rows
+        assert rocks_rows
+
+    def test_custom_state_twin_runs_on_rocksdb(
+        self, spark, events_dir_timeordered
+    ):
+        """applyInPandasWithState state must round-trip through the
+        RocksDB provider identically — drive the drawdown twin end to
+        end and compare its final emission to the default provider's."""
+        from h3_indexer_spark.streaming.events import streaming_drawdown
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        schema = spark.read.parquet(events_dir_timeordered).schema
+
+        def run_once():
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_dir_timeordered)
+                .withColumn(
+                    "flow",
+                    (F.col("value") - F.lit(50.0)).cast("double"),
+                )
+            )
+            rows = _run_stream(
+                spark,
+                streaming_drawdown(src, value_col="flow"),
+                output_mode="update",
+            ).collect()
+            return max(
+                rows, key=lambda r: (r["n_finalized"], r["n_periods"])
+            )
+
+        base = run_once()
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, self.ROCKS)
+        try:
+            rocks = run_once()
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+        assert rocks == base
