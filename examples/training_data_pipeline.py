@@ -136,8 +136,11 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     # job bin the written corpus (per split, 64 KiB targets)?
     from h3_indexer_spark.operators.relational import compaction_plan
 
+    # octet_length, not length: character counts under-report CJK /
+    # emoji corpora by up to 4x and the advisory would pack 256 KiB
+    # of real bytes into "64 KiB" bins
     inv = out.select(
-        "split", "doc_id", F.length("text").alias("bytes")
+        "split", "doc_id", F.octet_length("text").alias("bytes")
     )
     counts["compaction_bins"] = compaction_plan(
         inv, "split", "doc_id", "bytes", 65536

@@ -1205,12 +1205,20 @@ def compaction_plan(
 
     Packing rule: within each partition, files in ``id_col`` order
     accumulate a running byte total; a file lands in bin
-    floor((cum − size) / target) — where its FIRST byte falls. Bins
-    therefore hold ≥ target bytes except the partition's last, and
-    overshoot by at most one file — the classic next-fit guarantee
-    (≤ 2× optimal bin count), chosen over first-fit-decreasing
-    because it needs ONE ordered pass, no mutable bin state. All
-    arithmetic is exact BIGINT.
+    floor((cum − size) / target) — where its FIRST byte falls on the
+    fixed target-sized grid. The guarantee is GRID-CROSSING, not pure
+    next-fit: a new bin opens exactly when the running total crosses
+    a k·target boundary, so cumulative bytes through every non-final
+    bin reach (bin+1)·target (the property the tests lock) and the
+    bin count never exceeds ceil(partition_bytes/target) — the
+    rewrite's ideal output file count. An individual mid-partition bin
+    CAN come in under target when its predecessor overshot the
+    boundary with one large file (sizes 199,1,1000 at target 100 put
+    the 1-byte file alone in bin 1) — the ``undersized`` flag exists
+    precisely to surface those for the rewriter to coalesce. Chosen
+    over stateful next-fit because it is ONE ordered window pass with
+    no mutable bin state, and over first-fit-decreasing because id
+    order preserves file locality. All arithmetic is exact BIGINT.
 
     Scale: one window shuffle keyed on the partition column (file
     inventories are per-partition thousands of rows) + one groupBy

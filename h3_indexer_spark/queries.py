@@ -1146,6 +1146,10 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h3_indexer_spark.operators.dedup import ngram_jaccard_exact_pairs
     from h3_indexer_spark.operators.graph import triangle_counts
 
+    # repeat invocations rebuild the IDENTICAL logical plan, and
+    # CacheManager keys on the analyzed plan — the entry is reused,
+    # not duplicated, so the un-unpersisted pin stays one cache slot
+    # per sf_dir for the session's life
     pairs = ngram_jaccard_exact_pairs(
         load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=100
     ).persist()
@@ -11544,8 +11548,18 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ITEM_CF_ORACLE = """
-    WITH it AS (
+    WITH it0 AS (
         SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    it AS (
+        -- mirrors the engine's default max_basket_size=10000
+        -- mega-basket cap (cannot bind on TPC-H's <=13-item baskets,
+        -- but a capped engine against an uncapped oracle is a latent
+        -- gate divergence — the q_adamic_adar hub-cap rule)
+        SELECT b, i FROM it0
+        WHERE b IN (
+            SELECT b FROM it0 GROUP BY b HAVING COUNT(*) <= 10000
+        )
     ),
     sup AS (
         SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM it GROUP BY i

@@ -1507,8 +1507,14 @@ def streaming_drawdown(
         F.col(value_col).cast("double") * F.lit(float(mult)), 0
     ).cast("long")
     win = F.window(F.col(ts_col), window)
+    # null event times must drop HERE: the watermark's late-row
+    # filter keeps them (NULL compares to nothing), F.window(NULL)
+    # yields a null start, and int(NaN) in the state fn would kill
+    # the query — where the batch twin just ignores the row
     contrib = (
-        events.where(F.col(value_col).isNotNull())
+        events.where(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
         .withWatermark(ts_col, watermark)
         .select(
             F.lit(0).alias("_bucket"),
@@ -1664,8 +1670,13 @@ def streaming_bar_rollup(
         F.col(ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("v"),
     )
+    # null event times drop here: F.window(NULL) would otherwise form
+    # a null-window group the watermark can never evict (its end is
+    # NULL) — permanent state accumulating every bad record
     bars = (
-        events.where(F.col(value_col).isNotNull())
+        events.where(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
         .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, bar_window).alias("w"))
         .agg(

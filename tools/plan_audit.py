@@ -89,7 +89,11 @@ def main() -> int:
             df = QUERIES[key](spark, sf_dir)
             plan = df._jdf.queryExecution().explainString(mode)
         except Exception as exc:  # pragma: no cover - audit robustness
-            rows.append((key, "ERROR", str(exc)[:80], ""))
+            # flatten + escape so a '|' or newline in Spark's message
+            # cannot split the markdown row; message belongs in the
+            # notes column, not the joins slot
+            msg = " ".join(str(exc).split()).replace("|", "\\|")[:80]
+            rows.append((key, "ERROR", "-", f"plan build failed: {msg}"))
             violations.append((key, "plan build failed"))
             continue
         counts = {
