@@ -1252,7 +1252,10 @@ def cuped_ab_test(
     return j.select(
         F.col("n_c").alias("n_control"),
         F.col("n_t").alias("n_treatment"),
-        F.round(theta, 12).alias("theta"),
+        # ROUND 9, not 12: theta's raw compound (cov/var over sf-scale
+        # sums) differs ~2e-12 across engines — 12 decimals failed the
+        # sf0.1 oracle sweep, 9 absorbs the compound error
+        F.round(theta, 9).alias("theta"),
         mean_c.alias("mean_control_adj"),
         mean_t.alias("mean_treatment_adj"),
         (mean_t - mean_c).alias("diff_adj"),
@@ -2840,7 +2843,7 @@ def diff_in_diff(
     exact DECIMAL(18,4) sums and four counts folded map-side to a
     single row — no shuffle beyond the 1-row fold, and every mean is
     exact-decimal ÷ exact-count in one IEEE op; the DiD compound is
-    fixed op order, ROUND 12. A missing cell (n=0) yields NULL means
+    fixed op order, ROUND 9. A missing cell (n=0) yields NULL means
     and a NULL estimate rather than zero rows.
 
     Output: one row (n_t_pre, n_t_post, n_c_pre, n_c_post,
@@ -2886,7 +2889,11 @@ def diff_in_diff(
         means["t_post"].alias("mean_t_post"),
         means["c_pre"].alias("mean_c_pre"),
         means["c_post"].alias("mean_c_post"),
-        F.round(F.when(have_all, did), 12).alias("did"),
+        # ROUND 9, not 12: at did magnitudes ~1e3, 12 decimals is 16
+        # significant digits — beyond double precision, so each
+        # engine's rounding picks a different representable neighbor
+        # (caught by the sf0.1 oracle sweep)
+        F.round(F.when(have_all, did), 9).alias("did"),
     )
 
 

@@ -310,6 +310,10 @@ def point_in_polygon_join(
     @F.pandas_udf("array<long>")
     def cover(wkts: pd.Series) -> pd.Series:
         from h3_indexer_spark.functions.h3 import core as wcore
+        from h3_indexer_spark.functions.h3.coverage import (
+            cell_neighbors,
+            line_cells,
+        )
 
         wcore.seed_derived_blob(_tables_blob)
         out = []
@@ -321,9 +325,33 @@ def point_in_polygon_join(
             # would drop cells whose CENTER sits in a hole even when
             # they still overlap kept area — losing candidates near
             # hole edges. Holes are honored by the exact test instead.
+            #
+            # The boundary traversal is EXPANDED by one ring before
+            # the union: line_cells' 0.75-edge sampling documents that
+            # corner-cut cells may be skipped and "callers complete
+            # coverage with a 1-ring expansion" — the Index pipeline
+            # does (udfs._expand_with_neighbors); skipping it here
+            # dropped a point whose cell the polygon's top edge
+            # clipped but whose center sat outside (caught by the
+            # sf0.1 oracle sweep: one inside-point in 1.2M lost).
+            # The halo's extra candidates are settled by the exact
+            # ray-cast; cover grows by ≤6 cells per boundary cell.
             cells: dict[int, None] = {}
             for rings in _polygon_parts(w):
-                for c in polyfill(rings[0], res):
+                ring = list(rings[0])
+                if ring and ring[0] == ring[-1]:
+                    ring = ring[:-1]
+                if not ring:
+                    continue
+                boundary = line_cells(ring + [ring[0]], res)
+                expanded: dict[int, None] = {}
+                for c in boundary:
+                    expanded[int(c)] = None
+                    for nb in cell_neighbors(c):
+                        expanded[int(nb)] = None
+                for c in polyfill(
+                    rings[0], res, boundary_cells=list(expanded)
+                ):
                     cells[int(c)] = None
             out.append(list(cells))
         return pd.Series(out)

@@ -6618,7 +6618,7 @@ ORACLES["q_cuped"] = """
         FROM g
     )
     SELECT n_c AS n_control, n_t AS n_treatment,
-           ROUND(theta, 12) AS theta,
+           ROUND(theta, 9) AS theta,
            mean_c AS mean_control_adj,
            mean_t AS mean_treatment_adj,
            mean_t - mean_c AS diff_adj,
@@ -10101,7 +10101,7 @@ _DID_ORACLE = """
                 - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
                - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
                   - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
-           END, 12) AS did
+           END, 9) AS did
     FROM agg
 """
 

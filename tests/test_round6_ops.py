@@ -1315,3 +1315,29 @@ class TestKCore:
         got2 = {r["vertex"] for r in k_core(edges, 2).collect()}
         assert got2 == {1, 2, 3}  # the pendant vertex 4 peels off
         assert k_core(edges, 3).count() == 0
+
+
+def test_pip_edge_clipped_cell_with_outside_center(spark):
+    """Regression: the sf0.1 oracle sweep found an inside-point whose
+    res-6 cell the polygon's top edge clips, but whose cell CENTER
+    sits outside — line_cells' 0.75-edge sampling skipped the cell
+    and the cover (pre-fix) did no 1-ring expansion, so the
+    candidate pair never formed. Pin the exact point/polygon."""
+    from h3_indexer_spark.operators.geo_join import point_in_polygon_join
+
+    # polygon 22 of the contract fixture grid at sf0.1
+    x0 = -100.0 + 2 * 0.5 + 0.000013
+    y0 = 40.0 + 4 * 0.5 + 0.000013
+    x1, y1 = x0 + 0.45007, y0 + 0.45007
+    wkt = (
+        f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+        f"{x0} {y1}, {x0} {y0}))"
+    )
+    pts = spark.createDataFrame(
+        [(11272, 42.4498, -98.7546)], "id bigint, lat double, lng double"
+    )
+    polys = spark.createDataFrame(
+        [(22, wkt)], "poly_id bigint, geom_wkt string"
+    )
+    out = point_in_polygon_join(pts, polys, res=6).collect()
+    assert [(r["pt_id"], r["pg_poly_id"]) for r in out] == [(11272, 22)]
