@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -12,7 +13,15 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 SF_SMALL = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# The local mirror's scale factor; override to run the whole oracle
+# suite at a bigger SF (the round-9 sweep at sf0.1 caught a cover
+# recall bug and two beyond-double-precision roundings the sf0.01
+# gate could not see):
+#   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1 \
+#       python -m pytest tests/test_oracle.py -q
+SF_ORACLE = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+)
 
 TABLES = (
     "region",
