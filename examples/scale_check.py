@@ -1421,6 +1421,100 @@ def round9d_scale(max_factor: int = 50) -> None:
         # (and so the collapse + head cut) is constant
         timed(f"zipf_fit x{factor}", zipf_fit(d, "text"), nd)
 
+def round10_scale(max_factor: int = 50) -> None:
+    """Round-10 curves: k-anonymity risk report + suppression,
+    per-class classification report, and the full-PrefixSpan miner.
+
+    Run: ``python examples/scale_check.py <max_factor> round10``."""
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.analytics import classification_report
+    from h3_indexer_spark.operators.curation import (
+        k_anonymity_report,
+        suppress_small_groups,
+    )
+    from h3_indexer_spark.operators.mining import sequential_patterns_full
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r10", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    ev_raw = spark.read.parquet(f"{sf}/events.parquet")
+    ev = ev_raw.select(
+        "user_id", "event_type",
+        (F.unix_timestamp("ts").cast("long") * F.lit(10**9)).alias("ts"),
+        F.col("event_id"),
+    )
+
+    for factor in (1, 5, 20, max_factor):
+        # k-anonymity: copies keep the SAME quasi-identifier universe
+        # (nation x segment x bal bucket), so equivalence classes grow
+        # linearly in rows while the histogram stays <= k-1 rows —
+        # the honest axis for a groupBy-collapse report
+        c = scaled(
+            cust.withColumn("_id", F.col("c_custkey")), "_id", factor
+        ).select(
+            "c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+            .cast("bigint").alias("bal_bucket"),
+            F.col("_id"),
+        ).localCheckpoint()
+        nc = c.count()
+        qi = ["c_nationkey", "c_mktsegment", "bal_bucket"]
+        timed(
+            f"k_anonymity_report x{factor}",
+            k_anonymity_report(c, qi, k=10 * factor),
+            nc,
+        )
+        timed(
+            f"suppress_small_groups x{factor}",
+            suppress_small_groups(c, qi, k=10 * factor),
+            nc,
+        )
+
+        o = scaled(
+            orders.withColumn("_id", F.col("o_orderkey")), "_id", factor
+        ).localCheckpoint()
+        no = o.count()
+        price = F.col("o_totalprice").cast("double")
+        scored = o.select(
+            F.col("o_orderstatus").alias("label"),
+            F.when(price < 100000.0, F.lit("F"))
+            .when(price < 200000.0, F.lit("O"))
+            .otherwise(F.lit("P")).alias("pred"),
+        )
+        timed(
+            f"classification_report x{factor}",
+            classification_report(scored, "label", "pred"),
+            no,
+        )
+
+        # full miner: disjoint user universes per copy, so each
+        # pattern's support grows linearly with the factor —
+        # min_support scales with it to keep the FREQUENT SET constant
+        # (the honest axis: per-level join work is then linear in
+        # events, not in an exploding pattern table)
+        e = scaled(
+            ev.withColumn("_id", F.col("user_id")), "_id", factor
+        ).select(
+            F.col("_id").alias("user_id"), "event_type", "ts", "event_id"
+        ).localCheckpoint()
+        ne = e.count()
+        timed(
+            f"seq_patterns_full x{factor}",
+            sequential_patterns_full(
+                e, min_support=40 * factor, max_len=4
+            ),
+            ne,
+        )
+        spark.catalog.clearCache()
+
+
 def round9c_scale(max_factor: int = 50) -> None:
     """Round-9 second-continuation curves: Spearman rho,
     Brown-Forsythe W, Cronbach alpha, Simpson check, MDE sizing,
@@ -1632,5 +1726,7 @@ if __name__ == "__main__":
         round9c_scale(int(sys.argv[1]))
     elif len(sys.argv) > 2 and sys.argv[2] == "round9d":
         round9d_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round10":
+        round10_scale(int(sys.argv[1]))
     else:
         main()

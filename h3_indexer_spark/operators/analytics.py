@@ -996,7 +996,7 @@ def ab_test_zscore(
     19 digits forces DuckDB onto int128 so both engines sum exactly),
     cast to double only for the final mean/variance/z arithmetic,
     which then mirrors the oracle's op sequence bit-for-bit. The
-    z-score is ROUND(…,12) to absorb the cross-engine
+    z-score is ROUND(…,9) to absorb the cross-engine
     contraction ulp in the compound expression (q_regression
     precedent). Sample variance (n−1); arms with n<2 report null
     variance and z. Output: one row (n_control, n_treatment,
@@ -1050,6 +1050,10 @@ def ab_test_zscore(
         mean_c.alias("mean_control"),
         mean_t.alias("mean_treatment"),
         (mean_t - mean_c).alias("diff"),
+        # ROUND 9, not 12: z is UNBOUNDED (grows with sqrt(n)), so 12
+        # fractional digits on a ~1e1-1e2 magnitude stat sits at the
+        # double-precision edge (the q_did/q_cuped theta precedent,
+        # commit 262a8a2; enforced by tools/round_lint.py)
         F.round(
             F.when(
                 (F.col("n_control") >= 2)
@@ -1057,7 +1061,7 @@ def ab_test_zscore(
                 & (se > 0),
                 (mean_t - mean_c) / se,
             ),
-            12,
+            9,
         ).alias("z_score"),
     )
 
@@ -1192,7 +1196,7 @@ def cuped_ab_test(
     (Σy, Σx, Σxy, Σxx, Σyy), so the whole readout is ONE two-key
     aggregation and a 2-row fold, deterministic regardless of row
     order — mean_adj = ȳ_a − θ(x̄_a − x̄), var_adj = var_y +
-    θ²var_x − 2θcov_xy per arm. ROUND(…,12) on θ and z absorbs the
+    θ²var_x − 2θcov_xy per arm. ROUND(…,9) on θ and z absorbs the
     cross-engine contraction ulp (q_regression rule). Output: one row
     (n_control, n_treatment, theta, mean_control_adj,
     mean_treatment_adj, diff_adj, z_score) — GUARANTEED one row even
@@ -1259,12 +1263,13 @@ def cuped_ab_test(
         mean_c.alias("mean_control_adj"),
         mean_t.alias("mean_treatment_adj"),
         (mean_t - mean_c).alias("diff_adj"),
+        # ROUND 9 on z too (unbounded stat — round_lint rule)
         F.round(
             F.when(
                 (F.col("n_c") >= 2) & (F.col("n_t") >= 2) & (se > 0),
                 (mean_t - mean_c) / se,
             ),
-            12,
+            9,
         ).alias("z_score"),
     )
 
@@ -4384,3 +4389,91 @@ def average_precision(
     return agg.select(
         "n", "n_pos", F.round(ap, 9).alias("avg_precision")
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 over a (label, prediction)
+    table — the classification complement of the ranking graders
+    (roc_auc / pr_auc / ndcg grade SCORES; this grades hard class
+    assignments): for every class c, tp = |label=c ∧ pred=c|,
+    fp = |pred=c ∧ label≠c|, fn = |label=c ∧ pred≠c|, with
+    precision = tp/(tp+fp), recall = tp/(tp+fn) and
+    F1 = 2·tp/(2·tp+fp+fn) — the F1 identity keeps it ONE division
+    of exact integers (never the 2PR/(P+R) float compound), so every
+    readout is a single correctly-rounded IEEE op on BIGINTs:
+    deterministic across engines by construction, ROUND 9 ([0,1]-
+    bounded). A class seen only in predictions still gets a row
+    (support 0, recall null) — silently dropping it would hide a
+    model inventing labels.
+
+    Scale: ONE shuffle. Each row EXPLODES into its label-role and
+    pred-role contributions (2 rows), which the class-keyed groupBy
+    collapses map-side — the exchange carries one partial row per
+    class per task, never the data. No joins, no second scan: the
+    usual three-aggregate formulation (per-label counts ⋈ per-pred
+    counts ⋈ diagonal counts) pays three scans and two joins for the
+    same integers. Rows with NULL label or prediction are excluded
+    (count them upstream; a NULL class is a data bug, not a class).
+    Output: class, n_true, n_pred, tp, fp, fn, precision, recall, f1
+    ordered by class — |classes| rows, report-sized at any volume.
+    """
+    lbl = F.col(label_col).cast("string")
+    prd = F.col(pred_col).cast("string")
+    contrib = (
+        df.where(lbl.isNotNull() & prd.isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        lbl.alias("class"),
+                        F.lit(1).alias("_t"),
+                        F.lit(0).alias("_p"),
+                        (lbl == prd).cast("int").alias("_tp"),
+                    ),
+                    F.struct(
+                        prd.alias("class"),
+                        F.lit(0).alias("_t"),
+                        F.lit(1).alias("_p"),
+                        F.lit(0).alias("_tp"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.*")
+    )
+    agg = contrib.groupBy("class").agg(
+        F.sum("_t").cast("bigint").alias("n_true"),
+        F.sum("_p").cast("bigint").alias("n_pred"),
+        F.sum("_tp").cast("bigint").alias("tp"),
+    )
+    tp = F.col("tp").cast("double")
+    fp_i = F.col("n_pred") - F.col("tp")
+    fn_i = F.col("n_true") - F.col("tp")
+    return agg.select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        fp_i.cast("bigint").alias("fp"),
+        fn_i.cast("bigint").alias("fn"),
+        F.round(
+            F.when(F.col("n_pred") > 0, tp / F.col("n_pred").cast("double")),
+            9,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_true") > 0, tp / F.col("n_true").cast("double")),
+            9,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                (F.lit(2) * F.col("tp") + fp_i + fn_i) > 0,
+                (F.lit(2.0) * tp)
+                / (F.lit(2) * F.col("tp") + fp_i + fn_i).cast("double"),
+            ),
+            9,
+        ).alias("f1"),
+    ).orderBy("class")

@@ -928,3 +928,98 @@ def sample_per_group(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity / quasi-identifier risk report (privacy release gating)
+# --------------------------------------------------------------------------
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Quasi-identifier re-identification risk report — the release
+    gate to run before publishing a training-data extract: a dataset
+    is k-anonymous when every combination of the quasi-identifier
+    columns (the attacker-linkable ones: location, demographic
+    bucket, device class, ...) is shared by at least ``k`` rows.
+    Groups below ``k`` are re-identification risks; size-1 groups are
+    unique individuals (Sweeney 2002; the GDPR/HIPAA de-identification
+    heuristic; complements scrub_pii, which removes DIRECT
+    identifiers while this audits the indirect ones).
+
+    Output is the VIOLATION HISTOGRAM, one row per equivalence-class
+    size below k — ``group_size`` (1..k−1), ``n_groups`` (classes of
+    that size), ``n_rows`` (individuals at risk in them) — ordered by
+    group_size: ≤ k−1 rows whatever the data volume, so the report is
+    collectable and hash-checkable at any scale. Empty result ⇔ the
+    dataset IS k-anonymous on these columns. NULL quasi-identifier
+    values form their own equivalence classes (a NULL zip code is
+    itself a linkable signature, so dropping those rows would
+    understate risk).
+
+    Scale: ONE groupBy on the quasi-identifier tuple (map-side
+    partial aggregation; the shuffle carries one row per EQUIVALENCE
+    CLASS, not per input row), then a second groupBy on the class
+    size whose key space is < k — two narrow exchanges, no sort of
+    the data, no risk of a report explosion: unlike a per-violating-
+    group detail dump (unbounded when most classes are small — the
+    common case on wide quasi-keys), the histogram stays ≤ k−1 rows.
+    Pair with ``suppress_small_groups`` to act on the report.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    sizes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_sz")
+    )
+    return (
+        sizes.where(F.col("_sz") < k)
+        .groupBy(F.col("_sz").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("_sz").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("group_size")
+    )
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Enforce k-anonymity by SUPPRESSION: drop every row whose
+    quasi-identifier equivalence class has fewer than ``k`` members —
+    the action the k_anonymity_report gate prescribes (suppression is
+    the lossless-per-kept-row baseline; generalization ladders are a
+    policy layer above this primitive).
+
+    Scale: the class-size table (one row per equivalence class) joins
+    back on the quasi-identifier tuple. No broadcast hint — the class
+    table's cardinality is data-dependent (can approach |rows| on
+    wide quasi-keys), so Catalyst/AQE picks broadcast vs shuffle from
+    stats, and the equi-join shuffles BOTH sides on the same key when
+    it must (co-partitioned, no skew beyond the class sizes
+    themselves, which are < k on the dropped side by construction).
+    NULLs group with NULLs (null-safe key semantics via groupBy +
+    null-safe equality), matching the report.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    keep = (
+        df.groupBy(*[F.col(c).alias(f"_q_{c}") for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") >= k)
+        .drop("_sz")
+    )
+    cond = None
+    for c in quasi_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"_q_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    return df.join(keep, cond, "left_semi")

@@ -131,9 +131,14 @@ def association_rules(
         F.col("_i").alias("consequent"),
         F.col("_n_item").alias("_n_consequent"),
     )
+    # Support tables are item-vocabulary-sized — unbounded at 100 TB,
+    # so no forced broadcast (same ADVICE-r9 fix as item_cf_similarity:
+    # let Catalyst/AQE broadcast from stats when small, shuffle-join
+    # when not). n_baskets stays hinted: it is a 1-row fold by
+    # construction, broadcastable at any scale.
     joined = (
-        pairs.join(F.broadcast(sup_a), "antecedent")
-        .join(F.broadcast(sup_b), "consequent")
+        pairs.join(sup_a, "antecedent")
+        .join(sup_b, "consequent")
         .crossJoin(F.broadcast(n_baskets))
     )
     nj = F.col("n_joint").cast("double")
@@ -365,9 +370,13 @@ def item_cf_similarity(
     sup_b = support.select(
         F.col("_i").alias("item_b"), F.col("_n_item").alias("n_b")
     )
-    joined = pairs.join(F.broadcast(sup_a), "item_a").join(
-        F.broadcast(sup_b), "item_b"
-    )
+    # No broadcast hint: the support table's size is the ITEM
+    # VOCABULARY, unbounded at 100 TB (a web-scale item universe can
+    # exceed executor memory). Let Catalyst/AQE pick — at survey-scale
+    # vocabularies it still broadcasts from stats; at huge ones it
+    # falls back to a shuffle join keyed by item, which is correct
+    # and bounded (ADVICE r9: the forced hint risked driver OOM).
+    joined = pairs.join(sup_a, "item_a").join(sup_b, "item_b")
     cos = F.col("n_joint").cast("double") / F.sqrt(
         F.col("n_a").cast("double") * F.col("n_b").cast("double")
     )
@@ -386,4 +395,139 @@ def item_cf_similarity(
             F.col("item_b").asc(),
         )
         .limit(k)
+    )
+
+
+def sequential_patterns_full(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    min_support: int = 2,
+    max_len: int = 5,
+) -> DataFrame:
+    """FULL sequential pattern mining (PrefixSpan semantics, Pei et
+    al. 2001): every event-type sequence of length ≤ ``max_len``
+    occurring as a SUBSEQUENCE (arbitrary gaps — the classic
+    definition, vs sequential_patterns' bounded-gap variant) of at
+    least ``min_support`` entities' time-ordered streams. This is the
+    length-k completion the bounded miner documents away: use the
+    bounded variant for funnel/journey questions (linear candidate
+    space), this one when patterns longer than 3 or unbounded gaps
+    matter.
+
+    Algorithm — level-wise GREEDY EXTENSION instead of per-entity
+    projected-database recursion (the driver-side recursion of
+    classic PrefixSpan does not distribute; this does): a pattern p
+    is a subsequence of a stream iff greedy earliest matching
+    succeeds, so per (entity, pattern) it suffices to track ONLY the
+    earliest match end position. Level k→k+1 joins the survivor
+    table (entity, pattern, end_pos) to the position-indexed event
+    table on entity AND pos > end_pos, keeps min(pos) per extended
+    pattern, and support-prunes (≥ min_support DISTINCT entities)
+    before the next level — the Apriori property (every prefix of a
+    frequent sequence is frequent) makes the prune lossless. Events
+    of globally-infrequent types are dropped up front (their 1-type
+    pattern is already infrequent).
+
+    Scale: each level is ONE entity-keyed equi-join (range predicate
+    on position applied post-match) + two aggregations, all on the
+    same entity hash partitioning; live state per entity is (frequent
+    patterns alive in that entity) rows, shrunk every level by the
+    global support prune — never an all-subsequence materialization.
+    ``max_len`` bounds the number of rounds (jobs), not correctness:
+    the miner also stops early at the first empty level. The
+    frequent-pattern table is the join's build side; no broadcast
+    hint (its size is data-dependent — AQE decides).
+
+    Output: (pattern, length, support) for every frequent pattern,
+    ordered by (length asc, support desc, pattern asc) — a total
+    order. Deterministic: exact integer supports, arrow-joined
+    pattern strings.
+
+    Cache lifecycle: the position-indexed event table and each
+    level's survivor table are persist()-pinned (each feeds two
+    consumers; without the pin level k re-derives k joins). Pins are
+    plan-keyed, so repeat invocations on the same input reuse one
+    cache slot — but a long-lived session mining MANY distinct
+    datasets should bound executor storage (MEMORY_AND_DISK is the
+    default behavior; call spark.catalog.clearCache() between corpora
+    if needed — the q_triangles precedent, ADVICE r9)."""
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    ev = events.select(
+        F.col(id_col).alias("_e"),
+        F.col(type_col).alias("_t"),
+        F.row_number().over(w).cast("bigint").alias("_pos"),
+    )
+    # global type prune: a type below min_support can appear in no
+    # frequent pattern at any length (Apriori, length-1 case)
+    freq_types = (
+        ev.groupBy("_t")
+        .agg(F.count_distinct("_e").alias("_sup"))
+        .where(F.col("_sup") >= min_support)
+        .select("_t")
+    )
+    ev = ev.join(freq_types, "_t", "left_semi")
+    # the event table feeds every level — pin it once (lazy; the
+    # first level's action materializes it)
+    ev = ev.persist()
+    sep = " -> "
+    # level 1: earliest occurrence of each surviving type per entity
+    level = ev.groupBy("_e", F.col("_t").alias("_pat")).agg(
+        F.min("_pos").alias("_end")
+    )
+    out_levels: list[DataFrame] = []
+    for length in range(1, max_len + 1):
+        support = level.groupBy(F.col("_pat").alias("pattern")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("support")
+        ).where(F.col("support") >= min_support)
+        out_levels.append(
+            support.select(
+                "pattern",
+                F.lit(length).cast("bigint").alias("length"),
+                "support",
+            )
+        )
+        if length == max_len:
+            break
+        # survivor prune BEFORE extension: only frequent patterns
+        # grow (lossless by the Apriori property)
+        level = level.join(
+            support.select(F.col("pattern").alias("_pat")), "_pat",
+            "left_semi",
+        )
+        # each level's survivor table is consumed twice next round
+        # (support agg + extension join) — checkpoint-free persist
+        # keeps the lineage from re-deriving k joins at level k
+        level = level.persist()
+        grown = (
+            level.join(ev, "_e")
+            .where(F.col("_pos") > F.col("_end"))
+            .groupBy(
+                "_e",
+                F.concat(
+                    F.col("_pat"), F.lit(sep), F.col("_t")
+                ).alias("_pat"),
+            )
+            .agg(F.min("_pos").alias("_end"))
+        )
+        # early stop: an empty level ends the mine before max_len —
+        # a bounded driver-side existence probe (LIMIT 1), not a count
+        if not grown.take(1):
+            level = grown
+            break
+        level = grown
+    result = out_levels[0]
+    for nxt in out_levels[1:]:
+        result = result.unionByName(nxt)
+    return result.orderBy(
+        F.col("length").asc(), F.col("support").desc(),
+        F.col("pattern").asc(),
     )

@@ -6299,7 +6299,7 @@ ORACLES["q_ab_test"] = """
                    / (CAST(n_control AS DOUBLE)
                       * (CAST(n_control AS DOUBLE) - 1.0))
                    / CAST(n_control AS DOUBLE))
-           END, 12) AS z_score
+           END, 9) AS z_score
     FROM c CROSS JOIN t
 """
 
@@ -6625,7 +6625,7 @@ ORACLES["q_cuped"] = """
            ROUND(CASE WHEN n_c >= 2 AND n_t >= 2
                        AND sqrt(var_t / nt + var_c / nc) > 0
                  THEN (mean_t - mean_c)
-                      / sqrt(var_t / nt + var_c / nc) END, 12)
+                      / sqrt(var_t / nt + var_c / nc) END, 9)
                AS z_score
     FROM h
 """
@@ -8604,7 +8604,12 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        adamic_adar(edges, min_common=2)
+        # log_exclusions=False keeps the identical max_degree cap
+        # semantics (the oracle mirrors the cap, see the adj CTE) but
+        # stays fully lazy — zero jobs at plan construction (the
+        # q_item_cf pattern; the eager hub census + localCheckpoint
+        # cost ~8s of the 12.9s steady time, VERDICT r9 #2)
+        adamic_adar(edges, min_common=2, log_exclusions=False)
         .orderBy(F.col("aa_q").desc(), "u", "v")
         .limit(30)
     )
@@ -9798,7 +9803,10 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        jaccard_link_prediction(edges, min_common=2)
+        # log_exclusions=False: identical cap, fully lazy (zero jobs
+        # at construction) — the oracle mirrors the witness cap in
+        # its adjw CTE, so results are unchanged (VERDICT r9 #2)
+        jaccard_link_prediction(edges, min_common=2, log_exclusions=False)
         .orderBy(F.col("jac_q").desc(), "u", "v")
         .limit(30)
     )
@@ -11944,93 +11952,203 @@ ORACLES["q_file_compaction"] = _FILE_COMPACTION_ORACLE
 ORACLES["q_zipf_fit"] = _ZIPF_FIT_ORACLE
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity violation histogram (operators/curation.py::
+    k_anonymity_report) over customers keyed by the quasi-identifier
+    tuple (nation, market segment, account-balance thousela-bucket) at
+    k=10 — the privacy release gate: one row per under-k equivalence-
+    class SIZE with how many classes and rows sit at that risk level
+    (<= 9 rows whatever the volume; empty = dataset is 10-anonymous).
+    The bucket is floor(double(c_acctbal)/1000): acctbal has 2
+    decimals, so the quotient only lands on an integer when acctbal
+    is an exact multiple of 1000 — exactly representable on both
+    engines, no floor edge."""
+    from h3_indexer_spark.operators.curation import k_anonymity_report
 
-# Round-9 driver window (ONE canonical list — the driver hash-checks
-# the FIRST 50 QUERIES entries in dict order): the 11 keys whose
-# latest driver row is still round 4 (deferred from the round-8
-# rotation — this finally meets the "no oracle key's latest row
-# predates round 5" bar) and the 39 round-9 debuts (every NEW key
-# takes its first driver record in the window — a key with NO driver
-# row is strictly worse than a round-5-stale one, so debuts outrank
-# rotations). All 48 keys whose latest row is round 5 defer to the
-# round-10 rotation (the local mirror re-verifies every ORACLES key
-# each session regardless): q_active_users, q_analytics_pipeline,
-# q_anomalies, q_autocorr, q_boilerplate, q_boilerplate_clean,
-# q_chi_square, q_chunk_docs, q_clustering_coeff,
-# q_co_occurrence, q_data_split, q_dedup_exact,
-# q_domain_cap, q_dup_spans, q_dwell_times,
-# q_event_gaps, q_expectations,
-# q_frequent_items_scalable, q_funnel, q_groupby_sum,
-# q_growth_accounting, q_histogram, q_impute, q_json_extract,
-# q_knn_ivf, q_mad, q_minmax_scale, q_mode, q_moments, q_ntile_bins,
-# q_one_hot, q_pii_scrub, q_profile, q_rebalance_sources,
-# q_regression, q_repetition, q_scan_parquet, q_semantic_dedup,
-# q_seq_pack, q_snapshot_diff, q_time_rollup, q_top_paths,
-# q_transitions, q_triangles, q_twap, q_unpivot, q_url_normalize,
-# q_weighted_sample.
-_WINDOW_R9 = [
-    # the 11 round-4-stale keys (rotation debt from round 8)
-    "q_clean_lines",
-    "q_explode",
-    "q_fingerprint",
-    "q_gap_fill",
-    "q_interval_join",
-    "q_rare_words",
-    "q_region_revenue",
-    "q_scan_where",
-    "q_top_orders",
-    "q_window_tumbling",
-    "q_zscore",
-    # round-9 debuts (first driver record)
-    "q_seq_patterns",
-    "q_quantile_sketch",
-    "q_kmv_intersect",
-    "q_edit_join",
-    "q_quantile_sketch_grouped",
-    "q_keywords",
-    "q_h3_compact",
-    "q_theil_sen",
-    "q_anova",
-    "q_bootstrap_ci",
-    "q_graph_jaccard",
-    "q_log_odds",
-    "q_mutual_best",
-    "q_cramers_v",
-    "q_did",
-    "q_psm_match",
-    "q_spearman",
-    "q_levene",
-    "q_cronbach_alpha",
-    "q_simpsons",
-    "q_mde",
-    "q_partial_corr",
-    "q_reciprocity",
-    "q_skew_report",
-    "q_kendall",
-    "q_assortativity",
-    "q_hhi",
-    "q_wilcoxon",
-    "q_tukey_hsd",
-    "q_price_index",
-    # round-9 continuation debuts (this session's batch — debuts
-    # outrank round-5-stale rotations for the 9 remaining slots
-    # because a key with NO driver row is strictly worse than one
-    # whose latest row is round 5, the freshness bar's floor)
-    "q_kruskal",
-    "q_jarque_bera",
-    "q_xcorr",
-    "q_item_cf",
-    "q_woe_iv",
-    "q_drawdown",
-    "q_pr_auc",
-    "q_file_compaction",
-    "q_zipf_fit",
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("bal_bucket"),
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=10
+    )
+
+
+_K_ANONYMITY_ORACLE = """
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+                   AS bal_bucket
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS sz
+        FROM q GROUP BY 1, 2, 3
+    )
+    SELECT sz AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_rows
+    FROM g
+    WHERE sz < 10
+    GROUP BY sz
+    ORDER BY group_size
+"""
+
+
+def q_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (operators/analytics.py::
+    classification_report) grading a deterministic price-threshold
+    "classifier" of order status (< 100k -> 'F', < 200k -> 'O', else
+    'P') against the true o_orderstatus — the confusion-matrix
+    readout the eval family lacked (roc_auc/pr_auc/ndcg grade scores;
+    this grades hard assignments). Every cell is an exact BIGINT from
+    ONE class-keyed aggregation; each ratio is a single IEEE division
+    of exact integers (f1 via 2tp/(2tp+fp+fn) — one op, never the
+    2PR/(P+R) float compound), ROUND 9, [0,1]-bounded."""
+    from h3_indexer_spark.operators.analytics import classification_report
+
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    price = F.col("o_totalprice").cast("double")
+    scored = orders.select(
+        F.col("o_orderstatus").alias("label"),
+        F.when(price < 100000.0, F.lit("F"))
+        .when(price < 200000.0, F.lit("O"))
+        .otherwise(F.lit("P"))
+        .alias("pred"),
+    )
+    return classification_report(scored, "label", "pred")
+
+
+_CLASS_REPORT_ORACLE = """
+    WITH t AS (
+        SELECT CAST(o_orderstatus AS VARCHAR) AS label,
+               CASE WHEN CAST(o_totalprice AS DOUBLE) < 100000.0
+                        THEN 'F'
+                    WHEN CAST(o_totalprice AS DOUBLE) < 200000.0
+                        THEN 'O'
+                    ELSE 'P' END AS pred
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    e AS (
+        SELECT label AS class, 1 AS _t, 0 AS _p,
+               CASE WHEN label = pred THEN 1 ELSE 0 END AS _tp
+        FROM t
+        UNION ALL
+        SELECT pred AS class, 0 AS _t, 1 AS _p, 0 AS _tp FROM t
+    ),
+    a AS (
+        SELECT class,
+               CAST(SUM(_t) AS BIGINT) AS n_true,
+               CAST(SUM(_p) AS BIGINT) AS n_pred,
+               CAST(SUM(_tp) AS BIGINT) AS tp
+        FROM e GROUP BY class
+    )
+    SELECT class, n_true, n_pred, tp,
+           (n_pred - tp) AS fp,
+           (n_true - tp) AS fn,
+           ROUND(CASE WHEN n_pred > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                 END, 9) AS "precision",
+           ROUND(CASE WHEN n_true > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)
+                 END, 9) AS recall,
+           ROUND(CASE WHEN 2 * tp + (n_pred - tp) + (n_true - tp) > 0
+                 THEN (2.0 * CAST(tp AS DOUBLE))
+                      / CAST(2 * tp + (n_pred - tp) + (n_true - tp)
+                             AS DOUBLE)
+                 END, 9) AS f1
+    FROM a
+    ORDER BY class
+"""
+
+
+QUERIES["q_k_anonymity"] = q_k_anonymity
+QUERIES["q_class_report"] = q_class_report
+ORACLES["q_k_anonymity"] = _K_ANONYMITY_ORACLE
+ORACLES["q_class_report"] = _CLASS_REPORT_ORACLE
+
+
+# Round-10 driver window (ONE canonical list — the driver hash-checks
+# the FIRST 50 QUERIES entries in dict order), executing the SURVEY
+# §7.1 rotation plan verbatim: the 48 keys whose latest driver row is
+# round 5 lead (after this round no oracle key's latest driver row
+# predates round 6 — the freshness bar VERDICT r9 #1 prescribes), and
+# the remaining 2 slots go to the round-10 debuts q_k_anonymity and
+# q_class_report (VERDICT r9 #6/#7; every NEW key takes its first
+# driver record in its debut round — driver-window-slot rule). The
+# previous window's 50 keys all took fresh rows in round 9 and yield.
+# Fisher's exact test (VERDICT #8, stretch) is deliberately NOT
+# debuted this round: 48 + 2 fills the window exactly, and a key
+# with no driver row is worse than no key — it is the first debut
+# candidate of the round-11 window (SURVEY §7.1).
+_WINDOW_R10 = [
+    # 48 round-5-stale rotations (SURVEY §7.1, declared at the old
+    # _WINDOW_R9 site)
+    "q_active_users",
+    "q_analytics_pipeline",
+    "q_anomalies",
+    "q_autocorr",
+    "q_boilerplate",
+    "q_boilerplate_clean",
+    "q_chi_square",
+    "q_chunk_docs",
+    "q_clustering_coeff",
+    "q_co_occurrence",
+    "q_data_split",
+    "q_dedup_exact",
+    "q_domain_cap",
+    "q_dup_spans",
+    "q_dwell_times",
+    "q_event_gaps",
+    "q_expectations",
+    "q_frequent_items_scalable",
+    "q_funnel",
+    "q_groupby_sum",
+    "q_growth_accounting",
+    "q_histogram",
+    "q_impute",
+    "q_json_extract",
+    "q_knn_ivf",
+    "q_mad",
+    "q_minmax_scale",
+    "q_mode",
+    "q_moments",
+    "q_ntile_bins",
+    "q_one_hot",
+    "q_pii_scrub",
+    "q_profile",
+    "q_rebalance_sources",
+    "q_regression",
+    "q_repetition",
+    "q_scan_parquet",
+    "q_semantic_dedup",
+    "q_seq_pack",
+    "q_snapshot_diff",
+    "q_time_rollup",
+    "q_top_paths",
+    "q_transitions",
+    "q_triangles",
+    "q_twap",
+    "q_unpivot",
+    "q_url_normalize",
+    "q_weighted_sample",
+    # round-10 debuts (first driver record)
+    "q_k_anonymity",
+    "q_class_report",
 ]
-assert len(_WINDOW_R9) == 50, len(_WINDOW_R9)
-assert len(set(_WINDOW_R9)) == 50
-_missing = [k for k in _WINDOW_R9 if k not in QUERIES]
+assert len(_WINDOW_R10) == 50, len(_WINDOW_R10)
+assert len(set(_WINDOW_R10)) == 50
+_missing = [k for k in _WINDOW_R10 if k not in QUERIES]
 assert not _missing, f"window names unknown keys: {_missing}"
 QUERIES = {
-    **{k: QUERIES[k] for k in _WINDOW_R9},
-    **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R9},
+    **{k: QUERIES[k] for k in _WINDOW_R10},
+    **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R10},
 }

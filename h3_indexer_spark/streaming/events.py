@@ -1706,7 +1706,11 @@ def streaming_bar_rollup(
             F.min("low").alias("low"),
             F.max(cpair).getField("v").alias("close"),
             F.sum("volume").cast("bigint").alias("volume"),
-            F.sum(F.col("_vsum").cast("decimal(28,4)"))
+            # _vsum is decimal(29,4) (sum over decimal(19,4)); cast UP
+            # to decimal(38,4) so the level-2 fold can never narrow-
+            # overflow to NULL (ADVICE r9: a 28,4 cast silently lost
+            # hourly bars whose value sum needs 25+ integer digits)
+            F.sum(F.col("_vsum").cast("decimal(38,4)"))
             .cast("double")
             .alias("value_sum"),
         )

@@ -26,69 +26,15 @@ def test_queries_and_oracles_consistent():
     assert len(q) >= 20
 
 
-# Round-9 window composition: the driver hash-checks the FIRST 50
+# Round-10 window composition: the driver hash-checks the FIRST 50
 # QUERIES entries in dict order; no-oracle keys get a weaker
-# rows+schema record. This round's window is ONE canonical list
-# (queries.py::_WINDOW_R9): the 11 keys whose latest driver row is
-# round 4 (deferred from round 8's rotation — this finally meets the
-# "no oracle key's latest row predates round 5" bar) and every
-# round-9 debut (39 of them — debuts outrank round-5-stale
-# rotations for the remaining slots).
-STALE_R4 = {
-    "q_clean_lines", "q_explode", "q_fingerprint", "q_gap_fill",
-    "q_interval_join", "q_rare_words", "q_region_revenue",
-    "q_scan_where", "q_top_orders", "q_window_tumbling", "q_zscore",
-}
-# round-9 debuts — every NEW key takes its first driver record in the
-# window (intersected with the live key set so the lock tracks the
-# build)
-PLANNED_R9 = {
-    "q_seq_patterns",
-    "q_quantile_sketch",
-    "q_kmv_intersect",
-    "q_edit_join",
-    "q_quantile_sketch_grouped",
-    "q_keywords",
-    "q_h3_compact",
-    "q_theil_sen",
-    "q_anova",
-    "q_bootstrap_ci",
-    "q_graph_jaccard",
-    "q_log_odds",
-    "q_mutual_best",
-    "q_cramers_v",
-    "q_did",
-    "q_psm_match",
-    "q_spearman",
-    "q_levene",
-    "q_cronbach_alpha",
-    "q_simpsons",
-    "q_mde",
-    "q_partial_corr",
-    "q_reciprocity",
-    "q_skew_report",
-    "q_kendall",
-    "q_assortativity",
-    "q_hhi",
-    "q_wilcoxon",
-    "q_tukey_hsd",
-    "q_price_index",
-    # continuation-session debuts — these outrank round-5-stale
-    # rotations for the last 9 slots (a key with NO driver row is
-    # strictly worse than one whose latest row is round 5)
-    "q_kruskal",
-    "q_jarque_bera",
-    "q_xcorr",
-    "q_item_cf",
-    "q_woe_iv",
-    "q_drawdown",
-    "q_pr_auc",
-    "q_file_compaction",
-    "q_zipf_fit",
-}
-# the 48 round-5 keys the 50-slot budget defers to round 10 (the
-# local mirror re-verifies them every session regardless)
-DEFERRED_TO_R10 = {
+# rows+schema record. This round executes SURVEY §7.1's rotation plan
+# verbatim (queries.py::_WINDOW_R10): the 48 keys whose latest driver
+# row is round 5 take the window (after this round no oracle key's
+# latest driver row predates round 6), plus the 2 round-10 debuts.
+# The round-9 window's 50 keys all took fresh rows in round 9 and
+# yield their slots.
+ROTATED_R10 = {
     "q_active_users", "q_analytics_pipeline", "q_anomalies",
     "q_autocorr", "q_boilerplate", "q_boilerplate_clean",
     "q_chi_square", "q_chunk_docs", "q_clustering_coeff",
@@ -106,31 +52,68 @@ DEFERRED_TO_R10 = {
     "q_time_rollup", "q_top_paths", "q_transitions", "q_triangles",
     "q_twap", "q_unpivot", "q_url_normalize", "q_weighted_sample",
 }
-# rows-only keys allowed in the round-9 window (no SQL mirror) —
-# none planned: every round-9 debut is oracle-checked
-ROWS_ONLY_R9: set[str] = set()
+# round-10 debuts — every NEW key takes its first driver record in
+# its debut round (driver-window-slot rule)
+DEBUTS_R10 = {"q_k_anonymity", "q_class_report"}
+# rows-only keys allowed in the round-10 window (no SQL mirror) —
+# none planned: both debuts are oracle-checked
+ROWS_ONLY_R10: set[str] = set()
 
 
-def test_round9_window_composition():
-    """All 11 round-4-stale keys and each implemented round-9 debut
-    sit inside the 50-key window; every window key is oracle-checked
-    (no rows-only slots this round); the deferred round-5 keys are
-    genuinely outside."""
+def test_round10_window_composition():
+    """All 48 round-5-stale keys and both round-10 debuts sit inside
+    the 50-key window; every window key is oracle-checked (no
+    rows-only slots this round); no freshly-rotated round-9 key burns
+    a slot."""
     import __spark_entry__ as e
 
     q = list(e.queries())
     o = e.oracle_sql()
     window = set(q[:50])
-    must_rotate = STALE_R4 | (PLANNED_R9 & set(q))
+    must_rotate = ROTATED_R10 | (DEBUTS_R10 & set(q))
     missing = must_rotate - window
     assert not missing, f"stale keys fell out of the window: {missing}"
     no_oracle = {k for k in q[:50] if k not in o}
-    assert no_oracle <= ROWS_ONLY_R9, (
-        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R9}"
+    assert no_oracle <= ROWS_ONLY_R10, (
+        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R10}"
     )
-    assert not (DEFERRED_TO_R10 & window), (
-        "deferred keys must not burn window slots"
-    )
+
+
+def test_no_stale_driver_rows_after_round10():
+    """The freshness invariant VERDICT r9 #1 prescribes: every oracle
+    key's latest driver row, once this round's window lands, is round
+    6 or later. Historical CORRECTNESS files give each key's latest
+    recorded round; keys in the current window count as
+    latest=current."""
+    import glob
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as e
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            keys = set(json.load(open(path)))
+        except (json.JSONDecodeError, OSError):  # pragma: no cover
+            continue
+        for k in keys:
+            latest[k] = max(latest.get(k, 0), rnd)
+    current_round = max(latest.values(), default=0) + 1
+    for k in list(e.queries())[:50]:
+        latest[k] = current_round
+    stale = {
+        k: latest.get(k)
+        for k in e.oracle_sql()
+        if latest.get(k, 0) < 6
+    }
+    assert not stale, f"keys whose latest driver row predates round 6: {stale}"
 
 
 def test_every_oracle_key_has_a_driver_row():

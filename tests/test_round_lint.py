@@ -1,0 +1,58 @@
+"""ROUND-digits lint (VERDICT r9 #4): oracle-checked compounds must
+not round unbounded statistics past 9 fractional digits — doubles only
+carry ~15-16 significant digits TOTAL, so ROUND(~1e3-magnitude, 12)
+sits at the representation edge where Spark and DuckDB legally differ
+in the last ulp (the q_did/q_cuped sf0.1 divergence, commit 262a8a2).
+Bounded-in-[-1,1] statistics are exempt via an allowlist that requires
+a written boundedness proof."""
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from tools.round_lint import (  # noqa: E402
+    find_round_calls,
+    find_violations,
+    scan_engine,
+)
+
+
+class TestLintMechanics:
+    def test_seeded_sql_violation_is_caught(self):
+        sql = "SELECT ROUND(SUM(x) / COUNT(*), 12) AS m FROM t"
+        bad = find_violations(sql, "seed.py")
+        assert len(bad) == 1 and bad[0].digits == 12
+
+    def test_seeded_pyspark_violation_is_caught(self):
+        src = 'df.select(F.round(F.col("a") * nd - sx * sy, 11).alias("b"))'
+        bad = find_violations(src, "seed.py")
+        assert len(bad) == 1 and bad[0].digits == 11
+
+    def test_nested_parens_digits_parse(self):
+        sql = "ROUND(CAST(FLOOR(a / b) AS DOUBLE) + COALESCE(c, 0), 9)"
+        calls = find_round_calls(sql)
+        assert [c.digits for c in calls] == [9]
+
+    def test_round_to_9_or_fewer_is_clean(self):
+        sql = "SELECT ROUND(x, 9), ROUND(y, 6), ROUND(z, 0) FROM t"
+        assert find_violations(sql) == []
+
+    def test_non_literal_digits_is_out_of_scope(self):
+        assert find_violations("F.round(x, n_digits)") == []
+
+    def test_exempt_requires_matching_file_and_snippet(self):
+        # same snippet, wrong file: NOT exempt
+        src = 'F.round(F.when(den > 0, corr * corr), 12).alias("r2")'
+        assert find_violations(src, "operators/other.py")
+        # right file + snippet: exempt (r2 bounded in [0, 1])
+        assert find_violations(src, "operators/relational.py") == []
+
+
+class TestEngineIsClean:
+    def test_no_round_violations_in_engine_sources(self):
+        violations = scan_engine(REPO)
+        assert violations == [], [
+            f"{v.path}:{v.line} digits={v.digits}" for v in violations
+        ]
