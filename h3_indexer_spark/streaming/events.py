@@ -1725,3 +1725,96 @@ def streaming_bar_rollup(
             "value_sum",
         )
     )
+
+
+def streaming_class_report(
+    events: DataFrame,
+    ts_col: str = "ts",
+    label_col: str = "label",
+    pred_col: str = "pred",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators/analytics.py::classification_report:
+    the per-window, per-class confusion-matrix readout
+    (tp/fp/fn/precision/recall/F1) over a live prediction log — the
+    online model-quality monitor (per-window F1 dropping is the drift
+    alarm a deployed classifier wants).
+
+    Same ONE-shuffle shape as the batch operator: each event explodes
+    into its label-role and pred-role contributions (a NARROW map —
+    the event-time column rides along, so the watermark set upstream
+    still governs), and the built-in windowed aggregation collapses
+    them map-side. No custom state: state is one row per (window,
+    class) — bounded by the class vocabulary per open window,
+    watermark-expired, never traffic-proportional. Append mode: a
+    window's report emits once, final, when the watermark passes.
+    Ratios are the batch formulas exactly (F1 = 2tp/(2tp+fp+fn), one
+    IEEE division of exact longs, ROUND 9), so an availableNow replay
+    equals the batch operator applied per window row for row
+    (test-locked). NULL label/pred rows drop (batch contract); NULL
+    event times drop (a null window's state is watermark-immortal —
+    the streaming_bar_rollup rule)."""
+    lbl = F.col(label_col).cast("string")
+    prd = F.col(pred_col).cast("string")
+    contrib = (
+        events.where(
+            lbl.isNotNull() & prd.isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.explode(
+                F.array(
+                    F.struct(
+                        lbl.alias("class"),
+                        F.lit(1).alias("_t"),
+                        F.lit(0).alias("_p"),
+                        (lbl == prd).cast("int").alias("_tp"),
+                    ),
+                    F.struct(
+                        prd.alias("class"),
+                        F.lit(0).alias("_t"),
+                        F.lit(1).alias("_p"),
+                        F.lit(0).alias("_tp"),
+                    ),
+                )
+            ).alias("_e"),
+        )
+        .select(ts_col, "_e.*")
+    )
+    agg = contrib.groupBy(
+        F.window(ts_col, window).alias("w"), "class"
+    ).agg(
+        F.sum("_t").cast("bigint").alias("n_true"),
+        F.sum("_p").cast("bigint").alias("n_pred"),
+        F.sum("_tp").cast("bigint").alias("tp"),
+    )
+    tp = F.col("tp").cast("double")
+    fp_i = F.col("n_pred") - F.col("tp")
+    fn_i = F.col("n_true") - F.col("tp")
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        fp_i.cast("bigint").alias("fp"),
+        fn_i.cast("bigint").alias("fn"),
+        F.round(
+            F.when(F.col("n_pred") > 0, tp / F.col("n_pred").cast("double")),
+            9,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_true") > 0, tp / F.col("n_true").cast("double")),
+            9,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                (F.lit(2) * F.col("tp") + fp_i + fn_i) > 0,
+                (F.lit(2.0) * tp)
+                / (F.lit(2) * F.col("tp") + fp_i + fn_i).cast("double"),
+            ),
+            9,
+        ).alias("f1"),
+    )

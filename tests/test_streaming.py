@@ -2118,3 +2118,143 @@ def test_null_event_time_rows_drop_cleanly(spark, tmp_path):
     # single batch: nothing closes, but the query must COMPLETE and
     # hold no poisoned null-window state (the crash/leak regression)
     assert rollup.count() >= 0
+
+
+class TestStreamingClassReport:
+    """streaming_class_report: per-window confusion-matrix monitor —
+    availableNow replay must equal the batch classification_report
+    applied per window, and state must stay (window x class)-bounded."""
+
+    @staticmethod
+    def _scored(df):
+        # deterministic pseudo-classifier over the events fixture:
+        # label = the true event_type, pred = a value-threshold rule
+        return df.select(
+            "ts",
+            F.col("event_type").alias("label"),
+            F.when(F.col("value") < 50.0, F.lit("view"))
+            .otherwise(F.lit("purchase"))
+            .alias("pred"),
+        )
+
+    def test_full_replay_matches_batch_per_window(self, spark, events_dir):
+        from h3_indexer_spark.operators.analytics import classification_report
+        from h3_indexer_spark.streaming.events import streaming_class_report
+
+        # complete mode for FULL parity: in append mode the stream's
+        # final windows correctly hold back until the watermark passes
+        # them (availableNow ends the stream first) — append-subset
+        # correctness is asserted in test_state_is_window_class_bounded
+        out = _run_stream(
+            spark,
+            streaming_class_report(
+                self._scored(_read_stream(spark, events_dir)),
+                window="1 day",
+            ),
+            output_mode="complete",
+        )
+        got = {
+            (r["window_start"], r["class"]): (
+                r["n_true"], r["n_pred"], r["tp"], r["fp"], r["fn"],
+                r["precision"], r["recall"], r["f1"],
+            )
+            for r in out.collect()
+        }
+
+        batch = self._scored(spark.read.parquet(events_dir))
+        want = {}
+        for w in (
+            batch.select(F.window("ts", "1 day").alias("w"))
+            .select("w.start").distinct().collect()
+        ):
+            start = w["start"]
+            sliced = batch.where(
+                F.window("ts", "1 day").getField("start") == F.lit(start)
+            )
+            for r in classification_report(sliced, "label", "pred").collect():
+                want[(start, r["class"])] = (
+                    r["n_true"], r["n_pred"], r["tp"], r["fp"], r["fn"],
+                    r["precision"], r["recall"], r["f1"],
+                )
+        assert got == want and got
+
+    def test_state_is_window_class_bounded(self, spark, events_dir):
+        """numRowsTotal after the replay must be <= open windows x
+        class vocabulary — structural bound, not traffic (the
+        test_streaming state-bound pattern)."""
+        import uuid as _uuid
+
+        from h3_indexer_spark.streaming.events import streaming_class_report
+
+        name = f"mem_{_uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_class_report(
+                self._scored(_read_stream(spark, events_dir)),
+                window="1 day",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = q.lastProgress
+        batch = self._scored(spark.read.parquet(events_dir))
+        n_windows = (
+            batch.select(F.window("ts", "1 day").alias("w"))
+            .select("w.start").distinct().count()
+        )
+        n_classes = (
+            batch.select(F.col("label").alias("c"))
+            .unionByName(batch.select(F.col("pred").alias("c")))
+            .distinct().count()
+        )
+        state_rows = sum(
+            op.get("numRowsTotal", 0)
+            for op in (progress or {}).get("stateOperators", [])
+        )
+        assert state_rows <= n_windows * n_classes, (
+            state_rows, n_windows, n_classes
+        )
+        # append-mode subset parity: every row that DID emit (windows
+        # the watermark closed) must equal the batch readout exactly
+        from h3_indexer_spark.operators.analytics import (
+            classification_report,
+        )
+
+        emitted = spark.table(name).collect()
+        assert emitted, "append replay emitted no closed windows"
+        for r in emitted:
+            sliced = batch.where(
+                F.window("ts", "1 day").getField("start")
+                == F.lit(r["window_start"])
+            )
+            b = {
+                row["class"]: row
+                for row in classification_report(
+                    sliced, "label", "pred"
+                ).collect()
+            }[r["class"]]
+            assert (
+                r["n_true"], r["n_pred"], r["tp"], r["fp"], r["fn"],
+                r["precision"], r["recall"], r["f1"],
+            ) == (
+                b["n_true"], b["n_pred"], b["tp"], b["fp"], b["fn"],
+                b["precision"], b["recall"], b["f1"],
+            ), r["window_start"]
+
+    def test_null_rows_drop(self, spark, events_dir):
+        from h3_indexer_spark.streaming.events import streaming_class_report
+
+        src = _read_stream(spark, events_dir).select(
+            "ts",
+            F.lit(None).cast("string").alias("label"),
+            F.lit("x").alias("pred"),
+        )
+        out = _run_stream(
+            spark,
+            streaming_class_report(src, window="1 day"),
+            output_mode="append",
+        )
+        assert out.count() == 0
