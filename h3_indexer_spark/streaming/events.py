@@ -1818,3 +1818,69 @@ def streaming_class_report(
             9,
         ).alias("f1"),
     )
+
+
+def streaming_k_anonymity(
+    events: DataFrame,
+    quasi_cols: list[str],
+    ts_col: str = "ts",
+    k: int = 10,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators/curation.py::k_anonymity_report:
+    the per-window quasi-identifier violation histogram over a live
+    event stream — the release gate as a continuous monitor (a window
+    whose histogram is non-empty is NOT k-anonymous and must not ship
+    to the downstream extract).
+
+    CHAINED stateful aggregation (the streaming_bar_rollup mechanics):
+    level 1 counts each (window, quasi-identifier tuple) equivalence
+    class — keeping the window STRUCT so its event-time attribute
+    survives — a narrow filter keeps classes below ``k``, and level 2
+    windows over ``window_time(w)`` with the SAME span to collapse
+    them into the per-size histogram (group_size, n_groups, n_rows).
+    Both levels watermark-expire; append mode end to end (a class
+    count must be FINAL before it can be judged under-k — mid-window
+    a class is still filling, so only a closed window's histogram is
+    meaningful, which is exactly what append gives).
+
+    State: level 1 holds one row per OPEN window per quasi-class seen
+    in it — bounded by the quasi-key cardinality per window, which is
+    the operator's honest cost at 100 TB (a near-unique quasi-key
+    makes level-1 state ~traffic-sized until the watermark closes the
+    window; choose windows/watermarks accordingly — same caveat as
+    any streaming COUNT DISTINCT). Level 2 holds ≤ k−1 rows per open
+    window. NULL event times drop (immortal-state rule); NULL quasi
+    values form their own class (batch contract — a NULL zip is a
+    linkable signature).
+
+    availableNow replay equals the batch k_anonymity_report applied
+    per window (test-locked)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    sizes = (
+        events.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_sz"))
+    )
+    return (
+        sizes.where(F.col("_sz") < k)
+        .groupBy(
+            F.window(F.window_time("w"), window).alias("rw"),
+            F.col("_sz").alias("group_size"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("_sz").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("rw.start").alias("window_start"),
+            "group_size",
+            "n_groups",
+            "n_rows",
+        )
+    )

@@ -2258,3 +2258,122 @@ class TestStreamingClassReport:
             output_mode="append",
         )
         assert out.count() == 0
+
+
+class TestStreamingKAnonymity:
+    """streaming_k_anonymity: per-window quasi-identifier violation
+    histogram via CHAINED stateful aggregation — replay parity with
+    the batch k_anonymity_report per window, plus state bounds."""
+
+    QI = ["event_type"]
+
+    def test_closed_prefix_matches_batch_per_window(
+        self, spark, events_dir_timeordered
+    ):
+        """Chained stateful aggregations are append-only (Spark
+        rejects complete mode over two stateful operators), so the
+        replay yields the CLOSED-WINDOW PREFIX of the batch readout —
+        every emitted row must equal the independent batch
+        k_anonymity_report on that window's slice, and the 2h
+        watermark over the time-ordered multi-batch source must have
+        closed most windows (the bar_rollup test pattern)."""
+        from h3_indexer_spark.operators.curation import k_anonymity_report
+        from h3_indexer_spark.streaming.events import streaming_k_anonymity
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        out = _run_stream(
+            spark,
+            streaming_k_anonymity(
+                src, quasi_cols=self.QI, window="6 hours", k=400
+            ),
+            output_mode="append",
+        )
+        got = {
+            (r["window_start"], r["group_size"]): (r["n_groups"], r["n_rows"])
+            for r in out.collect()
+        }
+        assert got, "no window closed — watermark never propagated"
+
+        batch = spark.read.parquet(events_dir_timeordered)
+        want = {}
+        for w in (
+            batch.select(F.window("ts", "6 hours").alias("w"))
+            .select("w.start").distinct().collect()
+        ):
+            start = w["start"]
+            sliced = batch.where(
+                F.window("ts", "6 hours").getField("start") == F.lit(start)
+            )
+            for r in k_anonymity_report(sliced, self.QI, k=400).collect():
+                want[(start, r["group_size"])] = (r["n_groups"], r["n_rows"])
+        # every emitted row equals its batch twin
+        for key, v in got.items():
+            assert want[key] == v, key
+        # the closed prefix covers all but the watermark tail
+        open_windows = {w for (w, _s) in want} - {w for (w, _s) in got}
+        assert len(open_windows) <= 2, sorted(open_windows)
+
+    def test_append_subset_and_state_bounds(self, spark, events_dir):
+        import uuid as _uuid
+
+        from h3_indexer_spark.operators.curation import k_anonymity_report
+        from h3_indexer_spark.streaming.events import streaming_k_anonymity
+
+        name = f"mem_{_uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_k_anonymity(
+                _read_stream(spark, events_dir),
+                quasi_cols=self.QI,
+                window="6 hours",
+                k=400,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        batch = spark.read.parquet(events_dir)
+        # structural state bound: level 1 <= windows x QI classes,
+        # level 2 <= windows x (k-1) sizes
+        n_windows = (
+            batch.select(F.window("ts", "6 hours").alias("w"))
+            .select("w.start").distinct().count()
+        )
+        n_classes = batch.select(*self.QI).distinct().count()
+        state_rows = sum(
+            op.get("numRowsTotal", 0)
+            for op in (q.lastProgress or {}).get("stateOperators", [])
+        )
+        assert state_rows <= n_windows * (n_classes + 399), (
+            state_rows, n_windows, n_classes
+        )
+        # append-subset parity: every emitted (closed) window row
+        # equals the batch readout
+        for r in spark.table(name).collect():
+            sliced = batch.where(
+                F.window("ts", "6 hours").getField("start")
+                == F.lit(r["window_start"])
+            )
+            b = {
+                row["group_size"]: (row["n_groups"], row["n_rows"])
+                for row in k_anonymity_report(
+                    sliced, self.QI, k=400
+                ).collect()
+            }
+            assert b[r["group_size"]] == (r["n_groups"], r["n_rows"])
+
+    def test_rejects_bad_args(self, spark, events_dir):
+        from h3_indexer_spark.streaming.events import streaming_k_anonymity
+
+        src = _read_stream(spark, events_dir)
+        with pytest.raises(ValueError):
+            streaming_k_anonymity(src, quasi_cols=["event_type"], k=1)
+        with pytest.raises(ValueError):
+            streaming_k_anonymity(src, quasi_cols=[])
