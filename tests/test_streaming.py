@@ -2377,3 +2377,89 @@ class TestStreamingKAnonymity:
             streaming_k_anonymity(src, quasi_cols=["event_type"], k=1)
         with pytest.raises(ValueError):
             streaming_k_anonymity(src, quasi_cols=[])
+
+
+class TestRocksDBRound10Twins:
+    """RocksDB provider parity for the round-10 twins: the chained
+    k-anonymity monitor (two stateful operators in one query — the
+    state-store shape production privacy gates will run) and the
+    class-report monitor."""
+
+    ROCKS = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def _with_provider(self, spark, provider, fn):
+        old = spark.conf.get(self.KEY, None)
+        if provider is None:
+            spark.conf.unset(self.KEY)
+        else:
+            spark.conf.set(self.KEY, provider)
+        try:
+            return fn()
+        finally:
+            if old is None:
+                spark.conf.unset(self.KEY)
+            else:
+                spark.conf.set(self.KEY, old)
+
+    def test_k_anonymity_chain_matches_default_provider(
+        self, spark, events_dir_timeordered
+    ):
+        from h3_indexer_spark.streaming.events import streaming_k_anonymity
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+
+        def run_once():
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_dir_timeordered)
+            )
+            return {
+                (r["window_start"], r["group_size"]): (
+                    r["n_groups"], r["n_rows"]
+                )
+                for r in _run_stream(
+                    spark,
+                    streaming_k_anonymity(
+                        src, quasi_cols=["event_type"],
+                        window="6 hours", k=400,
+                    ),
+                    output_mode="append",
+                ).collect()
+            }
+
+        default_rows = self._with_provider(spark, None, run_once)
+        rocks_rows = self._with_provider(spark, self.ROCKS, run_once)
+        assert rocks_rows == default_rows and rocks_rows
+
+    def test_class_report_matches_default_provider(
+        self, spark, events_dir
+    ):
+        from h3_indexer_spark.streaming.events import streaming_class_report
+
+        def run_once():
+            src = _read_stream(spark, events_dir).select(
+                "ts",
+                F.col("event_type").alias("label"),
+                F.when(F.col("value") < 50.0, F.lit("view"))
+                .otherwise(F.lit("purchase"))
+                .alias("pred"),
+            )
+            return {
+                (r["window_start"], r["class"]): (
+                    r["tp"], r["fp"], r["fn"], r["f1"]
+                )
+                for r in _run_stream(
+                    spark,
+                    streaming_class_report(src, window="1 day"),
+                    output_mode="complete",
+                ).collect()
+            }
+
+        default_rows = self._with_provider(spark, None, run_once)
+        rocks_rows = self._with_provider(spark, self.ROCKS, run_once)
+        assert rocks_rows == default_rows and rocks_rows
