@@ -4421,11 +4421,27 @@ def classification_report(
     Output: class, n_true, n_pred, tp, fp, fn, precision, recall, f1
     ordered by class — |classes| rows, report-sized at any volume.
     """
+    contrib = class_report_contributions(df, label_col, pred_col)
+    agg = contrib.groupBy("class").agg(*class_report_aggs())
+    return agg.select("class", *class_report_columns()).orderBy("class")
+
+
+def class_report_contributions(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Shared front end of the batch classification_report and the
+    streaming_class_report twin (extracting it is what KEEPS them in
+    lockstep — a ratio/cast fix lands in both automatically): each
+    non-null (label, pred) row explodes into its label-role and
+    pred-role contributions. Narrow map — every other input column
+    (e.g. the streaming twin's event-time column) rides along."""
     lbl = F.col(label_col).cast("string")
     prd = F.col(pred_col).cast("string")
-    contrib = (
+    others = [c for c in df.columns if c not in (label_col, pred_col)]
+    return (
         df.where(lbl.isNotNull() & prd.isNotNull())
         .select(
+            *others,
             F.explode(
                 F.array(
                     F.struct(
@@ -4441,23 +4457,34 @@ def classification_report(
                         F.lit(0).alias("_tp"),
                     ),
                 )
-            ).alias("_e")
+            ).alias("_e"),
         )
-        .select("_e.*")
+        .select(*others, "_e.*")
     )
-    agg = contrib.groupBy("class").agg(
+
+
+def class_report_aggs() -> list[Column]:
+    """The exact-BIGINT confusion-cell aggregates over the
+    contributions frame (shared batch/streaming)."""
+    return [
         F.sum("_t").cast("bigint").alias("n_true"),
         F.sum("_p").cast("bigint").alias("n_pred"),
         F.sum("_tp").cast("bigint").alias("tp"),
-    )
+    ]
+
+
+def class_report_columns() -> list[Column]:
+    """Post-aggregation derived columns (shared batch/streaming):
+    fp/fn as exact integers; precision, recall and F1 each ONE IEEE
+    division of exact integers (F1 via 2tp/(2tp+fp+fn), never the
+    2PR/(P+R) float compound), ROUND 9 ([0,1]-bounded)."""
     tp = F.col("tp").cast("double")
     fp_i = F.col("n_pred") - F.col("tp")
     fn_i = F.col("n_true") - F.col("tp")
-    return agg.select(
-        "class",
-        "n_true",
-        "n_pred",
-        "tp",
+    return [
+        F.col("n_true"),
+        F.col("n_pred"),
+        F.col("tp"),
         fp_i.cast("bigint").alias("fp"),
         fn_i.cast("bigint").alias("fn"),
         F.round(
@@ -4476,4 +4503,4 @@ def classification_report(
             ),
             9,
         ).alias("f1"),
-    ).orderBy("class")
+    ]

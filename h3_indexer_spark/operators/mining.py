@@ -406,6 +406,7 @@ def sequential_patterns_full(
     order_tiebreak: str = "event_id",
     min_support: int = 2,
     max_len: int = 5,
+    pins_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """FULL sequential pattern mining (PrefixSpan semantics, Pei et
     al. 2001): every event-type sequence of length ≤ ``max_len``
@@ -446,14 +447,24 @@ def sequential_patterns_full(
     order. Deterministic: exact integer supports, arrow-joined
     pattern strings.
 
+    There is deliberately NO early-stop probe: a driver-side take(1)
+    per level would materialize the dominant per-level join twice
+    (measured ~2x on the deepest level), and levels past the data's
+    longest frequent pattern are EMPTY lazy joins AQE skips at action
+    time — keep ``max_len`` sane, but an over-large value costs plan
+    nodes and cache slots, not jobs.
+
     Cache lifecycle: the position-indexed event table and each
-    level's survivor table are persist()-pinned (each feeds two
-    consumers; without the pin level k re-derives k joins). Pins are
-    plan-keyed, so repeat invocations on the same input reuse one
-    cache slot — but a long-lived session mining MANY distinct
-    datasets should bound executor storage (MEMORY_AND_DISK is the
-    default behavior; call spark.catalog.clearCache() between corpora
-    if needed — the q_triangles precedent, ADVICE r9)."""
+    level's join output are persist()-pinned (each feeds multiple
+    consumers; pinning the PRUNED view instead re-derives the
+    dominant join 2-3x — measured). Pins are plan-keyed, so repeat
+    invocations on the same input reuse one cache slot. A long-lived
+    session mining MANY distinct corpora should release them after
+    materializing the result: pass ``pins_out=[]`` and unpersist the
+    collected DataFrames once the caller's action completes —
+    narrower than spark.catalog.clearCache(), which would also evict
+    every unrelated pinned table in the session (ADVICE r9, the
+    q_triangles precedent)."""
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
     if max_len < 1:
@@ -476,8 +487,16 @@ def sequential_patterns_full(
     )
     ev = ev.join(freq_types, "_t", "left_semi")
     # the event table feeds every level — pin it once (lazy; the
-    # first level's action materializes it)
-    ev = ev.persist()
+    # first level's action materializes it). Every pin is also
+    # reported through pins_out so callers can release executor
+    # storage after their action completes.
+    def _pin(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        if pins_out is not None:
+            pins_out.append(df)
+        return df
+
+    ev = _pin(ev)
     sep = " -> "
     # Persistence discipline (measured, not theoretical): the PINNED
     # table must be each level's JOIN OUTPUT, not the support-pruned
@@ -493,9 +512,11 @@ def sequential_patterns_full(
     # past the longest frequent pattern are EMPTY lazy joins that AQE
     # skips at action time.
     # level 1: earliest occurrence of each surviving type per entity
-    level = ev.groupBy("_e", F.col("_t").alias("_pat")).agg(
-        F.min("_pos").alias("_end")
-    ).persist()
+    level = _pin(
+        ev.groupBy("_e", F.col("_t").alias("_pat")).agg(
+            F.min("_pos").alias("_end")
+        )
+    )
     out_levels: list[DataFrame] = []
     for length in range(1, max_len + 1):
         support = level.groupBy(F.col("_pat").alias("pattern")).agg(
@@ -517,7 +538,7 @@ def sequential_patterns_full(
             support.select(F.col("pattern").alias("_pat")), "_pat",
             "left_semi",
         )
-        level = (
+        level = _pin(
             pruned.join(ev, "_e")
             .where(F.col("_pos") > F.col("_end"))
             .groupBy(
@@ -527,7 +548,7 @@ def sequential_patterns_full(
                 ).alias("_pat"),
             )
             .agg(F.min("_pos").alias("_end"))
-        ).persist()
+        )
     result = out_levels[0]
     for nxt in out_levels[1:]:
         result = result.unionByName(nxt)

@@ -1755,68 +1755,30 @@ def streaming_class_report(
     (test-locked). NULL label/pred rows drop (batch contract); NULL
     event times drop (a null window's state is watermark-immortal —
     the streaming_bar_rollup rule)."""
-    lbl = F.col(label_col).cast("string")
-    prd = F.col(pred_col).cast("string")
-    contrib = (
-        events.where(
-            lbl.isNotNull() & prd.isNotNull() & F.col(ts_col).isNotNull()
-        )
+    from h3_indexer_spark.operators.analytics import (
+        class_report_aggs,
+        class_report_columns,
+        class_report_contributions,
+    )
+
+    # the shared contributions builder keeps the streaming twin in
+    # LOCKSTEP with the batch operator (one place for the role
+    # explode and every ratio expression); the event-time column
+    # rides through the narrow map, so the watermark set here governs
+    contrib = class_report_contributions(
+        events.where(F.col(ts_col).isNotNull())
         .withWatermark(ts_col, watermark)
-        .select(
-            F.col(ts_col),
-            F.explode(
-                F.array(
-                    F.struct(
-                        lbl.alias("class"),
-                        F.lit(1).alias("_t"),
-                        F.lit(0).alias("_p"),
-                        (lbl == prd).cast("int").alias("_tp"),
-                    ),
-                    F.struct(
-                        prd.alias("class"),
-                        F.lit(0).alias("_t"),
-                        F.lit(1).alias("_p"),
-                        F.lit(0).alias("_tp"),
-                    ),
-                )
-            ).alias("_e"),
-        )
-        .select(ts_col, "_e.*")
+        .select(ts_col, label_col, pred_col),
+        label_col,
+        pred_col,
     )
     agg = contrib.groupBy(
         F.window(ts_col, window).alias("w"), "class"
-    ).agg(
-        F.sum("_t").cast("bigint").alias("n_true"),
-        F.sum("_p").cast("bigint").alias("n_pred"),
-        F.sum("_tp").cast("bigint").alias("tp"),
-    )
-    tp = F.col("tp").cast("double")
-    fp_i = F.col("n_pred") - F.col("tp")
-    fn_i = F.col("n_true") - F.col("tp")
+    ).agg(*class_report_aggs())
     return agg.select(
         F.col("w.start").alias("window_start"),
         "class",
-        "n_true",
-        "n_pred",
-        "tp",
-        fp_i.cast("bigint").alias("fp"),
-        fn_i.cast("bigint").alias("fn"),
-        F.round(
-            F.when(F.col("n_pred") > 0, tp / F.col("n_pred").cast("double")),
-            9,
-        ).alias("precision"),
-        F.round(
-            F.when(F.col("n_true") > 0, tp / F.col("n_true").cast("double")),
-            9,
-        ).alias("recall"),
-        F.round(
-            F.when(
-                (F.lit(2) * F.col("tp") + fp_i + fn_i) > 0,
-                (F.lit(2.0) * tp)
-                / (F.lit(2) * F.col("tp") + fp_i + fn_i).cast("double"),
-            ),
-            9,
-        ).alias("f1"),
+        *class_report_columns(),
     )
 
 

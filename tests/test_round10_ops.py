@@ -427,12 +427,36 @@ class TestSequentialPatternsFull:
         assert "z" not in got and got["a -> b"] == (2, 2)
         assert all("z" not in p for p in got)
 
-    def test_early_stop_on_empty_level(self, spark):
-        # streams of length 2: no length-3 pattern can exist; max_len
-        # of 6 must not loop 6 times over empty tables
+    def test_over_large_max_len_yields_empty_tail_levels(self, spark):
+        # streams of length 2: no length-3 pattern can exist; levels
+        # 3..6 are EMPTY lazy joins (there is deliberately no driver-
+        # side early-stop probe — it would double-materialize the
+        # dominant join), so the result is still exactly the length
+        # <= 2 patterns
         streams = {"u1": ["a", "b"], "u2": ["a", "b"]}
         got = self._mine(spark, streams, min_support=2, max_len=6)
         assert max(v[0] for v in got.values()) == 2
+
+    def test_pins_out_releases_executor_storage(self, spark):
+        from h3_indexer_spark.operators.mining import (
+            sequential_patterns_full,
+        )
+
+        df = spark.createDataFrame(
+            [("u1", 1, "a", 1), ("u1", 2, "b", 2),
+             ("u2", 1, "a", 1), ("u2", 2, "b", 2)],
+            "user_id string, ts long, event_type string, event_id long",
+        )
+        pins = []
+        out = sequential_patterns_full(
+            df, min_support=2, max_len=3, pins_out=pins
+        )
+        assert out.count() == 3  # a, b, a -> b
+        assert len(pins) == 4  # ev + levels 1..3 (level 3 empty but pinned)
+        assert all(p.storageLevel.useMemory for p in pins)
+        for p in pins:
+            p.unpersist()
+        assert all(not p.storageLevel.useMemory for p in pins)
 
     def test_rejects_bad_args(self, spark):
         import pytest

@@ -56,3 +56,42 @@ class TestEngineIsClean:
         assert violations == [], [
             f"{v.path}:{v.line} digits={v.digits}" for v in violations
         ]
+
+
+class TestParserHardening:
+    """Round-10 review findings: comments and escape sequences must
+    not blind the parser (false negatives in a CI gate are worse than
+    no gate)."""
+
+    def test_comment_with_unbalanced_paren_does_not_hide_violation(self):
+        src = (
+            "x = F.round(\n"
+            "    expr,  # unbounded stat (see SCALE.md\n"
+            "    12,\n"
+            ")\n"
+        )
+        bad = find_violations(src, "seed.py")
+        assert len(bad) == 1 and bad[0].digits == 12
+
+    def test_comment_with_comma_does_not_split_args(self):
+        src = (
+            "x = F.round(\n"
+            "    a / b,  # ratio, quantized, see entropy rule\n"
+            "    11,\n"
+            ")\n"
+        )
+        bad = find_violations(src, "seed.py")
+        assert len(bad) == 1 and bad[0].digits == 11
+
+    def test_hash_inside_string_is_not_a_comment(self):
+        # the '#' lives in a SQL string literal — stripping it as a
+        # comment would delete the digits arg and hide the violation
+        sql = 'q = "SELECT ROUND(x, 12) AS m -- tag #42 FROM t"'
+        bad = find_violations(sql, "seed.py")
+        assert len(bad) == 1 and bad[0].digits == 12
+
+    def test_escaped_backslash_before_quote_terminates_string(self):
+        # "...\\" ends the string; the following round call must parse
+        src = 's = "path\\\\"\ny = F.round(z, 13)\n'
+        bad = find_violations(src, "seed.py")
+        assert len(bad) == 1 and bad[0].digits == 13

@@ -71,10 +71,46 @@ class RoundCall:
     snippet: str
 
 
+def _strip_comments(blob: str) -> str:
+    """Blank out '#'-to-end-of-line comments that sit OUTSIDE string
+    literals (replacing them with spaces preserves every offset and
+    line number). Without this, a comment containing an unbalanced
+    '(' or a ',' inside a multi-line round(...) call corrupts the
+    arg parser and a violation silently passes — a false negative in
+    the lint gate."""
+    out = list(blob)
+    in_str: str | None = None
+    i = 0
+    n = len(blob)
+    while i < n:
+        ch = blob[i]
+        if in_str:
+            if ch == "\\":
+                i += 2  # skip the escaped char, whatever it is
+                continue
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in "'\"":
+            in_str = ch
+        elif ch == "#":
+            j = blob.find("\n", i)
+            j = n if j == -1 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+            continue
+        i += 1
+    return "".join(out)
+
+
 def _top_level_args(blob: str, open_idx: int) -> tuple[list[str], int]:
     """Split the argument list of the call whose '(' is at open_idx
     into top-level comma-separated args; return (args, close_idx).
-    Handles nested parens/brackets and string literals."""
+    Handles nested parens/brackets and string literals (escapes
+    consumed pairwise, so a trailing '\\\\' before a quote does not
+    un-terminate the string)."""
     depth = 0
     args: list[str] = []
     cur: list[str] = []
@@ -85,7 +121,11 @@ def _top_level_args(blob: str, open_idx: int) -> tuple[list[str], int]:
         ch = blob[i]
         if in_str:
             cur.append(ch)
-            if ch == in_str and blob[i - 1] != "\\":
+            if ch == "\\" and i + 1 < n:
+                cur.append(blob[i + 1])
+                i += 2  # consume the escape pair atomically
+                continue
+            if ch == in_str:
                 in_str = None
             i += 1
             continue
@@ -114,10 +154,13 @@ def _top_level_args(blob: str, open_idx: int) -> tuple[list[str], int]:
 def find_round_calls(blob: str, path: str = "<str>") -> list[RoundCall]:
     """Every round(...) call in ``blob`` whose LAST top-level argument
     is an integer literal (the digits arg)."""
+    blob = _strip_comments(blob)
     out: list[RoundCall] = []
     for m in _ROUND_RE.finditer(blob):
         open_idx = blob.index("(", m.start())
         args, close = _top_level_args(blob, open_idx)
+        if args and args[-1] == "":
+            args.pop()  # idiomatic trailing comma in a multi-line call
         if len(args) < 2:
             continue  # ROUND(x) — digits defaults to 0, always fine
         last = args[-1]
