@@ -1505,13 +1505,20 @@ def round10_scale(max_factor: int = 50) -> None:
             F.col("_id").alias("user_id"), "event_type", "ts", "event_id"
         ).localCheckpoint()
         ne = e.count()
+        # pins_out + explicit release (ADVICE r10): unpersist exactly
+        # the miner's own pinned tables once this factor's action is
+        # done, instead of clearCache() nuking every cached table in
+        # the session (which would also evict unrelated pins)
+        pins: list = []
         timed(
             f"seq_patterns_full x{factor}",
             sequential_patterns_full(
-                e, min_support=40 * factor, max_len=4
+                e, min_support=40 * factor, max_len=4, pins_out=pins
             ),
             ne,
         )
+        for p in pins:
+            p.unpersist()
         spark.catalog.clearCache()
 
 

@@ -18,6 +18,15 @@ from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
 
+# Rendered-pattern separator shared by both sequence miners. Patterns
+# are array<string> INTERNALLY (support is aggregated on the array, so
+# an event type containing this separator cannot merge two distinct
+# sequences' supports — ADVICE r10); the arrow string is rendered only
+# at the output edge. Two distinct arrays can still RENDER to the same
+# string when a type embeds the separator — they surface as two output
+# rows with honest separate supports, never a silently-merged count.
+_PATTERN_SEP = " -> "
+
 
 def _capped_distinct_items(
     df: DataFrame,
@@ -261,18 +270,25 @@ def sequential_patterns(
     )
     t0 = F.col("_t0")
     leads = {i: F.col(f"_l{i}") for i in range(1, 2 * max_gap + 1)}
+    # candidates carry the pattern as array<string> internally — an
+    # event type that itself contains the arrow separator can no
+    # longer collide two distinct sequences into one support bucket;
+    # the arrow string is rendered only at the output edge, AFTER the
+    # support aggregation (ADVICE r10). Every referenced element gets
+    # an explicit NOT-NULL guard (an array is non-null even when its
+    # elements are, unlike the old concat).
     cands = [
-        F.struct(t0.alias("pattern"), F.lit(1).alias("length"))
+        F.struct(
+            F.when(t0.isNotNull(), F.array(t0)).alias("pattern"),
+            F.lit(1).alias("length"),
+        )
     ]
-    sep = " -> "
     for a in range(1, max_gap + 1):
-        # lead(a) non-null guards the whole pair (a shorter stream
-        # nulls every later lead too)
         cands.append(
             F.struct(
                 F.when(
-                    leads[a].isNotNull(),
-                    F.concat(t0, F.lit(sep), leads[a]),
+                    t0.isNotNull() & leads[a].isNotNull(),
+                    F.array(t0, leads[a]),
                 ).alias("pattern"),
                 F.lit(2).alias("length"),
             )
@@ -281,11 +297,10 @@ def sequential_patterns(
             cands.append(
                 F.struct(
                     F.when(
-                        leads[a + b].isNotNull() & leads[a].isNotNull(),
-                        F.concat(
-                            t0, F.lit(sep), leads[a],
-                            F.lit(sep), leads[a + b],
-                        ),
+                        t0.isNotNull()
+                        & leads[a].isNotNull()
+                        & leads[a + b].isNotNull(),
+                        F.array(t0, leads[a], leads[a + b]),
                     ).alias("pattern"),
                     F.lit(3).alias("length"),
                 )
@@ -306,13 +321,21 @@ def sequential_patterns(
     support = per_entity.groupBy("pattern", "length").agg(
         F.count(F.lit(1)).cast("bigint").alias("support")
     )
-    top = support.orderBy(
+    # render the arrow string on the (tiny) support census, then rank
+    # on the RENDERED string so the contract's (support desc, pattern
+    # asc) total order is over exactly the emitted column
+    rendered = support.select(
+        F.array_join("pattern", _PATTERN_SEP).alias("pattern"),
+        F.col("length").cast("bigint").alias("length"),
+        "support",
+    )
+    top = rendered.orderBy(
         F.col("support").desc(), F.col("pattern").asc()
     ).limit(k)
     rk = Window.orderBy(F.col("support").desc(), F.col("pattern").asc())
     return top.select(
         "pattern",
-        F.col("length").cast("bigint").alias("length"),
+        "length",
         "support",
         F.row_number().over(rk).cast("bigint").alias("rnk"),
     )
@@ -497,7 +520,6 @@ def sequential_patterns_full(
         return df
 
     ev = _pin(ev)
-    sep = " -> "
     # Persistence discipline (measured, not theoretical): the PINNED
     # table must be each level's JOIN OUTPUT, not the support-pruned
     # view of it. Level k's table feeds three consumers — its own
@@ -511,20 +533,23 @@ def sequential_patterns_full(
     # per level materializes the dominant join a second time; levels
     # past the longest frequent pattern are EMPTY lazy joins that AQE
     # skips at action time.
-    # level 1: earliest occurrence of each surviving type per entity
+    # level 1: earliest occurrence of each surviving type per entity.
+    # _pat is array<string> end-to-end (support aggregates on the
+    # ARRAY, so a type containing the arrow separator cannot merge two
+    # distinct sequences — ADVICE r10); the string renders at the edge.
     level = _pin(
-        ev.groupBy("_e", F.col("_t").alias("_pat")).agg(
+        ev.groupBy("_e", F.array(F.col("_t")).alias("_pat")).agg(
             F.min("_pos").alias("_end")
         )
     )
     out_levels: list[DataFrame] = []
     for length in range(1, max_len + 1):
-        support = level.groupBy(F.col("_pat").alias("pattern")).agg(
+        support = level.groupBy("_pat").agg(
             F.count(F.lit(1)).cast("bigint").alias("support")
         ).where(F.col("support") >= min_support)
         out_levels.append(
             support.select(
-                "pattern",
+                F.array_join("_pat", _PATTERN_SEP).alias("pattern"),
                 F.lit(length).cast("bigint").alias("length"),
                 "support",
             )
@@ -534,17 +559,14 @@ def sequential_patterns_full(
         # survivor prune BEFORE extension: only frequent patterns
         # grow (lossless by the Apriori property); reads the pinned
         # level table twice (support agg + semi-join), both cached
-        pruned = level.join(
-            support.select(F.col("pattern").alias("_pat")), "_pat",
-            "left_semi",
-        )
+        pruned = level.join(support.select("_pat"), "_pat", "left_semi")
         level = _pin(
             pruned.join(ev, "_e")
             .where(F.col("_pos") > F.col("_end"))
             .groupBy(
                 "_e",
                 F.concat(
-                    F.col("_pat"), F.lit(sep), F.col("_t")
+                    F.col("_pat"), F.array(F.col("_t"))
                 ).alias("_pat"),
             )
             .agg(F.min("_pos").alias("_end"))

@@ -1132,28 +1132,45 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_media_by_content(media.unionByName(dupes))
 
 
+def triangles_over_neardup_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    pins_out: list[DataFrame] | None = None,
+) -> DataFrame:
+    """q_triangles' plan with the miner's ``pins_out`` release idiom
+    (VERDICT r10 #6, ported from operators/mining.py::
+    sequential_patterns_full): the near-dup pair table is
+    persist()-pinned (lazy — zero jobs at construction) because the
+    degree-ordered orientation references it in several branches and
+    the static plan otherwise re-derives the full inverted-index
+    self-join per branch (454 static exchanges; the pin measured
+    steady 3.2 s → 1.5 s at sf0.1). A long-lived session iterating
+    over MANY datasets passes ``pins_out=[]`` and unpersists the
+    collected pin once its action completes — narrower than
+    spark.catalog.clearCache()."""
+    from h3_indexer_spark.operators.dedup import ngram_jaccard_exact_pairs
+    from h3_indexer_spark.operators.graph import triangle_counts
+
+    pairs = ngram_jaccard_exact_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=100
+    ).persist()
+    if pins_out is not None:
+        pins_out.append(pairs)
+    return triangle_counts(pairs)
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts (operators/graph.py::
     triangle_counts) over the exact n-gram Jaccard near-dup graph —
     the local clique/clustering signal on the dedup pair structure.
     Degree-ordered orientation bounds wedge volume at m^1.5; the
     oracle counts each a<b<c triangle directly with a triple join.
-    The pair table is persist()-pinned (lazy — zero jobs at
-    construction): the orientation references it in several branches
-    and the static plan otherwise re-derives the full inverted-index
-    self-join per branch (454 static exchanges; the pin measured
-    steady 3.2 s → 1.5 s at sf0.1)."""
-    from h3_indexer_spark.operators.dedup import ngram_jaccard_exact_pairs
-    from h3_indexer_spark.operators.graph import triangle_counts
-
-    # repeat invocations rebuild the IDENTICAL logical plan, and
-    # CacheManager keys on the analyzed plan — the entry is reused,
-    # not duplicated, so the un-unpersisted pin stays one cache slot
-    # per sf_dir for the session's life
-    pairs = ngram_jaccard_exact_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.5, max_df=100
-    ).persist()
-    return triangle_counts(pairs)
+    Repeat invocations rebuild the IDENTICAL logical plan, and
+    CacheManager keys on the analyzed plan — the pair-table pin is
+    reused, not duplicated, so the driver's contract usage stays one
+    cache slot per sf_dir; multi-dataset sessions release it via
+    triangles_over_neardup_graph(pins_out=...)."""
+    return triangles_over_neardup_graph(spark, sf_dir)
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -458,6 +458,45 @@ class TestSequentialPatternsFull:
             p.unpersist()
         assert all(not p.storageLevel.useMemory for p in pins)
 
+    def test_separator_in_event_type_does_not_merge_supports(self, spark):
+        """ADVICE r10: an event type that CONTAINS the arrow separator
+        must not collide with a genuine two-element sequence. Support
+        is aggregated on the array<string> pattern, so the compound
+        type 'a -> b' and the sequence (a, b) keep separate counts —
+        they render to the same string but surface as two rows."""
+        from h3_indexer_spark.operators.mining import (
+            sequential_patterns_full,
+        )
+
+        streams = {
+            "u1": ["a", "b"],          # the real sequence a then b
+            "u2": ["a", "b"],
+            "u3": ["a -> b"],          # a single compound-named type
+            "u4": ["a -> b"],
+        }
+        rows = [
+            (e, i, t, i)
+            for e, s in streams.items()
+            for i, t in enumerate(s)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id string, ts long, event_type string, event_id long"
+        )
+        out = sequential_patterns_full(
+            df, min_support=2, max_len=2
+        ).collect()
+        rendered = [
+            (r["pattern"], r["length"], r["support"]) for r in out
+        ]
+        # two rows render to 'a -> b': the length-1 compound type
+        # (support 2) and the length-2 sequence (support 2) — never a
+        # single merged support-4 row
+        assert ("a -> b", 1, 2) in rendered
+        assert ("a -> b", 2, 2) in rendered
+        assert not any(
+            r["pattern"] == "a -> b" and r["support"] == 4 for r in out
+        )
+
     def test_rejects_bad_args(self, spark):
         import pytest
 

@@ -95,3 +95,32 @@ class TestParserHardening:
         src = 's = "path\\\\"\ny = F.round(z, 13)\n'
         bad = find_violations(src, "seed.py")
         assert len(bad) == 1 and bad[0].digits == 13
+
+    def test_triple_quoted_string_with_odd_quote_count(self):
+        # ADVICE r10: a triple-quoted oracle SQL containing an ODD
+        # number of quote characters (the quoted identifier
+        # "precision") desynced the old character scanner, so a later
+        # '#' inside a string could be wrongly blanked or a real
+        # comment left unstripped. The tokenizer-based stripper must
+        # (a) keep scanning string contents — the seeded violation
+        # inside the SQL is caught — and (b) still strip the real
+        # comment whose unbalanced '(' would corrupt the arg parser.
+        src = (
+            '_Q = """\n'
+            '    SELECT ROUND(x, 12) AS "precision" FROM t\n'
+            '"""\n'
+            "# real comment with an unbalanced ( paren\n"
+            "y = F.round(z, 11)\n"
+        )
+        bad = find_violations(src, "seed.py")
+        assert sorted(b.digits for b in bad) == [11, 12]
+
+    def test_hash_inside_triple_quoted_string_survives(self):
+        # the '#' sits INSIDE a docstring after an odd quote count —
+        # the old scanner blanked from it to end-of-line, hiding the
+        # in-string violation's digits from the scan
+        src = (
+            'doc = """the "precision" column # ROUND(x, 12) here"""\n'
+        )
+        bad = find_violations(src, "seed.py")
+        assert len(bad) == 1 and bad[0].digits == 12

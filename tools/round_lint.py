@@ -77,31 +77,41 @@ def _strip_comments(blob: str) -> str:
     line number). Without this, a comment containing an unbalanced
     '(' or a ',' inside a multi-line round(...) call corrupts the
     arg parser and a violation silently passes — a false negative in
-    the lint gate."""
+    the lint gate.
+
+    Uses Python's own tokenizer (ADVICE r10): the previous hand-rolled
+    character scanner did not understand triple-quoted strings, so a
+    docstring or oracle SQL containing an odd number of quote
+    characters (e.g. the quoted identifier "precision" in
+    _CLASS_REPORT_ORACLE) desynced its in-string state and could blank
+    a '#' inside a string or leave a real comment unstripped. The
+    tokenizer knows the real grammar; string contents (where the
+    oracle SQL lives and must keep being scanned) pass through
+    untouched. On a tokenization error (non-Python text fed to the
+    library API) the blob is returned unchanged — for .py engine
+    sources a failure would mean the file does not import at all,
+    which the test suite catches long before this lint."""
+    import io
+    import tokenize
+
+    # offset of each line start, so (row, col) spans map to indices
+    line_starts = [0]
+    for idx, ch in enumerate(blob):
+        if ch == "\n":
+            line_starts.append(idx + 1)
     out = list(blob)
-    in_str: str | None = None
-    i = 0
-    n = len(blob)
-    while i < n:
-        ch = blob[i]
-        if in_str:
-            if ch == "\\":
-                i += 2  # skip the escaped char, whatever it is
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(blob).readline):
+            if tok.type != tokenize.COMMENT:
                 continue
-            if ch == in_str:
-                in_str = None
-            i += 1
-            continue
-        if ch in "'\"":
-            in_str = ch
-        elif ch == "#":
-            j = blob.find("\n", i)
-            j = n if j == -1 else j
-            for k in range(i, j):
+            srow, scol = tok.start
+            erow, ecol = tok.end
+            a = line_starts[srow - 1] + scol
+            b = line_starts[erow - 1] + ecol
+            for k in range(a, min(b, len(out))):
                 out[k] = " "
-            i = j
-            continue
-        i += 1
+    except (tokenize.TokenizeError, IndentationError, SyntaxError):
+        return blob
     return "".join(out)
 
 
