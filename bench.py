@@ -215,6 +215,12 @@ HEADLINE = [
     # round-10 additions
     "q_k_anonymity",
     "q_class_report",
+    # round-11 additions
+    "q_seq_patterns_full",
+    "q_fisher_exact",
+    "q_k_anon_generalize",
+    "q_class_report_summary",
+    "q_l_diversity",
 ]
 
 

@@ -1714,6 +1714,114 @@ def round9c_scale(max_factor: int = 50) -> None:
         )
 
 
+def round11_scale(max_factor: int = 50) -> None:
+    """Round-11 curves: Fisher's exact test, the k-anonymity
+    generalization ladder, l-diversity, and the classification
+    summary.
+
+    Run: ``python examples/scale_check.py <max_factor> round11``."""
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.analytics import (
+        classification_summary,
+        fisher_exact,
+    )
+    from h3_indexer_spark.operators.curation import (
+        k_anonymity_generalize,
+        l_diversity_report,
+        sample_per_group,
+    )
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r11", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+
+    for factor in (1, 5, 20, max_factor):
+        # fisher: copies get disjoint GROUP universes (nation shifted
+        # per copy), so the group count grows linearly while each
+        # group's sample stays bounded at 24 — the honest axis for a
+        # bounded-margin exact test (per-group compute is a constant
+        # <= 61x60 fold; total work is linear in groups)
+        c = scaled(
+            cust.withColumn("_id", F.col("c_custkey")), "_id", factor
+        ).select(
+            (F.col("c_nationkey")
+             + (F.col("_id") % F.lit(factor)) * 25).alias("g"),
+            F.col("_id"),
+            F.col("c_mktsegment"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+        ).localCheckpoint()
+        nc = c.count()
+        samp = sample_per_group(c, "g", k=24, id_col="_id", salt="f")
+        t = samp.select(
+            "g",
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+            .alias("a"),
+            (F.col("bal") > 4500.0).alias("b"),
+        )
+        timed(f"fisher_exact x{factor}", fisher_exact(t, ["g"], "a", "b"), nc)
+
+        # ladder + l-diversity: copies keep the SAME quasi universe,
+        # classes grow linearly in rows, reports stay <= 5 rows
+        q = scaled(
+            cust.withColumn("_id", F.col("c_custkey")), "_id", factor
+        ).select(
+            "c_nationkey", "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("bal"),
+        ).localCheckpoint()
+        nq = q.count()
+        nat, seg = F.col("c_nationkey"), F.col("c_mktsegment")
+
+        def bucket(w):
+            return (F.floor(F.col("bal") / F.lit(w))
+                    .cast("bigint").alias("bb"))
+
+        timed(
+            f"k_anon_generalize x{factor}",
+            k_anonymity_generalize(q, [
+                ("l0", [nat, seg, bucket(1000.0)]),
+                ("l1", [nat, seg, bucket(2000.0)]),
+                ("l2", [nat, seg, bucket(5000.0)]),
+                ("l3", [nat, seg]),
+                ("l4", [seg]),
+            ], k=10 * factor),
+            nq,
+        )
+        qd = q.select(
+            "c_nationkey", bucket(100.0), "c_mktsegment"
+        )
+        timed(
+            f"l_diversity x{factor}",
+            l_diversity_report(qd, ["c_nationkey", "bb"],
+                               "c_mktsegment", l_min=4),
+            nq,
+        )
+
+        o = scaled(
+            orders.withColumn("_id", F.col("o_orderkey")), "_id", factor
+        ).localCheckpoint()
+        no = o.count()
+        price = F.col("o_totalprice").cast("double")
+        scored = o.select(
+            F.col("o_orderstatus").alias("label"),
+            F.when(price < 100000.0, F.lit("F"))
+            .when(price < 200000.0, F.lit("O"))
+            .otherwise(F.lit("P")).alias("pred"),
+        )
+        timed(
+            f"classification_summary x{factor}",
+            classification_summary(scored, "label", "pred"),
+            no,
+        )
+        spark.catalog.clearCache()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[2] == "round6":
         round6_scale(int(sys.argv[1]))
@@ -1735,5 +1843,7 @@ if __name__ == "__main__":
         round9d_scale(int(sys.argv[1]))
     elif len(sys.argv) > 2 and sys.argv[2] == "round10":
         round10_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round11":
+        round11_scale(int(sys.argv[1]))
     else:
         main()

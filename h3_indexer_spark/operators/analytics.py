@@ -4504,3 +4504,246 @@ def class_report_columns() -> list[Column]:
             9,
         ).alias("f1"),
     ]
+
+
+# --------------------------------------------------------------------------
+# Fisher's exact test (grouped 2x2, exact-integer hypergeometric weights)
+# --------------------------------------------------------------------------
+
+# Largest per-group sample size for which every hypergeometric weight
+# C(r1,k)*C(n-r1,c1-k) and fold intermediate provably fits a BIGINT:
+# at n=60 the worst weight is C(60,30) ~ 1.18e17 and the worst fold
+# intermediate is C(60,30)*60 ~ 7.1e18, both under 2^63-1 ~ 9.2e18;
+# n=61 already overflows the intermediate. Groups above the bound get
+# a NULL p-value rather than a silently-wrong one — and a >60-sample
+# group should be using the chi-square family anyway (Fisher's is THE
+# small-sample test; at n>60 the chi-square approximation error is
+# far below any decision threshold).
+FISHER_MAX_N = 60
+
+
+def _binom_fold_sql(a: str, b: str) -> str:
+    """SQL expression: C(a, b) as an exact BIGINT via the
+    integer-preserving multiplicative fold acc <- (acc*(a-b+j)) div j
+    (every intermediate is itself a binomial C(a-b+j, j), so the
+    integer division is exact at each step — no factorials, no
+    floats, no lgamma). Guarded for b <= 0 (C=1; also dodges Spark's
+    sequence(1,0) DESCENDING surprise)."""
+    return (
+        f"(CASE WHEN ({b}) <= 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE aggregate(sequence(1, ({b})), CAST(1 AS BIGINT), "
+        f"(acc, j) -> (acc * (({a}) - ({b}) + j)) div j) END)"
+    )
+
+
+def fisher_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Grouped two-sided Fisher's exact test over 2x2 contingency
+    tables — the small-sample independence test the chi-square family
+    (chi_square_independence) documents away: for each group, the 2x2
+    of the boolean columns ``a_col`` x ``b_col`` is tested exactly
+    under the hypergeometric null (margins fixed), p = sum of the
+    probabilities of every table at most as likely as the observed
+    one (Fisher 1935; the standard two-sided "sum of small p" rule).
+
+    Determinism by construction — NO transcendentals: the classic
+    lgamma formulation was deliberately rejected because JVM and libm
+    lgamma/exp legally differ in the last ulp AND the two-sided rule
+    compares near-tied weights, where a 1-ulp flip INCLUDES or
+    EXCLUDES a whole term (a discontinuous, un-roundable error).
+    Instead every hypergeometric weight C(r1,k)*C(n-r1,c1-k) is an
+    EXACT BIGINT built by the integer-preserving binomial fold
+    (no factorial overflow: see FISHER_MAX_N), the <=-observed
+    comparison is exact integer, and the p-value is num/den — ONE
+    IEEE division of exact integers, bit-identical on any engine.
+    ``p_num``/``p_den`` expose the lossless rational alongside the
+    ROUND-9 float readout; the odds ratio is likewise one division
+    of exact cell products (ROUND 9; NULL when a zero cell makes it
+    undefined).
+
+    Groups with n > FISHER_MAX_N (=60) report NULL p (the exactness
+    domain; downsample per group first — statistically the right
+    practice for an exact small-sample test). Rows with a NULL in
+    either boolean are excluded from that group's table.
+
+    Scale: ONE groupBy on the group key carrying four BIGINT partials
+    (map-side combined); the per-group k-loop (<= 61 terms, each a
+    <= 60-step fold) runs as whole-stage-codegen'd higher-order
+    functions on the one-row-per-group aggregate — report-sized
+    compute, never a shuffle of the data. Output: one row per group.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    counts = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .select(
+            *group_cols,
+            a.cast("int").alias("_a"),
+            b.cast("int").alias("_b"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_a").cast("bigint").alias("r1"),
+            F.sum("_b").cast("bigint").alias("c1"),
+            F.sum(F.col("_a") * F.col("_b")).cast("bigint").alias("n11"),
+        )
+    )
+    w_at = "{c1} * {c2}".format(
+        c1=_binom_fold_sql("r1", "kk"),
+        c2=_binom_fold_sql("n - r1", "c1 - kk"),
+    )
+    w_obs = "{c1} * {c2}".format(
+        c1=_binom_fold_sql("r1", "n11"),
+        c2=_binom_fold_sql("n - r1", "c1 - n11"),
+    )
+    stats = counts.withColumn(
+        "_ws",
+        F.expr(
+            "transform(sequence(greatest(CAST(0 AS BIGINT), r1 + c1 - n),"
+            f" least(r1, c1)), kk -> {w_at})"
+        ),
+    ).withColumn("_w_obs", F.expr(w_obs))
+    guarded = stats.select(
+        *group_cols,
+        "n",
+        "r1",
+        "c1",
+        "n11",
+        (F.col("r1") - F.col("n11")).alias("n12"),
+        (F.col("c1") - F.col("n11")).alias("n21"),
+        (F.col("n") - F.col("r1") - F.col("c1") + F.col("n11")).alias(
+            "n22"
+        ),
+        F.when(
+            F.col("n") <= FISHER_MAX_N,
+            F.expr(
+                "aggregate(_ws, CAST(0 AS BIGINT), (acc, x) -> "
+                "acc + CASE WHEN x <= _w_obs THEN x "
+                "ELSE CAST(0 AS BIGINT) END)"
+            ),
+        ).alias("p_num"),
+        F.when(
+            F.col("n") <= FISHER_MAX_N,
+            F.expr("aggregate(_ws, CAST(0 AS BIGINT), (acc, x) -> acc + x)"),
+        ).alias("p_den"),
+    )
+    odds = F.when(
+        (F.col("n12") * F.col("n21")) > 0,
+        (F.col("n11") * F.col("n22")).cast("double")
+        / (F.col("n12") * F.col("n21")).cast("double"),
+    )
+    return guarded.select(
+        *group_cols,
+        "n",
+        "r1",
+        "c1",
+        "n11",
+        "n12",
+        "n21",
+        "n22",
+        "p_num",
+        "p_den",
+        F.round(
+            F.col("p_num").cast("double") / F.col("p_den").cast("double"), 9
+        ).alias("p_value"),
+        F.round(odds, 9).alias("odds_ratio"),
+    ).orderBy(*group_cols)
+
+
+def classification_summary(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Macro / micro / support-weighted averaging of the per-class
+    classification report — the one-row-per-averaging-mode summary a
+    model card prints under classification_report's per-class table
+    (sklearn's "macro avg / weighted avg" block, plus the micro row):
+
+    - ``macro``: unweighted mean of the per-class ROUND-9 metrics;
+      classes whose metric is undefined (a pred-only class has NULL
+      recall) contribute 0 — sklearn's zero_division=0 convention,
+      documented rather than silent.
+    - ``micro``: global tp / global n_pred (= global n_true = N), so
+      micro-precision = micro-recall = micro-F1 = ACCURACY — the
+      identity is a built-in self-check the tests assert.
+    - ``weighted``: per-class metrics weighted by true support n_true
+      (pred-only classes carry weight 0 by construction).
+
+    Determinism: the inputs to every mean are the per-class ROUND-9
+    values (already one-IEEE-division-of-BIGINTs each, identical
+    across engines), each mean folds over the SORTED term list (the
+    q_entropy rule — pins the float addition order), the divisor is
+    an exact BIGINT, and the result is ROUND 9. The weighted terms
+    are one exact-rounded IEEE multiply each (BIGINT-exact weight x
+    quantized metric).
+
+    Scale: the per-class frame costs the same ONE data shuffle as
+    classification_report; the summary is ONE aggregation over that
+    |classes|-row frame (collect_list is bounded by the class
+    vocabulary — a report-sized census by definition) unpivoted to
+    exactly 3 rows via stack. Output: (avg_mode, n_classes, support,
+    precision, recall, f1) ordered by avg_mode."""
+    per = classification_report(df, label_col, pred_col)
+
+    def _sorted_fold(term: Column) -> Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w = F.col("n_true").cast("double")
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("n_true").cast("bigint").alias("support"),
+        F.sum("tp").cast("bigint").alias("sum_tp"),
+        _sorted_fold(F.coalesce(F.col("precision"), F.lit(0.0))).alias("_mp"),
+        _sorted_fold(F.coalesce(F.col("recall"), F.lit(0.0))).alias("_mr"),
+        _sorted_fold(F.coalesce(F.col("f1"), F.lit(0.0))).alias("_mf"),
+        _sorted_fold(w * F.coalesce(F.col("precision"), F.lit(0.0))).alias(
+            "_wp"
+        ),
+        _sorted_fold(w * F.coalesce(F.col("recall"), F.lit(0.0))).alias(
+            "_wr"
+        ),
+        _sorted_fold(w * F.coalesce(F.col("f1"), F.lit(0.0))).alias("_wf"),
+    )
+    nc = F.col("n_classes").cast("double")
+    sup = F.col("support").cast("double")
+    acc = F.col("sum_tp").cast("double") / sup
+    rows = agg.select(
+        "n_classes",
+        "support",
+        F.expr(
+            "stack(3, 'macro', _mp, _mr, _mf, "
+            "'weighted', _wp, _wr, _wf, "
+            "'micro', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE)) AS (avg_mode, _p, _r, _f)"
+        ),
+        acc.alias("_acc"),
+    )
+    is_macro = F.col("avg_mode") == "macro"
+    is_micro = F.col("avg_mode") == "micro"
+    den = F.when(is_macro, nc).otherwise(sup)
+
+    def _metric(raw: str) -> Column:
+        return F.round(
+            F.when(is_micro, F.col("_acc")).otherwise(F.col(raw) / den), 9
+        )
+
+    return rows.select(
+        "avg_mode",
+        "n_classes",
+        "support",
+        _metric("_p").alias("precision"),
+        _metric("_r").alias("recall"),
+        _metric("_f").alias("f1"),
+    ).orderBy("avg_mode")

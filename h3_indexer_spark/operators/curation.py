@@ -1023,3 +1023,125 @@ def suppress_small_groups(
         clause = F.col(c).eqNullSafe(F.col(f"_q_{c}"))
         cond = clause if cond is None else (cond & clause)
     return df.join(keep, cond, "left_semi")
+
+
+def k_anonymity_generalize(
+    df: DataFrame,
+    levels: list[tuple[str, list[Column | str]]],
+    k: int = 10,
+) -> DataFrame:
+    """Generalization ladder on top of ``k_anonymity_report`` — the
+    policy layer that picks HOW MUCH coarsening a release needs
+    instead of suppressing rows: given an ordered ladder of
+    quasi-identifier definitions from finest (level 0) to coarsest
+    (wider buckets, then dropped columns — Sweeney 2002's
+    generalization hierarchy), audit every level and mark the FIRST
+    one at which the dataset is k-anonymous. Publishing at the chosen
+    level loses the least resolution that still meets the gate;
+    suppression (``suppress_small_groups``) remains the fallback when
+    even the coarsest level violates.
+
+    Output: one row per ladder level — (level, level_name, n_classes,
+    n_violations, rows_at_risk, min_class_size, is_chosen) — at most
+    ``len(levels)`` rows at any data volume, ordered by level.
+    ``is_chosen`` = 1 on the lowest level with zero violations (all 0
+    when none qualifies). All counts are exact BIGINTs.
+
+    Scale: one groupBy per ladder level, each a map-side-partial
+    aggregation whose shuffle carries one row per equivalence class,
+    folded to a SINGLE row per level before the union — L small
+    passes over the input, never a multi-key sort. (A ROLLUP could
+    share scans only for the drop-a-column sub-ladder; bucket-WIDENING
+    levels regroup by different derived keys, so the general ladder is
+    honestly L passes. L is policy-sized — single digits.)"""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    reports: list[DataFrame] = []
+    for i, (name, quasi) in enumerate(levels):
+        if not quasi:
+            raise ValueError(f"level {i} ({name}) has no quasi columns")
+        cols = [F.col(c) if isinstance(c, str) else c for c in quasi]
+        sizes = df.groupBy(*cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_sz")
+        )
+        viol = F.when(F.col("_sz") < k, 1).otherwise(0)
+        reports.append(
+            sizes.agg(
+                F.lit(i).cast("bigint").alias("level"),
+                F.lit(name).alias("level_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+                F.sum(viol).cast("bigint").alias("n_violations"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_sz") < k, F.col("_sz")).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("rows_at_risk"),
+                F.min("_sz").cast("bigint").alias("min_class_size"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    full = Window.partitionBy()
+    chosen = F.min(
+        F.when(F.col("n_violations") == 0, F.col("level"))
+    ).over(full)
+    return (
+        out.withColumn(
+            "is_chosen",
+            F.when(F.col("level") == chosen, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .orderBy("level")
+    )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_min: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity violation histogram — the second privacy
+    gate after k-anonymity (Machanavajjhala et al. 2007): a dataset
+    is l-diverse when every quasi-identifier equivalence class
+    contains at least ``l_min`` DISTINCT values of the sensitive
+    attribute. k-anonymity alone is defeated by the homogeneity
+    attack — a 50-member class whose members all share one diagnosis
+    re-identifies the attribute, not the row — so release gates run
+    both. Output mirrors k_anonymity_report: one row per under-l
+    distinct-count — (n_distinct_sensitive 0..l_min−1, n_groups,
+    n_rows) — ≤ ``l_min`` rows at any volume; empty ⇔ l-diverse.
+    NULL sensitive values are not counted as a diversity value (an
+    all-NULL class reports 0 distinct — maximally homogeneous), while
+    NULL quasi values form their own class, both matching the
+    k-report's conventions.
+
+    Scale: count_distinct inside the quasi-keyed groupBy expands to
+    Spark's standard two-phase distinct aggregation (partial distinct
+    per mapper, exchange one row per (class, sensitive) pair), then
+    the histogram groupBy's key space is < l_min — the report never
+    grows with the data."""
+    if l_min < 2:
+        raise ValueError(f"l_min must be >= 2: {l_min}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    per = df.groupBy(*quasi_cols).agg(
+        F.count_distinct(F.col(sensitive_col)).cast("bigint").alias("_d"),
+        F.count(F.lit(1)).cast("bigint").alias("_sz"),
+    )
+    return (
+        per.where(F.col("_d") < l_min)
+        .groupBy(F.col("_d").alias("n_distinct_sensitive"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("_sz").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("n_distinct_sensitive")
+    )

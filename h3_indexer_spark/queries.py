@@ -12093,79 +12093,542 @@ ORACLES["q_k_anonymity"] = _K_ANONYMITY_ORACLE
 ORACLES["q_class_report"] = _CLASS_REPORT_ORACLE
 
 
-# Round-10 driver window (ONE canonical list — the driver hash-checks
+# ---------------------------------------------------------------------------
+# Round-11 debuts: the full-PrefixSpan miner's contract key (the one
+# round-10 operator with no driver row), Fisher's exact test, the
+# k-anonymity generalization ladder + l-diversity (completing the
+# privacy family report → suppress → generalize → second gate), and
+# the macro/micro classification summary.
+# ---------------------------------------------------------------------------
+
+
+def q_seq_patterns_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL sequential pattern mining (operators/mining.py::
+    sequential_patterns_full, PrefixSpan semantics — arbitrary gaps,
+    length ≤ 4): every event-type sequence occurring as a subsequence
+    of ≥ 10 users' time-ordered streams, mined over the HIGH-VALUE
+    event substream (value > 120, ~the top decile — the raw streams
+    average 66 events/user over only 5 types, so every short pattern
+    trivially occurs in every stream; the sparse substream (~6
+    events/user) is where subsequence support is discriminative).
+    The oracle unrolls the same level-wise greedy extension as four
+    CTE levels (earliest-match end positions, per-level Apriori
+    prune) — the recursion-free mirror of exactly the distributed
+    algorithm."""
+    from h3_indexer_spark.operators.mining import sequential_patterns_full
+
+    ev = _load_events(spark, sf_dir).where(F.col("value") > 120.0)
+    return sequential_patterns_full(ev, min_support=10, max_len=4)
+
+
+def _seq_full_level(prev: str, src: str) -> str:
+    """One greedy-extension level of the q_seq_patterns_full oracle:
+    extend each (entity, pattern, earliest-end) of the PRUNED previous
+    level by every later event, keeping the earliest end per extended
+    pattern."""
+    return f"""
+        SELECT l.e, l.pat || ' -> ' || v.t AS pat, MIN(v.pos) AS endp
+        FROM {prev} l JOIN {prev}s s ON l.pat = s.pat
+                      JOIN {src} v ON v.e = l.e AND v.pos > l.endp
+        GROUP BY 1, 2
+    """
+
+
+_SEQ_FULL_SUPPORT = """
+        SELECT pat, CAST(COUNT(*) AS BIGINT) AS support
+        FROM {lvl} GROUP BY pat HAVING COUNT(*) >= 10
+"""
+
+_SEQ_PATTERNS_FULL_ORACLE = f"""
+    WITH ev0 AS (
+        SELECT user_id AS e, event_type AS t,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts), event_id) AS pos
+        FROM events WHERE value > 120.0
+    ),
+    ft AS (
+        SELECT t FROM ev0 GROUP BY t HAVING COUNT(DISTINCT e) >= 10
+    ),
+    ev AS (SELECT * FROM ev0 WHERE t IN (SELECT t FROM ft)),
+    l1 AS (SELECT e, t AS pat, MIN(pos) AS endp FROM ev GROUP BY e, t),
+    l1s AS ({_SEQ_FULL_SUPPORT.format(lvl="l1")}),
+    l2 AS ({_seq_full_level("l1", "ev")}),
+    l2s AS ({_SEQ_FULL_SUPPORT.format(lvl="l2")}),
+    l3 AS ({_seq_full_level("l2", "ev")}),
+    l3s AS ({_SEQ_FULL_SUPPORT.format(lvl="l3")}),
+    l4 AS ({_seq_full_level("l3", "ev")}),
+    l4s AS ({_SEQ_FULL_SUPPORT.format(lvl="l4")})
+    SELECT pattern, length, support FROM (
+        SELECT pat AS pattern, CAST(1 AS BIGINT) AS length, support
+        FROM l1s
+        UNION ALL
+        SELECT pat, CAST(2 AS BIGINT), support FROM l2s
+        UNION ALL
+        SELECT pat, CAST(3 AS BIGINT), support FROM l3s
+        UNION ALL
+        SELECT pat, CAST(4 AS BIGINT), support FROM l4s
+    )
+    ORDER BY length, support DESC, pattern
+"""
+
+
+def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped two-sided Fisher's exact test (operators/analytics.py::
+    fisher_exact) — the small-sample independence gate the chi-square
+    key documents away: per nation, a deterministic 24-customer sample
+    (the seedless md5 recipe, salt 'fisher' — Fisher's is THE
+    small-sample test, so the bounded per-group sample is the
+    statistically honest usage, not a workaround) is tested for
+    independence of (segment ∈ {BUILDING, AUTOMOBILE}) × (acctbal >
+    4500). Every hypergeometric weight is an EXACT BIGINT (integer-
+    preserving binomial folds — no lgamma: JVM/libm transcendentals
+    differ in the last ulp exactly where the two-sided ≤-observed rule
+    turns a 1-ulp flip into a whole included/excluded term); the
+    p-value is ONE IEEE division of exact integers, with the lossless
+    rational exposed as p_num/p_den."""
+    from h3_indexer_spark.operators.analytics import fisher_exact
+    from h3_indexer_spark.operators.curation import sample_per_group
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    samp = sample_per_group(
+        cust, "c_nationkey", k=24, id_col="c_custkey", salt="fisher"
+    )
+    t = samp.select(
+        "c_nationkey",
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE").alias(
+            "seg_ab"
+        ),
+        (F.col("bal") > 4500.0).alias("high_bal"),
+    )
+    return fisher_exact(t, ["c_nationkey"], "seg_ab", "high_bal")
+
+
+def _duck_binom(a: str, b: str) -> str:
+    """DuckDB twin of analytics._binom_fold_sql: C(a, b) as an exact
+    BIGINT via the same integer-preserving multiplicative fold
+    (list_reduce over generate_series; // is exact at every step
+    because each intermediate is itself a binomial)."""
+    return (
+        f"(CASE WHEN ({b}) <= 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE list_reduce(list_prepend(CAST(1 AS BIGINT), "
+        f"generate_series(CAST(1 AS BIGINT), {b})), "
+        f"(acc, j) -> (acc * (({a}) - ({b}) + j)) // j) END)"
+    )
+
+
+_FISHER_W_AT = f"{_duck_binom('r1', 'kk')} * {_duck_binom('n - r1', 'c1 - kk')}"
+_FISHER_W_OBS = (
+    f"{_duck_binom('r1', 'n11')} * {_duck_binom('n - r1', 'c1 - n11')}"
+)
+
+_FISHER_ORACLE = f"""
+    WITH h AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) AS bal,
+               CAST('0x' || substr(md5('fisher'
+                        || CAST(c_custkey AS VARCHAR)), 18, 15)
+                    AS BIGINT) AS hh
+        FROM customer
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                     ORDER BY hh, c_custkey) AS rn
+        FROM h
+    ),
+    t AS (
+        SELECT c_nationkey,
+               CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN bal > 4500.0 THEN 1 ELSE 0 END AS b
+        FROM r
+        WHERE rn <= 24 AND c_mktsegment IS NOT NULL AND bal IS NOT NULL
+    ),
+    c AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS r1,
+               CAST(SUM(b) AS BIGINT) AS c1,
+               CAST(SUM(a * b) AS BIGINT) AS n11
+        FROM t GROUP BY c_nationkey
+    ),
+    w AS (
+        SELECT *,
+               list_transform(
+                   generate_series(
+                       GREATEST(CAST(0 AS BIGINT), r1 + c1 - n),
+                       LEAST(r1, c1)),
+                   kk -> {_FISHER_W_AT}) AS ws,
+               {_FISHER_W_OBS} AS w_obs
+        FROM c
+    ),
+    pv AS (
+        SELECT c_nationkey, n, r1, c1, n11,
+               r1 - n11 AS n12,
+               c1 - n11 AS n21,
+               n - r1 - c1 + n11 AS n22,
+               CASE WHEN n <= 60 THEN
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(ws, x ->
+                               CASE WHEN x <= w_obs THEN x
+                                    ELSE CAST(0 AS BIGINT) END)),
+                       (acc, x) -> acc + x) AS BIGINT)
+               END AS p_num,
+               CASE WHEN n <= 60 THEN
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), ws),
+                       (acc, x) -> acc + x) AS BIGINT)
+               END AS p_den
+        FROM w
+    )
+    SELECT c_nationkey, n, r1, c1, n11, n12, n21, n22, p_num, p_den,
+           ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 9)
+               AS p_value,
+           ROUND(CASE WHEN n12 * n21 > 0
+                 THEN CAST(n11 * n22 AS DOUBLE)
+                      / CAST(n12 * n21 AS DOUBLE)
+                 END, 9) AS odds_ratio
+    FROM pv
+    ORDER BY c_nationkey
+"""
+
+
+def q_k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder (operators/curation.py::
+    k_anonymity_generalize) over the q_k_anonymity quasi-tuple at
+    k=10: audit five coarsening levels — balance bucket widened 1000 →
+    2000 → 5000, then the bucket dropped, then nation dropped — and
+    mark the FIRST level at which the dataset is 10-anonymous. The
+    bucket widths keep the q_k_anonymity floor-edge argument: acctbal
+    has 2 decimals, so a quotient lands on an integer only at exact
+    multiples of the width — exactly representable on both engines.
+    Output: 5 rows whatever the volume."""
+    from h3_indexer_spark.operators.curation import k_anonymity_generalize
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+
+    def bucket(width: float):
+        return (
+            F.floor(F.col("bal") / F.lit(width))
+            .cast("bigint")
+            .alias("bal_bucket")
+        )
+
+    nat = F.col("c_nationkey")
+    seg = F.col("c_mktsegment")
+    levels = [
+        ("nation_segment_bal1000", [nat, seg, bucket(1000.0)]),
+        ("nation_segment_bal2000", [nat, seg, bucket(2000.0)]),
+        ("nation_segment_bal5000", [nat, seg, bucket(5000.0)]),
+        ("nation_segment", [nat, seg]),
+        ("segment", [seg]),
+    ]
+    return k_anonymity_generalize(cust, levels, k=10)
+
+
+def _k_anon_level_sql(level: int, name: str, keys: str) -> str:
+    """One ladder level of the q_k_anon_generalize oracle: class
+    sizes on ``keys``, folded to a single report row."""
+    return f"""
+        SELECT CAST({level} AS BIGINT) AS level,
+               '{name}' AS level_name,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations,
+               CAST(COALESCE(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END),
+                             0) AS BIGINT) AS rows_at_risk,
+               CAST(MIN(sz) AS BIGINT) AS min_class_size
+        FROM (SELECT COUNT(*) AS sz FROM q GROUP BY {keys})
+    """
+
+
+_K_ANON_GENERALIZE_ORACLE = f"""
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer
+    ),
+    u AS (
+        {_k_anon_level_sql(0, "nation_segment_bal1000",
+                           "c_nationkey, c_mktsegment, FLOOR(bal / 1000.0)")}
+        UNION ALL
+        {_k_anon_level_sql(1, "nation_segment_bal2000",
+                           "c_nationkey, c_mktsegment, FLOOR(bal / 2000.0)")}
+        UNION ALL
+        {_k_anon_level_sql(2, "nation_segment_bal5000",
+                           "c_nationkey, c_mktsegment, FLOOR(bal / 5000.0)")}
+        UNION ALL
+        {_k_anon_level_sql(3, "nation_segment",
+                           "c_nationkey, c_mktsegment")}
+        UNION ALL
+        {_k_anon_level_sql(4, "segment", "c_mktsegment")}
+    )
+    SELECT level, level_name, n_classes, n_violations, rows_at_risk,
+           min_class_size,
+           CAST(CASE WHEN level = MIN(CASE WHEN n_violations = 0
+                                      THEN level END) OVER ()
+                THEN 1 ELSE 0 END AS BIGINT) AS is_chosen
+    FROM u
+    ORDER BY level
+"""
+
+
+def q_class_report_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro/micro/weighted averaging of the per-class report
+    (operators/analytics.py::classification_summary) over the same
+    price-threshold classifier as q_class_report — sklearn's
+    "macro avg / weighted avg" block plus the micro row, whose
+    precision = recall = F1 = accuracy identity is a built-in
+    self-check. Every mean folds the per-class ROUND-9 metrics over
+    the SORTED term list (the q_entropy rule) and divides by an exact
+    BIGINT; 3 rows whatever the volume."""
+    from h3_indexer_spark.operators.analytics import classification_summary
+
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    price = F.col("o_totalprice").cast("double")
+    scored = orders.select(
+        F.col("o_orderstatus").alias("label"),
+        F.when(price < 100000.0, F.lit("F"))
+        .when(price < 200000.0, F.lit("O"))
+        .otherwise(F.lit("P"))
+        .alias("pred"),
+    )
+    return classification_summary(scored, "label", "pred")
+
+
+_CLASS_SUMMARY_ORACLE = """
+    WITH t AS (
+        SELECT CAST(o_orderstatus AS VARCHAR) AS label,
+               CASE WHEN CAST(o_totalprice AS DOUBLE) < 100000.0
+                        THEN 'F'
+                    WHEN CAST(o_totalprice AS DOUBLE) < 200000.0
+                        THEN 'O'
+                    ELSE 'P' END AS pred
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    e AS (
+        SELECT label AS class, 1 AS _t, 0 AS _p,
+               CASE WHEN label = pred THEN 1 ELSE 0 END AS _tp
+        FROM t
+        UNION ALL
+        SELECT pred AS class, 0 AS _t, 1 AS _p, 0 AS _tp FROM t
+    ),
+    a AS (
+        SELECT class,
+               CAST(SUM(_t) AS BIGINT) AS n_true,
+               CAST(SUM(_p) AS BIGINT) AS n_pred,
+               CAST(SUM(_tp) AS BIGINT) AS tp
+        FROM e GROUP BY class
+    ),
+    p AS (
+        SELECT class, n_true, n_pred, tp,
+               ROUND(CASE WHEN n_pred > 0
+                     THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                     END, 9) AS prec,
+               ROUND(CASE WHEN n_true > 0
+                     THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)
+                     END, 9) AS rec,
+               ROUND(CASE WHEN 2 * tp + (n_pred - tp) + (n_true - tp) > 0
+                     THEN (2.0 * CAST(tp AS DOUBLE))
+                          / CAST(2 * tp + (n_pred - tp) + (n_true - tp)
+                                 AS DOUBLE)
+                     END, 9) AS f1c
+        FROM a
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(n_true) AS BIGINT) AS support,
+               CAST(SUM(tp) AS BIGINT) AS sum_tp,
+               list_reduce(list_prepend(0.0, list_sort(
+                   list(COALESCE(prec, 0.0)))), (acc, x) -> acc + x)
+                   AS mp,
+               list_reduce(list_prepend(0.0, list_sort(
+                   list(COALESCE(rec, 0.0)))), (acc, x) -> acc + x)
+                   AS mr,
+               list_reduce(list_prepend(0.0, list_sort(
+                   list(COALESCE(f1c, 0.0)))), (acc, x) -> acc + x)
+                   AS mf,
+               list_reduce(list_prepend(0.0, list_sort(
+                   list(CAST(n_true AS DOUBLE) * COALESCE(prec, 0.0)))),
+                   (acc, x) -> acc + x) AS wp,
+               list_reduce(list_prepend(0.0, list_sort(
+                   list(CAST(n_true AS DOUBLE) * COALESCE(rec, 0.0)))),
+                   (acc, x) -> acc + x) AS wr,
+               list_reduce(list_prepend(0.0, list_sort(
+                   list(CAST(n_true AS DOUBLE) * COALESCE(f1c, 0.0)))),
+                   (acc, x) -> acc + x) AS wf
+        FROM p
+    )
+    SELECT 'macro' AS avg_mode, n_classes, support,
+           ROUND(mp / CAST(n_classes AS DOUBLE), 9) AS "precision",
+           ROUND(mr / CAST(n_classes AS DOUBLE), 9) AS recall,
+           ROUND(mf / CAST(n_classes AS DOUBLE), 9) AS f1
+    FROM s
+    UNION ALL
+    SELECT 'micro', n_classes, support,
+           ROUND(CAST(sum_tp AS DOUBLE) / CAST(support AS DOUBLE), 9),
+           ROUND(CAST(sum_tp AS DOUBLE) / CAST(support AS DOUBLE), 9),
+           ROUND(CAST(sum_tp AS DOUBLE) / CAST(support AS DOUBLE), 9)
+    FROM s
+    UNION ALL
+    SELECT 'weighted', n_classes, support,
+           ROUND(wp / CAST(support AS DOUBLE), 9),
+           ROUND(wr / CAST(support AS DOUBLE), 9),
+           ROUND(wf / CAST(support AS DOUBLE), 9)
+    FROM s
+    ORDER BY avg_mode
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity violation histogram (operators/
+    curation.py::l_diversity_report) at l=4: equivalence classes on
+    (nation, acctbal hundred-bucket) audited for how many DISTINCT
+    market segments each contains — the homogeneity-attack gate
+    k-anonymity alone misses (a big class whose members all share one
+    sensitive value re-identifies the attribute). The 100-wide bucket
+    keeps classes small enough that violations exist at the sweep SF
+    too (width 1000 is already 4-diverse at sf0.1), and keeps the
+    floor-edge argument: the quotient lands on an integer only at
+    exact multiples of 100 — exactly representable on both engines.
+    ≤ 4 rows whatever the volume; empty ⇔ 4-diverse."""
+    from h3_indexer_spark.operators.curation import l_diversity_report
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(100.0))
+        .cast("bigint")
+        .alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    return l_diversity_report(
+        cust, ["c_nationkey", "bal_bucket"], "c_mktsegment", l_min=4
+    )
+
+
+_L_DIVERSITY_ORACLE = """
+    WITH q AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 100.0) AS BIGINT)
+                   AS bal_bucket,
+               c_mktsegment
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, bal_bucket,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS sz
+        FROM q GROUP BY 1, 2
+    )
+    SELECT d AS n_distinct_sensitive,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_rows
+    FROM g
+    WHERE d < 4
+    GROUP BY d
+    ORDER BY d
+"""
+
+
+QUERIES["q_seq_patterns_full"] = q_seq_patterns_full
+QUERIES["q_fisher_exact"] = q_fisher_exact
+QUERIES["q_k_anon_generalize"] = q_k_anon_generalize
+QUERIES["q_class_report_summary"] = q_class_report_summary
+QUERIES["q_l_diversity"] = q_l_diversity
+ORACLES["q_seq_patterns_full"] = _SEQ_PATTERNS_FULL_ORACLE
+ORACLES["q_fisher_exact"] = _FISHER_ORACLE
+ORACLES["q_k_anon_generalize"] = _K_ANON_GENERALIZE_ORACLE
+ORACLES["q_class_report_summary"] = _CLASS_SUMMARY_ORACLE
+ORACLES["q_l_diversity"] = _L_DIVERSITY_ORACLE
+
+
+# Round-11 driver window (ONE canonical list — the driver hash-checks
 # the FIRST 50 QUERIES entries in dict order), executing the SURVEY
-# §7.1 rotation plan verbatim: the 48 keys whose latest driver row is
-# round 5 lead (after this round no oracle key's latest driver row
-# predates round 6 — the freshness bar VERDICT r9 #1 prescribes), and
-# the remaining 2 slots go to the round-10 debuts q_k_anonymity and
-# q_class_report (VERDICT r9 #6/#7; every NEW key takes its first
-# driver record in its debut round — driver-window-slot rule). The
-# previous window's 50 keys all took fresh rows in round 9 and yield.
-# Fisher's exact test (VERDICT #8, stretch) is deliberately NOT
-# debuted this round: 48 + 2 fills the window exactly, and a key
-# with no driver row is worse than no key — it is the first debut
-# candidate of the round-11 window (SURVEY §7.1).
-_WINDOW_R10 = [
-    # 48 round-5-stale rotations (SURVEY §7.1, declared at the old
-    # _WINDOW_R9 site)
-    "q_active_users",
-    "q_analytics_pipeline",
-    "q_anomalies",
-    "q_autocorr",
-    "q_boilerplate",
-    "q_boilerplate_clean",
-    "q_chi_square",
-    "q_chunk_docs",
-    "q_clustering_coeff",
-    "q_co_occurrence",
-    "q_data_split",
-    "q_dedup_exact",
-    "q_domain_cap",
-    "q_dup_spans",
-    "q_dwell_times",
-    "q_event_gaps",
-    "q_expectations",
-    "q_frequent_items_scalable",
-    "q_funnel",
-    "q_groupby_sum",
-    "q_growth_accounting",
-    "q_histogram",
-    "q_impute",
-    "q_json_extract",
-    "q_knn_ivf",
-    "q_mad",
-    "q_minmax_scale",
-    "q_mode",
-    "q_moments",
-    "q_ntile_bins",
-    "q_one_hot",
-    "q_pii_scrub",
-    "q_profile",
-    "q_rebalance_sources",
-    "q_regression",
-    "q_repetition",
-    "q_scan_parquet",
-    "q_semantic_dedup",
-    "q_seq_pack",
-    "q_snapshot_diff",
-    "q_time_rollup",
-    "q_top_paths",
-    "q_transitions",
-    "q_triangles",
-    "q_twap",
-    "q_unpivot",
-    "q_url_normalize",
-    "q_weighted_sample",
-    # round-10 debuts (first driver record)
-    "q_k_anonymity",
-    "q_class_report",
+# §7.1 rotation plan: the 39 oracle keys whose latest driver row is
+# round 6 lead (after this round no ORACLE key's latest driver row
+# predates round 7; the 9 rows-only round-6 keys are mirror-less by
+# nature and rotate on a slower cadence), then the 5 round-11 debuts
+# (every NEW key takes its first driver record in its debut round —
+# driver-window-slot rule): q_seq_patterns_full (VERDICT r10 #1, the
+# one round-10 operator that shipped without a driver row),
+# q_fisher_exact (#3), q_k_anon_generalize (#4),
+# q_class_report_summary (#5), plus q_l_diversity completing the
+# privacy family. The remaining 6 slots take the oldest round-7
+# oracle keys alphabetically (§7.1). The round-10 window's 50 keys
+# all took fresh rows in round 10 and yield.
+_WINDOW_R11 = [
+    # 39 round-6-stale oracle rotations (SURVEY §7.1 list, verbatim)
+    "q_ab_test",
+    "q_attribution_positional",
+    "q_changepoint",
+    "q_count_distinct",
+    "q_cube",
+    "q_cuped",
+    "q_dedup_windowed",
+    "q_entropy",
+    "q_groupby_stats",
+    "q_incremental_agg",
+    "q_join_anti",
+    "q_join_left_attr",
+    "q_join_semi",
+    "q_knn_batch",
+    "q_label_future",
+    "q_lang_id",
+    "q_media_audio",
+    "q_media_meta",
+    "q_merge_upsert",
+    "q_ngram_bigrams",
+    "q_period_over_period",
+    "q_pivot_events",
+    "q_psi_drift",
+    "q_quantile_normalize",
+    "q_quantiles",
+    "q_retention_curve",
+    "q_rolling_median",
+    "q_rollup",
+    "q_sample_per_group",
+    "q_sample_stratified",
+    "q_sort_limit",
+    "q_target_encode",
+    "q_text_stats",
+    "q_topk_window",
+    "q_weighted_median",
+    "q_window_lag",
+    "q_window_rank",
+    "q_window_sliding",
+    "q_winsorize",
+    # round-11 debuts (first driver record)
+    "q_seq_patterns_full",
+    "q_fisher_exact",
+    "q_k_anon_generalize",
+    "q_class_report_summary",
+    "q_l_diversity",
+    # oldest round-7 oracle keys, alphabetically (§7.1 tail rule)
+    "q_assoc_rules",
+    "q_auc",
+    "q_benford",
+    "q_bfs_hops",
+    "q_bm25",
+    "q_bpe_pairs",
 ]
-assert len(_WINDOW_R10) == 50, len(_WINDOW_R10)
-assert len(set(_WINDOW_R10)) == 50
-_missing = [k for k in _WINDOW_R10 if k not in QUERIES]
+assert len(_WINDOW_R11) == 50, len(_WINDOW_R11)
+assert len(set(_WINDOW_R11)) == 50
+_missing = [k for k in _WINDOW_R11 if k not in QUERIES]
 assert not _missing, f"window names unknown keys: {_missing}"
 QUERIES = {
-    **{k: QUERIES[k] for k in _WINDOW_R10},
-    **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R10},
+    **{k: QUERIES[k] for k in _WINDOW_R11},
+    **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R11},
 }

@@ -1846,3 +1846,126 @@ def streaming_k_anonymity(
             "n_rows",
         )
     )
+
+
+def streaming_suppress_small_groups(
+    events: DataFrame,
+    quasi_cols: list[str],
+    staged_events_path: str,
+    out_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    k: int = 10,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = False,
+):
+    """Streaming ENFORCEMENT half of the privacy gate (completing the
+    report → monitor → enforce triad with k_anonymity_report /
+    streaming_k_anonymity / this): per closed event-time window,
+    publish ONLY the rows whose quasi-identifier equivalence class
+    reached ``k`` members in that window — the streaming face of
+    operators/curation.py::suppress_small_groups.
+
+    Mechanics (foreachBatch sink, the stream_merge_upsert shape):
+    the driving stream is the per-(window, quasi-class) count in
+    APPEND mode — a class size is only meaningful once its window is
+    CLOSED (mid-window every class is still filling), and append's
+    watermark semantics give exactly that finality. Each closed
+    window's keep-list (classes with size ≥ k) arrives as one
+    micro-batch slice; foreachBatch then reads the window's raw rows
+    back from ``staged_events_path`` (a parquet staging area the
+    caller maintains with stream_to_partitioned_parquet from the SAME
+    source — rows cannot be held in aggregation state) and publishes
+    the null-safe LEFT SEMI join of raw rows against the keep-list,
+    partitioned by window. Suppression therefore happens strictly
+    within closed windows, never across them.
+
+    Exactly-once: append mode emits each closed window exactly once,
+    and the publish uses DYNAMIC partition overwrite keyed by the
+    window — a retried micro-batch rewrites its own window partitions
+    byte-identically (counts and join are deterministic), so replays
+    converge without a table format (the stream_merge_upsert
+    boundary note applies to concurrent readers).
+
+    State: ONE stateful operator, one row per (open window,
+    quasi-class) — the same level-1 census cost streaming_k_anonymity
+    documents (near-unique quasi-keys make it traffic-sized until the
+    watermark closes the window). The keep-list OUTPUT is
+    class-census-sized per window — that is the enforcement join's
+    honest input, identical to the batch operator's build side. The
+    driver-side collect() is of closed WINDOW STARTS per micro-batch
+    (time-bounded, a handful), used to partition-prune the staging
+    read.
+
+    Honest caveat (documented, deliberate): rows that arrive LATER
+    than the watermark are dropped from the COUNTS (standard
+    streaming-aggregate semantics) but may exist in the staging area;
+    a kept class's published rows include them (conservative in the
+    privacy direction for suppression decisions — a late row can
+    never resurrect an under-k class, but a kept class may publish
+    k+late rows). Replay on a time-ordered source equals the batch
+    suppress_small_groups per window (test-locked).
+
+    Returns the started StreamingQuery."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    keep = (
+        events.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_sz"))
+        .where(F.col("_sz") >= k)
+        .select(
+            F.col("w.start").alias("window_start"),
+            *[F.col(c).alias(f"_q_{c}") for c in quasi_cols],
+        )
+    )
+
+    def _publish(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        closed = [
+            r["window_start"]
+            for r in batch_df.select("window_start").distinct().collect()
+        ]
+        raw = (
+            spark.read.parquet(staged_events_path)
+            .withColumn(
+                "window_start",
+                F.window(ts_col, window).getField("start"),
+            )
+            .where(F.col("window_start").isin(closed))
+        )
+        cond = F.col("raw.window_start").eqNullSafe(
+            F.col("keep.window_start")
+        )
+        for c in quasi_cols:
+            cond = cond & F.col(f"raw.{c}").eqNullSafe(
+                F.col(f"keep._q_{c}")
+            )
+        kept = raw.alias("raw").join(
+            batch_df.alias("keep"), cond, "left_semi"
+        )
+        (
+            kept.withColumn(
+                "wpart",
+                F.date_format("window_start", "yyyy-MM-dd-HH-mm-ss"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("wpart")
+            .parquet(out_path)
+        )
+
+    writer = (
+        keep.writeStream.foreachBatch(_publish)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -26,65 +26,69 @@ def test_queries_and_oracles_consistent():
     assert len(q) >= 20
 
 
-# Round-10 window composition: the driver hash-checks the FIRST 50
+# Round-11 window composition: the driver hash-checks the FIRST 50
 # QUERIES entries in dict order; no-oracle keys get a weaker
 # rows+schema record. This round executes SURVEY §7.1's rotation plan
-# verbatim (queries.py::_WINDOW_R10): the 48 keys whose latest driver
-# row is round 5 take the window (after this round no oracle key's
-# latest driver row predates round 6), plus the 2 round-10 debuts.
-# The round-9 window's 50 keys all took fresh rows in round 9 and
-# yield their slots.
-ROTATED_R10 = {
-    "q_active_users", "q_analytics_pipeline", "q_anomalies",
-    "q_autocorr", "q_boilerplate", "q_boilerplate_clean",
-    "q_chi_square", "q_chunk_docs", "q_clustering_coeff",
-    "q_co_occurrence", "q_data_split", "q_dedup_exact",
-    "q_domain_cap", "q_dup_spans", "q_dwell_times",
-    "q_event_gaps", "q_expectations", "q_frequent_items_scalable",
-    "q_funnel", "q_groupby_sum", "q_growth_accounting",
-    "q_histogram", "q_impute",
-    "q_json_extract", "q_knn_ivf", "q_mad",
-    "q_minmax_scale", "q_mode", "q_moments", "q_ntile_bins",
-    "q_one_hot",
-    "q_pii_scrub", "q_profile", "q_rebalance_sources",
-    "q_regression", "q_repetition",
-    "q_scan_parquet", "q_semantic_dedup", "q_seq_pack", "q_snapshot_diff",
-    "q_time_rollup", "q_top_paths", "q_transitions", "q_triangles",
-    "q_twap", "q_unpivot", "q_url_normalize", "q_weighted_sample",
+# (queries.py::_WINDOW_R11): the 39 oracle keys whose latest driver
+# row is round 6 take the window (after this round no oracle key's
+# latest driver row predates round 7), plus the 5 round-11 debuts,
+# plus the 6 oldest round-7 oracle keys alphabetically. The round-10
+# window's 50 keys all took fresh rows in round 10 and yield their
+# slots.
+ROTATED_R11 = {
+    "q_ab_test", "q_attribution_positional", "q_changepoint",
+    "q_count_distinct", "q_cube", "q_cuped", "q_dedup_windowed",
+    "q_entropy", "q_groupby_stats", "q_incremental_agg",
+    "q_join_anti", "q_join_left_attr", "q_join_semi", "q_knn_batch",
+    "q_label_future", "q_lang_id", "q_media_audio", "q_media_meta",
+    "q_merge_upsert", "q_ngram_bigrams", "q_period_over_period",
+    "q_pivot_events", "q_psi_drift", "q_quantile_normalize",
+    "q_quantiles", "q_retention_curve", "q_rolling_median",
+    "q_rollup", "q_sample_per_group", "q_sample_stratified",
+    "q_sort_limit", "q_target_encode", "q_text_stats",
+    "q_topk_window", "q_weighted_median", "q_window_lag",
+    "q_window_rank", "q_window_sliding", "q_winsorize",
 }
-# round-10 debuts — every NEW key takes its first driver record in
+# round-11 debuts — every NEW key takes its first driver record in
 # its debut round (driver-window-slot rule)
-DEBUTS_R10 = {"q_k_anonymity", "q_class_report"}
-# rows-only keys allowed in the round-10 window (no SQL mirror) —
-# none planned: both debuts are oracle-checked
-ROWS_ONLY_R10: set[str] = set()
+DEBUTS_R11 = {
+    "q_seq_patterns_full", "q_fisher_exact", "q_k_anon_generalize",
+    "q_class_report_summary", "q_l_diversity",
+}
+# oldest round-7 oracle keys filling the remaining slots (§7.1)
+R7_TAIL_R11 = {
+    "q_assoc_rules", "q_auc", "q_benford", "q_bfs_hops", "q_bm25",
+    "q_bpe_pairs",
+}
+# rows-only keys allowed in the round-11 window (no SQL mirror) —
+# none planned: all five debuts are oracle-checked
+ROWS_ONLY_R11: set[str] = set()
 
 
-def test_round10_window_composition():
-    """All 48 round-5-stale keys and both round-10 debuts sit inside
-    the 50-key window; every window key is oracle-checked (no
-    rows-only slots this round); no freshly-rotated round-9 key burns
-    a slot."""
+def test_round11_window_composition():
+    """All 39 round-6-stale oracle keys, the five round-11 debuts, and
+    the six oldest round-7 keys sit inside the 50-key window; every
+    window key is oracle-checked (no rows-only slots this round)."""
     import __spark_entry__ as e
 
     q = list(e.queries())
     o = e.oracle_sql()
     window = set(q[:50])
-    must_rotate = ROTATED_R10 | (DEBUTS_R10 & set(q))
+    must_rotate = ROTATED_R11 | (DEBUTS_R11 & set(q)) | R7_TAIL_R11
     missing = must_rotate - window
     assert not missing, f"stale keys fell out of the window: {missing}"
     no_oracle = {k for k in q[:50] if k not in o}
-    assert no_oracle <= ROWS_ONLY_R10, (
-        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R10}"
+    assert no_oracle <= ROWS_ONLY_R11, (
+        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R11}"
     )
 
 
-def test_no_stale_driver_rows_after_round10():
-    """The freshness invariant VERDICT r9 #1 prescribes: every oracle
-    key's latest driver row, once this round's window lands, is round
-    6 or later. Historical CORRECTNESS files give each key's latest
-    recorded round; keys in the current window count as
-    latest=current."""
+def test_no_stale_driver_rows_after_round11():
+    """The freshness invariant VERDICT r9 #1 prescribes, advanced one
+    round: every oracle key's latest driver row, once this round's
+    window lands, is round 7 or later. Historical CORRECTNESS files
+    give each key's latest recorded round; keys in the current window
+    count as latest=current."""
     import glob
     import json
     import os
@@ -111,9 +115,9 @@ def test_no_stale_driver_rows_after_round10():
     stale = {
         k: latest.get(k)
         for k in e.oracle_sql()
-        if latest.get(k, 0) < 6
+        if latest.get(k, 0) < 7
     }
-    assert not stale, f"keys whose latest driver row predates round 6: {stale}"
+    assert not stale, f"keys whose latest driver row predates round 7: {stale}"
 
 
 def test_every_oracle_key_has_a_driver_row():

@@ -2463,3 +2463,125 @@ class TestRocksDBRound10Twins:
         default_rows = self._with_provider(spark, None, run_once)
         rocks_rows = self._with_provider(spark, self.ROCKS, run_once)
         assert rocks_rows == default_rows and rocks_rows
+
+
+class TestStreamingSuppressSmallGroups:
+    """streaming_suppress_small_groups: the ENFORCEMENT half of the
+    privacy gate as a foreachBatch sink — closed windows publish only
+    rows whose quasi-class reached k, matching the batch
+    suppress_small_groups applied per window."""
+
+    QI = ["event_type"]
+
+    def _median_class_k(self, spark, events_dir):
+        """A k that splits the per-(window, class) size distribution,
+        so closed windows contain BOTH kept and suppressed classes."""
+        batch = spark.read.parquet(events_dir)
+        sizes = sorted(
+            r["n"]
+            for r in batch.groupBy(
+                F.window("ts", "6 hours").alias("w"), *self.QI
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return max(2, sizes[len(sizes) // 2])
+
+    def test_closed_windows_match_batch_suppression(
+        self, spark, events_dir_timeordered, tmp_path
+    ):
+        from h3_indexer_spark.operators.curation import (
+            suppress_small_groups,
+        )
+        from h3_indexer_spark.streaming.events import (
+            streaming_suppress_small_groups,
+        )
+
+        k = self._median_class_k(spark, events_dir_timeordered)
+        out = str(tmp_path / "kept")
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        q = streaming_suppress_small_groups(
+            src,
+            self.QI,
+            staged_events_path=events_dir_timeordered,
+            out_path=out,
+            checkpoint=str(tmp_path / "ckpt"),
+            k=k,
+            window="6 hours",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(out)
+        closed = [
+            r["window_start"]
+            for r in got.select("window_start").distinct().collect()
+        ]
+        assert closed, "no window closed — watermark never propagated"
+        batch = spark.read.parquet(events_dir_timeordered)
+        total_closed = 0
+        for start in closed:
+            sliced = batch.where(
+                F.window("ts", "6 hours").getField("start")
+                == F.lit(start)
+            )
+            want = sorted(
+                r["event_id"]
+                for r in suppress_small_groups(
+                    sliced, self.QI, k=k
+                ).collect()
+            )
+            have = sorted(
+                r["event_id"]
+                for r in got.where(
+                    F.col("window_start") == F.lit(start)
+                ).collect()
+            )
+            assert have == want, start
+            total_closed += sliced.count()
+        # the median-k choice guarantees genuine suppression happened
+        assert 0 < got.count() < total_closed
+
+    def test_state_bound_and_rejects_bad_args(
+        self, spark, events_dir, tmp_path
+    ):
+        from h3_indexer_spark.streaming.events import (
+            streaming_suppress_small_groups,
+        )
+
+        src = _read_stream(spark, events_dir)
+        q = streaming_suppress_small_groups(
+            src,
+            self.QI,
+            staged_events_path=events_dir,
+            out_path=str(tmp_path / "kept"),
+            checkpoint=str(tmp_path / "ckpt"),
+            k=400,
+            window="6 hours",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        batch = spark.read.parquet(events_dir)
+        n_windows = (
+            batch.select(F.window("ts", "6 hours").alias("w"))
+            .select("w.start").distinct().count()
+        )
+        n_classes = batch.select(*self.QI).distinct().count()
+        state_rows = sum(
+            op.get("numRowsTotal", 0)
+            for op in (q.lastProgress or {}).get("stateOperators", [])
+        )
+        # ONE stateful operator: a row per (open window, quasi-class)
+        assert state_rows <= n_windows * n_classes, (
+            state_rows, n_windows, n_classes
+        )
+        with pytest.raises(ValueError):
+            streaming_suppress_small_groups(
+                src, self.QI, "x", "y", "z", k=1
+            )
+        with pytest.raises(ValueError):
+            streaming_suppress_small_groups(src, [], "x", "y", "z")
