@@ -11972,7 +11972,7 @@ ORACLES["q_zipf_fit"] = _ZIPF_FIT_ORACLE
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity violation histogram (operators/curation.py::
     k_anonymity_report) over customers keyed by the quasi-identifier
-    tuple (nation, market segment, account-balance thousela-bucket) at
+    tuple (nation, market segment, account-balance thousand-bucket) at
     k=10 — the privacy release gate: one row per under-k equivalence-
     class SIZE with how many classes and rows sit at that risk level
     (<= 9 rows whatever the volume; empty = dataset is 10-anonymous).
