@@ -1969,3 +1969,91 @@ def streaming_suppress_small_groups(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_l_diversity(
+    events: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    ts_col: str = "ts",
+    l_min: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators/curation.py::l_diversity_report:
+    the per-window distinct l-diversity violation histogram — the
+    homogeneity-attack monitor running beside streaming_k_anonymity
+    (k-anonymity bounds class SIZE; this bounds how concentrated the
+    SENSITIVE attribute is within each class).
+
+    TRIPLE-chained stateful aggregation (extending the
+    streaming_k_anonymity mechanics by one level, since streaming has
+    no COUNT DISTINCT): level 1 counts each (window, quasi-class,
+    sensitive-value) triple — existence of a triple IS one distinct
+    sensitive value, and its count carries the class-size partial;
+    level 2 re-windows over ``window_time`` and collapses per
+    (window, quasi-class) to d = number of NON-NULL sensitive triples
+    (batch's count_distinct skips NULLs; keeping the NULL triple in
+    level 1 but not counting it toward d preserves the batch
+    convention that an all-NULL class reports d = 0, maximally
+    homogeneous) and sz = class size; level 3 keeps classes with
+    d < ``l_min`` and rolls them into the histogram
+    (n_distinct_sensitive, n_groups, n_rows). Append mode end to end
+    — a class's diversity is only judgeable once its window CLOSES.
+
+    State: level 1 holds one row per (open window, quasi-class,
+    sensitive value) — the honest distinct-count cost, bounded by the
+    per-window quasi×sensitive cardinality (same caveat as any
+    streaming COUNT DISTINCT; a near-unique sensitive column makes it
+    traffic-sized until the watermark closes the window); level 2 one
+    row per (open window, class); level 3 ≤ l_min−1 rows per open
+    window. NULL event times drop (immortal-state rule); NULL quasi
+    values form their own class (batch contract).
+
+    availableNow replay equals the batch l_diversity_report applied
+    per window (test-locked)."""
+    if l_min < 2:
+        raise ValueError(f"l_min must be >= 2: {l_min}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    triples = (
+        events.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            *quasi_cols,
+            F.col(sensitive_col).alias("_s"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    )
+    classes = (
+        triples.groupBy(
+            F.window(F.window_time("w"), window).alias("w2"),
+            *quasi_cols,
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("_s").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_d"),
+            F.sum("_n").cast("bigint").alias("_sz"),
+        )
+    )
+    return (
+        classes.where(F.col("_d") < l_min)
+        .groupBy(
+            F.window(F.window_time("w2"), window).alias("w3"),
+            F.col("_d").alias("n_distinct_sensitive"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("_sz").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("w3.start").alias("window_start"),
+            "n_distinct_sensitive",
+            "n_groups",
+            "n_rows",
+        )
+    )

@@ -2585,3 +2585,216 @@ class TestStreamingSuppressSmallGroups:
             )
         with pytest.raises(ValueError):
             streaming_suppress_small_groups(src, [], "x", "y", "z")
+
+
+class TestStreamingLDiversity:
+    """streaming_l_diversity: per-window distinct l-diversity
+    violation histogram via TRIPLE-chained stateful aggregation —
+    replay parity with the batch l_diversity_report per window, plus
+    state bounds."""
+
+    QI = ["event_type"]
+    SENS = "user_id"
+    L = 10
+
+    def test_closed_prefix_matches_batch_per_window(
+        self, spark, events_dir_timeordered
+    ):
+        from h3_indexer_spark.operators.curation import l_diversity_report
+        from h3_indexer_spark.streaming.events import streaming_l_diversity
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        out = _run_stream(
+            spark,
+            streaming_l_diversity(
+                src, self.QI, self.SENS, window="6 hours", l_min=self.L
+            ),
+            output_mode="append",
+        )
+        got = {
+            (r["window_start"], r["n_distinct_sensitive"]):
+                (r["n_groups"], r["n_rows"])
+            for r in out.collect()
+        }
+        assert got, "no window closed — watermark never propagated"
+        batch = spark.read.parquet(events_dir_timeordered)
+        want = {}
+        for w in (
+            batch.select(F.window("ts", "6 hours").alias("w"))
+            .select("w.start").distinct().collect()
+        ):
+            start = w["start"]
+            sliced = batch.where(
+                F.window("ts", "6 hours").getField("start") == F.lit(start)
+            )
+            for r in l_diversity_report(
+                sliced, self.QI, self.SENS, l_min=self.L
+            ).collect():
+                want[(start, r["n_distinct_sensitive"])] = (
+                    r["n_groups"], r["n_rows"],
+                )
+        for key, v in got.items():
+            assert want[key] == v, key
+        open_windows = {w for (w, _d) in want} - {w for (w, _d) in got}
+        assert len(open_windows) <= 2, sorted(open_windows)
+
+    def test_state_bounds_and_null_sensitive_convention(
+        self, spark, events_dir
+    ):
+        import uuid as _uuid
+
+        from h3_indexer_spark.streaming.events import streaming_l_diversity
+
+        # null out one type's sensitive column: its classes must
+        # surface as d=0 (all-NULL = maximally homogeneous), matching
+        # the batch count_distinct-skips-NULLs convention
+        schema = spark.read.parquet(events_dir).schema
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(events_dir)
+            .withColumn(
+                "user_id",
+                F.when(
+                    F.col("event_type") == "view", F.col("user_id")
+                ),
+            )
+        )
+        name = f"mem_{_uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_l_diversity(
+                src, self.QI, self.SENS, window="6 hours", l_min=self.L
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        batch = spark.read.parquet(events_dir)
+        rows = spark.table(name).collect()
+        # every non-'view' class carries user_id NULL -> d = 0 rows
+        # must exist (those classes are never 10-diverse)
+        assert any(r["n_distinct_sensitive"] == 0 for r in rows)
+        # structural state bound: level 1 <= windows x classes x
+        # (sensitive values + 1 for the NULL triple), level 2 <=
+        # windows x classes, level 3 <= windows x (l_min - 1)
+        n_windows = (
+            batch.select(F.window("ts", "6 hours").alias("w"))
+            .select("w.start").distinct().count()
+        )
+        n_classes = batch.select(*self.QI).distinct().count()
+        n_sens = batch.select(self.SENS).distinct().count() + 1
+        state_rows = sum(
+            op.get("numRowsTotal", 0)
+            for op in (q.lastProgress or {}).get("stateOperators", [])
+        )
+        bound = n_windows * (
+            n_classes * n_sens + n_classes + (self.L - 1)
+        )
+        assert state_rows <= bound, (state_rows, bound)
+
+    def test_rejects_bad_args(self, spark, events_dir):
+        from h3_indexer_spark.streaming.events import streaming_l_diversity
+
+        src = _read_stream(spark, events_dir)
+        with pytest.raises(ValueError):
+            streaming_l_diversity(src, ["event_type"], "user_id", l_min=1)
+        with pytest.raises(ValueError):
+            streaming_l_diversity(src, [], "user_id")
+
+
+class TestRocksDBRound11Twins:
+    """RocksDB provider parity for the round-11 twins: the
+    triple-chained l-diversity monitor (three stateful operators in
+    one query — one deeper than the k-anonymity chain) and the
+    suppression sink's driving aggregation."""
+
+    ROCKS = TestRocksDBRound10Twins.ROCKS
+    KEY = TestRocksDBRound10Twins.KEY
+
+    def _with_provider(self, spark, provider, fn):
+        return TestRocksDBRound10Twins._with_provider(
+            self, spark, provider, fn
+        )
+
+    def test_l_diversity_chain_matches_default_provider(
+        self, spark, events_dir_timeordered
+    ):
+        from h3_indexer_spark.streaming.events import streaming_l_diversity
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+
+        def run_once():
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_dir_timeordered)
+            )
+            return {
+                (r["window_start"], r["n_distinct_sensitive"]): (
+                    r["n_groups"], r["n_rows"]
+                )
+                for r in _run_stream(
+                    spark,
+                    streaming_l_diversity(
+                        src, ["event_type"], "user_id",
+                        window="6 hours", l_min=10,
+                    ),
+                    output_mode="append",
+                ).collect()
+            }
+
+        default_rows = self._with_provider(spark, None, run_once)
+        rocks_rows = self._with_provider(spark, self.ROCKS, run_once)
+        assert rocks_rows == default_rows and rocks_rows
+
+    def test_suppression_sink_matches_default_provider(
+        self, spark, events_dir_timeordered, tmp_path
+    ):
+        from h3_indexer_spark.streaming.events import (
+            streaming_suppress_small_groups,
+        )
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        batch = spark.read.parquet(events_dir_timeordered)
+        sizes = sorted(
+            r["n"]
+            for r in batch.groupBy(
+                F.window("ts", "6 hours").alias("w"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        k = max(2, sizes[len(sizes) // 2])
+
+        def run_once(tag):
+            out = str(tmp_path / f"kept_{tag}")
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_dir_timeordered)
+            )
+            q = streaming_suppress_small_groups(
+                src, ["event_type"],
+                staged_events_path=events_dir_timeordered,
+                out_path=out,
+                checkpoint=str(tmp_path / f"ckpt_{tag}"),
+                k=k, window="6 hours",
+                trigger_available_now=True,
+            )
+            q.awaitTermination(180)
+            return sorted(
+                r["event_id"] for r in spark.read.parquet(out).collect()
+            )
+
+        default_rows = self._with_provider(
+            spark, None, lambda: run_once("d")
+        )
+        rocks_rows = self._with_provider(
+            spark, self.ROCKS, lambda: run_once("r")
+        )
+        assert rocks_rows == default_rows and rocks_rows
