@@ -313,3 +313,99 @@ class TestFisherExactProperty:
             got = Fraction(out[g]["p_num"], out[g]["p_den"])
             assert got == want, (g, cells[g], got, want)
             assert 0 < got <= 1
+
+
+class TestRound11Properties:
+    def test_ladder_monotone_under_true_coarsening(self, spark):
+        """Property: along a TRUE coarsening chain (each level's key
+        function factors through the previous level's), merging
+        classes can only grow them, so n_violations and rows_at_risk
+        are non-increasing level over level. (The contract ladder's
+        1000 -> 2000 bucket step and the column drops are true
+        coarsenings; this locks the invariant the chosen-level
+        semantics lean on.)"""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from h3_indexer_spark.operators.curation import (
+            k_anonymity_generalize,
+        )
+
+        rng = random.Random(1107)
+        rows = [
+            (rng.randint(0, 7), rng.randint(0, 39) * 100.0)
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(rows, "region int, bal double")
+
+        def bucket(w):
+            return (
+                F.floor(F.col("bal") / F.lit(w)).cast("bigint").alias("b")
+            )
+
+        # 500 -> 1000 -> 4000 each divides the next: true coarsening;
+        # then drop the bucket, then drop everything but a constant
+        out = k_anonymity_generalize(
+            df,
+            [
+                ("b500", [F.col("region"), bucket(500.0)]),
+                ("b1000", [F.col("region"), bucket(1000.0)]),
+                ("b4000", [F.col("region"), bucket(4000.0)]),
+                ("region", [F.col("region")]),
+                ("all", [F.lit(1).alias("one")]),
+            ],
+            k=6,
+        ).collect()
+        viols = [r["n_violations"] for r in out]
+        risks = [r["rows_at_risk"] for r in out]
+        assert viols == sorted(viols, reverse=True), viols
+        assert risks == sorted(risks, reverse=True), risks
+        # the coarsest level (everything in one class of 400 >= 6)
+        # is always clean, so a chosen level exists
+        assert out[-1]["n_violations"] == 0
+        assert sum(r["is_chosen"] for r in out) == 1
+
+    def test_summary_identities_on_random_draws(self, spark):
+        """Property: on random (label, pred) draws — micro = accuracy
+        exactly; with a PERFECT classifier every mean is 1.0; macro
+        and weighted coincide when class supports are equal."""
+        import random
+
+        from h3_indexer_spark.operators.analytics import (
+            classification_summary,
+        )
+
+        rng = random.Random(1108)
+        classes = ["a", "b", "c", "d"]
+        # equal supports: 25 rows per true class, random predictions
+        pairs = [
+            (c, rng.choice(classes)) for c in classes for _ in range(25)
+        ]
+        df = spark.createDataFrame(pairs, "label string, pred string")
+        out = {
+            r["avg_mode"]: r
+            for r in classification_summary(df, "label", "pred").collect()
+        }
+        acc = round(
+            sum(1 for lb, pr in pairs if lb == pr) / len(pairs), 9
+        )
+        assert out["micro"]["f1"] == acc
+        # equal supports make weighted == macro (same mean, weights
+        # cancel); both computed over ROUND-9 per-class inputs, so the
+        # equality is exact up to the final ROUND-9 of sums whose
+        # terms differ only by the constant 25x weight / 100 divisor
+        assert abs(out["weighted"]["f1"] - out["macro"]["f1"]) < 2e-9
+        perfect = spark.createDataFrame(
+            [(c, c) for c in classes for _ in range(5)],
+            "label string, pred string",
+        )
+        pout = {
+            r["avg_mode"]: r
+            for r in classification_summary(
+                perfect, "label", "pred"
+            ).collect()
+        }
+        for mode in ("macro", "micro", "weighted"):
+            assert pout[mode]["precision"] == 1.0
+            assert pout[mode]["f1"] == 1.0
