@@ -4578,12 +4578,27 @@ def fisher_exact(
     """
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
+    counts = fisher_contingency_counts(df, group_cols, a_col, b_col)
+    return fisher_readout(counts, group_cols).orderBy(*group_cols)
+
+
+def fisher_contingency_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Shared front end of the batch fisher_exact and the streaming
+    twin: the four exact-BIGINT 2x2 partials (n, r1, c1, n11) per
+    group — ONE groupBy with map-side combine; rows with a NULL in
+    either boolean are excluded. (Extracting it keeps batch and
+    streaming in lockstep — the class_report_contributions pattern.)"""
     a = F.col(a_col).cast("boolean")
     b = F.col(b_col).cast("boolean")
-    counts = (
+    return (
         df.where(a.isNotNull() & b.isNotNull())
         .select(
-            *group_cols,
+            *[c for c in df.columns if c not in (a_col, b_col)],
             a.cast("int").alias("_a"),
             b.cast("int").alias("_b"),
         )
@@ -4595,6 +4610,16 @@ def fisher_exact(
             F.sum(F.col("_a") * F.col("_b")).cast("bigint").alias("n11"),
         )
     )
+
+
+def fisher_readout(counts: DataFrame, carry_cols: list[str]) -> DataFrame:
+    """Shared back end of the batch fisher_exact and the streaming
+    twin: from the exact-BIGINT partials (n, r1, c1, n11) to the full
+    test readout — all cells, the exact p_num/p_den rational via the
+    integer-preserving binomial folds, the ROUND-9 p-value, and the
+    odds ratio. Pure stateless projections (whole-stage-codegen'd
+    higher-order functions), so the streaming twin stays append-safe
+    after its single stateful aggregation."""
     w_at = "{c1} * {c2}".format(
         c1=_binom_fold_sql("r1", "kk"),
         c2=_binom_fold_sql("n - r1", "c1 - kk"),
@@ -4611,7 +4636,7 @@ def fisher_exact(
         ),
     ).withColumn("_w_obs", F.expr(w_obs))
     guarded = stats.select(
-        *group_cols,
+        *carry_cols,
         "n",
         "r1",
         "c1",
@@ -4640,7 +4665,7 @@ def fisher_exact(
         / (F.col("n12") * F.col("n21")).cast("double"),
     )
     return guarded.select(
-        *group_cols,
+        *carry_cols,
         "n",
         "r1",
         "c1",
@@ -4654,7 +4679,7 @@ def fisher_exact(
             F.col("p_num").cast("double") / F.col("p_den").cast("double"), 9
         ).alias("p_value"),
         F.round(odds, 9).alias("odds_ratio"),
-    ).orderBy(*group_cols)
+    )
 
 
 def classification_summary(

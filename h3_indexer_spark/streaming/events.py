@@ -2057,3 +2057,60 @@ def streaming_l_diversity(
             "n_rows",
         )
     )
+
+
+def streaming_fisher_exact(
+    events: DataFrame,
+    group_cols: list[str],
+    a_col: str,
+    b_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators/analytics.py::fisher_exact: per
+    closed event-time window and group, the two-sided exact
+    independence test of the booleans ``a_col`` x ``b_col`` — live
+    small-sample A/B monitoring (is the treatment flag independent of
+    the outcome flag in THIS hour's cohort?) with the batch
+    operator's exactness guarantees intact, because the split is the
+    class_report pattern: the ONE stateful aggregation accumulates
+    only the four exact-BIGINT partials (shared front end
+    fisher_contingency_counts), and the entire test readout — the
+    integer-preserving binomial folds, the exact ≤-observed rule, the
+    single-division p-value — is STATELESS projection over the closed
+    window's row (shared back end fisher_readout), so batch and
+    streaming cannot drift.
+
+    Append mode (a 2x2 table is only testable once its window
+    closes); state = one row of four BIGINTs per (open window,
+    group). Groups exceeding FISHER_MAX_N (=60) rows in a window
+    report NULL p — at streaming rates most windows will, so this
+    monitor is for SMALL cohorts by design (rare-event flags, sampled
+    traffic, per-tenant slices); bigger cohorts belong to a
+    chi-square monitor. NULL event times drop (immortal-state rule);
+    NULL booleans are excluded row-wise (batch contract).
+
+    availableNow replay equals batch fisher_exact per window
+    (test-locked)."""
+    from h3_indexer_spark.operators.analytics import (
+        fisher_contingency_counts,
+        fisher_readout,
+    )
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    src = events.where(F.col(ts_col).isNotNull()).withWatermark(
+        ts_col, watermark
+    )
+    counts = fisher_contingency_counts(
+        src,
+        [F.window(ts_col, window).alias("w"), *group_cols],
+        a_col,
+        b_col,
+    )
+    out = fisher_readout(
+        counts.withColumn("window_start", F.col("w.start")),
+        ["window_start", *group_cols],
+    )
+    return out

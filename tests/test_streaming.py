@@ -2798,3 +2798,112 @@ class TestRocksDBRound11Twins:
             spark, self.ROCKS, lambda: run_once("r")
         )
         assert rocks_rows == default_rows and rocks_rows
+
+
+class TestStreamingFisherExact:
+    """streaming_fisher_exact: per-window grouped exact independence
+    test — one stateful aggregation of four BIGINT partials, the
+    whole readout stateless (shared fisher_readout back end), so
+    closed windows must equal batch fisher_exact bit-for-bit."""
+
+    def _prepared(self, df):
+        return df.select(
+            "ts",
+            "event_type",
+            (F.col("value") > 50.0).alias("a"),
+            (F.col("user_id") % 2 == 0).alias("b"),
+        )
+
+    def test_closed_prefix_matches_batch_per_window(
+        self, spark, events_dir_timeordered
+    ):
+        from h3_indexer_spark.operators.analytics import fisher_exact
+        from h3_indexer_spark.streaming.events import streaming_fisher_exact
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = self._prepared(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        out = _run_stream(
+            spark,
+            streaming_fisher_exact(
+                src, ["event_type"], "a", "b", window="6 hours"
+            ),
+            output_mode="append",
+        )
+        got = {
+            (r["window_start"], r["event_type"]):
+                (r["n"], r["n11"], r["p_num"], r["p_den"], r["p_value"],
+                 r["odds_ratio"])
+            for r in out.collect()
+        }
+        assert got, "no window closed — watermark never propagated"
+        # at least one closed group is inside the exact domain and
+        # carries a real p-value
+        assert any(v[4] is not None for v in got.values())
+        batch = self._prepared(
+            spark.read.parquet(events_dir_timeordered)
+        )
+        want = {}
+        for w in (
+            batch.select(F.window("ts", "6 hours").alias("w"))
+            .select("w.start").distinct().collect()
+        ):
+            start = w["start"]
+            sliced = batch.where(
+                F.window("ts", "6 hours").getField("start") == F.lit(start)
+            )
+            for r in fisher_exact(
+                sliced, ["event_type"], "a", "b"
+            ).collect():
+                want[(start, r["event_type"])] = (
+                    r["n"], r["n11"], r["p_num"], r["p_den"],
+                    r["p_value"], r["odds_ratio"],
+                )
+        for key, v in got.items():
+            assert want[key] == v, key
+        open_windows = {w for (w, _g) in want} - {w for (w, _g) in got}
+        assert len(open_windows) <= 2, sorted(open_windows)
+
+    def test_state_is_partials_only_and_rejects_bad_args(
+        self, spark, events_dir
+    ):
+        import uuid as _uuid
+
+        from h3_indexer_spark.streaming.events import streaming_fisher_exact
+
+        name = f"mem_{_uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_fisher_exact(
+                self._prepared(_read_stream(spark, events_dir)),
+                ["event_type"], "a", "b", window="6 hours",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        batch = spark.read.parquet(events_dir)
+        n_windows = (
+            batch.select(F.window("ts", "6 hours").alias("w"))
+            .select("w.start").distinct().count()
+        )
+        n_groups = batch.select("event_type").distinct().count()
+        state_rows = sum(
+            op.get("numRowsTotal", 0)
+            for op in (q.lastProgress or {}).get("stateOperators", [])
+        )
+        # ONE stateful op, one partials row per (open window, group) —
+        # the k-loop folds never touch state
+        assert state_rows <= n_windows * n_groups, (
+            state_rows, n_windows, n_groups
+        )
+        with pytest.raises(ValueError):
+            streaming_fisher_exact(
+                self._prepared(_read_stream(spark, events_dir)),
+                [], "a", "b",
+            )
