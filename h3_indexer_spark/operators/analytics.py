@@ -4718,6 +4718,21 @@ def classification_summary(
     precision, recall, f1) ordered by avg_mode."""
     per = classification_report(df, label_col, pred_col)
 
+    agg = per.agg(*class_summary_aggs())
+    return class_summary_rows(agg, []).orderBy("avg_mode")
+
+
+def class_summary_aggs() -> list[Column]:
+    """The summary aggregates over a per-class report frame (shared
+    batch/streaming — extracting them is what keeps the twins in
+    lockstep): exact BIGINT totals plus the six sorted-fold sums.
+    Every mean's inputs are the per-class ROUND-9 metrics; each fold
+    runs over the SORTED term list (the q_entropy rule — pins the
+    float addition order), with NULL metrics contributing 0
+    (sklearn's zero_division=0). collect_list is bounded by the class
+    vocabulary — a report-sized census by definition (and per open
+    window in the streaming twin)."""
+
     def _sorted_fold(term: Column) -> Column:
         return F.aggregate(
             F.array_sort(F.collect_list(term)),
@@ -4726,7 +4741,7 @@ def classification_summary(
         )
 
     w = F.col("n_true").cast("double")
-    agg = per.agg(
+    return [
         F.count(F.lit(1)).cast("bigint").alias("n_classes"),
         F.sum("n_true").cast("bigint").alias("support"),
         F.sum("tp").cast("bigint").alias("sum_tp"),
@@ -4740,11 +4755,20 @@ def classification_summary(
             "_wr"
         ),
         _sorted_fold(w * F.coalesce(F.col("f1"), F.lit(0.0))).alias("_wf"),
-    )
+    ]
+
+
+def class_summary_rows(agg: DataFrame, carry_cols: list[str]) -> DataFrame:
+    """Shared back end (batch/streaming): unpivot the one-row-per-key
+    summary aggregate into the 3 averaging-mode rows via stack —
+    stateless projections, so the streaming twin stays append-safe
+    after its chained aggregations. ``carry_cols`` (e.g. the window
+    start) ride along."""
     nc = F.col("n_classes").cast("double")
     sup = F.col("support").cast("double")
     acc = F.col("sum_tp").cast("double") / sup
     rows = agg.select(
+        *carry_cols,
         "n_classes",
         "support",
         F.expr(
@@ -4765,10 +4789,11 @@ def classification_summary(
         )
 
     return rows.select(
+        *carry_cols,
         "avg_mode",
         "n_classes",
         "support",
         _metric("_p").alias("precision"),
         _metric("_r").alias("recall"),
         _metric("_f").alias("f1"),
-    ).orderBy("avg_mode")
+    )

@@ -2114,3 +2114,66 @@ def streaming_fisher_exact(
         ["window_start", *group_cols],
     )
     return out
+
+
+def streaming_class_report_summary(
+    events: DataFrame,
+    ts_col: str = "ts",
+    label_col: str = "label",
+    pred_col: str = "pred",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators/analytics.py::
+    classification_summary: per closed window, the macro / micro /
+    weighted averaging block over the per-class report — the
+    one-number-per-window drift alarm (page when macro-F1 drops) on
+    top of streaming_class_report's per-class detail.
+
+    CHAINED stateful aggregation built entirely from the shared
+    cores, so neither level can drift from batch: level 1 is the
+    class_report_contributions role-explode collapsed per (window,
+    class) — keeping the window STRUCT so its event-time attribute
+    survives — with the per-class ROUND-9 metrics derived stateless
+    (class_report_columns); level 2 re-windows over ``window_time``
+    and folds the shared class_summary_aggs (sorted folds over the
+    quantized per-class metrics — collect_list bounded by the class
+    vocabulary per open window); the 3-row unpivot is the shared
+    stateless class_summary_rows. Append mode end to end (an average
+    over classes is only meaningful once the window's per-class
+    cells are FINAL).
+
+    State: level 1 one row per (open window, class); level 2 one row
+    per open window carrying the fold partials — both
+    vocabulary-bounded, watermark-expired. NULL label/pred rows drop
+    (batch contract); NULL event times drop (immortal-state rule).
+
+    availableNow replay equals the batch classification_summary
+    applied per window, exactly — identical quantized inputs,
+    identical pinned fold order (test-locked)."""
+    from h3_indexer_spark.operators.analytics import (
+        class_report_aggs,
+        class_report_columns,
+        class_report_contributions,
+        class_summary_aggs,
+        class_summary_rows,
+    )
+
+    contrib = class_report_contributions(
+        events.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(ts_col, label_col, pred_col),
+        label_col,
+        pred_col,
+    )
+    per_class = contrib.groupBy(
+        F.window(ts_col, window).alias("w"), "class"
+    ).agg(*class_report_aggs())
+    per_class = per_class.select("w", "class", *class_report_columns())
+    summary = per_class.groupBy(
+        F.window(F.window_time("w"), window).alias("w2")
+    ).agg(*class_summary_aggs())
+    return class_summary_rows(
+        summary.withColumn("window_start", F.col("w2.start")),
+        ["window_start"],
+    )

@@ -2907,3 +2907,115 @@ class TestStreamingFisherExact:
                 self._prepared(_read_stream(spark, events_dir)),
                 [], "a", "b",
             )
+
+
+class TestStreamingClassReportSummary:
+    """streaming_class_report_summary: per-window macro/micro/weighted
+    block via chained stateful aggregation over the SHARED batch
+    cores — closed windows must equal batch classification_summary
+    exactly (identical quantized inputs, identical pinned fold
+    order)."""
+
+    def _prepared(self, df):
+        return df.select(
+            "ts",
+            F.col("event_type").alias("label"),
+            F.when(F.col("value") < 50.0, F.lit("view"))
+            .otherwise(F.lit("purchase"))
+            .alias("pred"),
+        )
+
+    def test_closed_prefix_matches_batch_per_window(
+        self, spark, events_dir_timeordered
+    ):
+        from h3_indexer_spark.operators.analytics import (
+            classification_summary,
+        )
+        from h3_indexer_spark.streaming.events import (
+            streaming_class_report_summary,
+        )
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = self._prepared(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        out = _run_stream(
+            spark,
+            streaming_class_report_summary(src, window="6 hours"),
+            output_mode="append",
+        )
+        got = {
+            (r["window_start"], r["avg_mode"]): (
+                r["n_classes"], r["support"],
+                r["precision"], r["recall"], r["f1"],
+            )
+            for r in out.collect()
+        }
+        assert got, "no window closed — watermark never propagated"
+        batch = self._prepared(spark.read.parquet(events_dir_timeordered))
+        want = {}
+        for w in (
+            batch.select(F.window("ts", "6 hours").alias("w"))
+            .select("w.start").distinct().collect()
+        ):
+            start = w["start"]
+            sliced = batch.where(
+                F.window("ts", "6 hours").getField("start") == F.lit(start)
+            )
+            for r in classification_summary(
+                sliced, "label", "pred"
+            ).collect():
+                want[(start, r["avg_mode"])] = (
+                    r["n_classes"], r["support"],
+                    r["precision"], r["recall"], r["f1"],
+                )
+        for key, v in got.items():
+            assert want[key] == v, key
+        # closed windows emit all 3 averaging modes together
+        by_window = {}
+        for (w, mode) in got:
+            by_window.setdefault(w, set()).add(mode)
+        assert all(
+            modes == {"macro", "micro", "weighted"}
+            for modes in by_window.values()
+        )
+        open_windows = {w for (w, _m) in want} - {w for (w, _m) in got}
+        assert len(open_windows) <= 2 * 3, sorted(open_windows)
+
+    def test_state_bounds(self, spark, events_dir):
+        import uuid as _uuid
+
+        from h3_indexer_spark.streaming.events import (
+            streaming_class_report_summary,
+        )
+
+        name = f"mem_{_uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_class_report_summary(
+                self._prepared(_read_stream(spark, events_dir)),
+                window="6 hours",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        batch = spark.read.parquet(events_dir)
+        n_windows = (
+            batch.select(F.window("ts", "6 hours").alias("w"))
+            .select("w.start").distinct().count()
+        )
+        # classes = label vocab (event types) U pred vocab (2)
+        n_classes = batch.select("event_type").distinct().count() + 2
+        state_rows = sum(
+            op.get("numRowsTotal", 0)
+            for op in (q.lastProgress or {}).get("stateOperators", [])
+        )
+        # level 1 <= windows x classes; level 2 <= windows
+        assert state_rows <= n_windows * (n_classes + 1), (
+            state_rows, n_windows, n_classes
+        )
