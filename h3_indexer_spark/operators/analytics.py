@@ -4628,13 +4628,27 @@ def fisher_readout(counts: DataFrame, carry_cols: list[str]) -> DataFrame:
         c1=_binom_fold_sql("r1", "n11"),
         c2=_binom_fold_sql("n - r1", "c1 - n11"),
     )
+    # The n <= FISHER_MAX_N guard must wrap the WEIGHT CONSTRUCTION
+    # itself, not just the p_num/p_den readout: beyond the bound the
+    # BIGINT fold intermediates overflow, which under ANSI mode
+    # (Spark 4 default) crashes the whole query instead of yielding
+    # the documented NULL p. CASE (not an empty sequence) because
+    # sequence(a, b) with a > b goes DESCENDING, never empty.
     stats = counts.withColumn(
         "_ws",
         F.expr(
+            f"CASE WHEN n <= {FISHER_MAX_N} THEN "
             "transform(sequence(greatest(CAST(0 AS BIGINT), r1 + c1 - n),"
-            f" least(r1, c1)), kk -> {w_at})"
+            f" least(r1, c1)), kk -> {w_at}) "
+            "ELSE CAST(NULL AS ARRAY<BIGINT>) END"
         ),
-    ).withColumn("_w_obs", F.expr(w_obs))
+    ).withColumn(
+        "_w_obs",
+        F.expr(
+            f"CASE WHEN n <= {FISHER_MAX_N} THEN {w_obs} "
+            "ELSE CAST(NULL AS BIGINT) END"
+        ),
+    )
     guarded = stats.select(
         *carry_cols,
         "n",

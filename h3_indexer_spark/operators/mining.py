@@ -323,16 +323,28 @@ def sequential_patterns(
     )
     # render the arrow string on the (tiny) support census, then rank
     # on the RENDERED string so the contract's (support desc, pattern
-    # asc) total order is over exactly the emitted column
+    # asc) total order is over exactly the emitted column. The
+    # INTERNAL array is kept as the final tiebreaker (ADVICE r11):
+    # two distinct arrays whose rendering collides (an event type
+    # embedding the arrow separator) can tie exactly on
+    # (support, pattern), and without the array the limit boundary
+    # and row_number would be nondeterministic. Such a collision also
+    # diverges from the string-concatenating oracle, which would
+    # merge the two sequences' supports — documented OUT OF CONTRACT:
+    # the contract assumes event types do not embed ' -> '.
     rendered = support.select(
         F.array_join("pattern", _PATTERN_SEP).alias("pattern"),
         F.col("length").cast("bigint").alias("length"),
         "support",
+        F.col("pattern").alias("_arr"),
     )
-    top = rendered.orderBy(
-        F.col("support").desc(), F.col("pattern").asc()
-    ).limit(k)
-    rk = Window.orderBy(F.col("support").desc(), F.col("pattern").asc())
+    order_cols = [
+        F.col("support").desc(),
+        F.col("pattern").asc(),
+        F.col("_arr").asc(),
+    ]
+    top = rendered.orderBy(*order_cols).limit(k)
+    rk = Window.orderBy(*order_cols)
     return top.select(
         "pattern",
         "length",

@@ -1859,6 +1859,7 @@ def streaming_suppress_small_groups(
     window: str = "1 hour",
     watermark: str = "2 hours",
     trigger_available_now: bool = False,
+    staging_query=None,
 ):
     """Streaming ENFORCEMENT half of the privacy gate (completing the
     report → monitor → enforce triad with k_anonymity_report /
@@ -1881,12 +1882,35 @@ def streaming_suppress_small_groups(
     partitioned by window. Suppression therefore happens strictly
     within closed windows, never across them.
 
+    Ordering contract (ADVICE r11 — the publish is only correct if
+    the staging area already holds every row of a window BEFORE that
+    window's keep-list micro-batch publishes it; a window is never
+    revisited on success, so a partial staging read would publish a
+    partial partition permanently): pass the staging
+    ``StreamingQuery`` as ``staging_query`` and each publish first
+    drains it with ``processAllAvailable()`` — both streams consume
+    the SAME source, and everything the counting stream aggregated
+    was by definition available at the source, so the drain makes
+    staging a superset of every counted row. Without
+    ``staging_query`` the CALLER owns the ordering (e.g. an
+    availableNow staging drain completed before this query starts —
+    the test harness pattern); a missing staging path then raises
+    with this contract spelled out rather than publishing nothing
+    (the foreachBatch retry-on-restart makes the loud failure
+    recoverable, a silent empty publish is not).
+
     Exactly-once: append mode emits each closed window exactly once,
     and the publish uses DYNAMIC partition overwrite keyed by the
-    window — a retried micro-batch rewrites its own window partitions
-    byte-identically (counts and join are deterministic), so replays
-    converge without a table format (the stream_merge_upsert
-    boundary note applies to concurrent readers).
+    window. A retried micro-batch rewrites its own window partitions
+    deterministically GIVEN the staging content (counts and join are
+    deterministic); under the ordering contract a closed window's
+    staging slice is complete before its first publish attempt, so
+    replays converge to the same bytes. Without the contract a
+    replay may see a grown staging slice and republish the window
+    with MORE rows — still converging (each attempt fully overwrites
+    the window's partitions), but not byte-identical across attempts
+    (the stream_merge_upsert boundary note applies to concurrent
+    readers).
 
     State: ONE stateful operator, one row per (open window,
     quasi-class) — the same level-1 census cost streaming_k_anonymity
@@ -1924,16 +1948,48 @@ def streaming_suppress_small_groups(
         )
     )
 
+    events_schema = events.schema
+
     def _publish(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if staging_query is not None:
+            # drain the staging stream: both streams consume the same
+            # source, so after this the staging area holds (at least)
+            # every row the counting stream aggregated — the ordering
+            # contract that makes the closed-window publish complete
+            staging_query.processAllAvailable()
         spark = batch_df.sparkSession
         closed = [
             r["window_start"]
             for r in batch_df.select("window_start").distinct().collect()
         ]
+        try:
+            # explicit schema: an empty-but-existing staging dir must
+            # not fail inference; .parquet() itself raises
+            # PATH_NOT_FOUND eagerly when the dir is absent
+            staged = spark.read.schema(events_schema).parquet(
+                staged_events_path
+            )
+        except Exception as exc:  # PATH_NOT_FOUND / AnalysisException
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            if staging_query is not None:
+                # drained and still absent: the staging stream has
+                # genuinely written nothing — nothing to publish
+                return
+            raise RuntimeError(
+                "streaming_suppress_small_groups: staging area "
+                f"{staged_events_path!r} does not exist when a closed "
+                "window tried to publish. The staging writer must "
+                "flush a window's rows BEFORE its keep-list "
+                "micro-batch fires — pass the staging StreamingQuery "
+                "as staging_query= to have each publish drain it, or "
+                "complete an availableNow staging run before starting "
+                "this query."
+            ) from exc
         raw = (
-            spark.read.parquet(staged_events_path)
+            staged
             .withColumn(
                 "window_start",
                 F.window(ts_col, window).getField("start"),

@@ -112,6 +112,26 @@ class TestFisherExact:
         assert out["big"]["n"] == 61          # counts still reported
         assert out["ok"]["p_value"] is not None
 
+    def test_over_bound_extreme_margins_no_ansi_overflow(self, spark):
+        """Regression (round-12): the n <= FISHER_MAX_N guard must
+        wrap the weight CONSTRUCTION, not just the p readout. An
+        n=100 group with an all-true a_col forces C(100, c1) weights
+        (~1e29, far past BIGINT); before the fix the unconditional
+        fold crashed the whole query with ARITHMETIC_OVERFLOW under
+        ANSI mode (Spark 4 default) instead of reporting NULL p."""
+        from h3_indexer_spark.operators.analytics import fisher_exact
+
+        rows = [("huge", True, i < 50) for i in range(100)]
+        rows += [("ok", i % 2 == 0, i % 3 == 0) for i in range(20)]
+        df = spark.createDataFrame(rows, "g string, a boolean, b boolean")
+        out = {
+            r["g"]: r for r in fisher_exact(df, ["g"], "a", "b").collect()
+        }
+        assert out["huge"]["p_value"] is None
+        assert out["huge"]["p_num"] is None
+        assert out["huge"]["n"] == 100  # counts still reported
+        assert out["ok"]["p_value"] is not None
+
     def test_at_bound_no_bigint_overflow(self, spark):
         """n=60 with the worst-case balanced margins exercises the
         largest weights (C(60,30) ~ 1.18e17) and the largest fold

@@ -281,6 +281,30 @@ class TestSequentialPatterns:
         }
         assert "A -> B -> C" in got
 
+    def test_embedded_separator_tie_is_deterministic(self, spark):
+        """ADVICE r11: an event type embedding ' -> ' renders two
+        DISTINCT internal arrays to the same pattern string; when
+        their supports also tie, the limit boundary and rank must
+        still be deterministic (the internal array is the final
+        tiebreaker). Element-wise array ordering puts ["A","B"]
+        before ["A -> B"] ("A" is a strict prefix of "A -> B")."""
+        from h3_indexer_spark.operators.mining import sequential_patterns
+
+        ev = self._ev(spark, [
+            (1, 1, "A -> B", 1),            # renders "A -> B", len 1
+            (2, 1, "A", 1), (2, 2, "B", 2),  # renders "A -> B", len 2
+        ])
+        for _ in range(3):
+            rows = [
+                (r["pattern"], r["length"], r["support"], r["rnk"])
+                for r in sequential_patterns(ev, max_gap=1, k=100)
+                .collect()
+                if r["pattern"] == "A -> B"
+            ]
+            assert rows == [("A -> B", 2, 1, rows[0][3]),
+                            ("A -> B", 1, 1, rows[1][3])]
+            assert rows[0][3] + 1 == rows[1][3]
+
     def test_rank_is_total_order(self, spark):
         from h3_indexer_spark.operators.mining import sequential_patterns
 

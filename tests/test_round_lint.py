@@ -124,3 +124,14 @@ class TestParserHardening:
         )
         bad = find_violations(src, "seed.py")
         assert len(bad) == 1 and bad[0].digits == 12
+
+    def test_untokenizable_blob_returns_unchanged(self):
+        # Regression (round-12): the except clause referenced the
+        # nonexistent tokenize.TokenizeError, so an actual tokenize
+        # failure raised AttributeError instead of falling back to
+        # the documented return-blob-unchanged path. An unterminated
+        # triple-quoted string raises tokenize.TokenError.
+        from tools.round_lint import _strip_comments
+
+        blob = 'x = """unterminated\n# not a comment inside\n'
+        assert _strip_comments(blob) == blob

@@ -2546,6 +2546,115 @@ class TestStreamingSuppressSmallGroups:
         # the median-k choice guarantees genuine suppression happened
         assert 0 < got.count() < total_closed
 
+    def test_live_staging_query_is_drained_before_publish(
+        self, spark, events_dir_timeordered, tmp_path
+    ):
+        """ADVICE r11: with a LIVE staging stream, each publish must
+        drain it first — otherwise a closed window's keep-list can
+        fire before its rows are staged and publish a partial
+        partition permanently. The staging stream here trickles one
+        file per trigger, so without the drain the first closed
+        window would race it."""
+        from h3_indexer_spark.operators.curation import (
+            suppress_small_groups,
+        )
+        from h3_indexer_spark.streaming.events import (
+            streaming_suppress_small_groups,
+        )
+
+        k = self._median_class_k(spark, events_dir_timeordered)
+        staging = str(tmp_path / "staging")
+        out = str(tmp_path / "kept")
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        stage_q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+            .writeStream.format("parquet")
+            .option("path", staging)
+            .option("checkpointLocation", str(tmp_path / "ckpt_stage"))
+            .start()
+        )
+        try:
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(events_dir_timeordered)
+            )
+            q = streaming_suppress_small_groups(
+                src,
+                self.QI,
+                staged_events_path=staging,
+                out_path=out,
+                checkpoint=str(tmp_path / "ckpt"),
+                k=k,
+                window="6 hours",
+                trigger_available_now=True,
+                staging_query=stage_q,
+            )
+            q.awaitTermination(180)
+        finally:
+            stage_q.stop()
+        got = spark.read.parquet(out)
+        closed = [
+            r["window_start"]
+            for r in got.select("window_start").distinct().collect()
+        ]
+        assert closed, "no window closed"
+        batch = spark.read.parquet(events_dir_timeordered)
+        for start in closed:
+            sliced = batch.where(
+                F.window("ts", "6 hours").getField("start")
+                == F.lit(start)
+            )
+            want = sorted(
+                r["event_id"]
+                for r in suppress_small_groups(
+                    sliced, self.QI, k=k
+                ).collect()
+            )
+            have = sorted(
+                r["event_id"]
+                for r in got.where(
+                    F.col("window_start") == F.lit(start)
+                ).collect()
+            )
+            assert have == want, start
+
+    def test_missing_staging_path_raises_contract_error(
+        self, spark, events_dir_timeordered, tmp_path
+    ):
+        """ADVICE r11: without a staging_query, a missing staging
+        path must kill the query with the ordering contract spelled
+        out (loud + checkpoint-recoverable), not publish nothing."""
+        from pyspark.errors import StreamingQueryException
+
+        from h3_indexer_spark.streaming.events import (
+            streaming_suppress_small_groups,
+        )
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        q = streaming_suppress_small_groups(
+            src,
+            self.QI,
+            staged_events_path=str(tmp_path / "never_written"),
+            out_path=str(tmp_path / "kept"),
+            checkpoint=str(tmp_path / "ckpt"),
+            k=2,
+            window="6 hours",
+            trigger_available_now=True,
+        )
+        with pytest.raises(StreamingQueryException) as exc:
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise q.exception()
+        assert "staging" in str(exc.value).lower()
+
     def test_state_bound_and_rejects_bad_args(
         self, spark, events_dir, tmp_path
     ):

@@ -110,7 +110,10 @@ def _strip_comments(blob: str) -> str:
             b = line_starts[erow - 1] + ecol
             for k in range(a, min(b, len(out))):
                 out[k] = " "
-    except (tokenize.TokenizeError, IndentationError, SyntaxError):
+    except (tokenize.TokenError, SyntaxError):
+        # TokenError is the real tokenize failure class (ADVICE r11:
+        # TokenizeError does not exist, so the fallback itself raised
+        # AttributeError); IndentationError is a SyntaxError subclass.
         return blob
     return "".join(out)
 
