@@ -221,6 +221,9 @@ HEADLINE = [
     "q_k_anon_generalize",
     "q_class_report_summary",
     "q_l_diversity",
+    "q_t_closeness",
+    "q_trend_test",
+    "q_auc_ovr",
 ]
 
 
@@ -702,7 +705,7 @@ def main() -> None:
     # override the name via SPARK_GRAFT_BENCH_OUT).
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).resolve().parent / "BENCH_local_r11.json"),
+        str(Path(__file__).resolve().parent / "BENCH_local_r12.json"),
     )
     try:
         with open(out_path, "w") as fh:
@@ -715,6 +718,38 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError as exc:  # pragma: no cover - read-only checkout
         print(f"warn: could not persist bench line: {exc}", file=sys.stderr)
+    # VERDICT r11 #7: the driver records only a ~2,000-char stdout
+    # TAIL and parses a JSON line out of it; the full line above is
+    # several KB, so the tail starts mid-line and the driver's
+    # artifact carried "parsed": null. Emit a COMPACT summary as the
+    # LAST stdout line — guaranteed to fit whole inside the captured
+    # tail — with the headline metric, the noise/outlier gate, and
+    # the most expensive steady keys; the complete per-query dicts
+    # live in the committed BENCH_local_r*.json artifacts.
+    top = dict(
+        sorted(steady.items(), key=lambda kv: -kv[1])[:12]
+    )
+    compact = json.dumps(
+        {
+            "metric": "headline_query_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in top.items()},
+            "queries_omitted": max(len(steady) - len(top), 0),
+            "sf": sf,
+            "steady_total": round(sum(steady.values()), 4),
+            "per_query_steady_avg": round(
+                sum(steady.values()) / max(len(steady), 1), 4
+            ),
+            "n_headline": len(HEADLINE),
+            "noise_ratio_vs_history": _noise_ratio(steady, sf),
+            "outlier_keys": outlier_keys[:10],
+            "n_outliers": len(outlier_keys),
+            "full_artifact": os.path.basename(out_path),
+        },
+        separators=(",", ":"),
+    )
+    print(compact)
     spark.stop()
 
 

@@ -1822,6 +1822,108 @@ def round11_scale(max_factor: int = 50) -> None:
         spark.catalog.clearCache()
 
 
+def round12_scale(max_factor: int = 50) -> None:
+    """Round-12 curves: the t-closeness EMD report, the
+    Cochran-Armitage trend test, and the one-vs-rest AUC summary.
+
+    Run: ``python examples/scale_check.py <max_factor> round12``."""
+    from pyspark.sql import functions as F
+
+    from h3_indexer_spark.operators.analytics import (
+        cochran_armitage_trend,
+        roc_auc_ovr_summary,
+    )
+    from h3_indexer_spark.operators.curation import t_closeness_report
+    from h3_indexer_spark.session import get_spark_session
+
+    spark = get_spark_session(
+        app_name="scale_check_r12", shuffle_partitions=64,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+
+    for factor in (1, 5, 20, max_factor):
+        # t-closeness: copies get disjoint CLASS universes (nation
+        # shifted per copy) over the SHARED sensitive vocabulary, so
+        # the class count grows linearly while the per-class EMD fold
+        # stays a constant m-term expression — the 100 TB regime is
+        # more classes, not a wider sensitive vocabulary
+        c = scaled(
+            cust.withColumn("_id", F.col("c_custkey")), "_id", factor
+        ).select(
+            (F.col("c_nationkey")
+             + (F.col("_id") % F.lit(factor)) * 25).alias("qn"),
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0))
+            .cast("bigint").alias("band"),
+        ).localCheckpoint()
+        nc = c.count()
+        timed(
+            f"t_closeness x{factor}",
+            t_closeness_report(
+                c, ["qn", "c_mktsegment"], "band",
+                t_max=0.02, n_buckets=20,
+            ),
+            nc,
+        )
+
+        # trend test: disjoint group universes per copy; five exact
+        # BIGINT partials per group from ONE map-side-combined shuffle
+        t = scaled(
+            li.withColumn("_id", F.col("l_orderkey")), "_id", factor
+        ).select(
+            F.concat(
+                F.col("l_returnflag"),
+                (F.col("_id") % F.lit(factor)).cast("string"),
+            ).alias("g"),
+            (F.col("l_discount").cast("double") > F.lit(0.05))
+            .alias("deep"),
+            F.floor(
+                (F.col("l_quantity").cast("double") - F.lit(1.0))
+                / F.lit(10.0)
+            ).cast("bigint").alias("band"),
+        ).localCheckpoint()
+        nt = t.count()
+        timed(
+            f"trend_test x{factor}",
+            cochran_armitage_trend(t, ["g"], "deep", "band"),
+            nt,
+        )
+
+        # OvR AUC: rows (and distinct score levels) grow linearly;
+        # the midrank window runs per class over its LEVELS, the
+        # summary is a 3-row readout
+        o = scaled(
+            orders.withColumn("_id", F.col("o_orderkey")), "_id", factor
+        ).localCheckpoint()
+        no = o.count()
+        price = F.col("o_totalprice").cast("double")
+        longf = o.select(
+            F.col("o_orderstatus").alias("_st"),
+            F.explode(F.array(
+                F.struct(F.lit("F").alias("cls"),
+                         (F.lit(200000.0) - price).alias("score")),
+                F.struct(F.lit("O").alias("cls"),
+                         (-F.abs(price - F.lit(150000.0))).alias("score")),
+                F.struct(F.lit("P").alias("cls"), price.alias("score")),
+            )).alias("_e"),
+        ).select(
+            F.col("_e.cls").alias("cls"),
+            F.col("_e.score").alias("score"),
+            (F.col("_st") == F.col("_e.cls")).cast("int").alias("label"),
+        )
+        timed(
+            f"auc_ovr x{factor}",
+            roc_auc_ovr_summary(longf, "cls", "score", "label"),
+            no * 3,
+        )
+        spark.catalog.clearCache()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[2] == "round6":
         round6_scale(int(sys.argv[1]))
@@ -1845,5 +1947,7 @@ if __name__ == "__main__":
         round10_scale(int(sys.argv[1]))
     elif len(sys.argv) > 2 and sys.argv[2] == "round11":
         round11_scale(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "round12":
+        round12_scale(int(sys.argv[1]))
     else:
         main()

@@ -4811,3 +4811,299 @@ def class_summary_rows(agg: DataFrame, carry_cols: list[str]) -> DataFrame:
         _metric("_r").alias("recall"),
         _metric("_f").alias("f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend test (grouped 2xm ordered categories)
+# --------------------------------------------------------------------------
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    outcome_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Grouped Cochran-Armitage test for trend (Cochran 1954,
+    Armitage 1955) — the ordered-contingency corner both the
+    chi-square family and fisher_exact document away: a 2xm table of
+    a binary ``outcome_col`` against m ORDERED categories (carried by
+    the caller-supplied integer ``score_col`` — conventionally the
+    category's ordinal position or dose level) is tested for a LINEAR
+    trend in the outcome proportion across the ordering, which a
+    general independence test dilutes over m-1 degrees of freedom.
+
+    No-transcendentals discipline (the fisher_exact trick applied to
+    the z² algebra): with per-row integer score s and outcome y, the
+    five per-group partials N, R = Σy, A = Σs·y, B = Σs, C = Σs² are
+    exact BIGINTs from ONE aggregation, and both z² building blocks
+    are exact BIGINT differences computed BEFORE any float touches
+    them — d1 = N·A − R·B (the covariance numerator, whose
+    catastrophic cancellation is exactly what a float formulation
+    loses) and d2 = N·C − B² (the score-variance numerator). Then
+
+        z² = N·d1² / (R·(N−R)·d2)
+
+    is evaluated in doubles from those exact integers — four
+    correctly-rounded IEEE products and one division, identical in
+    any engine (d1², positive, cannot cancel), ROUND 9. The sign of
+    the trend is exact: trend_sign = sign(d1) ∈ {−1, 0, 1}. z² is
+    NULL when degenerate: R = 0 or R = N (constant outcome) or
+    d2 = 0 (a single score level). BIGINT domain: N·max|s| and
+    N·C must stay under 2^63 — with small ordinal scores (0..9) that
+    is N ≲ 10⁸ rows per group; d1² lives in doubles, so it never
+    overflows.
+
+    Scale: ONE groupBy carrying five BIGINT partials (map-side
+    combined, shuffle = one row per group); the readout is stateless
+    projections. Output one row per group:
+    (group..., n, r1, m_levels, s_min, s_max, d1, d2, trend_sign,
+    z2) ordered by group. (m_levels/s_min/s_max are the table-shape
+    diagnostics a reviewer wants beside the statistic.)"""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    y = F.col(outcome_col).cast("boolean")
+    s = F.col(score_col).cast("bigint")
+    base = df.where(y.isNotNull() & s.isNotNull()).select(
+        *[c for c in df.columns if c not in (outcome_col, score_col)],
+        y.cast("int").cast("bigint").alias("_y"),
+        s.alias("_s"),
+    )
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").cast("bigint").alias("r1"),
+        F.sum(F.col("_s") * F.col("_y")).cast("bigint").alias("_a"),
+        F.sum("_s").cast("bigint").alias("_b"),
+        F.sum(F.col("_s") * F.col("_s")).cast("bigint").alias("_c"),
+        F.count_distinct(F.col("_s")).cast("bigint").alias("m_levels"),
+        F.min("_s").alias("s_min"),
+        F.max("_s").alias("s_max"),
+    )
+    d1 = F.col("n") * F.col("_a") - F.col("r1") * F.col("_b")
+    d2 = F.col("n") * F.col("_c") - F.col("_b") * F.col("_b")
+    with_d = agg.select(
+        *group_cols,
+        "n",
+        "r1",
+        "m_levels",
+        "s_min",
+        "s_max",
+        d1.alias("d1"),
+        d2.alias("d2"),
+    )
+    ok = (
+        (F.col("r1") > 0)
+        & (F.col("r1") < F.col("n"))
+        & (F.col("d2") > 0)
+    )
+    z2 = (
+        F.col("n").cast("double")
+        * F.col("d1").cast("double")
+        * F.col("d1").cast("double")
+    ) / (
+        F.col("r1").cast("double")
+        * (F.col("n") - F.col("r1")).cast("double")
+        * F.col("d2").cast("double")
+    )
+    return with_d.select(
+        *group_cols,
+        "n",
+        "r1",
+        "m_levels",
+        "s_min",
+        "s_max",
+        "d1",
+        "d2",
+        F.signum(F.col("d1")).cast("bigint").alias("trend_sign"),
+        F.round(F.when(ok, z2), 9).alias("z2"),
+    ).orderBy(*group_cols)
+
+
+# --------------------------------------------------------------------------
+# One-vs-rest ROC AUC (per-class + macro/weighted/micro summary)
+# --------------------------------------------------------------------------
+
+
+def roc_auc_ovr(
+    df: DataFrame,
+    class_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-class one-vs-rest ROC AUC — roc_auc's rank formulation
+    (Mann-Whitney with midrank ties, exact-BIGINT doubled rank-sums)
+    GROUPED by class over a long-format frame: one input row per
+    (example, class) carrying that class's score and the binary
+    indicator label (1 iff the example's true class IS this class —
+    the standard OvR reduction of a multi-class scorer).
+
+    Exactness: identical to roc_auc per class — 2·ΣR⁺ is an exact
+    BIGINT over the class's score levels, AUC is ONE division of
+    exact BIGINTs, bit-deterministic anywhere; NULL when the class
+    has no positives or no negatives.
+
+    Scale (the aggregated-levels pattern, per class): the corpus
+    collapses to per-(class, score-level) counts FIRST (one shuffle,
+    map-side combined), the midrank window runs per class over its
+    distinct score levels — never the row count — and the readout is
+    one row per class. Output: (class, n_pos, n_neg, sum_r2_pos,
+    auc ROUND 9) ordered by class."""
+    levels = (
+        df.where(
+            F.col(score_col).isNotNull() & F.col(class_col).isNotNull()
+        )
+        .select(
+            F.col(class_col).alias("_cls"),
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("_cls", "_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_level"),
+            F.sum("_y").cast("bigint").alias("n_pos_level"),
+        )
+    )
+    w = Window.partitionBy("_cls").orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = levels.withColumn(
+        "first_rank",
+        (F.sum("n_level").over(w) - F.col("n_level") + F.lit(1)).cast(
+            "bigint"
+        ),
+    )
+    agg = cum.groupBy(F.col("_cls").alias("class")).agg(
+        F.sum("n_pos_level").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n_level") - F.col("n_pos_level"))
+        .cast("bigint")
+        .alias("n_neg"),
+        F.sum(
+            F.col("n_pos_level")
+            * (
+                F.lit(2) * F.col("first_rank")
+                + F.col("n_level")
+                - F.lit(1)
+            )
+        ).cast("bigint").alias("sum_r2_pos"),
+    )
+    num = F.col("sum_r2_pos") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        "class",
+        "n_pos",
+        "n_neg",
+        "sum_r2_pos",
+        F.round(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                num.cast("double") / den.cast("double"),
+            ),
+            9,
+        ).alias("auc"),
+    ).orderBy("class")
+
+
+def roc_auc_ovr_summary(
+    df: DataFrame,
+    class_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Macro / weighted / micro averaging of the per-class
+    one-vs-rest AUCs — completing the classification-eval family
+    beside classification_summary (that block grades HARD
+    assignments; this grades SCORES, sklearn's
+    roc_auc_score(average=...) for the OvR reduction):
+
+    - ``macro``: unweighted mean of the per-class ROUND-9 AUCs over
+      the classes where AUC is DEFINED (a class with no positives or
+      no negatives has no ranking to grade — excluding it is
+      sklearn's behavior for multi_class='ovr'; n_defined reports how
+      many contributed, so exclusion is visible, never silent).
+    - ``weighted``: the same mean weighted by each defined class's
+      positive support n_pos.
+    - ``micro``: the POOLED rank-sum AUC over all (example, class)
+      pairs at once — one global exact-BIGINT computation, NOT a mean
+      of per-class values, so it is exact end-to-end and serves as
+      the family's self-check (for a perfect scorer all three modes
+      read 1.0; tests assert the identity).
+
+    Determinism (the classification_summary rule): every mean folds
+    over the SORTED per-class term list (collect_list is bounded by
+    the class vocabulary), its inputs are the per-class ROUND-9 AUCs
+    (each one IEEE division of exact BIGINTs), the divisor is an
+    exact BIGINT, and the result is ROUND 9.
+
+    Output: (avg_mode, n_classes, n_defined, support, auc) ordered by
+    avg_mode — 3 rows. support = Σ n_pos over defined classes for
+    macro/weighted, over ALL pooled pairs for micro."""
+    per = roc_auc_ovr(df, class_col, score_col, label_col)
+    defined = F.col("auc").isNotNull()
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(defined.cast("int")).cast("bigint").alias("n_defined"),
+        F.sum(F.when(defined, F.col("n_pos")).otherwise(0))
+        .cast("bigint")
+        .alias("def_support"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.when(defined, F.col("auc")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_msum"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        defined,
+                        F.col("n_pos").cast("double") * F.col("auc"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_wsum"),
+    ).withColumn("_j", F.lit(1))
+    pooled = (
+        roc_auc(
+            df.where(F.col(class_col).isNotNull()),
+            score_col,
+            label_col,
+        )
+        .select(
+            F.col("n_pos").alias("_pool_pos"),
+            F.col("auc").alias("_pool_auc"),
+        )
+        .withColumn("_j", F.lit(1))
+    )
+    one = agg.join(F.broadcast(pooled), "_j")
+    rows = one.select(
+        "n_classes",
+        "n_defined",
+        "def_support",
+        "_pool_pos",
+        F.expr(
+            # CASE guards, not bare divisions: ANSI mode (Spark 4
+            # default) errors on double-by-zero instead of NaN
+            "stack(3, "
+            "'macro', CASE WHEN n_defined > 0 "
+            "THEN _msum / CAST(n_defined AS DOUBLE) END, "
+            "'weighted', CASE WHEN def_support > 0 "
+            "THEN _wsum / CAST(def_support AS DOUBLE) END, "
+            "'micro', _pool_auc) AS (avg_mode, _auc)"
+        ),
+    )
+    is_micro = F.col("avg_mode") == "micro"
+    return rows.select(
+        "avg_mode",
+        "n_classes",
+        "n_defined",
+        F.when(is_micro, F.col("_pool_pos"))
+        .otherwise(F.col("def_support"))
+        .cast("bigint")
+        .alias("support"),
+        F.round(
+            F.when(F.col("n_defined") > 0, F.col("_auc")), 9
+        ).alias("auc"),
+    ).orderBy("avg_mode")

@@ -1145,3 +1145,146 @@ def l_diversity_report(
         )
         .orderBy("n_distinct_sensitive")
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_max: float = 0.2,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Ordered-EMD t-closeness violation histogram — the THIRD privacy
+    gate, closing the k/l/t release trio (Li, Li & Venkatasubramanian
+    2007): a class can be k-anonymous AND l-diverse yet leak through
+    SKEW — a 50-member class with all ``l_min`` diagnoses present but
+    90% one rare disease tells the attacker far more than the global
+    base rate does. t-closeness bounds, per quasi-identifier
+    equivalence class, the Earth Mover's Distance between the class's
+    sensitive-value distribution and the GLOBAL one; for an ordered
+    categorical attribute with unit ground distance between adjacent
+    categories, EMD = (1/(m-1)) * sum over sorted category prefixes of
+    |cumulative(p - q)| (the paper's ordered-distance formula; m = 1
+    degenerates to EMD 0 — both distributions are the single point).
+
+    Exactness shape (the fisher_exact discipline — no float
+    accumulation anywhere): with class counts c_i (n = sum c_i
+    non-NULL-sensitive rows in the class) and global counts g_i
+    (N = sum g_i), each prefix term is the exact BIGINT
+    S_i = sum_{j<=i} (c_j*N - g_j*n), the numerator sum|S_i| is an
+    exact BIGINT, and emd = numerator / (n*N*(m-1)) is ONE IEEE
+    division of exact integers — bit-identical in any engine.
+    (BIGINT bound: |S_i| <= n*N, so the report is exact while
+    class_size x corpus_nonnull < 2^63 — pre-aggregate or shard the
+    corpus before auditing beyond that.)
+
+    Output is the sibling reports' bounded HISTOGRAM, over classes
+    whose emd EXCEEDS ``t_max``: one row per emd bucket of width
+    1/``n_buckets`` — (t_bucket 0..n_buckets-1, n_groups, n_rows,
+    min_emd, max_emd ROUND 9) ordered by t_bucket; <= n_buckets rows
+    at any volume, empty <=> every class is within t of the global
+    distribution. Conventions match the siblings: NULL quasi values
+    form their own class; NULL sensitive values join neither the
+    class nor the global distribution (classes with ONLY NULL
+    sensitive rows have no distribution to compare and are skipped —
+    the l-diversity gate already flags them as 0-diverse), but DO
+    count toward the class's ``n_rows`` at risk.
+
+    Scale: level 1 groups by (quasi, sensitive) — the shuffle carries
+    one row per (class, value) pair; level 2 folds each class to ONE
+    row carrying a vocabulary-bounded value->count map; the global
+    distribution is a 1-row broadcast joined on a constant key (a
+    BroadcastHashJoin, not a cartesian); the whole prefix-sum EMD then
+    runs as a per-row higher-order fold over the sorted global
+    category array — whole-stage codegen, NO explode, NO window, no
+    further shuffle. The histogram groupBy's key space is
+    <= n_buckets."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not (0.0 <= t_max < 1.0):
+        raise ValueError(f"t_max must be in [0, 1): {t_max}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    sens = F.col(sensitive_col)
+    pairs = (
+        df.select(
+            *quasi_cols,
+            sens.alias("_v"),
+        )
+        .groupBy(*quasi_cols, "_v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    # one row per class: value->count map (NULL sensitive excluded
+    # from the distribution but kept in the at-risk size)
+    cls = pairs.groupBy(*quasi_cols).agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_v").isNotNull(),
+                        F.struct(F.col("_v"), F.col("_c")),
+                    )
+                )
+            )
+        ).alias("_dist"),
+        F.sum(F.when(F.col("_v").isNotNull(), F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("_n"),
+        F.sum("_c").cast("bigint").alias("_sz"),
+    )
+    # global sorted category array with counts — report-sized (the
+    # sensitive vocabulary), ONE row, broadcast on a constant key
+    glob = (
+        pairs.where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.sum("_c").cast("bigint").alias("_g"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_v"), F.col("_g")))
+            ).alias("_cats"),
+            F.sum("_g").cast("bigint").alias("_bign"),
+            F.count(F.lit(1)).cast("bigint").alias("_m"),
+        )
+        .withColumn("_j", F.lit(1))
+    )
+    joined = cls.where(F.col("_n") > 0).withColumn("_j", F.lit(1)).join(
+        F.broadcast(glob), "_j"
+    )
+    # EMD numerator as one fold over the sorted global categories:
+    # state = (prefix BIGINT, acc BIGINT); per category
+    # prefix += c_i*N - g_i*n ; acc += |prefix| (the final category's
+    # prefix is identically 0, so including it is harmless)
+    num = F.expr(
+        "aggregate(_cats, "
+        "named_struct('s', CAST(0 AS BIGINT), 'a', CAST(0 AS BIGINT)), "
+        "(st, cat) -> named_struct("
+        "'s', st.s + coalesce(element_at(_dist, cat._v), CAST(0 AS BIGINT))"
+        " * _bign - cat._g * _n, "
+        "'a', st.a + abs(st.s + "
+        "coalesce(element_at(_dist, cat._v), CAST(0 AS BIGINT)) * _bign"
+        " - cat._g * _n)), "
+        "st -> st.a)"
+    )
+    per_class = joined.select(
+        F.col("_sz"),
+        F.when(F.col("_m") > 1, num.cast("double") / (
+            F.col("_n") * F.col("_bign") * (F.col("_m") - F.lit(1))
+        ).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("_emd"),
+    )
+    bucket = F.least(
+        F.floor(F.col("_emd") * F.lit(float(n_buckets))),
+        F.lit(n_buckets - 1),
+    ).cast("bigint")
+    return (
+        per_class.where(F.col("_emd") > F.lit(float(t_max)))
+        .groupBy(bucket.alias("t_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("_sz").cast("bigint").alias("n_rows"),
+            F.round(F.min("_emd"), 9).alias("min_emd"),
+            F.round(F.max("_emd"), 9).alias("max_emd"),
+        )
+        .orderBy("t_bucket")
+    )

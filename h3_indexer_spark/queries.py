@@ -12555,80 +12555,423 @@ ORACLES["q_class_report_summary"] = _CLASS_SUMMARY_ORACLE
 ORACLES["q_l_diversity"] = _L_DIVERSITY_ORACLE
 
 
-# Round-11 driver window (ONE canonical list — the driver hash-checks
+# ---------------------------------------------------------------------------
+# Round-12 debuts: t-closeness (completing the k/l/t privacy trio),
+# the Cochran-Armitage trend test (ordered-contingency sibling of
+# Fisher's exact), and macro/weighted/micro one-vs-rest ROC AUC.
+# ---------------------------------------------------------------------------
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-EMD t-closeness violation histogram (operators/
+    curation.py::t_closeness_report) — the skew gate completing the
+    k/l/t privacy trio beside q_k_anonymity and q_l_diversity:
+    equivalence classes on (nation, market segment) are audited for
+    how far each class's account-balance BAND distribution (ordered
+    2000-wide bands, the sensitive attribute) drifts from the global
+    one, EMD computed as an exact-BIGINT prefix-sum fold with ONE
+    IEEE division per class. t=0.02 is deliberately tight so the
+    histogram is populated at sf0.01 AND sf0.1 (the q_l_diversity
+    sweep lesson: a gate that collapses to empty at 10x the data
+    hash-checks nothing). The 2000-wide band keeps the floor edge
+    exact: the quotient lands on an integer only at exact multiples
+    of 2000.00, representable on both engines. <= 20 rows at any
+    volume."""
+    from h3_indexer_spark.operators.curation import t_closeness_report
+
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal").isNotNull())
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0))
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+    )
+    return t_closeness_report(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        "bal_band",
+        t_max=0.02,
+        n_buckets=20,
+    )
+
+
+_T_CLOSENESS_ORACLE = """
+    WITH q AS (
+        SELECT c_nationkey AS qn, c_mktsegment AS qs,
+               CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT)
+                   AS sv
+        FROM customer
+        WHERE c_acctbal IS NOT NULL
+    ),
+    pairs AS (
+        SELECT qn, qs, sv, CAST(COUNT(*) AS BIGINT) AS c
+        FROM q GROUP BY 1, 2, 3
+    ),
+    cls AS (
+        SELECT qn, qs, CAST(SUM(c) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+    ),
+    gcat AS (
+        SELECT sv, CAST(SUM(c) AS BIGINT) AS g FROM pairs GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(g) AS BIGINT) AS bign,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM gcat
+    ),
+    dens AS (
+        SELECT cls.qn, cls.qs, cls.n, gcat.sv, gcat.g,
+               CAST(COALESCE(p.c, 0) AS BIGINT) AS c
+        FROM cls CROSS JOIN gcat
+        LEFT JOIN pairs p
+               ON p.qn = cls.qn AND p.qs = cls.qs AND p.sv = gcat.sv
+    ),
+    pref AS (
+        SELECT qn, qs, n,
+               CAST(SUM(c * (SELECT bign FROM tot) - g * n) OVER (
+                   PARTITION BY qn, qs ORDER BY sv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS s
+        FROM dens
+    ),
+    emds AS (
+        SELECT qn, qs, n,
+               CAST(SUM(ABS(s)) AS DOUBLE)
+                   / CAST(n * (SELECT bign FROM tot)
+                          * ((SELECT m FROM tot) - 1) AS DOUBLE) AS emd
+        FROM pref
+        WHERE (SELECT m FROM tot) > 1
+        GROUP BY qn, qs, n
+    )
+    SELECT CAST(LEAST(FLOOR(emd * 20.0), 19) AS BIGINT) AS t_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           ROUND(MIN(emd), 9) AS min_emd,
+           ROUND(MAX(emd), 9) AS max_emd
+    FROM emds
+    WHERE emd > 0.02
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Cochran-Armitage trend test (operators/analytics.py::
+    cochran_armitage_trend): per return flag, does the rate of
+    deep-discounted line items (discount > 0.05) TREND across
+    quantity bands (0..4, ten units wide) — the volume-discount
+    question an unordered chi-square dilutes over 4 degrees of
+    freedom. The z-squared statistic is assembled from exact-BIGINT
+    partials with the cancellation-prone differences d1 = N*A - R*B
+    and d2 = N*C - B*B computed in integers BEFORE any float; the
+    final readout is four IEEE products and one division, ROUND 9,
+    with the exact trend direction as sign(d1)."""
+    from h3_indexer_spark.operators.analytics import (
+        cochran_armitage_trend,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_discount").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            "l_returnflag",
+            (F.col("l_discount").cast("double") > F.lit(0.05)).alias(
+                "deep_disc"
+            ),
+            F.floor(
+                (F.col("l_quantity").cast("double") - F.lit(1.0))
+                / F.lit(10.0)
+            )
+            .cast("bigint")
+            .alias("qty_band"),
+        )
+    )
+    return cochran_armitage_trend(
+        li, ["l_returnflag"], "deep_disc", "qty_band"
+    )
+
+
+_TREND_TEST_ORACLE = """
+    WITH b AS (
+        SELECT l_returnflag,
+               CASE WHEN CAST(l_discount AS DOUBLE) > 0.05
+                    THEN 1 ELSE 0 END AS y,
+               CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1.0) / 10.0)
+                    AS BIGINT) AS s
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    a AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS r1,
+               CAST(SUM(s * y) AS BIGINT) AS sa,
+               CAST(SUM(s) AS BIGINT) AS sb,
+               CAST(SUM(s * s) AS BIGINT) AS sc,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS m_levels,
+               CAST(MIN(s) AS BIGINT) AS s_min,
+               CAST(MAX(s) AS BIGINT) AS s_max
+        FROM b GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l_returnflag, n, r1, m_levels, s_min, s_max,
+               CAST(n * sa - r1 * sb AS BIGINT) AS d1,
+               CAST(n * sc - sb * sb AS BIGINT) AS d2
+        FROM a
+    )
+    SELECT l_returnflag, n, r1, m_levels, s_min, s_max, d1, d2,
+           CAST(SIGN(d1) AS BIGINT) AS trend_sign,
+           ROUND(CASE WHEN r1 > 0 AND r1 < n AND d2 > 0 THEN
+               (CAST(n AS DOUBLE) * CAST(d1 AS DOUBLE)
+                * CAST(d1 AS DOUBLE))
+               / (CAST(r1 AS DOUBLE) * CAST(n - r1 AS DOUBLE)
+                  * CAST(d2 AS DOUBLE))
+           END, 9) AS z2
+    FROM d
+    ORDER BY l_returnflag
+"""
+
+
+def q_auc_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro / weighted / micro one-vs-rest ROC AUC (operators/
+    analytics.py::roc_auc_ovr_summary) grading three deterministic
+    per-class price scorers of order status — 'F' scored by
+    cheapness (200k - price), 'O' by closeness to 150k, 'P' by price
+    itself — against the true o_orderstatus in the standard OvR
+    reduction (one long row per order x class, label = 1 iff that IS
+    the order's class). Per-class AUCs are exact-BIGINT rank sums
+    (ONE division each); macro/weighted fold the ROUND-9 per-class
+    values over SORTED term lists; micro is the POOLED exact rank-sum
+    over all pairs — the family self-check (all three read 1.0 for a
+    perfect scorer)."""
+    from h3_indexer_spark.operators.analytics import roc_auc_ovr_summary
+
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    price = F.col("o_totalprice").cast("double")
+    long = orders.select(
+        F.col("o_orderstatus").alias("_st"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("F").alias("cls"),
+                    (F.lit(200000.0) - price).alias("score"),
+                ),
+                F.struct(
+                    F.lit("O").alias("cls"),
+                    (-F.abs(price - F.lit(150000.0))).alias("score"),
+                ),
+                F.struct(
+                    F.lit("P").alias("cls"), price.alias("score")
+                ),
+            )
+        ).alias("_e"),
+    ).select(
+        F.col("_e.cls").alias("cls"),
+        F.col("_e.score").alias("score"),
+        (F.col("_st") == F.col("_e.cls")).cast("int").alias("label"),
+    )
+    return roc_auc_ovr_summary(long, "cls", "score", "label")
+
+
+_AUC_OVR_ORACLE = """
+    WITH longf AS (
+        SELECT 'F' AS cls, 200000.0 - CAST(o_totalprice AS DOUBLE)
+                   AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+        UNION ALL
+        SELECT 'O', -ABS(CAST(o_totalprice AS DOUBLE) - 150000.0),
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+        UNION ALL
+        SELECT 'P', CAST(o_totalprice AS DOUBLE),
+               CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    lv AS (
+        SELECT cls, score AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_level,
+               CAST(SUM(label) AS BIGINT) AS n_pos_level
+        FROM longf GROUP BY cls, score
+    ),
+    c AS (
+        SELECT cls, n_level, n_pos_level,
+               CAST(SUM(n_level) OVER (
+                   PARTITION BY cls ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_level + 1 AS BIGINT) AS first_rank
+        FROM lv
+    ),
+    per AS (
+        SELECT cls,
+               CAST(SUM(n_pos_level) AS BIGINT) AS n_pos,
+               CAST(SUM(n_level - n_pos_level) AS BIGINT) AS n_neg,
+               CAST(SUM(n_pos_level * (2 * first_rank + n_level - 1))
+                    AS BIGINT) AS sum_r2_pos
+        FROM c GROUP BY cls
+    ),
+    pa AS (
+        SELECT cls, n_pos, n_neg,
+               ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
+                     THEN CAST(sum_r2_pos - n_pos * (n_pos + 1)
+                               AS DOUBLE)
+                          / CAST(2 * n_pos * n_neg AS DOUBLE)
+                     END, 9) AS auc
+        FROM per
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN auc IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_defined,
+               CAST(SUM(CASE WHEN auc IS NOT NULL THEN n_pos ELSE 0 END)
+                    AS BIGINT) AS def_support,
+               list_reduce(list_prepend(0.0, list_sort(
+                   list(auc) FILTER (WHERE auc IS NOT NULL))),
+                   (acc, x) -> acc + x) AS msum,
+               list_reduce(list_prepend(0.0, list_sort(
+                   list(CAST(n_pos AS DOUBLE) * auc)
+                       FILTER (WHERE auc IS NOT NULL))),
+                   (acc, x) -> acc + x) AS wsum
+        FROM pa
+    ),
+    plv AS (
+        SELECT score AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_level,
+               CAST(SUM(label) AS BIGINT) AS n_pos_level
+        FROM longf GROUP BY score
+    ),
+    pc AS (
+        SELECT n_level, n_pos_level,
+               CAST(SUM(n_level) OVER (
+                   ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_level + 1 AS BIGINT) AS first_rank
+        FROM plv
+    ),
+    pool AS (
+        SELECT CAST(SUM(n_pos_level) AS BIGINT) AS pool_pos,
+               CAST(SUM(n_level - n_pos_level) AS BIGINT) AS pool_neg,
+               CAST(SUM(n_pos_level * (2 * first_rank + n_level - 1))
+                    AS BIGINT) AS pool_r2
+        FROM pc
+    )
+    SELECT 'macro' AS avg_mode, n_classes, n_defined,
+           def_support AS support,
+           ROUND(CASE WHEN n_defined > 0
+                 THEN msum / CAST(n_defined AS DOUBLE) END, 9) AS auc
+    FROM s
+    UNION ALL
+    SELECT 'micro', n_classes, n_defined, pool_pos,
+           ROUND(CASE WHEN n_defined > 0
+                      AND pool_pos > 0 AND pool_neg > 0
+                 THEN CAST(pool_r2 - pool_pos * (pool_pos + 1)
+                           AS DOUBLE)
+                      / CAST(2 * pool_pos * pool_neg AS DOUBLE)
+                 END, 9)
+    FROM s, pool
+    UNION ALL
+    SELECT 'weighted', n_classes, n_defined, def_support,
+           ROUND(CASE WHEN n_defined > 0
+                 THEN wsum / CAST(def_support AS DOUBLE) END, 9)
+    FROM s
+    ORDER BY avg_mode
+"""
+
+
+QUERIES["q_t_closeness"] = q_t_closeness
+QUERIES["q_trend_test"] = q_trend_test
+QUERIES["q_auc_ovr"] = q_auc_ovr
+ORACLES["q_t_closeness"] = _T_CLOSENESS_ORACLE
+ORACLES["q_trend_test"] = _TREND_TEST_ORACLE
+ORACLES["q_auc_ovr"] = _AUC_OVR_ORACLE
+
+
+# Round-12 driver window (ONE canonical list — the driver hash-checks
 # the FIRST 50 QUERIES entries in dict order), executing the SURVEY
-# §7.1 rotation plan: the 39 oracle keys whose latest driver row is
-# round 6 lead (after this round no ORACLE key's latest driver row
-# predates round 7; the 9 rows-only round-6 keys are mirror-less by
-# nature and rotate on a slower cadence), then the 5 round-11 debuts
-# (every NEW key takes its first driver record in its debut round —
-# driver-window-slot rule): q_seq_patterns_full (VERDICT r10 #1, the
-# one round-10 operator that shipped without a driver row),
-# q_fisher_exact (#3), q_k_anon_generalize (#4),
-# q_class_report_summary (#5), plus q_l_diversity completing the
-# privacy family. The remaining 6 slots take the oldest round-7
-# oracle keys alphabetically (§7.1). The round-10 window's 50 keys
-# all took fresh rows in round 10 and yield.
-_WINDOW_R11 = [
-    # 39 round-6-stale oracle rotations (SURVEY §7.1 list, verbatim)
-    "q_ab_test",
-    "q_attribution_positional",
-    "q_changepoint",
-    "q_count_distinct",
-    "q_cube",
-    "q_cuped",
-    "q_dedup_windowed",
-    "q_entropy",
-    "q_groupby_stats",
-    "q_incremental_agg",
-    "q_join_anti",
-    "q_join_left_attr",
-    "q_join_semi",
-    "q_knn_batch",
-    "q_label_future",
-    "q_lang_id",
-    "q_media_audio",
-    "q_media_meta",
-    "q_merge_upsert",
-    "q_ngram_bigrams",
-    "q_period_over_period",
-    "q_pivot_events",
-    "q_psi_drift",
-    "q_quantile_normalize",
-    "q_quantiles",
-    "q_retention_curve",
-    "q_rolling_median",
-    "q_rollup",
-    "q_sample_per_group",
-    "q_sample_stratified",
-    "q_sort_limit",
-    "q_target_encode",
-    "q_text_stats",
-    "q_topk_window",
-    "q_weighted_median",
-    "q_window_lag",
-    "q_window_rank",
-    "q_window_sliding",
-    "q_winsorize",
-    # round-11 debuts (first driver record)
-    "q_seq_patterns_full",
-    "q_fisher_exact",
-    "q_k_anon_generalize",
-    "q_class_report_summary",
-    "q_l_diversity",
-    # oldest round-7 oracle keys, alphabetically (§7.1 tail rule)
-    "q_assoc_rules",
-    "q_auc",
-    "q_benford",
-    "q_bfs_hops",
-    "q_bm25",
-    "q_bpe_pairs",
+# §7.1 rotation plan written at round-11 close: the 42 oracle keys
+# whose latest driver row is round 7 (verbatim §7.1 list — after this
+# round no ORACLE key's latest driver row predates round 8), the 3
+# round-12 debuts (every NEW key takes its first driver record in its
+# debut round — driver-window-slot rule): q_t_closeness (VERDICT r11
+# #2, completing the k/l/t privacy trio), q_trend_test (#3, the
+# Cochran-Armitage ordered-contingency sibling of Fisher's exact),
+# q_auc_ovr (#5, macro/weighted/micro one-vs-rest AUC); and the 5
+# remaining slots on the OLDEST stale rows-only keys (r6 cohort,
+# alphabetically — VERDICT r11 #4: their mirror-less driver records
+# are 6 rounds old and cheap to re-take). The round-11 window's 50
+# keys all took fresh rows in round 11 and yield.
+_WINDOW_R12 = [
+    # 42 round-7-stale oracle rotations (SURVEY §7.1 list, verbatim)
+    "q_calibration",
+    "q_cohens_kappa",
+    "q_collocations",
+    "q_count",
+    "q_distinct",
+    "q_embed_normalize",
+    "q_except",
+    "q_feature_hash",
+    "q_filter_notnull",
+    "q_first",
+    "q_forecast_wape",
+    "q_gini",
+    "q_h3_radius_join",
+    "q_hll_grouped",
+    "q_hll_registers",
+    "q_intersect",
+    "q_js_divergence",
+    "q_knn_ivfpq_rerank",
+    "q_ks_test",
+    "q_label_vote",
+    "q_lit_cols",
+    "q_lm_score",
+    "q_lorenz",
+    "q_mul_ratio",
+    "q_mutual_info",
+    "q_ndcg",
+    "q_point_in_polygon",
+    "q_project",
+    "q_quality_score",
+    "q_readability",
+    "q_retrieval_eval",
+    "q_rfm",
+    "q_rrf_fusion",
+    "q_seasonality",
+    "q_skyline",
+    "q_spatial_knn",
+    "q_string_agg",
+    "q_survival",
+    "q_time_to_convert",
+    "q_token_count",
+    "q_union",
+    "q_vocab_encode",
+    # round-12 debuts (first driver record)
+    "q_t_closeness",
+    "q_trend_test",
+    "q_auc_ovr",
+    # oldest stale rows-only keys (r6 cohort, alphabetical head)
+    "q_approx_stats",
+    "q_ewma",
+    "q_kmeans",
+    "q_knn_ivfpq",
+    "q_media_frames",
 ]
-assert len(_WINDOW_R11) == 50, len(_WINDOW_R11)
-assert len(set(_WINDOW_R11)) == 50
-_missing = [k for k in _WINDOW_R11 if k not in QUERIES]
+assert len(_WINDOW_R12) == 50, len(_WINDOW_R12)
+assert len(set(_WINDOW_R12)) == 50
+_missing = [k for k in _WINDOW_R12 if k not in QUERIES]
 assert not _missing, f"window names unknown keys: {_missing}"
 QUERIES = {
-    **{k: QUERIES[k] for k in _WINDOW_R11},
-    **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R11},
+    **{k: QUERIES[k] for k in _WINDOW_R12},
+    **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R12},
 }
