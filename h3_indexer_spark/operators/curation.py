@@ -1205,18 +1205,48 @@ def t_closeness_report(
         raise ValueError(f"t_max must be in [0, 1): {t_max}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
-    sens = F.col(sensitive_col)
-    pairs = (
-        df.select(
-            *quasi_cols,
-            sens.alias("_v"),
-        )
+    pairs = t_closeness_pairs(df, quasi_cols, sensitive_col)
+    return t_closeness_readout(
+        pairs, quasi_cols, t_max=t_max, n_buckets=n_buckets
+    )
+
+
+def t_closeness_pairs(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """Shared front end of the batch t_closeness_report and the
+    streaming twin: the (quasi..., _v, _c) level-1 census — one
+    map-side-combined groupBy whose shuffle carries one row per
+    (class, sensitive value) pair (the fisher_contingency_counts
+    extraction pattern, keeping batch and streaming in lockstep)."""
+    return (
+        df.select(*quasi_cols, F.col(sensitive_col).alias("_v"))
         .groupBy(*quasi_cols, "_v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     )
+
+
+def t_closeness_readout(
+    pairs: DataFrame,
+    quasi_cols: list[str],
+    t_max: float,
+    n_buckets: int,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Shared back end of the batch t_closeness_report and the
+    streaming twin: from the (carry..., quasi..., _v, _c) census to
+    the violation histogram. ``carry_cols`` scope the GLOBAL
+    distribution — empty for the batch corpus-wide readout, the
+    window column for the streaming twin, where each window's classes
+    are compared against THAT window's global distribution (a
+    cross-window global would mix traffic regimes and is not what a
+    per-window monitor should alarm on)."""
+    carry = list(carry_cols or [])
     # one row per class: value->count map (NULL sensitive excluded
     # from the distribution but kept in the at-risk size)
-    cls = pairs.groupBy(*quasi_cols).agg(
+    cls = pairs.groupBy(*carry, *quasi_cols).agg(
         F.map_from_entries(
             F.array_sort(
                 F.collect_list(
@@ -1233,11 +1263,13 @@ def t_closeness_report(
         F.sum("_c").cast("bigint").alias("_sz"),
     )
     # global sorted category array with counts — report-sized (the
-    # sensitive vocabulary), ONE row, broadcast on a constant key
+    # sensitive vocabulary), ONE row per carry scope, broadcast on a
+    # constant key (batch) or the carry key (streaming twin)
     glob = (
         pairs.where(F.col("_v").isNotNull())
-        .groupBy("_v")
+        .groupBy(*carry, "_v")
         .agg(F.sum("_c").cast("bigint").alias("_g"))
+        .groupBy(*carry)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("_v"), F.col("_g")))
@@ -1245,10 +1277,13 @@ def t_closeness_report(
             F.sum("_g").cast("bigint").alias("_bign"),
             F.count(F.lit(1)).cast("bigint").alias("_m"),
         )
-        .withColumn("_j", F.lit(1))
     )
-    joined = cls.where(F.col("_n") > 0).withColumn("_j", F.lit(1)).join(
-        F.broadcast(glob), "_j"
+    join_key = carry if carry else ["_j"]
+    if not carry:
+        cls = cls.withColumn("_j", F.lit(1))
+        glob = glob.withColumn("_j", F.lit(1))
+    joined = cls.where(F.col("_n") > 0).join(
+        F.broadcast(glob), join_key
     )
     # EMD numerator as one fold over the sorted global categories:
     # state = (prefix BIGINT, acc BIGINT); per category
@@ -1266,6 +1301,7 @@ def t_closeness_report(
         "st -> st.a)"
     )
     per_class = joined.select(
+        *carry,
         F.col("_sz"),
         F.when(F.col("_m") > 1, num.cast("double") / (
             F.col("_n") * F.col("_bign") * (F.col("_m") - F.lit(1))
@@ -1279,12 +1315,12 @@ def t_closeness_report(
     ).cast("bigint")
     return (
         per_class.where(F.col("_emd") > F.lit(float(t_max)))
-        .groupBy(bucket.alias("t_bucket"))
+        .groupBy(*carry, bucket.alias("t_bucket"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_groups"),
             F.sum("_sz").cast("bigint").alias("n_rows"),
             F.round(F.min("_emd"), 9).alias("min_emd"),
             F.round(F.max("_emd"), 9).alias("max_emd"),
         )
-        .orderBy("t_bucket")
+        .orderBy(*carry, "t_bucket")
     )

@@ -2233,3 +2233,104 @@ def streaming_class_report_summary(
         summary.withColumn("window_start", F.col("w2.start")),
         ["window_start"],
     )
+
+
+def streaming_t_closeness(
+    events: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    out_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    t_max: float = 0.2,
+    n_buckets: int = 20,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = False,
+):
+    """Streaming twin of operators/curation.py::t_closeness_report —
+    the per-window skew monitor completing the streaming privacy
+    family (streaming_k_anonymity sizes classes, streaming_l_diversity
+    counts their distinct sensitive values, this bounds how far each
+    class's sensitive DISTRIBUTION drifts from the window's global
+    one).
+
+    Mechanics (the shared-core pattern streaming_fisher_exact
+    established, on the streaming_suppress_small_groups sink shape):
+    the driving stream is the level-1 (window, quasi-class,
+    sensitive-value) census — curation.t_closeness_pairs' exact
+    aggregation with the window key prepended — in APPEND mode, so a
+    window's census rows arrive in ONE micro-batch exactly when the
+    watermark closes it. foreachBatch then runs the SAME batch back
+    end (curation.t_closeness_readout, carry = window start) over
+    that closed slice: each window's classes are compared against
+    THAT window's global distribution (a per-window monitor must not
+    mix traffic regimes across windows), and the <= n_buckets-row
+    histogram is published per window with DYNAMIC partition
+    overwrite — the readout is a deterministic function of the closed
+    census slice, so a replayed micro-batch rewrites its window
+    partitions byte-identically (no staging area to race, unlike the
+    suppression sink: the census itself IS the publish input).
+
+    State: ONE stateful operator, one row per (open window, class,
+    sensitive value) — the streaming_l_diversity level-1 bound
+    (vocabulary-bounded per class). The foreachBatch work is
+    census-sized, never row-sized. Late rows beyond the watermark are
+    dropped from the census (standard append semantics) — the
+    monitor alarms on what the stream saw in time.
+
+    Returns the started StreamingQuery."""
+    from h3_indexer_spark.operators.curation import t_closeness_readout
+
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not (0.0 <= t_max < 1.0):
+        raise ValueError(f"t_max must be in [0, 1): {t_max}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    census = (
+        events.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            *quasi_cols,
+            F.col(sensitive_col).alias("_v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *quasi_cols,
+            "_v",
+            "_c",
+        )
+    )
+
+    def _publish(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = t_closeness_readout(
+            batch_df,
+            quasi_cols,
+            t_max=t_max,
+            n_buckets=n_buckets,
+            carry_cols=["window_start"],
+        )
+        (
+            hist.withColumn(
+                "wpart",
+                F.date_format("window_start", "yyyy-MM-dd-HH-mm-ss"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("wpart")
+            .parquet(out_path)
+        )
+
+    writer = (
+        census.writeStream.foreachBatch(_publish)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3128,3 +3128,121 @@ class TestStreamingClassReportSummary:
         assert state_rows <= n_windows * (n_classes + 1), (
             state_rows, n_windows, n_classes
         )
+
+
+class TestStreamingTCloseness:
+    """streaming_t_closeness: per-window ordered-EMD skew histogram
+    through the shared batch core (t_closeness_pairs census in append
+    mode -> t_closeness_readout in foreachBatch) — replay parity with
+    the batch t_closeness_report per window, plus state bounds and
+    idempotent republish."""
+
+    QI = ["event_type"]
+    SENS = "user_id"
+    T = 0.02
+
+    def _sens_banded(self, df):
+        # a small ordered sensitive vocabulary (user id mod 7), so the
+        # EMD fold runs over a bounded category set like a real
+        # sensitive attribute would
+        return df.withColumn(
+            "band", (F.col("user_id") % F.lit(7)).cast("bigint")
+        )
+
+    def test_closed_windows_match_batch_per_window(
+        self, spark, events_dir_timeordered, tmp_path
+    ):
+        from h3_indexer_spark.operators.curation import t_closeness_report
+        from h3_indexer_spark.streaming.events import streaming_t_closeness
+
+        schema = spark.read.parquet(events_dir_timeordered).schema
+        src = self._sens_banded(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir_timeordered)
+        )
+        out = str(tmp_path / "hist")
+        q = streaming_t_closeness(
+            src,
+            self.QI,
+            "band",
+            out_path=out,
+            checkpoint=str(tmp_path / "ckpt"),
+            t_max=self.T,
+            window="6 hours",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(180)
+        got_df = spark.read.parquet(out)
+        got = {
+            (r["window_start"], r["t_bucket"]): (
+                r["n_groups"], r["n_rows"], r["min_emd"], r["max_emd"],
+            )
+            for r in got_df.collect()
+        }
+        assert got, "no window closed — watermark never propagated"
+        batch = self._sens_banded(
+            spark.read.parquet(events_dir_timeordered)
+        )
+        closed = {w for (w, _b) in got}
+        for start in closed:
+            sliced = batch.where(
+                F.window("ts", "6 hours").getField("start")
+                == F.lit(start)
+            )
+            want = {
+                r["t_bucket"]: (
+                    r["n_groups"], r["n_rows"],
+                    r["min_emd"], r["max_emd"],
+                )
+                for r in t_closeness_report(
+                    sliced, self.QI, "band",
+                    t_max=self.T, n_buckets=20,
+                ).collect()
+            }
+            have = {
+                b: v for (w, b), v in got.items() if w == start
+            }
+            assert have == want, start
+
+    def test_state_bound_and_rejects_bad_args(
+        self, spark, events_dir, tmp_path
+    ):
+        from h3_indexer_spark.streaming.events import streaming_t_closeness
+
+        src = self._sens_banded(_read_stream(spark, events_dir))
+        q = streaming_t_closeness(
+            src,
+            self.QI,
+            "band",
+            out_path=str(tmp_path / "hist"),
+            checkpoint=str(tmp_path / "ckpt"),
+            t_max=self.T,
+            window="6 hours",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        batch = self._sens_banded(spark.read.parquet(events_dir))
+        n_windows = (
+            batch.select(F.window("ts", "6 hours").alias("w"))
+            .select("w.start").distinct().count()
+        )
+        n_cells = (
+            batch.select(*self.QI, "band").distinct().count()
+        )
+        state_rows = sum(
+            op.get("numRowsTotal", 0)
+            for op in (q.lastProgress or {}).get("stateOperators", [])
+        )
+        # ONE stateful operator: a row per (open window, class, value)
+        assert state_rows <= n_windows * n_cells, (
+            state_rows, n_windows, n_cells
+        )
+        with pytest.raises(ValueError):
+            streaming_t_closeness(src, [], "band", "x", "y")
+        with pytest.raises(ValueError):
+            streaming_t_closeness(src, self.QI, "band", "x", "y",
+                                  t_max=1.5)
+        with pytest.raises(ValueError):
+            streaming_t_closeness(src, self.QI, "band", "x", "y",
+                                  n_buckets=0)
