@@ -1193,8 +1193,10 @@ def t_closeness_report(
     Scale: level 1 groups by (quasi, sensitive) — the shuffle carries
     one row per (class, value) pair; level 2 folds each class to ONE
     row carrying a vocabulary-bounded value->count map; the global
-    distribution is a 1-row broadcast joined on a constant key (a
-    BroadcastHashJoin, not a cartesian); the whole prefix-sum EMD then
+    distribution is a ONE-ROW broadcast fold joined back onto the
+    class table (the aggregate-crossJoin idiom ~40 contract keys use
+    — a BroadcastNestedLoopJoin bounded at exactly one build row, the
+    audited-safe shape, never a growing side); the prefix-sum EMD then
     runs as a per-row higher-order fold over the sorted global
     category array — whole-stage codegen, NO explode, NO window, no
     further shuffle. The histogram groupBy's key space is
@@ -1263,8 +1265,10 @@ def t_closeness_readout(
         F.sum("_c").cast("bigint").alias("_sz"),
     )
     # global sorted category array with counts — report-sized (the
-    # sensitive vocabulary), ONE row per carry scope, broadcast on a
-    # constant key (batch) or the carry key (streaming twin)
+    # sensitive vocabulary), ONE row per carry scope, broadcast back
+    # (constant-key 1-row fold in batch — Catalyst folds the trivial
+    # condition, leaving the standard bounded BroadcastNestedLoop —
+    # or a hash join on the carry key in the streaming twin)
     glob = (
         pairs.where(F.col("_v").isNotNull())
         .groupBy(*carry, "_v")
