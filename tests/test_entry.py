@@ -26,67 +26,66 @@ def test_queries_and_oracles_consistent():
     assert len(q) >= 20
 
 
-# Round-11 window composition: the driver hash-checks the FIRST 50
+# Round-12 window composition: the driver hash-checks the FIRST 50
 # QUERIES entries in dict order; no-oracle keys get a weaker
 # rows+schema record. This round executes SURVEY §7.1's rotation plan
-# (queries.py::_WINDOW_R11): the 39 oracle keys whose latest driver
-# row is round 6 take the window (after this round no oracle key's
-# latest driver row predates round 7), plus the 5 round-11 debuts,
-# plus the 6 oldest round-7 oracle keys alphabetically. The round-10
-# window's 50 keys all took fresh rows in round 10 and yield their
-# slots.
-ROTATED_R11 = {
-    "q_ab_test", "q_attribution_positional", "q_changepoint",
-    "q_count_distinct", "q_cube", "q_cuped", "q_dedup_windowed",
-    "q_entropy", "q_groupby_stats", "q_incremental_agg",
-    "q_join_anti", "q_join_left_attr", "q_join_semi", "q_knn_batch",
-    "q_label_future", "q_lang_id", "q_media_audio", "q_media_meta",
-    "q_merge_upsert", "q_ngram_bigrams", "q_period_over_period",
-    "q_pivot_events", "q_psi_drift", "q_quantile_normalize",
-    "q_quantiles", "q_retention_curve", "q_rolling_median",
-    "q_rollup", "q_sample_per_group", "q_sample_stratified",
-    "q_sort_limit", "q_target_encode", "q_text_stats",
-    "q_topk_window", "q_weighted_median", "q_window_lag",
-    "q_window_rank", "q_window_sliding", "q_winsorize",
+# (queries.py::_WINDOW_R12): the 42 oracle keys whose latest driver
+# row is round 7 take the window (after this round no oracle key's
+# latest driver row predates round 8), plus the 3 round-12 debuts,
+# plus the 5 oldest stale rows-only keys (r6 cohort — VERDICT r11
+# #4). The round-11 window's 50 keys all took fresh rows in round 11
+# and yield their slots.
+ROTATED_R12 = {
+    "q_calibration", "q_cohens_kappa", "q_collocations", "q_count",
+    "q_distinct", "q_embed_normalize", "q_except", "q_feature_hash",
+    "q_filter_notnull", "q_first", "q_forecast_wape", "q_gini",
+    "q_h3_radius_join", "q_hll_grouped", "q_hll_registers",
+    "q_intersect", "q_js_divergence", "q_knn_ivfpq_rerank",
+    "q_ks_test", "q_label_vote", "q_lit_cols", "q_lm_score",
+    "q_lorenz", "q_mul_ratio", "q_mutual_info", "q_ndcg",
+    "q_point_in_polygon", "q_project", "q_quality_score",
+    "q_readability", "q_retrieval_eval", "q_rfm", "q_rrf_fusion",
+    "q_seasonality", "q_skyline", "q_spatial_knn", "q_string_agg",
+    "q_survival", "q_time_to_convert", "q_token_count", "q_union",
+    "q_vocab_encode",
 }
-# round-11 debuts — every NEW key takes its first driver record in
+# round-12 debuts — every NEW key takes its first driver record in
 # its debut round (driver-window-slot rule)
-DEBUTS_R11 = {
-    "q_seq_patterns_full", "q_fisher_exact", "q_k_anon_generalize",
-    "q_class_report_summary", "q_l_diversity",
+DEBUTS_R12 = {
+    "q_t_closeness", "q_trend_test", "q_auc_ovr",
 }
-# oldest round-7 oracle keys filling the remaining slots (§7.1)
-R7_TAIL_R11 = {
-    "q_assoc_rules", "q_auc", "q_benford", "q_bfs_hops", "q_bm25",
-    "q_bpe_pairs",
+# rows-only keys allowed in the round-12 window (no SQL mirror):
+# the oldest stale mirror-less driver records, refreshed per
+# VERDICT r11 #4
+ROWS_ONLY_R12 = {
+    "q_approx_stats", "q_ewma", "q_kmeans", "q_knn_ivfpq",
+    "q_media_frames",
 }
-# rows-only keys allowed in the round-11 window (no SQL mirror) —
-# none planned: all five debuts are oracle-checked
-ROWS_ONLY_R11: set[str] = set()
 
 
-def test_round11_window_composition():
-    """All 39 round-6-stale oracle keys, the five round-11 debuts, and
-    the six oldest round-7 keys sit inside the 50-key window; every
-    window key is oracle-checked (no rows-only slots this round)."""
+def test_round12_window_composition():
+    """All 42 round-7-stale oracle keys, the three round-12 debuts,
+    and the five oldest rows-only keys sit inside the 50-key window;
+    the only non-oracle window keys are the planned rows-only
+    refreshes."""
     import __spark_entry__ as e
 
     q = list(e.queries())
     o = e.oracle_sql()
     window = set(q[:50])
-    must_rotate = ROTATED_R11 | (DEBUTS_R11 & set(q)) | R7_TAIL_R11
+    must_rotate = ROTATED_R12 | (DEBUTS_R12 & set(q)) | ROWS_ONLY_R12
     missing = must_rotate - window
     assert not missing, f"stale keys fell out of the window: {missing}"
     no_oracle = {k for k in q[:50] if k not in o}
-    assert no_oracle <= ROWS_ONLY_R11, (
-        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R11}"
+    assert no_oracle <= ROWS_ONLY_R12, (
+        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R12}"
     )
 
 
-def test_no_stale_driver_rows_after_round11():
+def test_no_stale_driver_rows_after_round12():
     """The freshness invariant VERDICT r9 #1 prescribes, advanced one
     round: every oracle key's latest driver row, once this round's
-    window lands, is round 7 or later. Historical CORRECTNESS files
+    window lands, is round 8 or later. Historical CORRECTNESS files
     give each key's latest recorded round; keys in the current window
     count as latest=current."""
     import glob
@@ -115,9 +114,9 @@ def test_no_stale_driver_rows_after_round11():
     stale = {
         k: latest.get(k)
         for k in e.oracle_sql()
-        if latest.get(k, 0) < 7
+        if latest.get(k, 0) < 8
     }
-    assert not stale, f"keys whose latest driver row predates round 7: {stale}"
+    assert not stale, f"keys whose latest driver row predates round 8: {stale}"
 
 
 def test_every_oracle_key_has_a_driver_row():
