@@ -1858,6 +1858,7 @@ def roc_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    scalable_rank: bool = False,
 ) -> DataFrame:
     """ROC AUC via the rank formulation (Mann-Whitney U with midrank
     tie handling) — the threshold-free companion of calibration_bins:
@@ -1872,8 +1873,13 @@ def roc_auc(
     Scale shape (the gini/skyline aggregated-levels pattern): the
     corpus collapses to per-score-level counts FIRST, the rank window
     runs over |distinct scores| rows — never the row count — and the
-    readout is a 1-row fold. Returns (n_pos, n_neg, sum_r2_pos, auc);
-    auc is NULL when either class is empty.
+    readout is a 1-row fold. For a CONTINUOUS score whose level count
+    approaches the row count, pass ``scalable_rank=True`` to compute
+    the midranks with the two-level range-bucketed prefix sum
+    (_grouped_level_ranks) instead of the single-task global window —
+    identical exact-integer output, parallel sort. Returns
+    (n_pos, n_neg, sum_r2_pos, auc); auc is NULL when either class is
+    empty.
     """
     levels = (
         df.where(F.col(score_col).isNotNull())
@@ -1887,15 +1893,20 @@ def roc_auc(
             F.sum("_y").cast("bigint").alias("n_pos_level"),
         )
     )
-    w = Window.orderBy("_s").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = levels.withColumn(
-        "first_rank",
-        (F.sum("n_level").over(w) - F.col("n_level") + F.lit(1)).cast(
-            "bigint"
-        ),
-    )
+    if scalable_rank:
+        cum = _grouped_level_ranks(
+            levels.withColumn("_one", F.lit(1)), "_one", "_s"
+        ).drop("_one")
+    else:
+        w = Window.orderBy("_s").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = levels.withColumn(
+            "first_rank",
+            (F.sum("n_level").over(w) - F.col("n_level") + F.lit(1)).cast(
+                "bigint"
+            ),
+        )
     agg = cum.agg(
         F.sum("n_pos_level").cast("bigint").alias("n_pos"),
         F.sum(F.col("n_level") - F.col("n_pos_level"))
@@ -4924,6 +4935,71 @@ def cochran_armitage_trend(
 # --------------------------------------------------------------------------
 
 
+RANK_RANGE_PARTS = 64
+
+
+def _grouped_level_ranks(
+    levels: DataFrame, cls_col: str, s_col: str
+) -> DataFrame:
+    """Scalable midrank first_rank over a per-(class, score-level)
+    count table: the two-level bucket-offset prefix sum
+    (pack_sequences' technique) with repartitionByRange supplying
+    order-preserving buckets. Within a class, the range partitioner
+    assigns monotonically increasing partition ids to increasing
+    scores, so per-(class, pid) level totals cumsum'd in pid order
+    (a partition-count-sized single-task window — negligible) give
+    each bucket's global offset, and the within-bucket cumsum runs
+    partitioned by (class, pid), fully parallel. The resulting exact
+    integer first_rank per level does not depend on where the sampled
+    range boundaries fall."""
+    # localCheckpoint pins the partitioning BEFORE the frame is read
+    # by both the offsets aggregate and the join-back: the range
+    # partitioner samples its boundaries, and without the pin the two
+    # plan subtrees could re-execute the exchange with different
+    # sampled cuts, making _pid disagree between them (ReusedExchange
+    # usually prevents that, but correctness must not hang on a
+    # physical-planning heuristic)
+    bucketed = (
+        levels.repartitionByRange(
+            RANK_RANGE_PARTS, F.col(cls_col), F.col(s_col)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    offsets = (
+        bucketed.groupBy(cls_col, "_pid")
+        .agg(F.sum("n_level").cast("bigint").alias("_ptot"))
+        .withColumn(
+            "_poff",
+            F.coalesce(
+                F.sum("_ptot").over(
+                    Window.partitionBy(cls_col)
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .drop("_ptot")
+    )
+    w_in = Window.partitionBy(cls_col, "_pid").orderBy(s_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), [cls_col, "_pid"])
+        .withColumn(
+            "first_rank",
+            (
+                F.col("_poff")
+                + F.sum("n_level").over(w_in)
+                - F.col("n_level")
+                + F.lit(1)
+            ).cast("bigint"),
+        )
+        .drop("_pid", "_poff")
+    )
+
+
 def roc_auc_ovr(
     df: DataFrame,
     class_col: str,
@@ -4942,11 +5018,20 @@ def roc_auc_ovr(
     exact BIGINTs, bit-deterministic anywhere; NULL when the class
     has no positives or no negatives.
 
-    Scale (the aggregated-levels pattern, per class): the corpus
-    collapses to per-(class, score-level) counts FIRST (one shuffle,
-    map-side combined), the midrank window runs per class over its
-    distinct score levels — never the row count — and the readout is
-    one row per class. Output: (class, n_pos, n_neg, sum_r2_pos,
+    Scale (the aggregated-levels pattern, hardened for CONTINUOUS
+    scores): the corpus collapses to per-(class, score-level) counts
+    FIRST (one shuffle, map-side combined). A continuous scorer makes
+    |levels| approach the row count, and a plain
+    Window.partitionBy(class) would then sort every class's levels in
+    ONE task (classes are few by definition) — so the midrank prefix
+    sum runs at two levels instead (the pack_sequences bucket-offset
+    technique with RANGE partitioning supplying order-preserving
+    buckets): range-partition the level table on (class, score),
+    cumsum within each partition in parallel, and add the broadcast
+    per-(class, partition) offsets — whose own cumsum runs over a
+    partition-count-sized table. The exact integer ranks are
+    independent of where the sampled range boundaries fall. Readout
+    is one row per class. Output: (class, n_pos, n_neg, sum_r2_pos,
     auc ROUND 9) ordered by class."""
     levels = (
         df.where(
@@ -4963,15 +5048,7 @@ def roc_auc_ovr(
             F.sum("_y").cast("bigint").alias("n_pos_level"),
         )
     )
-    w = Window.partitionBy("_cls").orderBy("_s").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = levels.withColumn(
-        "first_rank",
-        (F.sum("n_level").over(w) - F.col("n_level") + F.lit(1)).cast(
-            "bigint"
-        ),
-    )
+    cum = _grouped_level_ranks(levels, "_cls", "_s")
     agg = cum.groupBy(F.col("_cls").alias("class")).agg(
         F.sum("n_pos_level").cast("bigint").alias("n_pos"),
         F.sum(F.col("n_level") - F.col("n_pos_level"))
@@ -5070,6 +5147,7 @@ def roc_auc_ovr_summary(
             df.where(F.col(class_col).isNotNull()),
             score_col,
             label_col,
+            scalable_rank=True,
         )
         .select(
             F.col("n_pos").alias("_pool_pos"),
