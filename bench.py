@@ -743,7 +743,9 @@ def main() -> None:
             ),
             "n_headline": len(HEADLINE),
             "noise_ratio_vs_history": _noise_ratio(steady, sf),
-            "outlier_keys": outlier_keys[:10],
+            # outlier_keys is a dict key->ratios: keep only the first
+            # 10 NAMES here (the full detail is in the artifact)
+            "outlier_keys": sorted(outlier_keys)[:10],
             "n_outliers": len(outlier_keys),
             "full_artifact": os.path.basename(out_path),
         },

@@ -4938,65 +4938,109 @@ def cochran_armitage_trend(
 RANK_RANGE_PARTS = 64
 
 
+# Below this many level rows the plain per-class window (one sort
+# task per class) beats the two-level machinery's fixed job overhead;
+# above it the single-task sorts become the bottleneck. The summary
+# picks per-dataset via one count() of its pinned census.
+RANK_SCALABLE_THRESHOLD = 1_000_000
+
+
 def _grouped_level_ranks(
-    levels: DataFrame, cls_col: str, s_col: str
+    levels: DataFrame, cls_col: str, s_col: str, scalable: bool = True
 ) -> DataFrame:
-    """Scalable midrank first_rank over a per-(class, score-level)
+    """Midrank first_rank over a per-(class, score-level) count
+    table. ``scalable=False`` is the plain aggregated-levels window
+    (Window.partitionBy(class) — one sort task per class, right when
+    levels are banded/report-sized); ``scalable=True`` is the
+    two-level path below, for level counts that approach the row
+    count (continuous scores). Both produce identical exact integer
+    ranks.
+
+    Scalable midrank first_rank over a per-(class, score-level)
     count table: the two-level bucket-offset prefix sum
-    (pack_sequences' technique) with repartitionByRange supplying
-    order-preserving buckets. Within a class, the range partitioner
-    assigns monotonically increasing partition ids to increasing
-    scores, so per-(class, pid) level totals cumsum'd in pid order
-    (a partition-count-sized single-task window — negligible) give
-    each bucket's global offset, and the within-bucket cumsum runs
-    partitioned by (class, pid), fully parallel. The resulting exact
-    integer first_rank per level does not depend on where the sampled
-    range boundaries fall."""
-    # localCheckpoint pins the partitioning BEFORE the frame is read
-    # by both the offsets aggregate and the join-back: the range
-    # partitioner samples its boundaries, and without the pin the two
-    # plan subtrees could re-execute the exchange with different
-    # sampled cuts, making _pid disagree between them (ReusedExchange
-    # usually prevents that, but correctness must not hang on a
-    # physical-planning heuristic)
-    bucketed = (
-        levels.repartitionByRange(
-            RANK_RANGE_PARTS, F.col(cls_col), F.col(s_col)
+    (pack_sequences' technique) with order-preserving buckets cut at
+    driver-side approximate score quantiles. Bucket assignment is a
+    PURE FUNCTION of the score (count of broadcast cut points at or
+    below it), so — unlike a repartitionByRange + spark_partition_id
+    formulation — no checkpoint is needed to pin partition ids
+    across plan subtrees and no extra range exchange enters the plan:
+    the only data movement is the hash shuffle the within-bucket
+    window needs anyway. Per-(class, bucket) level totals cumsum'd in
+    bucket order (a cuts-count-sized single-task window — negligible)
+    give each bucket's offset; the within-bucket cumsum runs
+    partitioned by (class, bucket), fully parallel. The exact integer
+    first_rank per level is INDEPENDENT of where the cuts fall (any
+    monotone bucketing yields the same prefix sums), so the
+    approximation error and ordering nondeterminism of approxQuantile
+    affect only load balance, never values. The quantile pass is one
+    bounded driver action (≤ RANK_RANGE_PARTS−1 doubles — the IVF
+    centroid-table collect exception); non-numeric or constant scores
+    degrade to one bucket per class, which is the plain aggregated-
+    levels window."""
+    if not scalable:
+        w = Window.partitionBy(cls_col).orderBy(s_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+        return levels.withColumn(
+            "first_rank",
+            (
+                F.sum("n_level").over(w) - F.col("n_level") + F.lit(1)
+            ).cast("bigint"),
+        )
+    try:
+        cuts = sorted(
+            set(
+                levels.stat.approxQuantile(
+                    s_col,
+                    [
+                        i / RANK_RANGE_PARTS
+                        for i in range(1, RANK_RANGE_PARTS)
+                    ],
+                    0.01,
+                )
+            )
+        )
+    except Exception:  # non-numeric score type
+        cuts = []
+    if cuts:
+        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.size(
+            F.filter(cut_arr, lambda c: c <= F.col(s_col))
+        ).cast("int")
+    else:
+        bucket = F.lit(0)
+    b = levels.withColumn("_bk", bucket)
     offsets = (
-        bucketed.groupBy(cls_col, "_pid")
-        .agg(F.sum("n_level").cast("bigint").alias("_ptot"))
+        b.groupBy(cls_col, "_bk")
+        .agg(F.sum("n_level").cast("bigint").alias("_btot"))
         .withColumn(
-            "_poff",
+            "_boff",
             F.coalesce(
-                F.sum("_ptot").over(
+                F.sum("_btot").over(
                     Window.partitionBy(cls_col)
-                    .orderBy("_pid")
+                    .orderBy("_bk")
                     .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ).cast("bigint"),
         )
-        .drop("_ptot")
+        .drop("_btot")
     )
-    w_in = Window.partitionBy(cls_col, "_pid").orderBy(s_col).rowsBetween(
+    w_in = Window.partitionBy(cls_col, "_bk").orderBy(s_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        bucketed.join(F.broadcast(offsets), [cls_col, "_pid"])
+        b.join(F.broadcast(offsets), [cls_col, "_bk"])
         .withColumn(
             "first_rank",
             (
-                F.col("_poff")
+                F.col("_boff")
                 + F.sum("n_level").over(w_in)
                 - F.col("n_level")
                 + F.lit(1)
             ).cast("bigint"),
         )
-        .drop("_pid", "_poff")
+        .drop("_bk", "_boff")
     )
 
 
@@ -5033,7 +5077,18 @@ def roc_auc_ovr(
     independent of where the sampled range boundaries fall. Readout
     is one row per class. Output: (class, n_pos, n_neg, sum_r2_pos,
     auc ROUND 9) ordered by class."""
-    levels = (
+    return _ovr_readout(
+        _ovr_levels(df, class_col, score_col, label_col)
+    )
+
+
+def _ovr_levels(
+    df: DataFrame, class_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """The OvR level census (_cls, _s, n_level, n_pos_level) — shared
+    by roc_auc_ovr and the summary, which derives the POOLED levels
+    from this table instead of re-scanning the input."""
+    return (
         df.where(
             F.col(score_col).isNotNull() & F.col(class_col).isNotNull()
         )
@@ -5048,7 +5103,11 @@ def roc_auc_ovr(
             F.sum("_y").cast("bigint").alias("n_pos_level"),
         )
     )
-    cum = _grouped_level_ranks(levels, "_cls", "_s")
+
+
+def _ovr_readout(levels: DataFrame, scalable: bool = True) -> DataFrame:
+    """Per-class rank-sum readout over an OvR level census."""
+    cum = _grouped_level_ranks(levels, "_cls", "_s", scalable=scalable)
     agg = cum.groupBy(F.col("_cls").alias("class")).agg(
         F.sum("n_pos_level").cast("bigint").alias("n_pos"),
         F.sum(F.col("n_level") - F.col("n_pos_level"))
@@ -5114,7 +5173,23 @@ def roc_auc_ovr_summary(
     Output: (avg_mode, n_classes, n_defined, support, auc) ordered by
     avg_mode — 3 rows. support = Σ n_pos over defined classes for
     macro/weighted, over ALL pooled pairs for micro."""
-    per = roc_auc_ovr(df, class_col, score_col, label_col)
+    # ONE scan of the (usually exploded) input builds the per-class
+    # level census; the pooled micro levels are DERIVED from it by
+    # re-aggregating on score — halving the input passes vs calling
+    # roc_auc on the raw frame. localCheckpoint pins the census for
+    # its two consumers (measured: the q_auc_ovr key's two full
+    # explode+groupBy passes dominated its steady time).
+    levels = _ovr_levels(
+        df, class_col, score_col, label_col
+    ).localCheckpoint()
+    # adaptive rank strategy: one count() of the PINNED census (a
+    # cached-partition count, near-free) picks the plain window for
+    # banded/report-sized level tables and the two-level bucketed
+    # path once the level count approaches the row count — the fixed
+    # job overhead of the parallel machinery is only paid when the
+    # single-task sorts it removes would actually bottleneck
+    scalable = levels.count() > RANK_SCALABLE_THRESHOLD
+    per = _ovr_readout(levels, scalable=scalable)
     defined = F.col("auc").isNotNull()
     agg = per.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_classes"),
@@ -5142,16 +5217,39 @@ def roc_auc_ovr_summary(
             lambda acc, x: acc + x,
         ).alias("_wsum"),
     ).withColumn("_j", F.lit(1))
+    pool_levels = levels.groupBy("_s").agg(
+        F.sum("n_level").cast("bigint").alias("n_level"),
+        F.sum("n_pos_level").cast("bigint").alias("n_pos_level"),
+    )
+    pool_cum = _grouped_level_ranks(
+        pool_levels.withColumn("_one", F.lit(1)), "_one", "_s",
+        scalable=scalable,
+    )
+    pool_num = F.col("_pr2") - F.col("_pool_pos") * (
+        F.col("_pool_pos") + F.lit(1)
+    )
+    pool_den = F.lit(2) * F.col("_pool_pos") * F.col("_pool_neg")
     pooled = (
-        roc_auc(
-            df.where(F.col(class_col).isNotNull()),
-            score_col,
-            label_col,
-            scalable_rank=True,
+        pool_cum.agg(
+            F.sum("n_pos_level").cast("bigint").alias("_pool_pos"),
+            F.sum(F.col("n_level") - F.col("n_pos_level"))
+            .cast("bigint")
+            .alias("_pool_neg"),
+            F.sum(
+                F.col("n_pos_level")
+                * (
+                    F.lit(2) * F.col("first_rank")
+                    + F.col("n_level")
+                    - F.lit(1)
+                )
+            ).cast("bigint").alias("_pr2"),
         )
         .select(
-            F.col("n_pos").alias("_pool_pos"),
-            F.col("auc").alias("_pool_auc"),
+            "_pool_pos",
+            F.when(
+                (F.col("_pool_pos") > 0) & (F.col("_pool_neg") > 0),
+                pool_num.cast("double") / pool_den.cast("double"),
+            ).alias("_pool_auc"),
         )
         .withColumn("_j", F.lit(1))
     )
