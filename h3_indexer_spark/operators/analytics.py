@@ -804,24 +804,29 @@ def chi_square_independence(
     observed = src.groupBy(col_a, col_b).agg(
         F.count(F.lit(1)).alias("_obs")
     )
-    # the FULL category grid: zero cells contribute (0-e)^2/e too —
-    # dropping them understates the statistic exactly when dependence
-    # is strongest (a perfect association leaves half the grid empty)
-    grid = observed.select(col_a).distinct().crossJoin(
-        observed.select(col_b).distinct()
-    )
-    cells = grid.join(observed, [col_a, col_b], "left").select(
+    # Marginals and the total aggregate FROM the observed cells (zero
+    # cells add 0 to every marginal, so cell-derived == grid-derived),
+    # and the FULL category grid is the marginals' cross product with
+    # the row/column totals already attached — zero cells contribute
+    # their (0−e)²/e term without a category-distinct pass each.
+    # Everything after ``observed`` is category-cardinality work, and
+    # the one fact-sized subtree (src → groupBy) is referenced by
+    # exactly four consumers that share one physical exchange
+    # (ReusedExchange), where the former grid-completed-cells shape
+    # nested the subtree ~12× in the static plan.
+    ra = observed.groupBy(col_a).agg(F.sum("_obs").alias("_ra"))
+    rb = observed.groupBy(col_b).agg(F.sum("_obs").alias("_rb"))
+    tot = observed.agg(F.sum("_obs").alias("_n"))
+    grid = ra.crossJoin(rb).crossJoin(F.broadcast(tot))
+    joined = grid.join(
+        F.broadcast(observed), [col_a, col_b], "left"
+    ).select(
         col_a,
         col_b,
         F.coalesce("_obs", F.lit(0)).alias("observed"),
-    )
-    ra = cells.groupBy(col_a).agg(F.sum("observed").alias("_ra"))
-    rb = cells.groupBy(col_b).agg(F.sum("observed").alias("_rb"))
-    tot = cells.agg(F.sum("observed").alias("_n"))
-    joined = (
-        cells.join(F.broadcast(ra), col_a)
-        .join(F.broadcast(rb), col_b)
-        .crossJoin(F.broadcast(tot))
+        "_ra",
+        "_rb",
+        "_n",
     )
     e = (
         F.col("_ra").cast("double")
@@ -2595,6 +2600,7 @@ def one_way_anova(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One-way ANOVA over ``value_col`` across the levels of
     ``group_col``: the F statistic for "do the group means differ"
@@ -2629,20 +2635,33 @@ def one_way_anova(
 
     Output: one row (k_groups, n_total, f_stat, eta_sq); f_stat is
     NULL when k < 2 or N ≤ k (no within-group degrees of freedom).
+
+    ``weight_col`` (optional BIGINT count column) folds a PRE-GROUPED
+    value histogram instead of raw rows — each (group, value) row
+    stands for ``weight`` identical observations, so _n/_s/_q become
+    Σw / Σw·v / Σw·v² (exact scale-0 DECIMAL sums, same bounds as the
+    row path) and every downstream double is bit-identical to folding
+    the expanded rows. Callers that already hold a histogram (e.g.
+    brown_forsythe's median table) skip a full re-scan of the fact.
     """
     v = F.round(F.col(value_col).cast("double") * F.lit(10000.0), 0).cast(
         "long"
     ).cast("decimal(19,0)")
+    if weight_col is None:
+        n_agg = F.count(F.lit(1)).cast("bigint").alias("_n")
+        s_agg = F.sum(v).alias("_s")
+        q_agg = F.sum(v * v).alias("_q")
+    else:
+        wd = F.col(weight_col).cast("decimal(19,0)")
+        n_agg = F.sum(weight_col).cast("bigint").alias("_n")
+        s_agg = F.sum(wd * v).alias("_s")
+        q_agg = F.sum(wd * v * v).alias("_q")
     g = (
         df.where(
             F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
         )
         .groupBy(group_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("_n"),
-            F.sum(v).alias("_s"),
-            F.sum(v * v).alias("_q"),
-        )
+        .agg(n_agg, s_agg, q_agg)
     )
     sd = F.col("_s").cast("double")
     nd = F.col("_n").cast("double")
@@ -3049,10 +3068,20 @@ def spearman_corr(
     src = df.where(
         F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
     ).select(F.col(col_x).alias("_x"), F.col(col_y).alias("_y"))
+    # ONE scan: collapse to the JOINT (x, y) histogram first (≤
+    # |distinct x|·|distinct y| rows, partial-aggregated map-side);
+    # both marginal rank histograms AND the final fold derive from it
+    # with count weights — the former shape re-scanned the fact three
+    # times (one per marginal histogram + the fold). Every sum below
+    # is the same exact integer as the per-row fold, so rho's bits
+    # are unchanged.
+    joint = src.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
 
     def _rank2(col: str) -> DataFrame:
-        hist = src.groupBy(col).agg(
-            F.count(F.lit(1)).cast("bigint").alias("_cnt")
+        hist = joint.groupBy(col).agg(
+            F.sum("_n").cast("bigint").alias("_cnt")
         )
         w = (
             Window.orderBy(F.col(col).asc())
@@ -3066,18 +3095,19 @@ def spearman_corr(
             .alias(f"{col}r2"),
         )
 
-    ranked = src.join(F.broadcast(_rank2("_x")), "_x").join(
+    ranked = joint.join(F.broadcast(_rank2("_x")), "_x").join(
         F.broadcast(_rank2("_y")), "_y"
     )
-    rx = F.col("_xr2").cast("decimal(38,0)")
-    ry = F.col("_yr2").cast("decimal(38,0)")
+    nw = F.col("_n").cast("decimal(19,0)")
+    rx = F.col("_xr2").cast("decimal(19,0)")
+    ry = F.col("_yr2").cast("decimal(19,0)")
     fold = ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(rx).alias("_sx"),
-        F.sum(ry).alias("_sy"),
-        F.sum(rx * rx).alias("_qx"),
-        F.sum(ry * ry).alias("_qy"),
-        F.sum(rx * ry).alias("_sp"),
+        F.sum("_n").cast("bigint").alias("n_pairs"),
+        F.sum(nw * rx).alias("_sx"),
+        F.sum(nw * ry).alias("_sy"),
+        F.sum(nw * rx * rx).alias("_qx"),
+        F.sum(nw * ry * ry).alias("_qy"),
+        F.sum(nw * rx * ry).alias("_sp"),
     )
     n = F.col("n_pairs").cast("double")
     sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
@@ -3155,13 +3185,19 @@ def brown_forsythe(
         F.min(F.when(F.col("_cum") >= hi_t, F.col("_v"))).alias("_mhi"),
     )
     m2 = (F.col("_mlo") + F.col("_mhi")).alias("_m2")
-    z = src.join(F.broadcast(medians.select("_g", m2)), "_g").select(
+    # deviations from the HISTOGRAM, not the fact: each (g, v) level
+    # stands for _cnt identical z2 values, so the weighted anova fold
+    # (Σcnt / Σcnt·z / Σcnt·z² — exact integers either way) reads the
+    # |distinct|-row table and the fact is scanned exactly ONCE (the
+    # histogram build); the former per-row z join re-scanned it.
+    z = hist.join(F.broadcast(medians.select("_g", m2)), "_g").select(
         "_g",
+        "_cnt",
         F.abs(F.col("_v") + F.col("_v") - F.col("_m2"))
         .cast("decimal(18,4)")
         .alias("_z2"),
     )
-    res = one_way_anova(z, "_g", "_z2")
+    res = one_way_anova(z, "_g", "_z2", weight_col="_cnt")
     return res.select(
         "k_groups",
         "n_total",

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from h3_indexer_spark.functions.h3.sql import (
     h3_long_to_string,
     h3_string_to_long,
-    parent_long_expr,
     resolution_expr,
 )
 from h3_indexer_spark.functions.h3.tables import PENTAGON_BASE_CELLS
@@ -31,18 +30,44 @@ from h3_indexer_spark.functions.h3.tables import PENTAGON_BASE_CELLS
 _PENT_BASES = sorted(PENTAGON_BASE_CELLS)
 
 
-def _is_pentagon_expr(h_long: F.Column, res: int) -> F.Column:
-    """Pentagon test in native Catalyst bit ops for a cell of KNOWN
-    resolution ``res``: pentagonal base cell AND every resolution
-    digit is 0 (the center-child chain). Digits sit in 3-bit fields
-    below bit 45; unused fine digits read 7, so a res-r pentagon's
-    whole digit field equals the low-bits 7-padding with zeros in the
-    leading r digits — one equality against a Python-computed
-    literal."""
-    base = F.shiftright(h_long, 45).bitwiseAND(F.lit(0x7F))
-    digits = h_long.bitwiseAND(F.lit((1 << 45) - 1))
-    pad = ((1 << 45) - 1) >> (3 * res)
-    return base.isin(_PENT_BASES) & (digits == F.lit(pad))
+# Res-15 descendant ("leaf") counts per resolution, hexagon vs
+# pentagon subtrees. A pentagon has 6 children (the center child is
+# again a pentagon, the other 5 are hexagons), so
+# leaves_p(r) = leaves_p(r+1) + 5·7^(14−r) = 1 + 5·(7^(15−r) − 1)/6.
+_HEX_LEAVES = [7 ** (15 - r) for r in range(16)]
+_PENT_LEAVES = [1 + 5 * (7 ** (15 - r) - 1) // 6 for r in range(16)]
+_DIGITS_MASK = (1 << 45) - 1  # 15 3-bit resolution digits
+_RES_CLEAR = ~(0xF << 52)  # clear the resolution nibble
+
+
+def _leaves_expr(c_col: str, r_sql: str) -> F.Column:
+    """Res-15 descendant count of cell ``c_col`` at resolution
+    ``r_sql`` (a SQL int expression) — native bit ops + two literal
+    lookup arrays. Pentagon test with a COLUMN resolution: pentagonal
+    base cell and all digits above the padding zero, where the 7s
+    padding for res r is digits_mask >> 3r."""
+    c = F.col(c_col)
+    pad = F.expr(f"shiftright({_DIGITS_MASK}L, 3 * ({r_sql}))")
+    is_pent = F.shiftright(c, 45).bitwiseAND(F.lit(0x7F)).isin(
+        _PENT_BASES
+    ) & (c.bitwiseAND(F.lit(_DIGITS_MASK)) == pad)
+    idx = F.expr(f"({r_sql}) + 1")
+    return F.when(
+        is_pent,
+        F.element_at(F.array(*[F.lit(v) for v in _PENT_LEAVES]), idx),
+    ).otherwise(
+        F.element_at(F.array(*[F.lit(v) for v in _HEX_LEAVES]), idx)
+    )
+
+
+def _ancestor_expr(c_col: str, q_col: str) -> F.Column:
+    """Ancestor id of ``c_col`` at COLUMN resolution ``q_col``: set
+    the res nibble to q and fill the finer digits with 7s (the
+    parent_long_expr bit recipe, with the resolution as a column)."""
+    return F.expr(
+        f"(({c_col} & {_RES_CLEAR}L) | shiftleft(cast({q_col} as "
+        f"bigint), 52)) | shiftright({_DIGITS_MASK}L, 3 * {q_col})"
+    )
 
 
 def compact_cells_df(
@@ -58,58 +83,69 @@ def compact_cells_df(
     (uncompacting the result reproduces the input set — locked in
     tests against the scalar kernel).
 
-    Scale shape: one round per resolution level, coarsest-bound (≤15);
-    each round is a groupBy on the parent id (partial-aggregated
-    count) over a set that only SHRINKS — compactable regions vanish
-    into their parents before the next round. All cell math is native
-    Catalyst bit ops (parent_long_expr, the pentagon test) — no
-    Python, no UDF, nothing but integer expressions between shuffles.
-    At 100 TB the first round dominates (full distinct of the input);
-    every later round touches only what remains."""
+    Scale shape (ONE pass, no per-resolution loop): an ancestor cell
+    ends up in the compacted output iff its whole subtree is exactly
+    covered by the input — and for a valid (overlap-free) cell set
+    that holds iff the res-15 leaf counts of its input descendants
+    sum to the ancestor's own leaf count (pentagon-aware closed-form
+    weights, exact BIGINTs). Induction on depth shows this equals the
+    level-by-level family promotion: if an ancestor's subtree is
+    exactly covered, each child's subtree is too (no input cell
+    straddles children), so promotion reaches every child and then
+    the parent. So: explode each input cell to its ≤15 ancestors
+    (one row per (ancestor, level) with the cell's leaf weight), ONE
+    groupBy sums the weights, and ancestors whose sum equals their
+    own leaf count are "full". Each covered input cell collapses to
+    its COARSEST full ancestor (which is maximal by construction —
+    a full strict ancestor of a full cell would be a coarser full
+    ancestor of the same inputs); uncovered cells pass through.
+
+    vs the former per-resolution loop: ≤15 shrinking shuffle rounds
+    with ~3× lineage fan-out per round (static plans measured at 300+
+    exchanges) become one explode + one aggregation + two bounded
+    joins (~8 exchanges), all native Catalyst bit ops — no driver
+    max-res probe, fully lazy. The ×15 ancestor expansion shuffles
+    only (cell id, level, weight) triples, partial-aggregated
+    map-side; equality with the loop is locked in tests against the
+    scalar reference kernel."""
     cells = df.select(
         h3_string_to_long(F.col(cell_col)).alias("_c"),
         resolution_expr(F.col(cell_col)).alias("_r"),
     ).distinct()
-    # bounded driver pull: ONE scalar (the max resolution) sizes the
-    # round count. Each round's plan references the previous frontier
-    # in three places, so lineage fans out ~3^rounds — a static
-    # 15-round sweep builds an astronomically deep plan (observed
-    # hanging Catalyst at test scale), while the data-bounded count
-    # keeps it to a handful of rounds. At cluster scale, persist the
-    # frontier between rounds to cut the lineage entirely (the
-    # plans/indexer.py cache-at-stage-boundary posture).
-    max_res = cells.agg(F.max("_r")).collect()[0][0]
-    if max_res is None:
-        return df.select(F.col(cell_col)).limit(0)
-    out_parts = []
-    cur = cells
-    for r in range(int(max_res), 0, -1):
-        at_res = cur.where(F.col("_r") == r)
-        coarser = cur.where(F.col("_r") != r)
-        parent = parent_long_expr(F.col("_c"), r - 1)
-        fam = at_res.groupBy(parent.alias("_p")).agg(
-            F.count(F.lit(1)).alias("_n")
+    # every (ancestor, level) of every input cell, weighted by the
+    # cell's leaf count; res-0 cells have no ancestors (guard: Spark's
+    # sequence(0, -1) would step backwards, not return empty)
+    anc = (
+        cells.where(F.col("_r") > 0)
+        .select(
+            "_c",
+            _leaves_expr("_c", "_r").alias("_w"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("_r") - F.lit(1))
+            ).alias("_q"),
         )
-        expected = F.when(
-            _is_pentagon_expr(F.col("_p"), r - 1), F.lit(6)
-        ).otherwise(F.lit(7))
-        full = fam.where(F.col("_n") == expected).select("_p")
-        # children of full parents collapse; the rest are final output
-        survivors = at_res.join(
-            full.select(F.col("_p").alias("_fp")),
-            parent == F.col("_fp"),
-            "left_anti",
-        ).select("_c")
-        out_parts.append(survivors)
-        promoted = full.select(
-            F.col("_p").alias("_c"), F.lit(r - 1).alias("_r")
-        )
-        cur = coarser.unionByName(promoted)
-    out_parts.append(cur.select("_c"))  # res-0 leftovers
-    result = out_parts[0]
-    for p in out_parts[1:]:
-        result = result.unionByName(p)
-    return result.select(h3_long_to_string(F.col("_c")).alias(cell_col))
+        .select("_c", "_q", "_w", _ancestor_expr("_c", "_q").alias("_p"))
+    )
+    full = (
+        anc.groupBy("_p", "_q")
+        .agg(F.sum("_w").alias("_s"))
+        .where(F.col("_s") == _leaves_expr("_p", "_q"))
+        .select("_p", "_q")
+    )
+    # input cells with a full ancestor collapse to the coarsest one
+    marked = anc.join(full, ["_p", "_q"], "semi")
+    promoted = (
+        marked.groupBy("_c")
+        .agg(F.min_by("_p", "_q").alias("_cp"))
+        .select(F.col("_cp").alias("_c"))
+        .distinct()
+    )
+    uncovered = cells.join(
+        marked.select("_c"), "_c", "left_anti"
+    ).select("_c")
+    return promoted.unionByName(uncovered).select(
+        h3_long_to_string(F.col("_c")).alias(cell_col)
+    )
 
 
 def uncompact_cells_df(

@@ -68,6 +68,18 @@ def get_spark_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        # AQE coalescing targets max parallelism (parallelismFirst,
+        # the default) but never shrinks a partition below
+        # minPartitionSize — and the 1 MB default serializes any
+        # stage whose INPUT is bytes-small while its OUTPUT explodes
+        # (wedge/pair self-joins: a 3 MB adjacency exchange coalesced
+        # to 2 tasks emitted a 100 MB pair shuffle serially; measured
+        # 6.8 s → 2.3 s steady on the link-prediction keys at 64 KB).
+        # At cluster scale exchanges dwarf cores·64 KB, so the floor
+        # never binds there — this only widens small-to-mid
+        # intermediate stages, where idle cores are the waste.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64k")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Reference spark/spark.py:127-128 — Arrow interop; ours is
         # actually vectorized (pandas UDFs), batch size tuned larger.

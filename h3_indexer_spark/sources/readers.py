@@ -21,6 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+# (path, mtime) → row-group cap. The probe opens parquet footers on
+# the DRIVER on every read_parquet call; a session that builds many
+# plans over the same tables (the driver contract re-invokes queries()
+# hundreds of times per run) re-pays that filesystem walk per call.
+# Keyed on the path's mtime so a rewritten table is re-probed, never
+# served stale.
+_SCAN_CAP_MEMO: dict[tuple[str, float], int | None] = {}
+
+
 def scan_parallelism_cap(path: str, probe_limit: int = 256) -> int | None:
     """Upper bound on the number of tasks a Spark parquet scan of
     ``path`` can actually use: total row groups across files. Spark
@@ -33,6 +42,12 @@ def scan_parallelism_cap(path: str, probe_limit: int = 256) -> int | None:
     import glob
     import os
 
+    try:
+        mkey = (path, os.path.getmtime(path))
+        if mkey in _SCAN_CAP_MEMO:
+            return _SCAN_CAP_MEMO[mkey]
+    except OSError:
+        mkey = None
     try:
         import pyarrow.parquet as pq
 
@@ -52,6 +67,8 @@ def scan_parallelism_cap(path: str, probe_limit: int = 256) -> int | None:
                 break
         if len(files) > probe_limit:
             cap = max(cap, len(files))
+        if mkey is not None:
+            _SCAN_CAP_MEMO[mkey] = cap
         return cap
     except Exception:
         return None
