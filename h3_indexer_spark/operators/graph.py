@@ -29,6 +29,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _normalize_undirected(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    a: str = "a",
+    b: str = "b",
+    keep_self_loops: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Canonical-first normalizer for an arbitrary undirected edge
+    list: ONE distinct over the (min, max) canonical pairs (m rows),
+    then the both-orientations adjacency as a provably disjoint
+    mirror union (x < y on one side, x > y on the other — no overlap,
+    so no second dedup). The former union-then-distinct shape pushed
+    2m directed rows through the dedup exchange to produce the same
+    set. Returns (canon, dirs): canon is the deduped x < y half
+    (useful directly as the existing-edge set), dirs both
+    orientations; self-loops are dropped unless ``keep_self_loops``
+    (then they appear ONCE, as before)."""
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(
+        F.col(src), F.col(dst)
+    )
+    canon = (
+        edges.select(lo.alias(a), hi.alias(b))
+        .where(
+            (F.col(a) <= F.col(b))
+            if keep_self_loops
+            else (F.col(a) < F.col(b))
+        )
+        .distinct()
+    )
+    mirror = canon.where(F.col(a) != F.col(b)).select(
+        F.col(b).alias(a), F.col(a).alias(b)
+    )
+    return canon, canon.unionAll(mirror)
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -490,13 +526,7 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    dirs = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    dirs = _normalize_undirected(edges, src, dst)[1].localCheckpoint()
     prev_edges = dirs.count()
     converged = prev_edges == 0
     for _ in range(max_iter):
@@ -504,12 +534,15 @@ def k_core(
             break
         deg = dirs.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("a")
+        # lazy checkpoint: the count() right after is the FULL action
+        # that materializes it (the connected_components probe trick),
+        # so each peel round runs ONE job instead of two
         pruned = (
             dirs.join(keep, "a", "left_semi")
             .join(
                 keep.select(F.col("a").alias("b")), "b", "left_semi"
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n = pruned.count()
         dirs = pruned
@@ -567,13 +600,7 @@ def bfs_hops(
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    dirs = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    dirs = _normalize_undirected(edges, src, dst)[1].localCheckpoint()
     dist = (
         sources.select(F.col(node).alias("node"))
         .distinct()
@@ -629,13 +656,7 @@ def label_propagation(
     """
     if max_rounds < 0:
         raise ValueError("max_rounds must be >= 0")
-    dirs = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    dirs = _normalize_undirected(edges, src, dst)[1].localCheckpoint()
     labels = (
         dirs.select(F.col("a").alias("v"))
         .distinct()
@@ -703,12 +724,7 @@ def degree_distribution(
     re-derived the whole pipeline as a second subtree — measured in
     .explain before this shape was chosen). No Python.
     """
-    dirs = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    dirs = _normalize_undirected(edges, src, dst)[1]
     deg = dirs.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
     hist = deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vertices")
@@ -765,25 +781,23 @@ def adamic_adar(
     anti-join on the canonical (min, max) pair key."""
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1: {min_common}")
-    dirs = (
-        edges.select(F.col(src).alias("z"), F.col(dst).alias("n"))
-        .union(edges.select(F.col(dst).alias("z"), F.col(src).alias("n")))
-        .where(F.col("z") != F.col("n"))
-        .distinct()
-    )
+    canon, dirs = _normalize_undirected(edges, src, dst, a="z", b="n")
     if max_degree is not None:
         if log_exclusions:
             # the hub census below runs a job anyway, so pin the
-            # deduped adjacency first: dirs feeds FOUR downstream
-            # branches (both self-join sides, the degree table, the
-            # existing-edge anti-join) and without the checkpoint
+            # deduped CANONICAL half first (half the rows of the old
+            # directed pin): it feeds FOUR downstream branches (both
+            # self-join sides via the mirror union, the degree table,
+            # the existing-edge anti-join) and without the checkpoint
             # Catalyst re-derives the caller's edge construction once
             # per branch (measured in .explain — 4 full scans of the
             # co-purchase join). With max_degree=None the operator
             # stays fully lazy, re-derivation documented.
-            dirs = dirs.localCheckpoint()
+            canon = canon.localCheckpoint()
         else:
-            dirs = dirs.persist()
+            canon = canon.persist()
+        mirror = canon.select(F.col("n").alias("z"), F.col("z").alias("n"))
+        dirs = canon.unionAll(mirror.select("z", "n"))
     deg = dirs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
         if log_exclusions:
@@ -820,11 +834,9 @@ def adamic_adar(
         )
         .where(F.col("common_neighbors") >= min_common)
     )
-    # dirs already holds the deduped undirected pair set in both
-    # directions, so its canonical half IS the existing-edge set —
-    # reading it (not the raw edges) keeps the anti-join on the
-    # checkpointed table
-    existing = dirs.where(F.col("z") < F.col("n")).select(
+    # the canonical half IS the existing-edge set — read the pinned
+    # table directly for the anti-join
+    existing = canon.select(
         F.col("z").alias("u"), F.col("n").alias("v")
     )
     return pairs.join(existing, ["u", "v"], "left_anti")
@@ -863,16 +875,16 @@ def jaccard_link_prediction(
     edges leave via the canonical-pair anti-join."""
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1: {min_common}")
-    dirs = (
-        edges.select(F.col(src).alias("z"), F.col(dst).alias("n"))
-        .union(edges.select(F.col(dst).alias("z"), F.col(src).alias("n")))
-        .where(F.col("z") != F.col("n"))
-        .distinct()
-    )
+    canon, dirs = _normalize_undirected(edges, src, dst, a="z", b="n")
     if max_degree is not None:
-        # same pin rationale as adamic_adar: dirs feeds the self-join
-        # (twice), the degree table, and the anti-join
-        dirs = dirs.localCheckpoint() if log_exclusions else dirs.persist()
+        # same pin rationale as adamic_adar: the canonical half feeds
+        # the self-join (twice, via the mirror union), the degree
+        # table, and the anti-join
+        canon = (
+            canon.localCheckpoint() if log_exclusions else canon.persist()
+        )
+        mirror = canon.select(F.col("n").alias("z"), F.col("z").alias("n"))
+        dirs = canon.unionAll(mirror)
     deg = dirs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
     degw = deg
     if max_degree is not None:
@@ -901,7 +913,7 @@ def jaccard_link_prediction(
         .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
         .where(F.col("common_neighbors") >= min_common)
     )
-    existing = dirs.where(F.col("z") < F.col("n")).select(
+    existing = canon.select(
         F.col("z").alias("u"), F.col("n").alias("v")
     )
     du = deg.select(
@@ -1039,17 +1051,10 @@ def degree_assortativity(
     variance is zero on either end (e.g. a perfect matching or
     cycle).
     """
-    und = (
-        edges.where(
-            F.col(src).isNotNull()
-            & F.col(dst).isNotNull()
-            & (F.col(src) != F.col(dst))
-        )
-        .select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    nn = edges.where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
     )
-    sym = und.unionByName(
-        und.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
-    ).distinct()
+    sym = _normalize_undirected(nn, src, dst, a="_u", b="_v")[1]
     deg = sym.groupBy(F.col("_u").alias("_w")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_deg")
     )

@@ -33,6 +33,37 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{table}.parquet")
 
 
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
+    """Shared co-purchase edge fixture (q_kcore / q_bfs_hops /
+    q_adamic_adar / q_graph_jaccard / q_assortativity): parts ordered
+    together form an undirected edge, optionally on the deterministic
+    1/sample_mod order sample. Emits the a<b half WITHOUT a final
+    distinct — every consuming graph operator normalizes its edge
+    input through ONE canonical distinct anyway, so the query-level
+    dedup was a second full exchange over the same pairs (the result
+    set is identical either way; the oracles mirror the dedup in
+    their own edges CTE)."""
+    items = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    if sample_mod is not None:
+        items = items.where(F.expr(f"l_orderkey % {sample_mod} = 0"))
+    items = items.distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "_b")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.1 Scans / sources
 # --------------------------------------------------------------------------
@@ -3282,20 +3313,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round6_ops.py."""
     from h3_indexer_spark.operators.graph import k_core
 
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(F.col("l_orderkey").alias("_b"),
-                  F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("_b"),
-                  F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "_b")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    return k_core(edges, 3)
+    return k_core(_copurchase_edges(spark, sf_dir), 3)
 
 
 # --------------------------------------------------------------------------
@@ -7059,25 +7077,10 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(reachable vertices) — each vertex crosses the shuffle once."""
     from h3_indexer_spark.operators.graph import bfs_hops
 
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "_b")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     sources = (
-        li.select(F.col("l_partkey").alias("node"))
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("node"))
         .where(F.col("node") <= 20)
         .distinct()
     )
@@ -8602,24 +8605,7 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, so the top-30 cut is engine-stable."""
     from h3_indexer_spark.operators.graph import adamic_adar
 
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .where(F.expr("l_orderkey % 4 = 0"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "_b")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir, sample_mod=4)
     return (
         # log_exclusions=False keeps the identical max_degree cap
         # semantics (the oracle mirrors the cap, see the adj CTE) but
@@ -9801,24 +9787,7 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-30 cut is engine-stable by construction."""
     from h3_indexer_spark.operators.graph import jaccard_link_prediction
 
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .where(F.expr("l_orderkey % 4 = 0"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "_b")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir, sample_mod=4)
     return (
         # log_exclusions=False: identical cap, fully lazy (zero jobs
         # at construction) — the oracle mirrors the witness cap in
@@ -10908,25 +10877,9 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, ROUND 9."""
     from h3_indexer_spark.operators.graph import degree_assortativity
 
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .where(F.expr("l_orderkey % 4 = 0"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    return degree_assortativity(
+        _copurchase_edges(spark, sf_dir, sample_mod=4)
     )
-    a = items.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "_b")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    return degree_assortativity(edges)
 
 
 _ASSORTATIVITY_ORACLE = """
