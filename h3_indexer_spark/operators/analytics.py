@@ -52,29 +52,43 @@ def funnel(
     ``t_0 .. t_{S-1}`` (epoch-nano longs, null once the chain breaks)
     and ``stages_reached``.
 
-    Scale: stage 0 is a filtered groupBy (partial aggs, one shuffle on
-    ``id_col``); each later stage is a filtered events scan joined to
-    the (entity-cardinality) previous frontier on ``id_col`` followed
-    by the same groupBy — S-1 equi-join+agg rounds whose right side
-    shrinks monotonically. All event-side filters push down to the
-    scan; no stage ever materializes event×event pairs."""
+    Scale: ONE scan of the events filtered to the stage types, ONE
+    entity-keyed shuffle, and the whole min-chain as S chained
+    unbounded window aggregates over that single partitioning —
+    chained windows with the same partition key share one exchange
+    (no per-stage re-scan, no frontier joins; the former shape
+    scanned the events once per stage and ran S−1 equi-joins). The
+    final per-entity collapse groups on the SAME key, so it adds no
+    exchange either. Null entity ids keep the join-era semantics
+    (t_0 from their own group, every later stage null — an equi-join
+    on a null key never matched)."""
     if len(stages) < 2:
         raise ValueError("funnel needs at least 2 stages")
     ts = F.col(ts_col)
-    out = (
-        events.where(F.col(type_col) == stages[0])
-        .groupBy(id_col)
-        .agg(F.min(ts).alias("t_0"))
+    w = Window.partitionBy(id_col)
+    cur = events.where(F.col(type_col).isin(stages)).select(
+        id_col, type_col, ts_col
+    )
+    cur = cur.withColumn(
+        "t_0", F.min(F.when(F.col(type_col) == stages[0], ts)).over(w)
     )
     for k, stage in enumerate(stages[1:], start=1):
-        nxt = (
-            events.where(F.col(type_col) == stage)
-            .join(out.select(id_col, f"t_{k - 1}"), id_col)
-            .where(ts > F.col(f"t_{k - 1}"))
-            .groupBy(id_col)
-            .agg(F.min(ts).alias(f"t_{k}"))
+        nxt_min = F.min(
+            F.when(
+                (F.col(type_col) == stage) & (ts > F.col(f"t_{k - 1}")),
+                ts,
+            )
+        ).over(w)
+        cur = cur.withColumn(
+            f"t_{k}",
+            F.when(F.col(id_col).isNotNull(), nxt_min),
         )
-        out = out.join(nxt, id_col, "left")
+    t_cols = [f"t_{k}" for k in range(len(stages))]
+    out = (
+        cur.where(F.col("t_0").isNotNull())
+        .groupBy(id_col)
+        .agg(*[F.min(c).alias(c) for c in t_cols])
+    )
     reached = sum(
         (F.col(f"t_{k}").isNotNull().cast("long") for k in range(len(stages))),
         F.lit(0),
@@ -618,32 +632,38 @@ def growth_accounting(
     n_resurrected, n_churned).
 
     Scale: events collapse once to distinct (entity, period) — the
-    only event-cardinality shuffle. Classification is one equi-join to
-    the entity-cardinality first-period table plus one self-join
-    shifted a period back (both hash on the entity id); every
-    aggregate then keys on the tiny period axis with map-side
-    partials. Churn is only reported for periods that themselves have
-    data (no phantom churn into empty trailing periods)."""
+    only event-cardinality shuffle — and the whole classification is
+    ONE entity-partitioned ordered window (min/lag/lead share the
+    exchange): new ⇔ p is the entity's first period, retained ⇔ the
+    previous distinct period is exactly p−1, resurrected otherwise;
+    a churn row materializes at p+1 wherever the NEXT distinct
+    period is not p+1 (equivalent to the former shifted anti-join,
+    one row per gap). The former shape re-joined the
+    entity-cardinality first-period table and a period-shifted copy
+    of the activity table instead. Every aggregate then keys on the
+    tiny period axis with map-side partials. Churn is only reported
+    for periods that themselves have data (no phantom churn into
+    empty trailing periods)."""
     ep = events.select(
         F.col(id_col).alias("_id"),
         F.expr(f"{ts_col} div {period_ns}").alias("_p"),
     ).distinct()
-    firsts = ep.groupBy("_id").agg(F.min("_p").alias("_first"))
-    prev_active = ep.select(
-        "_id", (F.col("_p") + 1).alias("_p"), F.lit(1).alias("_was_prev")
+    w_ent = Window.partitionBy("_id")
+    w_ord = Window.partitionBy("_id").orderBy("_p")
+    st = ep.select(
+        "_id",
+        "_p",
+        F.min("_p").over(w_ent).alias("_first"),
+        F.lag("_p").over(w_ord).alias("_prevp"),
+        F.lead("_p").over(w_ord).alias("_nextp"),
     )
-    classified = (
-        ep.join(firsts, "_id")
-        .join(prev_active, ["_id", "_p"], "left")
-        .select(
-            "_p",
-            F.when(F.col("_p") == F.col("_first"), F.lit("new"))
-            .when(F.col("_was_prev").isNotNull(), F.lit("retained"))
-            .otherwise(F.lit("resurrected"))
-            .alias("_status"),
-        )
-    )
-    per_period = classified.groupBy("_p").agg(
+    per_period = st.select(
+        "_p",
+        F.when(F.col("_p") == F.col("_first"), F.lit("new"))
+        .when(F.col("_prevp") == F.col("_p") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("_status"),
+    ).groupBy("_p").agg(
         F.sum((F.col("_status") == "new").cast("long")).alias("n_new"),
         F.sum((F.col("_status") == "retained").cast("long")).alias(
             "n_retained"
@@ -653,7 +673,11 @@ def growth_accounting(
         ),
     )
     churned = (
-        prev_active.join(ep, ["_id", "_p"], "anti")
+        st.where(
+            F.col("_nextp").isNull()
+            | (F.col("_nextp") != F.col("_p") + 1)
+        )
+        .select((F.col("_p") + 1).alias("_p"))
         .join(ep.select("_p").distinct(), "_p", "semi")
         .groupBy("_p")
         .agg(F.count(F.lit(1)).alias("n_churned"))

@@ -91,9 +91,13 @@ def _plan(spark, key: str) -> str:
         ),
         # z-score moments broadcast back: the fact side never shuffles
         ("q_zscore", ["BroadcastHashJoin"]),
-        # funnel: every stage filter reaches its events scan
-        ("q_funnel", ["PushedFilters: [IsNotNull(event_type), "
-                      "EqualTo(event_type,view)"]),
+        # funnel (single-pass shape, r12): ONE events scan with the
+        # stage-set filter pushed down as an In(), and the min-chain
+        # as chained Windows over one exchange — no per-stage
+        # re-scan, no frontier SortMerge/ShuffledHash joins
+        ("q_funnel", ["PushedFilters: "
+                      "[In(event_type, [click,purchase,view])",
+                      "Window"]),
         # multi-grain rollup: ONE scan + Expand, never three passes
         ("q_time_rollup", ["Expand"]),
     ],
