@@ -619,7 +619,15 @@ def bfs_hops(
         )
         if not nxt.take(1):
             break
-        dist = dist.unionAll(nxt).localCheckpoint()
+        # dist stays a LAZY union of the per-round checkpointed
+        # frontiers: every piece is already materialized, so the
+        # anti-join above scans checkpointed partitions without
+        # recomputation, and the former per-round
+        # dist.unionAll(nxt).localCheckpoint() — which re-wrote the
+        # ENTIRE accumulated label set once per round (Σh |dist_h|
+        # rework and one extra job per round) — is dropped. The union
+        # depth is bounded by max_hops, a result parameter.
+        dist = dist.unionAll(nxt)
         frontier = nxt.select("node")
     return dist
 

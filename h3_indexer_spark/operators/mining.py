@@ -28,7 +28,7 @@ _LOG = logging.getLogger(__name__)
 _PATTERN_SEP = " -> "
 
 
-def _capped_distinct_items(
+def _capped_baskets(
     df: DataFrame,
     basket_col: str,
     item_col: str,
@@ -37,26 +37,33 @@ def _capped_distinct_items(
     op_name: str,
 ) -> DataFrame:
     """Shared pair-miner front end (association_rules,
-    item_cf_similarity): collapse to DISTINCT (basket, item), then
-    apply the mega-basket guard — capped baskets are EXCLUDED, not
-    sampled, so results stay deterministic. With ``log_exclusions``
-    the guard eagerly counts exclusions (one small job, the table
-    pinned by localCheckpoint so the count and the returned plan
-    share one computation); without it the identical cap folds into
-    the lazy plan (zero jobs at construction, persist()-pinned)."""
-    items = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    item_cf_similarity): collapse each basket to its DISTINCT item
+    set as ONE array row — (_b, _items) — then apply the mega-basket
+    guard as a plain size filter. Capped baskets are EXCLUDED, not
+    sampled, so results stay deterministic.
+
+    This replaces the former (basket, item)-row shape, which cost a
+    distinct exchange PLUS a per-basket size aggregation PLUS a
+    semi-join back just to express the cap: collect_set dedups inside
+    ONE map-side-combined groupBy(basket) shuffle, the cap is
+    ``size(_items) <= max_basket_size`` with no join, and — the real
+    point — downstream pair generation explodes basket-locally
+    instead of self-joining the table on the basket key. Basket width
+    bounds the array (the same contract that bounded the join's
+    per-basket pair volume). With ``log_exclusions`` the guard
+    eagerly counts exclusions (one small job, the table pinned by
+    localCheckpoint so the count and the returned plan share one
+    computation); without it the identical cap folds into the lazy
+    plan (zero jobs at construction, persist()-pinned)."""
+    baskets = df.groupBy(F.col(basket_col).alias("_b")).agg(
+        F.collect_set(F.col(item_col)).alias("_items")
+    )
     if max_basket_size is None:
-        return items
+        return baskets
     if log_exclusions:
-        items = items.localCheckpoint()
-    else:
-        items = items.persist()
-    sizes = items.groupBy("_b").agg(F.count(F.lit(1)).alias("_sz"))
-    if log_exclusions:
-        n_excluded = sizes.where(
-            F.col("_sz") > max_basket_size
+        baskets = baskets.localCheckpoint()
+        n_excluded = baskets.where(
+            F.size("_items") > max_basket_size
         ).count()
         if n_excluded:
             _LOG.warning(
@@ -67,11 +74,9 @@ def _capped_distinct_items(
                 n_excluded,
                 max_basket_size,
             )
-    return items.join(
-        sizes.where(F.col("_sz") <= max_basket_size).select("_b"),
-        "_b",
-        "left_semi",
-    )
+    else:
+        baskets = baskets.persist()
+    return baskets.where(F.size("_items") <= max_basket_size)
 
 
 def association_rules(
@@ -94,40 +99,45 @@ def association_rules(
     lift = n_joint·N/(n_a·n_b) are single divisions of exact BIGINT
     counts — bit-equal in any engine.
 
-    Scale shape: baskets collapse to DISTINCT (basket, item) first;
-    the pair generation is ONE equi-self-join on the basket key, so
-    work is Σ_b s_b² (bounded by basket size, never corpus²);
+    Scale shape: baskets collapse to their distinct item-set ARRAYS
+    first (one map-side-combined shuffle — see ``_capped_baskets``);
+    pair generation is a basket-local double explode (each item
+    against the rest of its own basket), so work is Σ_b s_b²
+    (bounded by basket size, never corpus²) with NO self-join — the
+    former basket-keyed equi-self-join paid a second exchange over
+    the item rows to emit the identical pair multiset.
     ``max_basket_size`` (default 10⁴ — ``None`` is an EXPLICIT
     opt-out) drops pathological mega-baskets (a basket with 10⁵
     items contributes 10¹⁰ pairs — cap-and-log is the standard
     guard; capped baskets are EXCLUDED, not sampled, so results stay
     deterministic). With ``log_exclusions`` (default) the guard
-    eagerly counts the excluded baskets (one small aggregation job
-    over the distinct table) and logs the exclusion so a silent cap
-    can never masquerade as full coverage; ``log_exclusions=False``
-    keeps the IDENTICAL cap semantics but folds it into the lazy plan
-    (zero jobs at construction — the composition-friendly fast path;
-    the distinct table is persist()-pinned instead of checkpointed so
-    the branches still share one computation at action time). Item
-    supports ride a second narrow aggregation of the same distinct
+    eagerly counts the excluded baskets (one small aggregation job)
+    and logs the exclusion so a silent cap can never masquerade as
+    full coverage; ``log_exclusions=False`` keeps the IDENTICAL cap
+    semantics but folds it into the lazy plan (zero jobs at
+    construction — the composition-friendly fast path; the basket
+    table is persist()-pinned instead of checkpointed so the
+    branches still share one computation at action time). Item
+    supports ride a narrow explode + aggregation of the same basket
     table; N is a 1-row broadcast fold."""
-    items = _capped_distinct_items(
+    baskets = _capped_baskets(
         df, basket_col, item_col, max_basket_size, log_exclusions,
         "association_rules",
     )
     # N over the SAME (post-cap) basket universe as the supports —
     # mixing a pre-cap N into lift would skew every ratio
-    n_baskets = items.select("_b").distinct().agg(
-        F.count(F.lit(1)).alias("n_baskets")
-    )
-    item_support = items.groupBy("_i").agg(
-        F.count(F.lit(1)).alias("_n_item")
-    )
-    a = items.select(F.col("_b"), F.col("_i").alias("antecedent"))
-    b = items.select(F.col("_b"), F.col("_i").alias("consequent"))
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item_support = baskets.select(
+        F.explode("_items").alias("_i")
+    ).groupBy("_i").agg(F.count(F.lit(1)).alias("_n_item"))
     pairs = (
-        a.join(b, "_b")
-        .where(F.col("antecedent") != F.col("consequent"))
+        baskets.select(F.explode("_items").alias("antecedent"), "_items")
+        .select(
+            "antecedent",
+            F.explode(
+                F.filter("_items", lambda e: e != F.col("antecedent"))
+            ).alias("consequent"),
+        )
         .groupBy("antecedent", "consequent")
         .agg(F.count(F.lit(1)).alias("n_joint"))
         .where(F.col("n_joint") >= min_support)
@@ -376,25 +386,31 @@ def item_cf_similarity(
     counts (÷, √ in fixed order), ROUND 9, so the cut is a total
     order.
 
-    Scale shape: identical to association_rules — DISTINCT
-    (basket, item) first, ONE equi-self-join on the basket key
-    bounded by Σ_b s_b² (the ``max_basket_size`` mega-basket guard,
-    eager census under ``log_exclusions`` else folded lazily), item
-    supports broadcast back, and the final rank is a
-    TakeOrderedAndProject — no global sort. The i<j predicate halves
+    Scale shape: identical to association_rules — per-basket distinct
+    item-set arrays first (``_capped_baskets``: one map-side-combined
+    shuffle, mega-basket guard as a size filter, eager census under
+    ``log_exclusions`` else folded lazily), pair generation as a
+    basket-local double explode bounded by Σ_b s_b² with no
+    self-join, item supports broadcast back, and the final rank is a
+    TakeOrderedAndProject — no global sort. The i<j filter halves
     the pair volume relative to the rules miner."""
-    items = _capped_distinct_items(
+    baskets = _capped_baskets(
         df, basket_col, item_col, max_basket_size, log_exclusions,
         "item_cf_similarity",
     )
-    support = items.groupBy("_i").agg(
+    support = baskets.select(
+        F.explode("_items").alias("_i")
+    ).groupBy("_i").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_item")
     )
-    a = items.select(F.col("_b"), F.col("_i").alias("item_a"))
-    b = items.select(F.col("_b"), F.col("_i").alias("item_b"))
     pairs = (
-        a.join(b, "_b")
-        .where(F.col("item_a") < F.col("item_b"))
+        baskets.select(F.explode("_items").alias("item_a"), "_items")
+        .select(
+            "item_a",
+            F.explode(
+                F.filter("_items", lambda e: e > F.col("item_a"))
+            ).alias("item_b"),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_joint"))
         .where(F.col("n_joint") >= min_joint)

@@ -37,30 +37,42 @@ def _copurchase_edges(
     spark: SparkSession, sf_dir: str, sample_mod: int | None = None
 ) -> DataFrame:
     """Shared co-purchase edge fixture (q_kcore / q_bfs_hops /
-    q_adamic_adar / q_graph_jaccard / q_assortativity): parts ordered
-    together form an undirected edge, optionally on the deterministic
-    1/sample_mod order sample. Emits the a<b half WITHOUT a final
-    distinct — every consuming graph operator normalizes its edge
-    input through ONE canonical distinct anyway, so the query-level
-    dedup was a second full exchange over the same pairs (the result
-    set is identical either way; the oracles mirror the dedup in
-    their own edges CTE)."""
+    q_adamic_adar / q_graph_jaccard / q_assortativity /
+    q_degree_dist): parts ordered together form an undirected edge,
+    optionally on the deterministic 1/sample_mod order sample. Emits
+    the src<dst half WITHOUT a final distinct — every consuming graph
+    operator normalizes its edge input through ONE canonical distinct
+    anyway, so a query-level dedup was a second full exchange over
+    the same pairs (the result set is identical either way; the
+    oracles mirror the dedup in their own edges CTE).
+
+    Pair generation is basket-local: ONE groupBy(l_orderkey) collects
+    each order's distinct part set (map-side partial-aggregated), and
+    the i<j pairs explode from the sorted array — no self-join. The
+    former distinct + equi-join-on-orderkey shape paid a (orderkey,
+    partkey) dedup exchange PLUS an orderkey join exchange to emit
+    the exact same multiset: for order basket P the join emitted each
+    {x,y} ⊆ P, x<y once, which is precisely the sorted-array
+    element × strictly-greater-suffix explode. Basket width bounds
+    the array (TPC-H ≤ 7 lines/order; the assoc_rules guarded-basket
+    contract at scale), so rows stay narrow and pair volume is
+    unchanged."""
     items = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     if sample_mod is not None:
         items = items.where(F.expr(f"l_orderkey % {sample_mod} = 0"))
-    items = items.distinct()
-    a = items.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("_parts")
     )
     return (
-        a.join(b, "_b")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        baskets.select(F.explode("_parts").alias("src"), "_parts")
+        .select(
+            "src",
+            F.explode(
+                F.filter("_parts", lambda e: e > F.col("src"))
+            ).alias("dst"),
+        )
     )
 
 
@@ -7962,27 +7974,14 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the co-purchase graph (parts linked when they share an order —
     the q_kcore edge fixture): vertices per degree with exact-count
     shares — the power-law census that flags join-key skew before it
-    bites. Three narrowing aggregations + a 1-row fold."""
+    bites. Three narrowing aggregations + a 1-row fold. Uses the
+    shared basket-explode fixture; the former inline pair build also
+    carried a query-level .distinct() that was redundant with the
+    operator's internal canonical normalize (same dedup exchange
+    twice over the same pairs)."""
     from h3_indexer_spark.operators.graph import degree_distribution
 
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("src")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("_b"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "_b")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    return degree_distribution(edges)
+    return degree_distribution(_copurchase_edges(spark, sf_dir))
 
 
 _DEGREE_DIST_ORACLE = """

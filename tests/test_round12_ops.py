@@ -322,3 +322,85 @@ class TestRocAucOvr:
         assert {r["avg_mode"]: r["auc"] for r in out} == {
             "macro": None, "weighted": None, "micro": None,
         }
+
+
+class TestBasketExplodeMiners:
+    """Round-12 optimization: the pair miners' basket-local explode
+    front end (_capped_baskets) replaced the distinct + basket-keyed
+    self-join. These lock the internals the refactor changed:
+    duplicate (basket, item) input rows must still collapse (the
+    former .distinct(), now collect_set), the mega-basket cap must
+    count DISTINCT items (not input rows), and the eager
+    log_exclusions path must keep the identical cap semantics."""
+
+    def test_assoc_rules_duplicate_rows_collapse(self, spark):
+        from h3_indexer_spark.operators.mining import association_rules
+
+        # basket 1 carries x twice — supports/joints must count it once
+        rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y"),
+                (3, "x")]
+        df = spark.createDataFrame(rows, "b long, i string")
+        out = {
+            (r["antecedent"], r["consequent"]): (
+                r["n_joint"], r["n_antecedent"], r["confidence"], r["lift"]
+            )
+            for r in association_rules(
+                df, "b", "i", min_support=2, k=10
+            ).collect()
+        }
+        # joint {x,y} in baskets 1 and 2; sup x=3, y=2, N=3
+        assert out[("x", "y")] == (2, 3, 2 / 3, (2 * 3) / (3 * 2))
+        assert out[("y", "x")] == (2, 2, 1.0, (2 * 3) / (3 * 2))
+        assert set(out) == {("x", "y"), ("y", "x")}
+
+    def test_cap_counts_distinct_items_eager_log_path(self, spark):
+        from h3_indexer_spark.operators.mining import item_cf_similarity
+
+        # basket 1: 6 input rows but only 5 DISTINCT items -> survives
+        # a cap of 5; basket 2: 6 distinct items -> excluded. Runs the
+        # log_exclusions=True (eager localCheckpoint + census) path.
+        rows = (
+            [(1, f"i{k}") for k in range(5)] + [(1, "i0")]
+            + [(2, f"j{k}") for k in range(6)]
+            + [(3, "i0"), (3, "i1"), (4, "i0"), (4, "i1")]
+        )
+        df = spark.createDataFrame(rows, "b long, i string")
+        out = item_cf_similarity(
+            df, "b", "i", min_joint=2, max_basket_size=5,
+            log_exclusions=True,
+        ).collect()
+        pairs = {(r["item_a"], r["item_b"]): r["n_joint"] for r in out}
+        # basket 2 gone; (i0,i1) co-occurs in baskets 1, 3, 4
+        assert pairs[("i0", "i1")] == 3
+        assert all(not a.startswith("j") for a, _ in pairs)
+
+    def test_item_cf_matches_bruteforce_pairs(self, spark):
+        from itertools import combinations
+
+        from h3_indexer_spark.operators.mining import item_cf_similarity
+
+        baskets = {
+            1: {"a", "b", "c"},
+            2: {"b", "c", "d"},
+            3: {"a", "c"},
+            4: {"c", "d"},
+            5: {"a"},
+        }
+        joint = Counter()
+        for items in baskets.values():
+            for x, y in combinations(sorted(items), 2):
+                joint[(x, y)] += 1
+        sup = Counter()
+        for items in baskets.values():
+            sup.update(items)
+        rows = [(b, i) for b, items in baskets.items() for i in items]
+        df = spark.createDataFrame(rows, "b long, i string")
+        out = item_cf_similarity(df, "b", "i", min_joint=1, k=100).collect()
+        got = {
+            (r["item_a"], r["item_b"]): (r["n_joint"], r["n_a"], r["n_b"])
+            for r in out
+        }
+        want = {
+            p: (nj, sup[p[0]], sup[p[1]]) for p, nj in joint.items()
+        }
+        assert got == want
