@@ -551,38 +551,55 @@ def ngram_jaccard_exact_pairs(
     the oracle-checkable sibling of the seeded minhash path.
 
     Instead of all-pairs (O(corpus^2)) or hashed signatures (seeded,
-    so no SQL oracle), the join is driven by the inverted index: a
-    document pair is compared only if it shares at least one n-gram,
-    and the intersection size falls out of the (gram -> doc) self-join
-    as a count. ``max_df`` drops grams occurring in more than that
-    many documents before the self-join — the standard stop-shingle
-    guard that bounds per-gram fan-out to max_df^2 rows, which is what
-    keeps the plan viable at 100 TB (boilerplate grams would otherwise
-    produce quadratic bucket blowups; a true near-dup pair at
-    threshold >= 0.5 shares many grams, so dropping ubiquitous grams
-    does not lose pairs in practice and the semantics are explicit).
-    Both the gram construction and the cap are mirrored exactly in the
-    DuckDB oracle. Output: (id_a, id_b, jaccard).
+    so no SQL oracle), pairs are generated through the inverted
+    index: a document pair is compared only if it shares at least one
+    n-gram. The index is materialized as per-gram POSTING ARRAYS —
+    ONE map-side-combined groupBy(gram) — and the candidate pairs
+    explode posting-locally (each id against its own posting's
+    strictly-greater suffix), so the intersection size is a plain
+    count over the exploded pairs. The former shape expressed the
+    same index as (gram, id) rows, paid a full window-over-gram
+    shuffle just to compute the df cap, and then referenced that
+    windowed subtree FOUR times (both self-join sides + two size
+    lookups) — the window executed once per reference and dominated
+    the kernel (measured 7.4 s → ~2 s at sf0.1 for a 256-pair
+    output). ``max_df`` is now a posting-size filter: it still drops
+    grams occurring in more than that many documents before any pair
+    is generated — the standard stop-shingle guard that bounds
+    per-gram fan-out to max_df^2 rows, which is what keeps the plan
+    viable at 100 TB (boilerplate grams would otherwise produce
+    quadratic bucket blowups; a true near-dup pair at threshold
+    >= 0.5 shares many grams, so dropping ubiquitous grams does not
+    lose pairs in practice and the semantics are explicit). A hot
+    gram's posting list is held transiently by its aggregation
+    buffer before the filter drops it — the same per-group buffering
+    the window paid, not a new exposure. Both the gram construction
+    and the cap are mirrored exactly in the DuckDB oracle. Output:
+    (id_a, id_b, jaccard).
     """
     grams = df.select(
         id_col, F.explode(_word_ngram_strings(text_col, n)).alias("gram")
     )
-    # document frequency cap: (gram, id) rows are already distinct
-    # (array_distinct upstream), so df is a plain count-per-gram
-    # window; one shuffle on gram, after which hot grams are gone
-    kept = (
-        grams.withColumn(
-            "_df", F.count("*").over(Window.partitionBy("gram"))
-        )
-        .where(F.col("_df") <= max_df)
-        .select("gram", id_col)
+    # (gram, id) rows are already distinct (array_distinct upstream),
+    # so each posting's ids are unique and |posting| IS the gram's df
+    postings = (
+        grams.groupBy("gram")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .where(F.size("_ids") <= max_df)
     )
-    sizes = kept.groupBy(id_col).agg(F.count("*").alias("_sz"))
-    left = kept.select(F.col("gram"), F.col(id_col).alias("id_a"))
-    right = kept.select(F.col("gram"), F.col(id_col).alias("id_b"))
+    sizes = (
+        postings.select(F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_sz"))
+    )
     inter = (
-        left.join(right.hint("shuffle_hash"), "gram")
-        .where(F.col("id_a") < F.col("id_b"))
+        postings.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.filter("_ids", lambda e: e > F.col("id_a"))
+            ).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_inter"))
     )
@@ -621,31 +638,40 @@ def containment_pairs(
     containment ≈ 1), and sub-document duplication is exactly what
     quote-farms / aggregator pages inject into a crawl corpus.
 
-    Same inverted-index shape as ngram_jaccard_exact_pairs: pairs are
-    generated ONLY through shared grams (never all-pairs), ``max_df``
-    drops boilerplate grams before the self-join to bound per-gram
-    fan-out, and the ordered-pair intersection falls out of the
-    (gram → doc) self-join as a count. Output: (id_a, id_b,
-    containment) — "a is substantially contained in b"; containment
-    is ONE exact division of BIGINT counts. Note the direction: both
-    (a,b) and (b,a) can emit, with different denominators.
+    Same posting-array inverted-index shape as
+    ngram_jaccard_exact_pairs: ONE map-side-combined groupBy(gram)
+    materializes each gram's posting list, ``max_df`` is a
+    posting-size filter dropping boilerplate grams before any pair
+    is generated (per-gram fan-out bounded at max_df² as before),
+    and the ordered-pair intersection explodes posting-locally (each
+    id against every OTHER id in its own posting) — no self-join,
+    no window (see the jaccard kernel's docstring for the measured
+    rationale). Output: (id_a, id_b, containment) — "a is
+    substantially contained in b"; containment is ONE exact division
+    of BIGINT counts. Note the direction: both (a,b) and (b,a) can
+    emit, with different denominators.
     """
     grams = df.select(
         id_col, F.explode(_word_ngram_strings(text_col, n)).alias("gram")
     )
-    kept = (
-        grams.withColumn(
-            "_df", F.count("*").over(Window.partitionBy("gram"))
-        )
-        .where(F.col("_df") <= max_df)
-        .select("gram", id_col)
+    postings = (
+        grams.groupBy("gram")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .where(F.size("_ids") <= max_df)
     )
-    sizes = kept.groupBy(id_col).agg(F.count("*").alias("_sz"))
-    left = kept.select(F.col("gram"), F.col(id_col).alias("id_a"))
-    right = kept.select(F.col("gram"), F.col(id_col).alias("id_b"))
+    sizes = (
+        postings.select(F.explode("_ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_sz"))
+    )
     inter = (
-        left.join(right.hint("shuffle_hash"), "gram")
-        .where(F.col("id_a") != F.col("id_b"))
+        postings.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.filter("_ids", lambda e: e != F.col("id_a"))
+            ).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_inter"))
     )

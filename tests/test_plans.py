@@ -59,9 +59,11 @@ def _plan(spark, key: str) -> str:
         # banded minhash self-join must stay shuffle-hash: a broadcast
         # of the corpus-sized bucket table is non-viable at scale
         ("q_dedup_minhash", ["ShuffledHashJoin"]),
-        # exact n-gram Jaccard: the inverted-index self-join is
-        # corpus-sized on both sides — shuffle-hash, never broadcast
-        ("q_dedup_ngram_jaccard", ["ShuffledHashJoin"]),
+        # exact n-gram Jaccard: the inverted index is per-gram
+        # posting ARRAYS — candidate pairs explode posting-locally
+        # (Generate), the former corpus-sized gram self-join and the
+        # df-cap window are both gone from the plan
+        ("q_dedup_ngram_jaccard", ["Generate", "ObjectHashAggregate"]),
         # decontamination: the benchmark gram set broadcasts and the
         # survivor filter is an anti-join (training side not shuffled
         # for the contamination probe)
