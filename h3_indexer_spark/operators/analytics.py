@@ -409,7 +409,17 @@ def co_occurrence(
     production pipeline persist or materialize that one
     entity×item table first and every downstream branch reads it —
     the plans/indexer.py cache-at-stage-boundary posture."""
-    pairs_src = df.select(id_col, item_col).distinct()
+    # the explicit non-null filter keeps all four references to the
+    # distinct entity-item table canonically identical (the pair
+    # self-join otherwise infers isnotnull(id) below the distinct on
+    # its two branches only, and the collapse builds twice). Note the
+    # marginals therefore count non-null entities only — a null
+    # entity id could never contribute to pair support anyway.
+    pairs_src = (
+        df.select(id_col, item_col)
+        .where(F.col(id_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
     # entity total as a 1-row lazy aggregate crossJoined back (keeps
     # the operator action-free; no driver-side count)
     n_df = pairs_src.agg(
@@ -585,11 +595,29 @@ def rolling_active_users(
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1: {window_days}")
     day = F.expr(f"{ts_col} div {DAY_NS}")
-    ed = events.select(
-        F.col(id_col).alias("_id"), day.alias("_day")
-    ).distinct()
+    # the final inner join on the day key drops a null day from the
+    # output anyway (and explode(sequence(null..)) emits nothing), so
+    # the filter changes no result row — but making it EXPLICIT keeps
+    # the two consumers of the distinct (today's aggregate, which
+    # receives the join's inferred isnotnull(_day) pushed below the
+    # distinct, and the window contributor, which does not) canonically
+    # identical, so the entity-day collapse runs once, not twice
+    # null entities are excluded up front: countDistinct ignored them
+    # in both readouts anyway, and the explicit filter lets `today`
+    # use a plain count over the already-distinct set (below)
+    ed = (
+        events.select(F.col(id_col).alias("_id"), day.alias("_day"))
+        .where(F.col("_day").isNotNull() & F.col("_id").isNotNull())
+        .distinct()
+    )
+    # count(1), not countDistinct(_id): ed is already the DISTINCT
+    # (entity, day) set, so the plain count is the same number — and
+    # countDistinct's two-phase rewrite re-keyed this branch's
+    # aggregate as (_day, _id), which hash-partitions differently
+    # from the (_id, _day) distinct exchange the window branch uses,
+    # so the entity-day collapse ran twice (measured)
     today = ed.groupBy("_day").agg(
-        F.countDistinct("_id").alias("n_active_today")
+        F.count(F.lit(1)).alias("n_active_today")
     )
     contrib = ed.select(
         "_id",
@@ -2058,19 +2086,39 @@ def seasonal_naive_wape(
     """
     if season < 1:
         raise ValueError("season must be >= 1")
+    # null group/bucket keys are excluded up front (they could never
+    # be scored — a null key matches no season-shifted bucket — so
+    # the only effect is dropping the degenerate never-scored NULL
+    # report row). Making the filter explicit also keeps the rollup's
+    # two references — actual side and season-shifted forecast side —
+    # canonically identical: the join otherwise infers isnotnull() on
+    # the forecast branch only and the rollup builds twice (measured)
     rolled = (
-        df.where(F.col(value_col).isNotNull())
+        df.where(
+            F.col(value_col).isNotNull()
+            & F.col(group_col).isNotNull()
+            & F.col(bucket_col).isNotNull()
+        )
         .groupBy(group_col, bucket_col)
         .agg(
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_v")
         )
     )
-    fc = rolled.select(
-        F.col(group_col),
-        (F.col(bucket_col) + F.lit(season)).alias(bucket_col),
-        F.col("_v").alias("_f"),
+    # the season shift is a RANGE-frame window (value-based, so it
+    # stays GAP-SAFE: the frame [bucket−season, bucket−season] holds
+    # exactly the seasonal bucket's row when present — (group, bucket)
+    # is unique after the rollup — and is empty across gaps, exactly
+    # the former left self-join's semantics). The join formulation
+    # referenced the rollup from two branches whose keys differed by
+    # the +season shift, so the rollup (and the scan under it) built
+    # twice (measured); the window reads it once, and the final
+    # group-keyed fold reuses the window's partitioning.
+    wseason = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(bucket_col).cast("long"))
+        .rangeBetween(-season, -season)
     )
-    scored = rolled.join(fc, on=[group_col, bucket_col], how="left")
+    scored = rolled.withColumn("_f", F.max("_v").over(wseason))
     return (
         scored.groupBy(group_col)
         .agg(
@@ -2566,6 +2614,16 @@ def theil_sen(
 
     if k < 8:
         raise ValueError(f"k must be >= 8, got {k}")
+    # The k-row sample feeds THREE branches (both self-join sides and
+    # the n_sample census); without a materialization each branch
+    # re-runs the full-table TakeOrderedAndProject — profiled as 3
+    # fact scans + 3 top-k sorts per execution at sf0.1. The sample is
+    # k rows by construction (broadcast-sized), so an eager
+    # localCheckpoint pins it with one job and the remaining plan
+    # scans the fact exactly once (the intercept's full-data median).
+    # Deterministic: the (_h, _x, _y) order is total over the selected
+    # columns, so the materialized k-set is the same set the lazy
+    # plan would re-derive.
     pts = (
         df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .select(
@@ -2575,6 +2633,7 @@ def theil_sen(
         )
         .orderBy("_h", "_x", "_y")
         .limit(k)
+        .localCheckpoint()
     )
     a = pts.select(
         F.col("_h").alias("_ha"), F.col("_x").alias("_xa"),
@@ -3183,8 +3242,18 @@ def brown_forsythe(
     src = df.where(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(F.col(group_col).alias("_g"), v.alias("_v"))
-    hist = src.groupBy("_g", "_v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    # trailing no-op filter (src pre-filters nulls): the median
+    # join-back below infers isnotnull(_g) on ITS hist reference only,
+    # and the anova stage's z2-notnull guard walks down to an
+    # isnotnull(CAST(value)) scan filter on the deviation branch only —
+    # both sink below the aggregation at different depths and break
+    # AQE exchange reuse, so the histogram (and the fact scan under
+    # it) builds twice. The explicit (_g, _v) filter plants the same
+    # predicates in every branch.
+    hist = (
+        src.groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+        .where(F.col("_g").isNotNull() & F.col("_v").isNotNull())
     )
     w = (
         Window.partitionBy("_g")
@@ -4075,6 +4144,14 @@ def kruskal_wallis(
             q.alias("_v"), F.col(group_col).alias("_g")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        # no-op filter (_v derives from a non-null value), but it
+        # unifies the branches: the rank join below infers
+        # isnotnull(_v) on ITS gv reference only, which sinks below
+        # the aggregation and makes that branch's subtree canonically
+        # different — AQE's stage cache then re-runs the whole
+        # scan+histogram once per branch (measured: two duplicate
+        # partial-agg stages, task time 35 s -> 11 s with the filter)
+        .where(F.col("_v").isNotNull())
     )
     vals = gv.groupBy("_v").agg(
         F.sum("_c").cast("bigint").alias("_ct")
@@ -4221,6 +4298,16 @@ def cross_correlation(
     collapsed BEFORE this operator). Output: (lag, n_days, r), one
     row per lag."""
     spark = series.sparkSession
+    # Materialize the collapsed series ONCE (localCheckpoint; |dates|
+    # rows by the input contract — days, not raw rows). The lag join
+    # references the series from both sides with DIFFERENT pruned
+    # columns (a on the left, b on the right), so the two branches'
+    # collapse aggregations are genuinely different plans that can
+    # never share an exchange — the caller's per-date rollup (and the
+    # fact scan under it) ran twice (measured on q_xcorr). A null
+    # date never matches the inner lag join from either side, so the
+    # explicit filter drops no result row.
+    series = series.where(F.col(date_col).isNotNull()).localCheckpoint()
     lags = spark.range(2 * max_lag + 1).select(
         (F.col("id") - F.lit(max_lag)).cast("int").alias("lag")
     )

@@ -303,35 +303,45 @@ def contamination_fraction(
     set broadcasts, the training side's grams explode narrow and
     semi-join map-side, and the only shuffle is the per-document
     re-aggregation keyed on ``id_col``."""
+    # ONE gram pass: the n-gram array build is by far the dominant
+    # per-row work (measured: two ~44 s-task-time scan stages when the
+    # explode branch and the size branch each rebuilt it). Carry the
+    # per-doc gram count alongside the exploded grams, mark benchmark
+    # membership with a broadcast LEFT join against the DISTINCT
+    # benchmark gram set (exactly one output row per train gram — same
+    # multiset the semi-join kept, plus the misses), and fold hits and
+    # totals in one per-doc aggregation. explode_outer keeps a row for
+    # every training doc (the gram array is never empty; a NULL text
+    # yields one NULL-gram row with size = -1, exactly the join-era
+    # n_grams value).
     bench_grams = _bench_grams(benchmark, text_col, n)
-    train_grams = train.select(
+    grams = train.select(
         id_col,
-        F.explode(F.array_distinct(_word_ngrams(text_col, n))).alias(
-            "_gram"
-        ),
+        F.array_distinct(_word_ngrams(text_col, n)).alias("_grams"),
     )
-    overlap = (
-        train_grams.join(F.broadcast(bench_grams), "_gram", "semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_hits"))
-    )
-    totals = train.select(
+    exploded = grams.select(
         id_col,
-        F.size(F.array_distinct(_word_ngrams(text_col, n))).alias(
-            "n_grams"
-        ),
+        F.size("_grams").alias("_n_grams"),
+        F.explode_outer("_grams").alias("_gram"),
+    )
+    marked = exploded.join(
+        F.broadcast(bench_grams.withColumn("_b", F.lit(1))),
+        "_gram",
+        "left",
     )
     return (
-        totals.join(overlap, id_col, "left")
+        marked.groupBy(id_col)
+        .agg(
+            F.max("_n_grams").alias("_ng"),
+            F.count("_b").alias("_hits"),
+        )
         .select(
             id_col,
-            F.col("n_grams").cast("long").alias("n_grams"),
-            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias(
-                "n_overlap"
-            ),
+            F.col("_ng").cast("long").alias("n_grams"),
+            F.col("_hits").cast("long").alias("n_overlap"),
             (
-                F.coalesce(F.col("_hits"), F.lit(0)).cast("double")
-                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+                F.col("_hits").cast("double")
+                / F.greatest(F.col("_ng"), F.lit(1)).cast("double")
             ).alias("overlap_frac"),
         )
     )
@@ -1268,11 +1278,18 @@ def t_closeness_readout(
     # sensitive vocabulary), ONE row per carry scope, broadcast back
     # (constant-key 1-row fold in batch — Catalyst folds the trivial
     # condition, leaving the standard bounded BroadcastNestedLoop —
-    # or a hash join on the carry key in the streaming twin)
+    # or a hash join on the carry key in the streaming twin).
+    # Derived from the CLASS table's value->count maps rather than
+    # from a second reference to the census: the two census branches
+    # could never share one exchange (this side filters NULL
+    # sensitive values, the class side must keep them for the at-risk
+    # size), so the census — and the corpus scan under it — built
+    # twice (measured). Σ_class c_iv = g_v exactly (integer sums),
+    # and NULL sensitive values are already absent from the maps.
     glob = (
-        pairs.where(F.col("_v").isNotNull())
-        .groupBy(*carry, "_v")
-        .agg(F.sum("_c").cast("bigint").alias("_g"))
+        cls.select(*carry, F.explode("_dist"))
+        .groupBy(*carry, F.col("key").alias("_v"))
+        .agg(F.sum("value").cast("bigint").alias("_g"))
         .groupBy(*carry)
         .agg(
             F.array_sort(

@@ -116,7 +116,15 @@ def _cell_udf(res: int):
         )
         return pd.Series(np.asarray(cells, dtype="int64"))
 
-    return to_cell
+    # asNondeterministic: the function is pure, but the equi-join on
+    # its output infers an isnotnull(_cell) filter, and the optimizer
+    # then evaluates the UDF twice — once below the pushed filter and
+    # once in the projection (two ArrowEvalPython nodes over the same
+    # input, measured in q_h3_radius_join's plan; the guide's §4.4
+    # pattern). Marking it non-deterministic forbids the duplication;
+    # the only pushdown lost is past this projection, which sits
+    # directly on the fixture select.
+    return to_cell.asNondeterministic()
 
 
 def _cell_with_neighbors_udf(res: int, k: int = 1):

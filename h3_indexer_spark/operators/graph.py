@@ -59,9 +59,20 @@ def _normalize_undirected(
         )
         .distinct()
     )
-    mirror = canon.where(F.col(a) != F.col(b)).select(
-        F.col(b).alias(a), F.col(a).alias(b)
+    # The swap-side branch must NOT re-filter canon: with
+    # keep_self_loops=False every canon row already has a < b
+    # strictly, so the swap alone is self-loop-free — and a filter
+    # here pushes below the distinct's partial aggregation, making
+    # the two union branches' exchanges non-identical, which defeats
+    # AQE's runtime exchange reuse and re-runs the caller's WHOLE
+    # edge construction + dedup map side once per branch (profiled:
+    # two duplicate pair-explosion stages under every
+    # k_core/bfs_hops/degree census at sf0.1). Only the
+    # keep_self_loops path needs the a != b cut on the mirror.
+    mirror = canon if not keep_self_loops else canon.where(
+        F.col(a) != F.col(b)
     )
+    mirror = mirror.select(F.col(b).alias(a), F.col(a).alias(b))
     return canon, canon.unionAll(mirror)
 
 
@@ -107,12 +118,14 @@ def connected_components(
     query on the same session — use only from single-threaded
     drivers.
     """
-    dirs = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .persist()
-    )
+    # canonical-first normalize (the _normalize_undirected shape): ONE
+    # scan of the caller's edge construction + one m-row distinct,
+    # where the former union-then-distinct referenced the edge subtree
+    # twice and deduped 2m directed rows. Self-loops are dropped —  a
+    # (x, x) edge contributes only (x, comp(x)) to the neighbor-min
+    # fold, which the seed's own (x, x) row already supplies, so the
+    # component labels are unchanged.
+    dirs = _normalize_undirected(edges, src, dst)[1].persist()
     # localCheckpoint (not persist): an iterative plan nests the
     # previous round's plan inside each new round, so without lineage
     # TRUNCATION the logical plan doubles per round and Catalyst
@@ -804,8 +817,21 @@ def adamic_adar(
             canon = canon.localCheckpoint()
         else:
             canon = canon.persist()
-        mirror = canon.select(F.col("n").alias("z"), F.col("z").alias("n"))
-        dirs = canon.unionAll(mirror.select("z", "n"))
+        # restore the non-null constraints the checkpoint/persist
+        # boundary erased (canon's z < n filter implied them): without
+        # these, every downstream equi-join re-infers isnotnull() on
+        # its own branch, the inferred filters sink to different
+        # depths, and AQE's stage cache sees four canonically
+        # different copies of the same adjacency/degree subtree
+        # (measured as duplicate 9.6 MB-input stages). Row-wise a
+        # no-op: canon cannot hold nulls.
+        canon_nn = canon.where(
+            F.col("z").isNotNull() & F.col("n").isNotNull()
+        )
+        mirror = canon_nn.select(
+            F.col("n").alias("z"), F.col("z").alias("n")
+        )
+        dirs = canon_nn.unionAll(mirror.select("z", "n"))
     deg = dirs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
     if max_degree is not None:
         if log_exclusions:
@@ -891,8 +917,17 @@ def jaccard_link_prediction(
         canon = (
             canon.localCheckpoint() if log_exclusions else canon.persist()
         )
-        mirror = canon.select(F.col("n").alias("z"), F.col("z").alias("n"))
-        dirs = canon.unionAll(mirror)
+        # same constraint restoration as adamic_adar: see the comment
+        # there (erased by the checkpoint boundary; prevents
+        # per-branch inferred isnotnull() filters from defeating
+        # exchange reuse)
+        canon_nn = canon.where(
+            F.col("z").isNotNull() & F.col("n").isNotNull()
+        )
+        mirror = canon_nn.select(
+            F.col("n").alias("z"), F.col("z").alias("n")
+        )
+        dirs = canon_nn.unionAll(mirror)
     deg = dirs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
     degw = deg
     if max_degree is not None:

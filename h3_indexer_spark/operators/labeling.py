@@ -95,17 +95,28 @@ def cohens_kappa(
     ).select(
         F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b")
     )
-    base = labeled.agg(
-        F.count(F.lit(1)).alias("n_items"),
+    # ONE (a, b) cell census feeds all three readouts: n/agree fold,
+    # rater-A marginals, rater-B marginals. The former three direct
+    # aggregations over `labeled` each re-scanned the input (three
+    # scan stages measured); deriving them from the shared cell
+    # exchange scans it once — every downstream count is an exact sum
+    # of cell counts, so the values are unchanged.
+    cells = labeled.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    base = cells.agg(
+        F.sum("_n").alias("n_items"),
         F.sum(
-            F.when(F.col("_a") == F.col("_b"), F.lit(1)).otherwise(F.lit(0))
+            F.when(F.col("_a") == F.col("_b"), F.col("_n")).otherwise(
+                F.lit(0)
+            )
         ).cast("bigint").alias("n_agree"),
     )
-    ca = labeled.groupBy(F.col("_a").alias("_k")).agg(
-        F.count(F.lit(1)).alias("n_a")
+    ca = cells.groupBy(F.col("_a").alias("_k")).agg(
+        F.sum("_n").alias("n_a")
     )
-    cb = labeled.groupBy(F.col("_b").alias("_k")).agg(
-        F.count(F.lit(1)).alias("n_b")
+    cb = cells.groupBy(F.col("_b").alias("_k")).agg(
+        F.sum("_n").alias("n_b")
     )
     cross = (
         ca.join(cb, "_k", "full_outer")
@@ -167,13 +178,24 @@ def fleiss_kappa(
     cell = rated.groupBy("_i", "_j").agg(
         F.count(F.lit(1)).alias("_nij")
     )
-    per_item = cell.groupBy("_i").agg(
-        F.sum("_nij").cast("bigint").alias("_ni"),
+    # the per-item total rides a window over the cell census instead
+    # of a separate aggregate + semi-join back: the former shape
+    # referenced the census from two canonically different branches
+    # (the semi-join side re-keyed and re-pruned it), so the census —
+    # and the scan under it — built twice (measured). With the
+    # window, every readout hangs off ONE cell lineage, and the
+    # item-keyed aggregate below reuses the window's partitioning.
+    wi = Window.partitionBy("_i")
+    kept = cell.withColumn(
+        "_ni", F.sum("_nij").over(wi).cast("bigint")
+    ).where(F.col("_ni") >= 2)
+    per_item = kept.groupBy("_i").agg(
+        F.max("_ni").cast("bigint").alias("_ni"),
         F.sum(
             F.col("_nij").cast("decimal(38,0)")
             * (F.col("_nij") - F.lit(1)).cast("decimal(38,0)")
         ).cast("decimal(38,0)").alias("_sp"),
-    ).where(F.col("_ni") >= 2)
+    )
     pi_q = F.floor(
         F.col("_sp").cast("double")
         / (
@@ -190,7 +212,6 @@ def fleiss_kappa(
         F.sum("_piq").cast("bigint").alias("_sum_piq"),
     )
     # label marginals over the SAME (>=2 ratings) item universe
-    kept = cell.join(per_item.select("_i"), "_i", "left_semi")
     marg = kept.groupBy("_j").agg(
         F.sum("_nij").cast("bigint").alias("_tj")
     )

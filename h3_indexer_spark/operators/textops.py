@@ -1039,16 +1039,23 @@ def collocations(
         ),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # trailing no-op filters (tokens are non-null by construction):
+    # the unigram attachments below infer isnotnull() on their own
+    # branches only, which sinks below the census aggregations and
+    # breaks AQE exchange reuse — the token explode then runs once
+    # per branch (measured: the unigram census built twice)
     bc = (
         words.select(F.explode(grams).alias("g"))
         .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("w1").isNotNull() & F.col("w2").isNotNull())
     )
     uc = (
         words.select(F.explode("w").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c_w"))
+        .where(F.col("tok").isNotNull())
     )
     totals = uc.agg(
         F.sum("c_w").cast("bigint").alias("n_uni")
