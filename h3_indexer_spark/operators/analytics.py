@@ -3951,6 +3951,13 @@ def tukey_contrasts(
     v = F.round(F.col(value_col).cast("double") * F.lit(10000.0), 0).cast(
         "long"
     ).cast("decimal(19,0)")
+    # Materialize the k-row group census ONCE (eager localCheckpoint —
+    # report-sized by construction, the theil_sen sample pattern): its
+    # three consumers prune DIFFERENT columns (the MS_w fold needs the
+    # squared sums, the pair sides do not), so their aggregation plans
+    # are canonically different and could never share one exchange —
+    # the census (and the fact scan under it) built once per branch
+    # (measured on q_tukey_hsd).
     g = (
         df.where(
             F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
@@ -3961,6 +3968,7 @@ def tukey_contrasts(
             F.sum(v).alias("_s"),
             F.sum(v * v).alias("_q"),
         )
+        .localCheckpoint()
     )
     sd = F.col("_s").cast("double")
     nd = F.col("_n").cast("double")
