@@ -56,7 +56,15 @@ def _copurchase_edges(
     element × strictly-greater-suffix explode. Basket width bounds
     the array (TPC-H ≤ 7 lines/order; the assoc_rules guarded-basket
     contract at scale), so rows stay narrow and pair volume is
-    unchanged."""
+    unchanged.
+
+    SKEW CONTRACT (§2.5): basket-local explosion concentrates a hot
+    basket's O(w²) pairs in ONE task, where a self-join would spread
+    them across join tasks. This fixture is safe because the TPC-H
+    generator bounds w ≤ 7; a caller adapting it to an UNBOUNDED
+    basket source must cap or split wide baskets first — see
+    mining._capped_baskets (the miners' mega-basket guard), which is
+    the drop-in front end for that case."""
     items = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -12926,4 +12934,79 @@ assert not _missing, f"window names unknown keys: {_missing}"
 QUERIES = {
     **{k: QUERIES[k] for k in _WINDOW_R12},
     **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R12},
+}
+
+
+# Round-13 driver window, executing the SURVEY §7.1 rotation plan
+# written at round-12 close: the 49 oracle keys whose latest driver
+# row is round 8 (verbatim §7.1 list — after this round no ORACLE
+# key's latest driver row predates round 9), and the ONE remaining
+# slot on the oldest stale rows-only key (r6 cohort head:
+# q_media_resize). Round 13 is an optimization round — no feature
+# debuts by rule, so the debut-first slot precedence doesn't apply.
+# The round-12 window's 50 keys all took fresh rows in round 12 and
+# yield. (This is a dict reorder only: every key keeps its exact
+# implementation and oracle — the driver hash-checks the FIRST 50
+# QUERIES entries in dict order.)
+_WINDOW_R13 = [
+    # 49 round-8-stale oracle rotations (SURVEY §7.1 list, verbatim)
+    "q_active_users_hll",
+    "q_adamic_adar",
+    "q_asof_join",
+    "q_attribution",
+    "q_bpe_encode",
+    "q_charset_stats",
+    "q_cms_estimate",
+    "q_containment",
+    "q_contamination_frac",
+    "q_corpus_curation",
+    "q_corr",
+    "q_corr_matrix",
+    "q_decontaminate",
+    "q_decontaminate_bloom",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
+    "q_dedup_keep_best",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_resolve",
+    "q_dedup_simhash",
+    "q_dedup_spans_global",
+    "q_degree_dist",
+    "q_diversity",
+    "q_embed_quantize",
+    "q_eventually_follows",
+    "q_fleiss_kappa",
+    "q_frequent_items",
+    "q_fuzzy_join",
+    "q_hybrid_retrieval",
+    "q_join_full_outer",
+    "q_join_left_small",
+    "q_join_skew_salted",
+    "q_kmv_distinct",
+    "q_knn_brute",
+    "q_knn_lsh",
+    "q_mann_whitney",
+    "q_market_share",
+    "q_media_dedup",
+    "q_ohlc_bars",
+    "q_range_join",
+    "q_retention_cohorts",
+    "q_robust_scale",
+    "q_rolling_features",
+    "q_scd2",
+    "q_sessionize",
+    "q_tfidf",
+    "q_vocab_coverage",
+    # oldest stale rows-only key (r6 cohort head)
+    "q_media_resize",
+]
+assert len(_WINDOW_R13) == 50, len(_WINDOW_R13)
+assert len(set(_WINDOW_R13)) == 50
+_missing = [k for k in _WINDOW_R13 if k not in QUERIES]
+assert not _missing, f"window names unknown keys: {_missing}"
+QUERIES = {
+    **{k: QUERIES[k] for k in _WINDOW_R13},
+    **{k: v for k, v in QUERIES.items() if k not in _WINDOW_R13},
 }
