@@ -397,6 +397,11 @@ def co_occurrence(
     (item_a, item_b, n_both, lift) with item_a < item_b and lift an
     exact-integer-ratio double.
 
+    Null contract: rows with a NULL entity id or NULL item are
+    excluded up front — marginals and the entity census count
+    non-null entities only (a null entity can never contribute pair
+    support, so pair rows and lifts are unaffected either way).
+
     Scale: entities first collapse to DISTINCT (entity, item) pairs
     (map-side partial distinct); the pair build self-joins that table
     on the entity key, so per-entity work is |item-set|² — bounded by
@@ -582,6 +587,11 @@ def rolling_active_users(
     day with data, the number of DISTINCT entities active in the
     trailing ``window_days`` (inclusive of that day). Output:
     (day, n_active_today, n_active_window).
+
+    Null contract: rows with a NULL entity id or NULL timestamp are
+    excluded up front — both readouts count non-null entities on
+    non-null days only (countDistinct ignored nulls anyway, so no
+    output row changes; the filter is declared, not incidental).
 
     Distinct-over-sliding-window cannot partial-aggregate as a window
     function (distinct state is not mergeable across frame slides), so

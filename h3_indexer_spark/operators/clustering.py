@@ -146,6 +146,7 @@ def dbscan(
     id_col: str = "id",
     lat_col: str = "lat",
     lng_col: str = "lng",
+    cc_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Density-based spatial clustering (DBSCAN, Ester et al. 1996),
     composed entirely from the engine's scale primitives — no new
@@ -236,15 +237,18 @@ def dbscan(
         "_k2",
     ).localCheckpoint()  # CC's src∪dst-reversed union would otherwise
     # execute the two pandas contraction passes once PER BRANCH
-    # no loop_shuffle_partitions override: the CC label table is one
-    # row per CORE POINT (data-scale, not structurally bounded), so
-    # the session width + AQE coalesce is the scale-safe choice —
-    # measured at sf0.1 the narrow override bought only ~0.3 s of the
-    # 16 s → 5.5 s contraction+seed win
+    # cc_shuffle_partitions defaults to None (session width + AQE
+    # coalesce — the scale-safe choice: the CC label table is one row
+    # per CORE POINT, data-scale). A caller whose point set is
+    # STRUCTURALLY bounded (a capped fixture, a per-city slice) may
+    # pass a small width to shrink the loop's per-round stage fan-out
+    # — the connected_components caveat about session-wide conf
+    # scoping applies.
     comps = connected_components(
         star2,
         core_ids.select(F.col("a").alias("vid")),
         id_col="vid",
+        loop_shuffle_partitions=cc_shuffle_partitions,
     ).select(F.col("vid"), F.col("component"))
     # one left join + ONE aggregation labels core and border points
     # alike AND recounts neighbors for the is_core flag:

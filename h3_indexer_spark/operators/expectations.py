@@ -15,13 +15,19 @@ Rule kinds:
 - ``{"rule": "foreign_key", "column": c, "ref": DataFrame,
   "ref_column": r}`` — orphaned references
 
-Scale posture: every row-level rule (not_null/range/in_set) is ONE
-conditional-sum aggregate — they all fuse into a single scan with
-map-side partial aggregation, no shuffle of data rows. ``unique`` is
-one groupBy on the key columns (partial counts). ``foreign_key`` is a
-broadcast anti-join when the reference side is dimension-sized (the
-common case — pass a pre-distinct projection for big refs). The report
-is a tiny DataFrame: one row per rule."""
+Scale posture: the WHOLE battery fuses into ONE scan of ``df``
+(guide §2.4 — the per-rule API is declarative, the physical plan is
+shared). Row-level rules (not_null/range/in_set) are conditional
+sums; each ``foreign_key`` becomes a broadcast LEFT join marker whose
+null-ness is one more conditional sum (the ref side must be
+dimension-sized — pass a pre-distinct projection for big refs); the
+first ``unique`` rule supplies the grouping key, so its duplicate
+count, every conditional sum, and the row total all come out of the
+same groupBy (partial map-side aggregation; with no unique rule the
+whole battery is a plain 1-row aggregate with no shuffle of data
+rows). Additional ``unique`` rules beyond the first keep their own
+groupBy — one extra pass each, by construction. The report is a tiny
+DataFrame: one row per rule."""
 
 from __future__ import annotations
 
@@ -45,21 +51,22 @@ def check_expectations(
             "rule_id int, rule string, target string, "
             "n_violations long, n_rows long, passed boolean",
         )
-    n_rows_col = F.count(F.lit(1)).alias("n_rows")
-    row_level_aggs: list = []
-    row_level_meta: list[tuple[int, str, str]] = []
-    reports: list[DataFrame] = []
-
+    # Classify rules, building one violation-flag EXPRESSION per
+    # row-level/foreign-key rule; the flags all evaluate against the
+    # same scan. foreign_key attaches a broadcast LEFT join per ref
+    # (marker column null = orphan) instead of its own anti-join
+    # scan; the first unique rule's key becomes the shared groupBy.
+    flag_meta: list[tuple[int, str, str]] = []  # (i, kind, target)
+    flags: dict[int, F.Column] = {}
+    unique_rules: list[tuple[int, list[str]]] = []
+    base = df
+    n_fk = 0
     for i, spec in enumerate(rules):
         kind = spec.get("rule")
         if kind == "not_null":
             c = spec["column"]
-            row_level_aggs.append(
-                F.sum(
-                    F.col(c).isNull().cast("long")
-                ).alias(f"_v{i}")
-            )
-            row_level_meta.append((i, kind, c))
+            flags[i] = F.col(c).isNull()
+            flag_meta.append((i, kind, c))
         elif kind == "range":
             c = spec["column"]
             cond = F.lit(False)
@@ -67,86 +74,126 @@ def check_expectations(
                 cond = cond | (F.col(c) < F.lit(spec["min"]))
             if "max" in spec:
                 cond = cond | (F.col(c) > F.lit(spec["max"]))
-            row_level_aggs.append(
-                F.sum(cond.cast("long")).alias(f"_v{i}")
-            )
-            row_level_meta.append((i, kind, c))
+            flags[i] = cond
+            flag_meta.append((i, kind, c))
         elif kind == "in_set":
             c = spec["column"]
-            viol = (
-                F.col(c).isNotNull()
-                & ~F.col(c).isin(list(spec["allowed"]))
+            flags[i] = F.col(c).isNotNull() & ~F.col(c).isin(
+                list(spec["allowed"])
             )
-            row_level_aggs.append(
-                F.sum(viol.cast("long")).alias(f"_v{i}")
-            )
-            row_level_meta.append((i, kind, c))
+            flag_meta.append((i, kind, c))
         elif kind == "unique":
-            cols = list(spec["columns"])
-            dup_rows = (
-                df.groupBy(*cols)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") > 1)
-                .agg(
-                    F.coalesce(F.sum("_n"), F.lit(0)).alias(
-                        "n_violations"
-                    )
-                )
-            )
-            reports.append(
-                dup_rows.select(
-                    F.lit(i).alias("rule_id"),
-                    F.lit(kind).alias("rule"),
-                    F.lit(",".join(cols)).alias("target"),
-                    F.col("n_violations").cast("long"),
-                )
-            )
+            unique_rules.append((i, list(spec["columns"])))
         elif kind == "foreign_key":
             c = spec["column"]
-            ref = spec["ref"].select(
-                F.col(spec["ref_column"]).alias("_ref")
-            ).distinct()
-            orphans = (
-                df.select(F.col(c).alias("_ref"))
-                .where(F.col("_ref").isNotNull())
-                .join(F.broadcast(ref), "_ref", "anti")
-                .agg(F.count(F.lit(1)).alias("n_violations"))
+            marker = f"_xref_{n_fk}"
+            n_fk += 1
+            ref = (
+                spec["ref"]
+                .select(F.col(spec["ref_column"]).alias(marker))
+                .distinct()
             )
-            reports.append(
-                orphans.select(
-                    F.lit(i).alias("rule_id"),
-                    F.lit(kind).alias("rule"),
-                    F.lit(c).alias("target"),
-                    F.col("n_violations").cast("long"),
-                )
+            base = base.join(
+                F.broadcast(ref), F.col(c) == F.col(marker), "left"
             )
+            flags[i] = F.col(c).isNotNull() & F.col(marker).isNull()
+            flag_meta.append((i, kind, c))
         else:
             raise ValueError(
                 f"rule {i}: unknown kind {kind!r}; valid: not_null, "
                 "unique, range, in_set, foreign_key"
             )
 
-    if row_level_aggs:
-        agg_row = df.agg(n_rows_col, *row_level_aggs)
-        for i, kind, target in row_level_meta:
-            reports.append(
-                agg_row.select(
-                    F.lit(i).alias("rule_id"),
-                    F.lit(kind).alias("rule"),
-                    F.lit(target).alias("target"),
-                    F.col(f"_v{i}").cast("long").alias("n_violations"),
-                )
-            )
-
-    # 1-row total crossJoined back: keeps the checker action-free.
-    # Reuse agg_row's n_rows when the fused row-level scan exists —
-    # a separate count would re-scan the table for nothing.
-    if row_level_aggs:
-        totals = agg_row.select(F.col("n_rows").cast("long").alias("n_rows"))
+    # foreign_key totals were COUNTs before the fusion (0 on an empty
+    # table, never NULL) where not_null/range/in_set were SUMs (NULL
+    # on empty) — coalesce only the former so the report is
+    # value-identical to the unfused shape in every case
+    flag_aggs = [
+        F.coalesce(F.sum(flags[i].cast("long")), F.lit(0)).alias(f"_v{i}")
+        if kind == "foreign_key"
+        else F.sum(flags[i].cast("long")).alias(f"_v{i}")
+        for i, kind, _ in flag_meta
+    ]
+    if unique_rules:
+        # shared pass keyed on the FIRST unique rule: per-key counts
+        # carry every conditional partial sum through the same
+        # exchange; the final fold emits the duplicate total, every
+        # flag total, and n_rows from one subtree
+        u_i, u_cols = unique_rules[0]
+        grouped = base.groupBy(*u_cols).agg(
+            F.count(F.lit(1)).alias("_n"), *flag_aggs
+        )
+        agg_row = grouped.agg(
+            F.coalesce(F.sum("_n"), F.lit(0))
+            .cast("long")
+            .alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > 1, F.col("_n"))), F.lit(0)
+            ).alias(f"_v{u_i}"),
+            *[
+                F.coalesce(F.sum(f"_v{i}"), F.lit(0)).alias(f"_v{i}")
+                if kind == "foreign_key"
+                else F.sum(f"_v{i}").alias(f"_v{i}")
+                for i, kind, _ in flag_meta
+            ],
+        )
+        flag_meta = flag_meta + [(u_i, "unique", ",".join(u_cols))]
     else:
-        totals = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        agg_row = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"), *flag_aggs
+        )
+
+    # ONE projection explodes the per-rule report rows out of the
+    # single aggregate row. A union of per-rule selects would let
+    # column pruning specialize each branch's copy of the aggregate
+    # subtree (different pruned columns → not canonically identical →
+    # no exchange reuse → one full scan PER RULE — the r12
+    # duplicated-subtree lesson); the explode keeps exactly one
+    # aggregate in the plan.
+    entries = [
+        F.struct(
+            F.lit(i).cast("int").alias("rule_id"),
+            F.lit(kind).alias("rule"),
+            F.lit(target).alias("target"),
+            F.col(f"_v{i}").cast("long").alias("n_violations"),
+        )
+        for i, kind, target in flag_meta
+    ]
+    reports: list[DataFrame] = [
+        agg_row.select(
+            F.explode(F.array(*entries)).alias("_r"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        ).select(
+            "_r.rule_id", "_r.rule", "_r.target", "_r.n_violations",
+            "n_rows",
+        )
+    ]
+    # unique rules beyond the first: own groupBy each (cannot share a
+    # grouping key), joined to the fused row total
+    for u_i, u_cols in unique_rules[1:]:
+        dup_rows = (
+            df.groupBy(*u_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+            .agg(
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("n_violations")
+            )
+        )
+        reports.append(
+            dup_rows.crossJoin(
+                F.broadcast(
+                    agg_row.select(F.col("n_rows").cast("long"))
+                )
+            ).select(
+                F.lit(u_i).alias("rule_id"),
+                F.lit("unique").alias("rule"),
+                F.lit(",".join(u_cols)).alias("target"),
+                F.col("n_violations").cast("long"),
+                F.col("n_rows"),
+            )
+        )
     out = reduce(lambda a, b: a.unionByName(b), reports)
-    return out.crossJoin(F.broadcast(totals)).select(
+    return out.select(
         "rule_id",
         "rule",
         "target",

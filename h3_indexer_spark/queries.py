@@ -2965,7 +2965,17 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(50000.0)
         ).alias("lng"),
     )
-    return dbscan(pts, 5.0, 4)
+    # The capped slice is ≤ 2,001 rows but inherits the fact table's
+    # full scan split (32 row-groups after layout normalization), so
+    # every H3-kernel stage inside the radius join fanned out as 32
+    # near-empty Python tasks — per-task worker dispatch, not compute
+    # (profiled: four 32-task kernel jobs ≈ 2 s of the 5 s steady
+    # wall, ~60 rows each). coalesce() narrows the BOUNDED fixture at
+    # the scan (no shuffle), and the CC loop width follows the same
+    # cap (the structurally-bounded case dbscan's contract names).
+    # dbscan's label result is partitioning-independent (min-label,
+    # seedless), so rows are unchanged.
+    return dbscan(pts.coalesce(4), 5.0, 4, cc_shuffle_partitions=8)
 
 
 def _supplier_points(spark: SparkSession, sf_dir: str) -> DataFrame:

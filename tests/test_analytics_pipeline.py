@@ -43,6 +43,7 @@ def _events(spark):
 
 
 class TestAnalyticsPipeline:
+    @pytest.mark.slow
     def test_config_equals_manual_composition(self, spark):
         from h3_indexer_spark.operators.analytics import (
             cohort_retention,

@@ -88,6 +88,7 @@ def _ref_funnel(rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=events_strategy)
+@pytest.mark.slow
 def test_funnel_matches_reference(spark, rows):
     got = {
         r.user_id: (r.t_0, r.t_1, r.t_2, r.stages_reached)
@@ -121,6 +122,7 @@ def _ref_attribution(rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=events_strategy)
+@pytest.mark.slow
 def test_attribution_matches_reference(spark, rows):
     got = {
         r.event_id: r.touch_ts
@@ -137,6 +139,7 @@ def test_attribution_matches_reference(spark, rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=events_strategy)
+@pytest.mark.slow
 def test_gap_fill_invariants(spark, rows):
     """Structural invariants on random streams: per user the day column
     is a contiguous range, event counts are conserved, and the
@@ -161,6 +164,7 @@ def test_gap_fill_invariants(spark, rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=events_strategy)
+@pytest.mark.slow
 def test_co_occurrence_matches_reference(spark, rows):
     from itertools import combinations
 
@@ -197,6 +201,7 @@ def test_co_occurrence_matches_reference(spark, rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=events_strategy)
+@pytest.mark.slow
 def test_time_rollup_matches_reference(spark, rows):
     from decimal import Decimal
 
@@ -235,6 +240,7 @@ def test_time_rollup_matches_reference(spark, rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=events_strategy)
+@pytest.mark.slow
 def test_growth_accounting_identities(spark, rows):
     """On random streams: new+retained+resurrected = that period's
     actives, retained(p)+churned(p) = actives(p-1), and a user's first
@@ -278,6 +284,7 @@ table_strategy = st.dictionaries(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(old=table_strategy, new=table_strategy)
+@pytest.mark.slow
 def test_incremental_agg_equals_recompute(spark, old, new):
     """For ANY pair of snapshots: state(old) + diff(old, new) must
     equal state(new) exactly — inserts, deletes, value changes, and
@@ -320,6 +327,7 @@ def test_incremental_agg_equals_recompute(spark, old, new):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(old=table_strategy, new=table_strategy)
+@pytest.mark.slow
 def test_merge_of_diff_reconstructs_new_snapshot(spark, old, new):
     """Applying snapshot_diff(old, new) to old via merge_by_key must
     reproduce new exactly, for ANY snapshot pair."""

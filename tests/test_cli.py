@@ -61,6 +61,7 @@ def _write_rules(rules) -> str:
 
 
 class TestCliRunAll:
+    @pytest.mark.slow
     def test_partitioned_outputs_appear(self, spark, fixture_dir, out_dir):
         rc = run(["--json-input", _cfg(fixture_dir, out_dir), "--run-all"])
         assert rc == 0
@@ -83,6 +84,7 @@ class TestCliFlagValidation:
 
 
 class TestCliZorderExpectations:
+    @pytest.mark.slow
     def test_gated_zordered_output(self, spark, fixture_dir, out_dir):
         """Passing gate + z-order: report written, resolved output is
         the clustered (non-hive-partitioned) layout, and per-file
@@ -142,6 +144,7 @@ class TestCliZorderExpectations:
             avg_span = sum(mx - mn for mn, mx in stats) / len(stats)
             assert avg_span < width, (avg_span, width)
 
+    @pytest.mark.slow
     def test_failing_gate_blocks_write(self, spark, fixture_dir, out_dir):
         rules = _write_rules(
             [

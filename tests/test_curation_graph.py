@@ -298,17 +298,20 @@ class TestConnectedComponents:
             for r in connected_components(e, v).collect()
         }
 
+    @pytest.mark.slow
     def test_chain_is_one_component(self, spark):
         # transitivity: a-b, b-c, c-d never pairs a with d directly
         comp = self._cc(spark, [(0, 1), (1, 2), (2, 3)], 5)
         assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
 
+    @pytest.mark.slow
     def test_two_components_and_singletons(self, spark):
         comp = self._cc(spark, [(1, 2), (5, 6), (6, 7)], 9)
         assert comp == {
             0: 0, 1: 1, 2: 1, 3: 3, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8,
         }
 
+    @pytest.mark.slow
     def test_long_chain_converges_via_pointer_jumping(self, spark):
         # a 64-long chain has diameter 63; plain min-propagation would
         # need 63 rounds — pointer jumping must finish within the
@@ -318,6 +321,7 @@ class TestConnectedComponents:
         )
         assert set(comp.values()) == {0}
 
+    @pytest.mark.slow
     def test_reversed_edge_direction_irrelevant(self, spark):
         comp = self._cc(spark, [(3, 0), (1, 3), (2, 1)], 4)
         assert set(comp.values()) == {0}
@@ -339,6 +343,7 @@ class TestPageRank:
             r = (1 - d) / n + d * (contrib + dangling / n)
         return r
 
+    @pytest.mark.slow
     def test_matches_power_iteration_with_dangling(self, spark):
         from h3_indexer_spark.operators.graph import pagerank
 
@@ -355,6 +360,7 @@ class TestPageRank:
         for i in range(n):
             assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
 
+    @pytest.mark.slow
     def test_uniform_on_cycle(self, spark):
         from h3_indexer_spark.operators.graph import pagerank
 
@@ -366,6 +372,7 @@ class TestPageRank:
         for r in pagerank(edges, verts, max_iter=5).collect():
             assert abs(r.rank - 1.0 / n) < 1e-12
 
+    @pytest.mark.slow
     def test_edges_outside_vertex_set_do_not_leak_mass(self, spark):
         """Edges referencing unknown ids are dropped up front: ranks
         still sum to 1 and equal the subgraph's power iteration. A

@@ -394,6 +394,7 @@ class TestSemanticDedup:
         for i in range(20):
             assert (i, i + 1_000_000) in found
 
+    @pytest.mark.slow
     def test_resolve_composition_drops_planted_copies(self, spark):
         """semantic pairs -> dedup_resolve keeps exactly the originals
         when every copy pairs with its source."""

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_entry_runs(spark):
     import __spark_entry__ as e
@@ -26,66 +28,61 @@ def test_queries_and_oracles_consistent():
     assert len(q) >= 20
 
 
-# Round-12 window composition: the driver hash-checks the FIRST 50
+# Round-13 window composition: the driver hash-checks the FIRST 50
 # QUERIES entries in dict order; no-oracle keys get a weaker
 # rows+schema record. This round executes SURVEY §7.1's rotation plan
-# (queries.py::_WINDOW_R12): the 42 oracle keys whose latest driver
-# row is round 7 take the window (after this round no oracle key's
-# latest driver row predates round 8), plus the 3 round-12 debuts,
-# plus the 5 oldest stale rows-only keys (r6 cohort — VERDICT r11
-# #4). The round-11 window's 50 keys all took fresh rows in round 11
-# and yield their slots.
-ROTATED_R12 = {
-    "q_calibration", "q_cohens_kappa", "q_collocations", "q_count",
-    "q_distinct", "q_embed_normalize", "q_except", "q_feature_hash",
-    "q_filter_notnull", "q_first", "q_forecast_wape", "q_gini",
-    "q_h3_radius_join", "q_hll_grouped", "q_hll_registers",
-    "q_intersect", "q_js_divergence", "q_knn_ivfpq_rerank",
-    "q_ks_test", "q_label_vote", "q_lit_cols", "q_lm_score",
-    "q_lorenz", "q_mul_ratio", "q_mutual_info", "q_ndcg",
-    "q_point_in_polygon", "q_project", "q_quality_score",
-    "q_readability", "q_retrieval_eval", "q_rfm", "q_rrf_fusion",
-    "q_seasonality", "q_skyline", "q_spatial_knn", "q_string_agg",
-    "q_survival", "q_time_to_convert", "q_token_count", "q_union",
-    "q_vocab_encode",
+# (queries.py::_WINDOW_R13): the 49 oracle keys whose latest driver
+# row is round 8 take the window (after this round no oracle key's
+# latest driver row predates round 9), plus the oldest stale
+# rows-only key in the one remaining slot (no debuts — round 13 is
+# an optimization round). The round-12 window's 50 keys all took
+# fresh rows in round 12 and yield their slots.
+ROTATED_R13 = {
+    "q_active_users_hll", "q_adamic_adar", "q_asof_join",
+    "q_attribution", "q_bpe_encode", "q_charset_stats",
+    "q_cms_estimate", "q_containment", "q_contamination_frac",
+    "q_corpus_curation", "q_corr", "q_corr_matrix", "q_decontaminate",
+    "q_decontaminate_bloom", "q_dedup_clusters", "q_dedup_embedding",
+    "q_dedup_embedding_lsh", "q_dedup_keep_best", "q_dedup_minhash",
+    "q_dedup_ngram_jaccard", "q_dedup_resolve", "q_dedup_simhash",
+    "q_dedup_spans_global", "q_degree_dist", "q_diversity",
+    "q_embed_quantize", "q_eventually_follows", "q_fleiss_kappa",
+    "q_frequent_items", "q_fuzzy_join", "q_hybrid_retrieval",
+    "q_join_full_outer", "q_join_left_small", "q_join_skew_salted",
+    "q_kmv_distinct", "q_knn_brute", "q_knn_lsh", "q_mann_whitney",
+    "q_market_share", "q_media_dedup", "q_ohlc_bars", "q_range_join",
+    "q_retention_cohorts", "q_robust_scale", "q_rolling_features",
+    "q_scd2", "q_sessionize", "q_tfidf", "q_vocab_coverage",
 }
-# round-12 debuts — every NEW key takes its first driver record in
-# its debut round (driver-window-slot rule)
-DEBUTS_R12 = {
-    "q_t_closeness", "q_trend_test", "q_auc_ovr",
-}
-# rows-only keys allowed in the round-12 window (no SQL mirror):
-# the oldest stale mirror-less driver records, refreshed per
-# VERDICT r11 #4
-ROWS_ONLY_R12 = {
-    "q_approx_stats", "q_ewma", "q_kmeans", "q_knn_ivfpq",
-    "q_media_frames",
+# rows-only keys allowed in the round-13 window (no SQL mirror):
+# the oldest stale mirror-less driver record (r6 cohort head)
+ROWS_ONLY_R13 = {
+    "q_media_resize",
 }
 
 
-def test_round12_window_composition():
-    """All 42 round-7-stale oracle keys, the three round-12 debuts,
-    and the five oldest rows-only keys sit inside the 50-key window;
-    the only non-oracle window keys are the planned rows-only
-    refreshes."""
+def test_round13_window_composition():
+    """All 49 round-8-stale oracle keys and the oldest stale
+    rows-only key sit inside the 50-key window; the only non-oracle
+    window key is the planned rows-only refresh."""
     import __spark_entry__ as e
 
     q = list(e.queries())
     o = e.oracle_sql()
     window = set(q[:50])
-    must_rotate = ROTATED_R12 | (DEBUTS_R12 & set(q)) | ROWS_ONLY_R12
+    must_rotate = ROTATED_R13 | ROWS_ONLY_R13
     missing = must_rotate - window
     assert not missing, f"stale keys fell out of the window: {missing}"
     no_oracle = {k for k in q[:50] if k not in o}
-    assert no_oracle <= ROWS_ONLY_R12, (
-        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R12}"
+    assert no_oracle <= ROWS_ONLY_R13, (
+        f"unexpected no-oracle keys in window: {no_oracle - ROWS_ONLY_R13}"
     )
 
 
-def test_no_stale_driver_rows_after_round12():
+def test_no_stale_driver_rows_after_round13():
     """The freshness invariant VERDICT r9 #1 prescribes, advanced one
     round: every oracle key's latest driver row, once this round's
-    window lands, is round 8 or later. Historical CORRECTNESS files
+    window lands, is round 9 or later. Historical CORRECTNESS files
     give each key's latest recorded round; keys in the current window
     count as latest=current."""
     import glob
@@ -114,9 +111,9 @@ def test_no_stale_driver_rows_after_round12():
     stale = {
         k: latest.get(k)
         for k in e.oracle_sql()
-        if latest.get(k, 0) < 8
+        if latest.get(k, 0) < 9
     }
-    assert not stale, f"keys whose latest driver row predates round 8: {stale}"
+    assert not stale, f"keys whose latest driver row predates round 9: {stale}"
 
 
 def test_every_oracle_key_has_a_driver_row():
@@ -140,6 +137,7 @@ def test_every_oracle_key_has_a_driver_row():
     assert not uncovered, f"oracle keys never driver-checked: {uncovered}"
 
 
+@pytest.mark.slow
 def test_no_array_columns_cross_contract_boundary(spark):
     """The driver's canonicalizer sorts rows by every column and dies
     on unhashable cells (CORRECTNESS_r03: q_approx_stats TypeError).

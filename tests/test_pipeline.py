@@ -557,6 +557,7 @@ class TestReferenceNotebookGolden:
 
 
 class TestTrainingDataPipeline:
+    @pytest.mark.slow
     def test_end_to_end_smoke(self, spark, tmp_path):
         """The composition example runs end-to-end at the smallest SF
         and every stage's row count is sane and monotone."""

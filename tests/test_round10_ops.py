@@ -3,6 +3,7 @@ lazy census-free path (VERDICT r9 #2), the chained-rollup decimal
 widening (ADVICE r9), and the vocabulary-sized support tables losing
 their forced broadcast hints (ADVICE r9)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
@@ -60,6 +61,7 @@ class TestContractKeysStayLazy:
         _, jobs = _jobs_during(spark, lambda: adamic_adar(edges))
         assert len(jobs) > self._READ_SIDE_JOBS, jobs
 
+    @pytest.mark.slow
     def test_q_adamic_adar_matches_eager_path(self, spark):
         """The lazy flip must not change results: re-run the key's
         graph through the DEFAULT (eager-census) operator path and

@@ -80,6 +80,7 @@ def test_k_anonymity_matches_reference(spark, rows, k):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=qi_rows, k=k_values)
+@pytest.mark.slow
 def test_suppression_leaves_a_k_anonymous_table(spark, rows, k):
     """Enforcement postcondition: after suppress_small_groups, the
     report is empty, and exactly the >= k classes' rows survive."""

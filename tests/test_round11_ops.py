@@ -9,6 +9,7 @@ import pytest
 
 
 class TestTrianglesPinsOut:
+    @pytest.mark.slow
     def test_pins_out_releases_executor_storage(self, spark):
         """VERDICT r10 #6: the pinned near-dup pair table is released
         through the miner's pins_out idiom — callers iterating over

@@ -299,6 +299,7 @@ class TestLateDataAccounting:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    @pytest.mark.slow
     def test_dedup_state_expires_with_watermark(self, spark):
         """dropDuplicatesWithinWatermark keeps per-id state only within
         the watermark: a replay inside it collapses; a replay after the
@@ -933,6 +934,7 @@ class TestStreamingNearDup:
             seen.add(i)
         return suppressed
 
+    @pytest.mark.slow
     def test_minhash_parity_with_batch(self, spark):
         from h3_indexer_spark.streaming.events import (
             streaming_minhash_dedup,
@@ -961,6 +963,7 @@ class TestStreamingNearDup:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    @pytest.mark.slow
     def test_minhash_state_expires(self, spark):
         """A bucket claim expires once the watermark passes its
         claimant's event time + delay: a near-dup arriving after
@@ -1434,6 +1437,7 @@ class TestStreamingOhlcBars:
 
 
 class TestStreamingCmsRegisters:
+    @pytest.mark.slow
     def test_full_replay_matches_batch_per_window(
         self, spark, events_dir
     ):
@@ -1657,6 +1661,7 @@ class TestStreamingStateBounds:
 
 
 class TestStreamingQuantileSketch:
+    @pytest.mark.slow
     def test_full_replay_matches_batch_per_window(self, spark, events_dir):
         """availableNow replay (one file per micro-batch) must end at
         the SAME per-window register tables as the batch sketch over
@@ -2137,6 +2142,7 @@ class TestStreamingClassReport:
             .alias("pred"),
         )
 
+    @pytest.mark.slow
     def test_full_replay_matches_batch_per_window(self, spark, events_dir):
         from h3_indexer_spark.operators.analytics import classification_report
         from h3_indexer_spark.streaming.events import streaming_class_report
@@ -2178,6 +2184,7 @@ class TestStreamingClassReport:
                 )
         assert got == want and got
 
+    @pytest.mark.slow
     def test_state_is_window_class_bounded(self, spark, events_dir):
         """numRowsTotal after the replay must be <= open windows x
         class vocabulary — structural bound, not traffic (the
@@ -2267,6 +2274,7 @@ class TestStreamingKAnonymity:
 
     QI = ["event_type"]
 
+    @pytest.mark.slow
     def test_closed_prefix_matches_batch_per_window(
         self, spark, events_dir_timeordered
     ):
@@ -2318,6 +2326,7 @@ class TestStreamingKAnonymity:
         open_windows = {w for (w, _s) in want} - {w for (w, _s) in got}
         assert len(open_windows) <= 2, sorted(open_windows)
 
+    @pytest.mark.slow
     def test_append_subset_and_state_bounds(self, spark, events_dir):
         import uuid as _uuid
 
@@ -2487,6 +2496,7 @@ class TestStreamingSuppressSmallGroups:
         )
         return max(2, sizes[len(sizes) // 2])
 
+    @pytest.mark.slow
     def test_closed_windows_match_batch_suppression(
         self, spark, events_dir_timeordered, tmp_path
     ):
@@ -2546,6 +2556,7 @@ class TestStreamingSuppressSmallGroups:
         # the median-k choice guarantees genuine suppression happened
         assert 0 < got.count() < total_closed
 
+    @pytest.mark.slow
     def test_live_staging_query_is_drained_before_publish(
         self, spark, events_dir_timeordered, tmp_path
     ):
@@ -2706,6 +2717,7 @@ class TestStreamingLDiversity:
     SENS = "user_id"
     L = 10
 
+    @pytest.mark.slow
     def test_closed_prefix_matches_batch_per_window(
         self, spark, events_dir_timeordered
     ):
@@ -2863,6 +2875,7 @@ class TestRocksDBRound11Twins:
         rocks_rows = self._with_provider(spark, self.ROCKS, run_once)
         assert rocks_rows == default_rows and rocks_rows
 
+    @pytest.mark.slow
     def test_suppression_sink_matches_default_provider(
         self, spark, events_dir_timeordered, tmp_path
     ):
@@ -2923,6 +2936,7 @@ class TestStreamingFisherExact:
             (F.col("user_id") % 2 == 0).alias("b"),
         )
 
+    @pytest.mark.slow
     def test_closed_prefix_matches_batch_per_window(
         self, spark, events_dir_timeordered
     ):
@@ -3034,6 +3048,7 @@ class TestStreamingClassReportSummary:
             .alias("pred"),
         )
 
+    @pytest.mark.slow
     def test_closed_prefix_matches_batch_per_window(
         self, spark, events_dir_timeordered
     ):
@@ -3149,6 +3164,7 @@ class TestStreamingTCloseness:
             "band", (F.col("user_id") % F.lit(7)).cast("bigint")
         )
 
+    @pytest.mark.slow
     def test_closed_windows_match_batch_per_window(
         self, spark, events_dir_timeordered, tmp_path
     ):
