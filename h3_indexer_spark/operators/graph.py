@@ -600,8 +600,12 @@ def bfs_hops(
     hops", so stopping early is the semantics, and an early-empty
     frontier short-circuits). localCheckpoint per round truncates the
     iterative lineage exactly as connected_components/k_core do; the
-    per-round emptiness probe is a LIMIT-1 existence check, not a
-    count over the frontier.
+    checkpoint is LAZY with the emptiness probe's count() as its
+    materializer (the k_core/connected_components trick), so each
+    round runs ONE job — an eager checkpoint plus a separate probe
+    ran two. (A LIMIT-1 probe is no cheaper here: a lazy checkpoint's
+    job-end fill pass computes the partitions the early-exit skipped,
+    so the pair costs the same two jobs the eager shape did.)
 
     Unlike the SQL mirror (a recursive CTE that re-visits a vertex
     once per distinct hop depth and MIN-aggregates at the end), the
@@ -628,9 +632,9 @@ def bfs_hops(
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("bigint"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if not nxt.take(1):
+        if nxt.count() == 0:
             break
         # dist stays a LAZY union of the per-round checkpointed
         # frontiers: every piece is already materialized, so the

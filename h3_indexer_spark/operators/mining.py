@@ -550,33 +550,46 @@ def sequential_patterns_full(
     ev = _pin(ev)
     # Persistence discipline (measured, not theoretical): the PINNED
     # table must be each level's JOIN OUTPUT, not the support-pruned
-    # view of it. Level k's table feeds three consumers — its own
-    # support aggregation, the semi-join prune, and (through the
-    # prune) level k+1's join. Pinning only the pruned view leaves
-    # the dominant join outside every cache boundary, and the final
-    # action re-derives it 2-3x per level (measured 33s -> 95s on the
-    # x20 curve). Pinning the join output itself runs every level's
-    # join exactly once; the prune and the support agg are cheap
-    # cache reads. No driver-side early-stop probe either: a take(1)
-    # per level materializes the dominant join a second time; levels
-    # past the longest frequent pattern are EMPTY lazy joins that AQE
-    # skips at action time.
+    # view of it. Level k's table feeds both consumers — the output
+    # support rows and (through the prune) level k+1's join. Pinning
+    # only the pruned view leaves the dominant join outside every
+    # cache boundary, and the final action re-derives it 2-3x per
+    # level (measured 33s -> 95s on the x20 curve). Pinning the join
+    # output itself runs every level's join exactly once. No
+    # driver-side early-stop probe either: a take(1) per level
+    # materializes the dominant join a second time; levels past the
+    # longest frequent pattern are EMPTY lazy joins that AQE skips at
+    # action time.
+    # Support is carried ON the level rows by a pattern-partitioned
+    # window count rather than a separate aggregate + semi-join
+    # prune. Same counts (one level row per (entity, pattern)), but
+    # ONE reference to the previous level per round instead of two —
+    # the agg+semi-join shape nested level k-1's plan twice into
+    # level k, so the static tree grew 2^k and Catalyst alone spent
+    # ~5.5 s of the cold pass before the first job (profiled: a
+    # 5.5 s zero-job gap at the head of the cold timeline). The
+    # window also replaces the prune's exchange outright.
     # level 1: earliest occurrence of each surviving type per entity.
-    # _pat is array<string> end-to-end (support aggregates on the
+    # _pat is array<string> end-to-end (support counts key on the
     # ARRAY, so a type containing the arrow separator cannot merge two
     # distinct sequences — ADVICE r10); the string renders at the edge.
+    w_pat = Window.partitionBy("_pat")
     level = _pin(
-        ev.groupBy("_e", F.array(F.col("_t")).alias("_pat")).agg(
-            F.min("_pos").alias("_end")
+        ev.groupBy("_e", F.array(F.col("_t")).alias("_pat"))
+        .agg(F.min("_pos").alias("_end"))
+        .withColumn(
+            "_sup", F.count(F.lit(1)).over(w_pat).cast("bigint")
         )
     )
     out_levels: list[DataFrame] = []
     for length in range(1, max_len + 1):
-        support = level.groupBy("_pat").agg(
-            F.count(F.lit(1)).cast("bigint").alias("support")
-        ).where(F.col("support") >= min_support)
+        # survivor prune: only frequent patterns are reported and
+        # only they grow (lossless by the Apriori property)
+        surv = level.where(F.col("_sup") >= F.lit(min_support))
         out_levels.append(
-            support.select(
+            surv.select("_pat", F.col("_sup").alias("support"))
+            .distinct()
+            .select(
                 F.array_join("_pat", _PATTERN_SEP).alias("pattern"),
                 F.lit(length).cast("bigint").alias("length"),
                 "support",
@@ -584,12 +597,8 @@ def sequential_patterns_full(
         )
         if length == max_len:
             break
-        # survivor prune BEFORE extension: only frequent patterns
-        # grow (lossless by the Apriori property); reads the pinned
-        # level table twice (support agg + semi-join), both cached
-        pruned = level.join(support.select("_pat"), "_pat", "left_semi")
         level = _pin(
-            pruned.join(ev, "_e")
+            surv.join(ev, "_e")
             .where(F.col("_pos") > F.col("_end"))
             .groupBy(
                 "_e",
@@ -598,6 +607,9 @@ def sequential_patterns_full(
                 ).alias("_pat"),
             )
             .agg(F.min("_pos").alias("_end"))
+            .withColumn(
+                "_sup", F.count(F.lit(1)).over(w_pat).cast("bigint")
+            )
         )
     result = out_levels[0]
     for nxt in out_levels[1:]:

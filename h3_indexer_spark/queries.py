@@ -2801,7 +2801,14 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h3_indexer_spark.operators.pq import ivfpq_topk, pq_train
     from h3_indexer_spark.operators.similarity import sampled_centroids
 
-    emb = load(spark, sf_dir, "embeddings")
+    # The 2,000-vector table's 32-way scan split makes every encode/
+    # ADC pandas-UDF stage pay 32 worker round trips on ~60-row
+    # batches; 8 partitions is the measured sweet spot (same-session
+    # A/B at sf0.1: med 1.78 → 1.55 s; 4 and 2 partitions are worse —
+    # the kernels do want SOME parallelism). coalesce merges scan
+    # splits without a shuffle, and top-k/codebooks are partitioning-
+    # independent (total-order TakeOrdered, driver-side train sample).
+    emb = load(spark, sf_dir, "embeddings").coalesce(8)
     cents = sampled_centroids(emb, n_cells=16)
     books = pq_train(emb, m=16, nbits=6, sample=500)
     return ivfpq_topk(
