@@ -705,7 +705,7 @@ def main() -> None:
     # override the name via SPARK_GRAFT_BENCH_OUT).
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).resolve().parent / "BENCH_local_r12.json"),
+        str(Path(__file__).resolve().parent / "BENCH_local_r13.json"),
     )
     try:
         with open(out_path, "w") as fh:

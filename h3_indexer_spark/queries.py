@@ -2801,14 +2801,14 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h3_indexer_spark.operators.pq import ivfpq_topk, pq_train
     from h3_indexer_spark.operators.similarity import sampled_centroids
 
-    # The 2,000-vector table's 32-way scan split makes every encode/
-    # ADC pandas-UDF stage pay 32 worker round trips on ~60-row
-    # batches; 8 partitions is the measured sweet spot (same-session
-    # A/B at sf0.1: med 1.78 → 1.55 s; 4 and 2 partitions are worse —
-    # the kernels do want SOME parallelism). coalesce merges scan
-    # splits without a shuffle, and top-k/codebooks are partitioning-
-    # independent (total-order TakeOrdered, driver-side train sample).
-    emb = load(spark, sf_dir, "embeddings").coalesce(8)
+    # Partitioning left at the table's scan split DELIBERATELY: a
+    # coalesce(8) on the 2,000-vector table won a cold-ish A/B (1.78
+    # → 1.55 med) but regressed the key in full-bench context, where
+    # the warmed Python worker pool makes 32 small encode/ADC tasks
+    # cheap and 8 fatter GEMM tasks serialize (three bench runs:
+    # 1.34/1.77/1.53 vs the 1.07 same-day control) — measured, then
+    # reverted.
+    emb = load(spark, sf_dir, "embeddings")
     cents = sampled_centroids(emb, n_cells=16)
     books = pq_train(emb, m=16, nbits=6, sample=500)
     return ivfpq_topk(
